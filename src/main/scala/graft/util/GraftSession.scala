@@ -1,0 +1,31 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession defaults for the graft engine.
+  *
+  * - UTC session time zone (oracle parity with DuckDB).
+  * - `nanosAsLong`: the driver's events.parquet carries TIMESTAMP(NANOS)
+  *   which Spark 4 cannot map natively; we read nanos as long and convert
+  *   with `timestamp_micros(ts div 1000)` (identical to DuckDB's
+  *   ns->us cast truncation for positive epochs).
+  * - AQE on: runtime coalescing + skew-join splitting matter at scale.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+  /** Test/dev session. */
+  def local(cores: Int = 4): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

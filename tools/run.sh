@@ -1,0 +1,18 @@
+#!/bin/bash
+# Fast dev loop: package once, run a main class against /opt/spark/jars.
+# Usage: tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
+set -e
+cd /root/repo
+JAR=target/scala-2.13/tigatespark_2.13-0.1.0.jar
+if [ "${SKIP_BUILD:-0}" != "1" ]; then
+  sbt -batch package > /tmp/sbt_package.log 2>&1 || { tail -40 /tmp/sbt_package.log; exit 1; }
+fi
+ADDOPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADDOPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/opt/spark/jars/*:$JAR" "$@"
