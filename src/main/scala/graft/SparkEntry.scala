@@ -1,18 +1,48 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.cdc.ChangeEvents
+import org.apache.spark.sql.functions._
+import graft.cdc._
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+  import ChangeEvents.{changelog => cl, withChangelogSql => o}
+
+  // fixed demo parameters for the oracle-checked query entries
+  private val tableRules   = Seq("db0.%", "db1.t1")
+  private val ignoreOps    = Seq("D")
+  private val nParts       = 16
+  private val dispatchCols = Seq("event_type", "props")
+  private val minTs        = 100L
+  private val syncStep     = 100L
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1Agg(spark, "/root/testdata/sf0.001")
+    Materialize.snapshot(cl(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-series: CDC core
-    "cdc_changelog_build" -> ((s, d) => ChangeEvents.changelog(s, d)),
+    "cdc_changelog_build" -> ((s, d) => cl(s, d)),
+    "cdc_event_sort" -> ((s, d) => Materialize.eventSort(cl(s, d))),
+    "cdc_table_filter" -> ((s, d) => Filters.tableFilter(cl(s, d), tableRules)),
+    "cdc_event_type_filter" -> ((s, d) => Filters.eventTypeFilter(cl(s, d), ignoreOps)),
+    "cdc_expr_filter" -> ((s, d) => Filters.exprFilter(cl(s, d),
+      col("after_value") > 150.0 && col("event_type") === "purchase")),
+    "cdc_ts_filter" -> ((s, d) => Filters.tsFilter(cl(s, d), minTs)),
+    "cdc_column_selector" -> ((s, d) => cl(s, d)
+      .select("schema_name", "table_name", "pk", "commit_ts", "op", "after_value")),
+    "cdc_dispatch_table" -> ((s, d) => Dispatchers.byTable(cl(s, d), nParts)),
+    "cdc_dispatch_index_value" -> ((s, d) => Dispatchers.byIndexValue(cl(s, d), nParts)),
+    "cdc_dispatch_columns" -> ((s, d) => Dispatchers.byColumns(cl(s, d), dispatchCols, nParts)),
+    "cdc_dispatch_ts" -> ((s, d) => Dispatchers.byTs(cl(s, d), nParts)),
+    "cdc_snapshot_materialize" -> ((s, d) => Materialize.snapshot(cl(s, d))),
+    "cdc_safe_mode_upsert" -> ((s, d) => Materialize.safeModeUpsert(cl(s, d))),
+    "cdc_resolved_ts" -> ((s, d) => Materialize.resolvedTs(cl(s, d))),
+    "cdc_txn_group" -> ((s, d) => Materialize.txnGroup(cl(s, d))),
+    "cdc_syncpoint" -> ((s, d) => Materialize.syncpoint(s, cl(s, d), syncStep)),
+    "cdc_schema_asof" -> ((s, d) => SchemaStore.eventsWithSchema(cl(s, d))),
+    "cdc_ddl_events" -> ((s, d) => SchemaStore.ddlEvents(cl(s, d), Seq("ALTER"))),
     // B-series: analytics
     "q1_agg" -> ((s, d) => Analytics.q1Agg(s, d)),
   )
@@ -21,6 +51,27 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "cdc_changelog_build" -> ChangeEvents.changelogSql,
+    "cdc_event_sort" -> o(Materialize.eventSortSql),
+    "cdc_table_filter" -> o(
+      s"SELECT * FROM changelog WHERE ${Filters.tableFilterSql(tableRules)}"),
+    "cdc_event_type_filter" -> o(
+      s"SELECT * FROM changelog WHERE op NOT IN ('D')"),
+    "cdc_expr_filter" -> o(
+      "SELECT * FROM changelog WHERE NOT COALESCE(after_value > 150.0 AND event_type = 'purchase', FALSE)"),
+    "cdc_ts_filter" -> o(s"SELECT * FROM changelog WHERE commit_ts > $minTs"),
+    "cdc_column_selector" -> o(
+      "SELECT schema_name, table_name, pk, commit_ts, op, after_value FROM changelog"),
+    "cdc_dispatch_table" -> o(Dispatchers.byTableSql(nParts)),
+    "cdc_dispatch_index_value" -> o(Dispatchers.byIndexValueSql(nParts)),
+    "cdc_dispatch_columns" -> o(Dispatchers.byColumnsSql(dispatchCols, nParts)),
+    "cdc_dispatch_ts" -> o(Dispatchers.byTsSql(nParts)),
+    "cdc_snapshot_materialize" -> o(Materialize.snapshotSql),
+    "cdc_safe_mode_upsert" -> o(Materialize.safeModeUpsertSql),
+    "cdc_resolved_ts" -> o(Materialize.resolvedTsSql),
+    "cdc_txn_group" -> o(Materialize.txnGroupSql),
+    "cdc_syncpoint" -> o(Materialize.syncpointSql(syncStep)),
+    "cdc_schema_asof" -> o(SchemaStore.eventsWithSchemaSql),
+    "cdc_ddl_events" -> o(SchemaStore.ddlEventsSql(Seq("ALTER"))),
     "q1_agg" -> Analytics.q1AggSql,
   )
 }

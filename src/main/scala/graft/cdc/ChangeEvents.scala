@@ -79,7 +79,11 @@ object ChangeEvents {
       |  CAST(ts AS TIMESTAMP) AS event_time
       |FROM events""".stripMargin
 
-  /** Wrap an oracle query body with the changelog CTE. */
+  /** Wrap an oracle query body with the changelog CTE. Bodies that start
+    * with their own WITH clause get merged (SQL forbids nested WITH). */
   def withChangelogSql(body: String): String =
-    s"WITH changelog AS (\n$changelogSql\n)\n$body"
+    if (body.trim.toUpperCase.startsWith("WITH "))
+      s"WITH changelog AS (\n$changelogSql\n), ${body.trim.drop(5)}"
+    else
+      s"WITH changelog AS (\n$changelogSql\n)\n$body"
 }

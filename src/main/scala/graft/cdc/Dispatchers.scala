@@ -1,0 +1,68 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Sink partition dispatchers — the engine's equivalent of TiCDC's
+  * eventrouter partition generators (reference:
+  * downstreamadapter/sink/helper/eventrouter/partition/{table,
+  * index_value, columns, ts}.go).
+  *
+  * Each dispatcher adds a `partition` column = deterministic bucket in
+  * [0, n). Row-local expressions: no shuffle, fully codegen'd. When the
+  * downstream write needs co-location, `df.repartition(n, col
+  * ("partition"))` aligns Spark partitioning with sink partitioning in
+  * one shuffle.
+  */
+object Dispatchers {
+  private val out = Seq("schema_name", "table_name", "pk", "commit_ts", "op")
+
+  /** partition = hash(schema.table) % n — all events of a table land in
+    * one partition (reference: partition/table.go). */
+  def byTable(cl: DataFrame, n: Int): DataFrame =
+    cl.select(out.map(col) :+
+      Portable.bucket(concat_ws(".", col("schema_name"), col("table_name")), n).as("partition"): _*)
+
+  def byTableSql(n: Int): String =
+    s"""SELECT schema_name, table_name, pk, commit_ts, op,
+       |  ${Portable.bucketSql("CONCAT(schema_name, '.', table_name)", n)} AS partition
+       |FROM changelog""".stripMargin
+
+  /** partition = hash(table + pk values) % n — events of one row stay
+    * ordered in one partition (reference: partition/index_value.go). */
+  def byIndexValue(cl: DataFrame, n: Int): DataFrame =
+    cl.select(out.map(col) :+
+      Portable.bucket(
+        concat_ws(",", col("schema_name"), col("table_name"), col("pk").cast("string")), n)
+        .as("partition"): _*)
+
+  def byIndexValueSql(n: Int): String =
+    s"""SELECT schema_name, table_name, pk, commit_ts, op,
+       |  ${Portable.bucketSql("CONCAT(schema_name, ',', table_name, ',', CAST(pk AS VARCHAR))", n)} AS partition
+       |FROM changelog""".stripMargin
+
+  /** partition = hash(selected payload columns) % n (reference:
+    * partition/columns.go). String columns only — engine-portable. */
+  def byColumns(cl: DataFrame, columns: Seq[String], n: Int): DataFrame =
+    cl.select(out.map(col) :+
+      Portable.bucket(concat_ws(",", (Seq("schema_name", "table_name") ++ columns).map(col): _*), n)
+        .as("partition"): _*)
+
+  def byColumnsSql(columns: Seq[String], n: Int): String = {
+    val cols = (Seq("schema_name", "table_name") ++ columns).mkString(", ',', ")
+    s"""SELECT schema_name, table_name, pk, commit_ts, op,
+       |  ${Portable.bucketSql(s"CONCAT($cols)", n)} AS partition
+       |FROM changelog""".stripMargin
+  }
+
+  /** partition = commit_ts % n — round-robin by time (reference:
+    * partition/ts.go). */
+  def byTs(cl: DataFrame, n: Int): DataFrame =
+    cl.select(out.map(col) :+ pmod(col("commit_ts"), lit(n.toLong)).as("partition"): _*)
+
+  def byTsSql(n: Int): String =
+    s"""SELECT schema_name, table_name, pk, commit_ts, op,
+       |  commit_ts % $n AS partition
+       |FROM changelog""".stripMargin
+}

@@ -1,0 +1,46 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Changefeed filtering — the engine's equivalent of TiCDC's
+  * `pkg/filter` (filter.go table matchers, sql_event_filter.go
+  * event-type rules, expr_filter.go value predicates).
+  *
+  * All filters are plain Catalyst predicates, so they participate in
+  * predicate pushdown / partition pruning when applied upstream of a
+  * scan — at 100 TB these run inside the parquet reader, not after it.
+  */
+object Filters {
+
+  /** Keep rows whose `schema.table` matches ANY of the SQL-LIKE
+    * patterns (TiCDC matcher rules like `["db0.*", "db1.t1"]`;
+    * reference: pkg/filter/filter.go). */
+  def tableFilter(cl: DataFrame, patterns: Seq[String]): DataFrame = {
+    val qualified = concat_ws(".", col("schema_name"), col("table_name"))
+    val pred = patterns.map(p => qualified.like(p)).reduce(_ || _)
+    cl.filter(pred)
+  }
+
+  def tableFilterSql(patterns: Seq[String]): String =
+    patterns.map(p => s"CONCAT(schema_name, '.', table_name) LIKE '$p'")
+      .mkString("(", " OR ", ")")
+
+  /** Drop events whose op is in `ignore` (TiCDC ignore-event rules:
+    * reference pkg/filter/sql_event_filter.go). */
+  def eventTypeFilter(cl: DataFrame, ignore: Seq[String]): DataFrame =
+    cl.filter(!col("op").isin(ignore: _*))
+
+  /** Drop DML whose row image matches the ignore expression (TiCDC
+    * expression filters: reference pkg/filter/expr_filter.go —
+    * `shouldSkipDML` skips when the configured predicate matches either
+    * image). `ignoreExpr` sees the flat before/after columns. */
+  def exprFilter(cl: DataFrame, ignoreExpr: Column): DataFrame =
+    cl.filter(!coalesce(ignoreExpr, lit(false)))
+
+  /** Ignore events at or below a resolved/start ts threshold
+    * (reference: pkg/filter checkpoint semantics). Range predicate —
+    * prunes partitions when the source is ts-partitioned. */
+  def tsFilter(cl: DataFrame, minCommitTs: Long): DataFrame =
+    cl.filter(col("commit_ts") > minCommitTs)
+}

@@ -1,0 +1,173 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Changelog materialization — the *net effect* of TiCDC's MySQL sink
+  * (reference: downstreamadapter/sink/mysql_sink.go, pkg/sink/mysql):
+  * applying an ordered stream of I/U/D events to a keyed table is
+  * last-writer-wins per primary key, with deletes removing the row.
+  *
+  * Scale notes: every operator here is a single hash aggregation on
+  * (schema, table, pk) with map-side partial `max_by` — no global sort,
+  * no window over a total order. At 100 TB this is one shuffle keyed by
+  * pk; AQE skew-split handles hot keys.
+  */
+object Materialize {
+
+  /** Current snapshot: latest image per key, deletes applied. */
+  def snapshot(cl: DataFrame): DataFrame =
+    cl.groupBy(col("schema_name"), col("table_name"), col("pk"))
+      .agg(
+        max(col("commit_ts")).as("last_ts"),
+        max_by(col("op"), col("commit_ts")).as("last_op"),
+        max_by(col("after_value"), col("commit_ts")).as("value"),
+        max_by(col("props"), col("commit_ts")).as("props"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last_op") =!= "D")
+      .drop("last_op")
+
+  val snapshotSql: String =
+    """SELECT schema_name, table_name, pk, last_ts, value, props, n_changes
+      |FROM (
+      |  SELECT schema_name, table_name, pk,
+      |    MAX(commit_ts) AS last_ts,
+      |    MAX_BY(op, commit_ts) AS last_op,
+      |    MAX_BY(after_value, commit_ts) AS value,
+      |    MAX_BY(props, commit_ts) AS props,
+      |    COUNT(*) AS n_changes
+      |  FROM changelog
+      |  GROUP BY schema_name, table_name, pk
+      |) WHERE last_op <> 'D'""".stripMargin
+
+  /** Safe-mode upsert stream: one terminal statement per key —
+    * REPLACE with the latest image, or DELETE if the last op was a
+    * delete (reference: mysql sink safe-mode rewrites INSERT→REPLACE,
+    * UPDATE→DELETE+REPLACE; the terminal statement per key is what the
+    * downstream table ends up executing). */
+  def safeModeUpsert(cl: DataFrame): DataFrame =
+    cl.groupBy(col("schema_name"), col("table_name"), col("pk"))
+      .agg(
+        max(col("commit_ts")).as("last_ts"),
+        max_by(col("op"), col("commit_ts")).as("last_op"),
+        max_by(col("after_value"), col("commit_ts")).as("last_value"))
+      .withColumn("statement",
+        when(col("last_op") === "D", lit("DELETE")).otherwise(lit("REPLACE")))
+      // a DELETE carries no image (engines differ on max_by null handling,
+      // so pin the semantics explicitly)
+      .withColumn("value",
+        when(col("last_op") === "D", lit(null).cast("double"))
+          .otherwise(col("last_value")))
+      .drop("last_op", "last_value")
+
+  val safeModeUpsertSql: String =
+    """SELECT schema_name, table_name, pk, last_ts,
+      |  CASE WHEN last_op = 'D' THEN 'DELETE' ELSE 'REPLACE' END AS statement,
+      |  CASE WHEN last_op = 'D' THEN NULL ELSE value END AS value
+      |FROM (
+      |  SELECT schema_name, table_name, pk,
+      |    MAX(commit_ts) AS last_ts,
+      |    MAX_BY(op, commit_ts) AS last_op,
+      |    MAX_BY(after_value, commit_ts) AS value
+      |  FROM changelog
+      |  GROUP BY schema_name, table_name, pk
+      |)""".stripMargin
+
+  /** Resolved ts per schema = min over its tables of max(commit_ts):
+    * "no event earlier than this will arrive" (reference:
+    * logservice/eventstore resolved-ts tracking; maps to Spark's
+    * watermark in streaming mode). */
+  def resolvedTs(cl: DataFrame): DataFrame =
+    cl.groupBy(col("schema_name"), col("table_name"))
+      .agg(max(col("commit_ts")).as("table_max_ts"))
+      .groupBy(col("schema_name"))
+      .agg(min(col("table_max_ts")).as("resolved_ts"),
+           count(lit(1)).as("n_tables"))
+
+  val resolvedTsSql: String =
+    """SELECT schema_name, MIN(table_max_ts) AS resolved_ts, COUNT(*) AS n_tables
+      |FROM (
+      |  SELECT schema_name, table_name, MAX(commit_ts) AS table_max_ts
+      |  FROM changelog GROUP BY schema_name, table_name
+      |) GROUP BY schema_name""".stripMargin
+
+  /** Transaction batches: events sharing a start_ts form one upstream
+    * txn (reference: txn batching in pkg/sink/mysql — events of one txn
+    * are flushed atomically). */
+  def txnGroup(cl: DataFrame): DataFrame =
+    cl.groupBy(col("schema_name"), col("table_name"), col("start_ts"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("pk")).as("n_keys"),
+        min(col("commit_ts")).as("first_ts"),
+        max(col("commit_ts")).as("last_ts"),
+        round(sum(col("after_value")), 2).as("sum_value"))
+
+  val txnGroupSql: String =
+    """SELECT schema_name, table_name, start_ts,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT pk) AS n_keys,
+      |  MIN(commit_ts) AS first_ts,
+      |  MAX(commit_ts) AS last_ts,
+      |  ROUND(SUM(after_value), 2) AS sum_value
+      |FROM changelog
+      |GROUP BY schema_name, table_name, start_ts""".stripMargin
+
+  /** Syncpoint snapshots: consistent table state at each ts boundary
+    * (reference: downstreamadapter/syncpoint — periodic aligned
+    * snapshots downstream can diff against). Emits per boundary/table:
+    * live row count + value total.
+    *
+    * Batch form uses a broadcast boundaries×events range join; the
+    * streaming form is windowed state. At scale, prefer the
+    * incremental cumulative-window variant over re-scanning per
+    * boundary. */
+  def syncpoint(spark: SparkSession, cl: DataFrame, step: Long): DataFrame = {
+    // empty-safe: no boundaries when max ts < step (sequence() would error)
+    val bounds = cl.agg(max(col("commit_ts")).as("m"))
+      .select(explode(when(col("m") >= step, sequence(lit(step), col("m"), lit(step)))
+        .otherwise(array().cast("array<long>"))).as("boundary_ts"))
+    val j = cl.join(broadcast(bounds), col("commit_ts") <= col("boundary_ts"))
+    j.groupBy(col("boundary_ts"), col("schema_name"), col("table_name"), col("pk"))
+      .agg(max_by(col("op"), col("commit_ts")).as("last_op"),
+           max_by(col("after_value"), col("commit_ts")).as("value"))
+      .filter(col("last_op") =!= "D")
+      .groupBy(col("boundary_ts"), col("schema_name"), col("table_name"))
+      .agg(count(lit(1)).as("live_rows"),
+           round(sum(col("value")), 2).as("total_value"))
+  }
+
+  def syncpointSql(step: Long): String =
+    s"""SELECT boundary_ts, schema_name, table_name,
+       |  COUNT(*) AS live_rows,
+       |  ROUND(SUM(value), 2) AS total_value
+       |FROM (
+       |  SELECT b.boundary_ts, c.schema_name, c.table_name, c.pk,
+       |    MAX_BY(c.op, c.commit_ts) AS last_op,
+       |    MAX_BY(c.after_value, c.commit_ts) AS value
+       |  FROM changelog c
+       |  JOIN (SELECT UNNEST(GENERATE_SERIES($step, (SELECT MAX(commit_ts) FROM changelog), $step)) AS boundary_ts) b
+       |    ON c.commit_ts <= b.boundary_ts
+       |  GROUP BY b.boundary_ts, c.schema_name, c.table_name, c.pk
+       |) WHERE last_op <> 'D'
+       |GROUP BY boundary_ts, schema_name, table_name""".stripMargin
+
+  /** Event sort order — TiCDC's eventstore guarantee: per key, events
+    * are delivered in (commit_ts, start_ts) order (reference:
+    * logservice/eventstore). Exposed as an explicit sequence number so
+    * correctness is oracle-checkable. */
+  def eventSort(cl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("schema_name"), col("table_name"), col("pk"))
+      .orderBy(col("commit_ts"), col("start_ts"))
+    cl.select(col("schema_name"), col("table_name"), col("pk"),
+        col("commit_ts"), col("start_ts"), col("op"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+  }
+
+  val eventSortSql: String =
+    """SELECT schema_name, table_name, pk, commit_ts, start_ts, op,
+      |  ROW_NUMBER() OVER (PARTITION BY schema_name, table_name, pk
+      |                     ORDER BY commit_ts, start_ts) AS seq
+      |FROM changelog""".stripMargin
+}
