@@ -118,23 +118,50 @@ object Materialize {
     * snapshots downstream can diff against). Emits per boundary/table:
     * live row count + value total.
     *
-    * Batch form uses a broadcast boundaries×events range join; the
-    * streaming form is windowed state. At scale, prefer the
-    * incremental cumulative-window variant over re-scanning per
-    * boundary. */
+    * Incremental plan — the naive boundaries×events range join explodes
+    * to |events|×|boundaries| rows (measured 245 s at sf0.1; would be
+    * catastrophic at 100 TB). Instead each event contributes a *delta*
+    * (its key's contribution change) attributed to the first boundary
+    * ≥ its commit_ts; per-table deltas then cumulative-sum across the
+    * boundary grid. Cost: one lag-window shuffle keyed by pk, one
+    * aggregation, and a cumsum over the tiny (tables × boundaries)
+    * grid — telescoping makes it exact. */
   def syncpoint(spark: SparkSession, cl: DataFrame, step: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy(col("schema_name"), col("table_name"), col("pk"))
+      .orderBy(col("commit_ts"))
+    val tr = cl.select(col("schema_name"), col("table_name"), col("pk"),
+        col("commit_ts"), col("op"), col("after_value"))
+      .withColumn("prev_op", lag(col("op"), 1).over(wk))
+      .withColumn("prev_value", lag(col("after_value"), 1).over(wk))
+      .withColumn("cur_live", (col("op") =!= "D").cast("long"))
+      .withColumn("prev_live",
+        coalesce((col("prev_op") =!= "D").cast("long"), lit(0L)))
+      .withColumn("d_live", col("cur_live") - col("prev_live"))
+      .withColumn("d_value",
+        coalesce(when(col("cur_live") === 1L, col("after_value")), lit(0.0)) -
+        coalesce(when(col("prev_live") === 1L, col("prev_value")), lit(0.0)))
+      // first syncpoint boundary this event is visible at
+      .withColumn("boundary_ts",
+        expr(s"((commit_ts + $step - 1) div $step) * $step"))
+    val deltas = tr.groupBy(col("boundary_ts"), col("schema_name"), col("table_name"))
+      .agg(sum(col("d_live")).as("d_live"), sum(col("d_value")).as("d_value"))
     // empty-safe: no boundaries when max ts < step (sequence() would error)
     val bounds = cl.agg(max(col("commit_ts")).as("m"))
       .select(explode(when(col("m") >= step, sequence(lit(step), col("m"), lit(step)))
         .otherwise(array().cast("array<long>"))).as("boundary_ts"))
-    val j = cl.join(broadcast(bounds), col("commit_ts") <= col("boundary_ts"))
-    j.groupBy(col("boundary_ts"), col("schema_name"), col("table_name"), col("pk"))
-      .agg(max_by(col("op"), col("commit_ts")).as("last_op"),
-           max_by(col("after_value"), col("commit_ts")).as("value"))
-      .filter(col("last_op") =!= "D")
-      .groupBy(col("boundary_ts"), col("schema_name"), col("table_name"))
-      .agg(count(lit(1)).as("live_rows"),
-           round(sum(col("value")), 2).as("total_value"))
+    val grid = cl.select(col("schema_name"), col("table_name")).distinct()
+      .crossJoin(broadcast(bounds))
+    val wc = Window.partitionBy(col("schema_name"), col("table_name"))
+      .orderBy(col("boundary_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(deltas, Seq("boundary_ts", "schema_name", "table_name"), "left")
+      .withColumn("live_rows", sum(coalesce(col("d_live"), lit(0L))).over(wc))
+      .withColumn("total_value",
+        round(sum(coalesce(col("d_value"), lit(0.0))).over(wc), 2))
+      .filter(col("live_rows") > 0)
+      .select(col("boundary_ts"), col("schema_name"), col("table_name"),
+        col("live_rows"), col("total_value"))
   }
 
   def syncpointSql(step: Long): String =
