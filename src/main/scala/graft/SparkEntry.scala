@@ -43,6 +43,13 @@ object SparkEntry {
     "cdc_syncpoint" -> ((s, d) => Materialize.syncpoint(s, cl(s, d), syncStep)),
     "cdc_schema_asof" -> ((s, d) => SchemaStore.eventsWithSchema(cl(s, d))),
     "cdc_ddl_events" -> ((s, d) => SchemaStore.ddlEvents(cl(s, d), Seq("ALTER"))),
+    "codec_canal_json" -> ((s, d) => Codecs.canalJson(cl(s, d))),
+    "codec_open_protocol" -> ((s, d) => Codecs.openProtocol(cl(s, d))),
+    "codec_debezium" -> ((s, d) => Codecs.debezium(cl(s, d))),
+    "codec_csv" -> ((s, d) => Codecs.csv(cl(s, d))),
+    "codec_avro_schema" -> ((s, d) => Codecs.avroRecord(cl(s, d))),
+    "sink_storage_layout" -> ((s, d) => Codecs.storageLayout(cl(s, d))),
+    "sink_kafka_messages" -> ((s, d) => Codecs.kafkaMessages(cl(s, d), nParts)),
     // B-series: analytics
     "q1_agg" -> ((s, d) => Analytics.q1Agg(s, d)),
   )
@@ -72,6 +79,13 @@ object SparkEntry {
     "cdc_syncpoint" -> o(Materialize.syncpointSql(syncStep)),
     "cdc_schema_asof" -> o(SchemaStore.eventsWithSchemaSql),
     "cdc_ddl_events" -> o(SchemaStore.ddlEventsSql(Seq("ALTER"))),
+    "codec_canal_json" -> o(Codecs.canalJsonSql),
+    "codec_open_protocol" -> o(Codecs.openProtocolSql),
+    "codec_debezium" -> o(Codecs.debeziumSql),
+    "codec_csv" -> o(Codecs.csvSql),
+    "codec_avro_schema" -> o(Codecs.avroRecordSql),
+    "sink_storage_layout" -> o(Codecs.storageLayoutSql),
+    "sink_kafka_messages" -> o(Codecs.kafkaMessagesSql(nParts)),
     "q1_agg" -> Analytics.q1AggSql,
   )
 }

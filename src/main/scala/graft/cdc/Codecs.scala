@@ -1,0 +1,240 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-event encoders — the engine's equivalent of TiCDC's sink
+  * codecs (reference: pkg/sink/codec/{canal,open,debezium,csv,avro}).
+  *
+  * Every codec is a pure row-local string expression built from
+  * `concat`/`format_string`: fully whole-stage-codegen'd, no UDFs, no
+  * shuffle. Doubles render as `%.4f` (identical in JVM and C printf for
+  * non-midpoint doubles), NULL images render as the JSON literal
+  * `null`, and the `props` payload column (already JSON) embeds raw.
+  * Each codec has a character-identical DuckDB SQL rendering for the
+  * oracle.
+  */
+object Codecs {
+
+  /** %.4f or the JSON literal null. */
+  private def fmt(c: Column): Column =
+    when(c.isNull, lit("null")).otherwise(format_string("%.4f", c))
+
+  private def fmtSql(e: String): String =
+    s"CASE WHEN $e IS NULL THEN 'null' ELSE printf('%.4f', $e) END"
+
+  private val opWord: Column =
+    when(col("op") === "I", lit("INSERT"))
+      .when(col("op") === "D", lit("DELETE")).otherwise(lit("UPDATE"))
+
+  private val opWordSql =
+    "CASE op WHEN 'I' THEN 'INSERT' WHEN 'D' THEN 'DELETE' ELSE 'UPDATE' END"
+
+  /** A19 — canal-json envelope (reference: pkg/sink/codec/canal/
+    * canal_json_message.go JSONMessage): database/table/pkNames/isDdl/
+    * type/es/ts/data/old. DELETE carries the before image in `data`;
+    * INSERT has `old: null`. */
+  def canalJson(cl: DataFrame): DataFrame =
+    cl.select(col("commit_ts"), canalJsonValue.as("value"))
+
+  private def canalJsonValue: Column = concat(
+    lit("{\"id\":"), col("commit_ts"),
+    lit(",\"database\":\""), col("schema_name"),
+    lit("\",\"table\":\""), col("table_name"),
+    lit("\",\"pkNames\":[\"pk\"],\"isDdl\":false,\"type\":\""), opWord,
+    lit("\",\"es\":"), col("commit_ts"),
+    lit(",\"ts\":"), col("start_ts"),
+    lit(",\"data\":[{\"pk\":"), col("pk"),
+    lit(",\"value\":"),
+    fmt(when(col("op") === "D", col("before_value")).otherwise(col("after_value"))),
+    lit(",\"props\":"), col("props"),
+    lit("}],\"old\":"),
+    when(col("op") === "U", concat(lit("[{\"value\":"), fmt(col("before_value")), lit("}]")))
+      .otherwise(lit("null")),
+    lit("}"))
+
+  private val canalJsonValueSql: String =
+    s"""CONCAT('{"id":', commit_ts,
+       |  ',"database":"', schema_name,
+       |  '","table":"', table_name,
+       |  '","pkNames":["pk"],"isDdl":false,"type":"', $opWordSql,
+       |  '","es":', commit_ts,
+       |  ',"ts":', start_ts,
+       |  ',"data":[{"pk":', pk,
+       |  ',"value":', ${fmtSql("CASE WHEN op = 'D' THEN before_value ELSE after_value END")},
+       |  ',"props":', props,
+       |  '}],"old":',
+       |  CASE WHEN op = 'U'
+       |    THEN CONCAT('[{"value":', ${fmtSql("before_value")}, '}]')
+       |    ELSE 'null' END,
+       |  '}')""".stripMargin
+
+  val canalJsonSql: String =
+    s"SELECT commit_ts, $canalJsonValueSql AS value FROM changelog"
+
+  /** A20 — open-protocol key/value pair (reference: pkg/sink/codec/open/
+    * open_protocol_message.go): key carries ts+table routing, value is
+    * `{"u":{...}}` for upsert / `{"d":{...}}` for delete. */
+  def openProtocol(cl: DataFrame): DataFrame = {
+    val key = concat(
+      lit("{\"ts\":"), col("commit_ts"),
+      lit(",\"scm\":\""), col("schema_name"),
+      lit("\",\"tbl\":\""), col("table_name"), lit("\",\"t\":1}"))
+    val image = concat(
+      lit("{\"pk\":"), col("pk"),
+      lit(",\"value\":"), fmt(col("after_value")),
+      lit(",\"props\":"), col("props"), lit("}"))
+    val old = concat(lit("{\"pk\":"), col("pk"),
+      lit(",\"value\":"), fmt(col("before_value")), lit("}"))
+    val value = when(col("op") === "D", concat(lit("{\"d\":"), old, lit("}")))
+      .otherwise(concat(lit("{\"u\":"), image, lit("}")))
+    cl.select(col("commit_ts"), key.as("key"), value.as("value"))
+  }
+
+  val openProtocolSql: String =
+    s"""SELECT commit_ts,
+       |  CONCAT('{"ts":', commit_ts, ',"scm":"', schema_name,
+       |         '","tbl":"', table_name, '","t":1}') AS key,
+       |  CASE WHEN op = 'D'
+       |    THEN CONCAT('{"d":{"pk":', pk, ',"value":', ${fmtSql("before_value")}, '}}')
+       |    ELSE CONCAT('{"u":{"pk":', pk, ',"value":', ${fmtSql("after_value")},
+       |                ',"props":', props, '}}')
+       |  END AS value
+       |FROM changelog""".stripMargin
+
+  /** A21 — debezium-json envelope (reference: pkg/sink/codec/debezium/
+    * codec.go): before/after/op(c|u|d)/ts_ms/source. */
+  def debezium(cl: DataFrame): DataFrame = {
+    def image(v: Column): Column =
+      when(v.isNull, lit("null"))
+        .otherwise(concat(lit("{\"pk\":"), col("pk"), lit(",\"value\":"), fmt(v), lit("}")))
+    val value = concat(
+      lit("{\"before\":"), image(col("before_value")),
+      lit(",\"after\":"), image(col("after_value")),
+      lit(",\"source\":{\"db\":\""), col("schema_name"),
+      lit("\",\"table\":\""), col("table_name"),
+      lit("\"},\"op\":\""),
+      when(col("op") === "I", lit("c")).when(col("op") === "D", lit("d")).otherwise(lit("u")),
+      lit("\",\"ts_ms\":"), col("commit_ts"), lit("}"))
+    cl.select(col("commit_ts"), value.as("value"))
+  }
+
+  val debeziumSql: String = {
+    def imageSql(v: String) =
+      s"""CASE WHEN $v IS NULL THEN 'null'
+         |  ELSE CONCAT('{"pk":', pk, ',"value":', ${fmtSql(v)}, '}') END""".stripMargin
+    s"""SELECT commit_ts,
+       |  CONCAT('{"before":', ${imageSql("before_value")},
+       |    ',"after":', ${imageSql("after_value")},
+       |    ',"source":{"db":"', schema_name, '","table":"', table_name,
+       |    '"},"op":"',
+       |    CASE op WHEN 'I' THEN 'c' WHEN 'D' THEN 'd' ELSE 'u' END,
+       |    '","ts_ms":', commit_ts, '}') AS value
+       |FROM changelog""".stripMargin
+  }
+
+  /** A22 — csv line (reference: pkg/sink/codec/csv/csv_message.go —
+    * opType,schema,table,commitTs,cols...). Strings double-quote with
+    * `""` escaping; NULL image renders `\N` (MySQL convention). */
+  def csv(cl: DataFrame): DataFrame = {
+    def quoted(c: Column): Column =
+      concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\""))
+    val line = concat_ws(",",
+      quoted(col("op")), quoted(col("schema_name")), quoted(col("table_name")),
+      col("commit_ts").cast("string"), col("pk").cast("string"),
+      when(col("after_value").isNull, lit("\\N")).otherwise(format_string("%.4f", col("after_value"))),
+      quoted(col("props")))
+    cl.select(col("commit_ts"), line.as("line"))
+  }
+
+  val csvSql: String =
+    """SELECT commit_ts,
+      |  CONCAT(
+      |    '"', REPLACE(op, '"', '""'), '",',
+      |    '"', REPLACE(schema_name, '"', '""'), '",',
+      |    '"', REPLACE(table_name, '"', '""'), '",',
+      |    CAST(commit_ts AS VARCHAR), ',', CAST(pk AS VARCHAR), ',',
+      |    CASE WHEN after_value IS NULL THEN '\N' ELSE printf('%.4f', after_value) END, ',',
+      |    '"', REPLACE(props, '"', '""'), '"') AS line
+      |FROM changelog""".stripMargin
+
+  /** A23 — avro-style record rendering (reference: pkg/sink/codec/avro/
+    * avro.go): schema'd record with explicit field types; nullable
+    * fields render as avro JSON unions `{"double": x}` / null. */
+  def avroRecord(cl: DataFrame): DataFrame = {
+    def union(v: Column): Column =
+      when(v.isNull, lit("null")).otherwise(concat(lit("{\"double\":"), fmt(v), lit("}")))
+    val value = concat(
+      lit("{\"schema\":\"graft.ChangeEvent\",\"record\":{"),
+      lit("\"schema_name\":{\"string\":\""), col("schema_name"),
+      lit("\"},\"table_name\":{\"string\":\""), col("table_name"),
+      lit("\"},\"op\":{\"string\":\""), col("op"),
+      lit("\"},\"pk\":{\"long\":"), col("pk"),
+      lit("},\"commit_ts\":{\"long\":"), col("commit_ts"),
+      lit("},\"before_value\":"), union(col("before_value")),
+      lit(",\"after_value\":"), union(col("after_value")),
+      lit("}}"))
+    cl.select(col("commit_ts"), value.as("value"))
+  }
+
+  val avroRecordSql: String = {
+    def unionSql(v: String) =
+      s"""CASE WHEN $v IS NULL THEN 'null'
+         |  ELSE CONCAT('{"double":', ${fmtSql(v)}, '}') END""".stripMargin
+    s"""SELECT commit_ts,
+       |  CONCAT('{"schema":"graft.ChangeEvent","record":{',
+       |    '"schema_name":{"string":"', schema_name,
+       |    '"},"table_name":{"string":"', table_name,
+       |    '"},"op":{"string":"', op,
+       |    '"},"pk":{"long":', pk,
+       |    '},"commit_ts":{"long":', commit_ts,
+       |    '},"before_value":', ${unionSql("before_value")},
+       |    ',"after_value":', ${unionSql("after_value")},
+       |    '}}') AS value
+       |FROM changelog""".stripMargin
+  }
+
+  /** A24 — storage-sink file layout (reference: downstreamadapter/sink/
+    * cloudstorage + pkg/sink/cloudstorage/path.go): files partition by
+    * schema/table/date. Emits the partition manifest: path, row count,
+    * ts range. The real write is `df.write.partitionBy(...)` — this
+    * frame is the oracle-checkable layout derivation. */
+  def storageLayout(cl: DataFrame): DataFrame =
+    cl.withColumn("path", concat_ws("/",
+        col("schema_name"), col("table_name"),
+        date_format(col("event_time"), "yyyy-MM-dd")))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"))
+
+  val storageLayoutSql: String =
+    """SELECT CONCAT(schema_name, '/', table_name, '/', strftime(event_time, '%Y-%m-%d')) AS path,
+      |  COUNT(*) AS n_rows, MIN(commit_ts) AS min_ts, MAX(commit_ts) AS max_ts
+      |FROM changelog
+      |GROUP BY 1""".stripMargin
+
+  /** A25 — kafka message frame (reference: downstreamadapter/sink/
+    * kafka_sink.go): (partition, key, value) per event — index-value
+    * partition routing + open-protocol key + canal-json value. */
+  def kafkaMessages(cl: DataFrame, n: Int): DataFrame = {
+    import graft.functions.Portable
+    val part = Portable.bucket(
+      concat_ws(",", col("schema_name"), col("table_name"), col("pk").cast("string")), n)
+    val key = concat(
+      lit("{\"ts\":"), col("commit_ts"),
+      lit(",\"scm\":\""), col("schema_name"),
+      lit("\",\"tbl\":\""), col("table_name"), lit("\",\"t\":1}"))
+    cl.select(col("commit_ts"), part.as("partition"), key.as("key"),
+      canalJsonValue.as("value"))
+  }
+
+  def kafkaMessagesSql(n: Int): String = {
+    import graft.functions.Portable
+    s"""SELECT commit_ts,
+       |  ${Portable.bucketSql("CONCAT(schema_name, ',', table_name, ',', CAST(pk AS VARCHAR))", n)} AS partition,
+       |  CONCAT('{"ts":', commit_ts, ',"scm":"', schema_name,
+       |         '","tbl":"', table_name, '","t":1}') AS key,
+       |  $canalJsonValueSql AS value
+       |FROM changelog""".stripMargin
+  }
+}
