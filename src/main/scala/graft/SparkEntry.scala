@@ -52,6 +52,19 @@ object SparkEntry {
     "sink_kafka_messages" -> ((s, d) => Codecs.kafkaMessages(cl(s, d), nParts)),
     // B-series: analytics
     "q1_agg" -> ((s, d) => Analytics.q1Agg(s, d)),
+    "q3_join_topn" -> ((s, d) => Analytics.q3JoinTopN(s, d)),
+    "q5_multijoin" -> ((s, d) => Analytics.q5MultiJoin(s, d)),
+    "q_semi_join" -> ((s, d) => Analytics.qSemiJoin(s, d)),
+    "q_anti_join" -> ((s, d) => Analytics.qAntiJoin(s, d)),
+    "q_window_topn" -> ((s, d) => Analytics.qWindowTopN(s, d)),
+    "q_window_running" -> ((s, d) => Analytics.qWindowRunning(s, d)),
+    "q_rollup" -> ((s, d) => Analytics.qRollup(s, d)),
+    "q_conditional_agg" -> ((s, d) => Analytics.qConditionalAgg(s, d)),
+    "q_distinct_agg" -> ((s, d) => Analytics.qDistinctAgg(s, d)),
+    "q_scalar_subquery" -> ((s, d) => Analytics.qScalarSubquery(s, d)),
+    "q_time_bucket" -> ((s, d) => Analytics.qTimeBucket(s, d)),
+    "q_approx_quantile" -> ((s, d) => Analytics.qApproxQuantile(s, d)),
+    "q_sessionize" -> ((s, d) => Analytics.qSessionize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,5 +100,18 @@ object SparkEntry {
     "sink_storage_layout" -> o(Codecs.storageLayoutSql),
     "sink_kafka_messages" -> o(Codecs.kafkaMessagesSql(nParts)),
     "q1_agg" -> Analytics.q1AggSql,
+    "q3_join_topn" -> Analytics.q3JoinTopNSql,
+    "q5_multijoin" -> Analytics.q5MultiJoinSql,
+    "q_semi_join" -> Analytics.qSemiJoinSql,
+    "q_anti_join" -> Analytics.qAntiJoinSql,
+    "q_window_topn" -> Analytics.qWindowTopNSql,
+    "q_window_running" -> Analytics.qWindowRunningSql,
+    "q_rollup" -> Analytics.qRollupSql,
+    "q_conditional_agg" -> Analytics.qConditionalAggSql,
+    "q_distinct_agg" -> Analytics.qDistinctAggSql,
+    "q_scalar_subquery" -> Analytics.qScalarSubquerySql,
+    "q_time_bucket" -> Analytics.qTimeBucketSql,
+    "q_approx_quantile" -> Analytics.qApproxQuantileSql,
+    "q_sessionize" -> Analytics.qSessionizeSql,
   )
 }

@@ -1,16 +1,23 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables
 
 /** Analytic query surface (SURVEY.md §2 B-series) — declarative
   * DataFrame plans; Catalyst handles pushdown/pruning/join selection.
   *
-  * All double aggregates are rounded so results hash-match the DuckDB
-  * oracle despite summation-order nondeterminism.
+  * Scale notes: dimension tables (region/nation/customer/supplier/part)
+  * get explicit `broadcast` hints on the star joins; fact-fact joins
+  * shuffle on their keys with AQE skew handling. All double aggregates
+  * are rounded so results hash-match the DuckDB oracle despite
+  * summation-order nondeterminism. TOP-N queries carry a unique
+  * tiebreaker so the selected set is deterministic.
   */
 object Analytics {
+
+  private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   /** B1 — TPC-H Q1 pricing summary: single scan, map-side partial agg. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
@@ -20,8 +27,8 @@ object Analytics {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum(revenue), 2).as("sum_disc_price"),
+        round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -40,4 +47,294 @@ object Analytics {
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B2 — TPC-H Q3 shape: customer⋈orders⋈lineitem, top-10 revenue.
+    * Customer is the small side → broadcast; orderkey tiebreaks the
+    * limit so the selected set is deterministic. */
+  def q3JoinTopN(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(revenue), 2).as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+
+  val q3JoinTopNSql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS rev
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY rev DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** B3 — TPC-H Q5 shape: 6-way star join, local-supplier revenue per
+    * nation. region/nation/supplier/customer broadcast; the only
+    * shuffle join is lineitem⋈orders on orderkey. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(
+      Tables.supplier(spark, dir)
+        .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey")))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(revenue), 2).as("rev"))
+  }
+
+  val q5MultiJoinSql: String =
+    """SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS rev
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** B4 — EXISTS → left_semi: customers that placed a high-value order,
+    * counted per market segment. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 100000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+
+  val qSemiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** B5 — NOT EXISTS → left_anti: customers who never placed a
+    * 250k+ order. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 250000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  val qAntiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** B6 — top-N per group: each customer's 3 largest orders.
+    * row_number (not rank) + unique orderkey tiebreak → deterministic. */
+  def qWindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  val qWindowTopNSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3""".stripMargin
+
+  /** B7 — running analytics: cumulative spend + previous order value
+    * per customer over order time. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      round(sum(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .as("cum_spend"),
+      round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+        .as("prev_price"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+      |  ROUND(COALESCE(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price
+      |FROM orders""".stripMargin
+
+  /** B8 — rollup: revenue at (flag,status), per-flag, and grand-total
+    * levels in one pass (partial agg reused across levels). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(revenue), 2).as("rev"), count(lit(1)).as("n"))
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS rev,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** B9 — conditional (pivot-style) aggregation: order counts and value
+    * by status, one row per priority. */
+  def qConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0.0)), 2).as("finished_value"))
+
+  val qConditionalAggSql: String =
+    """SELECT o_orderpriority,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+      |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+      |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS finished_value
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** B10 — distinct aggregation: supplier/part fan-out per return flag
+    * (expand + two-phase distinct agg under the hood). */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+
+  val qDistinctAggSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** B11 — scalar subquery: parts priced above the global average.
+    * The scalar agg is a 1-row broadcast, not a driver collect. */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val avgPrice = p.agg(avg(col("p_retailprice")).as("a"))
+    p.join(broadcast(avgPrice), col("p_retailprice") > col("a"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_above_avg"),
+        round(max(col("p_retailprice")), 2).as("max_price"))
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT p_brand, COUNT(*) AS n_above_avg,
+      |  ROUND(MAX(p_retailprice), 2) AS max_price
+      |FROM part
+      |WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+      |GROUP BY p_brand""".stripMargin
+
+  /** B12 — time-series bucketing: daily event rollup (date_trunc is a
+    * row-local expression; the agg is one shuffle on the bucket). */
+  def qTimeBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_trunc("DAY", expr("timestamp_micros(ts div 1000)")).as("day"),
+        col("event_type"), col("value"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+
+  val qTimeBucketSql: String =
+    """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+      |  COUNT(*) AS n_events,
+      |  ROUND(SUM(value), 2) AS sum_value,
+      |  ROUND(AVG(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** B13 — quantiles: exact interpolated percentiles for oracle parity;
+    * at 100 TB swap `percentile` for `percentile_approx` (sketch-merge,
+    * single pass, no sort) — same API shape. */
+  def qApproxQuantile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+
+  val qApproxQuantileSql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** B14 — sessionization: 30-minute-gap sessions per user via
+    * lag + cumulative session starts — one window shuffle keyed by
+    * user, no self-join. (Streaming twin: session_window /
+    * flatMapGroupsWithState.) */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("new_session",
+        when(coalesce(col("ts_us") - lag(col("ts_us"), 1).over(w), lit(gapUs + 1)) > gapUs,
+          1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L)).cast("long")
+          .as("duration_sec"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+      |  FROM events
+      |), s AS (
+      |  SELECT *, CASE WHEN COALESCE(ts_us - LAG(ts_us, 1) OVER w, 1800000001) > 1800000000
+      |                 THEN 1 ELSE 0 END AS new_session
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), g AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM s
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS session_start_us,
+      |  CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS duration_sec,
+      |  ROUND(SUM(value), 2) AS sum_value
+      |FROM g
+      |GROUP BY user_id, session_id""".stripMargin
 }
