@@ -65,6 +65,19 @@ object SparkEntry {
     "q_time_bucket" -> ((s, d) => Analytics.qTimeBucket(s, d)),
     "q_approx_quantile" -> ((s, d) => Analytics.qApproxQuantile(s, d)),
     "q_sessionize" -> ((s, d) => Analytics.qSessionize(s, d)),
+    // C-series: LLM-data-pipeline ops
+    "dedup_exact" -> ((s, d) => ops.Dedup.exact(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => ops.Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => ops.Dedup.simhash(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => ops.Dedup.ngramJaccard(s, d)),
+    "neardup_cosine" -> ((s, d) => ops.Similarity.cosinePairs(s, d)),
+    "ann_topk_bruteforce" -> ((s, d) => ops.Similarity.annTopK(s, d)),
+    "ann_lsh_bucketed" -> ((s, d) => ops.Similarity.annLshBucketed(s, d)),
+    "text_langid" -> ((s, d) => ops.TextAnalysis.langId(s, d)),
+    "text_quality_score" -> ((s, d) => ops.TextAnalysis.qualityScore(s, d)),
+    "text_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(s, d)),
+    "text_fingerprint" -> ((s, d) => ops.TextAnalysis.fingerprint(s, d)),
+    "multimodal_meta" -> ((s, d) => ops.Multimodal.features(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,5 +126,15 @@ object SparkEntry {
     "q_time_bucket" -> Analytics.qTimeBucketSql,
     "q_approx_quantile" -> Analytics.qApproxQuantileSql,
     "q_sessionize" -> Analytics.qSessionizeSql,
+    // C-series (dedup_minhash_lsh / dedup_simhash / ann_lsh_bucketed /
+    // multimodal_meta are not ANSI-SQL-expressible → rows-only check)
+    "dedup_exact" -> ops.Dedup.exactSql,
+    "dedup_ngram_jaccard" -> ops.Dedup.ngramJaccardSql(),
+    "neardup_cosine" -> ops.Similarity.cosinePairsSql(),
+    "ann_topk_bruteforce" -> ops.Similarity.annTopKSql(),
+    "text_langid" -> ops.TextAnalysis.langIdSql,
+    "text_quality_score" -> ops.TextAnalysis.qualityScoreSql,
+    "text_token_count" -> ops.TextAnalysis.tokenCountSql,
+    "text_fingerprint" -> ops.TextAnalysis.fingerprintSql,
   )
 }

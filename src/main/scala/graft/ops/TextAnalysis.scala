@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Text analysis for training-data curation: language ID, quality
+  * scoring, token counting, fingerprinting. All row-local expressions
+  * over a single `documents` scan — at 100 TB these pipeline into one
+  * stage with no shuffle at all.
+  */
+object TextAnalysis {
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "de" -> Seq("der", "und", "die", "das", "ist"))
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** C8 — n-gram/stopword-profile language ID: score each language's
+    * marker-word hits over the token stream, argmax with fixed
+    * precedence (en,es,fr,de → 'und' when nothing matches). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = markers.foldLeft(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))) {
+      case (df, (l, ws)) =>
+        df.withColumn(s"s_$l",
+          expr(s"size(filter(toks, t -> t IN (${inList(ws)})))").cast("long"))
+    }
+    val best = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    scored.withColumn("predicted_lang",
+        when(best === 0L, lit("und"))
+          .when(col("s_en") === best, lit("en"))
+          .when(col("s_es") === best, lit("es"))
+          .when(col("s_fr") === best, lit("fr"))
+          .otherwise(lit("de")))
+      .select(col("doc_id"), col("lang"), col("predicted_lang"),
+        col("s_en"), col("s_es"), col("s_fr"), col("s_de"))
+  }
+
+  val langIdSql: String = {
+    val scores = markers.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> t IN (${inList(ws)}))) AS s_$l"
+    }.mkString(",\n  ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, ${Text.tokensSql("text")} AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |  $scores
+       |  FROM t
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+       |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+       |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+       |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+       |       ELSE 'de' END AS predicted_lang,
+       |  s_en, s_es, s_fr, s_de
+       |FROM s""".stripMargin
+  }
+
+  /** C9 — heuristic quality score: length saturation + stopword ratio
+    * + punctuation sparsity, weighted into [0,1]. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.norm(col("text")).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chars_norm", length(col("norm")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> t IN (${inList(markers.head._2)})))").cast("long"))
+      .withColumn("n_punct",
+        length(regexp_replace(col("norm"), "[^.!?,;:]", "")).cast("long"))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
+      .withColumn("punct_ratio", round(col("n_punct").cast("double") / col("n_chars_norm"), 4))
+      .withColumn("quality_score", round(
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5 +
+          col("stop_ratio") * 0.3 + (lit(1.0) - col("punct_ratio")) * 0.2, 5))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars_norm"),
+        col("stop_ratio"), col("punct_ratio"), col("quality_score"))
+
+  val qualityScoreSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.normSql("text")} AS norm FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    len(string_split(norm, ' '))::BIGINT AS n_tokens,
+       |    len(norm)::BIGINT AS n_chars_norm,
+       |    len(list_filter(string_split(norm, ' '),
+       |        t -> t IN (${inList(markers.head._2)})))::BIGINT AS n_stop,
+       |    len(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::BIGINT AS n_punct
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, n_chars_norm,
+       |  ROUND(n_stop::DOUBLE / n_tokens, 4) AS stop_ratio,
+       |  ROUND(n_punct::DOUBLE / n_chars_norm, 4) AS punct_ratio,
+       |  ROUND(least(n_tokens::DOUBLE / 100.0, 1.0) * 0.5 +
+       |        ROUND(n_stop::DOUBLE / n_tokens, 4) * 0.3 +
+       |        (1.0 - ROUND(n_punct::DOUBLE / n_chars_norm, 4)) * 0.2, 5) AS quality_score
+       |FROM m""".stripMargin
+
+  /** C10 — token counting: whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs / digit runs / single symbols). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.norm(col("text")).as("norm"))
+      .withColumn("ws_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("bpe_tokens", regexp_count(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
+      .withColumn("chars_per_token", round(
+        length(col("norm")).cast("double") / greatest(col("bpe_tokens"), lit(1L)), 4))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"), col("chars_per_token"))
+
+  val tokenCountSql: String =
+    s"""WITH t AS (SELECT doc_id, ${Text.normSql("text")} AS norm FROM documents)
+       |SELECT doc_id,
+       |  len(string_split(norm, ' '))::BIGINT AS ws_tokens,
+       |  len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens,
+       |  ROUND(len(norm)::DOUBLE /
+       |    greatest(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 1), 4) AS chars_per_token
+       |FROM t""".stripMargin
+
+  /** C11 — document fingerprints: content hash of the normalized text
+    * plus an order-insensitive bag fingerprint (sorted distinct
+    * tokens) — the pair distinguishes exact copies from shuffles. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.norm(col("text")).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+      .select(col("doc_id"),
+        md5(col("norm").cast("binary")).as("content_md5"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks")))).cast("binary"))
+          .as("bag_md5"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"))
+
+  val fingerprintSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.normSql("text")} AS norm,
+       |    ${Text.tokensSql("text")} AS toks
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  md5(norm) AS content_md5,
+       |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_md5,
+       |  len(list_distinct(toks))::BIGINT AS n_distinct_tokens
+       |FROM t""".stripMargin
+}
