@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.cdc.{ChangeEvents, Codecs, Filters}
+
+/** Structured-Streaming form of the changefeed — the engine's
+  * equivalent of TiCDC's continuous pipeline (reference: the
+  * logpuller → filter → route → encode → sink dataflow of
+  * downstreamadapter/dispatcher, run as a Spark streaming query).
+  *
+  * The batch operators reuse directly: changelog derivation, filters,
+  * dispatchers and codecs are row-local expressions, identical in
+  * micro-batch mode. Only the stateful pieces differ:
+  *  - resolved-ts ⇒ the event-time watermark,
+  *  - the MySQL-sink apply loop ⇒ `flatMapGroupsWithState` keeping the
+  *    latest image per key,
+  *  - periodic consistent snapshots ⇒ watermarked window aggregation.
+  *
+  * Scale notes: state is keyed by (schema, table, pk) — Spark
+  * hash-partitions state across executors; the watermark bounds both
+  * state size and late-event buffering.
+  */
+object CdcStream {
+
+  /** Typed change event for stateful ops. */
+  case class ChangeEvent(schema_name: String, table_name: String, op: String,
+                         pk: Long, commit_ts: Long, start_ts: Long,
+                         event_type: String, before_value: Option[Double],
+                         after_value: Option[Double], props: String,
+                         event_time: java.sql.Timestamp)
+
+  /** Latest-image state per key (the downstream table row). */
+  case class KeyState(schema_name: String, table_name: String, pk: Long,
+                      last_ts: Long, last_op: String,
+                      value: Option[Double], props: String)
+
+  /** A26 — the streaming changefeed source: file-stream the events
+    * table, derive the changelog, filter, encode. Returns an unbounded
+    * DataFrame ready for `writeStream`. */
+  def pipeline(spark: SparkSession, dir: String,
+               tableRules: Seq[String] = Seq("db%.%"),
+               ignoreOps: Seq[String] = Seq.empty): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+    val cl = ChangeEvents.fromEvents(raw)
+    val filtered = Filters.tableFilter(
+      if (ignoreOps.isEmpty) cl else Filters.eventTypeFilter(cl, ignoreOps),
+      tableRules)
+    Codecs.openProtocol(filtered)
+  }
+
+  /** A27 — continuous snapshot maintenance: one `KeyState` per key,
+    * updated to the latest image as micro-batches arrive (the net
+    * effect of TiCDC's MySQL sink apply loop). Emits the new state of
+    * every key touched in the batch (OutputMode.Update). */
+  def snapshotState(events: Dataset[ChangeEvent]): Dataset[KeyState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.schema_name, e.table_name, e.pk))
+      .flatMapGroupsWithState[KeyState, KeyState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case ((sch, tbl, pk), batch, state: GroupState[KeyState]) =>
+          val prior = state.getOption
+          val latest = batch.foldLeft(prior) { (acc, e) =>
+            if (acc.forall(_.last_ts < e.commit_ts))
+              Some(KeyState(sch, tbl, pk, e.commit_ts, e.op, e.after_value, e.props))
+            else acc
+          }
+          latest match {
+            case Some(s) if !prior.contains(s) => state.update(s); Iterator(s)
+            case _ => Iterator.empty
+          }
+      }
+  }
+
+  /** A28 — watermarked windowed aggregation: per-table event counts and
+    * value totals over event-time windows; the watermark is the
+    * resolved-ts analogue (late events beyond it are dropped, closed
+    * windows emit finally). */
+  def windowedAgg(cl: DataFrame, watermarkDelay: String = "10 minutes",
+                  windowLen: String = "1 hour"): DataFrame =
+    cl.withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowLen),
+        col("schema_name"), col("table_name"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("after_value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("schema_name"), col("table_name"),
+        col("n_events"), col("sum_value"))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.CdcStream
+
+/** A26–A28: the streaming pipeline must agree with its batch twins —
+  * micro-batch execution of the same expressions, so results are
+  * checked against the batch operators on the same data. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.util.GraftSession.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame,
+                              name: String, mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+  }
+
+  test("A26: streaming changefeed pipeline matches batch filter+encode") {
+    val rules = Seq("db0.%", "db1.t1")
+    runToCompletion(CdcStream.pipeline(spark, dir, rules), "a26", "append")
+    val streamed = spark.table("a26")
+    val batch = graft.cdc.Codecs.openProtocol(
+      graft.cdc.Filters.tableFilter(graft.cdc.ChangeEvents.changelog(spark, dir), rules))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("A27: flatMapGroupsWithState snapshot equals batch materialization") {
+    import spark.implicits._
+    val cl = graft.cdc.ChangeEvents.changelog(spark, dir)
+    val events = cl
+      .withColumn("before_value", col("before_value").cast("double"))
+      .as[CdcStream.ChangeEvent]
+    // single-batch streaming equivalence: the state fold over one batch
+    // must equal the batch max_by materialization (deletes kept as
+    // tombstone state rows here; batch snapshot drops them)
+    val stateDf = CdcStream.snapshotState(events).toDF()
+    val live = stateDf.filter(col("last_op") =!= "D")
+      .select(col("schema_name"), col("table_name"), col("pk"),
+        col("last_ts"), col("value"), col("props"))
+    val batch = graft.cdc.Materialize.snapshot(cl)
+      .select(col("schema_name"), col("table_name"), col("pk"),
+        col("last_ts"), col("value"), col("props"))
+    assert(live.exceptAll(batch).isEmpty && batch.exceptAll(live).isEmpty)
+    assert(live.count() == batch.count())
+  }
+
+  test("A28: watermarked windowed agg matches batch time-bucket totals") {
+    val cl = graft.cdc.ChangeEvents.changelog(spark, dir)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.cdc.ChangeEvents.fromEvents(
+      spark.readStream.schema(schema).parquet(s"$dir/events.parquet*"))
+    runToCompletion(CdcStream.windowedAgg(stream), "a28", "append")
+    val streamed = spark.table("a28")
+    val batch = cl.groupBy(
+        date_trunc("HOUR", col("event_time")).as("window_start"),
+        col("schema_name"), col("table_name"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("after_value")), 2).as("sum_value"))
+    // append mode only emits windows closed by the watermark; every
+    // emitted window must match its batch value and most windows close
+    val joined = streamed.as("s").join(batch.as("b"),
+      Seq("window_start", "schema_name", "table_name"))
+    assert(streamed.count() > 0, "no windows emitted")
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events") ||
+      col("s.sum_value") =!= col("b.sum_value")).count() == 0)
+    assert(joined.count() == streamed.count(), "streamed window missing from batch")
+  }
+}
