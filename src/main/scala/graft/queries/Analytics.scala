@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.util.Tables
 
 /** Analytic query surface (SURVEY.md §2 B-series) — declarative
@@ -19,34 +20,46 @@ object Analytics {
 
   private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Order-independent money sum: cast to exact decimal BEFORE summing so
+    * Spark's partial-agg merge order can't flip a cent vs the oracle's
+    * sequential sum; one deterministic cast back to double at the end.
+    * `scale` is the value's true decimal scale (prices 2; price*(1±disc)
+    * 4; *(1±tax) 6) — the cast rounds off only float noise (≤1e-9),
+    * never a real digit, identically in Spark and DuckDB. */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def dsumSql(e: String, scale: Int): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+
   /** B1 — TPC-H Q1 pricing summary: single scan, map-side partial agg. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(revenue), 2).as("sum_disc_price"),
-        round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(dsum(col("l_quantity"), 2), 2).as("sum_qty"),
+        round(dsum(col("l_extendedprice"), 2), 2).as("sum_base_price"),
+        round(dsum(revenue, 4), 2).as("sum_disc_price"),
+        round(dsum(revenue * (lit(1.0) + col("l_tax")), 6), 2).as("sum_charge"),
+        round(dsum(col("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"),
+        round(dsum(col("l_extendedprice"), 2) / count(lit(1)), 4).as("avg_price"),
+        round(dsum(col("l_discount"), 2) / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-      |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-      |  ROUND(AVG(l_quantity), 4) AS avg_qty,
-      |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-      |  ROUND(AVG(l_discount), 4) AS avg_disc,
-      |  COUNT(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ROUND(${dsumSql("l_quantity", 2)}, 2) AS sum_qty,
+       |  ROUND(${dsumSql("l_extendedprice", 2)}, 2) AS sum_base_price,
+       |  ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)}, 2) AS sum_disc_price,
+       |  ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)}, 2) AS sum_charge,
+       |  ROUND(${dsumSql("l_quantity", 2)} / COUNT(*), 4) AS avg_qty,
+       |  ROUND(${dsumSql("l_extendedprice", 2)} / COUNT(*), 4) AS avg_price,
+       |  ROUND(${dsumSql("l_discount", 2)} / COUNT(*), 4) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** B2 — TPC-H Q3 shape: customer⋈orders⋈lineitem, top-10 revenue.
     * Customer is the small side → broadcast; orderkey tiebreaks the
@@ -60,13 +73,13 @@ object Analytics {
           .filter(col("c_mktsegment") === "BUILDING")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(revenue), 2).as("rev"))
+      .agg(round(dsum(revenue, 4), 2).as("rev"))
       .orderBy(col("rev").desc, col("l_orderkey"))
       .limit(10)
 
   val q3JoinTopNSql: String =
-    """SELECT l_orderkey, o_orderdate,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS rev
+    s"""SELECT l_orderkey, o_orderdate,
+      |  ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)}, 2) AS rev
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -93,11 +106,11 @@ object Analytics {
       .join(dims, col("l_suppkey") === col("s_suppkey") &&
                   col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(revenue), 2).as("rev"))
+      .agg(round(dsum(revenue, 4), 2).as("rev"))
   }
 
   val q5MultiJoinSql: String =
-    """SELECT n_name, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS rev
+    s"""SELECT n_name, ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)}, 2) AS rev
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -117,11 +130,11 @@ object Analytics {
         col("c_custkey") === col("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        round(dsum(col("c_acctbal"), 2), 2).as("sum_acctbal"))
 
   val qSemiJoinSql: String =
-    """SELECT c_mktsegment, COUNT(*) AS n_customers,
-      |  ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+    s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  ROUND(${dsumSql("c_acctbal", 2)}, 2) AS sum_acctbal
       |FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders
       |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
@@ -170,8 +183,9 @@ object Analytics {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, dir).select(
       col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-      round(sum(col("o_totalprice"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+      round(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double"), 2)
         .as("cum_spend"),
       round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
         .as("prev_price"))
@@ -179,9 +193,9 @@ object Analytics {
 
   val qWindowRunningSql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS cum_spend,
       |  ROUND(COALESCE(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price
       |FROM orders""".stripMargin
@@ -191,11 +205,11 @@ object Analytics {
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(revenue), 2).as("rev"), count(lit(1)).as("n"))
+      .agg(round(dsum(revenue, 4), 2).as("rev"), count(lit(1)).as("n"))
 
   val qRollupSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS rev,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ROUND(${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)}, 2) AS rev,
       |  COUNT(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
@@ -209,15 +223,15 @@ object Analytics {
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
         sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
         sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"),
-        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
-          .otherwise(0.0)), 2).as("finished_value"))
+        round(dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0.0), 2), 2).as("finished_value"))
 
   val qConditionalAggSql: String =
-    """SELECT o_orderpriority,
+    s"""SELECT o_orderpriority,
       |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
       |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
       |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
-      |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS finished_value
+      |  ROUND(${dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END", 2)}, 2) AS finished_value
       |FROM orders
       |GROUP BY o_orderpriority""".stripMargin
 
@@ -265,14 +279,14 @@ object Analytics {
         col("event_type"), col("value"))
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        round(dsum(col("value"), 2), 2).as("sum_value"),
+        round(dsum(col("value"), 2) / count(lit(1)), 4).as("avg_value"))
 
   val qTimeBucketSql: String =
-    """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+    s"""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
       |  COUNT(*) AS n_events,
-      |  ROUND(SUM(value), 2) AS sum_value,
-      |  ROUND(AVG(value), 4) AS avg_value
+      |  ROUND(${dsumSql("value", 2)}, 2) AS sum_value,
+      |  ROUND(${dsumSql("value", 2)} / COUNT(*), 4) AS avg_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
@@ -315,11 +329,11 @@ object Analytics {
         min(col("ts_us")).as("session_start_us"),
         ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L)).cast("long")
           .as("duration_sec"),
-        round(sum(col("value")), 2).as("sum_value"))
+        round(dsum(col("value"), 2), 2).as("sum_value"))
   }
 
   val qSessionizeSql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
       |  FROM events
       |), s AS (
@@ -334,7 +348,7 @@ object Analytics {
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ts_us) AS session_start_us,
       |  CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS duration_sec,
-      |  ROUND(SUM(value), 2) AS sum_value
+      |  ROUND(${dsumSql("value", 2)}, 2) AS sum_value
       |FROM g
       |GROUP BY user_id, session_id""".stripMargin
 }
