@@ -15,6 +15,14 @@ object SparkEntry {
   private val dispatchCols = Seq("event_type", "props")
   private val minTs        = 100L
   private val syncStep     = 100L
+  private val topicRules   = Seq(
+    Seq("db0.%") -> "cdc_{schema}_{table}",   // dynamic expression rule
+    Seq("db1.t1") -> "db1-special",           // hard-coded topic rule
+    Seq("db1.t2") -> "")                      // empty rule -> default topic
+  private val defaultTopic  = "changefeed-default"
+  private val claimMaxBytes = 180
+  private val ddlIgnoreTypes = Seq("CREATE")
+  private val ddlIgnoreSql   = Seq("ADD COLUMN v(1|3) ")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -50,6 +58,12 @@ object SparkEntry {
     "codec_avro_schema" -> ((s, d) => Codecs.avroRecord(cl(s, d))),
     "sink_storage_layout" -> ((s, d) => Codecs.storageLayout(cl(s, d))),
     "sink_kafka_messages" -> ((s, d) => Codecs.kafkaMessages(cl(s, d), nParts)),
+    "cdc_dispatch_key" -> ((s, d) => Dispatchers.byKey(cl(s, d), "route-key-1")),
+    "sink_topic_router" -> ((s, d) => Routing.route(cl(s, d), topicRules, defaultTopic)),
+    "sink_claim_check" -> ((s, d) => Sinks.claimCheck(cl(s, d), nParts, claimMaxBytes)),
+    "sink_mysql_stmts" -> ((s, d) => Sinks.mysqlStmts(cl(s, d), maxTxnRow = 2)),
+    "cdc_ddl_filter_rich" -> ((s, d) => Filters.ddlSqlEventFilter(
+      SchemaStore.ddlEvents(cl(s, d), Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     // B-series: analytics
     "q1_agg" -> ((s, d) => Analytics.q1Agg(s, d)),
     "q3_join_topn" -> ((s, d) => Analytics.q3JoinTopN(s, d)),
@@ -112,6 +126,12 @@ object SparkEntry {
     "codec_avro_schema" -> o(Codecs.avroRecordSql),
     "sink_storage_layout" -> o(Codecs.storageLayoutSql),
     "sink_kafka_messages" -> o(Codecs.kafkaMessagesSql(nParts)),
+    "cdc_dispatch_key" -> o(Dispatchers.byKeySql("route-key-1")),
+    "sink_topic_router" -> o(Routing.routeSql(topicRules, defaultTopic)),
+    "sink_claim_check" -> o(Sinks.claimCheckSql(nParts, claimMaxBytes)),
+    "sink_mysql_stmts" -> o(Sinks.mysqlStmtsSql(maxTxnRow = 2)),
+    "cdc_ddl_filter_rich" -> o(Filters.ddlSqlEventFilterSql(
+      SchemaStore.ddlEventsSql(Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "q1_agg" -> Analytics.q1AggSql,
     "q3_join_topn" -> Analytics.q3JoinTopNSql,
     "q5_multijoin" -> Analytics.q5MultiJoinSql,

@@ -37,7 +37,7 @@ object Codecs {
   def canalJson(cl: DataFrame): DataFrame =
     cl.select(col("commit_ts"), canalJsonValue.as("value"))
 
-  private def canalJsonValue: Column = concat(
+  private[cdc] def canalJsonValue: Column = concat(
     lit("{\"id\":"), col("commit_ts"),
     lit(",\"database\":\""), col("schema_name"),
     lit("\",\"table\":\""), col("table_name"),
@@ -53,7 +53,7 @@ object Codecs {
       .otherwise(lit("null")),
     lit("}"))
 
-  private val canalJsonValueSql: String =
+  private[cdc] val canalJsonValueSql: String =
     s"""CONCAT('{"id":', commit_ts,
        |  ',"database":"', schema_name,
        |  '","table":"', table_name,
@@ -214,9 +214,11 @@ object Codecs {
       |GROUP BY 1""".stripMargin
 
   /** A25 — kafka message frame (reference: downstreamadapter/sink/
-    * kafka_sink.go): (partition, key, value) per event — index-value
-    * partition routing + open-protocol key + canal-json value. */
-  def kafkaMessages(cl: DataFrame, n: Int): DataFrame = {
+    * kafka_sink.go): (topic, partition, key, value) per event — topic
+    * routing ([[Routing.topicExpr]]) + index-value partition routing +
+    * open-protocol key + canal-json value. */
+  def kafkaMessages(cl: DataFrame, n: Int,
+                    topicTemplate: String = "{schema}_{table}"): DataFrame = {
     import graft.functions.Portable
     val part = Portable.bucket(
       concat_ws(",", col("schema_name"), col("table_name"), col("pk").cast("string")), n)
@@ -224,13 +226,14 @@ object Codecs {
       lit("{\"ts\":"), col("commit_ts"),
       lit(",\"scm\":\""), col("schema_name"),
       lit("\",\"tbl\":\""), col("table_name"), lit("\",\"t\":1}"))
-    cl.select(col("commit_ts"), part.as("partition"), key.as("key"),
-      canalJsonValue.as("value"))
+    cl.select(col("commit_ts"), Routing.topicExpr(topicTemplate).as("topic"),
+      part.as("partition"), key.as("key"), canalJsonValue.as("value"))
   }
 
-  def kafkaMessagesSql(n: Int): String = {
+  def kafkaMessagesSql(n: Int, topicTemplate: String = "{schema}_{table}"): String = {
     import graft.functions.Portable
     s"""SELECT commit_ts,
+       |  ${Routing.topicExprSql(topicTemplate)} AS topic,
        |  ${Portable.bucketSql("CONCAT(schema_name, ',', table_name, ',', CAST(pk AS VARCHAR))", n)} AS partition,
        |  CONCAT('{"ts":', commit_ts, ',"scm":"', schema_name,
        |         '","tbl":"', table_name, '","t":1}') AS key,

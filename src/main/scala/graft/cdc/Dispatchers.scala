@@ -56,6 +56,19 @@ object Dispatchers {
        |FROM changelog""".stripMargin
   }
 
+  /** Explicit-key dispatcher (reference: partition/key.go:21): the
+    * generator pins the partition index to 0 and stamps the configured
+    * key on every message; the producer's key-hash then routes all
+    * events of the rule to one stable partition. Row-local constants —
+    * zero cost, but 1 of the 5 reference generators. */
+  def byKey(cl: DataFrame, key: String): DataFrame =
+    cl.select(out.map(col) :+ lit(0L).as("partition") :+ lit(key).as("dispatch_key"): _*)
+
+  def byKeySql(key: String): String =
+    s"""SELECT schema_name, table_name, pk, commit_ts, op,
+       |  CAST(0 AS BIGINT) AS partition, '$key' AS dispatch_key
+       |FROM changelog""".stripMargin
+
   /** partition = commit_ts % n — round-robin by time (reference:
     * partition/ts.go). */
   def byTs(cl: DataFrame, n: Int): DataFrame =

@@ -43,4 +43,32 @@ object Filters {
     * prunes partitions when the source is ts-partitioned. */
   def tsFilter(cl: DataFrame, minCommitTs: Long): DataFrame =
     cl.filter(col("commit_ts") > minCommitTs)
+
+  /** Rich DDL event filtering (reference: pkg/filter/sql_event_filter.go
+    * `newSQLEventFilterRule` + filter.go `ShouldIgnoreDDLEvent`): a rule
+    * drops DDL whose type is in the ignore-event taxonomy OR whose query
+    * text matches any ignore-SQL regexp. Applied over the DDL frame from
+    * [[SchemaStore.ddlEvents]]. Regexps are partial-match in both Spark
+    * (`rlike`) and DuckDB (`regexp_matches`) — keep patterns in the
+    * common RE dialect. */
+  def ddlSqlEventFilter(ddl: DataFrame, ignoreTypes: Seq[String],
+                        ignoreSql: Seq[String]): DataFrame = {
+    val typePred =
+      if (ignoreTypes.isEmpty) lit(false) else col("ddl_type").isin(ignoreTypes: _*)
+    val sqlPred = ignoreSql.foldLeft(lit(false): Column)((acc, p) => acc || col("query").rlike(p))
+    ddl.filter(!(typePred || sqlPred))
+  }
+
+  def ddlSqlEventFilterSql(ddlFrameSql: String, ignoreTypes: Seq[String],
+                           ignoreSql: Seq[String]): String = {
+    val typePred =
+      if (ignoreTypes.isEmpty) "FALSE"
+      else ignoreTypes.map(t => s"'$t'").mkString("ddl_type IN (", ", ", ")")
+    val sqlPred = ignoreSql
+      .map(p => s"regexp_matches(query, '${p.replace("'", "''")}')")
+      .foldLeft("FALSE")((acc, m) => s"$acc OR $m")
+    s"""SELECT * FROM (
+       |$ddlFrameSql
+       |) ddl_frame WHERE NOT ($typePred OR $sqlPred)""".stripMargin
+  }
 }

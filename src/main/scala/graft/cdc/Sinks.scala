@@ -1,0 +1,107 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Sink-side frame derivations beyond the codecs: large-message
+  * claim-check splitting and MySQL batched-statement generation.
+  * Both are row-local projections / one-shuffle aggregations — the
+  * shapes the real sinks execute, made oracle-checkable.
+  */
+object Sinks {
+
+  /** A31 — Kafka large-message claim-check (reference:
+    * pkg/sink/kafka/claimcheck/claim_check.go:51 `WriteMessage` +
+    * pkg/sink/codec/open/encoder.go:54): when an encoded message
+    * exceeds `maxBytes`, the full message is written to external
+    * storage and the Kafka value is replaced by a location message
+    * that carries only the handle key and the claim-check file URI.
+    *
+    * The reference names files with a UUID; we derive the name from
+    * `commit_ts` (unique by construction) so the frame is
+    * deterministic and DuckDB-checkable. Pure conditional projection:
+    * no shuffle, linear at any scale. */
+  def claimCheck(cl: DataFrame, n: Int, maxBytes: Int,
+                 uriPrefix: String = "s3://claim-check"): DataFrame = {
+    val part = Portable.bucket(
+      concat_ws(",", col("schema_name"), col("table_name"), col("pk").cast("string")), n)
+    val value = Codecs.canalJsonValue
+    val payloadBytes = octet_length(value)
+    val claimed = payloadBytes > maxBytes
+    val location = concat(lit(uriPrefix + "/"), col("schema_name"), lit("/"),
+      col("table_name"), lit("/"), col("commit_ts"), lit(".json"))
+    val stub = concat(
+      lit("{\"ts\":"), col("commit_ts"),
+      lit(",\"handleKey\":{\"pk\":"), col("pk"),
+      lit("},\"claimCheckLocation\":\""), location, lit("\"}"))
+    cl.select(
+      col("commit_ts"), part.as("partition"),
+      payloadBytes.as("payload_bytes"), claimed.as("claimed"),
+      when(claimed, location).otherwise(lit(null).cast("string")).as("claim_location"),
+      when(claimed, stub).otherwise(value).as("value"))
+  }
+
+  def claimCheckSql(n: Int, maxBytes: Int,
+                    uriPrefix: String = "s3://claim-check"): String = {
+    val valueSql = Codecs.canalJsonValueSql
+    val bytesSql = s"octet_length(encode($valueSql))"
+    val locSql = s"CONCAT('$uriPrefix/', schema_name, '/', table_name, '/', commit_ts, '.json')"
+    val stubSql =
+      s"""CONCAT('{"ts":', commit_ts, ',"handleKey":{"pk":', pk,
+         |  '},"claimCheckLocation":"', $locSql, '"}')""".stripMargin
+    s"""SELECT commit_ts,
+       |  ${Portable.bucketSql("CONCAT(schema_name, ',', table_name, ',', CAST(pk AS VARCHAR))", n)} AS partition,
+       |  $bytesSql AS payload_bytes,
+       |  $bytesSql > $maxBytes AS claimed,
+       |  CASE WHEN $bytesSql > $maxBytes THEN $locSql ELSE NULL END AS claim_location,
+       |  CASE WHEN $bytesSql > $maxBytes THEN $stubSql ELSE $valueSql END AS value
+       |FROM changelog""".stripMargin
+  }
+
+  /** A32 — MySQL batched-statement frame (reference:
+    * pkg/sink/mysql/sql_builder.go:56 buildInsert / :85 buildDelete /
+    * :118 buildUpdate + mysql_writer.go:670 prepareDMLs): each row
+    * change becomes one parametric statement; the writer flushes them
+    * per transaction, at most `maxTxnRow` rows per batch (config.go
+    * DefaultMaxTxnRow). This frame is the per-(txn, table, type)
+    * statement stream the sink actually executes — statement text,
+    * row count, and batch count — complementing A12/A13's net-effect
+    * view. `safeMode` renders INSERT as REPLACE (safe-mode upserts). */
+  def mysqlStmts(cl: DataFrame, maxTxnRow: Int = 16,
+                 safeMode: Boolean = false): DataFrame = {
+    val insertWord = if (safeMode) "REPLACE" else "INSERT"
+    val qtbl = concat(lit("`"), col("schema_name"), lit("`.`"), col("table_name"), lit("`"))
+    val stmt = when(col("op") === "I",
+        concat(lit(s"$insertWord INTO "), qtbl, lit(" (pk,value,props) VALUES (?,?,?)")))
+      .when(col("op") === "U",
+        concat(lit("UPDATE "), qtbl, lit(" SET pk = ?, value = ?, props = ? WHERE pk = ? LIMIT 1")))
+      .otherwise(concat(lit("DELETE FROM "), qtbl, lit(" WHERE pk = ? LIMIT 1")))
+    val stmtType = when(col("op") === "I", lit(insertWord))
+      .when(col("op") === "U", lit("UPDATE")).otherwise(lit("DELETE"))
+    cl.select(col("start_ts"), col("schema_name"), col("table_name"),
+        col("commit_ts"), stmtType.as("stmt_type"), stmt.as("stmt"))
+      .groupBy(col("start_ts"), col("schema_name"), col("table_name"),
+        col("stmt_type"), col("stmt"))
+      .agg(count(lit(1)).as("n_stmts"),
+        ((count(lit(1)) + lit(maxTxnRow - 1).cast("long")) / lit(maxTxnRow.toLong))
+          .cast("long").as("n_batches"),
+        min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"))
+  }
+
+  def mysqlStmtsSql(maxTxnRow: Int = 16, safeMode: Boolean = false): String = {
+    val insertWord = if (safeMode) "REPLACE" else "INSERT"
+    s"""SELECT start_ts, schema_name, table_name,
+       |  CASE op WHEN 'I' THEN '$insertWord' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END AS stmt_type,
+       |  CASE op
+       |    WHEN 'I' THEN CONCAT('$insertWord INTO `', schema_name, '`.`', table_name, '` (pk,value,props) VALUES (?,?,?)')
+       |    WHEN 'U' THEN CONCAT('UPDATE `', schema_name, '`.`', table_name, '` SET pk = ?, value = ?, props = ? WHERE pk = ? LIMIT 1')
+       |    ELSE CONCAT('DELETE FROM `', schema_name, '`.`', table_name, '` WHERE pk = ? LIMIT 1')
+       |  END AS stmt,
+       |  COUNT(*) AS n_stmts,
+       |  (COUNT(*) + ${maxTxnRow - 1}) // $maxTxnRow AS n_batches,
+       |  MIN(commit_ts) AS min_ts, MAX(commit_ts) AS max_ts
+       |FROM changelog
+       |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+  }
+}
