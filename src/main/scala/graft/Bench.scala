@@ -1,22 +1,50 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main (driver contract): runs every `SparkEntry.queries`
+  * entry against `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
+  *
+  * Each query is forced with a hash-reduce over ALL output columns —
+  * `count()` would let Catalyst prune unreferenced projections, so
+  * codec/dispatcher timings would measure the parquet scan only, not
+  * the encode work. The JSON line is also written to `BENCH_LOCAL.json`
+  * as a fallback channel (stdout may be decorated by the build tool).
+  *
+  * Optional CLI args restrict the run to the named queries (dev loop;
+  * the driver calls with no args = full run). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = args.toSet
     val spark = graft.util.GraftSession
       .builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          df.select(xxhash64(df.columns.map(col): _*).as("h"))
+            .agg(expr("bit_xor(h)")).collect()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-28s $sec%9.3f s")
+        name -> sec
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    System.out.flush()
+    try Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

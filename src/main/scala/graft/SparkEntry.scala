@@ -149,6 +149,7 @@ object SparkEntry {
     // C-series (dedup_minhash_lsh / dedup_simhash / ann_lsh_bucketed /
     // multimodal_meta are not ANSI-SQL-expressible → rows-only check)
     "dedup_exact" -> ops.Dedup.exactSql,
+    "dedup_simhash" -> ops.Dedup.simhashSql(),
     "dedup_ngram_jaccard" -> ops.Dedup.ngramJaccardSql(),
     "neardup_cosine" -> ops.Similarity.cosinePairsSql(),
     "ann_topk_bruteforce" -> ops.Similarity.annTopKSql(),

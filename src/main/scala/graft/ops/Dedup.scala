@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.Portable
 import graft.util.Tables
 
 /** Document deduplication for training-data pipelines: exact,
@@ -99,37 +101,114 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** C3 — SimHash near-dup candidates.
+  /** Per-doc distinct word-3-gram frame: (doc_id, grams). The shared
+    * front end of every near-dup operator.
     *
-    * 64-bit simhash over distinct word-3-gram hashes (shingles, not
-    * unigrams: unigram sets are near-identical across docs sharing a
-    * vocabulary, so they don't discriminate; per-bit majority vote,
-    * computed with nested higher-order aggregates — bitwise OR
-    * accumulation, safe under ANSI mode), LSH-banded into 4×16-bit
-    * bands (a near-dup within Hamming 4 of 64 bits is guaranteed to
-    * agree on ≥1 band); same-bucket pairs verify by Hamming distance.
-    * Only verified pairs emit — candidate fan-out never leaves the
-    * join. Rows-only oracle. */
-  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    * The explicit repartition matters twice over: (a) locally the table
+    * is one parquet split, so without it the CPU-heavy shingling runs
+    * on ONE core; at scale the same holds for any source with fewer
+    * splits than cores. (b) It pre-aligns partitioning with the
+    * `groupBy(doc_id)` every signature pipeline performs next, so the
+    * big exploded gram frame never shuffles — only the small text rows
+    * do. Explicit N keeps AQE from coalescing the tiny local exchange
+    * back to one partition. */
+  private[ops] def gramFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), expr(Text.gramsExpr).as("grams"))
       .filter(size(col("grams")) > 0)
-      .select(col("doc_id"),
-        expr("transform(grams, g -> xxhash64(g))").as("th"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 63), 0L, (acc, i) ->
-          |  acc | IF(aggregate(th, 0L, (a2, h) ->
-          |           a2 + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)) > 0L,
-          |         shiftleft(1L, i), 0L))""".stripMargin).as("simhash"))
-    val banded = docs.select(col("doc_id"), col("simhash"),
-        expr("explode(transform(sequence(0, 3), b -> struct(b AS band_id, shiftright(simhash, b * 16) & 65535L AS band_val)))").as("band"))
+
+  /** (doc_id, gram) exploded pairs — single evaluation of the gram
+    * expression per row (no `filter(size > 0)` pre-pass: project-filter
+    * collapse would re-evaluate the whole interpreted shingle chain,
+    * and explode drops empty docs anyway). */
+  private[ops] def gramExploded(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(Text.gramsExpr)).as("gram"))
+
+  /** DuckDB CTE chain producing the same frame as [[gramFrame]] (view
+    * name `gg`). */
+  private[ops] val gramFrameSql: String =
+    s"""t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, ${Text.gramsSql} AS grams FROM t
+       |), gg AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0)""".stripMargin
+
+  /** C3 — SimHash near-dup candidates.
+    *
+    * 60-bit simhash over distinct word-3-gram hashes (shingles, not
+    * unigrams: unigram sets are near-identical across docs sharing a
+    * vocabulary, so they don't discriminate). The per-bit majority
+    * vote is computed the scale-safe way: explode grams to (doc_id,
+    * hash60) rows — ONE portable md5-based hash per gram — then one
+    * `groupBy(doc_id)` with 60 codegen'd conditional sums (partial
+    * aggregation, map-side combine, single shuffle), instead of
+    * interpreted per-row higher-order lambdas. The signature frame is
+    * persisted so the band self-join computes it once.
+    *
+    * Banding: 4×15-bit bands — any pair within Hamming 3 agrees on ≥1
+    * band (pigeonhole); pairs up to `maxHamming` surface with the
+    * standard LSH recall contract. Same-bucket pairs verify by exact
+    * Hamming distance; candidate fan-out never leaves the join. The
+    * hash is [[Portable.hash60]], so a DuckDB oracle reproduces the
+    * signature bit-for-bit ([[simhashSql]]). */
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    val hashed = gramExploded(spark, dir)
+      .select(col("doc_id"), Portable.hash60(col("gram")).as("h"))
+    val votes = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+        .otherwise(lit(-1L))).as(s"s$i")
+    }
+    val simhashCol = (0 until 60)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), simhashCol.as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))
+    }
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_val"))
     banded.as("x").join(banded.as("y"), Seq("band_id", "band_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** DuckDB oracle reproducing [[simhash]] exactly (same md5-based
+    * gram hashes, same majority votes, same banding). */
+  def simhashSql(maxHamming: Int = 8): String = {
+    val h = Portable.hash60Sql("gram")
+    val votes = (0 until 60)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val sigBits = (0 until 60)
+      .map(i => s"(CASE WHEN s$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH $gramFrameSql,
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM gg),
+       |h AS (SELECT doc_id, $h AS h FROM e),
+       |v AS (SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigBits AS simhash FROM v),
+       |b AS (SELECT doc_id, simhash, band_id,
+       |    (simhash >> (band_id * 15)) & 32767 AS band_val
+       |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) bands(band_id))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM b x JOIN b y ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |  AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming""".stripMargin
   }
 }
