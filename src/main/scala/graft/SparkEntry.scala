@@ -150,6 +150,7 @@ object SparkEntry {
     // multimodal_meta are not ANSI-SQL-expressible → rows-only check)
     "dedup_exact" -> ops.Dedup.exactSql,
     "dedup_simhash" -> ops.Dedup.simhashSql(),
+    "dedup_minhash_lsh" -> ops.Dedup.minhashLshSql(),
     "dedup_ngram_jaccard" -> ops.Dedup.ngramJaccardSql(),
     "neardup_cosine" -> ops.Similarity.cosinePairsSql(),
     "ann_topk_bruteforce" -> ops.Similarity.annTopKSql(),

@@ -63,46 +63,93 @@ object Dedup {
        |WHERE ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE /
        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= $tau""".stripMargin
 
+  /** MinHash permutation constants: universal hashing
+    * `(a_p * h + b_p) mod P` over the Mersenne prime P = 2^31 - 1.
+    * Pure 64-bit-safe arithmetic (operands < 2^31, products < 2^62) so
+    * the identical permutation is computable in any engine — no
+    * engine-specific hash function in the signature. */
+  private val MersenneP = 2147483647L
+  private def permA(p: Int): Long = ((2L * p + 1L) * 1000003L) % MersenneP
+  private def permB(p: Int): Long = (p.toLong * 7919L + 104729L) % MersenneP
+
   /** C2 — MinHash + LSH near-dup pairs.
     *
-    * shingle → 128 permutation minima (`xxhash64(shingle_hash, perm)`)
-    * → 16 bands of 8 → band-bucket self-join → exact Jaccard verify on
-    * the shingle-hash sets. Candidates are only same-bucket pairs, so
-    * row amplification is ≤ bands×|docs| at explode and the verify join
-    * touches no non-candidate pair. Rows-only oracle (not ANSI-SQL-
-    * expressible). */
+    * Scale-safe signature computation: explode grams to (doc_id, h31)
+    * rows — h31 = portable md5-based hash mod P — then ONE
+    * `groupBy(doc_id)` with 128 codegen'd `min((a_p*h+b_p) mod P)`
+    * aggregates (map-side combine, single shuffle; the reference shape
+    * was 128 interpreted array passes per doc). 16 bands of 8 form the
+    * bucket keys; same-bucket pairs dedupe and verify with exact
+    * Jaccard over the persisted gram arrays — candidates only, never a
+    * cross product. Signature and banding are engine-portable, so a
+    * generated DuckDB oracle checks the full pipeline ([[minhashLshSql]]). */
   def minhashLsh(spark: SparkSession, dir: String,
                  perms: Int = 128, bands: Int = 16, tau: Double = 0.5): DataFrame = {
     val rows = perms / bands
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), expr(Text.gramsExpr).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .select(col("doc_id"),
-        expr("transform(grams, g -> xxhash64(g))").as("sh"))
-    val sigs = docs.select(col("doc_id"), col("sh"),
-      expr(s"transform(sequence(0, ${perms - 1}), p -> array_min(transform(sh, h -> xxhash64(h, p))))")
-        .as("sig"))
-    val banded = sigs.select(col("doc_id"),
-        expr(s"explode(transform(sequence(0, ${bands - 1}), b -> struct(b AS band_id, xxhash64(slice(sig, b * $rows + 1, $rows)) AS band_hash)))")
-          .as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band_id", "band_hash"))
+    val docs = gramFrame(spark, dir)
+    val hashed = gramExploded(spark, dir)
+      .select(col("doc_id"), pmod(Portable.hash60(col("gram")), lit(MersenneP)).as("h"))
+    val mins = (0 until perms).map { p =>
+      min(pmod(col("h") * lit(permA(p)) + lit(permB(p)), lit(MersenneP))).as(s"m$p")
+    }
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*).as("band_key"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.as("x").join(banded.as("y"), Seq("band_id", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
       .withColumn("jaccard", round(
-        col("inter") / (size(array_distinct(col("sa"))) + size(array_distinct(col("sb"))) - col("inter")), 4))
+        col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")), 4))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Per-doc distinct word-3-gram frame: (doc_id, grams). The shared
-    * front end of every near-dup operator.
+  /** DuckDB oracle reproducing [[minhashLsh]] exactly (same portable
+    * gram hashes, permutations, band keys, and Jaccard verify). */
+  def minhashLshSql(perms: Int = 128, bands: Int = 16, tau: Double = 0.5): String = {
+    val rows = perms / bands
+    val minCols = (0 until perms)
+      .map(p => s"MIN((h * ${permA(p)} + ${permB(p)}) % $MersenneP) AS m$p")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ',', ")
+      s"SELECT doc_id, $b AS band_id, CONCAT($key) AS band_key FROM s"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $gramFrameSql,
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM gg),
+       |h AS (SELECT doc_id, ${Portable.hash60Sql("gram")} % $MersenneP AS h FROM e),
+       |s AS (SELECT doc_id,
+       |    $minCols
+       |  FROM h GROUP BY doc_id),
+       |b AS (
+       |  $bandSelects
+       |),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM b x JOIN b y ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |    AND x.doc_id < y.doc_id),
+       |j AS (SELECT cand.doc_a, cand.doc_b,
+       |    CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS inter,
+       |    len(ga.grams) AS la, len(gb.grams) AS lb
+       |  FROM cand
+       |  JOIN gg ga ON ga.doc_id = cand.doc_a
+       |  JOIN gg gb ON gb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, ROUND(inter / (la + lb - inter), 4) AS jaccard
+       |FROM j WHERE ROUND(inter / (la + lb - inter), 4) >= $tau""".stripMargin
+  }
+
+  /** Persisted per-doc distinct word-3-gram frame: (doc_id, grams) —
+    * the shared front end of every near-dup operator.
     *
     * The explicit repartition matters twice over: (a) locally the table
     * is one parquet split, so without it the CPU-heavy shingling runs
@@ -111,23 +158,28 @@ object Dedup {
     * `groupBy(doc_id)` every signature pipeline performs next, so the
     * big exploded gram frame never shuffles — only the small text rows
     * do. Explicit N keeps AQE from coalescing the tiny local exchange
-    * back to one partition. */
-  private[ops] def gramFrame(spark: SparkSession, dir: String): DataFrame =
+    * back to one partition.
+    *
+    * Persisting BEFORE any filter/explode is load-bearing: the shingle
+    * chain is an interpreted higher-order expression, and project-filter
+    * collapse would otherwise re-evaluate it once per consumer (the
+    * band join alone has two). The CacheManager dedupes by canonical
+    * plan, so every operator in a session shares one cache entry. */
+  private[ops] def gramsCached(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), expr(Text.gramsExpr).as("grams"))
-      .filter(size(col("grams")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** (doc_id, gram) exploded pairs — single evaluation of the gram
-    * expression per row (no `filter(size > 0)` pre-pass: project-filter
-    * collapse would re-evaluate the whole interpreted shingle chain,
-    * and explode drops empty docs anyway). */
+  /** Non-empty gram arrays (cache-backed). */
+  private[ops] def gramFrame(spark: SparkSession, dir: String): DataFrame =
+    gramsCached(spark, dir).filter(size(col("grams")) > 0)
+
+  /** (doc_id, gram) exploded pairs (cache-backed; explode drops empty
+    * docs, so no pre-filter needed). */
   private[ops] def gramExploded(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(expr(Text.gramsExpr)).as("gram"))
+    gramsCached(spark, dir).select(col("doc_id"), explode(col("grams")).as("gram"))
 
   /** DuckDB CTE chain producing the same frame as [[gramFrame]] (view
     * name `gg`). */
