@@ -32,17 +32,36 @@ object Dedup {
        |FROM documents
        |GROUP BY 1""".stripMargin
 
-  /** C4 — exact word-3-gram Jaccard near-dup pairs, blocked by
-    * language (at 100 TB the block is what bounds the quadratic;
-    * MinHash below replaces it when blocks are still too big). */
+  /** C4 — exact word-3-gram Jaccard near-dup pairs within language
+    * blocks, via prefix filtering (the PPJoin candidate principle —
+    * public set-similarity-join literature): a pair with J ≥ τ must
+    * share ≥ ⌈τ·|x|⌉ grams, so it must share at least one gram among
+    * each doc's first `|x| − ⌈τ·|x|⌉ + 1` grams under ANY global order.
+    * Ordering grams by (document frequency asc, gram) makes those
+    * prefix grams the RAREST ones, so the inverted-index self-join
+    * fans out on low-frequency keys only — no all-pairs block join,
+    * no quadratic blowup on block size. Candidates then verify with
+    * the exact Jaccard, so the result is IDENTICAL to the naive
+    * all-pairs definition (100% recall by the prefix lemma) and the
+    * all-pairs DuckDB oracle checks it directly. */
   def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val g = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("lang"), expr(Text.gramsExpr).as("grams"))
-      .filter(size(col("grams")) > 0)
-    val a = g.select(col("lang"), col("doc_id").as("doc_a"), col("grams").as("ga"))
-    val b = g.select(col("lang"), col("doc_id").as("doc_b"), col("grams").as("gb"))
-    a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
+    import org.apache.spark.sql.expressions.Window
+    val g = gramFrame(spark, dir)
+    val ex = g.select(col("doc_id"), col("lang"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val freq = ex.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val prefix = ex.join(freq, Seq("lang", "gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(tau) * col("sz")) + lit(1L))
+      .select(col("lang"), col("gram"), col("doc_id"))
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("lang", "gram"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
       .withColumn("jaccard", round(
         col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")), 4))
@@ -168,8 +187,8 @@ object Dedup {
   private[ops] def gramsCached(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), expr(Text.gramsExpr).as("grams"))
+      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), expr(Text.gramsExpr).as("grams"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Non-empty gram arrays (cache-backed). */
