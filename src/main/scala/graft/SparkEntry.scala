@@ -154,6 +154,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ops.Dedup.ngramJaccardSql(),
     "neardup_cosine" -> ops.Similarity.cosinePairsSql(),
     "ann_topk_bruteforce" -> ops.Similarity.annTopKSql(),
+    "ann_lsh_bucketed" -> ops.Similarity.annLshBucketedSql(),
     "text_langid" -> ops.TextAnalysis.langIdSql,
     "text_quality_score" -> ops.TextAnalysis.qualityScoreSql,
     "text_token_count" -> ops.TextAnalysis.tokenCountSql,

@@ -3,52 +3,129 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.util.Tables
 
-/** Embedding similarity search: exact cosine pairs, brute-force ANN
-  * top-k, and random-hyperplane LSH-bucketed ANN.
+/** Embedding similarity search: LSH-filtered cosine pairs, brute-force
+  * ANN top-k, and multi-probe LSH-bucketed ANN.
   *
-  * Vectors are `array<float>` cast to double; dot products are
-  * `zip_with` + `aggregate` higher-order expressions — row-local, no
-  * UDFs. Scale design: the query set broadcasts (brute force is ONE
-  * scan of the corpus); the LSH path prunes candidates by bucket
-  * before scoring, trading recall for a corpus-fraction scan.
+  * Vectors are `array<float>` cast to double (dimension fixed at 64 by
+  * the embeddings table). Dot products are explicit 64-term sums —
+  * fully whole-stage-codegen'd, no interpreted higher-order lambdas —
+  * and evaluate left-to-right identically in Spark and DuckDB, so every
+  * operator here has an exact SQL oracle.
+  *
+  * Random hyperplanes are deterministic ±1 matrices from a seeded
+  * generator, embedded as literals into BOTH the Spark expressions and
+  * the generated oracle SQL: the LSH bucketing is part of each
+  * operator's checkable contract, not an unverifiable side effect.
+  *
+  * Scale design: the corpus repartitions once on vec_id (the source is
+  * a single small split locally; at 100 TB this is the partitioning the
+  * bucket join reuses). Brute force scans the corpus once per query
+  * set (queries broadcast). The LSH paths score only same-bucket
+  * candidates — corpus-fraction work per query with multi-probe
+  * recall fallback, never a cross product.
   */
 object Similarity {
 
-  private val toVec = col("embedding").cast("array<double>")
+  val Dim = 64
 
+  /** Deterministic ±1 hyperplane rows (java.util.Random LCG is
+    * platform-stable by spec; same seed → same matrix in the SQL
+    * rendering below). */
+  private def planes(nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Codegen'd explicit dot product of two vector columns (0-based). */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    expr((0 until Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + "))
 
-  /** corpus with unit-norm metadata: (vec_id, label, v, nrm). */
+  /** DuckDB rendering of [[dot]] (1-based lists). */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+
+  /** Codegen'd signed projection of column `v` onto a literal plane. */
+  private def proj(v: String, w: Array[Double]): Column =
+    expr((0 until Dim).map(i => s"$v[$i] * ${w(i)}").mkString(" + "))
+
+  private def projSql(v: String, w: Array[Double]): String =
+    (1 to Dim).map(i => s"$v[$i] * ${w(i - 1)}").mkString(" + ")
+
+  /** corpus with unit-norm metadata: (vec_id, label, v, nrm),
+    * repartitioned for parallel scoring (single parquet split locally)
+    * and aligned with the bucket joins. */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), toVec.as("v"))
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot("v", "v")))
 
-  /** C5 — near-duplicate cosine pairs within label blocks. */
-  def cosinePairs(spark: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+  private val corpusSql: String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)""".stripMargin
+
+  /** C5 — near-duplicate cosine pairs within label blocks, LSH-banded.
+    *
+    * Candidate generation is `bands` independent sign-bit keys of
+    * `bitsPerBand` hyperplanes each: a pair is a candidate iff it
+    * agrees on ALL bits of ≥1 band within its label block (standard
+    * banding recall: near-identical vectors agree on almost all bits,
+    * so they collide in some band with high probability; the exact
+    * all-pairs block join this replaces is quadratic in block size and
+    * dies at 100 TB). Candidates verify with the exact cosine ≥ τ.
+    * The oracle SQL computes the identical bands, so the operator's
+    * full contract — including its recall behavior — is checked. */
+  def cosinePairs(spark: SparkSession, dir: String, tau: Double = 0.4,
+                  bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+    val w = planes(bands * bitsPerBand, seed = 42L)
     val c = corpus(spark, dir)
-    val a = c.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = c.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+    val bandStructs = (0 until bands).map { b =>
+      val key = concat((0 until bitsPerBand).map { r =>
+        when(proj("v", w(b * bitsPerBand + r)) >= 0d, lit("1")).otherwise(lit("0"))
+      }: _*)
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }
+    val banded = c.select(col("vec_id"), col("label"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("vec_id"), col("label"), col("band.band_id"), col("band.band_key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.as("x").join(banded.as("y"), Seq("label", "band_id", "band_key"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("label"), col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(c.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(c.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
       .withColumn("cosine", round(dot("va", "vb") / (col("na") * col("nb")), 4))
       .filter(col("cosine") >= tau)
       .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  private val cosSqlFrag =
-    """list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
-      |    (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
-      |     sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]))))""".stripMargin
-
-  def cosinePairsSql(tau: Double = 0.4): String =
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-       |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ROUND($cosSqlFrag, 4) AS cosine
-       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ROUND($cosSqlFrag, 4) >= $tau""".stripMargin
+  def cosinePairsSql(tau: Double = 0.4, bands: Int = 8, bitsPerBand: Int = 4): String = {
+    val w = planes(bands * bitsPerBand, seed = 42L)
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until bitsPerBand).map { r =>
+        s"(CASE WHEN ${projSql("v", w(b * bitsPerBand + r))} >= 0 THEN '1' ELSE '0' END)"
+      }.mkString("CONCAT(", ", ", ")")
+      s"SELECT vec_id, label, $b AS band_id, $key AS band_key FROM c"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $corpusSql,
+       |b AS (
+       |  $bandSelects
+       |),
+       |cand AS (SELECT DISTINCT x.label, x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM b x JOIN b y ON x.label = y.label AND x.band_id = y.band_id
+       |    AND x.band_key = y.band_key AND x.vec_id < y.vec_id),
+       |scored AS (SELECT cand.label, cand.vec_a, cand.vec_b,
+       |    ROUND((${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm), 4) AS cosine
+       |  FROM cand
+       |  JOIN c a ON a.vec_id = cand.vec_a
+       |  JOIN c b ON b.vec_id = cand.vec_b)
+       |SELECT label, vec_a, vec_b, cosine FROM scored WHERE cosine >= $tau""".stripMargin
+  }
 
   /** C6 — brute-force exact ANN: top-k cosine neighbors for each query
     * vector (vec_id < nQueries). The query side is a broadcast; the
@@ -67,11 +144,11 @@ object Similarity {
   }
 
   def annTopKSql(nQueries: Int = 8, k: Int = 5): String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH $corpusSql,
        |scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id,
-       |    ROUND(${cosSqlFrag}, 4) AS cosine
-       |  FROM e a JOIN e b ON a.vec_id < $nQueries AND b.vec_id <> a.vec_id
+       |    ROUND((${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm), 4) AS cosine
+       |  FROM c a JOIN c b ON a.vec_id < $nQueries AND b.vec_id <> a.vec_id
        |)
        |SELECT query_id, vec_id, cosine, rank FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -79,30 +156,60 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $k""".stripMargin
 
-  /** C7 — LSH-bucketed ANN: random-hyperplane sign bits (hyperplane
-    * components are deterministic ±1 from `xxhash64(plane, dim)`)
-    * bucket the corpus; each query scores only its own bucket — the
-    * scale path when the corpus no longer fits a full scan per query.
-    * Rows-only oracle (approximate by construction). */
+  /** C7 — LSH-bucketed ANN with multi-probe: `nPlanes` hyperplane sign
+    * bits bucket the corpus into 2^nPlanes cells; each query probes its
+    * own cell plus every 1-bit-flip neighbor (nPlanes+1 cells), scoring
+    * only those candidates — the scale path when the corpus no longer
+    * admits a full scan per query. Multi-probe bounds the recall loss
+    * of single-cell probing: the nearest neighbors of a query sit in
+    * Hamming-adjacent cells when a projection lands near zero. The
+    * probed cells are disjoint, so no pair dedupe is needed. The
+    * deterministic planes make the full pipeline — buckets, probes,
+    * ranking — reproducible in the SQL oracle. */
   def annLshBucketed(spark: SparkSession, dir: String,
-                     planes: Int = 6, nQueries: Int = 8, k: Int = 3): DataFrame = {
-    val c = corpus(spark, dir)
-    // bucket bit p = sign of <v, w_p>, w_p[i] = ±1 from xxhash64(p, i)
-    val bucketed = c.withColumn("bucket", expr(
-      s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
-         |  acc | IF(aggregate(zip_with(v, sequence(0, size(v) - 1),
-         |             (x, i) -> x * IF((xxhash64(p, i) & 1L) = 1L, 1D, -1D)),
-         |           0D, (s, t) -> s + t) >= 0D,
-         |         shiftleft(1L, p), 0L))""".stripMargin))
-    val q = bucketed.filter(col("vec_id") < nQueries)
+                     nPlanes: Int = 6, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val w = planes(nPlanes, seed = 7L)
+    val bucketCol = (0 until nPlanes)
+      .map(p => when(proj("v", w(p)) >= 0d, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val c = corpus(spark, dir).withColumn("bucket", bucketCol)
+    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
+    val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
-    val scored = bucketed.join(broadcast(q), Seq("bucket"))
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(array(probeMasks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val win = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(win).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("bucket"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  def annLshBucketedSql(nPlanes: Int = 6, nQueries: Int = 8, k: Int = 3): String = {
+    val w = planes(nPlanes, seed = 7L)
+    val bucketSql = (0 until nPlanes)
+      .map(p => s"(CASE WHEN ${projSql("v", w(p))} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
+    val probes = probeMasks.map(m => s"SELECT query_id, qv, qn, xor(qbucket, $m) AS bucket FROM q")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $corpusSql,
+       |cb AS (SELECT vec_id, label, v, nrm, $bucketSql AS bucket FROM c),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+       |  FROM cb WHERE vec_id < $nQueries),
+       |probes AS (
+       |  $probes
+       |),
+       |scored AS (SELECT p.query_id, cb.bucket, cb.vec_id,
+       |    ROUND((${dotSql("p.qv", "cb.v")}) / (p.qn * cb.nrm), 4) AS cosine
+       |  FROM probes p JOIN cb ON cb.bucket = p.bucket AND cb.vec_id <> p.query_id)
+       |SELECT query_id, bucket, vec_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k""".stripMargin
   }
 }
