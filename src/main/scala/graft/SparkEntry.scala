@@ -146,8 +146,10 @@ object SparkEntry {
     "q_time_bucket" -> Analytics.qTimeBucketSql,
     "q_approx_quantile" -> Analytics.qApproxQuantileSql,
     "q_sessionize" -> Analytics.qSessionizeSql,
-    // C-series (dedup_minhash_lsh / dedup_simhash / ann_lsh_bucketed /
-    // multimodal_meta are not ANSI-SQL-expressible → rows-only check)
+    // C-series — every operator is oracle-checked: the LSH/signature
+    // pipelines use engine-portable hashing (md5-based hash60 +
+    // arithmetic permutations + literal hyperplanes), so even the
+    // approximate operators have exact generated DuckDB oracles.
     "dedup_exact" -> ops.Dedup.exactSql,
     "dedup_simhash" -> ops.Dedup.simhashSql(),
     "dedup_minhash_lsh" -> ops.Dedup.minhashLshSql(),
@@ -159,5 +161,6 @@ object SparkEntry {
     "text_quality_score" -> ops.TextAnalysis.qualityScoreSql,
     "text_token_count" -> ops.TextAnalysis.tokenCountSql,
     "text_fingerprint" -> ops.TextAnalysis.fingerprintSql,
+    "multimodal_meta" -> ops.Multimodal.featuresSql,
   )
 }

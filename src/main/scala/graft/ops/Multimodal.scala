@@ -44,30 +44,51 @@ object Multimodal {
   /** ===== DETERMINISTIC DECODE STUB =====
     * Stands in for image decode / audio resample / video frame-sample.
     * Features are pure functions of the payload bytes so results are
-    * stable across runs and partitionings. */
-  private def decodeStub(r: MediaRow): MediaFeature = {
+    * stable across runs and partitionings — and the "content digest"
+    * is the first 60 bits of md5, the same portable hash as
+    * [[graft.functions.Portable.hash60]], so a DuckDB oracle can check
+    * the whole frame ([[featuresSql]]) even though this path runs as
+    * partition-local JVM code rather than a Catalyst expression. */
+  private def decodeStub(md: java.security.MessageDigest)(r: MediaRow): MediaFeature = {
     val n = r.payload.length.toLong
-    var sum = 0L
-    var i = 0
-    while (i < r.payload.length) { sum += (r.payload(i) & 0xff).toLong * (i + 1); i += 1 }
+    md.reset()
+    val hex = md.digest(r.payload).take(8).map(b => f"$b%02x").mkString
+    val checksum = java.lang.Long.parseLong(hex.substring(0, 15), 16)
     val frames = r.media_type match {
       case "video" => (n / 100L).toInt + 1   // ~1 "frame" per 100 bytes
       case "audio" => (n / 400L).toInt + 1   // coarser "chunks"
       case _       => 1
     }
-    MediaFeature(r.doc_id, r.media_type, n, r.declared_w, r.declared_h, frames, sum)
+    MediaFeature(r.doc_id, r.media_type, n, r.declared_w, r.declared_h, frames, checksum)
   }
 
   /** C12 — batch feature extraction: partition-local iteration (one
-    * "decoder init" per partition, amortized over its batch — the
+    * decoder/digest init per partition, amortized over its batch — the
     * mapInPandas batch pattern), no shuffle, typed output schema. */
   def features(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .mapPartitions { it =>
-        // real impl: initialize the codec ONCE here, then stream the batch
-        it.map(decodeStub)
+        // the codec initializes ONCE per partition, then streams the batch
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map(decodeStub(md))
       }
       .toDF()
   }
+
+  /** DuckDB oracle reproducing [[features]]: the payload is the UTF-8
+    * text bytes, so octet_length/md5 over the text column match the
+    * JVM byte-level computation exactly. */
+  val featuresSql: String =
+    """SELECT doc_id,
+      |  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+      |  CAST(64 + (doc_id % 4) * 32 AS INT) AS height,
+      |  CAST(CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 2 THEN octet_length(encode(text)) // 100 + 1
+      |    WHEN 1 THEN octet_length(encode(text)) // 400 + 1
+      |    ELSE 1 END AS INT) AS n_frames,
+      |  CAST(CONCAT('0x', SUBSTRING(MD5(text), 1, 15)) AS BIGINT) AS checksum
+      |FROM documents""".stripMargin
 }
