@@ -21,7 +21,10 @@ object SparkEntry {
     Seq("db1.t2") -> "")                      // empty rule -> default topic
   private val defaultTopic  = "changefeed-default"
   private val claimMaxBytes = 180
-  private val ddlIgnoreTypes = Seq("CREATE")
+  // regex-only demo rule (type-ignore stays empty so the frame is
+  // non-empty even at sf0.001 where only v0 CREATE DDLs exist;
+  // A18 already demos the type-taxonomy path)
+  private val ddlIgnoreTypes = Seq.empty[String]
   private val ddlIgnoreSql   = Seq("ADD COLUMN v(1|3) ")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -119,7 +119,7 @@ object Dedup {
     val banded = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val cand = banded.as("x").join(banded.as("y"), Seq("band_id", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -240,14 +240,16 @@ object Dedup {
     val sig = hashed.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), simhashCol.as("simhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band_id"),
         shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))
     }
+    // eager materialization: the self-join reads this twice, and a lazy
+    // cache would re-enter the signature aggregation
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_val"))
+      .localCheckpoint()
     banded.as("x").join(banded.as("y"), Seq("band_id", "band_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

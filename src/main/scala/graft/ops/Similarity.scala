@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.util.Tables
 
 /** Embedding similarity search: LSH-filtered cosine pairs, brute-force
@@ -81,17 +80,25 @@ object Similarity {
   def cosinePairs(spark: SparkSession, dir: String, tau: Double = 0.4,
                   bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
     val w = planes(bands * bitsPerBand, seed = 42L)
-    val c = corpus(spark, dir)
-    val bandStructs = (0 until bands).map { b =>
-      val key = concat((0 until bitsPerBand).map { r =>
-        when(proj("v", w(b * bitsPerBand + r)) >= 0d, lit("1")).otherwise(lit("0"))
-      }: _*)
-      struct(lit(b).as("band_id"), key.as("band_key"))
+    // Materialize the normed corpus once (eager, lineage-truncating):
+    // it feeds the band projection AND both verify-join sides.
+    val c = corpus(spark, dir).localCheckpoint()
+    // Two-step band computation: 32 separate 64-term bit columns, THEN
+    // key concat. One mega-expression would exceed the JIT method-size
+    // limit and run as interpreted bytecode (~100x slower per row);
+    // separate columns codegen into JIT-able methods.
+    val bitCols = (0 until bands * bitsPerBand).map { p =>
+      when(proj("v", w(p)) >= 0d, lit("1")).otherwise(lit("0")).as(s"bit$p")
     }
-    val banded = c.select(col("vec_id"), col("label"),
+    val keyed = c.select(Seq(col("vec_id"), col("label")) ++ bitCols: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat((0 until bitsPerBand).map(r => col(s"bit${b * bitsPerBand + r}")): _*).as("band_key"))
+    }
+    val banded = keyed.select(col("vec_id"), col("label"),
         explode(array(bandStructs: _*)).as("band"))
       .select(col("vec_id"), col("label"), col("band.band_id"), col("band.band_key"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val cand = banded.as("x").join(banded.as("y"), Seq("label", "band_id", "band_key"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("label"), col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
@@ -167,13 +174,21 @@ object Similarity {
     * deterministic planes make the full pipeline — buckets, probes,
     * ranking — reproducible in the SQL oracle. */
   def annLshBucketed(spark: SparkSession, dir: String,
-                     nPlanes: Int = 6, nQueries: Int = 8, k: Int = 3): DataFrame = {
+                     nPlanes: Int = 6, nQueries: Int = 8, k: Int = 3,
+                     multiProbe: Boolean = true): DataFrame = {
     val w = planes(nPlanes, seed = 7L)
-    val bucketCol = (0 until nPlanes)
-      .map(p => when(proj("v", w(p)) >= 0d, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val c = corpus(spark, dir).withColumn("bucket", bucketCol)
-    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
+    // two-step bit columns (JIT-able codegen units), then the bucket
+    // sum; materialized once for the query filter + candidate join
+    val bitCols = (0 until nPlanes).map { p =>
+      when(proj("v", w(p)) >= 0d, lit(1L << p)).otherwise(lit(0L)).as(s"bp$p")
+    }
+    val c = corpus(spark, dir)
+      .select(Seq(col("vec_id"), col("label"), col("v"), col("nrm")) ++ bitCols: _*)
+      .withColumn("bucket", (0 until nPlanes).map(p => col(s"bp$p")).reduce(_ + _))
+      .drop((0 until nPlanes).map(p => s"bp$p"): _*)
+      .localCheckpoint()
+    val probeMasks =
+      if (multiProbe) 0L +: (0 until nPlanes).map(p => 1L << p) else Seq(0L)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qbucket"))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-2 operators, beyond the driver's
+  * DuckDB oracle: recall/equivalence properties and branch coverage
+  * that a row-count smoke test can't see. */
+class OperatorSemanticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.util.GraftSession.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  test("prefix-filtered ngram jaccard equals the naive all-pairs join") {
+    // The prefix-filter lemma promises 100% recall; check it against a
+    // from-scratch quadratic implementation on the small SF.
+    val g = graft.util.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), ops.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), expr(ops.Text.gramsExpr).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val a = g.select(col("lang"), col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val b = g.select(col("lang"), col("doc_id").as("doc_b"), col("grams").as("gb"))
+    val naive = a.join(b, Seq("lang")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .collect().map(_.toSeq).toSet
+    val fast = ops.Dedup.ngramJaccard(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(fast == naive, s"prefix filter lost or invented pairs: ${fast.diff(naive)} / ${naive.diff(fast)}")
+  }
+
+  test("topic expression expansion sanitizes, truncates, and falls back") {
+    import spark.implicits._
+    val df = Seq(("my db!", "t@1")).toDF("schema_name", "table_name")
+    val topic = df.select(cdc.Routing.topicExpr("pre_{schema}_x_{table}.end").as("t"))
+      .head.getString(0)
+    assert(topic == "pre_my_db__x_t_1.end")
+    // rule chain: no matcher hits -> static default topic
+    val routed = df.select(cdc.Routing.topicFor(
+      Seq(Seq("nope.%") -> "cdc_{schema}"), "fallback").as("t")).head.getString(0)
+    assert(routed == "fallback")
+  }
+
+  test("claim check splits exactly at the byte threshold") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val cc = cdc.Sinks.claimCheck(cl, n = 16, maxBytes = 180).cache()
+    assert(cc.filter(col("claimed")).count() > 0, "no claimed rows at this threshold")
+    assert(cc.filter(!col("claimed")).count() > 0, "no passthrough rows at this threshold")
+    assert(cc.filter(col("claimed") =!= (col("payload_bytes") > 180)).count() == 0)
+    // claimed rows carry a location and a stub value; others carry the payload
+    assert(cc.filter(col("claimed") && col("claim_location").isNull).count() == 0)
+    assert(cc.filter(!col("claimed") && col("claim_location").isNotNull).count() == 0)
+    assert(cc.filter(col("claimed") && !col("value").contains("claimCheckLocation")).count() == 0)
+  }
+
+  test("mysql statement frame conserves rows and batches correctly") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val st = cdc.Sinks.mysqlStmts(cl, maxTxnRow = 2).cache()
+    assert(st.agg(sum(col("n_stmts"))).head.getLong(0) == cl.count())
+    assert(st.filter(col("n_batches") =!=
+      ceil(col("n_stmts").cast("double") / 2.0).cast("long")).count() == 0)
+  }
+
+  test("multi-probe ANN candidates are a superset of exact-bucket candidates") {
+    // every (query, neighbor) from single-cell probing must also surface
+    // with multi-probe enabled (the extra cells only add candidates)
+    val multi = ops.Similarity
+      .annLshBucketed(spark, dir, nPlanes = 6, nQueries = 4, k = 500, multiProbe = true)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(_.toSeq).toSet
+    val single = ops.Similarity
+      .annLshBucketed(spark, dir, nPlanes = 6, nQueries = 4, k = 500, multiProbe = false)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(_.toSeq).toSet
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size, "multi-probe should add candidate cells")
+  }
+}
