@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 import graft.util.Tables
 
 /** Analytic query surface (SURVEY.md §2 B-series) — declarative
@@ -20,17 +19,25 @@ object Analytics {
 
   private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
-  /** Order-independent money sum: cast to exact decimal BEFORE summing so
-    * Spark's partial-agg merge order can't flip a cent vs the oracle's
-    * sequential sum; one deterministic cast back to double at the end.
-    * `scale` is the value's true decimal scale (prices 2; price*(1±disc)
-    * 4; *(1±tax) 6) — the cast rounds off only float noise (≤1e-9),
-    * never a real digit, identically in Spark and DuckDB. */
-  private def dsum(c: Column, scale: Int): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+  /** Order-independent money sum: scale to integer minor units BEFORE
+    * summing so Spark's partial-agg merge order can't flip a cent vs
+    * the oracle's sequential sum. `scale` is the value's true decimal
+    * scale (prices 2; price*(1±disc) 4; *(1±tax) 6) — `round` strips
+    * only float noise (≤1e-9), never a real digit, identically in both
+    * engines, and the long accumulation is exact and pure primitive
+    * codegen (a decimal-typed sum is equally exact but allocates a
+    * Decimal per row — ~10× slower). ANSI mode faults loudly if a
+    * group's sum ever exceeds 2^63 minor units; groups that large
+    * (≳10^12 rows of prices) should switch to decimal(38,s) sums. */
+  private def dsum(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * lit(f)).cast("long")) / lit(f)
+  }
 
-  private def dsumSql(e: String, scale: Int): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
+  private def dsumSql(e: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"SUM(CAST(ROUND(($e) * $f.0, 0) AS BIGINT)) / $f.0"
+  }
 
   /** B1 — TPC-H Q1 pricing summary: single scan, map-side partial agg. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
@@ -183,9 +190,8 @@ object Analytics {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, dir).select(
       col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-      round(sum(col("o_totalprice").cast(DecimalType(18, 2)))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double"), 2)
+      round(sum(round(col("o_totalprice") * lit(100.0)).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / lit(100.0), 2)
         .as("cum_spend"),
       round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
         .as("prev_price"))
@@ -193,9 +199,9 @@ object Analytics {
 
   val qWindowRunningSql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+      |  ROUND(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS cum_spend,
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS cum_spend,
       |  ROUND(COALESCE(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
       |    ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price
       |FROM orders""".stripMargin
