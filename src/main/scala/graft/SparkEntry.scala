@@ -67,6 +67,7 @@ object SparkEntry {
     "sink_mysql_stmts" -> ((s, d) => Sinks.mysqlStmts(cl(s, d), maxTxnRow = 2)),
     "cdc_ddl_filter_rich" -> ((s, d) => Filters.ddlSqlEventFilter(
       SchemaStore.ddlEvents(cl(s, d), Nil), ddlIgnoreTypes, ddlIgnoreSql)),
+    "codec_simple" -> ((s, d) => SimpleProtocol.messages(cl(s, d))),
     // B-series: analytics
     "q1_agg" -> ((s, d) => Analytics.q1Agg(s, d)),
     "q3_join_topn" -> ((s, d) => Analytics.q3JoinTopN(s, d)),
@@ -135,6 +136,7 @@ object SparkEntry {
     "sink_mysql_stmts" -> o(Sinks.mysqlStmtsSql(maxTxnRow = 2)),
     "cdc_ddl_filter_rich" -> o(Filters.ddlSqlEventFilterSql(
       SchemaStore.ddlEventsSql(Nil), ddlIgnoreTypes, ddlIgnoreSql)),
+    "codec_simple" -> o(SimpleProtocol.messagesSql),
     "q1_agg" -> Analytics.q1AggSql,
     "q3_join_topn" -> Analytics.q3JoinTopNSql,
     "q5_multijoin" -> Analytics.q5MultiJoinSql,

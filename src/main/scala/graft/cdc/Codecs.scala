@@ -17,10 +17,10 @@ import org.apache.spark.sql.functions._
 object Codecs {
 
   /** %.4f or the JSON literal null. */
-  private def fmt(c: Column): Column =
+  private[cdc] def fmt(c: Column): Column =
     when(c.isNull, lit("null")).otherwise(format_string("%.4f", c))
 
-  private def fmtSql(e: String): String =
+  private[cdc] def fmtSql(e: String): String =
     s"CASE WHEN $e IS NULL THEN 'null' ELSE printf('%.4f', $e) END"
 
   private val opWord: Column =
