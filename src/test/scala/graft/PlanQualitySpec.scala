@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the scale properties SURVEY.md §5 promises,
+  * checked as contracts so a refactor can't silently regress them. */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.util.GraftSession.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("ts filter pushes down to the parquet scan") {
+    val p = plan(cdc.Filters.tsFilter(cdc.ChangeEvents.changelog(spark, dir), 100L))
+    // the commit_ts predicate is on event_id; pushdown must reach the scan
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,100)]"), p)
+  }
+
+  test("column selector prunes the scan schema") {
+    val p = plan(cdc.ChangeEvents.changelog(spark, dir)
+      .select("schema_name", "table_name", "pk", "commit_ts", "op", "after_value"))
+    // props/ts must not be read for this projection
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), readSchema)
+  }
+
+  test("q3 and q5 broadcast their dimension sides") {
+    assert(plan(queries.Analytics.q3JoinTopN(spark, dir)).contains("BroadcastHashJoin"))
+    val q5 = plan(queries.Analytics.q5MultiJoin(spark, dir))
+    assert(q5.contains("BroadcastHashJoin"), q5)
+  }
+
+  test("no query plans a cartesian product or broadcast nested loop join") {
+    // BNLJ is legitimate only where the build side is deliberately tiny:
+    // the 1-row scalar-subquery broadcast, and the schema-version
+    // dimension (a handful of rows) that the schema store cross-joins
+    // against the table list by construction.
+    // ann_topk_bruteforce: broadcast of nQueries rows against a single
+    // corpus scan via a non-equi (!=) condition IS the brute-force design.
+    // cdc_syncpoint: tables x boundary-grid broadcast cross is the
+    // telescoping-delta design (boundaries are max_ts/step rows).
+    val tinyBroadcastByDesign = Set("q_scalar_subquery",
+      "cdc_schema_asof", "cdc_ddl_events", "cdc_ddl_filter_rich", "codec_simple",
+      "ann_topk_bruteforce", "cdc_syncpoint")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!tinyBroadcastByDesign(name)) {
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop join")
+      }
+    }
+  }
+
+  test("snapshot materialization is a partial aggregation, not a global sort window") {
+    val p = plan(cdc.Materialize.snapshot(cdc.ChangeEvents.changelog(spark, dir)))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Window"), "snapshot should not use a window function")
+  }
+
+  test("dispatchers and codecs add no shuffle beyond the scan") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    for ((name, df) <- Seq(
+      "dispatch_table" -> cdc.Dispatchers.byTable(cl, 16),
+      "canal" -> cdc.Codecs.canalJson(cl),
+      "topic_router" -> cdc.Routing.route(cl, Seq(Seq("db0.%") -> "t_{schema}"), "d"),
+      "claim_check" -> cdc.Sinks.claimCheck(cl, 16, 180))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name introduces a shuffle:\n$p")
+    }
+  }
+}
