@@ -50,6 +50,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.count() == batch.count())
   }
 
+  test("A35: streaming dedup keeps exactly one row per fingerprint") {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    runToCompletion(graft.streaming.DataOps.streamDedup(stream), "a35", "append")
+    val streamed = spark.table("a35")
+    val batchFps = graft.ops.Dedup.exact(spark, dir).select("fingerprint")
+    // one survivor per distinct fingerprint, same fingerprint set as batch
+    assert(streamed.count() == batchFps.count())
+    assert(streamed.select("fingerprint").exceptAll(batchFps).isEmpty)
+  }
+
+  test("A36: streaming session windows equal batch lag+cumsum sessions") {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+    runToCompletion(graft.streaming.DataOps.streamSessionize(stream), "a36", "append")
+    val streamed = spark.table("a36")
+      .select(col("user_id"),
+        expr("unix_micros(session_start)").as("session_start_us"),
+        col("n_events"), col("sum_value"))
+    val batch = graft.queries.Analytics.qSessionize(spark, dir)
+      .select(col("user_id"), col("session_start_us"), col("n_events"), col("sum_value"))
+    // append mode emits only watermark-closed sessions; each must match
+    // its batch twin exactly, and nearly all sessions close on sf0.001
+    val joined = streamed.as("s").join(batch.as("b"), Seq("user_id", "session_start_us"))
+    assert(streamed.count() > 0, "no sessions emitted")
+    assert(joined.count() == streamed.count(), "streamed session missing from batch")
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events") ||
+      col("s.sum_value") =!= col("b.sum_value")).count() == 0)
+  }
+
   test("A28: watermarked windowed agg matches batch time-bucket totals") {
     val cl = graft.cdc.ChangeEvents.changelog(spark, dir)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
