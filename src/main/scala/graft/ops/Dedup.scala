@@ -54,9 +54,14 @@ object Dedup {
     val prefix = ex.join(freq, Seq("lang", "gram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(tau) * col("sz")) + lit(1L))
-      .select(col("lang"), col("gram"), col("doc_id"))
+      .select(col("lang"), col("gram"), col("doc_id"), col("sz"))
+    // length filter (also lossless): J ≥ τ forces the overlap above
+    // τ·max(|a|,|b|) but at most min(|a|,|b|), so |b| ≤ |a|/τ — pairs
+    // with very different gram counts can't qualify and never reach
+    // the exact verify
     val cand = prefix.as("a").join(prefix.as("b"), Seq("lang", "gram"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("b.sz") * lit(tau) <= col("a.sz") && col("a.sz") * lit(tau) <= col("b.sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
@@ -127,6 +132,10 @@ object Dedup {
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      // lossless length prune before the expensive intersection:
+      // J ≥ τ forces min(|a|,|b|) ≥ τ·max(|a|,|b|)
+      .filter(size(col("gb")) * lit(tau) <= size(col("ga")) &&
+        size(col("ga")) * lit(tau) <= size(col("gb")))
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
       .withColumn("jaccard", round(
         col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")), 4))
