@@ -38,17 +38,22 @@ object Similarity {
     Array.fill(nPlanes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** Codegen'd explicit dot product of two vector columns (0-based). */
+  /** Native loop-codegen dot product ([[graft.functions.DotProduct]]):
+    * constant-size generated code — an unrolled 64-term sum per plane
+    * blew past Janino/JIT limits when several planes shared a
+    * projection, falling back to interpreted execution. Accumulation
+    * order (i ascending, left-assoc) matches the SQL rendering
+    * exactly, so IEEE results are bit-identical. */
   private def dot(a: String, b: String): Column =
-    expr((0 until Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + "))
+    graft.functions.VectorExprs.dot(a, b)
 
   /** DuckDB rendering of [[dot]] (1-based lists). */
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
 
-  /** Codegen'd signed projection of column `v` onto a literal plane. */
+  /** Signed projection of column `v` onto a literal plane. */
   private def proj(v: String, w: Array[Double]): Column =
-    expr((0 until Dim).map(i => s"$v[$i] * ${w(i)}").mkString(" + "))
+    graft.functions.VectorExprs.dotLit(v, w.toSeq)
 
   private def projSql(v: String, w: Array[Double]): String =
     (1 to Dim).map(i => s"$v[$i] * ${w(i - 1)}").mkString(" + ")

@@ -17,12 +17,14 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("ts filter pushes down to the parquet scan") {
+    spark.catalog.clearCache() // other suites may have cached the changelog
     val p = plan(cdc.Filters.tsFilter(cdc.ChangeEvents.changelog(spark, dir), 100L))
     // the commit_ts predicate is on event_id; pushdown must reach the scan
     assert(p.contains("PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,100)]"), p)
   }
 
   test("column selector prunes the scan schema") {
+    spark.catalog.clearCache()
     val p = plan(cdc.ChangeEvents.changelog(spark, dir)
       .select("schema_name", "table_name", "pk", "commit_ts", "op", "after_value"))
     // props/ts must not be read for this projection
