@@ -18,6 +18,7 @@ object SparkEntry {
   private val topicRules   = Seq(
     Seq("db0.%") -> "cdc_{schema}_{table}",   // dynamic expression rule
     Seq("db1.t1") -> "db1-special",           // hard-coded topic rule
+    Seq("db1.t0") -> "persistent://public/default/{schema}-{table}", // pulsar-style
     Seq("db1.t2") -> "")                      // empty rule -> default topic
   private val defaultTopic  = "changefeed-default"
   private val claimMaxBytes = 180
@@ -91,6 +92,7 @@ object SparkEntry {
     "neardup_cosine" -> ((s, d) => ops.Similarity.cosinePairs(s, d)),
     "ann_topk_bruteforce" -> ((s, d) => ops.Similarity.annTopK(s, d)),
     "ann_lsh_bucketed" -> ((s, d) => ops.Similarity.annLshBucketed(s, d)),
+    "ann_ivf" -> ((s, d) => ops.Similarity.annIvf(s, d)),
     "text_langid" -> ((s, d) => ops.TextAnalysis.langId(s, d)),
     "text_quality_score" -> ((s, d) => ops.TextAnalysis.qualityScore(s, d)),
     "text_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(s, d)),
@@ -162,6 +164,7 @@ object SparkEntry {
     "neardup_cosine" -> ops.Similarity.cosinePairsSql(),
     "ann_topk_bruteforce" -> ops.Similarity.annTopKSql(),
     "ann_lsh_bucketed" -> ops.Similarity.annLshBucketedSql(),
+    "ann_ivf" -> ops.Similarity.annIvfSql(),
     "text_langid" -> ops.TextAnalysis.langIdSql,
     "text_quality_score" -> ops.TextAnalysis.qualityScoreSql,
     "text_token_count" -> ops.TextAnalysis.tokenCountSql,

@@ -208,6 +208,71 @@ object Similarity {
       .select(col("query_id"), col("bucket"), col("vec_id"), col("cosine"), col("rank"))
   }
 
+  /** C13 — IVF-bucketed ANN (inverted-file index): the corpus is
+    * assigned to its nearest of `k` centroids; a query scores only the
+    * lists of its `nProbe` nearest centroids. This is the second scale
+    * path next to hyperplane LSH (C7): centroid lists adapt to the
+    * data distribution, and probing more lists trades work for recall.
+    *
+    * Centroids are the deterministic seed vectors (vec_id < k) — the
+    * first step of k-means|| seeding; Lloyd refinements would iterate
+    * the same assign/average shapes and change only the centroid
+    * frame, not the join topology that matters at scale. Determinism
+    * (round-4 scores, centroid/vec_id tiebreaks) makes the whole
+    * index + probe pipeline reproducible in the SQL oracle. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 16, nProbe: Int = 4,
+             nQueries: Int = 8, topK: Int = 3): DataFrame = {
+    val c = corpus(spark, dir).localCheckpoint()
+    val cents = c.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def nearestCents(in: DataFrame, keep: Int, idCol: String): DataFrame = {
+      val win = Window.partitionBy(col(idCol))
+        .orderBy(col("sim").desc, col("cent_id"))
+      in.crossJoin(broadcast(cents))
+        .withColumn("sim", round(dot("v", "cv") / (col("nrm") * col("cn")), 4))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= keep)
+    }
+    val assigned = nearestCents(c, 1, "vec_id")
+      .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint()
+    val qprobe = nearestCents(c.filter(col("vec_id") < nQueries), nProbe, "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id"))
+    val win = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(qprobe), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("cent_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  def annIvfSql(k: Int = 16, nProbe: Int = 4, nQueries: Int = 8, topK: Int = 3): String =
+    s"""WITH $corpusSql,
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM c WHERE vec_id < $k),
+       |scoredc AS (SELECT c.vec_id, c.v, c.nrm, cents.cent_id,
+       |    ROUND((${dotSql("c.v", "cents.cv")}) / (c.nrm * cents.cn), 4) AS sim
+       |  FROM c CROSS JOIN cents),
+       |assigned AS (SELECT cent_id, vec_id, v, nrm FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cent_id) AS rn FROM scoredc
+       |  ) WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cent_id) AS rn
+       |    FROM scoredc WHERE vec_id < $nQueries
+       |  ) WHERE rn <= $nProbe),
+       |scored AS (SELECT q.query_id, a.cent_id, a.vec_id,
+       |    ROUND((${dotSql("q.qv", "a.v")}) / (q.qn * a.nrm), 4) AS cosine
+       |  FROM qprobe q JOIN assigned a ON a.cent_id = q.cent_id
+       |    AND a.vec_id <> q.query_id)
+       |SELECT query_id, cent_id, vec_id, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $topK""".stripMargin
+
   def annLshBucketedSql(nPlanes: Int = 6, nQueries: Int = 8, k: Int = 3): String = {
     val w = planes(nPlanes, seed = 7L)
     val bucketSql = (0 until nPlanes)

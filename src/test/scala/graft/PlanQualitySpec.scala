@@ -47,9 +47,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // corpus scan via a non-equi (!=) condition IS the brute-force design.
     // cdc_syncpoint: tables x boundary-grid broadcast cross is the
     // telescoping-delta design (boundaries are max_ts/step rows).
+    // ann_ivf: corpus x k-centroid broadcast cross for list assignment
+    // is the IVF index build (centroids are k rows).
     val tinyBroadcastByDesign = Set("q_scalar_subquery",
       "cdc_schema_asof", "cdc_ddl_events", "cdc_ddl_filter_rich", "codec_simple",
-      "ann_topk_bruteforce", "cdc_syncpoint")
+      "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
