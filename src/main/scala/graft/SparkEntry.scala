@@ -27,6 +27,15 @@ object SparkEntry {
   // A18 already demos the type-taxonomy path)
   private val ddlIgnoreTypes = Seq.empty[String]
   private val ddlIgnoreSql   = Seq("ADD COLUMN v(1|3) ")
+  // end-to-end changefeed demo: filter chain + routed topics +
+  // debezium values in one declarative config
+  private val changefeedCfg = cdc.Changefeed.Config(
+    tableRules = Seq("db0.%", "db1.t1"),
+    ignoreOps = Seq("D"),
+    ignoreTsAtOrBelow = Some(50L),
+    topicRules = topicRules,
+    defaultTopic = defaultTopic,
+    protocol = cdc.Changefeed.Protocol.Debezium)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -69,6 +78,7 @@ object SparkEntry {
     "cdc_ddl_filter_rich" -> ((s, d) => Filters.ddlSqlEventFilter(
       SchemaStore.ddlEvents(cl(s, d), Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> ((s, d) => SimpleProtocol.messages(cl(s, d))),
+    "changefeed_pipeline" -> ((s, d) => Changefeed.kafka(cl(s, d), changefeedCfg)),
     // B-series: analytics
     "q1_agg" -> ((s, d) => Analytics.q1Agg(s, d)),
     "q3_join_topn" -> ((s, d) => Analytics.q3JoinTopN(s, d)),
@@ -139,6 +149,7 @@ object SparkEntry {
     "cdc_ddl_filter_rich" -> o(Filters.ddlSqlEventFilterSql(
       SchemaStore.ddlEventsSql(Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> o(SimpleProtocol.messagesSql),
+    "changefeed_pipeline" -> o(Changefeed.kafkaDebeziumSql(changefeedCfg)),
     "q1_agg" -> Analytics.q1AggSql,
     "q3_join_topn" -> Analytics.q3JoinTopNSql,
     "q5_multijoin" -> Analytics.q5MultiJoinSql,

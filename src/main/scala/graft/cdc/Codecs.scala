@@ -75,21 +75,24 @@ object Codecs {
   /** A20 — open-protocol key/value pair (reference: pkg/sink/codec/open/
     * open_protocol_message.go): key carries ts+table routing, value is
     * `{"u":{...}}` for upsert / `{"d":{...}}` for delete. */
-  def openProtocol(cl: DataFrame): DataFrame = {
-    val key = concat(
-      lit("{\"ts\":"), col("commit_ts"),
-      lit(",\"scm\":\""), col("schema_name"),
-      lit("\",\"tbl\":\""), col("table_name"), lit("\",\"t\":1}"))
+  private[cdc] def openProtocolKey: Column = concat(
+    lit("{\"ts\":"), col("commit_ts"),
+    lit(",\"scm\":\""), col("schema_name"),
+    lit("\",\"tbl\":\""), col("table_name"), lit("\",\"t\":1}"))
+
+  private[cdc] def openProtocolValue: Column = {
     val image = concat(
       lit("{\"pk\":"), col("pk"),
       lit(",\"value\":"), fmt(col("after_value")),
       lit(",\"props\":"), col("props"), lit("}"))
     val old = concat(lit("{\"pk\":"), col("pk"),
       lit(",\"value\":"), fmt(col("before_value")), lit("}"))
-    val value = when(col("op") === "D", concat(lit("{\"d\":"), old, lit("}")))
+    when(col("op") === "D", concat(lit("{\"d\":"), old, lit("}")))
       .otherwise(concat(lit("{\"u\":"), image, lit("}")))
-    cl.select(col("commit_ts"), key.as("key"), value.as("value"))
   }
+
+  def openProtocol(cl: DataFrame): DataFrame =
+    cl.select(col("commit_ts"), openProtocolKey.as("key"), openProtocolValue.as("value"))
 
   val openProtocolSql: String =
     s"""SELECT commit_ts,
@@ -104,11 +107,11 @@ object Codecs {
 
   /** A21 — debezium-json envelope (reference: pkg/sink/codec/debezium/
     * codec.go): before/after/op(c|u|d)/ts_ms/source. */
-  def debezium(cl: DataFrame): DataFrame = {
+  private[cdc] def debeziumValue: Column = {
     def image(v: Column): Column =
       when(v.isNull, lit("null"))
         .otherwise(concat(lit("{\"pk\":"), col("pk"), lit(",\"value\":"), fmt(v), lit("}")))
-    val value = concat(
+    concat(
       lit("{\"before\":"), image(col("before_value")),
       lit(",\"after\":"), image(col("after_value")),
       lit(",\"source\":{\"db\":\""), col("schema_name"),
@@ -116,36 +119,41 @@ object Codecs {
       lit("\"},\"op\":\""),
       when(col("op") === "I", lit("c")).when(col("op") === "D", lit("d")).otherwise(lit("u")),
       lit("\",\"ts_ms\":"), col("commit_ts"), lit("}"))
-    cl.select(col("commit_ts"), value.as("value"))
   }
 
-  val debeziumSql: String = {
+  def debezium(cl: DataFrame): DataFrame =
+    cl.select(col("commit_ts"), debeziumValue.as("value"))
+
+  private[cdc] val debeziumValueSql: String = {
     def imageSql(v: String) =
       s"""CASE WHEN $v IS NULL THEN 'null'
          |  ELSE CONCAT('{"pk":', pk, ',"value":', ${fmtSql(v)}, '}') END""".stripMargin
-    s"""SELECT commit_ts,
-       |  CONCAT('{"before":', ${imageSql("before_value")},
+    s"""CONCAT('{"before":', ${imageSql("before_value")},
        |    ',"after":', ${imageSql("after_value")},
        |    ',"source":{"db":"', schema_name, '","table":"', table_name,
        |    '"},"op":"',
        |    CASE op WHEN 'I' THEN 'c' WHEN 'D' THEN 'd' ELSE 'u' END,
-       |    '","ts_ms":', commit_ts, '}') AS value
-       |FROM changelog""".stripMargin
+       |    '","ts_ms":', commit_ts, '}')""".stripMargin
   }
+
+  val debeziumSql: String =
+    s"SELECT commit_ts, $debeziumValueSql AS value\nFROM changelog"
 
   /** A22 — csv line (reference: pkg/sink/codec/csv/csv_message.go —
     * opType,schema,table,commitTs,cols...). Strings double-quote with
     * `""` escaping; NULL image renders `\N` (MySQL convention). */
-  def csv(cl: DataFrame): DataFrame = {
+  private[cdc] def csvLine: Column = {
     def quoted(c: Column): Column =
       concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\""))
-    val line = concat_ws(",",
+    concat_ws(",",
       quoted(col("op")), quoted(col("schema_name")), quoted(col("table_name")),
       col("commit_ts").cast("string"), col("pk").cast("string"),
       when(col("after_value").isNull, lit("\\N")).otherwise(format_string("%.4f", col("after_value"))),
       quoted(col("props")))
-    cl.select(col("commit_ts"), line.as("line"))
   }
+
+  def csv(cl: DataFrame): DataFrame =
+    cl.select(col("commit_ts"), csvLine.as("line"))
 
   val csvSql: String =
     """SELECT commit_ts,
@@ -161,10 +169,10 @@ object Codecs {
   /** A23 — avro-style record rendering (reference: pkg/sink/codec/avro/
     * avro.go): schema'd record with explicit field types; nullable
     * fields render as avro JSON unions `{"double": x}` / null. */
-  def avroRecord(cl: DataFrame): DataFrame = {
+  private[cdc] def avroValue: Column = {
     def union(v: Column): Column =
       when(v.isNull, lit("null")).otherwise(concat(lit("{\"double\":"), fmt(v), lit("}")))
-    val value = concat(
+    concat(
       lit("{\"schema\":\"graft.ChangeEvent\",\"record\":{"),
       lit("\"schema_name\":{\"string\":\""), col("schema_name"),
       lit("\"},\"table_name\":{\"string\":\""), col("table_name"),
@@ -174,8 +182,10 @@ object Codecs {
       lit("},\"before_value\":"), union(col("before_value")),
       lit(",\"after_value\":"), union(col("after_value")),
       lit("}}"))
-    cl.select(col("commit_ts"), value.as("value"))
   }
+
+  def avroRecord(cl: DataFrame): DataFrame =
+    cl.select(col("commit_ts"), avroValue.as("value"))
 
   val avroRecordSql: String = {
     def unionSql(v: String) =

@@ -45,8 +45,8 @@ object SimpleProtocol {
        |  '{"name":"value","dataType":"DOUBLE","nullable":true},',
        |  '{"name":"props","dataType":"JSON","nullable":true}]}')""".stripMargin
 
-  /** A34 — the full simple-protocol message stream over a changelog. */
-  def messages(cl: DataFrame): DataFrame = {
+  /** DML message value — row-local; reused by the Changefeed facade. */
+  private[cdc] def dmlValue: Column = {
     val dmlType = when(col("op") === "I", lit("INSERT"))
       .when(col("op") === "D", lit("DELETE")).otherwise(lit("UPDATE"))
     val image = concat(lit("{\"pk\":"), col("pk"),
@@ -54,7 +54,7 @@ object SimpleProtocol {
       lit(",\"props\":"), col("props"), lit("}"))
     val old = concat(lit("{\"pk\":"), col("pk"),
       lit(",\"value\":"), Codecs.fmt(col("before_value")), lit("}"))
-    val dml = cl.select(col("commit_ts"), lit("DML").as("msg_type"), concat(
+    concat(
       lit(s"""{"version":$version,"database":""""), col("schema_name"),
       lit("\",\"table\":\""), col("table_name"),
       lit("\",\"tableID\":"), tableId,
@@ -64,7 +64,13 @@ object SimpleProtocol {
       lit(",\"schemaVersion\":"), expr(s"commit_ts div ${SchemaStore.step}"),
       when(col("op") =!= "D", concat(lit(",\"data\":"), image)).otherwise(lit("")),
       when(col("op") =!= "I", concat(lit(",\"old\":"), old)).otherwise(lit("")),
-      lit("}")).as("value"))
+      lit("}"))
+  }
+
+  /** A34 — the full simple-protocol message stream over a changelog. */
+  def messages(cl: DataFrame): DataFrame = {
+    val dml = cl.select(col("commit_ts"), lit("DML").as("msg_type"),
+      dmlValue.as("value"))
 
     val ddlFrame = SchemaStore.ddlEvents(cl, Nil)
     val ddl = ddlFrame.select(col("valid_from").as("commit_ts"),

@@ -64,6 +64,21 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       ceil(col("n_stmts").cast("double") / 2.0).cast("long")).count() == 0)
   }
 
+  test("changefeed facade equals manual operator composition") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val cfg = cdc.Changefeed.Config(
+      tableRules = Seq("db0.%"), ignoreOps = Seq("D"),
+      protocol = cdc.Changefeed.Protocol.CanalJson)
+    val manual = cdc.Codecs.canalJson(
+      cdc.Filters.eventTypeFilter(cdc.Filters.tableFilter(cl, Seq("db0.%")), Seq("D")))
+    val facade = cdc.Changefeed.kafka(cl, cfg).select("commit_ts", "value")
+    assert(facade.exceptAll(manual).isEmpty && manual.exceptAll(facade).isEmpty)
+    // mysql/storage/snapshot facades filter identically
+    assert(cdc.Changefeed.snapshot(cl, cfg).count() ==
+      cdc.Materialize.snapshot(
+        cdc.Filters.eventTypeFilter(cdc.Filters.tableFilter(cl, Seq("db0.%")), Seq("D"))).count())
+  }
+
   test("multi-probe ANN candidates are a superset of exact-bucket candidates") {
     // every (query, neighbor) from single-cell probing must also surface
     // with multi-probe enabled (the extra cells only add candidates)
