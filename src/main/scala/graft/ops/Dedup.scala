@@ -54,14 +54,20 @@ object Dedup {
     val prefix = ex.join(freq, Seq("lang", "gram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(tau) * col("sz")) + lit(1L))
-      .select(col("lang"), col("gram"), col("doc_id"), col("sz"))
-    // length filter (also lossless): J ≥ τ forces the overlap above
-    // τ·max(|a|,|b|) but at most min(|a|,|b|), so |b| ≤ |a|/τ — pairs
-    // with very different gram counts can't qualify and never reach
-    // the exact verify
+      .select(col("lang"), col("gram"), col("doc_id"), col("sz"), col("rn"))
+    // two more lossless prunes on the inverted-index join (PPJoin):
+    // - length filter: J ≥ τ forces min(|a|,|b|) ≥ τ·max(|a|,|b|);
+    // - positional filter: a shared gram at prefix positions (i, j)
+    //   bounds the total overlap by 1 + min(|a|−i, |b|−j), which must
+    //   reach ⌈τ/(1+τ)·(|a|+|b|)⌉ for J ≥ τ. Both are row-local join
+    //   predicates — pruned pairs never reach the exact verify.
+    val overlapNeeded = ceil(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")))
+    val overlapBound = lit(1L) +
+      least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))
     val cand = prefix.as("a").join(prefix.as("b"), Seq("lang", "gram"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
-        col("b.sz") * lit(tau) <= col("a.sz") && col("a.sz") * lit(tau) <= col("b.sz"))
+        col("b.sz") * lit(tau) <= col("a.sz") && col("a.sz") * lit(tau) <= col("b.sz") &&
+        overlapBound >= overlapNeeded)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
