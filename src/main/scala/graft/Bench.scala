@@ -8,8 +8,11 @@ import java.nio.file.{Files, Paths}
   * Each query is forced with a hash-reduce over ALL output columns —
   * `count()` would let Catalyst prune unreferenced projections, so
   * codec/dispatcher timings would measure the parquet scan only, not
-  * the encode work. The JSON line is also written to `BENCH_LOCAL.json`
-  * as a fallback channel (stdout may be decorated by the build tool).
+  * the encode work. Each query runs `SPARK_GRAFT_BENCH_REPEAT` times
+  * (default 2) and reports the minimum: the steady-state per-operator
+  * time, robust to background contention and one-time codegen/JIT
+  * warmup. The JSON line is also written to `BENCH_LOCAL.json` as a
+  * fallback channel (stdout may be decorated by the build tool).
   *
   * Optional CLI args restrict the run to the named queries (dev loop;
   * the driver calls with no args = full run). */
@@ -17,6 +20,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt.max(1)
     val only = args.toSet
     val spark = graft.util.GraftSession
       .builder(s"local[$cpus]", cpus.toInt)
@@ -25,16 +29,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          df.select(xxhash64(df.columns.map(col): _*).as("h"))
-            .agg(expr("bit_xor(h)")).collect()
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-28s $sec%9.3f s")
+        val sec = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            val df = fn(spark, sfDir)
+            df.select(xxhash64(df.columns.map(col): _*).as("h"))
+              .agg(expr("bit_xor(h)")).collect()
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        System.err.println(f"[bench] $name%-28s $sec%9.3f s (min of $repeat)")
         name -> sec
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
