@@ -88,8 +88,11 @@ object Changefeed {
       valueCol(cfg).as("value"))
   }
 
-  /** DuckDB oracle for [[kafka]] with a debezium-protocol config. */
+  /** DuckDB oracle for [[kafka]] with a debezium-protocol config.
+    * `ignoreExpr` is a Catalyst Column and has no SQL rendering here —
+    * reject configs that set it rather than emit a wrong oracle. */
   def kafkaDebeziumSql(cfg: Config): String = {
+    require(cfg.ignoreExpr.isEmpty, "ignoreExpr has no oracle rendering")
     import graft.functions.Portable
     s"""SELECT commit_ts,
        |  ${Routing.topicForSql(cfg.topicRules, cfg.defaultTopic)} AS topic,
