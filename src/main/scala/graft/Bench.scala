@@ -29,28 +29,37 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-        val sec = (1 to repeat).map { _ =>
+        // a failed run records the sentinel -1, NOT its (fast) wall
+        // time — a broken operator must not improve the benchmark
+        val runs = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
           try {
             val df = fn(spark, sfDir)
             df.select(xxhash64(df.columns.map(col): _*).as("h"))
               .agg(expr("bit_xor(h)")).collect()
+            (System.nanoTime() - t0) / 1e9
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
           }
-          (System.nanoTime() - t0) / 1e9
-        }.min
+        }
+        val ok = runs.filter(_ >= 0)
+        val sec = if (ok.nonEmpty) ok.min else -1.0
         System.err.println(f"[bench] $name%-28s $sec%9.3f s (min of $repeat)")
         name -> sec
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     System.out.flush()
-    try Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // mirror only FULL runs — a subset dev-loop run must not overwrite
+    // the full-bench fallback with a partial total
+    if (only.isEmpty) {
+      try Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

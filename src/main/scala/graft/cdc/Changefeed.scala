@@ -76,29 +76,25 @@ object Changefeed {
 
   /** Kafka-sink message frame: filter → route topic + partition →
     * encode — one scan, one row-local projection. */
-  def kafka(cl: DataFrame, cfg: Config): DataFrame = {
-    import graft.functions.Portable
-    val part = Portable.bucket(
-      concat_ws(",", col("schema_name"), col("table_name"), col("pk").cast("string")), cfg.nParts)
+  def kafka(cl: DataFrame, cfg: Config): DataFrame =
     filtered(cl, cfg).select(
       col("commit_ts"),
       Routing.topicFor(cfg.topicRules, cfg.defaultTopic).as("topic"),
-      part.as("partition"),
+      Dispatchers.indexValueBucket(cfg.nParts).as("partition"),
       Codecs.openProtocolKey.as("key"),
       valueCol(cfg).as("value"))
-  }
 
   /** DuckDB oracle for [[kafka]] with a debezium-protocol config.
     * `ignoreExpr` is a Catalyst Column and has no SQL rendering here —
     * reject configs that set it rather than emit a wrong oracle. */
   def kafkaDebeziumSql(cfg: Config): String = {
     require(cfg.ignoreExpr.isEmpty, "ignoreExpr has no oracle rendering")
-    import graft.functions.Portable
+    require(cfg.protocol == Protocol.Debezium,
+      s"this oracle renders debezium values; config says ${cfg.protocol}")
     s"""SELECT commit_ts,
        |  ${Routing.topicForSql(cfg.topicRules, cfg.defaultTopic)} AS topic,
-       |  ${Portable.bucketSql("CONCAT(schema_name, ',', table_name, ',', CAST(pk AS VARCHAR))", cfg.nParts)} AS partition,
-       |  CONCAT('{"ts":', commit_ts, ',"scm":"', schema_name,
-       |         '","tbl":"', table_name, '","t":1}') AS key,
+       |  ${Dispatchers.indexValueBucketSql(cfg.nParts)} AS partition,
+       |  ${Codecs.openProtocolKeySql} AS key,
        |  ${Codecs.debeziumValueSql} AS value
        |FROM changelog
        |WHERE ${filteredSql(cfg)}""".stripMargin

@@ -80,6 +80,10 @@ object Codecs {
     lit(",\"scm\":\""), col("schema_name"),
     lit("\",\"tbl\":\""), col("table_name"), lit("\",\"t\":1}"))
 
+  private[cdc] val openProtocolKeySql: String =
+    """CONCAT('{"ts":', commit_ts, ',"scm":"', schema_name,
+      |       '","tbl":"', table_name, '","t":1}')""".stripMargin
+
   private[cdc] def openProtocolValue: Column = {
     val image = concat(
       lit("{\"pk\":"), col("pk"),
@@ -228,26 +232,16 @@ object Codecs {
     * routing ([[Routing.topicExpr]]) + index-value partition routing +
     * open-protocol key + canal-json value. */
   def kafkaMessages(cl: DataFrame, n: Int,
-                    topicTemplate: String = "{schema}_{table}"): DataFrame = {
-    import graft.functions.Portable
-    val part = Portable.bucket(
-      concat_ws(",", col("schema_name"), col("table_name"), col("pk").cast("string")), n)
-    val key = concat(
-      lit("{\"ts\":"), col("commit_ts"),
-      lit(",\"scm\":\""), col("schema_name"),
-      lit("\",\"tbl\":\""), col("table_name"), lit("\",\"t\":1}"))
+                    topicTemplate: String = "{schema}_{table}"): DataFrame =
     cl.select(col("commit_ts"), Routing.topicExpr(topicTemplate).as("topic"),
-      part.as("partition"), key.as("key"), canalJsonValue.as("value"))
-  }
+      Dispatchers.indexValueBucket(n).as("partition"),
+      openProtocolKey.as("key"), canalJsonValue.as("value"))
 
-  def kafkaMessagesSql(n: Int, topicTemplate: String = "{schema}_{table}"): String = {
-    import graft.functions.Portable
+  def kafkaMessagesSql(n: Int, topicTemplate: String = "{schema}_{table}"): String =
     s"""SELECT commit_ts,
        |  ${Routing.topicExprSql(topicTemplate)} AS topic,
-       |  ${Portable.bucketSql("CONCAT(schema_name, ',', table_name, ',', CAST(pk AS VARCHAR))", n)} AS partition,
-       |  CONCAT('{"ts":', commit_ts, ',"scm":"', schema_name,
-       |         '","tbl":"', table_name, '","t":1}') AS key,
+       |  ${Dispatchers.indexValueBucketSql(n)} AS partition,
+       |  $openProtocolKeySql AS key,
        |  $canalJsonValueSql AS value
        |FROM changelog""".stripMargin
-  }
 }

@@ -29,17 +29,25 @@ object Dispatchers {
        |  ${Portable.bucketSql("CONCAT(schema_name, '.', table_name)", n)} AS partition
        |FROM changelog""".stripMargin
 
+  /** The index-value bucket expression — shared by the dispatcher, the
+    * kafka message frame, the claim-check frame, and the changefeed
+    * facade, with its SQL twin below, so the Spark and oracle sides
+    * can never drift apart independently. */
+  private[cdc] def indexValueBucket(n: Int): org.apache.spark.sql.Column =
+    Portable.bucket(
+      concat_ws(",", col("schema_name"), col("table_name"), col("pk").cast("string")), n)
+
+  private[cdc] def indexValueBucketSql(n: Int): String =
+    Portable.bucketSql("CONCAT(schema_name, ',', table_name, ',', CAST(pk AS VARCHAR))", n)
+
   /** partition = hash(table + pk values) % n — events of one row stay
     * ordered in one partition (reference: partition/index_value.go). */
   def byIndexValue(cl: DataFrame, n: Int): DataFrame =
-    cl.select(out.map(col) :+
-      Portable.bucket(
-        concat_ws(",", col("schema_name"), col("table_name"), col("pk").cast("string")), n)
-        .as("partition"): _*)
+    cl.select(out.map(col) :+ indexValueBucket(n).as("partition"): _*)
 
   def byIndexValueSql(n: Int): String =
     s"""SELECT schema_name, table_name, pk, commit_ts, op,
-       |  ${Portable.bucketSql("CONCAT(schema_name, ',', table_name, ',', CAST(pk AS VARCHAR))", n)} AS partition
+       |  ${indexValueBucketSql(n)} AS partition
        |FROM changelog""".stripMargin
 
   /** partition = hash(selected payload columns) % n (reference:

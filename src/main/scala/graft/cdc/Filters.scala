@@ -15,15 +15,18 @@ object Filters {
 
   /** Keep rows whose `schema.table` matches ANY of the SQL-LIKE
     * patterns (TiCDC matcher rules like `["db0.*", "db1.t1"]`;
-    * reference: pkg/filter/filter.go). */
-  def tableFilter(cl: DataFrame, patterns: Seq[String]): DataFrame = {
-    val qualified = concat_ws(".", col("schema_name"), col("table_name"))
-    val pred = patterns.map(p => qualified.like(p)).reduce(_ || _)
-    cl.filter(pred)
-  }
+    * reference: pkg/filter/filter.go). An empty rule list matches
+    * everything — the reference's implicit `*.*`. */
+  def tableFilter(cl: DataFrame, patterns: Seq[String]): DataFrame =
+    if (patterns.isEmpty) cl
+    else {
+      val qualified = concat_ws(".", col("schema_name"), col("table_name"))
+      cl.filter(patterns.map(p => qualified.like(p)).reduce(_ || _))
+    }
 
   def tableFilterSql(patterns: Seq[String]): String =
-    patterns.map(p => s"CONCAT(schema_name, '.', table_name) LIKE '$p'")
+    if (patterns.isEmpty) "(TRUE)"
+    else patterns.map(p => s"CONCAT(schema_name, '.', table_name) LIKE '$p'")
       .mkString("(", " OR ", ")")
 
   /** Drop events whose op is in `ignore` (TiCDC ignore-event rules:

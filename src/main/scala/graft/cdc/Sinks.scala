@@ -2,7 +2,6 @@ package graft.cdc
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.Portable
 
 /** Sink-side frame derivations beyond the codecs: large-message
   * claim-check splitting and MySQL batched-statement generation.
@@ -24,8 +23,7 @@ object Sinks {
     * no shuffle, linear at any scale. */
   def claimCheck(cl: DataFrame, n: Int, maxBytes: Int,
                  uriPrefix: String = "s3://claim-check"): DataFrame = {
-    val part = Portable.bucket(
-      concat_ws(",", col("schema_name"), col("table_name"), col("pk").cast("string")), n)
+    val part = Dispatchers.indexValueBucket(n)
     val value = Codecs.canalJsonValue
     val payloadBytes = octet_length(value)
     val claimed = payloadBytes > maxBytes
@@ -51,7 +49,7 @@ object Sinks {
       s"""CONCAT('{"ts":', commit_ts, ',"handleKey":{"pk":', pk,
          |  '},"claimCheckLocation":"', $locSql, '"}')""".stripMargin
     s"""SELECT commit_ts,
-       |  ${Portable.bucketSql("CONCAT(schema_name, ',', table_name, ',', CAST(pk AS VARCHAR))", n)} AS partition,
+       |  ${Dispatchers.indexValueBucketSql(n)} AS partition,
        |  $bytesSql AS payload_bytes,
        |  $bytesSql > $maxBytes AS claimed,
        |  CASE WHEN $bytesSql > $maxBytes THEN $locSql ELSE NULL END AS claim_location,

@@ -61,12 +61,18 @@ object Dedup {
     //   bounds the total overlap by 1 + min(|a|−i, |b|−j), which must
     //   reach ⌈τ/(1+τ)·(|a|+|b|)⌉ for J ≥ τ. Both are row-local join
     //   predicates — pruned pairs never reach the exact verify.
-    val overlapNeeded = ceil(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")))
+    // The ε slack keeps the prunes lossless for τ values that aren't
+    // exactly representable as doubles (e.g. 0.8·5 → 4.0000000000000004
+    // would otherwise reject an exactly-qualifying |a|=4,|b|=5 pair);
+    // integer sz spacing means ε can never admit a truly failing pair.
+    val eps = 1e-9
+    val overlapNeeded = ceil(lit(tau / (1 + tau)) * (col("a.sz") + col("b.sz")) - lit(eps))
     val overlapBound = lit(1L) +
       least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))
     val cand = prefix.as("a").join(prefix.as("b"), Seq("lang", "gram"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
-        col("b.sz") * lit(tau) <= col("a.sz") && col("a.sz") * lit(tau) <= col("b.sz") &&
+        col("b.sz") * lit(tau) <= col("a.sz") + lit(eps) &&
+        col("a.sz") * lit(tau) <= col("b.sz") + lit(eps) &&
         overlapBound >= overlapNeeded)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -139,9 +145,11 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       // lossless length prune before the expensive intersection:
-      // J ≥ τ forces min(|a|,|b|) ≥ τ·max(|a|,|b|)
-      .filter(size(col("gb")) * lit(tau) <= size(col("ga")) &&
-        size(col("ga")) * lit(tau) <= size(col("gb")))
+      // J ≥ τ forces min(|a|,|b|) ≥ τ·max(|a|,|b|); ε covers τ values
+      // not exactly representable as doubles (integer sizes mean ε can
+      // never admit a truly failing pair)
+      .filter(size(col("gb")) * lit(tau) <= size(col("ga")) + lit(1e-9) &&
+        size(col("ga")) * lit(tau) <= size(col("gb")) + lit(1e-9))
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
       .withColumn("jaccard", round(
         col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")), 4))

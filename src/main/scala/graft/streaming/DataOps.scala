@@ -23,24 +23,31 @@ object DataOps {
     * `ingest_time` column exists (files/Kafka provide one); None keeps
     * full-history state (exact global dedup, spec/testing mode). */
   def streamDedup(docs: DataFrame,
-                  withinWatermarkDelay: Option[String] = None): DataFrame = {
-    val keyed = docs.select(col("doc_id"),
-      md5(Text.norm(col("text")).cast("binary")).as("fingerprint"))
+                  withinWatermarkDelay: Option[String] = None): DataFrame =
     withinWatermarkDelay match {
       case Some(delay) =>
-        keyed.withColumn("ingest_time", col("ingest_time"))
+        docs.select(col("doc_id"), col("ingest_time"),
+            md5(Text.norm(col("text")).cast("binary")).as("fingerprint"))
           .withWatermark("ingest_time", delay)
           .dropDuplicatesWithinWatermark("fingerprint")
       case None =>
-        keyed.dropDuplicates("fingerprint")
+        docs.select(col("doc_id"),
+            md5(Text.norm(col("text")).cast("binary")).as("fingerprint"))
+          .dropDuplicates("fingerprint")
     }
-  }
 
   /** A36 — streaming sessionization: per-user session windows with a
     * 30-minute gap over event time; a session finalizes when the
     * watermark passes its close. Emits the same (user, session start,
     * event count, exact cents value total) frame as the batch
-    * lag+cumsum sessionizer. */
+    * lag+cumsum sessionizer.
+    *
+    * Boundary semantics: `session_window` closes at `start + gap`
+    * exclusive, while the batch definition (B14) keeps an event at
+    * EXACTLY `gap` distance in the same session (`diff > gap` splits).
+    * The two differ only when consecutive events are exactly the gap
+    * apart — measure zero under microsecond timestamps, absent from
+    * the test data, but callers comparing the frames should know. */
   def streamSessionize(events: DataFrame, gap: String = "30 minutes",
                        watermarkDelay: String = "10 minutes"): DataFrame =
     events
