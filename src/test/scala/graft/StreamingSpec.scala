@@ -61,6 +61,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("fingerprint").exceptAll(batchFps).isEmpty)
   }
 
+  test("A35b: watermark-bounded dedup path resolves and dedupes within the horizon") {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+      // +1 day: a row at exactly the initial epoch watermark is
+      // treated as late and dropped
+      .withColumn("ingest_time", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
+    runToCompletion(
+      graft.streaming.DataOps.streamDedup(stream, Some("10 minutes")), "a35b", "append")
+    val streamed = spark.table("a35b")
+    // within one micro-batch the horizon covers everything: exact dedup
+    assert(streamed.count() == graft.ops.Dedup.exact(spark, dir).count())
+  }
+
   test("A36: streaming session windows equal batch lag+cumsum sessions") {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
