@@ -27,6 +27,11 @@ object SparkEntry {
   // A18 already demos the type-taxonomy path)
   private val ddlIgnoreTypes = Seq.empty[String]
   private val ddlIgnoreSql   = Seq("ADD COLUMN v(1|3) ")
+  // column-selector rules: db0.* encodes values only (props masked),
+  // db1.t1 encodes props only, everything else passes untouched
+  private val colSelRules = Seq(
+    Seq("db0.%") -> Seq("*value*", "pk"),
+    Seq("db1.t1") -> Seq("props"))
   // end-to-end changefeed demo: filter chain + routed topics +
   // debezium values in one declarative config
   private val changefeedCfg = cdc.Changefeed.Config(
@@ -79,6 +84,7 @@ object SparkEntry {
       SchemaStore.ddlEvents(cl(s, d), Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> ((s, d) => SimpleProtocol.messages(cl(s, d))),
     "changefeed_pipeline" -> ((s, d) => Changefeed.kafka(cl(s, d), changefeedCfg)),
+    "cdc_column_selector_rules" -> ((s, d) => ColumnSelector.select(cl(s, d), colSelRules)),
     // B-series: analytics
     "q1_agg" -> ((s, d) => Analytics.q1Agg(s, d)),
     "q3_join_topn" -> ((s, d) => Analytics.q3JoinTopN(s, d)),
@@ -150,6 +156,7 @@ object SparkEntry {
       SchemaStore.ddlEventsSql(Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> o(SimpleProtocol.messagesSql),
     "changefeed_pipeline" -> o(Changefeed.kafkaDebeziumSql(changefeedCfg)),
+    "cdc_column_selector_rules" -> o(ColumnSelector.selectSql(colSelRules)),
     "q1_agg" -> Analytics.q1AggSql,
     "q3_join_topn" -> Analytics.q3JoinTopNSql,
     "q5_multijoin" -> Analytics.q5MultiJoinSql,
