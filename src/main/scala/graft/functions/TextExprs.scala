@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-grams over a token array — the shingling front end
+  * of every near-dup operator.
+  *
+  * The declarative form (`transform(sequence(...), i -> concat(...))`
+  * + `array_distinct`) runs as interpreted higher-order lambdas at
+  * ~ms per document; this expression is one compiled JVM loop with a
+  * linked hash set (first-occurrence order, exactly `array_distinct`
+  * semantics, and set-identical to the DuckDB oracle's
+  * `list_distinct(list_transform(...))`). CodegenFallback is fine
+  * here: the single virtual call per row is noise next to the O(tokens)
+  * gram construction the loop performs. Fewer than `n` tokens yields
+  * an empty array, matching the declarative CASE guard. */
+case class WordNGrams(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}

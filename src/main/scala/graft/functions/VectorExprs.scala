@@ -123,6 +123,13 @@ object VectorExprs {
         val arr = children(1).eval(null).asInstanceOf[ArrayData]
         DotLiteral(children(0), arr.toDoubleArray.toSeq)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams"),
+      (children: Seq[Expression]) => {
+        val n = children(1).eval(null).asInstanceOf[Int]
+        WordNGrams(children(0), n)
+      }))
   }
 
   /** Column-level dot product of two array&lt;double&gt; columns. */

@@ -211,7 +211,11 @@ object Dedup {
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("lang"), expr(Text.gramsExpr).as("grams"))
+      // native shingling (graft.functions.WordNGrams): one JVM loop per
+      // doc instead of interpreted higher-order lambdas; set-identical
+      // to the declarative Text.gramsExpr and the DuckDB oracle
+      .select(col("doc_id"), col("lang"),
+        call_function("graft_word_ngrams", col("toks"), lit(3)).as("grams"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Non-empty gram arrays (cache-backed). */
