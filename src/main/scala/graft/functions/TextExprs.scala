@@ -49,3 +49,32 @@ case class WordNGrams(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
     copy(child = newChild)
 }
+
+/** Count of token-array elements contained in a constant word set —
+  * the stopword/marker-profile primitive of language ID and quality
+  * scoring. One compiled loop + hash-set probe per token, replacing
+  * the interpreted `size(filter(toks, t -> t IN (...)))` lambda. */
+case class CountTokensIn(child: Expression, words: Seq[String])
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "count_tokens_in"
+
+  private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    var count = 0L
+    var i = 0
+    while (i < m) { if (set.contains(arr.getUTF8String(i))) count += 1; i += 1 }
+    count
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountTokensIn =
+    copy(child = newChild)
+}

@@ -130,6 +130,14 @@ object VectorExprs {
         val n = children(1).eval(null).asInstanceOf[Int]
         WordNGrams(children(0), n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_in"),
+      new ExpressionInfo(classOf[CountTokensIn].getName, "graft_count_in"),
+      (children: Seq[Expression]) => {
+        val arr = children(1).eval(null).asInstanceOf[ArrayData]
+        val words = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+        CountTokensIn(children(0), words)
+      }))
   }
 
   /** Column-level dot product of two array&lt;double&gt; columns. */

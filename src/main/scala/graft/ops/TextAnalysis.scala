@@ -27,8 +27,9 @@ object TextAnalysis {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))) {
       case (df, (l, ws)) =>
+        // native set-membership count (graft.functions.CountTokensIn)
         df.withColumn(s"s_$l",
-          expr(s"size(filter(toks, t -> t IN (${inList(ws)})))").cast("long"))
+          call_function("graft_count_in", col("toks"), array(ws.map(lit): _*)))
     }
     val best = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
     scored.withColumn("predicted_lang",
@@ -71,7 +72,7 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_chars_norm", length(col("norm")).cast("long"))
       .withColumn("n_stop",
-        expr(s"size(filter(toks, t -> t IN (${inList(markers.head._2)})))").cast("long"))
+        call_function("graft_count_in", col("toks"), array(markers.head._2.map(lit): _*)))
       .withColumn("n_punct",
         length(regexp_replace(col("norm"), "[^.!?,;:]", "")).cast("long"))
       .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
