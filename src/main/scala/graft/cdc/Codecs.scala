@@ -75,7 +75,7 @@ object Codecs {
   /** A20 — open-protocol key/value pair (reference: pkg/sink/codec/open/
     * open_protocol_message.go): key carries ts+table routing, value is
     * `{"u":{...}}` for upsert / `{"d":{...}}` for delete. */
-  private[cdc] def openProtocolKey: Column = concat(
+  private[graft] def openProtocolKey: Column = concat(
     lit("{\"ts\":"), col("commit_ts"),
     lit(",\"scm\":\""), col("schema_name"),
     lit("\",\"tbl\":\""), col("table_name"), lit("\",\"t\":1}"))
@@ -84,7 +84,7 @@ object Codecs {
     """CONCAT('{"ts":', commit_ts, ',"scm":"', schema_name,
       |       '","tbl":"', table_name, '","t":1}')""".stripMargin
 
-  private[cdc] def openProtocolValue: Column = {
+  private[graft] def openProtocolValue: Column = {
     val image = concat(
       lit("{\"pk\":"), col("pk"),
       lit(",\"value\":"), fmt(col("after_value")),

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.cdc.{ChangeEvents, Codecs, Filters}
+import graft.cdc.{ChangeEvents, Codecs, Filters, Routing}
 
 /** Structured-Streaming form of the changefeed — the engine's
   * equivalent of TiCDC's continuous pipeline (reference: the
@@ -37,18 +37,25 @@ object CdcStream {
                       value: Option[Double], props: String)
 
   /** A26 — the streaming changefeed source: file-stream the events
-    * table, derive the changelog, filter, encode. Returns an unbounded
-    * DataFrame ready for `writeStream`. */
+    * table, derive the changelog, filter, route the topic, encode.
+    * Returns an unbounded DataFrame ready for `writeStream`. The
+    * row-local batch operators (filters, topic router, codec) reuse
+    * unchanged in micro-batch mode. */
   def pipeline(spark: SparkSession, dir: String,
                tableRules: Seq[String] = Seq("db%.%"),
-               ignoreOps: Seq[String] = Seq.empty): DataFrame = {
+               ignoreOps: Seq[String] = Seq.empty,
+               topicRules: Seq[(Seq[String], String)] = Nil,
+               defaultTopic: String = "changefeed"): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
     val cl = ChangeEvents.fromEvents(raw)
     val filtered = Filters.tableFilter(
       if (ignoreOps.isEmpty) cl else Filters.eventTypeFilter(cl, ignoreOps),
       tableRules)
-    Codecs.openProtocol(filtered)
+    filtered.select(col("commit_ts"),
+      Routing.topicFor(topicRules, defaultTopic).as("topic"),
+      Codecs.openProtocolKey.as("key"),
+      Codecs.openProtocolValue.as("value"))
   }
 
   /** A27 — continuous snapshot maintenance: one `KeyState` per key,

@@ -20,14 +20,22 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(120000)
   }
 
-  test("A26: streaming changefeed pipeline matches batch filter+encode") {
+  test("A26: streaming changefeed pipeline matches batch filter+route+encode") {
     val rules = Seq("db0.%", "db1.t1")
-    runToCompletion(CdcStream.pipeline(spark, dir, rules), "a26", "append")
+    val topicRules = Seq(Seq("db0.%") -> "cdc_{schema}_{table}")
+    runToCompletion(
+      CdcStream.pipeline(spark, dir, rules, topicRules = topicRules), "a26", "append")
     val streamed = spark.table("a26")
-    val batch = graft.cdc.Codecs.openProtocol(
-      graft.cdc.Filters.tableFilter(graft.cdc.ChangeEvents.changelog(spark, dir), rules))
+    val cl = graft.cdc.Filters.tableFilter(
+      graft.cdc.ChangeEvents.changelog(spark, dir), rules)
+    val batch = graft.cdc.Codecs.openProtocol(cl)
+      .join(cl.select(col("commit_ts"),
+        graft.cdc.Routing.topicFor(topicRules, "changefeed").as("topic")), "commit_ts")
+      .select("commit_ts", "topic", "key", "value")
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // routing exercised: both dynamic and default topics present
+    assert(streamed.select("topic").distinct().count() > 1)
   }
 
   test("A27: flatMapGroupsWithState snapshot equals batch materialization") {
