@@ -101,7 +101,12 @@ object Materialize {
         countDistinct(col("pk")).as("n_keys"),
         min(col("commit_ts")).as("first_ts"),
         max(col("commit_ts")).as("last_ts"),
-        round(sum(col("after_value")), 2).as("sum_value"))
+        // exact cents sum surfaced as decimal(18,2): values are true
+        // 2-decimal money, so the per-row minor-unit extraction and the
+        // cent-grid decimal conversion are engine-portable (no
+        // ROUND-over-double anywhere; see Analytics.dmoney)
+        (sum(round(col("after_value") * lit(100.0)).cast("long")) / lit(100.0))
+          .cast("decimal(18,2)").as("sum_value"))
 
   val txnGroupSql: String =
     """SELECT schema_name, table_name, start_ts,
@@ -109,7 +114,7 @@ object Materialize {
       |  COUNT(DISTINCT pk) AS n_keys,
       |  MIN(commit_ts) AS first_ts,
       |  MAX(commit_ts) AS last_ts,
-      |  ROUND(SUM(after_value), 2) AS sum_value
+      |  CAST(SUM(CAST(ROUND(after_value * 100.0, 0) AS BIGINT)) / 100.0 AS DECIMAL(18,2)) AS sum_value
       |FROM changelog
       |GROUP BY schema_name, table_name, start_ts""".stripMargin
 
@@ -131,21 +136,25 @@ object Materialize {
     val wk = Window.partitionBy(col("schema_name"), col("table_name"), col("pk"))
       .orderBy(col("commit_ts"))
     val tr = cl.select(col("schema_name"), col("table_name"), col("pk"),
-        col("commit_ts"), col("op"), col("after_value"))
+        col("commit_ts"), col("op"),
+        // deltas telescope in exact integer cents (values are true
+        // 2-decimal money) so the cumulative sums below are exact and
+        // the decimal(18,2) output is engine-portable
+        round(col("after_value") * lit(100.0)).cast("long").as("cents"))
       .withColumn("prev_op", lag(col("op"), 1).over(wk))
-      .withColumn("prev_value", lag(col("after_value"), 1).over(wk))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(wk))
       .withColumn("cur_live", (col("op") =!= "D").cast("long"))
       .withColumn("prev_live",
         coalesce((col("prev_op") =!= "D").cast("long"), lit(0L)))
       .withColumn("d_live", col("cur_live") - col("prev_live"))
-      .withColumn("d_value",
-        coalesce(when(col("cur_live") === 1L, col("after_value")), lit(0.0)) -
-        coalesce(when(col("prev_live") === 1L, col("prev_value")), lit(0.0)))
+      .withColumn("d_cents",
+        coalesce(when(col("cur_live") === 1L, col("cents")), lit(0L)) -
+        coalesce(when(col("prev_live") === 1L, col("prev_cents")), lit(0L)))
       // first syncpoint boundary this event is visible at
       .withColumn("boundary_ts",
         expr(s"((commit_ts + $step - 1) div $step) * $step"))
     val deltas = tr.groupBy(col("boundary_ts"), col("schema_name"), col("table_name"))
-      .agg(sum(col("d_live")).as("d_live"), sum(col("d_value")).as("d_value"))
+      .agg(sum(col("d_live")).as("d_live"), sum(col("d_cents")).as("d_cents"))
     // empty-safe: no boundaries when max ts < step (sequence() would error)
     val bounds = cl.agg(max(col("commit_ts")).as("m"))
       .select(explode(when(col("m") >= step, sequence(lit(step), col("m"), lit(step)))
@@ -158,7 +167,8 @@ object Materialize {
     grid.join(deltas, Seq("boundary_ts", "schema_name", "table_name"), "left")
       .withColumn("live_rows", sum(coalesce(col("d_live"), lit(0L))).over(wc))
       .withColumn("total_value",
-        round(sum(coalesce(col("d_value"), lit(0.0))).over(wc), 2))
+        (sum(coalesce(col("d_cents"), lit(0L))).over(wc) / lit(100.0))
+          .cast("decimal(18,2)"))
       .filter(col("live_rows") > 0)
       .select(col("boundary_ts"), col("schema_name"), col("table_name"),
         col("live_rows"), col("total_value"))
@@ -167,7 +177,7 @@ object Materialize {
   def syncpointSql(step: Long): String =
     s"""SELECT boundary_ts, schema_name, table_name,
        |  COUNT(*) AS live_rows,
-       |  ROUND(SUM(value), 2) AS total_value
+       |  CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) / 100.0 AS DECIMAL(18,2)) AS total_value
        |FROM (
        |  SELECT b.boundary_ts, c.schema_name, c.table_name, c.pk,
        |    MAX_BY(c.op, c.commit_ts) AS last_op,

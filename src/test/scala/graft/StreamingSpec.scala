@@ -112,7 +112,8 @@ class StreamingSpec extends AnyFunSuite {
         date_trunc("HOUR", col("event_time")).as("window_start"),
         col("schema_name"), col("table_name"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("after_value")), 2).as("sum_value"))
+        (sum(round(col("after_value") * lit(100.0)).cast("long")) / lit(100.0))
+          .cast("decimal(18,2)").as("sum_value"))
     // append mode only emits windows closed by the watermark; every
     // emitted window must match its batch value and most windows close
     val joined = streamed.as("s").join(batch.as("b"),

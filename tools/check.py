@@ -13,6 +13,7 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import decimal
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes for comparison
     for c in df.columns:
@@ -22,6 +23,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
+        elif df[c].dtype == object and df[c].map(
+                lambda v: v is None or isinstance(v, decimal.Decimal)).all():
+            # decimal columns: spark parquet -> Decimal objects, duckdb
+            # .df() -> float64; both sides carry the exact same decimal
+            # value, so nearest-double conversion compares losslessly
+            df[c] = df[c].astype("float64")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
