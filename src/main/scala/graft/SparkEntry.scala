@@ -83,6 +83,7 @@ object SparkEntry {
     "cdc_ddl_filter_rich" -> ((s, d) => Filters.ddlSqlEventFilter(
       SchemaStore.ddlEvents(cl(s, d), Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> ((s, d) => SimpleProtocol.messages(cl(s, d))),
+    "codec_craft" -> ((s, d) => Craft.frame(cl(s, d))),
     "changefeed_pipeline" -> ((s, d) => Changefeed.kafka(cl(s, d), changefeedCfg)),
     "cdc_column_selector_rules" -> ((s, d) => ColumnSelector.select(cl(s, d), colSelRules)),
     // B-series: analytics
@@ -155,6 +156,7 @@ object SparkEntry {
     "cdc_ddl_filter_rich" -> o(Filters.ddlSqlEventFilterSql(
       SchemaStore.ddlEventsSql(Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> o(SimpleProtocol.messagesSql),
+    "codec_craft" -> o(Craft.frameSql),
     "changefeed_pipeline" -> o(Changefeed.kafkaDebeziumSql(changefeedCfg)),
     "cdc_column_selector_rules" -> o(ColumnSelector.selectSql(colSelRules)),
     "q1_agg" -> Analytics.q1AggSql,

@@ -1,0 +1,212 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Craft codec — the reference's size-table-indexed columnar binary
+  * format (reference: pkg/sink/codec/craft/model.go:463,
+  * message_encoder.go:243-301). A craft message is:
+  *
+  * {{{
+  *   uvarint version (=1)
+  *   headers, columnar: delta-uvarint ts | uvarint type |
+  *     delta-varint partition | delta-varint dict(schema) |
+  *     delta-varint dict(table)                  (model.go:188)
+  *   per event, per column group:
+  *     ty byte (1=new image, 2=old image)        (model.go:31-32,297)
+  *     uvarint #columns
+  *     delta-varint dict-encoded column names
+  *     uvarint TiDB type tags | uvarint column flags
+  *     nullable-bytes value chunk (varint lengths, then payloads)
+  *   term dictionary: uvarint #terms + string chunk (model.go:151)
+  *   size tables (meta[header,dict] + body + per-event group sizes),
+  *     each uvarint count + delta-varint chunk, closed by a
+  *     REVERSED uvarint of the section length (message_encoder.go:179)
+  * }}}
+  *
+  * Spark-first re-expression: the varints, dictionary ids and size
+  * tables are all deterministic functions of the event, so the engine
+  * emits the **message layout frame** — dictionary assignment, group
+  * composition, per-value payload lengths, and the exact byte size of
+  * every section — as a row-local projection with a full DuckDB oracle.
+  * Value payloads follow EncodeTiDBType (message_encoder.go:190):
+  * integer pk → zigzag varint, decimal money → its string form,
+  * varchar → raw bytes; nulls take a -1 length and no bytes.
+  *
+  * One message per event (batch size 1). The batch-of-N layout only
+  * adds delta-chained header/size entries — same arithmetic, and
+  * batching frames are A25/A32's concern, not the codec's.
+  */
+object Craft {
+
+  // dictionary first-use order for a single-event message:
+  // headers intern schema=0, table=1 (model.go:192-193); the first
+  // group interns the column names (model.go:300)
+  private val NameIds = Seq(2, 3, 4, 5) // pk, value, props, event_type
+
+  // TiDB type tags (message_encoder.go:190 switch): bigint pk →
+  // TypeLonglong(8); money → TypeNewDecimal(246), craft-encoded as its
+  // decimal STRING; props/event_type → TypeVarchar(15)
+  private val TypeTags = Seq(8, 246, 15, 15)
+  // column flags (pkg/common/table_info.go:56): pk carries
+  // HandleKey(2)|PrimaryKey(8)=10; payload columns Nullable(64)
+  private val Flags = Seq(10, 64, 64, 64)
+
+  /** protobuf-style uvarint byte length (message_encoder.go:51). */
+  private def uvarintLen(c: Column): Column = {
+    val first = when(c < lit(128L), 1)
+    (2 to 8).foldLeft(first)((acc, n) => acc.when(c < lit(1L << (7 * n)), n))
+      .otherwise(9)
+  }
+
+  private def uvarintLenSql(e: String): String = {
+    val mids = (2 to 8)
+      .map(n => s"WHEN ($e) < ${1L << (7 * n)} THEN $n").mkString(" ")
+    s"(CASE WHEN ($e) < 128 THEN 1 $mids ELSE 9 END)"
+  }
+
+  /** zigzag varint byte length for a possibly-negative value
+    * (message_encoder.go:43 encodeVarint). */
+  private def zzLen(c: Column): Column =
+    uvarintLen(when(c >= 0, c * 2).otherwise(-c * 2 - 1))
+
+  private def zzLenSql(e: String): String =
+    uvarintLenSql(s"CASE WHEN ($e) >= 0 THEN ($e) * 2 ELSE -($e) * 2 - 1 END")
+
+  // per-group constant prefix: ty(1) + uvarint ncols(1) + delta-varint
+  // name ids [2,3,4,5] = 1+1+1+1 + type tags [8,246,15,15] = 1+2+1+1 +
+  // flags [10,64,64,64] = 1+1+1+1  (model.go:297-304)
+  private val GroupFixedBytes: Int = {
+    def uv(n: Long): Int = if (n < 128) 1 else if (n < 16384) 2 else 3
+    val nameBytes = uv(NameIds.head * 2L) +
+      NameIds.sliding(2).map(p => uv((p(1) - p(0)) * 2L)).sum
+    2 + nameBytes + TypeTags.map(t => uv(t.toLong)).sum +
+      Flags.map(f => uv(f.toLong)).sum
+  }
+
+  // term dictionary fixed part: uvarint(6 terms) + 6 uvarint lengths +
+  // "pk","value","props","event_type" payloads (schema/table vary)
+  private val DictFixedBytes: Int = 1 + 6 + "pk".length + "value".length +
+    "props".length + "event_type".length
+
+  /** Byte size of one column-group's value chunk + the group frame.
+    * `vLen` is the money column's payload length (null image → -1
+    * length marker, 1 zigzag byte, no payload). */
+  private def groupSize(pkLen: Column, vLen: Column, propsLen: Column,
+                        etLen: Column): Column = {
+    val prefixes = zzLen(pkLen) + zzLen(coalesce(vLen, lit(-1))) +
+      zzLen(propsLen) + zzLen(etLen)
+    lit(GroupFixedBytes) + prefixes +
+      pkLen + coalesce(vLen, lit(0)) + propsLen + etLen
+  }
+
+  private def groupSizeSql(pkLen: String, vLen: String, propsLen: String,
+                           etLen: String): String = {
+    val prefixes = Seq(zzLenSql(pkLen), zzLenSql(s"COALESCE($vLen, -1)"),
+      zzLenSql(propsLen), zzLenSql(etLen)).mkString(" + ")
+    s"($GroupFixedBytes + $prefixes + $pkLen + COALESCE($vLen, 0) + $propsLen + $etLen)"
+  }
+
+  /** A39 — the craft message layout frame, one row per event: group
+    * composition, payload lengths, and exact per-section byte sizes.
+    * Pure row-local projection — no shuffle beyond the scan. */
+  def frame(cl: DataFrame): DataFrame = {
+    val pkLen = uvarintLen(col("pk") * 2) // zigzag of a non-negative pk
+    val newVLen = when(col("op") =!= "D",
+      octet_length(format_string("%.2f", col("after_value")))).otherwise(lit(null))
+    val oldVLen = when(col("op") =!= "I",
+      octet_length(format_string("%.2f", col("before_value")))).otherwise(lit(null))
+    val propsLen = octet_length(col("props"))
+    val etLen = octet_length(col("event_type"))
+
+    val newSize = when(col("op") =!= "D",
+      groupSize(pkLen, newVLen, propsLen, etLen))
+    val oldSize = when(col("op") =!= "I",
+      groupSize(pkLen, oldVLen, propsLen, etLen))
+    val bodySize = coalesce(newSize, lit(0)) + coalesce(oldSize, lit(0))
+    // headers: delta-uvarint [ts] + uvarint [type=1] + delta-varint
+    // [partition=-1] + delta-varint [dict 0] + delta-varint [dict 1]
+    val headerSize = uvarintLen(col("commit_ts")) + lit(4)
+    val dictSize = lit(DictFixedBytes) +
+      octet_length(col("schema_name")) + octet_length(col("table_name"))
+    // size tables: meta[header,dict] + body[bodySize] + groups[g1(,g2)]
+    val g1 = coalesce(newSize, oldSize)
+    val metaTbl = lit(1) + zzLen(headerSize) + zzLen(dictSize - headerSize)
+    val bodyTbl = lit(1) + zzLen(bodySize)
+    val groupTbl = lit(1) + zzLen(g1) +
+      when(col("op") === "U", zzLen(oldSize - newSize)).otherwise(lit(0))
+    val tablesPre = metaTbl + bodyTbl + groupTbl
+    val tablesSize = tablesPre + uvarintLen(tablesPre)
+
+    cl.select(
+      col("schema_name"), col("table_name"), col("commit_ts"), col("op"),
+      lit(1L).as("version"),
+      lit(1L).as("msg_type"), // model.MessageTypeRow
+      lit(-1L).as("partition_id"), // non-partitioned table (model.go:471)
+      when(col("op") === "I", "1").when(col("op") === "D", "2")
+        .otherwise("1,2").as("group_types"), // new-then-old (model.go:422)
+      pkLen.cast("long").as("pk_len"),
+      newVLen.cast("long").as("new_value_len"),
+      oldVLen.cast("long").as("old_value_len"),
+      propsLen.cast("long").as("props_len"),
+      etLen.cast("long").as("event_type_len"),
+      newSize.cast("long").as("new_group_size"),
+      oldSize.cast("long").as("old_group_size"),
+      headerSize.cast("long").as("header_size"),
+      bodySize.cast("long").as("body_size"),
+      dictSize.cast("long").as("dict_size"),
+      tablesSize.cast("long").as("size_tables_size"),
+      (lit(1) + headerSize + bodySize + dictSize + tablesSize)
+        .cast("long").as("msg_size"))
+  }
+
+  /** DuckDB oracle for [[frame]] over the `changelog` CTE. */
+  val frameSql: String = {
+    val pkLen = uvarintLenSql("pk * 2")
+    val newVLen = "CASE WHEN op <> 'D' THEN octet_length(encode(printf('%.2f', after_value))) END"
+    val oldVLen = "CASE WHEN op <> 'I' THEN octet_length(encode(printf('%.2f', before_value))) END"
+    val newSize =
+      s"CASE WHEN op <> 'D' THEN ${groupSizeSql(pkLen, newVLen, "octet_length(encode(props))", "octet_length(encode(event_type))")} END"
+    val oldSize =
+      s"CASE WHEN op <> 'I' THEN ${groupSizeSql(pkLen, oldVLen, "octet_length(encode(props))", "octet_length(encode(event_type))")} END"
+    val headerSize = s"(${uvarintLenSql("commit_ts")} + 4)"
+    val dictSize =
+      s"($DictFixedBytes + octet_length(encode(schema_name)) + octet_length(encode(table_name)))"
+    s"""WITH sized AS (
+       |  SELECT *,
+       |    $newSize AS new_size,
+       |    $oldSize AS old_size,
+       |    $headerSize AS header_size,
+       |    $dictSize AS dict_size
+       |  FROM changelog
+       |), tbl AS (
+       |  SELECT *,
+       |    COALESCE(new_size, 0) + COALESCE(old_size, 0) AS body_size,
+       |    (1 + ${zzLenSql("header_size")} + ${zzLenSql("dict_size - header_size")})
+       |      + (1 + ${zzLenSql("COALESCE(new_size, 0) + COALESCE(old_size, 0)")})
+       |      + (1 + ${zzLenSql("COALESCE(new_size, old_size)")}
+       |         + CASE WHEN op = 'U' THEN ${zzLenSql("old_size - new_size")} ELSE 0 END)
+       |      AS tables_pre
+       |  FROM sized
+       |)
+       |SELECT schema_name, table_name, commit_ts, op,
+       |  CAST(1 AS BIGINT) AS version,
+       |  CAST(1 AS BIGINT) AS msg_type,
+       |  CAST(-1 AS BIGINT) AS partition_id,
+       |  CASE WHEN op = 'I' THEN '1' WHEN op = 'D' THEN '2' ELSE '1,2' END AS group_types,
+       |  CAST($pkLen AS BIGINT) AS pk_len,
+       |  CAST($newVLen AS BIGINT) AS new_value_len,
+       |  CAST($oldVLen AS BIGINT) AS old_value_len,
+       |  CAST(octet_length(encode(props)) AS BIGINT) AS props_len,
+       |  CAST(octet_length(encode(event_type)) AS BIGINT) AS event_type_len,
+       |  CAST(new_size AS BIGINT) AS new_group_size,
+       |  CAST(old_size AS BIGINT) AS old_group_size,
+       |  CAST(header_size AS BIGINT) AS header_size,
+       |  CAST(body_size AS BIGINT) AS body_size,
+       |  CAST(dict_size AS BIGINT) AS dict_size,
+       |  CAST(tables_pre + ${uvarintLenSql("tables_pre")} AS BIGINT) AS size_tables_size,
+       |  CAST(1 + header_size + body_size + dict_size
+       |       + tables_pre + ${uvarintLenSql("tables_pre")} AS BIGINT) AS msg_size
+       |FROM tbl""".stripMargin
+  }
+}

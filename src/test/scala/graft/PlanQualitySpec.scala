@@ -73,7 +73,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "dispatch_table" -> cdc.Dispatchers.byTable(cl, 16),
       "canal" -> cdc.Codecs.canalJson(cl),
       "topic_router" -> cdc.Routing.route(cl, Seq(Seq("db0.%") -> "t_{schema}"), "d"),
-      "claim_check" -> cdc.Sinks.claimCheck(cl, 16, 180))) {
+      "claim_check" -> cdc.Sinks.claimCheck(cl, 16, 180),
+      "craft" -> cdc.Craft.frame(cl))) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name introduces a shuffle:\n$p")
     }
