@@ -209,34 +209,59 @@ object Similarity {
   }
 
   /** C13 — IVF-bucketed ANN (inverted-file index): the corpus is
-    * assigned to its nearest of `k` centroids; a query scores only the
-    * lists of its `nProbe` nearest centroids. This is the second scale
-    * path next to hyperplane LSH (C7): centroid lists adapt to the
-    * data distribution, and probing more lists trades work for recall.
+    * assigned to its nearest centroid; a query scores only the lists of
+    * its `nProbe` nearest centroids. This is the second scale path next
+    * to hyperplane LSH (C7): centroid lists adapt to the data
+    * distribution, and probing more lists trades work for recall.
     *
-    * Centroids are the deterministic seed vectors (vec_id < k) — the
-    * first step of k-means|| seeding; Lloyd refinements would iterate
-    * the same assign/average shapes and change only the centroid
-    * frame, not the join topology that matters at scale. Determinism
-    * (round-4 scores, centroid/vec_id tiebreaks) makes the whole
-    * index + probe pipeline reproducible in the SQL oracle. */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 16, nProbe: Int = 4,
-             nQueries: Int = 8, topK: Int = 3): DataFrame = {
+    * The index build is one k-means round, fully deterministic:
+    *  - k scales with the corpus: `max(kMin, ceil(sqrt(n)))` — constant
+    *    work per vector per assignment as the corpus grows, lists of
+    *    ~sqrt(n) vectors each;
+    *  - seed centroids are the first k vectors; every vector assigns to
+    *    its nearest seed (rounded cosine, cent_id tiebreak);
+    *  - ONE Lloyd refinement recomputes each centroid as its members'
+    *    per-dimension mean. The mean is computed in EXACT integer
+    *    arithmetic over power-of-2-quantized components
+    *    (`round(v_i * 1024)` is exact for float32 inputs — the scaling
+    *    is a mantissa shift, so both engines recover the same long) and
+    *    floor-divided — no double summation-order or rounding anywhere,
+    *    which is what lets an iterative clustering survive an exact
+    *    cross-engine hash check.
+    * Assignment + probe then rerun against the refined centroids; the
+    * probed lists are scored with the exact cosine on the ORIGINAL
+    * vectors. More Lloyd rounds iterate the same two join shapes. */
+  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 4,
+             nQueries: Int = 8, topK: Int = 3, kMin: Int = 64): DataFrame = {
     val c = corpus(spark, dir).localCheckpoint()
-    val cents = c.filter(col("vec_id") < k)
+    val k = math.max(kMin.toLong,
+      math.ceil(math.sqrt(c.count().toDouble)).toLong)
+    val seeds = c.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    def nearestCents(in: DataFrame, keep: Int, idCol: String): DataFrame = {
-      val win = Window.partitionBy(col(idCol))
+    def nearest(in: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+      val win = Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("cent_id"))
       in.crossJoin(broadcast(cents))
         .withColumn("sim", round(dot("v", "cv") / (col("nrm") * col("cn")), 4))
         .withColumn("rn", row_number().over(win))
         .filter(col("rn") <= keep)
     }
-    val assigned = nearestCents(c, 1, "vec_id")
+    // Lloyd refinement: per-dimension integer-exact rounded mean of the
+    // quantized members; the refined centroid lives on the 1/1024 grid
+    val qSums = (0 until Dim).map(i =>
+      sum(round(col("v").getItem(i) * lit(1024.0)).cast("long")).as(s"s$i"))
+    val refined = nearest(c, seeds, 1)
+      .groupBy(col("cent_id"))
+      .agg(qSums.head, qSums.tail :+ count(lit(1)).as("cnt"): _*)
+      .select(col("cent_id"), array((0 until Dim).map(i =>
+        floor((col(s"s$i") + floor(col("cnt") / lit(2))) / col("cnt"))
+          .cast("double")): _*).as("cv"))
+      .withColumn("cn", sqrt(dot("cv", "cv")))
+      .localCheckpoint()
+    val assigned = nearest(c, refined, 1)
       .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
       .localCheckpoint()
-    val qprobe = nearestCents(c.filter(col("vec_id") < nQueries), nProbe, "vec_id")
+    val qprobe = nearest(c.filter(col("vec_id") < nQueries), refined, nProbe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cent_id"))
     val win = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
@@ -248,20 +273,39 @@ object Similarity {
       .select(col("query_id"), col("cent_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
-  def annIvfSql(k: Int = 16, nProbe: Int = 4, nQueries: Int = 8, topK: Int = 3): String =
+  def annIvfSql(nProbe: Int = 4, nQueries: Int = 8, topK: Int = 3,
+                kMin: Int = 64): String = {
+    val qSums = (0 until Dim)
+      .map(i => s"SUM(CAST(ROUND(v[${i + 1}] * 1024.0, 0) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val cvArr = (0 until Dim)
+      .map(i => s"CAST((s$i + cnt // 2) // cnt AS DOUBLE)")
+      .mkString("[", ", ", "]")
     s"""WITH $corpusSql,
-       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM c WHERE vec_id < $k),
-       |scoredc AS (SELECT c.vec_id, c.v, c.nrm, cents.cent_id,
+       |kk AS (SELECT GREATEST($kMin, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM c),
+       |seeds AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM c
+       |  WHERE vec_id < (SELECT k FROM kk)),
+       |s0 AS (SELECT c.vec_id, c.v, seeds.cent_id,
+       |    ROUND((${dotSql("c.v", "seeds.cv")}) / (c.nrm * seeds.cn), 4) AS sim
+       |  FROM c CROSS JOIN seeds),
+       |a0 AS (SELECT cent_id, vec_id, v FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cent_id) AS rn FROM s0
+       |  ) WHERE rn = 1),
+       |sums AS (SELECT cent_id, $qSums, COUNT(*) AS cnt FROM a0 GROUP BY cent_id),
+       |refined AS (SELECT cent_id, $cvArr AS cv FROM sums),
+       |cents AS (SELECT cent_id, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM refined),
+       |s1 AS (SELECT c.vec_id, c.v, c.nrm, cents.cent_id,
        |    ROUND((${dotSql("c.v", "cents.cv")}) / (c.nrm * cents.cn), 4) AS sim
        |  FROM c CROSS JOIN cents),
        |assigned AS (SELECT cent_id, vec_id, v, nrm FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |      ORDER BY sim DESC, cent_id) AS rn FROM scoredc
+       |      ORDER BY sim DESC, cent_id) AS rn FROM s1
        |  ) WHERE rn = 1),
        |qprobe AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY sim DESC, cent_id) AS rn
-       |    FROM scoredc WHERE vec_id < $nQueries
+       |    FROM s1 WHERE vec_id < $nQueries
        |  ) WHERE rn <= $nProbe),
        |scored AS (SELECT q.query_id, a.cent_id, a.vec_id,
        |    ROUND((${dotSql("q.qv", "a.v")}) / (q.qn * a.nrm), 4) AS cosine
@@ -272,6 +316,7 @@ object Similarity {
        |    ORDER BY cosine DESC, vec_id) AS rank
        |  FROM scored
        |) WHERE rank <= $topK""".stripMargin
+  }
 
   def annLshBucketedSql(nPlanes: Int = 6, nQueries: Int = 8, k: Int = 3): String = {
     val w = planes(nPlanes, seed = 7L)

@@ -79,6 +79,23 @@ class OperatorSemanticsSpec extends AnyFunSuite {
         cdc.Filters.eventTypeFilter(cdc.Filters.tableFilter(cl, Seq("db0.%")), Seq("D"))).count())
   }
 
+  test("IVF ANN recalls a usable fraction of the exact top-k") {
+    // ann_ivf is approximate by design (nProbe of ~sqrt(n) lists); its
+    // value is recall-per-work. Compare against the brute-force exact
+    // top-k on the same queries: every IVF hit must be a real neighbor
+    // ranking no better than exact search allows, and recall must stay
+    // above the floor that makes probing worthwhile.
+    val nq = 6
+    val exact = ops.Similarity.annTopK(spark, dir, nQueries = nq, k = 3)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(_.toSeq).toSet
+    val ivf = ops.Similarity.annIvf(spark, dir, nQueries = nq, topK = 3)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(_.toSeq).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, f"IVF recall $recall%.2f below 0.5 floor")
+  }
+
   test("multi-probe ANN candidates are a superset of exact-bucket candidates") {
     // every (query, neighbor) from single-cell probing must also surface
     // with multi-probe enabled (the extra cells only add candidates)
