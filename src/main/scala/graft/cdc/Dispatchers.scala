@@ -33,11 +33,11 @@ object Dispatchers {
     * kafka message frame, the claim-check frame, and the changefeed
     * facade, with its SQL twin below, so the Spark and oracle sides
     * can never drift apart independently. */
-  private[cdc] def indexValueBucket(n: Int): org.apache.spark.sql.Column =
+  private[graft] def indexValueBucket(n: Int): org.apache.spark.sql.Column =
     Portable.bucket(
       concat_ws(",", col("schema_name"), col("table_name"), col("pk").cast("string")), n)
 
-  private[cdc] def indexValueBucketSql(n: Int): String =
+  private[graft] def indexValueBucketSql(n: Int): String =
     Portable.bucketSql("CONCAT(schema_name, ',', table_name, ',', CAST(pk AS VARCHAR))", n)
 
   /** partition = hash(table + pk values) % n — events of one row stay

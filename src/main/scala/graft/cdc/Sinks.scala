@@ -21,8 +21,12 @@ object Sinks {
     * `commit_ts` (unique by construction) so the frame is
     * deterministic and DuckDB-checkable. Pure conditional projection:
     * no shuffle, linear at any scale. */
-  def claimCheck(cl: DataFrame, n: Int, maxBytes: Int,
-                 uriPrefix: String = "s3://claim-check"): DataFrame = {
+  /** The claim-check projection columns — shared by the batch operator
+    * and the streaming pipeline (row-local, so identical in
+    * micro-batch execution). */
+  def claimCheckCols(n: Int, maxBytes: Int,
+                     uriPrefix: String = "s3://claim-check")
+      : Seq[org.apache.spark.sql.Column] = {
     val part = Dispatchers.indexValueBucket(n)
     val value = Codecs.canalJsonValue
     val payloadBytes = octet_length(value)
@@ -33,12 +37,16 @@ object Sinks {
       lit("{\"ts\":"), col("commit_ts"),
       lit(",\"handleKey\":{\"pk\":"), col("pk"),
       lit("},\"claimCheckLocation\":\""), location, lit("\"}"))
-    cl.select(
+    Seq(
       col("commit_ts"), part.as("partition"),
       payloadBytes.as("payload_bytes"), claimed.as("claimed"),
       when(claimed, location).otherwise(lit(null).cast("string")).as("claim_location"),
       when(claimed, stub).otherwise(value).as("value"))
   }
+
+  def claimCheck(cl: DataFrame, n: Int, maxBytes: Int,
+                 uriPrefix: String = "s3://claim-check"): DataFrame =
+    cl.select(claimCheckCols(n, maxBytes, uriPrefix): _*)
 
   def claimCheckSql(n: Int, maxBytes: Int,
                     uriPrefix: String = "s3://claim-check"): String = {

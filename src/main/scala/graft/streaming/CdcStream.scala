@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.cdc.{ChangeEvents, Codecs, Filters, Routing}
+import graft.cdc.{ChangeEvents, Codecs, Dispatchers, Filters, Routing, Sinks}
 
 /** Structured-Streaming form of the changefeed — the engine's
   * equivalent of TiCDC's continuous pipeline (reference: the
@@ -37,25 +37,38 @@ object CdcStream {
                       value: Option[Double], props: String)
 
   /** A26 — the streaming changefeed source: file-stream the events
-    * table, derive the changelog, filter, route the topic, encode.
+    * table, derive the changelog, filter, route the topic, dispatch the
+    * partition, encode — optionally through the claim-check splitter.
     * Returns an unbounded DataFrame ready for `writeStream`. The
-    * row-local batch operators (filters, topic router, codec) reuse
-    * unchanged in micro-batch mode. */
+    * row-local batch operators (filters, topic router, partition
+    * dispatcher, codecs, claim check) reuse unchanged in micro-batch
+    * mode — StreamingSpec asserts frame equality with their batch
+    * twins. */
   def pipeline(spark: SparkSession, dir: String,
                tableRules: Seq[String] = Seq("db%.%"),
                ignoreOps: Seq[String] = Seq.empty,
                topicRules: Seq[(Seq[String], String)] = Nil,
-               defaultTopic: String = "changefeed"): DataFrame = {
+               defaultTopic: String = "changefeed",
+               nPartitions: Int = 16,
+               claimCheckMaxBytes: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
     val cl = ChangeEvents.fromEvents(raw)
     val filtered = Filters.tableFilter(
       if (ignoreOps.isEmpty) cl else Filters.eventTypeFilter(cl, ignoreOps),
       tableRules)
-    filtered.select(col("commit_ts"),
-      Routing.topicFor(topicRules, defaultTopic).as("topic"),
-      Codecs.openProtocolKey.as("key"),
-      Codecs.openProtocolValue.as("value"))
+    val topic = Routing.topicFor(topicRules, defaultTopic).as("topic")
+    claimCheckMaxBytes match {
+      case Some(maxBytes) =>
+        // large messages detour to external storage; the sink frame
+        // carries the claim location + stub value (A31, streaming form)
+        filtered.select(topic +: Sinks.claimCheckCols(nPartitions, maxBytes): _*)
+      case None =>
+        filtered.select(col("commit_ts"), topic,
+          Dispatchers.indexValueBucket(nPartitions).as("partition"),
+          Codecs.openProtocolKey.as("key"),
+          Codecs.openProtocolValue.as("value"))
+    }
   }
 
   /** A27 — continuous snapshot maintenance: one `KeyState` per key,

@@ -30,12 +30,31 @@ class StreamingSpec extends AnyFunSuite {
       graft.cdc.ChangeEvents.changelog(spark, dir), rules)
     val batch = graft.cdc.Codecs.openProtocol(cl)
       .join(cl.select(col("commit_ts"),
-        graft.cdc.Routing.topicFor(topicRules, "changefeed").as("topic")), "commit_ts")
-      .select("commit_ts", "topic", "key", "value")
+        graft.cdc.Routing.topicFor(topicRules, "changefeed").as("topic"),
+        graft.cdc.Dispatchers.indexValueBucket(16).as("partition")), "commit_ts")
+      .select("commit_ts", "topic", "partition", "key", "value")
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     // routing exercised: both dynamic and default topics present
     assert(streamed.select("topic").distinct().count() > 1)
+    // partition dispatch exercised: multiple buckets, all within range
+    assert(streamed.select("partition").distinct().count() > 1)
+    assert(streamed.filter(col("partition") < 0 || col("partition") >= 16).count() == 0)
+  }
+
+  test("A31s: streaming claim-check frame equals the batch claim-check sink") {
+    runToCompletion(
+      CdcStream.pipeline(spark, dir, claimCheckMaxBytes = Some(180)), "a31s", "append")
+    val streamed = spark.table("a31s")
+    val cl = graft.cdc.Filters.tableFilter(
+      graft.cdc.ChangeEvents.changelog(spark, dir), Seq("db%.%"))
+    val batch = graft.cdc.Sinks.claimCheck(cl, 16, 180)
+    val streamedCc = streamed.drop("topic")
+    assert(streamedCc.count() == batch.count())
+    assert(streamedCc.exceptAll(batch).isEmpty && batch.exceptAll(streamedCc).isEmpty)
+    // both branches of the splitter fire in streaming mode too
+    assert(streamed.filter(col("claimed")).count() > 0)
+    assert(streamed.filter(!col("claimed")).count() > 0)
   }
 
   test("A27: flatMapGroupsWithState snapshot equals batch materialization") {
