@@ -29,4 +29,18 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Release every frame the engine pinned in this session: the
+    * CacheManager entries (the cross-query gram cache `persist`) and
+    * every checkpointed RDD (the `localCheckpoint` frames the dedup /
+    * similarity self-join pipelines materialize). One-shot drivers
+    * (Verify, Bench) never need this — executor storage dies with the
+    * session — but a long-lived session composing many operators
+    * should call it between pipelines or executor memory/disk
+    * accumulates one checkpoint per operator run. */
+  def releaseCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+  }
 }

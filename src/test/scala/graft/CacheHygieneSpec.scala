@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cached/checkpointed frames the signature pipelines pin must be
+  * releasable: a long-lived session composing many operators would
+  * otherwise accumulate executor storage forever (one localCheckpoint
+  * per self-join pipeline per run, plus the shared gram cache). */
+class CacheHygieneSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.util.GraftSession.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def pinnedRdds: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("releaseCaches frees every pinned frame and operators still rerun") {
+    graft.util.GraftSession.releaseCaches(spark)
+    assert(pinnedRdds == 0, "release must start from a clean slate")
+
+    // minhash pins the gram cache + checkpointed signature/band frames
+    val r1 = ops.Dedup.minhashLsh(spark, dir).count()
+    assert(pinnedRdds > 0, "operator should pin frames while composing")
+
+    graft.util.GraftSession.releaseCaches(spark)
+    assert(pinnedRdds == 0, s"release left $pinnedRdds pinned RDDs")
+
+    // a second run after release recomputes from scratch, yields the
+    // same result, and pins no more than the first run did
+    val before = pinnedRdds
+    val r2 = ops.Dedup.minhashLsh(spark, dir).count()
+    assert(r2 == r1)
+    graft.util.GraftSession.releaseCaches(spark)
+    assert(pinnedRdds == before, "cache entry count grew across runs")
+  }
+}
