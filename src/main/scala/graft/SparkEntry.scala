@@ -80,6 +80,7 @@ object SparkEntry {
     "sink_topic_router" -> ((s, d) => Routing.route(cl(s, d), topicRules, defaultTopic)),
     "sink_claim_check" -> ((s, d) => Sinks.claimCheck(cl(s, d), nParts, claimMaxBytes)),
     "sink_mysql_stmts" -> ((s, d) => Sinks.mysqlStmts(cl(s, d), maxTxnRow = 2)),
+    "sink_txn_atomicity" -> ((s, d) => Sinks.txnAtomicity(cl(s, d), maxTxnRow = 8)),
     "cdc_ddl_filter_rich" -> ((s, d) => Filters.ddlSqlEventFilter(
       SchemaStore.ddlEvents(cl(s, d), Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> ((s, d) => SimpleProtocol.messages(cl(s, d))),
@@ -153,6 +154,7 @@ object SparkEntry {
     "sink_topic_router" -> o(Routing.routeSql(topicRules, defaultTopic)),
     "sink_claim_check" -> o(Sinks.claimCheckSql(nParts, claimMaxBytes)),
     "sink_mysql_stmts" -> o(Sinks.mysqlStmtsSql(maxTxnRow = 2)),
+    "sink_txn_atomicity" -> o(Sinks.txnAtomicitySql(maxTxnRow = 8)),
     "cdc_ddl_filter_rich" -> o(Filters.ddlSqlEventFilterSql(
       SchemaStore.ddlEventsSql(Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> o(SimpleProtocol.messagesSql),

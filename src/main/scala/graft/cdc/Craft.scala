@@ -109,56 +109,71 @@ object Craft {
 
   /** A39 — the craft message layout frame, one row per event: group
     * composition, payload lengths, and exact per-section byte sizes.
-    * Pure row-local projection — no shuffle beyond the scan. */
-  def frame(cl: DataFrame): DataFrame = {
-    val pkLen = uvarintLen(col("pk") * 2) // zigzag of a non-negative pk
-    val newVLen = when(col("op") =!= "D",
-      octet_length(format_string("%.2f", col("after_value")))).otherwise(lit(null))
-    val oldVLen = when(col("op") =!= "I",
-      octet_length(format_string("%.2f", col("before_value")))).otherwise(lit(null))
-    val propsLen = octet_length(col("props"))
-    val etLen = octet_length(col("event_type"))
-
-    val newSize = when(col("op") =!= "D",
-      groupSize(pkLen, newVLen, propsLen, etLen))
-    val oldSize = when(col("op") =!= "I",
-      groupSize(pkLen, oldVLen, propsLen, etLen))
-    val bodySize = coalesce(newSize, lit(0)) + coalesce(oldSize, lit(0))
-    // headers: delta-uvarint [ts] + uvarint [type=1] + delta-varint
-    // [partition=-1] + delta-varint [dict 0] + delta-varint [dict 1]
-    val headerSize = uvarintLen(col("commit_ts")) + lit(4)
-    val dictSize = lit(DictFixedBytes) +
-      octet_length(col("schema_name")) + octet_length(col("table_name"))
-    // size tables: meta[header,dict] + body[bodySize] + groups[g1(,g2)]
-    val g1 = coalesce(newSize, oldSize)
-    val metaTbl = lit(1) + zzLen(headerSize) + zzLen(dictSize - headerSize)
-    val bodyTbl = lit(1) + zzLen(bodySize)
-    val groupTbl = lit(1) + zzLen(g1) +
-      when(col("op") === "U", zzLen(oldSize - newSize)).otherwise(lit(0))
-    val tablesPre = metaTbl + bodyTbl + groupTbl
-    val tablesSize = tablesPre + uvarintLen(tablesPre)
-
+    * Pure row-local projection — no shuffle beyond the scan.
+    *
+    * Built as LAYERED projections: every intermediate (payload lengths,
+    * group sizes, section sizes) becomes a named column the next layer
+    * references by attribute. A single flat projection re-expands the
+    * shared subtrees (each zigzag length is a 9-arm CASE, each group
+    * size references four of them) multiplicatively — the resulting
+    * mega-expression fell out of JIT and ran interpreted (~50x slower).
+    * CollapseProject keeps the layers because the aliases are non-cheap
+    * and multiply referenced. */
+  def frame(cl: DataFrame): DataFrame =
     cl.select(
-      col("schema_name"), col("table_name"), col("commit_ts"), col("op"),
-      lit(1L).as("version"),
-      lit(1L).as("msg_type"), // model.MessageTypeRow
-      lit(-1L).as("partition_id"), // non-partitioned table (model.go:471)
-      when(col("op") === "I", "1").when(col("op") === "D", "2")
-        .otherwise("1,2").as("group_types"), // new-then-old (model.go:422)
-      pkLen.cast("long").as("pk_len"),
-      newVLen.cast("long").as("new_value_len"),
-      oldVLen.cast("long").as("old_value_len"),
-      propsLen.cast("long").as("props_len"),
-      etLen.cast("long").as("event_type_len"),
-      newSize.cast("long").as("new_group_size"),
-      oldSize.cast("long").as("old_group_size"),
-      headerSize.cast("long").as("header_size"),
-      bodySize.cast("long").as("body_size"),
-      dictSize.cast("long").as("dict_size"),
-      tablesSize.cast("long").as("size_tables_size"),
-      (lit(1) + headerSize + bodySize + dictSize + tablesSize)
-        .cast("long").as("msg_size"))
-  }
+        col("schema_name"), col("table_name"), col("commit_ts"), col("op"),
+        uvarintLen(col("pk") * 2).as("pk_len"), // zigzag of a non-negative pk
+        when(col("op") =!= "D",
+          octet_length(format_string("%.2f", col("after_value"))))
+          .otherwise(lit(null)).as("new_value_len"),
+        when(col("op") =!= "I",
+          octet_length(format_string("%.2f", col("before_value"))))
+          .otherwise(lit(null)).as("old_value_len"),
+        octet_length(col("props")).as("props_len"),
+        octet_length(col("event_type")).as("event_type_len"))
+      .withColumn("new_group_size", when(col("op") =!= "D",
+        groupSize(col("pk_len"), col("new_value_len"),
+          col("props_len"), col("event_type_len"))))
+      .withColumn("old_group_size", when(col("op") =!= "I",
+        groupSize(col("pk_len"), col("old_value_len"),
+          col("props_len"), col("event_type_len"))))
+      // headers: delta-uvarint [ts] + uvarint [type=1] + delta-varint
+      // [partition=-1] + delta-varint [dict 0] + delta-varint [dict 1]
+      .withColumn("header_size", uvarintLen(col("commit_ts")) + lit(4))
+      .withColumn("body_size",
+        coalesce(col("new_group_size"), lit(0)) +
+        coalesce(col("old_group_size"), lit(0)))
+      .withColumn("dict_size", lit(DictFixedBytes) +
+        octet_length(col("schema_name")) + octet_length(col("table_name")))
+      // size tables: meta[header,dict] + body[bodySize] + groups[g1(,g2)]
+      .withColumn("tables_pre",
+        (lit(1) + zzLen(col("header_size")) +
+          zzLen(col("dict_size") - col("header_size"))) +
+        (lit(1) + zzLen(col("body_size"))) +
+        (lit(1) + zzLen(coalesce(col("new_group_size"), col("old_group_size"))) +
+          when(col("op") === "U",
+            zzLen(col("old_group_size") - col("new_group_size"))).otherwise(lit(0))))
+      .withColumn("size_tables_size", col("tables_pre") + uvarintLen(col("tables_pre")))
+      .select(
+        col("schema_name"), col("table_name"), col("commit_ts"), col("op"),
+        lit(1L).as("version"),
+        lit(1L).as("msg_type"), // model.MessageTypeRow
+        lit(-1L).as("partition_id"), // non-partitioned table (model.go:471)
+        when(col("op") === "I", "1").when(col("op") === "D", "2")
+          .otherwise("1,2").as("group_types"), // new-then-old (model.go:422)
+        col("pk_len").cast("long").as("pk_len"),
+        col("new_value_len").cast("long").as("new_value_len"),
+        col("old_value_len").cast("long").as("old_value_len"),
+        col("props_len").cast("long").as("props_len"),
+        col("event_type_len").cast("long").as("event_type_len"),
+        col("new_group_size").cast("long").as("new_group_size"),
+        col("old_group_size").cast("long").as("old_group_size"),
+        col("header_size").cast("long").as("header_size"),
+        col("body_size").cast("long").as("body_size"),
+        col("dict_size").cast("long").as("dict_size"),
+        col("size_tables_size").cast("long").as("size_tables_size"),
+        (lit(1) + col("header_size") + col("body_size") + col("dict_size") +
+          col("size_tables_size")).cast("long").as("msg_size"))
 
   /** DuckDB oracle for [[frame]] over the `changelog` CTE. */
   val frameSql: String = {

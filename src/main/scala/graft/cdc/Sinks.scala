@@ -95,6 +95,39 @@ object Sinks {
         min(col("commit_ts")).as("min_ts"), max(col("commit_ts")).as("max_ts"))
   }
 
+  /** A40 — per-transaction atomicity frame (reference:
+    * downstreamadapter/worker/mysql_worker.go:96 — txn events append
+    * WHOLE and flush when accumulated rows exceed MaxTxnRow
+    * (pkg/sink/mysql/config.go:39 DefaultMaxTxnRow); a txn larger than
+    * the quota flushes alone as an oversized batch, atomicity intact.
+    * The legacy split-txn mode would instead break it into
+    * ceil(rows/max) batches). One row per upstream txn: size, table
+    * fan-out, the atomic/oversized verdict, and the batch count the
+    * legacy splitter would produce. */
+  def txnAtomicity(cl: DataFrame, maxTxnRow: Int = 16): DataFrame =
+    cl.groupBy(col("start_ts"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("schema_name"), col("table_name")).as("n_tables"),
+        min(col("commit_ts")).as("first_ts"),
+        max(col("commit_ts")).as("last_ts"))
+      .withColumn("oversized", col("n_events") > maxTxnRow)
+      .withColumn("atomic", lit(true)) // new-arch: txns never split
+      .withColumn("legacy_split_batches",
+        ceil(col("n_events").cast("double") / lit(maxTxnRow.toDouble)).cast("long"))
+
+  def txnAtomicitySql(maxTxnRow: Int = 16): String =
+    s"""SELECT start_ts, n_events, n_tables, first_ts, last_ts,
+       |  n_events > $maxTxnRow AS oversized,
+       |  TRUE AS atomic,
+       |  CAST(CEIL(CAST(n_events AS DOUBLE) / $maxTxnRow) AS BIGINT) AS legacy_split_batches
+       |FROM (
+       |  SELECT start_ts, COUNT(*) AS n_events,
+       |    COUNT(DISTINCT (schema_name, table_name)) AS n_tables,
+       |    MIN(commit_ts) AS first_ts, MAX(commit_ts) AS last_ts
+       |  FROM changelog GROUP BY start_ts
+       |)""".stripMargin
+
   def mysqlStmtsSql(maxTxnRow: Int = 16, safeMode: Boolean = false): String = {
     val insertWord = if (safeMode) "REPLACE" else "INSERT"
     s"""SELECT start_ts, schema_name, table_name,

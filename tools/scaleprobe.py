@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Build local scale/skew probe datasets from /root/testdata/sf0.1.
+
+  tools/scaleprobe.py sf1x  /tmp/sf1x   # 10x key-shifted replicas (join-consistent)
+  tools/scaleprobe.py skew  /tmp/skew01 # one hot user owns ~20% of events
+
+The sf1x probe scales the CDC + analytics fact tables (events, orders,
+lineitem, customer, part, supplier) 10x with disjoint key ranges per
+replica so every join stays consistent and output sizes scale ~10x.
+documents/embeddings copy unscaled: replicating identical documents
+would grow near-dup PAIRS quadratically in the replica count — a data
+artifact, not an operator-scaling signal (the 8x duplicated-data dedup
+probe is a separate, round-2 exercise).
+
+The skew probe reassigns ~20% of events to user_id 0, making one
+window/session partition dominate — the hot-key shape AQE skew
+handling addresses for joins but window operators must absorb.
+"""
+import sys, os, shutil
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+SRC = "/root/testdata/sf0.1"
+COPY_ONLY = ["region", "nation", "documents", "embeddings"]
+# table -> {column: key-space label}; each label gets one offset stride
+SHIFTS = {
+    "events":   {"event_id": "event", "user_id": "user"},
+    "orders":   {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part", "l_suppkey": "supp"},
+    "customer": {"c_custkey": "cust"},
+    "part":     {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supp"},
+}
+
+def strides():
+    s = {}
+    for tbl, cols in SHIFTS.items():
+        t = pq.read_table(f"{SRC}/{tbl}.parquet")
+        for col, label in cols.items():
+            mx = pc.max(t[col]).as_py()
+            s[label] = max(s.get(label, 0), mx + 1)
+    return s
+
+def sf1x(out, replicas=10):
+    os.makedirs(out, exist_ok=True)
+    for t in COPY_ONLY:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    stride = strides()
+    for tbl, cols in SHIFTS.items():
+        t = pq.read_table(f"{SRC}/{tbl}.parquet")
+        parts = []
+        for i in range(replicas):
+            r = t
+            for col, label in cols.items():
+                idx = r.schema.get_field_index(col)
+                shifted = pc.add(r[col], i * stride[label])
+                r = r.set_column(idx, r.schema.field(col), shifted.cast(r.schema.field(col).type))
+            parts.append(r)
+        pq.write_table(pa.concat_tables(parts), f"{out}/{tbl}.parquet")
+        print(f"[sf1x] {tbl}: {t.num_rows} -> {t.num_rows * replicas} rows")
+
+def skew(out, hot_frac=0.2):
+    os.makedirs(out, exist_ok=True)
+    for t in list(COPY_ONLY) + ["orders", "lineitem", "customer", "part", "supplier"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    t = pq.read_table(f"{SRC}/events.parquet")
+    n = t.num_rows
+    # deterministic hot set: every 5th row (by event_id order) -> user 0
+    k = int(1 / hot_frac)
+    hot = pc.equal(pc.subtract(t["event_id"],
+        pc.multiply(pc.divide(t["event_id"], k), k)), 0)  # event_id % k == 0
+    uid = pc.if_else(hot, pa.scalar(0, t["user_id"].type), t["user_id"])
+    idx = t.schema.get_field_index("user_id")
+    t = t.set_column(idx, t.schema.field("user_id"), uid)
+    pq.write_table(t, f"{out}/events.parquet")
+    print(f"[skew] events: {n} rows, ~{hot_frac:.0%} now user_id=0")
+
+if __name__ == "__main__":
+    mode, out = sys.argv[1], sys.argv[2]
+    {"sf1x": sf1x, "skew": skew}[mode](out)
