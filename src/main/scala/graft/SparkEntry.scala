@@ -85,6 +85,7 @@ object SparkEntry {
       SchemaStore.ddlEvents(cl(s, d), Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> ((s, d) => SimpleProtocol.messages(cl(s, d))),
     "codec_craft" -> ((s, d) => Craft.frame(cl(s, d))),
+    "codec_avro_binary" -> ((s, d) => AvroBinary.messages(cl(s, d))),
     "changefeed_pipeline" -> ((s, d) => Changefeed.kafka(cl(s, d), changefeedCfg)),
     "cdc_column_selector_rules" -> ((s, d) => ColumnSelector.select(cl(s, d), colSelRules)),
     // B-series: analytics
@@ -159,6 +160,7 @@ object SparkEntry {
       SchemaStore.ddlEventsSql(Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> o(SimpleProtocol.messagesSql),
     "codec_craft" -> o(Craft.frameSql),
+    "codec_avro_binary" -> o(AvroBinary.messagesSql()),
     "changefeed_pipeline" -> o(Changefeed.kafkaDebeziumSql(changefeedCfg)),
     "cdc_column_selector_rules" -> o(ColumnSelector.selectSql(colSelRules)),
     "q1_agg" -> Analytics.q1AggSql,

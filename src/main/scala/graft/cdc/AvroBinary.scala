@@ -1,0 +1,157 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-exact Avro binary encoding with Confluent schema-registry
+  * framing (reference: pkg/sink/codec/avro/arvo.go:87-110 key/value
+  * encode + confluent_schema_registry.go:42 `magicByte` + :400
+  * `getMsgHeader` — each message is magic 0x00, a 4-byte big-endian
+  * schema id, then the Avro-binary record body).
+  *
+  * A23 renders the JSON image of the record; this operator emits the
+  * actual wire bytes (as an uppercase hex string, so the frame stays
+  * oracle-checkable in SQL):
+  *  - string  → zigzag-varint byte length + UTF-8 bytes
+  *  - long    → zigzag varint
+  *  - nullable money → Avro union [null, bytes.decimal(18,2)]: varint
+  *    union index, then byte length + minimal big-endian unscaled
+  *    cents — the reference maps MySQL DECIMAL to the Avro decimal
+  *    logical type (arvo.go:372), and money columns are DECIMAL
+  *    upstream, so the binary image encodes exact cents, not an IEEE
+  *    double (which SQL could not bit-cast portably anyway).
+  * Schema ids are registry-assigned at runtime; they are modeled as
+  * deterministic config literals (key=1, value=2) so the frame is
+  * reproducible.
+  *
+  * All arithmetic is integer-exact on both sides; values are
+  * non-negative by construction (zigzag of n ≥ 0 is 2n; cents of the
+  * 2-decimal money columns are exact longs). Built as layered
+  * projections — one column per field — so the varint CASE chains stay
+  * inside JIT-able codegen methods (see Craft.frame).
+  */
+object AvroBinary {
+
+  /** hex of one byte (uppercase, matching hex()/printf('%02X')). */
+  private def byteHex(b: Column): Column = format_string("%02X", b)
+
+  /** Zigzag-varint hex of a NON-NEGATIVE long expression (zigzag = 2n),
+    * up to 5 bytes (covers n < 2^34 — commit_ts, pk, lengths, cents). */
+  private def zvarHex(n: Column): Column = {
+    val z = n * 2
+    def b(shift: Int, more: Boolean): Column = {
+      val part = pmod(floor(z / lit(math.pow(128, shift))).cast("long"), lit(128L))
+      byteHex(if (more) part + lit(128L) else part)
+    }
+    def enc(k: Int): Column = concat((0 until k).map(i => b(i, i < k - 1)): _*)
+    when(z < 128L, enc(1))
+      .when(z < (1L << 14), enc(2))
+      .when(z < (1L << 21), enc(3))
+      .when(z < (1L << 28), enc(4))
+      .otherwise(enc(5))
+  }
+
+  private def zvarHexSql(e: String): String = {
+    val z = s"(($e) * 2)"
+    def b(shift: Int, more: Boolean): String = {
+      val part = s"(($z // ${math.pow(128, shift).toLong}) % 128)"
+      s"printf('%02X', ${if (more) s"$part + 128" else part})"
+    }
+    def enc(k: Int): String =
+      (0 until k).map(i => b(i, i < k - 1)).mkString("CONCAT(", ", ", ")")
+    s"""CASE WHEN $z < 128 THEN ${enc(1)}
+       |  WHEN $z < ${1L << 14} THEN ${enc(2)}
+       |  WHEN $z < ${1L << 21} THEN ${enc(3)}
+       |  WHEN $z < ${1L << 28} THEN ${enc(4)}
+       |  ELSE ${enc(5)} END""".stripMargin
+  }
+
+  /** Avro string: zigzag-varint byte length + UTF-8 bytes, hex. */
+  private def strHex(c: Column): Column =
+    concat(zvarHex(octet_length(c).cast("long")), hex(c.cast("binary")))
+  private def strHexSql(e: String): String =
+    s"CONCAT(${zvarHexSql(s"octet_length(encode($e))")}, hex(encode($e)))"
+
+  /** Avro union [null, bytes.decimal(18,2)] of a 2-decimal money
+    * column: union index (varint 0 | 1), then minimal big-endian
+    * unscaled cents with its varint byte-length prefix. */
+  private def moneyHex(c: Column): Column = {
+    val cents = round(c * lit(100.0)).cast("long")
+    // minimal two's-complement length k: -2^(8k-1) <= cents < 2^(8k-1);
+    // the encoded image is the unsigned residue cents mod 2^(8k)
+    def withLen(k: Int): Column = {
+      val u = pmod(cents, lit(math.pow(256, k).toLong))
+      val be = concat((k - 1 to 0 by -1).map(i =>
+        byteHex(pmod(floor(u / lit(math.pow(256, i))).cast("long"), lit(256L)))): _*)
+      concat(zvarHex(lit(k.toLong)), be)
+    }
+    def fits(k: Int): Column = {
+      val h = 1L << (8 * k - 1)
+      cents >= -h && cents < h
+    }
+    val body = when(fits(1), withLen(1)).when(fits(2), withLen(2))
+      .when(fits(3), withLen(3)).otherwise(withLen(4))
+    when(c.isNull, lit("00")).otherwise(concat(lit("02"), body))
+  }
+
+  private def moneyHexSql(e: String): String = {
+    val cents = s"CAST(ROUND(($e) * 100.0, 0) AS BIGINT)"
+    def withLen(k: Int): String = {
+      val m = math.pow(256, k).toLong
+      val u = s"((($cents % $m) + $m) % $m)" // portable non-negative mod
+      val be = (k - 1 to 0 by -1)
+        .map(i => s"printf('%02X', ($u // ${math.pow(256, i).toLong}) % 256)")
+        .mkString("CONCAT(", ", ", ")")
+      s"CONCAT(${zvarHexSql(k.toString)}, $be)"
+    }
+    def fits(k: Int): String = {
+      val h = 1L << (8 * k - 1)
+      s"($cents >= -$h AND $cents < $h)"
+    }
+    s"""CASE WHEN ($e) IS NULL THEN '00'
+       |  ELSE CONCAT('02', CASE WHEN ${fits(1)} THEN ${withLen(1)}
+       |    WHEN ${fits(2)} THEN ${withLen(2)}
+       |    WHEN ${fits(3)} THEN ${withLen(3)}
+       |    ELSE ${withLen(4)} END) END""".stripMargin
+  }
+
+  /** Confluent message header: magic 0x00 + int32 big-endian schema id. */
+  private def headerHex(schemaId: Int): String = f"00$schemaId%08X"
+
+  /** A41 — (commit_ts, key, value) with byte-exact hex-rendered Avro
+    * binary messages. Key record: {pk: long} (the handle key,
+    * arvo.go:87). Value record mirrors A23's field order:
+    * schema_name, table_name, op, pk, commit_ts, before_value,
+    * after_value. */
+  def messages(cl: DataFrame, keySchemaId: Int = 1, valueSchemaId: Int = 2): DataFrame =
+    cl.select(col("commit_ts"),
+        zvarHex(col("pk")).as("h_pk"),
+        zvarHex(col("commit_ts")).as("h_ts"),
+        strHex(col("schema_name")).as("h_schema"),
+        strHex(col("table_name")).as("h_table"),
+        strHex(col("op")).as("h_op"),
+        moneyHex(col("before_value")).as("h_before"),
+        moneyHex(col("after_value")).as("h_after"))
+      .select(col("commit_ts"),
+        concat(lit(headerHex(keySchemaId)), col("h_pk")).as("key"),
+        concat(lit(headerHex(valueSchemaId)), col("h_schema"), col("h_table"),
+          col("h_op"), col("h_pk"), col("h_ts"), col("h_before"), col("h_after"))
+          .as("value"))
+
+  def messagesSql(keySchemaId: Int = 1, valueSchemaId: Int = 2): String =
+    s"""SELECT commit_ts,
+       |  CONCAT('${headerHex(keySchemaId)}', h_pk) AS key,
+       |  CONCAT('${headerHex(valueSchemaId)}', h_schema, h_table, h_op,
+       |         h_pk, h_ts, h_before, h_after) AS value
+       |FROM (
+       |  SELECT commit_ts,
+       |    ${zvarHexSql("pk")} AS h_pk,
+       |    ${zvarHexSql("commit_ts")} AS h_ts,
+       |    ${strHexSql("schema_name")} AS h_schema,
+       |    ${strHexSql("table_name")} AS h_table,
+       |    ${strHexSql("op")} AS h_op,
+       |    ${moneyHexSql("before_value")} AS h_before,
+       |    ${moneyHexSql("after_value")} AS h_after
+       |  FROM changelog
+       |)""".stripMargin
+}

@@ -96,6 +96,57 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"IVF recall $recall%.2f below 0.5 floor")
   }
 
+  test("avro binary messages round-trip through an independent decoder") {
+    // decode the wire hex with a from-scratch Avro-binary reader and
+    // compare against the source changelog — proves the bytes are real
+    // Avro, independent of the generated SQL oracle
+    case class Decoded(schemaId: Long, schemaName: String, tableName: String,
+                       op: String, pk: Long, ts: Long,
+                       before: Option[Long], after: Option[Long])
+    def parse(hexStr: String): Decoded = {
+      val bytes = hexStr.grouped(2).map(Integer.parseInt(_, 16)).toArray
+      var p = 0
+      def varint(): Long = {
+        var shift = 0; var acc = 0L; var b = 0
+        do { b = bytes(p); p += 1; acc |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+        (acc >>> 1) ^ -(acc & 1) // un-zigzag
+      }
+      def str(): String = {
+        val n = varint().toInt
+        val s = new String(bytes.slice(p, p + n).map(_.toByte), "UTF-8"); p += n; s
+      }
+      def money(): Option[Long] = varint() match {
+        case 0 => None
+        case 1 =>
+          val n = varint().toInt
+          var acc = if ((bytes(p) & 0x80) != 0) -1L else 0L // sign-extend
+          (0 until n).foreach { i => acc = (acc << 8) | bytes(p + i) }
+          p += n; Some(acc)
+        case other => fail(s"bad union index $other")
+      }
+      assert(bytes(0) == 0, "confluent magic byte")
+      val schemaId = bytes.slice(1, 5).foldLeft(0L)((a, b) => (a << 8) | b)
+      p = 5
+      Decoded(schemaId, str(), str(), str(), varint(), varint(), money(), money())
+    }
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val rows = cdc.AvroBinary.messages(cl).join(cl, "commit_ts")
+      .select("value", "schema_name", "table_name", "op", "pk", "commit_ts",
+        "before_value", "after_value")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = parse(r.getString(0))
+      assert(d.schemaId == 2L && d.schemaName == r.getString(1) &&
+        d.tableName == r.getString(2) && d.op == r.getString(3))
+      assert(d.pk == r.getLong(4) && d.ts == r.getLong(5))
+      def cents(i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(math.round(r.getDouble(i) * 100.0))
+      assert(d.before == cents(6), s"before image ts=${d.ts}")
+      assert(d.after == cents(7), s"after image ts=${d.ts}")
+    }
+  }
+
   test("multi-probe ANN candidates are a superset of exact-bucket candidates") {
     // every (query, neighbor) from single-cell probing must also surface
     // with multi-probe enabled (the extra cells only add candidates)
