@@ -32,8 +32,18 @@ import org.apache.spark.sql.functions._
   */
 object AvroBinary {
 
-  /** hex of one byte (uppercase, matching hex()/printf('%02X')). */
-  private def byteHex(b: Column): Column = format_string("%02X", b)
+  /** 512-char lookup "000102...FF": hex of byte b = 2 chars at b*2+1.
+    * A table probe beats java.lang.String.format by ~10× per byte, and
+    * `substr` renders identically in DuckDB. */
+  private val HexTable: String =
+    (0 until 256).map(b => f"$b%02X").mkString
+
+  /** hex of one byte (uppercase, matching hex()). */
+  private def byteHex(b: Column): Column =
+    lit(HexTable).substr((b * 2 + 1).cast("int"), lit(2))
+
+  private def byteHexSql(e: String): String =
+    s"substr('$HexTable', ($e) * 2 + 1, 2)"
 
   /** Zigzag-varint hex of a NON-NEGATIVE long expression (zigzag = 2n),
     * up to 5 bytes (covers n < 2^34 — commit_ts, pk, lengths, cents). */
@@ -55,7 +65,7 @@ object AvroBinary {
     val z = s"(($e) * 2)"
     def b(shift: Int, more: Boolean): String = {
       val part = s"(($z // ${math.pow(128, shift).toLong}) % 128)"
-      s"printf('%02X', ${if (more) s"$part + 128" else part})"
+      byteHexSql(if (more) s"$part + 128" else part)
     }
     def enc(k: Int): String =
       (0 until k).map(i => b(i, i < k - 1)).mkString("CONCAT(", ", ", ")")
@@ -100,7 +110,7 @@ object AvroBinary {
       val m = math.pow(256, k).toLong
       val u = s"((($cents % $m) + $m) % $m)" // portable non-negative mod
       val be = (k - 1 to 0 by -1)
-        .map(i => s"printf('%02X', ($u // ${math.pow(256, i).toLong}) % 256)")
+        .map(i => byteHexSql(s"($u // ${math.pow(256, i).toLong}) % 256"))
         .mkString("CONCAT(", ", ", ")")
       s"CONCAT(${zvarHexSql(k.toString)}, $be)"
     }
