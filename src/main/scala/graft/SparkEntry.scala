@@ -117,6 +117,9 @@ object SparkEntry {
     "text_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(s, d)),
     "text_fingerprint" -> ((s, d) => ops.TextAnalysis.fingerprint(s, d)),
     "multimodal_meta" -> ((s, d) => ops.Multimodal.features(s, d)),
+    "text_repetition" -> ((s, d) => ops.Corpus.textRepetition(s, d)),
+    "doc_tfidf" -> ((s, d) => ops.Corpus.docTfidf(s, d)),
+    "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -194,5 +197,8 @@ object SparkEntry {
     "text_token_count" -> ops.TextAnalysis.tokenCountSql,
     "text_fingerprint" -> ops.TextAnalysis.fingerprintSql,
     "multimodal_meta" -> ops.Multimodal.featuresSql,
+    "text_repetition" -> ops.Corpus.textRepetitionSql,
+    "doc_tfidf" -> ops.Corpus.docTfidfSql(),
+    "data_split" -> ops.Corpus.dataSplitSql(),
   )
 }

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * here: the single virtual call per row is noise next to the O(tokens)
   * gram construction the loop performs. Fewer than `n` tokens yields
   * an empty array, matching the declarative CASE guard. */
-case class WordNGrams(child: Expression, n: Int)
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
   extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -30,15 +30,23 @@ case class WordNGrams(child: Expression, n: Int)
     val arr = tokens.asInstanceOf[ArrayData]
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
-    var i = 0
-    while (i <= m - n) {
+    def gram(i: Int): UTF8String = {
       val parts = new Array[UTF8String](n)
       var j = 0
       while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-      seen.add(UTF8String.concatWs(sep, parts: _*))
-      i += 1
+      UTF8String.concatWs(sep, parts: _*)
     }
+    if (!distinct) {
+      // the full occurrence multiset — repetition profiling needs the
+      // duplicates the set form drops (list_transform semantics)
+      val out = new Array[Any](m - n + 1)
+      var i = 0
+      while (i <= m - n) { out(i) = gram(i); i += 1 }
+      return new GenericArrayData(out)
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= m - n) { seen.add(gram(i)); i += 1 }
     val out = new Array[Any](seen.size())
     val it = seen.iterator()
     var k = 0

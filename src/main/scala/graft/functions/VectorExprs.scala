@@ -131,6 +131,13 @@ object VectorExprs {
         WordNGrams(children(0), n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_word_ngrams_all"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams_all"),
+      (children: Seq[Expression]) => {
+        val n = children(1).eval(null).asInstanceOf[Int]
+        WordNGrams(children(0), n, distinct = false)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountTokensIn].getName, "graft_count_in"),
       (children: Seq[Expression]) => {

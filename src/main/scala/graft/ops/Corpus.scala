@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Corpus-level curation operators a large-scale training-data pipeline
+  * runs beside dedup/quality: repetition profiling (Gopher-style
+  * filters), term-importance extraction, and deterministic dataset
+  * splitting.
+  *
+  * Scale notes: repetition and tf-idf repartition once on doc_id right
+  * after the scan (single parquet split locally; the partitioning is
+  * reused by every per-doc groupBy/window). tf-idf's document-frequency
+  * aggregation shuffles on term — vocabulary-sized, the canonical
+  * second shuffle of every tf-idf job; the corpus size scalar is a
+  * 1-row broadcast, not a driver collect. Split assignment is pure
+  * row-local hashing.
+  */
+object Corpus {
+
+  // ALL word 3-gram occurrences (the distinct-set form drops the
+  // duplicates repetition profiling measures). The declarative
+  // transform-lambda ran interpreted at ~ms/doc (25 s at sf0.1);
+  // graft_word_ngrams_all is the compiled-loop twin of the shingler.
+  private val allGramsSql =
+    """CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks) - 1),
+      |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |  ELSE [] END""".stripMargin
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
+  /** C14 — repetition profile (the Gopher/C4 repetition quality
+    * filters): per document, duplicate-token and duplicate-3-gram
+    * fractions plus the most-frequent 3-gram and its mass. Heavily
+    * repetitive machine-generated text scores high on all three and
+    * gets filtered before training. Ratios are exact integer counts
+    * divided once (IEEE-deterministic); docs under 3 tokens carry NULL
+    * gram ratios. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        call_function("graft_word_ngrams_all", col("toks"), lit(3)).as("grams"))
+    val tokStats = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("total_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("distinct_tokens"))
+    val occ = toks.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val gramStats = occ.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("total_grams"),
+      count(lit(1)).as("distinct_grams"),
+      max(col("cnt")).as("top_gram_count"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("gram"))
+    val top = occ.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"), col("gram").as("top_gram"))
+    tokStats
+      .join(gramStats, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tokens"), col("distinct_tokens"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        col("top_gram"),
+        coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
+        (lit(1.0) - col("distinct_tokens") / col("total_tokens")).as("dup_token_frac"),
+        when(col("total_grams").isNotNull,
+          lit(1.0) - col("distinct_grams") / col("total_grams")).as("dup_gram_frac"),
+        when(col("total_grams").isNotNull,
+          col("top_gram_count") / col("total_grams")).as("top_gram_frac"))
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, toks, $allGramsSql AS grams FROM t
+       |), tok_stats AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS total_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens
+       |  FROM g
+       |), occ AS (
+       |  SELECT doc_id, UNNEST(grams) AS gram FROM g
+       |), occ_cnt AS (
+       |  SELECT doc_id, gram, COUNT(*) AS cnt FROM occ GROUP BY doc_id, gram
+       |), gram_stats AS (
+       |  SELECT doc_id, SUM(cnt) AS total_grams, COUNT(*) AS distinct_grams,
+       |    MAX(cnt) AS top_gram_count
+       |  FROM occ_cnt GROUP BY doc_id
+       |), top AS (
+       |  SELECT doc_id, gram AS top_gram FROM (
+       |    SELECT doc_id, gram, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY cnt DESC, gram) AS rn
+       |    FROM occ_cnt
+       |  ) WHERE rn = 1
+       |)
+       |SELECT s.doc_id, s.total_tokens, s.distinct_tokens,
+       |  COALESCE(gs.total_grams, 0) AS total_grams,
+       |  COALESCE(gs.distinct_grams, 0) AS distinct_grams,
+       |  top.top_gram,
+       |  COALESCE(gs.top_gram_count, 0) AS top_gram_count,
+       |  1.0 - (s.distinct_tokens / s.total_tokens) AS dup_token_frac,
+       |  CASE WHEN gs.total_grams IS NOT NULL
+       |    THEN 1.0 - (gs.distinct_grams / gs.total_grams) END AS dup_gram_frac,
+       |  CASE WHEN gs.total_grams IS NOT NULL
+       |    THEN gs.top_gram_count / gs.total_grams END AS top_gram_frac
+       |FROM tok_stats s
+       |LEFT JOIN gram_stats gs ON gs.doc_id = s.doc_id
+       |LEFT JOIN top ON top.doc_id = s.doc_id""".stripMargin
+
+  /** C15 — top-k terms per document by tf·idf. The idf factor is the
+    * raw inverse document frequency N/df (no logarithm: ln() is not
+    * bit-portable across engines, and a monotone transform does not
+    * change the per-document ranking for fixed tf — the ranking, not
+    * the absolute score, is the operator's contract). Scores are exact
+    * integer products divided once. */
+  def docTfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val terms = docs(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")) / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  def docTfidfSql(topK: Int = 3): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), terms AS (
+       |  SELECT doc_id, UNNEST(toks) AS term FROM t
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+       |  WHERE term <> '' GROUP BY doc_id, term
+       |), dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, term, tf, df, score, rank FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    (tf.tf * n.n_docs) / dfreq.df AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY (tf.tf * n.n_docs) / dfreq.df DESC, tf.term) AS rank
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+       |) WHERE rank <= $topK""".stripMargin
+
+  /** C16 — deterministic train/val/test assignment: a salted portable
+    * hash of the doc id buckets 0–99; 90/5/5. Reproducible across
+    * engines, runs, and cluster sizes — re-running the pipeline never
+    * moves a document between splits (the salt versions the split). */
+  def dataSplit(spark: SparkSession, dir: String,
+                salt: String = "graft-split-v1:"): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.functions.Portable
+        .bucket(concat(lit(salt), col("doc_id").cast("string")), 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val")
+          .otherwise(lit("test")))
+
+  def dataSplitSql(salt: String = "graft-split-v1:"): String = {
+    val bucket = graft.functions.Portable
+      .bucketSql(s"CONCAT('$salt', CAST(doc_id AS VARCHAR))", 100)
+    s"""SELECT doc_id, $bucket AS bucket,
+       |  CASE WHEN $bucket < 90 THEN 'train'
+       |       WHEN $bucket < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+}

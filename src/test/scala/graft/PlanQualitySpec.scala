@@ -49,9 +49,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // telescoping-delta design (boundaries are max_ts/step rows).
     // ann_ivf: corpus x k-centroid broadcast cross for list assignment
     // is the IVF index build (centroids are k rows).
+    // doc_tfidf: the 1-row corpus-size scalar broadcast (same shape as
+    // q_scalar_subquery).
     val tinyBroadcastByDesign = Set("q_scalar_subquery",
       "cdc_schema_asof", "cdc_ddl_events", "cdc_ddl_filter_rich", "codec_simple",
-      "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf")
+      "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf", "doc_tfidf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
