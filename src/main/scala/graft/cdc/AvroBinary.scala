@@ -45,35 +45,36 @@ object AvroBinary {
   private def byteHexSql(e: String): String =
     s"substr('$HexTable', ($e) * 2 + 1, 2)"
 
-  /** Zigzag-varint hex of a NON-NEGATIVE long expression (zigzag = 2n),
-    * up to 5 bytes (covers n < 2^34 — commit_ts, pk, lengths, cents). */
+  /** Zigzag-varint hex of a NON-NEGATIVE long expression (zigzag = 2n,
+    * so n must be < 2^62). Byte extraction is masked arithmetic shifts
+    * — exact for the full long range, unlike a double division which
+    * loses low bits past 2^53. All 9 length branches are emitted, so
+    * nothing truncates silently. */
   private def zvarHex(n: Column): Column = {
     val z = n * 2
     def b(shift: Int, more: Boolean): Column = {
-      val part = pmod(floor(z / lit(math.pow(128, shift))).cast("long"), lit(128L))
+      val part = pmod(shiftright(z, 7 * shift), lit(128L))
       byteHex(if (more) part + lit(128L) else part)
     }
     def enc(k: Int): Column = concat((0 until k).map(i => b(i, i < k - 1)): _*)
-    when(z < 128L, enc(1))
-      .when(z < (1L << 14), enc(2))
-      .when(z < (1L << 21), enc(3))
-      .when(z < (1L << 28), enc(4))
-      .otherwise(enc(5))
+    (2 to 8).foldLeft(when(z < 128L, enc(1))) {
+      (acc, k) => acc.when(z < (1L << (7 * k)), enc(k))
+    }.otherwise(enc(9))
   }
 
   private def zvarHexSql(e: String): String = {
     val z = s"(($e) * 2)"
     def b(shift: Int, more: Boolean): String = {
-      val part = s"(($z // ${math.pow(128, shift).toLong}) % 128)"
+      val part = s"(($z >> ${7 * shift}) % 128)"
       byteHexSql(if (more) s"$part + 128" else part)
     }
     def enc(k: Int): String =
       (0 until k).map(i => b(i, i < k - 1)).mkString("CONCAT(", ", ", ")")
+    val mids = (2 to 8)
+      .map(k => s"WHEN $z < ${1L << (7 * k)} THEN ${enc(k)}").mkString("\n  ")
     s"""CASE WHEN $z < 128 THEN ${enc(1)}
-       |  WHEN $z < ${1L << 14} THEN ${enc(2)}
-       |  WHEN $z < ${1L << 21} THEN ${enc(3)}
-       |  WHEN $z < ${1L << 28} THEN ${enc(4)}
-       |  ELSE ${enc(5)} END""".stripMargin
+       |  $mids
+       |  ELSE ${enc(9)} END""".stripMargin
   }
 
   /** Avro string: zigzag-varint byte length + UTF-8 bytes, hex. */
@@ -87,30 +88,31 @@ object AvroBinary {
     * unscaled cents with its varint byte-length prefix. */
   private def moneyHex(c: Column): Column = {
     val cents = round(c * lit(100.0)).cast("long")
-    // minimal two's-complement length k: -2^(8k-1) <= cents < 2^(8k-1);
-    // the encoded image is the unsigned residue cents mod 2^(8k)
+    // minimal two's-complement length k: -2^(8k-1) <= cents < 2^(8k-1).
+    // The byte image is masked arithmetic shifts of the long itself —
+    // truncation to k bytes IS two's complement, and pmod keeps each
+    // byte in 0..255 for negatives. All 8 lengths are emitted, so the
+    // full long range encodes exactly.
     def withLen(k: Int): Column = {
-      val u = pmod(cents, lit(math.pow(256, k).toLong))
       val be = concat((k - 1 to 0 by -1).map(i =>
-        byteHex(pmod(floor(u / lit(math.pow(256, i))).cast("long"), lit(256L)))): _*)
+        byteHex(pmod(shiftright(cents, 8 * i), lit(256L)))): _*)
       concat(zvarHex(lit(k.toLong)), be)
     }
     def fits(k: Int): Column = {
       val h = 1L << (8 * k - 1)
       cents >= -h && cents < h
     }
-    val body = when(fits(1), withLen(1)).when(fits(2), withLen(2))
-      .when(fits(3), withLen(3)).otherwise(withLen(4))
+    val body = (2 to 7).foldLeft(when(fits(1), withLen(1))) {
+      (acc, k) => acc.when(fits(k), withLen(k))
+    }.otherwise(withLen(8))
     when(c.isNull, lit("00")).otherwise(concat(lit("02"), body))
   }
 
   private def moneyHexSql(e: String): String = {
     val cents = s"CAST(ROUND(($e) * 100.0, 0) AS BIGINT)"
     def withLen(k: Int): String = {
-      val m = math.pow(256, k).toLong
-      val u = s"((($cents % $m) + $m) % $m)" // portable non-negative mod
       val be = (k - 1 to 0 by -1)
-        .map(i => byteHexSql(s"($u // ${math.pow(256, i).toLong}) % 256"))
+        .map(i => byteHexSql(s"((($cents >> ${8 * i}) % 256) + 256) % 256"))
         .mkString("CONCAT(", ", ", ")")
       s"CONCAT(${zvarHexSql(k.toString)}, $be)"
     }
@@ -118,11 +120,12 @@ object AvroBinary {
       val h = 1L << (8 * k - 1)
       s"($cents >= -$h AND $cents < $h)"
     }
+    val mids = (2 to 7)
+      .map(k => s"WHEN ${fits(k)} THEN ${withLen(k)}").mkString("\n    ")
     s"""CASE WHEN ($e) IS NULL THEN '00'
        |  ELSE CONCAT('02', CASE WHEN ${fits(1)} THEN ${withLen(1)}
-       |    WHEN ${fits(2)} THEN ${withLen(2)}
-       |    WHEN ${fits(3)} THEN ${withLen(3)}
-       |    ELSE ${withLen(4)} END) END""".stripMargin
+       |    $mids
+       |    ELSE ${withLen(8)} END) END""".stripMargin
   }
 
   /** Confluent message header: magic 0x00 + int32 big-endian schema id. */

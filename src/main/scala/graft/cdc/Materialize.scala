@@ -101,12 +101,7 @@ object Materialize {
         countDistinct(col("pk")).as("n_keys"),
         min(col("commit_ts")).as("first_ts"),
         max(col("commit_ts")).as("last_ts"),
-        // exact cents sum surfaced as decimal(18,2): values are true
-        // 2-decimal money, so the per-row minor-unit extraction and the
-        // cent-grid decimal conversion are engine-portable (no
-        // ROUND-over-double anywhere; see Analytics.dmoney)
-        (sum(round(col("after_value") * lit(100.0)).cast("long")) / lit(100.0))
-          .cast("decimal(18,2)").as("sum_value"))
+        graft.util.Money.sumDecimal(col("after_value")).as("sum_value"))
 
   val txnGroupSql: String =
     """SELECT schema_name, table_name, start_ts,
@@ -137,10 +132,10 @@ object Materialize {
       .orderBy(col("commit_ts"))
     val tr = cl.select(col("schema_name"), col("table_name"), col("pk"),
         col("commit_ts"), col("op"),
-        // deltas telescope in exact integer cents (values are true
-        // 2-decimal money) so the cumulative sums below are exact and
-        // the decimal(18,2) output is engine-portable
-        round(col("after_value") * lit(100.0)).cast("long").as("cents"))
+        // deltas telescope in exact integer cents (graft.util.Money) so
+        // the cumulative sums below are exact and the decimal(18,2)
+        // output is engine-portable
+        graft.util.Money.cents(col("after_value")).as("cents"))
       .withColumn("prev_op", lag(col("op"), 1).over(wk))
       .withColumn("prev_cents", lag(col("cents"), 1).over(wk))
       .withColumn("cur_live", (col("op") =!= "D").cast("long"))
@@ -166,9 +161,8 @@ object Materialize {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(deltas, Seq("boundary_ts", "schema_name", "table_name"), "left")
       .withColumn("live_rows", sum(coalesce(col("d_live"), lit(0L))).over(wc))
-      .withColumn("total_value",
-        (sum(coalesce(col("d_cents"), lit(0L))).over(wc) / lit(100.0))
-          .cast("decimal(18,2)"))
+      .withColumn("total_value", graft.util.Money.centsToDecimal(
+        sum(coalesce(col("d_cents"), lit(0L))).over(wc)))
       .filter(col("live_rows") > 0)
       .select(col("boundary_ts"), col("schema_name"), col("table_name"),
         col("live_rows"), col("total_value"))

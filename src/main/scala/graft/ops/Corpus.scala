@@ -49,18 +49,22 @@ object Corpus {
     val tokStats = toks.select(col("doc_id"),
       size(col("toks")).cast("long").as("total_tokens"),
       size(array_distinct(col("toks"))).cast("long").as("distinct_tokens"))
-    val occ = toks.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // single pass over the gram occurrences: the per-doc totals are
+    // unordered window aggregates and the top gram is the rn=1 row of
+    // the SAME shuffle — the explode + per-gram count runs once, not
+    // once per joined branch
+    val w = Window.partitionBy(col("doc_id"))
+    val wOrd = w.orderBy(col("cnt").desc, col("gram"))
+    val gramStats = toks.select(col("doc_id"), explode(col("grams")).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
-    val gramStats = occ.groupBy(col("doc_id")).agg(
-      sum(col("cnt")).as("total_grams"),
-      count(lit(1)).as("distinct_grams"),
-      max(col("cnt")).as("top_gram_count"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("gram"))
-    val top = occ.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("doc_id"), col("gram").as("top_gram"))
+      .withColumn("total_grams", sum(col("cnt")).over(w))
+      .withColumn("distinct_grams", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("total_grams"), col("distinct_grams"),
+        col("gram").as("top_gram"), col("cnt").as("top_gram_count"))
     tokStats
       .join(gramStats, Seq("doc_id"), "left")
-      .join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("total_tokens"), col("distinct_tokens"),
         coalesce(col("total_grams"), lit(0L)).as("total_grams"),
         coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
@@ -87,20 +91,21 @@ object Corpus {
        |), occ_cnt AS (
        |  SELECT doc_id, gram, COUNT(*) AS cnt FROM occ GROUP BY doc_id, gram
        |), gram_stats AS (
-       |  SELECT doc_id, SUM(cnt) AS total_grams, COUNT(*) AS distinct_grams,
-       |    MAX(cnt) AS top_gram_count
-       |  FROM occ_cnt GROUP BY doc_id
-       |), top AS (
-       |  SELECT doc_id, gram AS top_gram FROM (
-       |    SELECT doc_id, gram, ROW_NUMBER() OVER (PARTITION BY doc_id
-       |      ORDER BY cnt DESC, gram) AS rn
+       |  SELECT doc_id, total_grams, distinct_grams,
+       |    gram AS top_gram, cnt AS top_gram_count
+       |  FROM (
+       |    SELECT doc_id, gram, cnt,
+       |      SUM(cnt) OVER (PARTITION BY doc_id) AS total_grams,
+       |      COUNT(*) OVER (PARTITION BY doc_id) AS distinct_grams,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY cnt DESC, gram) AS rn
        |    FROM occ_cnt
        |  ) WHERE rn = 1
        |)
        |SELECT s.doc_id, s.total_tokens, s.distinct_tokens,
        |  COALESCE(gs.total_grams, 0) AS total_grams,
        |  COALESCE(gs.distinct_grams, 0) AS distinct_grams,
-       |  top.top_gram,
+       |  gs.top_gram,
        |  COALESCE(gs.top_gram_count, 0) AS top_gram_count,
        |  1.0 - (s.distinct_tokens / s.total_tokens) AS dup_token_frac,
        |  CASE WHEN gs.total_grams IS NOT NULL
@@ -108,8 +113,7 @@ object Corpus {
        |  CASE WHEN gs.total_grams IS NOT NULL
        |    THEN gs.top_gram_count / gs.total_grams END AS top_gram_frac
        |FROM tok_stats s
-       |LEFT JOIN gram_stats gs ON gs.doc_id = s.doc_id
-       |LEFT JOIN top ON top.doc_id = s.doc_id""".stripMargin
+       |LEFT JOIN gram_stats gs ON gs.doc_id = s.doc_id""".stripMargin
 
   /** C15 — top-k terms per document by tf·idf. The idf factor is the
     * raw inverse document frequency N/df (no logarithm: ln() is not

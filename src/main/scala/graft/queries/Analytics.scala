@@ -48,7 +48,7 @@ object Analytics {
         val d = math.pow(10, scale - 2).toLong
         floor((minor + lit(d / 2)).cast("decimal(38,0)") / lit(d)).cast("long")
       }
-    (cents / lit(100.0)).cast("decimal(18,2)")
+    graft.util.Money.centsToDecimal(cents)
   }
 
   private def dmoneySql(e: String, scale: Int): String = {
@@ -226,9 +226,10 @@ object Analytics {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, dir).select(
       col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-      (sum(round(col("o_totalprice") * lit(100.0)).cast("long"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / lit(100.0))
-        .cast("decimal(18,2)").as("cum_spend"),
+      graft.util.Money.centsToDecimal(
+        sum(graft.util.Money.cents(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .as("cum_spend"),
       coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0))
         .cast("decimal(18,2)").as("prev_price"))
   }

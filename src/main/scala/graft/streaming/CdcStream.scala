@@ -104,11 +104,9 @@ object CdcStream {
       .groupBy(window(col("event_time"), windowLen),
         col("schema_name"), col("table_name"))
       .agg(count(lit(1)).as("n_events"),
-        // exact cents sum surfaced as decimal(18,2) — matches the batch
-        // money-sum convention (Analytics.dmoney): partial-agg merge
-        // order across micro-batches can't flip a cent
-        (sum(round(col("after_value") * lit(100.0)).cast("long")) / lit(100.0))
-          .cast("decimal(18,2)").as("sum_value"))
+        // exact cents sum (graft.util.Money): partial-agg merge order
+        // across micro-batches can't flip a cent
+        graft.util.Money.sumDecimal(col("after_value")).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("schema_name"), col("table_name"),
         col("n_events"), col("sum_value"))

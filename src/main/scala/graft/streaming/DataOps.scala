@@ -56,8 +56,7 @@ object DataOps {
       .withWatermark("event_time", watermarkDelay)
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        (sum(round(col("value") * lit(100.0)).cast("long")) / lit(100.0))
-          .cast("decimal(18,2)").as("sum_value"))
+        graft.util.Money.sumDecimal(col("value")).as("sum_value"))
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("sum_value"))
 }

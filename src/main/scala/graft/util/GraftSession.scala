@@ -37,7 +37,14 @@ object GraftSession {
     * (Verify, Bench) never need this — executor storage dies with the
     * session — but a long-lived session composing many operators
     * should call it between pipelines or executor memory/disk
-    * accumulates one checkpoint per operator run. */
+    * accumulates one checkpoint per operator run.
+    *
+    * CAUTION: this invalidates DataFrames RETURNED by earlier operator
+    * calls, not just the internal caches. A `localCheckpoint` truncates
+    * lineage, so a released checkpoint cannot recompute — re-collecting
+    * a pre-release result frame throws (cache-backed frames merely
+    * recompute). Collect or write results you still need first; after
+    * release, re-invoke the operator for a fresh frame. */
   def releaseCaches(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.valuesIterator

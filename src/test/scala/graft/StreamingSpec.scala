@@ -131,8 +131,7 @@ class StreamingSpec extends AnyFunSuite {
         date_trunc("HOUR", col("event_time")).as("window_start"),
         col("schema_name"), col("table_name"))
       .agg(count(lit(1)).as("n_events"),
-        (sum(round(col("after_value") * lit(100.0)).cast("long")) / lit(100.0))
-          .cast("decimal(18,2)").as("sum_value"))
+        graft.util.Money.sumDecimal(col("after_value")).as("sum_value"))
     // append mode only emits windows closed by the watermark; every
     // emitted window must match its batch value and most windows close
     val joined = streamed.as("s").join(batch.as("b"),
