@@ -96,39 +96,42 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"IVF recall $recall%.2f below 0.5 floor")
   }
 
-  test("avro binary messages round-trip through an independent decoder") {
-    // decode the wire hex with a from-scratch Avro-binary reader and
-    // compare against the source changelog — proves the bytes are real
-    // Avro, independent of the generated SQL oracle
-    case class Decoded(schemaId: Long, schemaName: String, tableName: String,
-                       op: String, pk: Long, ts: Long,
-                       before: Option[Long], after: Option[Long])
-    def parse(hexStr: String): Decoded = {
-      val bytes = hexStr.grouped(2).map(Integer.parseInt(_, 16)).toArray
-      var p = 0
-      def varint(): Long = {
-        var shift = 0; var acc = 0L; var b = 0
-        do { b = bytes(p); p += 1; acc |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
-        (acc >>> 1) ^ -(acc & 1) // un-zigzag
-      }
-      def str(): String = {
-        val n = varint().toInt
-        val s = new String(bytes.slice(p, p + n).map(_.toByte), "UTF-8"); p += n; s
-      }
-      def money(): Option[Long] = varint() match {
-        case 0 => None
-        case 1 =>
-          val n = varint().toInt
-          var acc = if ((bytes(p) & 0x80) != 0) -1L else 0L // sign-extend
-          (0 until n).foreach { i => acc = (acc << 8) | bytes(p + i) }
-          p += n; Some(acc)
-        case other => fail(s"bad union index $other")
-      }
-      assert(bytes(0) == 0, "confluent magic byte")
-      val schemaId = bytes.slice(1, 5).foldLeft(0L)((a, b) => (a << 8) | b)
-      p = 5
-      Decoded(schemaId, str(), str(), str(), varint(), varint(), money(), money())
+  // from-scratch Avro-binary reader — the independent side of the
+  // wire-format round-trip tests below
+  case class AvroDecoded(schemaId: Long, schemaName: String, tableName: String,
+                         op: String, pk: Long, ts: Long,
+                         before: Option[Long], after: Option[Long])
+  private def parseAvro(hexStr: String): AvroDecoded = {
+    val bytes = hexStr.grouped(2).map(Integer.parseInt(_, 16)).toArray
+    var p = 0
+    def varint(): Long = {
+      var shift = 0; var acc = 0L; var b = 0
+      do { b = bytes(p); p += 1; acc |= (b & 0x7fL) << shift; shift += 7 } while ((b & 0x80) != 0)
+      (acc >>> 1) ^ -(acc & 1) // un-zigzag
     }
+    def str(): String = {
+      val n = varint().toInt
+      val s = new String(bytes.slice(p, p + n).map(_.toByte), "UTF-8"); p += n; s
+    }
+    def money(): Option[Long] = varint() match {
+      case 0 => None
+      case 1 =>
+        val n = varint().toInt
+        var acc = if ((bytes(p) & 0x80) != 0) -1L else 0L // sign-extend
+        (0 until n).foreach { i => acc = (acc << 8) | bytes(p + i) }
+        p += n; Some(acc)
+      case other => fail(s"bad union index $other")
+    }
+    assert(bytes(0) == 0, "confluent magic byte")
+    val schemaId = bytes.slice(1, 5).foldLeft(0L)((a, b) => (a << 8) | b)
+    p = 5
+    AvroDecoded(schemaId, str(), str(), str(), varint(), varint(), money(), money())
+  }
+
+  test("avro binary messages round-trip through an independent decoder") {
+    // decode the wire hex and compare against the source changelog —
+    // proves the bytes are real Avro, independent of the SQL oracle
+    def parse(hexStr: String): AvroDecoded = parseAvro(hexStr)
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val rows = cdc.AvroBinary.messages(cl).join(cl, "commit_ts")
       .select("value", "schema_name", "table_name", "op", "pk", "commit_ts",
@@ -144,6 +147,41 @@ class OperatorSemanticsSpec extends AnyFunSuite {
         if (r.isNullAt(i)) None else Some(math.round(r.getDouble(i) * 100.0))
       assert(d.before == cents(6), s"before image ts=${d.ts}")
       assert(d.after == cents(7), s"after image ts=${d.ts}")
+    }
+  }
+
+  test("avro binary encoders are exact at every length boundary") {
+    // the flat-data round trip never leaves 1-2-byte varints; drive the
+    // encoders across every varint/two's-complement length boundary
+    // (the silent-truncation class a bounded CASE chain invites)
+    import spark.implicits._
+    val varintEdges = (1 to 8).flatMap { k =>
+      val h = 1L << (7 * k); Seq(h / 2 - 1, h / 2, h - 1, h)
+    } :+ 0L :+ (Long.MaxValue / 2 - 1)
+    val centsEdges = (1 to 7).flatMap { k =>
+      val h = 1L << (8 * k - 1); Seq(h - 1, h, -h, -h - 1)
+    } ++ Seq(0L, 1L, -1L, 127L, -128L, Long.MaxValue / 200, Long.MinValue / 200)
+    val rows = varintEdges.zipAll(centsEdges, 1L, 0L).zipWithIndex.map {
+      case ((pkv, cents), i) => (i.toLong, pkv, cents / 100.0)
+    }
+    val frame = rows.toDF("commit_ts", "pk", "money").select(
+      lit("db0").as("schema_name"), lit("t0").as("table_name"), lit("U").as("op"),
+      col("pk"), col("commit_ts"), col("money").as("before_value"),
+      col("money").as("after_value"), lit("{}").as("props"),
+      lit("x").as("event_type"), lit(0L).as("start_ts"),
+      lit(null).cast("timestamp").as("event_time"))
+    val out = cdc.AvroBinary.messages(frame)
+      .join(frame.select(col("pk"), col("commit_ts"), col("before_value")),
+        Seq("commit_ts"))
+      .collect()
+    assert(out.length == rows.length)
+    out.foreach { r => // commit_ts, key, value, pk, before_value
+      val d = parseAvro(r.getString(2))
+      assert(d.pk == r.getLong(3), s"pk boundary ${r.getLong(3)}")
+      assert(d.ts == r.getLong(0))
+      val want = math.round(r.getDouble(4) * 100.0)
+      assert(d.before.contains(want) && d.after.contains(want),
+        s"cents boundary $want decoded ${d.before}")
     }
   }
 
