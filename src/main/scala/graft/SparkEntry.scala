@@ -86,6 +86,7 @@ object SparkEntry {
     "codec_simple" -> ((s, d) => SimpleProtocol.messages(cl(s, d))),
     "codec_craft" -> ((s, d) => Craft.frame(cl(s, d))),
     "codec_avro_binary" -> ((s, d) => AvroBinary.messages(cl(s, d))),
+    "codec_canal_decode" -> ((s, d) => Codecs.canalJsonDecode(cl(s, d))),
     "changefeed_pipeline" -> ((s, d) => Changefeed.kafka(cl(s, d), changefeedCfg)),
     "cdc_column_selector_rules" -> ((s, d) => ColumnSelector.select(cl(s, d), colSelRules)),
     // B-series: analytics
@@ -164,6 +165,7 @@ object SparkEntry {
     "codec_simple" -> o(SimpleProtocol.messagesSql),
     "codec_craft" -> o(Craft.frameSql),
     "codec_avro_binary" -> o(AvroBinary.messagesSql()),
+    "codec_canal_decode" -> o(Codecs.canalJsonDecodeSql),
     "changefeed_pipeline" -> o(Changefeed.kafkaDebeziumSql(changefeedCfg)),
     "cdc_column_selector_rules" -> o(ColumnSelector.selectSql(colSelRules)),
     "q1_agg" -> Analytics.q1AggSql,

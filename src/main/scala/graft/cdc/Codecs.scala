@@ -72,6 +72,55 @@ object Codecs {
   val canalJsonSql: String =
     s"SELECT commit_ts, $canalJsonValueSql AS value FROM changelog"
 
+  /** A42 — consumer-side canal-json DECODE (reference:
+    * pkg/sink/codec/decoder + canal decoding — the path every
+    * downstream consumer of a TiCDC topic runs). The operator decodes
+    * the encoded stream back into the row-event frame:
+    * `decode(encode(changelog))`, a self-contained round trip whose
+    * DuckDB oracle performs the identical JSON-path extraction.
+    * Row-local (`get_json_object` is codegen'd); DELETE carries its
+    * image in `data` per the canal contract, UPDATE's old image comes
+    * from `old[0]`. The `props` payload is a raw JSON passthrough and
+    * is not re-extracted (engines disagree on object re-serialization
+    * whitespace, and consumers treat it as opaque). */
+  def canalJsonDecode(cl: DataFrame): DataFrame = {
+    val v = canalJsonValue.as("value")
+    def js(path: String): Column = get_json_object(col("value"), path)
+    cl.select(v).select(
+      js("$.es").cast("long").as("commit_ts"),
+      js("$.ts").cast("long").as("start_ts"),
+      js("$.database").as("schema_name"),
+      js("$.table").as("table_name"),
+      when(js("$.type") === "INSERT", "I")
+        .when(js("$.type") === "DELETE", "D").otherwise(lit("U")).as("op"),
+      js("$.data[0].pk").cast("long").as("pk"),
+      when(js("$.type") === "DELETE", lit(null).cast("double"))
+        .otherwise(js("$.data[0].value").cast("double")).as("after_value"),
+      when(js("$.type") === "DELETE", js("$.data[0].value").cast("double"))
+        .when(js("$.type") === "UPDATE", js("$.old[0].value").cast("double"))
+        .otherwise(lit(null).cast("double")).as("before_value"))
+  }
+
+  val canalJsonDecodeSql: String = {
+    def js(path: String) = s"json_extract_string(value, '$path')"
+    s"""SELECT
+       |  CAST(${js("$.es")} AS BIGINT) AS commit_ts,
+       |  CAST(${js("$.ts")} AS BIGINT) AS start_ts,
+       |  ${js("$.database")} AS schema_name,
+       |  ${js("$.table")} AS table_name,
+       |  CASE ${js("$.type")} WHEN 'INSERT' THEN 'I'
+       |    WHEN 'DELETE' THEN 'D' ELSE 'U' END AS op,
+       |  CAST(${js("$.data[0].pk")} AS BIGINT) AS pk,
+       |  CASE WHEN ${js("$.type")} = 'DELETE' THEN NULL
+       |    ELSE CAST(${js("$.data[0].value")} AS DOUBLE) END AS after_value,
+       |  CASE WHEN ${js("$.type")} = 'DELETE'
+       |      THEN CAST(${js("$.data[0].value")} AS DOUBLE)
+       |    WHEN ${js("$.type")} = 'UPDATE'
+       |      THEN CAST(${js("$.old[0].value")} AS DOUBLE)
+       |    ELSE NULL END AS before_value
+       |FROM (SELECT $canalJsonValueSql AS value FROM changelog)""".stripMargin
+  }
+
   /** A20 — open-protocol key/value pair (reference: pkg/sink/codec/open/
     * open_protocol_message.go): key carries ts+table routing, value is
     * `{"u":{...}}` for upsert / `{"d":{...}}` for delete. */

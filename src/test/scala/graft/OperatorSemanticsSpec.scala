@@ -185,6 +185,23 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("canal-json decode inverts the encoder at codec precision") {
+    // the codec renders money as %.4f, so the round trip is exact at 4
+    // decimals (a computed image like value-1.0 sits 1 ULP off the
+    // decimal grid; the re-parsed double is the grid-nearest one)
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("commit_ts"), col("start_ts"), col("schema_name"),
+      col("table_name"), col("op"), col("pk"),
+      round(col("after_value"), 4).as("after_value"),
+      round(col("before_value"), 4).as("before_value"))
+    val src = canon(cl)
+    val dec = canon(cdc.Codecs.canalJsonDecode(cl))
+    assert(dec.count() == src.count())
+    assert(dec.exceptAll(src).isEmpty && src.exceptAll(dec).isEmpty,
+      "decode(encode(changelog)) must reproduce the changelog")
+  }
+
   test("multi-probe ANN candidates are a superset of exact-bucket candidates") {
     // every (query, neighbor) from single-cell probing must also surface
     // with multi-probe enabled (the extra cells only add candidates)
