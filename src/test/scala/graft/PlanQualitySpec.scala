@@ -76,7 +76,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "canal" -> cdc.Codecs.canalJson(cl),
       "topic_router" -> cdc.Routing.route(cl, Seq(Seq("db0.%") -> "t_{schema}"), "d"),
       "claim_check" -> cdc.Sinks.claimCheck(cl, 16, 180),
-      "craft" -> cdc.Craft.frame(cl))) {
+      "craft" -> cdc.Craft.frame(cl),
+      "avro_binary" -> cdc.AvroBinary.messages(cl),
+      "canal_decode" -> cdc.Codecs.canalJsonDecode(cl),
+      "data_split" -> ops.Corpus.dataSplit(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name introduces a shuffle:\n$p")
     }
