@@ -87,6 +87,8 @@ object SparkEntry {
     "codec_craft" -> ((s, d) => Craft.frame(cl(s, d))),
     "codec_avro_binary" -> ((s, d) => AvroBinary.messages(cl(s, d))),
     "codec_canal_decode" -> ((s, d) => Codecs.canalJsonDecode(cl(s, d))),
+    "codec_open_decode" -> ((s, d) => Codecs.openProtocolDecode(cl(s, d))),
+    "codec_debezium_decode" -> ((s, d) => Codecs.debeziumDecode(cl(s, d))),
     "changefeed_pipeline" -> ((s, d) => Changefeed.kafka(cl(s, d), changefeedCfg)),
     "cdc_column_selector_rules" -> ((s, d) => ColumnSelector.select(cl(s, d), colSelRules)),
     // B-series: analytics
@@ -166,6 +168,8 @@ object SparkEntry {
     "codec_craft" -> o(Craft.frameSql),
     "codec_avro_binary" -> o(AvroBinary.messagesSql()),
     "codec_canal_decode" -> o(Codecs.canalJsonDecodeSql),
+    "codec_open_decode" -> o(Codecs.openProtocolDecodeSql),
+    "codec_debezium_decode" -> o(Codecs.debeziumDecodeSql),
     "changefeed_pipeline" -> o(Changefeed.kafkaDebeziumSql(changefeedCfg)),
     "cdc_column_selector_rules" -> o(ColumnSelector.selectSql(colSelRules)),
     "q1_agg" -> Analytics.q1AggSql,

@@ -158,6 +158,38 @@ object Codecs {
        |  END AS value
        |FROM changelog""".stripMargin
 
+  /** A43 — open-protocol DECODE (reference: pkg/sink/codec/decoder +
+    * open decoding): (key, value) pairs back to the event frame. The
+    * protocol encodes inserts and updates both as `u` messages, so the
+    * decoded type is upsert|delete — exactly what a consumer applies;
+    * the original I/U distinction is not on the wire. */
+  def openProtocolDecode(cl: DataFrame): DataFrame = {
+    def k(path: String): Column = get_json_object(col("key"), path)
+    def v(path: String): Column = get_json_object(col("value"), path)
+    openProtocol(cl).select(
+      k("$.ts").cast("long").as("commit_ts"),
+      k("$.scm").as("schema_name"),
+      k("$.tbl").as("table_name"),
+      // probe a scalar, not the object: engines agree on scalar
+      // extraction in every version
+      when(v("$.d.pk").isNotNull, "delete").otherwise(lit("upsert")).as("msg_type"),
+      coalesce(v("$.u.pk"), v("$.d.pk")).cast("long").as("pk"),
+      coalesce(v("$.u.value"), v("$.d.value")).cast("double").as("value"))
+  }
+
+  val openProtocolDecodeSql: String = {
+    def k(p: String) = s"json_extract_string(key, '$p')"
+    def v(p: String) = s"json_extract_string(value, '$p')"
+    s"""SELECT
+       |  CAST(${k("$.ts")} AS BIGINT) AS commit_ts,
+       |  ${k("$.scm")} AS schema_name,
+       |  ${k("$.tbl")} AS table_name,
+       |  CASE WHEN ${v("$.d.pk")} IS NOT NULL THEN 'delete' ELSE 'upsert' END AS msg_type,
+       |  CAST(COALESCE(${v("$.u.pk")}, ${v("$.d.pk")}) AS BIGINT) AS pk,
+       |  CAST(COALESCE(${v("$.u.value")}, ${v("$.d.value")}) AS DOUBLE) AS value
+       |FROM ($openProtocolSql)""".stripMargin
+  }
+
   /** A21 — debezium-json envelope (reference: pkg/sink/codec/debezium/
     * codec.go): before/after/op(c|u|d)/ts_ms/source. */
   private[cdc] def debeziumValue: Column = {
@@ -191,6 +223,35 @@ object Codecs {
 
   val debeziumSql: String =
     s"SELECT commit_ts, $debeziumValueSql AS value\nFROM changelog"
+
+  /** A44 — debezium DECODE: the envelope is fully invertible
+    * (op c|u|d ↔ I|U|D, both images on the wire), so the decoded frame
+    * reproduces the changelog at codec precision — spec-asserted. */
+  def debeziumDecode(cl: DataFrame): DataFrame = {
+    def v(path: String): Column = get_json_object(col("value"), path)
+    debezium(cl).select(
+      v("$.ts_ms").cast("long").as("commit_ts"),
+      v("$.source.db").as("schema_name"),
+      v("$.source.table").as("table_name"),
+      when(v("$.op") === "c", "I").when(v("$.op") === "d", "D")
+        .otherwise(lit("U")).as("op"),
+      coalesce(v("$.after.pk"), v("$.before.pk")).cast("long").as("pk"),
+      v("$.before.value").cast("double").as("before_value"),
+      v("$.after.value").cast("double").as("after_value"))
+  }
+
+  val debeziumDecodeSql: String = {
+    def v(p: String) = s"json_extract_string(value, '$p')"
+    s"""SELECT
+       |  CAST(${v("$.ts_ms")} AS BIGINT) AS commit_ts,
+       |  ${v("$.source.db")} AS schema_name,
+       |  ${v("$.source.table")} AS table_name,
+       |  CASE ${v("$.op")} WHEN 'c' THEN 'I' WHEN 'd' THEN 'D' ELSE 'U' END AS op,
+       |  CAST(COALESCE(${v("$.after.pk")}, ${v("$.before.pk")}) AS BIGINT) AS pk,
+       |  CAST(${v("$.before.value")} AS DOUBLE) AS before_value,
+       |  CAST(${v("$.after.value")} AS DOUBLE) AS after_value
+       |FROM (SELECT commit_ts, $debeziumValueSql AS value FROM changelog)""".stripMargin
+  }
 
   /** A22 — csv line (reference: pkg/sink/codec/csv/csv_message.go —
     * opType,schema,table,commitTs,cols...). Strings double-quote with

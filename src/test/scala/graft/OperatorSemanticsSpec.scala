@@ -202,6 +202,25 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       "decode(encode(changelog)) must reproduce the changelog")
   }
 
+  test("debezium decode inverts the encoder; open decode preserves upsert semantics") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    // debezium is fully invertible (both images + 3-way op on the wire)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("commit_ts"), col("schema_name"), col("table_name"), col("op"),
+      col("pk"), round(col("before_value"), 4).as("b"),
+      round(col("after_value"), 4).as("a"))
+    val src = canon(cl)
+    val dec = canon(cdc.Codecs.debeziumDecode(cl))
+    assert(dec.exceptAll(src).isEmpty && src.exceptAll(dec).isEmpty)
+    // open protocol erases I-vs-U by design; the decoded upsert/delete
+    // split must still match the source ops
+    val open = cdc.Codecs.openProtocolDecode(cl).cache()
+    assert(open.filter(col("msg_type") === "delete").count() ==
+      cl.filter(col("op") === "D").count())
+    assert(open.filter(col("msg_type") === "upsert").count() ==
+      cl.filter(col("op") =!= "D").count())
+  }
+
   test("multi-probe ANN candidates are a superset of exact-bucket candidates") {
     // every (query, neighbor) from single-cell probing must also surface
     // with multi-probe enabled (the extra cells only add candidates)
