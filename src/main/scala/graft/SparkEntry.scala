@@ -115,6 +115,7 @@ object SparkEntry {
     "ann_topk_bruteforce" -> ((s, d) => ops.Similarity.annTopK(s, d)),
     "ann_lsh_bucketed" -> ((s, d) => ops.Similarity.annLshBucketed(s, d)),
     "ann_ivf" -> ((s, d) => ops.Similarity.annIvf(s, d)),
+    "embedding_quantize" -> ((s, d) => ops.Similarity.embeddingQuantize(s, d)),
     "text_langid" -> ((s, d) => ops.TextAnalysis.langId(s, d)),
     "text_quality_score" -> ((s, d) => ops.TextAnalysis.qualityScore(s, d)),
     "text_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(s, d)),
@@ -198,6 +199,7 @@ object SparkEntry {
     "ann_topk_bruteforce" -> ops.Similarity.annTopKSql(),
     "ann_lsh_bucketed" -> ops.Similarity.annLshBucketedSql(),
     "ann_ivf" -> ops.Similarity.annIvfSql(),
+    "embedding_quantize" -> ops.Similarity.embeddingQuantizeSql(),
     "text_langid" -> ops.TextAnalysis.langIdSql,
     "text_quality_score" -> ops.TextAnalysis.qualityScoreSql,
     "text_token_count" -> ops.TextAnalysis.tokenCountSql,

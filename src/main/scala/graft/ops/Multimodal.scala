@@ -26,12 +26,13 @@ object Multimodal {
   case class MediaFeature(doc_id: Long, media_type: String, n_bytes: Long,
                           width: Int, height: Int, n_frames: Int, checksum: Long)
 
-  /** Build the media frame from `documents`: the text bytes stand in
-    * for an encoded payload; type and declared dims derive
-    * deterministically from doc_id. */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+  /** Build the media frame from a documents frame (batch OR streaming —
+    * the projection is row-local): the text bytes stand in for an
+    * encoded payload; type and declared dims derive deterministically
+    * from doc_id. */
+  def mediaFrom(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3L)) + 1L).cast("int")).as("media_type"),
@@ -40,6 +41,9 @@ object Multimodal {
         (lit(64) + pmod(col("doc_id"), lit(4L)) * 32L).cast("int").as("declared_h"))
       .as[MediaRow]
   }
+
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    mediaFrom(Tables.documents(spark, dir))
 
   /** ===== DETERMINISTIC DECODE STUB =====
     * Stands in for image decode / audio resample / video frame-sample.
@@ -64,10 +68,14 @@ object Multimodal {
 
   /** C12 — batch feature extraction: partition-local iteration (one
     * decoder/digest init per partition, amortized over its batch — the
-    * mapInPandas batch pattern), no shuffle, typed output schema. */
-  def features(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    mediaTable(spark, dir)
+    * mapInPandas batch pattern), no shuffle, typed output schema.
+    * `featuresFrom` also accepts a STREAMING documents frame: the
+    * decode is stateless per row, so the same mapPartitions runs
+    * unchanged per micro-batch (StreamingSpec asserts equality with
+    * this batch path). */
+  def featuresFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    mediaFrom(docs)
       .mapPartitions { it =>
         // the codec initializes ONCE per partition, then streams the batch
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -75,6 +83,9 @@ object Multimodal {
       }
       .toDF()
   }
+
+  def features(spark: SparkSession, dir: String): DataFrame =
+    featuresFrom(Tables.documents(spark, dir))
 
   /** DuckDB oracle reproducing [[features]]: the payload is the UTF-8
     * text bytes, so octet_length/md5 over the text column match the

@@ -318,6 +318,66 @@ object Similarity {
        |) WHERE rank <= $topK""".stripMargin
   }
 
+  /** C17 — int8 embedding quantization: per-vector affine compression
+    * (the storage/transport format ANN indexes and feature stores ship
+    * at scale — 8× smaller than float64, 4× smaller than float32).
+    *
+    * Engine-portable by construction: the zero point is the vector's
+    * own min component (an existing double — identical bits in both
+    * engines); the scale is the smallest POWER OF TWO with
+    * `255·scale ≥ range`, picked by a comparison chain (no log(), which
+    * is not bit-portable); codes are `floor((v_i − mn)/scale)` — the
+    * division is exact (power-of-2 divisor), so floor is deterministic.
+    * Output: per-vector scale exponent, zero point, a portable md5
+    * digest of the code string, and the exact worst-case
+    * reconstruction error (un-rounded double — same IEEE sequence both
+    * sides). Row-local; no shuffle. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val expRange = -24 to 8
+    val v = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("rng", array_max(col("v")) - col("mn"))
+    // smallest 2^e with 255*2^e >= rng (e=8 absorbs any larger range)
+    val expCol = expRange.init.reverse.foldLeft(lit(expRange.last)) {
+      (acc, e) => when(col("rng") <= lit(255.0 * math.pow(2, e)), lit(e)).otherwise(acc)
+    }
+    val withScale = v.withColumn("scale_exp", expCol)
+      .withColumn("scale", pow(lit(2.0), col("scale_exp")))
+    val codeCols = (0 until Dim).map(i =>
+      floor((col("v").getItem(i) - col("mn")) / col("scale")).cast("long"))
+    val reconErrs = (0 until Dim).map(i =>
+      abs(col("v").getItem(i) - (col("mn") + codeCols(i) * col("scale"))))
+    withScale
+      .withColumn("codes", concat_ws(",", codeCols: _*))
+      .withColumn("max_err", greatest(reconErrs: _*))
+      .select(col("vec_id"), col("label"), col("scale_exp").cast("long").as("scale_exp"),
+        col("mn").as("zero_point"), md5(col("codes").cast("binary")).as("codes_digest"),
+        col("max_err"))
+  }
+
+  def embeddingQuantizeSql(): String = {
+    val expRange = -24 to 8
+    val expCase = expRange.init
+      .map(e => s"WHEN rng <= ${255.0 * math.pow(2, e)} THEN $e")
+      .mkString("CASE ", " ", s" ELSE ${expRange.last} END")
+    val codes = (1 to Dim)
+      .map(i => s"CAST(floor((v[$i] - mn) / scale) AS BIGINT)")
+      .mkString("CONCAT_WS(',', ", ", ", ")")
+    val errs = (1 to Dim)
+      .map(i => s"abs(v[$i] - (mn + CAST(floor((v[$i] - mn) / scale) AS BIGINT) * scale))")
+      .mkString("GREATEST(", ", ", ")")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT vec_id, label, v, list_min(v) AS mn,
+       |        list_max(v) - list_min(v) AS rng FROM e),
+       |s AS (SELECT *, $expCase AS scale_exp FROM m),
+       |sc AS (SELECT *, power(2.0, scale_exp) AS scale FROM s)
+       |SELECT vec_id, label, CAST(scale_exp AS BIGINT) AS scale_exp,
+       |  mn AS zero_point, MD5($codes) AS codes_digest, $errs AS max_err
+       |FROM sc""".stripMargin
+  }
+
   def annLshBucketedSql(nPlanes: Int = 6, nQueries: Int = 8, k: Int = 3): String = {
     val w = planes(nPlanes, seed = 7L)
     val bucketSql = (0 until nPlanes)

@@ -120,6 +120,16 @@ class StreamingSpec extends AnyFunSuite {
       col("s.sum_value") =!= col("b.sum_value")).count() == 0)
   }
 
+  test("C12s: streaming multimodal feature extraction equals the batch path") {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    runToCompletion(graft.ops.Multimodal.featuresFrom(stream), "c12s", "append")
+    val streamed = spark.table("c12s")
+    val batch = graft.ops.Multimodal.features(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("A28: watermarked windowed agg matches batch time-bucket totals") {
     val cl = graft.cdc.ChangeEvents.changelog(spark, dir)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
