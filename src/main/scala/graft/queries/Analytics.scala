@@ -341,10 +341,14 @@ object Analytics {
   def qApproxQuantile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+      // one buffer + one sort for both price percentiles (the array
+      // form), instead of two full copies of the column per group
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("pp"),
+        expr("percentile(l_quantity, 0.5)").as("pq"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pp"), 1), 4).as("p50"),
+        round(element_at(col("pp"), 2), 4).as("p95"),
+        round(col("pq"), 4).as("p50_qty"))
 
   val qApproxQuantileSql: String =
     """SELECT l_returnflag,
