@@ -230,7 +230,16 @@ object Similarity {
     *    cross-engine hash check.
     * Assignment + probe then rerun against the refined centroids; the
     * probed lists are scored with the exact cosine on the ORIGINAL
-    * vectors. More Lloyd rounds iterate the same two join shapes. */
+    * vectors. More Lloyd rounds iterate the same two join shapes.
+    *
+    * Honest 100 TB note: exact nearest-centroid assignment is an
+    * n×k broadcast fan-out — O(n^1.5) total work under k~√n. That is
+    * the standard IVF build cost and fine into the billions of
+    * vectors, but at extreme corpus sizes the assignment itself should
+    * be pruned (hyperplane-bucket the centroids like C7 and assign
+    * within Hamming-adjacent cells, or go hierarchical: √k coarse
+    * centroids → √k fine). The probe-side topology — the part every
+    * query pays — is unchanged either way. */
   def annIvf(spark: SparkSession, dir: String, nProbe: Int = 4,
              nQueries: Int = 8, topK: Int = 3, kMin: Int = 64): DataFrame = {
     val c = corpus(spark, dir).localCheckpoint()
