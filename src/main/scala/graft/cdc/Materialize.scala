@@ -101,7 +101,7 @@ object Materialize {
         countDistinct(col("pk")).as("n_keys"),
         min(col("commit_ts")).as("first_ts"),
         max(col("commit_ts")).as("last_ts"),
-        graft.util.Money.sumDecimal(col("after_value")).as("sum_value"))
+        graft.util.Money.sumCents(col("after_value")).as("sum_value_cents"))
 
   val txnGroupSql: String =
     """SELECT schema_name, table_name, start_ts,
@@ -109,7 +109,7 @@ object Materialize {
       |  COUNT(DISTINCT pk) AS n_keys,
       |  MIN(commit_ts) AS first_ts,
       |  MAX(commit_ts) AS last_ts,
-      |  CAST(SUM(CAST(ROUND(after_value * 100.0, 0) AS BIGINT)) / 100.0 AS DECIMAL(18,2)) AS sum_value
+      |  CAST(SUM(CAST(ROUND(after_value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM changelog
       |GROUP BY schema_name, table_name, start_ts""".stripMargin
 
@@ -133,7 +133,7 @@ object Materialize {
     val tr = cl.select(col("schema_name"), col("table_name"), col("pk"),
         col("commit_ts"), col("op"),
         // deltas telescope in exact integer cents (graft.util.Money) so
-        // the cumulative sums below are exact and the decimal(18,2)
+        // the cumulative sums below are exact and the cents BIGINT
         // output is engine-portable
         graft.util.Money.cents(col("after_value")).as("cents"))
       .withColumn("prev_op", lag(col("op"), 1).over(wk))
@@ -161,17 +161,17 @@ object Materialize {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(deltas, Seq("boundary_ts", "schema_name", "table_name"), "left")
       .withColumn("live_rows", sum(coalesce(col("d_live"), lit(0L))).over(wc))
-      .withColumn("total_value", graft.util.Money.centsToDecimal(
-        sum(coalesce(col("d_cents"), lit(0L))).over(wc)))
+      .withColumn("total_value_cents",
+        sum(coalesce(col("d_cents"), lit(0L))).over(wc))
       .filter(col("live_rows") > 0)
       .select(col("boundary_ts"), col("schema_name"), col("table_name"),
-        col("live_rows"), col("total_value"))
+        col("live_rows"), col("total_value_cents"))
   }
 
   def syncpointSql(step: Long): String =
     s"""SELECT boundary_ts, schema_name, table_name,
        |  COUNT(*) AS live_rows,
-       |  CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) / 100.0 AS DECIMAL(18,2)) AS total_value
+       |  CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
        |FROM (
        |  SELECT b.boundary_ts, c.schema_name, c.table_name, c.pk,
        |    MAX_BY(c.op, c.commit_ts) AS last_op,

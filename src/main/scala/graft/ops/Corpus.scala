@@ -36,11 +36,12 @@ object Corpus {
 
   /** C14 — repetition profile (the Gopher/C4 repetition quality
     * filters): per document, duplicate-token and duplicate-3-gram
-    * fractions plus the most-frequent 3-gram and its mass. Heavily
+    * mass plus the most-frequent 3-gram and its mass. Heavily
     * repetitive machine-generated text scores high on all three and
-    * gets filtered before training. Ratios are exact integer counts
-    * divided once (IEEE-deterministic); docs under 3 tokens carry NULL
-    * gram ratios. */
+    * gets filtered before training. Ratios surface as parts-per-million
+    * BIGINTs (exact truncating integer division of exact counts — the
+    * raw double fractions hash-flaked on the round-3 driver); docs
+    * under 3 tokens carry NULL gram ratios. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
@@ -70,11 +71,17 @@ object Corpus {
         coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
         col("top_gram"),
         coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
-        (lit(1.0) - col("distinct_tokens") / col("total_tokens")).as("dup_token_frac"),
-        when(col("total_grams").isNotNull,
-          lit(1.0) - col("distinct_grams") / col("total_grams")).as("dup_gram_frac"),
-        when(col("total_grams").isNotNull,
-          col("top_gram_count") / col("total_grams")).as("top_gram_frac"))
+        // ppm = counts scaled to 10^6 then one truncating integer divide
+        // (all operands non-negative → trunc == floor == DuckDB `//`)
+        when(col("total_tokens") > 0, call_function("div",
+            (col("total_tokens") - col("distinct_tokens")) * lit(1000000L),
+            col("total_tokens"))).as("dup_token_ppm"),
+        when(col("total_grams").isNotNull, call_function("div",
+            (col("total_grams") - col("distinct_grams")) * lit(1000000L),
+            col("total_grams"))).as("dup_gram_ppm"),
+        when(col("total_grams").isNotNull, call_function("div",
+            col("top_gram_count") * lit(1000000L),
+            col("total_grams"))).as("top_gram_ppm"))
   }
 
   val textRepetitionSql: String =
@@ -95,7 +102,7 @@ object Corpus {
        |    gram AS top_gram, cnt AS top_gram_count
        |  FROM (
        |    SELECT doc_id, gram, cnt,
-       |      SUM(cnt) OVER (PARTITION BY doc_id) AS total_grams,
+       |      CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS total_grams,
        |      COUNT(*) OVER (PARTITION BY doc_id) AS distinct_grams,
        |      ROW_NUMBER() OVER (PARTITION BY doc_id
        |        ORDER BY cnt DESC, gram) AS rn
@@ -107,11 +114,15 @@ object Corpus {
        |  COALESCE(gs.distinct_grams, 0) AS distinct_grams,
        |  gs.top_gram,
        |  COALESCE(gs.top_gram_count, 0) AS top_gram_count,
-       |  1.0 - (s.distinct_tokens / s.total_tokens) AS dup_token_frac,
+       |  CASE WHEN s.total_tokens > 0
+       |    THEN ((s.total_tokens - s.distinct_tokens) * 1000000) // s.total_tokens
+       |    END AS dup_token_ppm,
        |  CASE WHEN gs.total_grams IS NOT NULL
-       |    THEN 1.0 - (gs.distinct_grams / gs.total_grams) END AS dup_gram_frac,
+       |    THEN ((gs.total_grams - gs.distinct_grams) * 1000000) // gs.total_grams
+       |    END AS dup_gram_ppm,
        |  CASE WHEN gs.total_grams IS NOT NULL
-       |    THEN gs.top_gram_count / gs.total_grams END AS top_gram_frac
+       |    THEN (gs.top_gram_count * 1000000) // gs.total_grams
+       |    END AS top_gram_ppm
        |FROM tok_stats s
        |LEFT JOIN gram_stats gs ON gs.doc_id = s.doc_id""".stripMargin
 

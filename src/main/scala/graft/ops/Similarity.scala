@@ -256,15 +256,23 @@ object Similarity {
         .filter(col("rn") <= keep)
     }
     // Lloyd refinement: per-dimension integer-exact rounded mean of the
-    // quantized members; the refined centroid lives on the 1/1024 grid
+    // quantized members; the refined centroid lives on the 1/1024 grid.
+    // The floor-divide is written as (num - pmod(num, cnt)) div cnt —
+    // the numerator becomes an exact multiple of cnt, where floor and
+    // truncating division coincide, so the oracle's `//` (which
+    // TRUNCATES toward zero in DuckDB, diverging from floor on the
+    // negative component sums) computes the identical centroid under
+    // any engine version.
     val qSums = (0 until Dim).map(i =>
       sum(round(col("v").getItem(i) * lit(1024.0)).cast("long")).as(s"s$i"))
+    def floorDiv(num: Column, den: Column): Column =
+      call_function("div", num - pmod(num, den), den)
     val refined = nearest(c, seeds, 1)
       .groupBy(col("cent_id"))
       .agg(qSums.head, qSums.tail :+ count(lit(1)).as("cnt"): _*)
       .select(col("cent_id"), array((0 until Dim).map(i =>
-        floor((col(s"s$i") + floor(col("cnt") / lit(2))) / col("cnt"))
-          .cast("double")): _*).as("cv"))
+        floorDiv(col(s"s$i") + call_function("div", col("cnt"), lit(2L)),
+          col("cnt")).cast("double")): _*).as("cv"))
       .withColumn("cn", sqrt(dot("cv", "cv")))
       .localCheckpoint()
     val assigned = nearest(c, refined, 1)
@@ -287,8 +295,14 @@ object Similarity {
     val qSums = (0 until Dim)
       .map(i => s"SUM(CAST(ROUND(v[${i + 1}] * 1024.0, 0) AS BIGINT)) AS s$i")
       .mkString(", ")
+    // floor division via the exact-multiple trick: subtract the
+    // positive mod first, then `//` — floor and trunc agree on exact
+    // multiples, so this matches Spark's floor for negative sums too
     val cvArr = (0 until Dim)
-      .map(i => s"CAST((s$i + cnt // 2) // cnt AS DOUBLE)")
+      .map { i =>
+        val num = s"(s$i + cnt // 2)"
+        s"CAST(($num - ((($num % cnt) + cnt) % cnt)) // cnt AS DOUBLE)"
+      }
       .mkString("[", ", ", "]")
     s"""WITH $corpusSql,
        |kk AS (SELECT GREATEST($kMin, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM c),

@@ -106,8 +106,8 @@ object CdcStream {
       .agg(count(lit(1)).as("n_events"),
         // exact cents sum (graft.util.Money): partial-agg merge order
         // across micro-batches can't flip a cent
-        graft.util.Money.sumDecimal(col("after_value")).as("sum_value"))
+        graft.util.Money.sumCents(col("after_value")).as("sum_value_cents"))
       .select(col("window.start").as("window_start"),
         col("schema_name"), col("table_name"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value_cents"))
 }

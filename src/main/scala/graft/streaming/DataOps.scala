@@ -56,7 +56,7 @@ object DataOps {
       .withWatermark("event_time", watermarkDelay)
       .groupBy(session_window(col("event_time"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        graft.util.Money.sumDecimal(col("value")).as("sum_value"))
+        graft.util.Money.sumCents(col("value")).as("sum_value_cents"))
       .select(col("session_window.start").as("session_start"), col("user_id"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value_cents"))
 }

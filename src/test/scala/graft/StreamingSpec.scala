@@ -108,16 +108,16 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("a36")
       .select(col("user_id"),
         expr("unix_micros(session_start)").as("session_start_us"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value_cents"))
     val batch = graft.queries.Analytics.qSessionize(spark, dir)
-      .select(col("user_id"), col("session_start_us"), col("n_events"), col("sum_value"))
+      .select(col("user_id"), col("session_start_us"), col("n_events"), col("sum_value_cents"))
     // append mode emits only watermark-closed sessions; each must match
     // its batch twin exactly, and nearly all sessions close on sf0.001
     val joined = streamed.as("s").join(batch.as("b"), Seq("user_id", "session_start_us"))
     assert(streamed.count() > 0, "no sessions emitted")
     assert(joined.count() == streamed.count(), "streamed session missing from batch")
     assert(joined.filter(col("s.n_events") =!= col("b.n_events") ||
-      col("s.sum_value") =!= col("b.sum_value")).count() == 0)
+      col("s.sum_value_cents") =!= col("b.sum_value_cents")).count() == 0)
   }
 
   test("C12s: streaming multimodal feature extraction equals the batch path") {
@@ -141,14 +141,14 @@ class StreamingSpec extends AnyFunSuite {
         date_trunc("HOUR", col("event_time")).as("window_start"),
         col("schema_name"), col("table_name"))
       .agg(count(lit(1)).as("n_events"),
-        graft.util.Money.sumDecimal(col("after_value")).as("sum_value"))
+        graft.util.Money.sumCents(col("after_value")).as("sum_value_cents"))
     // append mode only emits windows closed by the watermark; every
     // emitted window must match its batch value and most windows close
     val joined = streamed.as("s").join(batch.as("b"),
       Seq("window_start", "schema_name", "table_name"))
     assert(streamed.count() > 0, "no windows emitted")
     assert(joined.filter(col("s.n_events") =!= col("b.n_events") ||
-      col("s.sum_value") =!= col("b.sum_value")).count() == 0)
+      col("s.sum_value_cents") =!= col("b.sum_value_cents")).count() == 0)
     assert(joined.count() == streamed.count(), "streamed window missing from batch")
   }
 }
