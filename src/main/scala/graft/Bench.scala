@@ -48,10 +48,21 @@ object Bench {
         System.err.println(f"[bench] $name%-28s $sec%9.3f s (min of $repeat)")
         name -> sec
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the JSON line short (the driver
+    // captures a bounded output tail; round 3 lost the line's head to
+    // the window boundary)
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // print TWICE back-to-back: if the driver's tail-capture boundary
+    // falls inside the first copy, the second is still intact — and
+    // stop the session BEFORE printing so no shutdown logging can push
+    // the line out of the captured window
+    spark.stop()
+    System.err.flush()
+    println(json)
     println(json)
     System.out.flush()
     // mirror only FULL runs — a subset dev-loop run must not overwrite
@@ -60,6 +71,5 @@ object Bench {
       try Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
       catch { case _: Throwable => () }
     }
-    spark.stop()
   }
 }
