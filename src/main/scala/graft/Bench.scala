@@ -51,7 +51,11 @@ object Bench {
     // millisecond precision keeps the JSON line short (the driver
     // captures a bounded output tail; round 3 lost the line's head to
     // the window boundary)
-    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the default-locale formatter writes "1,234" under
+    // comma-decimal locales and the JSON line stops parsing
+    def f3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -162,12 +162,15 @@ object Craft {
         when(col("op") === "I", "1").when(col("op") === "D", "2")
           .otherwise("1,2").as("group_types"), // new-then-old (model.go:422)
         col("pk_len").cast("long").as("pk_len"),
-        col("new_value_len").cast("long").as("new_value_len"),
-        col("old_value_len").cast("long").as("old_value_len"),
+        // absent sections (no new image on D, no old image on I) emit
+        // the -1 sentinel: a nullable BIGINT crosses the oracle's
+        // pandas bridge as float64
+        coalesce(col("new_value_len").cast("long"), lit(-1L)).as("new_value_len"),
+        coalesce(col("old_value_len").cast("long"), lit(-1L)).as("old_value_len"),
         col("props_len").cast("long").as("props_len"),
         col("event_type_len").cast("long").as("event_type_len"),
-        col("new_group_size").cast("long").as("new_group_size"),
-        col("old_group_size").cast("long").as("old_group_size"),
+        coalesce(col("new_group_size").cast("long"), lit(-1L)).as("new_group_size"),
+        coalesce(col("old_group_size").cast("long"), lit(-1L)).as("old_group_size"),
         col("header_size").cast("long").as("header_size"),
         col("body_size").cast("long").as("body_size"),
         col("dict_size").cast("long").as("dict_size"),
@@ -210,12 +213,12 @@ object Craft {
        |  CAST(-1 AS BIGINT) AS partition_id,
        |  CASE WHEN op = 'I' THEN '1' WHEN op = 'D' THEN '2' ELSE '1,2' END AS group_types,
        |  CAST($pkLen AS BIGINT) AS pk_len,
-       |  CAST($newVLen AS BIGINT) AS new_value_len,
-       |  CAST($oldVLen AS BIGINT) AS old_value_len,
+       |  CAST(COALESCE($newVLen, -1) AS BIGINT) AS new_value_len,
+       |  CAST(COALESCE($oldVLen, -1) AS BIGINT) AS old_value_len,
        |  CAST(octet_length(encode(props)) AS BIGINT) AS props_len,
        |  CAST(octet_length(encode(event_type)) AS BIGINT) AS event_type_len,
-       |  CAST(new_size AS BIGINT) AS new_group_size,
-       |  CAST(old_size AS BIGINT) AS old_group_size,
+       |  CAST(COALESCE(new_size, -1) AS BIGINT) AS new_group_size,
+       |  CAST(COALESCE(old_size, -1) AS BIGINT) AS old_group_size,
        |  CAST(header_size AS BIGINT) AS header_size,
        |  CAST(body_size AS BIGINT) AS body_size,
        |  CAST(dict_size AS BIGINT) AS dict_size,

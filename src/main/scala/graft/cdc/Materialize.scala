@@ -101,7 +101,10 @@ object Materialize {
         countDistinct(col("pk")).as("n_keys"),
         min(col("commit_ts")).as("first_ts"),
         max(col("commit_ts")).as("last_ts"),
-        graft.util.Money.sumCents(col("after_value")).as("sum_value_cents"))
+        // all-delete txns sum no after-images: 0, not NULL (a nullable
+        // BIGINT turns float64 on the oracle's pandas bridge)
+        coalesce(graft.util.Money.sumCents(col("after_value")), lit(0L))
+          .as("sum_value_cents"))
 
   val txnGroupSql: String =
     """SELECT schema_name, table_name, start_ts,
@@ -109,7 +112,7 @@ object Materialize {
       |  COUNT(DISTINCT pk) AS n_keys,
       |  MIN(commit_ts) AS first_ts,
       |  MAX(commit_ts) AS last_ts,
-      |  CAST(SUM(CAST(ROUND(after_value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      |  CAST(COALESCE(SUM(CAST(ROUND(after_value * 100.0, 0) AS BIGINT)), 0) AS BIGINT) AS sum_value_cents
       |FROM changelog
       |GROUP BY schema_name, table_name, start_ts""".stripMargin
 

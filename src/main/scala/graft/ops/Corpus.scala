@@ -41,7 +41,7 @@ object Corpus {
     * gets filtered before training. Ratios surface as parts-per-million
     * BIGINTs (exact truncating integer division of exact counts — the
     * raw double fractions hash-flaked on the round-3 driver); docs
-    * under 3 tokens carry NULL gram ratios. */
+    * under 3 tokens carry the -1 sentinel in the gram ratios. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
@@ -72,16 +72,19 @@ object Corpus {
         col("top_gram"),
         coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
         // ppm = counts scaled to 10^6 then one truncating integer divide
-        // (all operands non-negative → trunc == floor == DuckDB `//`)
+        // (all operands non-negative → trunc == floor == DuckDB `//`).
+        // Short/empty docs take the -1 sentinel instead of NULL: a
+        // nullable BIGINT crosses DuckDB's pandas bridge as float64
+        // (NaN) and re-opens the int-vs-float hash class.
         when(col("total_tokens") > 0, call_function("div",
             (col("total_tokens") - col("distinct_tokens")) * lit(1000000L),
-            col("total_tokens"))).as("dup_token_ppm"),
-        when(col("total_grams").isNotNull, call_function("div",
+            col("total_tokens"))).otherwise(lit(-1L)).as("dup_token_ppm"),
+        when(col("total_grams") > 0, call_function("div",
             (col("total_grams") - col("distinct_grams")) * lit(1000000L),
-            col("total_grams"))).as("dup_gram_ppm"),
-        when(col("total_grams").isNotNull, call_function("div",
+            col("total_grams"))).otherwise(lit(-1L)).as("dup_gram_ppm"),
+        when(col("total_grams") > 0, call_function("div",
             col("top_gram_count") * lit(1000000L),
-            col("total_grams"))).as("top_gram_ppm"))
+            col("total_grams"))).otherwise(lit(-1L)).as("top_gram_ppm"))
   }
 
   val textRepetitionSql: String =
@@ -114,15 +117,15 @@ object Corpus {
        |  COALESCE(gs.distinct_grams, 0) AS distinct_grams,
        |  gs.top_gram,
        |  COALESCE(gs.top_gram_count, 0) AS top_gram_count,
-       |  CASE WHEN s.total_tokens > 0
+       |  CAST(CASE WHEN s.total_tokens > 0
        |    THEN ((s.total_tokens - s.distinct_tokens) * 1000000) // s.total_tokens
-       |    END AS dup_token_ppm,
-       |  CASE WHEN gs.total_grams IS NOT NULL
+       |    ELSE -1 END AS BIGINT) AS dup_token_ppm,
+       |  CAST(CASE WHEN gs.total_grams > 0
        |    THEN ((gs.total_grams - gs.distinct_grams) * 1000000) // gs.total_grams
-       |    END AS dup_gram_ppm,
-       |  CASE WHEN gs.total_grams IS NOT NULL
+       |    ELSE -1 END AS BIGINT) AS dup_gram_ppm,
+       |  CAST(CASE WHEN gs.total_grams > 0
        |    THEN (gs.top_gram_count * 1000000) // gs.total_grams
-       |    END AS top_gram_ppm
+       |    ELSE -1 END AS BIGINT) AS top_gram_ppm
        |FROM tok_stats s
        |LEFT JOIN gram_stats gs ON gs.doc_id = s.doc_id""".stripMargin
 

@@ -54,6 +54,27 @@ def main():
                 k = pandas_kind(df[c])
                 if risky(k):
                     notes.append(f"duck:{c}={ddl_types.get(c)}->{k}")
+                elif k == "object" and df[c].map(
+                        lambda v: type(v).__name__ == "Decimal").any():
+                    notes.append(f"duck:{c}={ddl_types.get(c)}->object(Decimal)")
+            # a NULL anywhere in an integer column (not just the 50-row
+            # sample) coerces the whole column to float64 on the pandas
+            # bridge — probe the full result, not the sample
+            int_cols = [c for c, t in ddl_types.items()
+                        if t.upper() in ("BIGINT", "INTEGER", "SMALLINT",
+                                         "TINYINT", "HUGEINT", "UBIGINT",
+                                         "UINTEGER")]
+            if int_cols:
+                probes = ", ".join(
+                    f'COUNT(*) FILTER ("{c}" IS NULL) AS "{c}"'
+                    for c in int_cols)
+                nulls = con.sql(
+                    f"SELECT {probes} FROM ({sql})").fetchone()
+                for c, n in zip(int_cols, nulls):
+                    if n:
+                        notes.append(
+                            f"duck:{c}={ddl_types.get(c)} has {n} NULLs"
+                            "->float64 on pandas bridge")
         except Exception as e:
             notes.append(f"duck:ERR {str(e)[:120]}")
         if notes:
