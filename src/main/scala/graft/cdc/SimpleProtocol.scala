@@ -140,4 +140,103 @@ object SimpleProtocol {
        |    ',"buildTs":', MAX(commit_ts), '}') AS value
        |FROM changelog""".stripMargin
   }
+
+  /** A45 — simple-protocol DECODE, the consumer side of [[messages]]
+    * (reference: pkg/sink/codec/simple/decoder.go:87-307). Every
+    * message classifies exactly as the reference's `HasNext` does —
+    * ROW when a data/old image is present, RESOLVED for watermarks,
+    * DDL otherwise (bootstrap rides the DDL path) — and each ROW
+    * resolves its schema by exact (schema, table, schemaVersion)
+    * lookup against the cache the BOOTSTRAP/DDL messages populate
+    * (decoder.go:309-356 `memoryTableInfoProvider.Read`).
+    *
+    * The provider is an in-memory map in the reference; here it is the
+    * deduplicated schema frame of the same stream, broadcast into a
+    * left join — tables × versions rows, trivially broadcastable at
+    * any corpus scale, so resolution adds zero shuffles to the
+    * row-local JSON extraction. `schema_cols` carries the resolved
+    * column count (-1 ≙ the reference's cache-miss path, where the
+    * consumer parks the message until its DDL arrives; a batch decode
+    * has the whole stream, so only the schema-less WATERMARK rows
+    * miss). Absent numerics take -1 sentinels, never NULL (oracle
+    * pandas-bridge contract). */
+  def decode(cl: DataFrame): DataFrame = {
+    val msgs = messages(cl)
+    def js(p: String): Column = get_json_object(col("value"), p)
+    val decoded = msgs.select(
+      // probe scalars, not objects: engines agree on scalar extraction
+      when(js("$.data.pk").isNotNull || js("$.old.pk").isNotNull, "ROW")
+        .when(js("$.type") === "WATERMARK", "RESOLVED")
+        .otherwise(lit("DDL")).as("msg_kind"),
+      js("$.commitTs").cast("long").as("commit_ts"),
+      coalesce(js("$.database"), js("$.tableSchema.schema")).as("schema_name"),
+      coalesce(js("$.table"), js("$.tableSchema.table")).as("table_name"),
+      when(js("$.type") === "INSERT", "I").when(js("$.type") === "DELETE", "D")
+        .when(js("$.type") === "UPDATE", "U").as("op"),
+      when(js("$.type").isin("CREATE", "ALTER", "BOOTSTRAP"), js("$.type"))
+        .as("ddl_type"),
+      js("$.sql").as("ddl_sql"),
+      coalesce(js("$.data.pk"), js("$.old.pk"), lit(-1)).cast("long").as("pk"),
+      js("$.data.value").cast("double").as("after_value"),
+      js("$.old.value").cast("double").as("before_value"),
+      coalesce(js("$.schemaVersion"), js("$.tableSchema.version"), lit(-1))
+        .cast("long").as("schema_version"))
+    val schemas = msgs
+      .filter(col("msg_type").isin("BOOTSTRAP", "DDL"))
+      .select(
+        js("$.tableSchema.schema").as("schema_name"),
+        js("$.tableSchema.table").as("table_name"),
+        js("$.tableSchema.version").cast("long").as("schema_version"),
+        json_array_length(js("$.tableSchema.columns")).cast("long")
+          .as("schema_cols"))
+      .distinct() // bootstrap v0 and the CREATE DDL write the same entry
+    decoded
+      .join(broadcast(schemas),
+        Seq("schema_name", "table_name", "schema_version"), "left")
+      .select(col("msg_kind"), col("commit_ts"), col("schema_name"),
+        col("table_name"), col("op"), col("ddl_type"), col("ddl_sql"),
+        col("pk"), col("after_value"), col("before_value"),
+        col("schema_version"),
+        coalesce(col("schema_cols"), lit(-1L)).as("schema_cols"))
+  }
+
+  def decodeSql: String = {
+    def js(p: String) = s"json_extract_string(value, '$p')"
+    s"""WITH msgs AS ($messagesSql),
+       |decoded AS (
+       |  SELECT
+       |    CASE WHEN ${js("$.data.pk")} IS NOT NULL
+       |           OR ${js("$.old.pk")} IS NOT NULL THEN 'ROW'
+       |         WHEN ${js("$.type")} = 'WATERMARK' THEN 'RESOLVED'
+       |         ELSE 'DDL' END AS msg_kind,
+       |    CAST(${js("$.commitTs")} AS BIGINT) AS commit_ts,
+       |    COALESCE(${js("$.database")}, ${js("$.tableSchema.schema")}) AS schema_name,
+       |    COALESCE(${js("$.table")}, ${js("$.tableSchema.table")}) AS table_name,
+       |    CASE ${js("$.type")} WHEN 'INSERT' THEN 'I' WHEN 'DELETE' THEN 'D'
+       |      WHEN 'UPDATE' THEN 'U' END AS op,
+       |    CASE WHEN ${js("$.type")} IN ('CREATE', 'ALTER', 'BOOTSTRAP')
+       |      THEN ${js("$.type")} END AS ddl_type,
+       |    ${js("$.sql")} AS ddl_sql,
+       |    CAST(COALESCE(${js("$.data.pk")}, ${js("$.old.pk")}, '-1') AS BIGINT) AS pk,
+       |    CAST(${js("$.data.value")} AS DOUBLE) AS after_value,
+       |    CAST(${js("$.old.value")} AS DOUBLE) AS before_value,
+       |    CAST(COALESCE(${js("$.schemaVersion")}, ${js("$.tableSchema.version")}, '-1') AS BIGINT) AS schema_version
+       |  FROM msgs
+       |),
+       |schemas AS (
+       |  SELECT DISTINCT
+       |    ${js("$.tableSchema.schema")} AS schema_name,
+       |    ${js("$.tableSchema.table")} AS table_name,
+       |    CAST(${js("$.tableSchema.version")} AS BIGINT) AS schema_version,
+       |    CAST(json_array_length(value, '$$.tableSchema.columns') AS BIGINT) AS schema_cols
+       |  FROM msgs WHERE msg_type IN ('BOOTSTRAP', 'DDL')
+       |)
+       |SELECT d.msg_kind, d.commit_ts, d.schema_name, d.table_name, d.op,
+       |  d.ddl_type, d.ddl_sql, d.pk, d.after_value, d.before_value,
+       |  d.schema_version, COALESCE(s.schema_cols, -1) AS schema_cols
+       |FROM decoded d
+       |LEFT JOIN schemas s
+       |  ON d.schema_name = s.schema_name AND d.table_name = s.table_name
+       | AND d.schema_version = s.schema_version""".stripMargin
+  }
 }

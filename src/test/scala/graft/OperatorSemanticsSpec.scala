@@ -221,6 +221,37 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       cl.filter(col("op") =!= "D").count())
   }
 
+  test("simple-protocol decode inverts the encoder and resolves every ROW's schema") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val dec = cdc.SimpleProtocol.decode(cl).cache()
+    // ROW rows reproduce the changelog at codec precision (%.4f wire)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("commit_ts"), col("schema_name"), col("table_name"), col("op"),
+      col("pk"), round(col("before_value"), 4).as("b"),
+      round(col("after_value"), 4).as("a"))
+    val src = canon(cl)
+    val rows = canon(dec.filter(col("msg_kind") === "ROW"))
+    assert(rows.exceptAll(src).isEmpty && src.exceptAll(rows).isEmpty,
+      "decode(encode(changelog)) ROW stream must reproduce the changelog")
+    // the memoryTableInfoProvider analogue: every ROW's (schema, table,
+    // schemaVersion) hits the cache the BOOTSTRAP/DDL messages built —
+    // nothing takes the reference's park-until-DDL path in batch
+    assert(dec.filter(col("msg_kind") === "ROW")
+      .filter(col("schema_cols") =!= 3L).count() == 0,
+      "every DML must resolve its 3-column schema by exact version")
+    // schemaVersion is the as-of version of the event's commitTs
+    assert(dec.filter(col("msg_kind") === "ROW")
+      .filter(col("schema_version") =!=
+        expr(s"commit_ts div ${cdc.SchemaStore.step}")).count() == 0)
+    // exactly one RESOLVED message, carrying the stream's high watermark
+    val res = dec.filter(col("msg_kind") === "RESOLVED").collect()
+    assert(res.length == 1)
+    assert(res.head.getAs[Long]("commit_ts") ==
+      cl.agg(max(col("commit_ts"))).head.getLong(0))
+    // watermark is the only cache miss (it names no table)
+    assert(dec.filter(col("schema_cols") === -1L).count() == 1)
+  }
+
   test("multi-probe ANN candidates are a superset of exact-bucket candidates") {
     // every (query, neighbor) from single-cell probing must also surface
     // with multi-probe enabled (the extra cells only add candidates)

@@ -51,8 +51,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // is the IVF index build (centroids are k rows).
     // doc_tfidf: the 1-row corpus-size scalar broadcast (same shape as
     // q_scalar_subquery).
+    // codec_simple_decode re-plans the codec_simple stream and inherits
+    // its schema-version-grid broadcast; its own schema-cache join is a
+    // BroadcastHashJoin.
     val tinyBroadcastByDesign = Set("q_scalar_subquery",
       "cdc_schema_asof", "cdc_ddl_events", "cdc_ddl_filter_rich", "codec_simple",
+      "codec_simple_decode",
       "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf", "doc_tfidf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
