@@ -87,6 +87,7 @@ object SparkEntry {
     "codec_craft" -> ((s, d) => Craft.frame(cl(s, d))),
     "codec_avro_binary" -> ((s, d) => AvroBinary.messages(cl(s, d))),
     "codec_simple_decode" -> ((s, d) => SimpleProtocol.decode(cl(s, d))),
+    "codec_checksum" -> ((s, d) => Checksum.verify(cl(s, d))),
     "codec_canal_decode" -> ((s, d) => Codecs.canalJsonDecode(cl(s, d))),
     "codec_open_decode" -> ((s, d) => Codecs.openProtocolDecode(cl(s, d))),
     "codec_debezium_decode" -> ((s, d) => Codecs.debeziumDecode(cl(s, d))),
@@ -170,6 +171,7 @@ object SparkEntry {
     "codec_craft" -> o(Craft.frameSql),
     "codec_avro_binary" -> o(AvroBinary.messagesSql()),
     "codec_simple_decode" -> o(SimpleProtocol.decodeSql),
+    "codec_checksum" -> o(Checksum.verifySql),
     "codec_canal_decode" -> o(Codecs.canalJsonDecodeSql),
     "codec_open_decode" -> o(Codecs.openProtocolDecodeSql),
     "codec_debezium_decode" -> o(Codecs.debeziumDecodeSql),

@@ -1,0 +1,207 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** Row-level checksums — the engine's equivalent of TiCDC's integrity
+  * checking (reference: pkg/sink/codec/common/verify_checksum.go:36-107
+  * `VerifyChecksum`/`calculateChecksum`/`buildChecksumBytes`): the
+  * producer computes a digest over the typed column values of each row
+  * image (current = after image, previous = before image), ships it in
+  * the message, and the consumer recomputes it from the decoded
+  * columns — a mismatch means corruption in transit.
+  *
+  * Layout follows `buildChecksumBytes`: columns digested in schema
+  * order, each contributing a typed encoding — integers fixed-width
+  * (reference: 8-byte LE uint64; here 16 upper-hex chars, identical in
+  * every engine's `hex`), doubles by their wire rendering
+  * (reference requires string mode for checksummed decimals; our wire
+  * money form IS the %.4f string), strings/JSON length-prefixed
+  * (`appendLengthValue`). NULL columns contribute nothing (reference
+  * skips nil values), and an absent image carries checksum 0, the
+  * reference's "not enabled" sentinel that skips verification. The
+  * digest is the engine-portable 60-bit md5 ([[Portable.hash60]])
+  * rather than crc32.Update — DuckDB has no crc32, and the contract
+  * (deterministic, order-sensitive, typed) lives in the layout, not
+  * the polynomial.
+  *
+  * Everything is row-local codegen'd string work — zero shuffles at
+  * any scale. The wire message embeds `props` as an escaped JSON
+  * string (not a raw object): JSON string unescape is standardized, so
+  * the consumer recovers the exact producer bytes, while raw-object
+  * re-extraction is whitespace-normalized differently per engine.
+  */
+object Checksum {
+
+  // ---- typed layout contributions (encode side: raw columns) ----
+
+  /** fixed-width integer contribution: "I" + 16 upper-hex chars. */
+  private def intB(c: Column): Column =
+    concat(lit("I"), lpad(hex(c), 16, "0"))
+  private def intBSql(e: String): String =
+    s"CONCAT('I', LPAD(TO_HEX($e), 16, '0'))"
+
+  /** double contribution via its %.4f wire string, length-prefixed;
+    * NULL contributes nothing. */
+  private def numB(c: Column): Column =
+    when(c.isNull, lit("")).otherwise(concat(lit("D"),
+      octet_length(format_string("%.4f", c)), lit(":"),
+      format_string("%.4f", c)))
+  private def numBSql(e: String): String =
+    s"""CASE WHEN $e IS NULL THEN '' ELSE CONCAT('D',
+       | octet_length(encode(printf('%.4f', $e))), ':', printf('%.4f', $e)) END""".stripMargin
+
+  /** string/JSON contribution, length-prefixed; NULL contributes nothing. */
+  private def strB(c: Column): Column =
+    when(c.isNull, lit(""))
+      .otherwise(concat(lit("S"), octet_length(c), lit(":"), c))
+  private def strBSql(e: String): String =
+    s"CASE WHEN $e IS NULL THEN '' ELSE CONCAT('S', octet_length(encode($e)), ':', $e) END"
+
+  // ---- image digests over the changelog columns ----
+
+  /** current-image checksum: (pk, after_value, props) in schema order;
+    * 0 for DELETE (no after image). */
+  def current: Column = when(col("op") === "D", lit(0L)).otherwise(
+    Portable.hash60(concat(intB(col("pk")), numB(col("after_value")),
+      strB(col("props")))))
+  def currentSql: String =
+    s"""CASE WHEN op = 'D' THEN 0 ELSE ${Portable.hash60Sql(
+      s"CONCAT(${intBSql("pk")}, ${numBSql("after_value")}, ${strBSql("props")})")} END"""
+
+  /** previous-image checksum: (pk, before_value); 0 for INSERT. */
+  def previous: Column = when(col("op") === "I", lit(0L)).otherwise(
+    Portable.hash60(concat(intB(col("pk")), numB(col("before_value")))))
+  def previousSql: String =
+    s"""CASE WHEN op = 'I' THEN 0 ELSE ${Portable.hash60Sql(
+      s"CONCAT(${intBSql("pk")}, ${numBSql("before_value")})")} END"""
+
+  // ---- wire messages with embedded checksums ----
+
+  /** JSON-string escape so the consumer's unescape recovers the exact
+    * producer bytes. */
+  private def esc(c: Column): Column =
+    call_function("replace",
+      call_function("replace", c, lit("\\"), lit("\\\\")),
+      lit("\""), lit("\\\""))
+  // raw interpolator: the backslashes must reach DuckDB literally
+  private def escSql(e: String): String =
+    raw"""replace(replace($e, '\', '\\'), '"', '\"')"""
+
+  /** checksum-carrying message stream: one message per event with both
+    * digests and the images the consumer recomputes them from. */
+  def messages(cl: DataFrame): DataFrame = {
+    val opWord = when(col("op") === "I", lit("INSERT"))
+      .when(col("op") === "D", lit("DELETE")).otherwise(lit("UPDATE"))
+    val vStr = (c: Column) =>
+      when(c.isNull, lit("null"))
+        .otherwise(concat(lit("\""), format_string("%.4f", c), lit("\"")))
+    cl.select(col("commit_ts"), concat(
+      lit("{\"cur\":"), current,
+      lit(",\"prev\":"), previous,
+      lit(",\"database\":\""), col("schema_name"),
+      lit("\",\"table\":\""), col("table_name"),
+      lit("\",\"commitTs\":"), col("commit_ts"),
+      lit(",\"type\":\""), opWord, lit("\""),
+      when(col("op") =!= "D", concat(
+        lit(",\"data\":{\"pk\":"), col("pk"),
+        lit(",\"value\":"), vStr(col("after_value")),
+        lit(",\"props\":\""), esc(col("props")), lit("\"}"))).otherwise(lit("")),
+      when(col("op") =!= "I", concat(
+        lit(",\"old\":{\"pk\":"), col("pk"),
+        lit(",\"value\":"), vStr(col("before_value")), lit("}"))).otherwise(lit("")),
+      lit("}")).as("value"))
+  }
+
+  def messagesSql: String = {
+    val vStr = (e: String) =>
+      s"""CASE WHEN $e IS NULL THEN 'null'
+         | ELSE CONCAT('"', printf('%.4f', $e), '"') END""".stripMargin
+    s"""SELECT commit_ts, CONCAT(
+       |  '{"cur":', $currentSql,
+       |  ',"prev":', $previousSql,
+       |  ',"database":"', schema_name,
+       |  '","table":"', table_name,
+       |  '","commitTs":', commit_ts,
+       |  ',"type":"', CASE op WHEN 'I' THEN 'INSERT' WHEN 'D' THEN 'DELETE' ELSE 'UPDATE' END, '"',
+       |  CASE WHEN op <> 'D' THEN CONCAT(',"data":{"pk":', pk,
+       |    ',"value":', ${vStr("after_value")},
+       |    ',"props":"', ${escSql("props")}, '"}') ELSE '' END,
+       |  CASE WHEN op <> 'I' THEN CONCAT(',"old":{"pk":', pk,
+       |    ',"value":', ${vStr("before_value")}, '}') ELSE '' END,
+       |  '}') AS value
+       |FROM changelog""".stripMargin
+  }
+
+  // ---- consumer-side verification ----
+
+  /** A46 — `VerifyChecksum`: decode each message, recompute both
+    * digests from the DECODED columns, compare with the embedded ones.
+    * `verified` is 'ok' or 'corrupt'; a 0 checksum skips that image's
+    * check exactly as the reference does. Takes the message frame, not
+    * the changelog, so a tampered stream can be fed through (see the
+    * tamper spec). */
+  def verifyMessages(msgs: DataFrame): DataFrame = {
+    def js(p: String): Column = get_json_object(col("value"), p)
+    val pkCol = coalesce(js("$.data.pk"), js("$.old.pk")).cast("long")
+    val curRe = when(js("$.data.pk").isNull, lit(0L)).otherwise(
+      Portable.hash60(concat(intB(pkCol), numB(js("$.data.value").cast("double")),
+        strB(js("$.data.props")))))
+    val prevRe = when(js("$.old.pk").isNull, lit(0L)).otherwise(
+      Portable.hash60(concat(intB(pkCol), numB(js("$.old.value").cast("double")))))
+    msgs.select(
+      js("$.database").as("schema_name"),
+      js("$.table").as("table_name"),
+      js("$.commitTs").cast("long").as("commit_ts"),
+      when(js("$.type") === "INSERT", "I").when(js("$.type") === "DELETE", "D")
+        .otherwise(lit("U")).as("op"),
+      pkCol.as("pk"),
+      js("$.cur").cast("long").as("current_checksum"),
+      js("$.prev").cast("long").as("previous_checksum"),
+      curRe.as("current_recomputed"),
+      prevRe.as("previous_recomputed"))
+      .withColumn("verified",
+        when(col("current_checksum") =!= 0L &&
+             col("current_recomputed") =!= col("current_checksum"), "corrupt")
+        .when(col("previous_checksum") =!= 0L &&
+              col("previous_recomputed") =!= col("previous_checksum"), "corrupt")
+        .otherwise(lit("ok")))
+  }
+
+  /** The oracle-checked round trip: verify(encode(changelog)). */
+  def verify(cl: DataFrame): DataFrame = verifyMessages(messages(cl))
+
+  def verifySql: String = {
+    def js(p: String) = s"json_extract_string(value, '$p')"
+    val pkE = s"CAST(COALESCE(${js("$.data.pk")}, ${js("$.old.pk")}) AS BIGINT)"
+    val curRe =
+      s"""CASE WHEN ${js("$.data.pk")} IS NULL THEN 0 ELSE ${Portable.hash60Sql(
+        s"CONCAT(${intBSql(pkE)}, ${numBSql(s"CAST(${js("$.data.value")} AS DOUBLE)")}, ${strBSql(js("$.data.props"))})")} END"""
+    val prevRe =
+      s"""CASE WHEN ${js("$.old.pk")} IS NULL THEN 0 ELSE ${Portable.hash60Sql(
+        s"CONCAT(${intBSql(pkE)}, ${numBSql(s"CAST(${js("$.old.value")} AS DOUBLE)")})")} END"""
+    s"""WITH msgs AS ($messagesSql),
+       |dec AS (
+       |  SELECT
+       |    ${js("$.database")} AS schema_name,
+       |    ${js("$.table")} AS table_name,
+       |    CAST(${js("$.commitTs")} AS BIGINT) AS commit_ts,
+       |    CASE ${js("$.type")} WHEN 'INSERT' THEN 'I' WHEN 'DELETE' THEN 'D'
+       |      ELSE 'U' END AS op,
+       |    $pkE AS pk,
+       |    CAST(${js("$.cur")} AS BIGINT) AS current_checksum,
+       |    CAST(${js("$.prev")} AS BIGINT) AS previous_checksum,
+       |    CAST($curRe AS BIGINT) AS current_recomputed,
+       |    CAST($prevRe AS BIGINT) AS previous_recomputed
+       |  FROM msgs
+       |)
+       |SELECT *,
+       |  CASE WHEN current_checksum <> 0
+       |        AND current_recomputed <> current_checksum THEN 'corrupt'
+       |       WHEN previous_checksum <> 0
+       |        AND previous_recomputed <> previous_checksum THEN 'corrupt'
+       |       ELSE 'ok' END AS verified
+       |FROM dec""".stripMargin
+  }
+}

@@ -252,6 +252,32 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(dec.filter(col("schema_cols") === -1L).count() == 1)
   }
 
+  test("row checksum verifies clean streams and catches a single flipped byte") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val msgs = cdc.Checksum.messages(cl).cache()
+    // clean stream: every row verifies
+    val clean = cdc.Checksum.verifyMessages(msgs)
+    assert(clean.filter(col("verified") =!= "ok").count() == 0)
+    // checksums cover both images: inserts carry cur only, deletes prev
+    // only (0 = the reference's "not enabled, skip" sentinel)
+    assert(clean.filter(col("op") === "I")
+      .filter(col("current_checksum") === 0L || col("previous_checksum") =!= 0L)
+      .count() == 0)
+    assert(clean.filter(col("op") === "D")
+      .filter(col("previous_checksum") === 0L || col("current_checksum") =!= 0L)
+      .count() == 0)
+    // tamper: flip one digit inside the after-image value payload of
+    // every message that has one; exactly those rows must flag corrupt
+    val tampered = msgs.withColumn("value",
+      regexp_replace(col("value"), "\"data\":\\{\"pk\":(\\d)", "\"data\":{\"pk\":9$1"))
+    val ver = cdc.Checksum.verifyMessages(tampered).cache()
+    val nWithData = cl.filter(col("op") =!= "D").count()
+    assert(ver.filter(col("verified") === "corrupt").count() == nWithData,
+      "every tampered after-image must be caught")
+    // the before-image digest stays valid: deletes (untouched) verify
+    assert(ver.filter(col("op") === "D").filter(col("verified") =!= "ok").count() == 0)
+  }
+
   test("multi-probe ANN candidates are a superset of exact-bucket candidates") {
     // every (query, neighbor) from single-cell probing must also surface
     // with multi-probe enabled (the extra cells only add candidates)
