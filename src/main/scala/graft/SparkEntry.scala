@@ -22,6 +22,10 @@ object SparkEntry {
     Seq("db1.t2") -> "")                      // empty rule -> default topic
   private val defaultTopic  = "changefeed-default"
   private val claimMaxBytes = 180
+  // claim-check threshold with the compression model on: the ~2.5x
+  // modeled ratio pulls canal payloads to 61-80 bytes; 75 exercises
+  // both branches
+  private val compressMaxBytes = 75
   // regex-only demo rule (type-ignore stays empty so the frame is
   // non-empty even at sf0.001 where only v0 CREATE DDLs exist;
   // A18 already demos the type-taxonomy path)
@@ -88,6 +92,8 @@ object SparkEntry {
     "codec_avro_binary" -> ((s, d) => AvroBinary.messages(cl(s, d))),
     "codec_simple_decode" -> ((s, d) => SimpleProtocol.decode(cl(s, d))),
     "codec_checksum" -> ((s, d) => Checksum.verify(cl(s, d))),
+    "codec_craft_decode" -> ((s, d) => Craft.decode(Craft.frame(cl(s, d)))),
+    "sink_compression" -> ((s, d) => Sinks.compressedClaimCheck(cl(s, d), nParts, compressMaxBytes)),
     "codec_canal_decode" -> ((s, d) => Codecs.canalJsonDecode(cl(s, d))),
     "codec_open_decode" -> ((s, d) => Codecs.openProtocolDecode(cl(s, d))),
     "codec_debezium_decode" -> ((s, d) => Codecs.debeziumDecode(cl(s, d))),
@@ -172,6 +178,8 @@ object SparkEntry {
     "codec_avro_binary" -> o(AvroBinary.messagesSql()),
     "codec_simple_decode" -> o(SimpleProtocol.decodeSql),
     "codec_checksum" -> o(Checksum.verifySql),
+    "codec_craft_decode" -> o(Craft.decodeSql),
+    "sink_compression" -> o(Sinks.compressedClaimCheckSql(nParts, compressMaxBytes)),
     "codec_canal_decode" -> o(Codecs.canalJsonDecodeSql),
     "codec_open_decode" -> o(Codecs.openProtocolDecodeSql),
     "codec_debezium_decode" -> o(Codecs.debeziumDecodeSql),

@@ -53,13 +53,13 @@ object Craft {
   private val Flags = Seq(10, 64, 64, 64)
 
   /** protobuf-style uvarint byte length (message_encoder.go:51). */
-  private def uvarintLen(c: Column): Column = {
+  private[cdc] def uvarintLen(c: Column): Column = {
     val first = when(c < lit(128L), 1)
     (2 to 8).foldLeft(first)((acc, n) => acc.when(c < lit(1L << (7 * n)), n))
       .otherwise(9)
   }
 
-  private def uvarintLenSql(e: String): String = {
+  private[cdc] def uvarintLenSql(e: String): String = {
     val mids = (2 to 8)
       .map(n => s"WHEN ($e) < ${1L << (7 * n)} THEN $n").mkString(" ")
     s"(CASE WHEN ($e) < 128 THEN 1 $mids ELSE 9 END)"
@@ -177,6 +177,104 @@ object Craft {
         col("size_tables_size").cast("long").as("size_tables_size"),
         (lit(1) + col("header_size") + col("body_size") + col("dict_size") +
           col("size_tables_size")).cast("long").as("msg_size"))
+
+  /** A47 — craft DECODE over the layout frame (reference:
+    * craft_decoder.go:34-160 `batchDecoder` + message_decoder.go).
+    * The reference consumer parses tail-first: the reversed-uvarint
+    * size tables at the end of the buffer give every section's byte
+    * size, the decoder slices header/body/dict by those sizes with
+    * bounds checks (`ErrCraftCodecInvalidData` on any underflow), then
+    * reads the envelope from the headers and the image layout from the
+    * group frames. This operator is that consumer over the layout
+    * frame: it recovers the section OFFSETS a byte slicer would use,
+    * re-derives the event envelope (op from the group-type list, image
+    * presence from the group budgets), and re-runs every structural
+    * invariant the reference's bounds checks enforce — recomputing the
+    * group sizes and size-table bytes from the payload lengths and
+    * comparing. `verified` = 'corrupt' ≙ the reference's decode error.
+    * Row-local, zero shuffle; tamper spec flips one size and is caught. */
+  def decode(frame: DataFrame): DataFrame = {
+    def present(c: Column): Column = c =!= lit(-1L)
+    def nn(c: Column): Column = call_function("nullif", c, lit(-1L))
+    // LAYERED like [[frame]]: each recomputed size is its own aliased
+    // column so no zzLen CASE-tree is expanded twice — a single flat
+    // projection here re-expands tables_pre inside uvarintLen and falls
+    // out of JIT (codegen method too long, interpreted fallback)
+    frame
+      .withColumn("op_dec", when(col("group_types") === "1", "I")
+        .when(col("group_types") === "2", "D").otherwise(lit("U")))
+      .withColumn("new_re", when(present(col("new_group_size")),
+        groupSize(col("pk_len"), nn(col("new_value_len")),
+          col("props_len"), col("event_type_len")).cast("long"))
+        .otherwise(lit(-1L)))
+      .withColumn("old_re", when(present(col("old_group_size")),
+        groupSize(col("pk_len"), nn(col("old_value_len")),
+          col("props_len"), col("event_type_len")).cast("long"))
+        .otherwise(lit(-1L)))
+      .withColumn("tables_pre_re",
+        (lit(1) + zzLen(col("header_size")) +
+          zzLen(col("dict_size") - col("header_size"))) +
+        (lit(1) + zzLen(col("body_size"))) +
+        (lit(1) + zzLen(coalesce(nn(col("new_group_size")), col("old_group_size"))) +
+          when(col("op_dec") === "U",
+            zzLen(col("old_group_size") - col("new_group_size"))).otherwise(lit(0))))
+      .withColumn("sizes_re",
+        (col("tables_pre_re") + uvarintLen(col("tables_pre_re"))).cast("long"))
+      .select(
+        col("schema_name"), col("table_name"), col("commit_ts"),
+        col("op_dec").as("op"),
+        lit(1L).as("header_offset"),
+        (lit(1L) + col("header_size")).as("body_offset"),
+        (lit(1L) + col("header_size") + col("body_size")).as("dict_offset"),
+        (col("msg_size") - col("size_tables_size")).as("sizes_offset"),
+        col("new_group_size").as("new_group_bytes"),
+        col("old_group_size").as("old_group_bytes"),
+        when(col("msg_size") =!= lit(1L) + col("header_size") + col("body_size") +
+               col("dict_size") + col("size_tables_size"), "corrupt")
+          .when(col("header_size") =!= uvarintLen(col("commit_ts")) + lit(4), "corrupt")
+          .when(col("body_size") =!= greatest(col("new_group_size"), lit(0L)) +
+            greatest(col("old_group_size"), lit(0L)), "corrupt")
+          .when(col("new_group_size") =!= col("new_re"), "corrupt")
+          .when(col("old_group_size") =!= col("old_re"), "corrupt")
+          .when(col("size_tables_size") =!= col("sizes_re"), "corrupt")
+          .otherwise(lit("ok")).as("verified"))
+  }
+
+  /** verify(decode(frame(changelog))) — the oracle-checked round trip. */
+  def decodeSql: String = {
+    def nn(e: String) = s"NULLIF($e, -1)"
+    val opE = "CASE group_types WHEN '1' THEN 'I' WHEN '2' THEN 'D' ELSE 'U' END"
+    val newRe =
+      s"""CASE WHEN new_group_size <> -1 THEN ${groupSizeSql("pk_len",
+        nn("new_value_len"), "props_len", "event_type_len")} ELSE -1 END"""
+    val oldRe =
+      s"""CASE WHEN old_group_size <> -1 THEN ${groupSizeSql("pk_len",
+        nn("old_value_len"), "props_len", "event_type_len")} ELSE -1 END"""
+    val bodyRe = "GREATEST(new_group_size, 0) + GREATEST(old_group_size, 0)"
+    val tablesPre =
+      s"""(1 + ${zzLenSql("header_size")} + ${zzLenSql("dict_size - header_size")})
+         | + (1 + ${zzLenSql("body_size")})
+         | + (1 + ${zzLenSql(s"COALESCE(${nn("new_group_size")}, old_group_size)")}
+         |    + CASE WHEN $opE = 'U'
+         |        THEN ${zzLenSql("old_group_size - new_group_size")} ELSE 0 END)""".stripMargin
+    s"""WITH frame AS ($frameSql)
+       |SELECT schema_name, table_name, commit_ts, $opE AS op,
+       |  CAST(1 AS BIGINT) AS header_offset,
+       |  1 + header_size AS body_offset,
+       |  1 + header_size + body_size AS dict_offset,
+       |  msg_size - size_tables_size AS sizes_offset,
+       |  new_group_size AS new_group_bytes,
+       |  old_group_size AS old_group_bytes,
+       |  CASE
+       |    WHEN msg_size <> 1 + header_size + body_size + dict_size + size_tables_size THEN 'corrupt'
+       |    WHEN header_size <> ${uvarintLenSql("commit_ts")} + 4 THEN 'corrupt'
+       |    WHEN body_size <> $bodyRe THEN 'corrupt'
+       |    WHEN new_group_size <> $newRe THEN 'corrupt'
+       |    WHEN old_group_size <> $oldRe THEN 'corrupt'
+       |    WHEN size_tables_size <> ($tablesPre) + ${uvarintLenSql(s"($tablesPre)")} THEN 'corrupt'
+       |    ELSE 'ok' END AS verified
+       |FROM frame""".stripMargin
+  }
 
   /** DuckDB oracle for [[frame]] over the `changelog` CTE. */
   val frameSql: String = {

@@ -65,6 +65,98 @@ object Sinks {
        |FROM changelog""".stripMargin
   }
 
+  /** A48 — message-compression length model feeding the claim-check
+    * threshold (reference: pkg/sink/codec/common/compress.go:23-41
+    * `Compress`/`Decompress`: encoded payloads are snappy/lz4-coded
+    * before the size checks, and the ratio is recorded as a metric ×100).
+    *
+    * An exact snappy byte count is not expressible in portable SQL, so
+    * this is an explicit deterministic MODEL of it, calibrated to how
+    * LZ codecs behave on codec JSON: the payload splits into its
+    * VARIABLE content (names, digit runs, money strings, props — high
+    * entropy, kept at full length) and its TEMPLATE (the constant JSON
+    * skeleton — keys, punctuation, op words — which an LZ pass reduces
+    * to back-references, modeled at 8:1), plus the codec frame overhead
+    * (stream header + block frame = 18 bytes) and the uvarint
+    * uncompressed-length prefix. The model is deterministic, monotone
+    * in payload size, engine-portable, and — the part that matters to
+    * the sink — it changes WHICH messages cross the claim-check
+    * threshold exactly the way enabling compression does in the
+    * reference. `ratio_pct` mirrors the reference's ×100 compression
+    * ratio metric as a BIGINT. Row-local, zero shuffle. */
+  def compressedClaimCheck(cl: DataFrame, n: Int, maxBytes: Int,
+                           uriPrefix: String = "s3://claim-check"): DataFrame = {
+    val fmtV = (c: org.apache.spark.sql.Column) =>
+      when(c.isNull, lit("null")).otherwise(format_string("%.4f", c))
+    val digits = (c: org.apache.spark.sql.Column) =>
+      octet_length(c.cast("string"))
+    cl.select(col("schema_name"), col("table_name"), col("commit_ts"),
+        col("start_ts"), col("pk"), col("op"), col("props"),
+        col("after_value"), col("before_value"),
+        octet_length(Codecs.canalJsonValue).as("payload_bytes"))
+      .withColumn("var_bytes",
+        octet_length(col("schema_name")) + octet_length(col("table_name")) +
+        digits(col("commit_ts")) + digits(col("start_ts")) + digits(col("pk")) +
+        octet_length(fmtV(when(col("op") === "D", col("before_value"))
+          .otherwise(col("after_value")))) +
+        octet_length(col("props")) +
+        when(col("op") === "U", octet_length(fmtV(col("before_value"))))
+          .otherwise(lit(0)))
+      .withColumn("compressed_bytes",
+        (lit(18) + Craft.uvarintLen(col("payload_bytes").cast("long")) +
+          col("var_bytes") +
+          ((col("payload_bytes") - col("var_bytes") + lit(7)) / lit(8))
+            .cast("int")).cast("long"))
+      .withColumn("claimed", col("compressed_bytes") > maxBytes)
+      .select(
+        col("commit_ts"),
+        Dispatchers.indexValueBucket(n).as("partition"),
+        col("payload_bytes").cast("long").as("payload_bytes"),
+        col("compressed_bytes"),
+        // oldSize/newSize*100, the reference's ratio metric, integral
+        (col("payload_bytes").cast("long") * 100L / col("compressed_bytes"))
+          .cast("long").as("ratio_pct"),
+        col("claimed"),
+        when(col("claimed"), concat(lit(uriPrefix + "/"), col("schema_name"),
+          lit("/"), col("table_name"), lit("/"), col("commit_ts"),
+          lit(".json.sz"))).otherwise(lit(null).cast("string"))
+          .as("claim_location"))
+  }
+
+  def compressedClaimCheckSql(n: Int, maxBytes: Int,
+                              uriPrefix: String = "s3://claim-check"): String = {
+    val fmtV = (e: String) =>
+      s"CASE WHEN $e IS NULL THEN 'null' ELSE printf('%.4f', $e) END"
+    val payload = s"octet_length(encode(${Codecs.canalJsonValueSql}))"
+    val varBytes =
+      s"""(octet_length(encode(schema_name)) + octet_length(encode(table_name))
+         | + octet_length(encode(CAST(commit_ts AS VARCHAR))) + octet_length(encode(CAST(start_ts AS VARCHAR)))
+         | + octet_length(encode(CAST(pk AS VARCHAR)))
+         | + octet_length(encode(${fmtV("CASE WHEN op = 'D' THEN before_value ELSE after_value END")}))
+         | + octet_length(encode(props))
+         | + CASE WHEN op = 'U' THEN octet_length(encode(${fmtV("before_value")})) ELSE 0 END)""".stripMargin
+    s"""WITH sized AS (
+       |  SELECT schema_name, table_name, commit_ts, pk, props, op,
+       |    ${Dispatchers.indexValueBucketSql(n)} AS partition,
+       |    $payload AS payload_bytes,
+       |    $varBytes AS var_bytes
+       |  FROM changelog
+       |), modeled AS (
+       |  SELECT *, CAST(18 + ${Craft.uvarintLenSql("payload_bytes")} + var_bytes
+       |    + (payload_bytes - var_bytes + 7) // 8 AS BIGINT) AS compressed_bytes
+       |  FROM sized
+       |)
+       |SELECT commit_ts, partition,
+       |  CAST(payload_bytes AS BIGINT) AS payload_bytes,
+       |  compressed_bytes,
+       |  CAST(payload_bytes * 100 // compressed_bytes AS BIGINT) AS ratio_pct,
+       |  compressed_bytes > $maxBytes AS claimed,
+       |  CASE WHEN compressed_bytes > $maxBytes
+       |    THEN CONCAT('$uriPrefix/', schema_name, '/', table_name, '/', commit_ts, '.json.sz')
+       |    ELSE NULL END AS claim_location
+       |FROM modeled""".stripMargin
+  }
+
   /** A32 — MySQL batched-statement frame (reference:
     * pkg/sink/mysql/sql_builder.go:56 buildInsert / :85 buildDelete /
     * :118 buildUpdate + mysql_writer.go:670 prepareDMLs): each row

@@ -278,6 +278,45 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(ver.filter(col("op") === "D").filter(col("verified") =!= "ok").count() == 0)
   }
 
+  test("craft decode recovers the envelope and catches a corrupted size table") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val frame = cdc.Craft.frame(cl).cache()
+    val dec = cdc.Craft.decode(frame).cache()
+    // clean frame: every structural invariant holds
+    assert(dec.filter(col("verified") =!= "ok").count() == 0)
+    // the envelope round-trips: op and identity columns match the source
+    val src = cl.select(col("schema_name"), col("table_name"),
+      col("commit_ts"), col("op"))
+    val got = dec.select(col("schema_name"), col("table_name"),
+      col("commit_ts"), col("op"))
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty)
+    // offsets tile the message exactly: sizes section ends at msg_size
+    assert(dec.join(frame.select(col("schema_name"), col("table_name"),
+        col("commit_ts"), col("msg_size"), col("size_tables_size")),
+        Seq("schema_name", "table_name", "commit_ts"))
+      .filter(col("sizes_offset") + col("size_tables_size") =!= col("msg_size"))
+      .count() == 0)
+    // tamper: shrink one section size; the slice no longer tiles
+    val bad = cdc.Craft.decode(
+      frame.withColumn("body_size", col("body_size") - 1))
+    assert(bad.filter(col("verified") =!= "corrupt").count() == 0,
+      "every row with a corrupted body size must fail verification")
+  }
+
+  test("compression model shrinks every payload and gates the claim check") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val c = cdc.Sinks.compressedClaimCheck(cl, 16, 75).cache()
+    assert(c.filter(col("compressed_bytes") >= col("payload_bytes")).count() == 0,
+      "the model must always shrink codec JSON")
+    assert(c.filter(col("ratio_pct") < 100L || col("ratio_pct") > 1000L).count() == 0,
+      "modeled ratio should stay in a plausible LZ range")
+    // claim decision is taken on the COMPRESSED size (reference applies
+    // Compress before the size checks), and the stub location follows it
+    assert(c.filter(col("claimed") =!= (col("compressed_bytes") > 75L)).count() == 0)
+    assert(c.filter(col("claimed") && col("claim_location").isNull).count() == 0)
+    assert(c.filter(!col("claimed") && col("claim_location").isNotNull).count() == 0)
+  }
+
   test("multi-probe ANN candidates are a superset of exact-bucket candidates") {
     // every (query, neighbor) from single-cell probing must also surface
     // with multi-probe enabled (the extra cells only add candidates)
