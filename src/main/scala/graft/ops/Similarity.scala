@@ -232,20 +232,36 @@ object Similarity {
     * probed lists are scored with the exact cosine on the ORIGINAL
     * vectors. More Lloyd rounds iterate the same two join shapes.
     *
-    * Honest 100 TB note: exact nearest-centroid assignment is an
-    * n×k broadcast fan-out — O(n^1.5) total work under k~√n. That is
-    * the standard IVF build cost and fine into the billions of
-    * vectors, but at extreme corpus sizes the assignment itself should
-    * be pruned (hyperplane-bucket the centroids like C7 and assign
-    * within Hamming-adjacent cells, or go hierarchical: √k coarse
-    * centroids → √k fine). The probe-side topology — the part every
-    * query pays — is unchanged either way. */
-  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 4,
-             nQueries: Int = 8, topK: Int = 3, kMin: Int = 64): DataFrame = {
+    * 100 TB path (coded, not just documented): centroid TRAINING —
+    * the seed assignment and the Lloyd mean — runs on a deterministic
+    * bounded sample, the `sampleFactor·k` lowest salted-hash rows
+    * (engine-portable ranking, so the oracle draws the identical
+    * sample). Training cost is then `sampleFactor·k² = sampleFactor·n`
+    * under k~√n — linear, and constant once `kCap` bites — instead of
+    * the full n·k. k-means quality on an i.i.d. sample of 64 rows per
+    * centroid is statistically indistinguishable from full-corpus
+    * training (the mean of 64 members concentrates), which is why
+    * every large-scale IVF library trains on a sample. The one
+    * remaining n·k pass is the FINAL list assignment — inherent to
+    * building the inverted file; at extreme corpus sizes it too can
+    * be pruned (hyperplane-bucket the centroids like C7, or go
+    * hierarchical √k→√k), which changes nothing on the probe side. */
+  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 8,
+             nQueries: Int = 8, topK: Int = 3, kMin: Int = 64,
+             kCap: Int = 4096, sampleFactor: Int = 64): DataFrame = {
     val c = corpus(spark, dir).localCheckpoint()
-    val k = math.max(kMin.toLong,
-      math.ceil(math.sqrt(c.count().toDouble)).toLong)
-    val seeds = c.filter(col("vec_id") < k)
+    val k = math.min(kCap.toLong, math.max(kMin.toLong,
+      math.ceil(math.sqrt(c.count().toDouble)).toLong))
+    val m = sampleFactor * k
+    // deterministic bounded training sample: lowest m salted hashes.
+    // orderBy+limit plans as a distributed partial top-m (TakeOrdered),
+    // not a global sort — each partition keeps m candidates.
+    val trainH = graft.functions.Portable.hash60(
+      concat(lit("ivf-train-v1:"), col("vec_id").cast("string")))
+    val sample = c.withColumn("h", trainH)
+      .orderBy(col("h"), col("vec_id")).limit(m.toInt)
+      .localCheckpoint()
+    val seeds = sample.orderBy(col("h"), col("vec_id")).limit(k.toInt)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
     def nearest(in: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
       val win = Window.partitionBy(col("vec_id"))
@@ -267,7 +283,7 @@ object Similarity {
       sum(round(col("v").getItem(i) * lit(1024.0)).cast("long")).as(s"s$i"))
     def floorDiv(num: Column, den: Column): Column =
       call_function("div", num - pmod(num, den), den)
-    val refined = nearest(c, seeds, 1)
+    val refined = nearest(sample, seeds, 1)
       .groupBy(col("cent_id"))
       .agg(qSums.head, qSums.tail :+ count(lit(1)).as("cnt"): _*)
       .select(col("cent_id"), array((0 until Dim).map(i =>
@@ -290,8 +306,9 @@ object Similarity {
       .select(col("query_id"), col("cent_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
-  def annIvfSql(nProbe: Int = 4, nQueries: Int = 8, topK: Int = 3,
-                kMin: Int = 64): String = {
+  def annIvfSql(nProbe: Int = 8, nQueries: Int = 8, topK: Int = 3,
+                kMin: Int = 64, kCap: Int = 4096,
+                sampleFactor: Int = 64): String = {
     val qSums = (0 until Dim)
       .map(i => s"SUM(CAST(ROUND(v[${i + 1}] * 1024.0, 0) AS BIGINT)) AS s$i")
       .mkString(", ")
@@ -304,13 +321,17 @@ object Similarity {
         s"CAST(($num - ((($num % cnt) + cnt) % cnt)) // cnt AS DOUBLE)"
       }
       .mkString("[", ", ", "]")
+    val trainHSql = graft.functions.Portable
+      .hash60Sql("CONCAT('ivf-train-v1:', CAST(vec_id AS VARCHAR))")
     s"""WITH $corpusSql,
-       |kk AS (SELECT GREATEST($kMin, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM c),
-       |seeds AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM c
-       |  WHERE vec_id < (SELECT k FROM kk)),
-       |s0 AS (SELECT c.vec_id, c.v, seeds.cent_id,
-       |    ROUND((${dotSql("c.v", "seeds.cv")}) / (c.nrm * seeds.cn), 4) AS sim
-       |  FROM c CROSS JOIN seeds),
+       |kk AS (SELECT LEAST($kCap, GREATEST($kMin, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS k FROM c),
+       |sample AS (SELECT *, $trainHSql AS h FROM c
+       |  ORDER BY h, vec_id LIMIT (SELECT k * $sampleFactor FROM kk)),
+       |seeds AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM sample
+       |  ORDER BY h, vec_id LIMIT (SELECT k FROM kk)),
+       |s0 AS (SELECT sample.vec_id, sample.v, seeds.cent_id,
+       |    ROUND((${dotSql("sample.v", "seeds.cv")}) / (sample.nrm * seeds.cn), 4) AS sim
+       |  FROM sample CROSS JOIN seeds),
        |a0 AS (SELECT cent_id, vec_id, v FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY sim DESC, cent_id) AS rn FROM s0
