@@ -143,24 +143,37 @@ object Checksum {
     * the changelog, so a tampered stream can be fed through (see the
     * tamper spec). */
   def verifyMessages(msgs: DataFrame): DataFrame = {
-    def js(p: String): Column = get_json_object(col("value"), p)
-    val pkCol = coalesce(js("$.data.pk"), js("$.old.pk")).cast("long")
-    val curRe = when(js("$.data.pk").isNull, lit(0L)).otherwise(
-      Portable.hash60(concat(intB(pkCol), numB(js("$.data.value").cast("double")),
-        strB(js("$.data.props")))))
-    val prevRe = when(js("$.old.pk").isNull, lit(0L)).otherwise(
-      Portable.hash60(concat(intB(pkCol), numB(js("$.old.value").cast("double")))))
-    msgs.select(
-      js("$.database").as("schema_name"),
-      js("$.table").as("table_name"),
-      js("$.commitTs").cast("long").as("commit_ts"),
-      when(js("$.type") === "INSERT", "I").when(js("$.type") === "DELETE", "D")
-        .otherwise(lit("U")).as("op"),
-      pkCol.as("pk"),
-      js("$.cur").cast("long").as("current_checksum"),
-      js("$.prev").cast("long").as("previous_checksum"),
-      curRe.as("current_recomputed"),
-      prevRe.as("previous_recomputed"))
+    // ONE from_json parse per row, then struct-field accesses: ten
+    // get_json_object calls each re-tokenized the ~250-byte message
+    // (10x the parse work — 6.9 s vs 1.5 s at sf0.1/local[32]).
+    // String-typed image fields preserve the exact wire text the
+    // digests are recomputed from.
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cur BIGINT, prev BIGINT, `database` STRING, `table` STRING, " +
+        "commitTs BIGINT, `type` STRING, " +
+        "data STRUCT<pk: BIGINT, value: STRING, props: STRING>, " +
+        "old STRUCT<pk: BIGINT, value: STRING>")
+    def m(p: String): Column = col("m").getField(p)
+    val pkCol = coalesce(m("data").getField("pk"), m("old").getField("pk"))
+    val curRe = when(m("data").isNull, lit(0L)).otherwise(
+      Portable.hash60(concat(intB(pkCol),
+        numB(m("data").getField("value").cast("double")),
+        strB(m("data").getField("props")))))
+    val prevRe = when(m("old").isNull, lit(0L)).otherwise(
+      Portable.hash60(concat(intB(pkCol),
+        numB(m("old").getField("value").cast("double")))))
+    msgs.select(from_json(col("value"), schema).as("m"))
+      .select(
+        m("database").as("schema_name"),
+        m("table").as("table_name"),
+        m("commitTs").as("commit_ts"),
+        when(m("type") === "INSERT", "I").when(m("type") === "DELETE", "D")
+          .otherwise(lit("U")).as("op"),
+        pkCol.as("pk"),
+        m("cur").as("current_checksum"),
+        m("prev").as("previous_checksum"),
+        curRe.as("current_recomputed"),
+        prevRe.as("previous_recomputed"))
       .withColumn("verified",
         when(col("current_checksum") =!= 0L &&
              col("current_recomputed") =!= col("current_checksum"), "corrupt")

@@ -162,33 +162,45 @@ object SimpleProtocol {
     * pandas-bridge contract). */
   def decode(cl: DataFrame): DataFrame = {
     val msgs = messages(cl)
-    def js(p: String): Column = get_json_object(col("value"), p)
-    val decoded = msgs.select(
-      // probe scalars, not objects: engines agree on scalar extraction
-      when(js("$.data.pk").isNotNull || js("$.old.pk").isNotNull, "ROW")
-        .when(js("$.type") === "WATERMARK", "RESOLVED")
+    // ONE from_json parse per row, then struct-field accesses — a
+    // dozen get_json_object calls each re-tokenized the message and
+    // quadrupled the decode cost at sf0.1
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "`database` STRING, `table` STRING, `type` STRING, " +
+        "commitTs BIGINT, schemaVersion BIGINT, sql STRING, " +
+        "data STRUCT<pk: BIGINT, value: DOUBLE>, " +
+        "old STRUCT<pk: BIGINT, value: DOUBLE>, " +
+        "tableSchema STRUCT<`schema`: STRING, `table`: STRING, " +
+        "version: BIGINT, columns: ARRAY<STRUCT<name: STRING>>>")
+    def m(p: String): Column = col("m").getField(p)
+    val ts = m("tableSchema")
+    val parsed = msgs.select(col("msg_type"),
+      from_json(col("value"), schema).as("m"))
+    val decoded = parsed.select(
+      when(m("data").isNotNull || m("old").isNotNull, "ROW")
+        .when(m("type") === "WATERMARK", "RESOLVED")
         .otherwise(lit("DDL")).as("msg_kind"),
-      js("$.commitTs").cast("long").as("commit_ts"),
-      coalesce(js("$.database"), js("$.tableSchema.schema")).as("schema_name"),
-      coalesce(js("$.table"), js("$.tableSchema.table")).as("table_name"),
-      when(js("$.type") === "INSERT", "I").when(js("$.type") === "DELETE", "D")
-        .when(js("$.type") === "UPDATE", "U").as("op"),
-      when(js("$.type").isin("CREATE", "ALTER", "BOOTSTRAP"), js("$.type"))
+      m("commitTs").as("commit_ts"),
+      coalesce(m("database"), ts.getField("schema")).as("schema_name"),
+      coalesce(m("table"), ts.getField("table")).as("table_name"),
+      when(m("type") === "INSERT", "I").when(m("type") === "DELETE", "D")
+        .when(m("type") === "UPDATE", "U").as("op"),
+      when(m("type").isin("CREATE", "ALTER", "BOOTSTRAP"), m("type"))
         .as("ddl_type"),
-      js("$.sql").as("ddl_sql"),
-      coalesce(js("$.data.pk"), js("$.old.pk"), lit(-1)).cast("long").as("pk"),
-      js("$.data.value").cast("double").as("after_value"),
-      js("$.old.value").cast("double").as("before_value"),
-      coalesce(js("$.schemaVersion"), js("$.tableSchema.version"), lit(-1))
-        .cast("long").as("schema_version"))
-    val schemas = msgs
+      m("sql").as("ddl_sql"),
+      coalesce(m("data").getField("pk"), m("old").getField("pk"), lit(-1L))
+        .as("pk"),
+      m("data").getField("value").as("after_value"),
+      m("old").getField("value").as("before_value"),
+      coalesce(m("schemaVersion"), ts.getField("version"), lit(-1L))
+        .as("schema_version"))
+    val schemas = parsed
       .filter(col("msg_type").isin("BOOTSTRAP", "DDL"))
       .select(
-        js("$.tableSchema.schema").as("schema_name"),
-        js("$.tableSchema.table").as("table_name"),
-        js("$.tableSchema.version").cast("long").as("schema_version"),
-        json_array_length(js("$.tableSchema.columns")).cast("long")
-          .as("schema_cols"))
+        ts.getField("schema").as("schema_name"),
+        ts.getField("table").as("table_name"),
+        ts.getField("version").as("schema_version"),
+        size(ts.getField("columns")).cast("long").as("schema_cols"))
       .distinct() // bootstrap v0 and the CREATE DDL write the same entry
     decoded
       .join(broadcast(schemas),

@@ -76,6 +76,24 @@ def skew(out, hot_frac=0.2):
     pq.write_table(t, f"{out}/events.parquet")
     print(f"[skew] events: {n} rows, ~{hot_frac:.0%} now user_id=0")
 
+def emb(out, replicas=25):
+    """Embeddings-only scale probe (timing signal for the ANN/IVF build
+    paths, which sf1x leaves unscaled): vec_id-shifted replicas, vectors
+    copied as-is. 2000 -> 50000 vectors at the default 25x."""
+    os.makedirs(out, exist_ok=True)
+    for t in list(COPY_ONLY) + list(SHIFTS):
+        if t != "embeddings":
+            shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    stride = pc.max(t["vec_id"]).as_py() + 1
+    parts = []
+    for i in range(replicas):
+        idx = t.schema.get_field_index("vec_id")
+        shifted = pc.add(t["vec_id"], i * stride).cast(t.schema.field("vec_id").type)
+        parts.append(t.set_column(idx, t.schema.field("vec_id"), shifted))
+    pq.write_table(pa.concat_tables(parts), f"{out}/embeddings.parquet")
+    print(f"[emb] embeddings: {t.num_rows} -> {t.num_rows * replicas} rows")
+
 if __name__ == "__main__":
     mode, out = sys.argv[1], sys.argv[2]
-    {"sf1x": sf1x, "skew": skew}[mode](out)
+    {"sf1x": sf1x, "skew": skew, "emb": emb}[mode](out)
