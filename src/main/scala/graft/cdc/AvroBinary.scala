@@ -38,29 +38,17 @@ object AvroBinary {
   private val HexTable: String =
     (0 until 256).map(b => f"$b%02X").mkString
 
-  /** hex of one byte (uppercase, matching hex()). */
-  private def byteHex(b: Column): Column =
-    lit(HexTable).substr((b * 2 + 1).cast("int"), lit(2))
-
   private def byteHexSql(e: String): String =
     s"substr('$HexTable', ($e) * 2 + 1, 2)"
 
   /** Zigzag-varint hex of a NON-NEGATIVE long expression (zigzag = 2n,
-    * so n must be < 2^62). Byte extraction is masked arithmetic shifts
-    * — exact for the full long range, unlike a double division which
-    * loses low bits past 2^53. All 9 length branches are emitted, so
-    * nothing truncates silently. */
-  private def zvarHex(n: Column): Column = {
-    val z = n * 2
-    def b(shift: Int, more: Boolean): Column = {
-      val part = pmod(shiftright(z, 7 * shift), lit(128L))
-      byteHex(if (more) part + lit(128L) else part)
-    }
-    def enc(k: Int): Column = concat((0 until k).map(i => b(i, i < k - 1)): _*)
-    (2 to 8).foldLeft(when(z < 128L, enc(1))) {
-      (acc, k) => acc.when(z < (1L << (7 * k)), enc(k))
-    }.otherwise(enc(9))
-  }
+    * so n must be < 2^62). Native loop-codegen expression
+    * ([[graft.functions.ZigzagVarintHex]]): the equivalent 9-arm CASE
+    * of per-byte substr terms — seven fields of it in one projection —
+    * blew the whole-stage-codegen method past the JIT limit and this
+    * codec ran interpreted (see WireExprs). Byte-identical output. */
+  private def zvarHex(n: Column): Column =
+    graft.functions.WireExprs.zvarintHex(n.cast("long"))
 
   private def zvarHexSql(e: String): String = {
     val z = s"(($e) * 2)"
@@ -87,25 +75,14 @@ object AvroBinary {
     * column: union index (varint 0 | 1), then minimal big-endian
     * unscaled cents with its varint byte-length prefix. */
   private def moneyHex(c: Column): Column = {
+    // minimal two's-complement big-endian cents + varint length prefix,
+    // emitted by the native loop ([[graft.functions.AvroBytesHex]] —
+    // truncation to the minimal k bytes IS two's complement); the cents
+    // derivation stays a Column expr so round() semantics are exactly
+    // the oracle's ROUND
     val cents = round(c * lit(100.0)).cast("long")
-    // minimal two's-complement length k: -2^(8k-1) <= cents < 2^(8k-1).
-    // The byte image is masked arithmetic shifts of the long itself —
-    // truncation to k bytes IS two's complement, and pmod keeps each
-    // byte in 0..255 for negatives. All 8 lengths are emitted, so the
-    // full long range encodes exactly.
-    def withLen(k: Int): Column = {
-      val be = concat((k - 1 to 0 by -1).map(i =>
-        byteHex(pmod(shiftright(cents, 8 * i), lit(256L)))): _*)
-      concat(zvarHex(lit(k.toLong)), be)
-    }
-    def fits(k: Int): Column = {
-      val h = 1L << (8 * k - 1)
-      cents >= -h && cents < h
-    }
-    val body = (2 to 7).foldLeft(when(fits(1), withLen(1))) {
-      (acc, k) => acc.when(fits(k), withLen(k))
-    }.otherwise(withLen(8))
-    when(c.isNull, lit("00")).otherwise(concat(lit("02"), body))
+    when(c.isNull, lit("00")).otherwise(concat(lit("02"),
+      graft.functions.WireExprs.avroBytesHex(cents)))
   }
 
   private def moneyHexSql(e: String): String = {

@@ -16,6 +16,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .withExtensions(graft.functions.VectorExprs.register)
+      .withExtensions(graft.functions.WireExprs.register)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

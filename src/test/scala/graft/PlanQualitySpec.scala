@@ -81,8 +81,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "topic_router" -> cdc.Routing.route(cl, Seq(Seq("db0.%") -> "t_{schema}"), "d"),
       "claim_check" -> cdc.Sinks.claimCheck(cl, 16, 180),
       "craft" -> cdc.Craft.frame(cl),
+      "craft_decode" -> cdc.Craft.decode(cdc.Craft.frame(cl)),
       "avro_binary" -> cdc.AvroBinary.messages(cl),
       "canal_decode" -> cdc.Codecs.canalJsonDecode(cl),
+      "checksum_verify" -> cdc.Checksum.verify(cl),
+      "compression" -> cdc.Sinks.compressedClaimCheck(cl, 16, 75),
       "data_split" -> ops.Corpus.dataSplit(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name introduces a shuffle:\n$p")
