@@ -85,19 +85,27 @@ object Codecs {
     * whitespace, and consumers treat it as opaque). */
   def canalJsonDecode(cl: DataFrame): DataFrame = {
     val v = canalJsonValue.as("value")
-    def js(path: String): Column = get_json_object(col("value"), path)
-    cl.select(v).select(
-      js("$.es").cast("long").as("commit_ts"),
-      js("$.ts").cast("long").as("start_ts"),
-      js("$.database").as("schema_name"),
-      js("$.table").as("table_name"),
-      when(js("$.type") === "INSERT", "I")
-        .when(js("$.type") === "DELETE", "D").otherwise(lit("U")).as("op"),
-      js("$.data[0].pk").cast("long").as("pk"),
-      when(js("$.type") === "DELETE", lit(null).cast("double"))
-        .otherwise(js("$.data[0].value").cast("double")).as("after_value"),
-      when(js("$.type") === "DELETE", js("$.data[0].value").cast("double"))
-        .when(js("$.type") === "UPDATE", js("$.old[0].value").cast("double"))
+    // one from_json parse per row (each get_json_object call
+    // re-tokenizes the message — 8 paths tripled the decode cost)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "es BIGINT, ts BIGINT, `database` STRING, `table` STRING, " +
+        "`type` STRING, " +
+        "data ARRAY<STRUCT<pk: BIGINT, value: DOUBLE>>, " +
+        "old ARRAY<STRUCT<value: DOUBLE>>")
+    def m(p: String): Column = col("m").getField(p)
+    val d0 = m("data").getItem(0)
+    cl.select(v).select(from_json(col("value"), schema).as("m")).select(
+      m("es").as("commit_ts"),
+      m("ts").as("start_ts"),
+      m("database").as("schema_name"),
+      m("table").as("table_name"),
+      when(m("type") === "INSERT", "I")
+        .when(m("type") === "DELETE", "D").otherwise(lit("U")).as("op"),
+      d0.getField("pk").as("pk"),
+      when(m("type") === "DELETE", lit(null).cast("double"))
+        .otherwise(d0.getField("value")).as("after_value"),
+      when(m("type") === "DELETE", d0.getField("value"))
+        .when(m("type") === "UPDATE", m("old").getItem(0).getField("value"))
         .otherwise(lit(null).cast("double")).as("before_value"))
   }
 
@@ -164,17 +172,22 @@ object Codecs {
     * decoded type is upsert|delete — exactly what a consumer applies;
     * the original I/U distinction is not on the wire. */
   def openProtocolDecode(cl: DataFrame): DataFrame = {
-    def k(path: String): Column = get_json_object(col("key"), path)
-    def v(path: String): Column = get_json_object(col("value"), path)
-    openProtocol(cl).select(
-      k("$.ts").cast("long").as("commit_ts"),
-      k("$.scm").as("schema_name"),
-      k("$.tbl").as("table_name"),
-      // probe a scalar, not the object: engines agree on scalar
-      // extraction in every version
-      when(v("$.d.pk").isNotNull, "delete").otherwise(lit("upsert")).as("msg_type"),
-      coalesce(v("$.u.pk"), v("$.d.pk")).cast("long").as("pk"),
-      coalesce(v("$.u.value"), v("$.d.value")).cast("double").as("value"))
+    val kSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts BIGINT, scm STRING, tbl STRING")
+    val vSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "u STRUCT<pk: BIGINT, value: DOUBLE>, d STRUCT<pk: BIGINT, value: DOUBLE>")
+    def k(p: String): Column = col("k").getField(p)
+    def v(p: String): Column = col("v").getField(p)
+    openProtocol(cl)
+      .select(from_json(col("key"), kSchema).as("k"),
+        from_json(col("value"), vSchema).as("v"))
+      .select(
+        k("ts").as("commit_ts"),
+        k("scm").as("schema_name"),
+        k("tbl").as("table_name"),
+        when(v("d").isNotNull, "delete").otherwise(lit("upsert")).as("msg_type"),
+        coalesce(v("u").getField("pk"), v("d").getField("pk")).as("pk"),
+        coalesce(v("u").getField("value"), v("d").getField("value")).as("value"))
   }
 
   val openProtocolDecodeSql: String = {
@@ -228,16 +241,21 @@ object Codecs {
     * (op c|u|d ↔ I|U|D, both images on the wire), so the decoded frame
     * reproduces the changelog at codec precision — spec-asserted. */
   def debeziumDecode(cl: DataFrame): DataFrame = {
-    def v(path: String): Column = get_json_object(col("value"), path)
-    debezium(cl).select(
-      v("$.ts_ms").cast("long").as("commit_ts"),
-      v("$.source.db").as("schema_name"),
-      v("$.source.table").as("table_name"),
-      when(v("$.op") === "c", "I").when(v("$.op") === "d", "D")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "before STRUCT<pk: BIGINT, value: DOUBLE>, " +
+        "after STRUCT<pk: BIGINT, value: DOUBLE>, " +
+        "source STRUCT<db: STRING, `table`: STRING>, " +
+        "op STRING, ts_ms BIGINT")
+    def m(p: String): Column = col("m").getField(p)
+    debezium(cl).select(from_json(col("value"), schema).as("m")).select(
+      m("ts_ms").as("commit_ts"),
+      m("source").getField("db").as("schema_name"),
+      m("source").getField("table").as("table_name"),
+      when(m("op") === "c", "I").when(m("op") === "d", "D")
         .otherwise(lit("U")).as("op"),
-      coalesce(v("$.after.pk"), v("$.before.pk")).cast("long").as("pk"),
-      v("$.before.value").cast("double").as("before_value"),
-      v("$.after.value").cast("double").as("after_value"))
+      coalesce(m("after").getField("pk"), m("before").getField("pk")).as("pk"),
+      m("before").getField("value").as("before_value"),
+      m("after").getField("value").as("after_value"))
   }
 
   val debeziumDecodeSql: String = {
