@@ -132,6 +132,10 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => ops.Corpus.textRepetition(s, d)),
     "doc_tfidf" -> ((s, d) => ops.Corpus.docTfidf(s, d)),
     "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
+    "dedup_clusters" -> ((s, d) => ops.Curation.dedupClusters(s, d)),
+    "contamination_ngram" -> ((s, d) => ops.Curation.contamination(s, d)),
+    "stratified_sample" -> ((s, d) => ops.Curation.stratifiedSample(s, d)),
+    "pii_redact" -> ((s, d) => ops.Curation.piiRedact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -220,5 +224,9 @@ object SparkEntry {
     "text_repetition" -> ops.Corpus.textRepetitionSql,
     "doc_tfidf" -> ops.Corpus.docTfidfSql(),
     "data_split" -> ops.Corpus.dataSplitSql(),
+    "dedup_clusters" -> ops.Curation.dedupClustersSql(),
+    "contamination_ngram" -> ops.Curation.contaminationSql,
+    "stratified_sample" -> ops.Curation.stratifiedSampleSql(),
+    "pii_redact" -> ops.Curation.piiRedactSql,
   )
 }

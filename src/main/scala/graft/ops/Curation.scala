@@ -1,0 +1,290 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+import graft.functions.Portable
+
+/** Corpus-curation operators that sit between candidate generation and
+  * the final training set: dedup-cluster resolution (connected
+  * components), benchmark-contamination detection, deterministic
+  * stratified sampling, and PII redaction.
+  *
+  * Scale notes: connected components is the alternating
+  * large-star/small-star algorithm from the public MapReduce CC
+  * literature — O(log n) rounds, each one shuffle on the star center,
+  * with `localCheckpoint` truncating the iterative lineage so the plan
+  * does not grow with rounds. Contamination is an explode → semi-join
+  * on the gram key (AQE turns it into a broadcast join when the
+  * benchmark gram set is small — the realistic case: benchmark suites
+  * are fixed-size while the corpus grows). Stratified sampling and PII
+  * redaction are pure row-local expressions — zero shuffle at any
+  * scale.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- C18
+
+  /** Near-dup edges that seed the dedup graph: exact-fingerprint
+    * cliques (star edges to the group min) unioned with verified
+    * n-gram Jaccard near-dup pairs. Oriented (u > v). */
+  private def dupEdges(spark: SparkSession, dir: String, tau: Double): DataFrame = {
+    val exact = Tables.documents(spark, dir)
+      .select(md5(Text.norm(col("text")).cast("binary")).as("fp"), col("doc_id"))
+      .withColumn("root", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("u"), col("root").as("v"))
+    val fuzzy = Dedup.ngramJaccard(spark, dir, tau)
+      .select(col("doc_b").as("u"), col("doc_a").as("v"))
+    exact.union(fuzzy)
+  }
+
+  /** One large-star round: every node connects its strictly-larger
+    * neighbors to the minimum of its neighborhood (incl. itself).
+    * Output edges are oriented (u > v) by construction (m ≤ center <
+    * emitted neighbor). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val w = Window.partitionBy("u")
+    sym.withColumn("mn", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("mn").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round over (u > v)-oriented edges: every center
+    * points itself and all its smaller neighbors at the neighborhood
+    * minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val withMn = e.withColumn("mn", min(col("v")).over(Window.partitionBy("u")))
+    withMn.select(col("v").as("u"), col("mn").as("v"))
+      .union(withMn.select(col("u"), col("mn").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components of an (u,v) edge frame via alternating
+    * large-star/small-star (public MapReduce-CC algorithm): converges
+    * to a star forest in O(log n) rounds. Returns (node, root) for
+    * every non-root node that appears in an edge. */
+  private[graft] def connectedComponents(edges0: DataFrame, maxRounds: Int = 20): DataFrame = {
+    var edges = edges0.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    def sig(e: DataFrame): (Long, Long) = {
+      // order-independent, overflow-free edge-set fingerprint (XOR of
+      // per-edge hashes over a distinct set; ANSI-safe unlike SUM)
+      val r = e.agg(count(lit(1)),
+        coalesce(call_function("bit_xor", xxhash64(col("u"), col("v"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = sig(edges)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = sig(next)
+      edges = next
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    edges
+  }
+
+  /** C18 — dedup-cluster resolution: the survivor-selection step after
+    * candidate generation. Exact-dup cliques + verified near-dup pairs
+    * form a graph; each document gets its connected component's min
+    * doc_id as `cluster_id` (singletons are their own cluster), the
+    * component size, and a 0/1 `canonical` flag marking the one row
+    * per cluster a pipeline would keep. */
+  def dedupClusters(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val assign = connectedComponents(dupEdges(spark, dir, tau))
+      .select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(assign, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("canonical",
+        (col("doc_id") === col("cluster_id")).cast("long"))
+  }
+
+  def dedupClustersSql(tau: Double = 0.5): String =
+    s"""WITH RECURSIVE fp AS (
+       |  SELECT doc_id, md5(${Text.normSql("text")}) AS fp FROM documents
+       |), exact_e AS (
+       |  SELECT doc_id AS u, root AS v FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS root FROM fp)
+       |  WHERE doc_id <> root
+       |), fuzzy_e AS (
+       |  SELECT doc_b AS u, doc_a AS v FROM (${Dedup.ngramJaccardSql(tau)})
+       |), edges AS (
+       |  SELECT u, v FROM exact_e UNION SELECT u, v FROM fuzzy_e
+       |  UNION SELECT v, u FROM exact_e UNION SELECT v, u FROM fuzzy_e
+       |), reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, r.lbl FROM reach r JOIN edges e ON e.v = r.node
+       |), cc AS (
+       |  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+       |)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  CAST(doc_id = cluster_id AS BIGINT) AS canonical
+       |FROM cc""".stripMargin
+
+  // ---------------------------------------------------------------- C19
+
+  /** Benchmark source whose grams define the contamination set. */
+  private val BenchSource = "src0"
+
+  /** distinct word 4-grams of `toks` — the decontamination shingle
+    * (train/test overlap checks use longer grams than near-dup's 3).
+    * Spark arrays are 0-based, DuckDB lists 1-based; both render the
+    * same gram strings. */
+  private val grams4Expr =
+    """array_distinct(CASE WHEN size(toks) >= 4
+      |  THEN transform(sequence(0, size(toks) - 4),
+      |       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3]))
+      |  ELSE array() END)""".stripMargin
+
+  private val grams4Sql =
+    """list_distinct(CASE WHEN len(toks) >= 4
+      |  THEN list_transform(range(1, len(toks) - 2),
+      |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+      |  ELSE [] END)""".stripMargin
+
+  /** C19 — benchmark-contamination check (train/test overlap): for
+    * every non-benchmark document, how many of its distinct word
+    * 4-grams also occur anywhere in the benchmark source's documents.
+    * Corpus-side grams semi-join the benchmark gram set on the gram
+    * key; a doc with any hit is a decontamination candidate.
+    * contam_ppm is a truncating integer division (non-negative → equal
+    * to DuckDB `//`); gram-free docs carry the -1 sentinel, keeping
+    * the column non-null BIGINT. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), expr(grams4Expr).as("grams"))
+    val bench = g.filter(col("source") === BenchSource)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val eval = g.filter(col("source") =!= BenchSource)
+    val hits = eval.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(bench, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    eval.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hits"), lit(0L)).as("n_contaminated"))
+      .withColumn("contam_ppm",
+        when(col("n_grams") > 0, call_function("div",
+          col("n_contaminated") * lit(1000000L), col("n_grams")))
+          .otherwise(lit(-1L)))
+  }
+
+  val contaminationSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, ${Text.tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, source, $grams4Sql AS grams FROM t
+       |), bench AS (
+       |  SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE source = '$BenchSource'
+       |), ev AS (
+       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM g
+       |  WHERE source <> '$BenchSource'
+       |), hits AS (
+       |  SELECT doc_id, COUNT(*) AS hits FROM (
+       |    SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE source <> '$BenchSource')
+       |  WHERE gram IN (SELECT gram FROM bench)
+       |  GROUP BY doc_id
+       |)
+       |SELECT ev.doc_id, ev.n_grams,
+       |  CAST(COALESCE(hits.hits, 0) AS BIGINT) AS n_contaminated,
+       |  CAST(CASE WHEN ev.n_grams > 0
+       |    THEN (COALESCE(hits.hits, 0) * 1000000) // ev.n_grams
+       |    ELSE -1 END AS BIGINT) AS contam_ppm
+       |FROM ev LEFT JOIN hits USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- C20
+
+  /** Per-language keep rates in parts-per-million: down-sample the
+    * over-represented languages, keep all of the rare ones. */
+  private val StratRates: Seq[(String, Long)] =
+    Seq("en" -> 200000L, "de" -> 500000L, "fr" -> 500000L)
+  private val StratDefault = 1000000L
+
+  /** C20 — deterministic stratified sampling: language-balanced
+    * down-sampling via the salted portable hash of the doc id. A doc's
+    * keep/drop decision depends only on (salt, doc_id, lang) — stable
+    * across engines, runs, and cluster sizes, so re-running the
+    * pipeline never resamples. Pure row-local: no shuffle at any
+    * scale. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       salt: String = "graft-strat-v1:"): DataFrame = {
+    val rate = StratRates.foldRight(lit(StratDefault): Column) {
+      case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        Portable.bucket(concat(lit(salt), col("doc_id").cast("string")), 1000000)
+          .as("bucket"),
+        rate.as("rate_ppm"))
+      .filter(col("bucket") < col("rate_ppm"))
+  }
+
+  def stratifiedSampleSql(salt: String = "graft-strat-v1:"): String = {
+    val bucket = Portable.bucketSql(s"CONCAT('$salt', CAST(doc_id AS VARCHAR))", 1000000)
+    val rate = StratRates.foldRight(StratDefault.toString) {
+      case ((l, r), acc) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    s"""SELECT doc_id, lang, $bucket AS bucket, CAST($rate AS BIGINT) AS rate_ppm
+       |FROM documents
+       |WHERE $bucket < $rate""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C21
+
+  /** PII patterns, valid and identically-matching in both Java regex
+    * (Spark) and RE2 (DuckDB): no backreferences, no lookaround, no
+    * ambiguous alternation. */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhonePat = "\\+\\d{9,15}"
+
+  /** C21 — PII detection + redaction: count and scrub emails, IPv4
+    * addresses, and international-format phone numbers. Row-local
+    * expressions only (regexp count + chained global replace) — zero
+    * shuffle at any scale. The redacted text is surfaced as an md5
+    * fingerprint so the oracle row stays compact. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      // patterns stay Scala-level strings (functions API), never SQL
+      // literals — Spark's default string parser would eat the '\'s
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0)))
+        .cast("long").as("n_ipv4"),
+      size(regexp_extract_all(col("text"), lit(PhonePat), lit(0)))
+        .cast("long").as("n_phone"),
+      md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>"),
+        PhonePat, "<PHONE>").cast("binary")).as("redacted_fp"))
+
+  val piiRedactSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT) AS n_phone,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailPat', '<EMAIL>', 'g'),
+       |    '$Ipv4Pat', '<IP>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g')) AS redacted_fp
+       |FROM documents""".stripMargin
+}

@@ -331,4 +331,99 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(single.subsetOf(multi))
     assert(multi.size > single.size, "multi-probe should add candidate cells")
   }
+
+  test("large-star/small-star components equal union-find on adversarial graphs") {
+    import spark.implicits._
+    // a long chain (worst case for naive label propagation), a triangle
+    // joined to it nowhere, a separate pair, and ids in hostile order
+    val edges = Seq(
+      (9L, 8L), (8L, 7L), (7L, 6L), (6L, 5L), (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (20L, 30L), (30L, 40L), (40L, 20L),
+      (101L, 100L)).toDF("u", "v")
+    val got = ops.Curation.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every chain node roots at 1, triangle at 20, pair at 100
+    for (n <- 2L to 9L) assert(got(n) == 1L, s"node $n")
+    assert(got(30L) == 20L && got(40L) == 20L)
+    assert(got(101L) == 100L)
+    // roots never appear as non-root nodes in the star forest
+    assert(!got.contains(1L) && !got.contains(20L) && !got.contains(100L))
+  }
+
+  test("dedup clusters cover exact-dup groups and near-dup pairs transitively") {
+    val cl = ops.Curation.dedupClusters(spark, dir)
+    val byDoc = cl.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact dups land in one cluster with the min doc id as the root
+    val exactGroups = ops.Dedup.exact(spark, dir)
+      .filter(col("n_copies") > 1).collect()
+    // near-dup pairs land in the same cluster
+    val pairs = ops.Dedup.ngramJaccard(spark, dir).collect()
+    for (p <- pairs) {
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      assert(byDoc(a)._1 == byDoc(b)._1, s"pair ($a,$b) split across clusters")
+      assert(byDoc(a)._2 >= 2L)
+    }
+    // cluster_size is consistent: each cluster id's size equals its row count
+    val sizes = byDoc.values.groupBy(_._1).map { case (cid, vs) => cid -> vs.size }
+    for ((cid, n) <- sizes) assert(byDoc(cid)._2 == n.toLong, s"cluster $cid size")
+    assert(exactGroups.forall { g =>
+      byDoc(g.getLong(1))._1 == g.getLong(1) || byDoc(g.getLong(1))._2 >= g.getLong(2)
+    })
+  }
+
+  test("pii redaction counts and scrubs emails, ipv4s, and phone numbers") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pii").toString
+    Seq(
+      (1L, "contact bob@example.com or +12345678901 from 10.0.0.1 today", "en", "src1", 55L),
+      (2L, "no pii here at all just words", "en", "src1", 29L),
+      (3L, "two mails a@b.io c@d.org and ip 192.168.1.255", "en", "src2", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = ops.Curation.piiRedact(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 1 && got(1L).getLong(2) == 1 && got(1L).getLong(3) == 1)
+    assert(got(2L).getLong(1) == 0 && got(2L).getLong(2) == 0 && got(2L).getLong(3) == 0)
+    assert(got(3L).getLong(1) == 2 && got(3L).getLong(2) == 1 && got(3L).getLong(3) == 0)
+    // fingerprint of doc 1 equals md5 of the hand-redacted text
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("contact <EMAIL> or <PHONE> from <IP> today".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(1L).getString(4) == want)
+    // a doc without pii keeps its original fingerprint
+    val orig = java.security.MessageDigest.getInstance("MD5")
+      .digest("no pii here at all just words".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(2L).getString(4) == orig)
+  }
+
+  test("contamination flags exactly the docs sharing a 4-gram with the benchmark") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("contam").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "src0", 30L), // benchmark
+      (2L, "xx alpha beta gamma delta yy", "en", "src1", 28L),   // contaminated (1 shared 4-gram)
+      (3L, "alpha beta zeta gamma delta", "en", "src1", 27L),    // same words, no shared 4-gram
+      (4L, "one two three", "en", "src1", 13L))                  // too short: 0 grams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = ops.Curation.contamination(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(t => t._1 -> t).toMap
+    assert(got(2L)._3 == 1L && got(2L)._4 > 0L)
+    assert(got(3L)._3 == 0L && got(3L)._4 == 0L)
+    assert(got(4L)._2 == 0L && got(4L)._3 == 0L && got(4L)._4 == -1L)
+    assert(!got.contains(1L), "benchmark docs are not scored")
+  }
+
+  test("stratified sampling is deterministic and respects per-language rates") {
+    val s1 = ops.Curation.stratifiedSample(spark, dir).collect()
+    val s2 = ops.Curation.stratifiedSample(spark, dir).collect()
+    assert(s1.map(_.getLong(0)).sorted.sameElements(s2.map(_.getLong(0)).sorted))
+    // every kept row satisfies its own threshold
+    assert(s1.forall(r => r.getLong(2) < r.getLong(3)))
+    // a different salt produces a different (versioned) sample
+    val s3 = ops.Curation.stratifiedSample(spark, dir, salt = "graft-strat-v2:").collect()
+    assert(!s1.map(_.getLong(0)).sorted.sameElements(s3.map(_.getLong(0)).sorted))
+  }
 }

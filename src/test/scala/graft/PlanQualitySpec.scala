@@ -86,7 +86,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "canal_decode" -> cdc.Codecs.canalJsonDecode(cl),
       "checksum_verify" -> cdc.Checksum.verify(cl),
       "compression" -> cdc.Sinks.compressedClaimCheck(cl, 16, 75),
-      "data_split" -> ops.Corpus.dataSplit(spark, dir))) {
+      "data_split" -> ops.Corpus.dataSplit(spark, dir),
+      "stratified_sample" -> ops.Curation.stratifiedSample(spark, dir),
+      "pii_redact" -> ops.Curation.piiRedact(spark, dir))) {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name introduces a shuffle:\n$p")
     }
