@@ -144,14 +144,8 @@ object Curation {
 
   /** distinct word 4-grams of `toks` — the decontamination shingle
     * (train/test overlap checks use longer grams than near-dup's 3).
-    * Spark arrays are 0-based, DuckDB lists 1-based; both render the
-    * same gram strings. */
-  private val grams4Expr =
-    """array_distinct(CASE WHEN size(toks) >= 4
-      |  THEN transform(sequence(0, size(toks) - 4),
-      |       i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3]))
-      |  ELSE array() END)""".stripMargin
-
+    * DuckDB lists are 1-based; the Spark side shingles with the native
+    * compiled-loop `graft_word_ngrams`, set-identical to this. */
   private val grams4Sql =
     """list_distinct(CASE WHEN len(toks) >= 4
       |  THEN list_transform(range(1, len(toks) - 2),
@@ -167,19 +161,27 @@ object Curation {
     * to DuckDB `//`); gram-free docs carry the -1 sentinel, keeping
     * the column non-null BIGINT. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
+    // repartition off the single parquet split (shingling is CPU-bound)
+    // and shingle with the native compiled-loop expression — the
+    // declarative transform-lambda runs interpreted at ~ms/doc
     val g = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("source"), expr(grams4Expr).as("grams"))
+      .select(col("doc_id"), col("source"),
+        call_function("graft_word_ngrams", col("toks"), lit(4)).as("grams"))
     val bench = g.filter(col("source") === BenchSource)
       .select(explode(col("grams")).as("gram")).distinct()
-    val eval = g.filter(col("source") =!= BenchSource)
-    val hits = eval.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .join(bench, Seq("gram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
-    eval.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("hits"), lit(0L)).as("n_contaminated"))
+      .withColumn("hit", lit(1))
+    // one shingling pass: n_grams rides along the exploded rows
+    // (explode_outer keeps gram-free docs; a null gram joins nothing),
+    // so the corpus side is scanned and shingled exactly once
+    val ex = g.filter(col("source") =!= BenchSource)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+    ex.join(bench, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(col("hit")).as("n_contaminated"))
       .withColumn("contam_ppm",
         when(col("n_grams") > 0, call_function("div",
           col("n_contaminated") * lit(1000000L), col("n_grams")))
