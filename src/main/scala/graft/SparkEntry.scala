@@ -136,6 +136,10 @@ object SparkEntry {
     "contamination_ngram" -> ((s, d) => ops.Curation.contamination(s, d)),
     "stratified_sample" -> ((s, d) => ops.Curation.stratifiedSample(s, d)),
     "pii_redact" -> ((s, d) => ops.Curation.piiRedact(s, d)),
+    "seq_pack" -> ((s, d) => ops.Corpus.seqPack(s, d)),
+    "corpus_stats" -> ((s, d) => ops.Corpus.corpusStats(s, d)),
+    "q_funnel" -> ((s, d) => Analytics.qFunnel(s, d)),
+    "q_retention" -> ((s, d) => Analytics.qRetention(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -228,5 +232,9 @@ object SparkEntry {
     "contamination_ngram" -> ops.Curation.contaminationSql,
     "stratified_sample" -> ops.Curation.stratifiedSampleSql(),
     "pii_redact" -> ops.Curation.piiRedactSql,
+    "seq_pack" -> ops.Corpus.seqPackSql(),
+    "corpus_stats" -> ops.Corpus.corpusStatsSql,
+    "q_funnel" -> Analytics.qFunnelSql,
+    "q_retention" -> Analytics.qRetentionSql,
   )
 }

@@ -193,4 +193,85 @@ object Corpus {
        |       WHEN $bucket < 95 THEN 'val' ELSE 'test' END AS split
        |FROM documents""".stripMargin
   }
+
+  /** C22 — sequence packing for LM training: concatenate documents in
+    * a deterministic order and cut the stream into fixed-size context
+    * windows (`ctx` tokens), recording for each doc the window it
+    * starts in and its offset there. Packing is SHARDED — a salted
+    * hash buckets docs into independent streams per (lang, shard), so
+    * the cumulative-sum window sorts a bounded shard, never a global
+    * per-lang ordering (the number of shards scales with the corpus;
+    * one window shuffle total). */
+  def seqPack(spark: SparkSession, dir: String, ctx: Long = 2048L,
+              nShards: Int = 8, salt: String = "graft-pack-v1:"): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Portable
+          .bucket(concat(lit(salt), col("doc_id").cast("string")), nShards)
+          .as("shard"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        call_function("div", col("cum_before"), lit(ctx)).as("bin_id"),
+        pmod(col("cum_before"), lit(ctx)).as("bin_offset"))
+  }
+
+  def seqPackSql(ctx: Long = 2048L, nShards: Int = 8,
+                 salt: String = "graft-pack-v1:"): String = {
+    val shard = graft.functions.Portable
+      .bucketSql(s"CONCAT('$salt', CAST(doc_id AS VARCHAR))", nShards)
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $shard AS shard,
+       |    CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum_before
+       |  FROM t
+       |)
+       |SELECT doc_id, lang, shard, n_tokens,
+       |  CAST(cum_before // $ctx AS BIGINT) AS bin_id,
+       |  CAST(cum_before % $ctx AS BIGINT) AS bin_offset
+       |FROM c""".stripMargin
+  }
+
+  /** C23 — the dataset card: per (lang, source) doc/token/char totals
+    * plus exact interpolated token-count percentiles (×10⁴ BIGINT, the
+    * B13 convention; swap `percentile` for `percentile_approx` at
+    * 100 TB) and a truncating-integral-division mean. Token counts are
+    * row-local; one aggregation shuffle on the (lang, source) cell. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("percentile(n_tokens, array(0.5, 0.95))").as("pp"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("total_tokens"), col("total_chars"),
+        round(element_at(col("pp"), 1) * lit(10000.0)).cast("long").as("p50_tokens_x10k"),
+        round(element_at(col("pp"), 2) * lit(10000.0)).cast("long").as("p95_tokens_x10k"),
+        call_function("div", col("total_tokens") * lit(1000000L), col("n_docs"))
+          .as("avg_tokens_micro"))
+
+  val corpusStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, source, n_chars,
+       |    CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(ROUND(quantile_cont(n_tokens, 0.5) * 10000.0, 0) AS BIGINT) AS p50_tokens_x10k,
+       |  CAST(ROUND(quantile_cont(n_tokens, 0.95) * 10000.0, 0) AS BIGINT) AS p95_tokens_x10k,
+       |  CAST((CAST(SUM(n_tokens) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS avg_tokens_micro
+       |FROM t
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -425,4 +425,87 @@ object Analytics {
       |  ${moneyCentsSql("value", 2)} AS sum_value_cents
       |FROM g
       |GROUP BY user_id, session_id""".stripMargin
+
+  /** B15 — ordered funnel (view → click → purchase) per user: the
+    * earliest view, the earliest click strictly after that view, the
+    * earliest purchase strictly after that click. Three stacked window
+    * aggregates over the SAME user partitioning — one shuffle total,
+    * no self-joins (the naive per-stage join re-shuffles the event
+    * table once per stage). Timestamps surface as epoch-micro BIGINTs
+    * with -1 for a stage never reached; `stage` counts completed
+    * steps. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts_us") > col("t_view"),
+          col("ts_us"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("t_click"),
+          col("ts_us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t_view")).as("v"), max(col("t_click")).as("c"),
+        max(col("t_purchase")).as("p"))
+      .select(col("user_id"),
+        coalesce(col("v"), lit(-1L)).as("t_view_us"),
+        coalesce(col("c"), lit(-1L)).as("t_click_us"),
+        coalesce(col("p"), lit(-1L)).as("t_purchase_us"),
+        (when(col("v").isNotNull, 1L).otherwise(0L) +
+         when(col("c").isNotNull, 1L).otherwise(0L) +
+         when(col("p").isNotNull, 1L).otherwise(0L)).as("stage"))
+  }
+
+  val qFunnelSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |), s1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+      |    OVER (PARTITION BY user_id) AS t_view FROM t
+      |), s2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t_view THEN ts_us END)
+      |    OVER (PARTITION BY user_id) AS t_click FROM s1
+      |), s3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t_click THEN ts_us END)
+      |    OVER (PARTITION BY user_id) AS t_purchase FROM s2
+      |), g AS (
+      |  SELECT user_id, MAX(t_view) AS v, MAX(t_click) AS c, MAX(t_purchase) AS p
+      |  FROM s3 GROUP BY user_id
+      |)
+      |SELECT user_id,
+      |  COALESCE(v, -1) AS t_view_us,
+      |  COALESCE(c, -1) AS t_click_us,
+      |  COALESCE(p, -1) AS t_purchase_us,
+      |  CAST((CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) +
+      |       (CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) +
+      |       (CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+      |FROM g""".stripMargin
+
+  /** B16 — retention cohorts: users grouped by the epoch-day of their
+    * first event; for every (cohort_day, day_offset) cell, how many of
+    * that cohort's users were active. One window shuffle on user (the
+    * first-day assignment) + one aggregation shuffle on the cohort
+    * cell; COUNT(DISTINCT) is Spark's partial-aggregated distinct, not
+    * a driver-side set. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), ldiv(expr("ts div 1000"), lit(86400000000L)).as("day"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val qRetentionSql: String =
+    """WITH t AS (
+      |  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events
+      |), c AS (
+      |  SELECT *, MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM t
+      |)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM c
+      |GROUP BY 1, 2""".stripMargin
 }

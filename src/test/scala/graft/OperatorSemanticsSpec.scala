@@ -416,6 +416,76 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(!got.contains(1L), "benchmark docs are not scored")
   }
 
+  test("funnel stages are ordered and consistent with raw event timelines") {
+    val rows = queries.Analytics.qFunnel(spark, dir).collect()
+    for (r <- rows) {
+      val (v, c, p, stage) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // strict ordering when reached; -1 propagates down the funnel
+      if (c != -1L) assert(v != -1L && c > v)
+      if (p != -1L) assert(c != -1L && p > c)
+      assert(stage == Seq(v, c, p).count(_ != -1L).toLong)
+    }
+    // cross-check one user against a hand-computed funnel
+    val ev = graft.util.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val u = rows.head.getLong(0)
+    val mine = ev.filter(_._1 == u)
+    val vw = mine.filter(_._2 == "view").map(_._3).minOption.getOrElse(-1L)
+    val ck = if (vw == -1L) -1L
+      else mine.filter(e => e._2 == "click" && e._3 > vw).map(_._3).minOption.getOrElse(-1L)
+    val pu = if (ck == -1L) -1L
+      else mine.filter(e => e._2 == "purchase" && e._3 > ck).map(_._3).minOption.getOrElse(-1L)
+    val got = rows.find(_.getLong(0) == u).get
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((vw, ck, pu)))
+  }
+
+  test("retention cohort cells partition each user's active days") {
+    val cells = queries.Analytics.qRetention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // offset 0 exists for every cohort and no offset is negative
+    val cohorts = cells.keys.map(_._1).toSet
+    for (cd <- cohorts) assert(cells.contains((cd, 0L)), s"cohort $cd misses day 0")
+    assert(cells.keys.forall(_._2 >= 0L))
+    // total cell mass = number of distinct (user, day) pairs
+    val userDays = graft.util.Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct().count()
+    assert(cells.values.sum == userDays)
+  }
+
+  test("sequence packing tiles each shard stream exactly") {
+    val rows = ops.Corpus.seqPack(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    for ((_, shard) <- rows.groupBy(t => (t._1, t._2))) {
+      val ordered = shard.sortBy(_._3)
+      var cum = 0L
+      for ((_, _, _, n, bin, off) <- ordered) {
+        assert(bin == cum / 2048L && off == cum % 2048L)
+        cum += n
+      }
+    }
+  }
+
+  test("corpus stats totals equal per-document sums") {
+    val stats = ops.Corpus.corpusStats(spark, dir).collect()
+    val docs = graft.util.Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(ops.Text.tokens(col("text"))).cast("long").as("n"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    for (s <- stats) {
+      val cell = docs.filter(d => d._1 == s.getString(0) && d._2 == s.getString(1))
+      assert(s.getLong(2) == cell.length.toLong)
+      assert(s.getLong(3) == cell.map(_._3).sum)
+      assert(s.getLong(4) == cell.map(_._4).sum)
+      // p50/p95 bracket the observed token range, scaled
+      val (lo, hi) = (cell.map(_._3).min * 10000, cell.map(_._3).max * 10000)
+      assert(s.getLong(5) >= lo && s.getLong(5) <= hi)
+      assert(s.getLong(6) >= s.getLong(5) && s.getLong(6) <= hi)
+    }
+  }
+
   test("stratified sampling is deterministic and respects per-language rates") {
     val s1 = ops.Curation.stratifiedSample(spark, dir).collect()
     val s2 = ops.Curation.stratifiedSample(spark, dir).collect()

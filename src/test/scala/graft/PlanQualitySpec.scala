@@ -67,6 +67,12 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("funnel stacks its stage windows on one user-keyed shuffle") {
+    val p = queries.Analytics.qFunnel(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+  }
+
   test("snapshot materialization is a partial aggregation, not a global sort window") {
     val p = plan(cdc.Materialize.snapshot(cdc.ChangeEvents.changelog(spark, dir)))
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
