@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.ops.Text
 
 /** Streaming forms of the LLM-data-pipeline operators: continuous
@@ -59,4 +60,43 @@ object DataOps {
         graft.util.Money.sumCents(col("value")).as("sum_value_cents"))
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("sum_value_cents"))
+
+  /** Typed event for the stateful funnel. */
+  case class UserEvent(user_id: Long, event_type: String, ts_us: Long)
+
+  /** Per-user funnel progress; -1 = stage not reached. */
+  case class FunnelState(user_id: Long, t_view_us: Long, t_click_us: Long,
+                         t_purchase_us: Long, stage: Long)
+
+  /** B15s — streaming funnel: one `FunnelState` per user advanced by
+    * `mapGroupsWithState` as micro-batches arrive — the continuous
+    * form of the batch stacked-window funnel (B15). Events are ordered
+    * by timestamp inside each batch before folding, so a single-batch
+    * run is exactly the batch funnel; across batches the fold is
+    * greedy (a stage locks to the earliest qualifying event seen so
+    * far), the standard streaming funnel semantics under in-order
+    * arrival. State is one 4-long record per user — bounded by the
+    * user population, not the event volume. */
+  def streamFunnel(events: Dataset[UserEvent]): Dataset[FunnelState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelState](GroupStateTimeout.NoTimeout()) {
+        (user, batch, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(user, -1L, -1L, -1L, 0L))
+          for (e <- batch.toSeq.sortBy(_.ts_us)) {
+            if (e.event_type == "view" && s.t_view_us == -1L)
+              s = s.copy(t_view_us = e.ts_us)
+            else if (e.event_type == "click" && s.t_click_us == -1L &&
+                     s.t_view_us != -1L && e.ts_us > s.t_view_us)
+              s = s.copy(t_click_us = e.ts_us)
+            else if (e.event_type == "purchase" && s.t_purchase_us == -1L &&
+                     s.t_click_us != -1L && e.ts_us > s.t_click_us)
+              s = s.copy(t_purchase_us = e.ts_us)
+          }
+          s = s.copy(stage =
+            Seq(s.t_view_us, s.t_click_us, s.t_purchase_us).count(_ != -1L).toLong)
+          state.update(s)
+          s
+      }
+  }
 }

@@ -120,6 +120,27 @@ class StreamingSpec extends AnyFunSuite {
       col("s.sum_value_cents") =!= col("b.sum_value_cents")).count() == 0)
   }
 
+  test("B15s: stateful streaming funnel equals the batch stacked-window funnel") {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .as[graft.streaming.DataOps.UserEvent]
+    runToCompletion(
+      graft.streaming.DataOps.streamFunnel(stream).toDF(), "b15s", "update")
+    // update mode re-emits a user's state each batch; keep the final one
+    val streamed = spark.table("b15s")
+      .groupBy(col("user_id"))
+      .agg(max(col("stage")).as("stage"),
+        max(col("t_view_us")).as("t_view_us"),
+        max(col("t_click_us")).as("t_click_us"),
+        max(col("t_purchase_us")).as("t_purchase_us"))
+      .select("user_id", "t_view_us", "t_click_us", "t_purchase_us", "stage")
+    val batch = graft.queries.Analytics.qFunnel(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("C12s: streaming multimodal feature extraction equals the batch path") {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
