@@ -94,6 +94,32 @@ def emb(out, replicas=25):
     pq.write_table(pa.concat_tables(parts), f"{out}/embeddings.parquet")
     print(f"[emb] embeddings: {t.num_rows} -> {t.num_rows * replicas} rows")
 
+def docs(out, replicas=10):
+    """Documents-only scale probe (timing signal for the corpus-curation
+    ops, which sf1x leaves unscaled): doc_id-shifted replicas with every
+    token SALTED by the replica index. Token salting is injective on
+    token sequences, so within-replica dedup/jaccard/contamination
+    structure is EXACTLY preserved (pairs scale linearly with replicas),
+    while replicas share zero grams — no quadratic cross-replica pair
+    artifact."""
+    os.makedirs(out, exist_ok=True)
+    for t in ["region", "nation", "embeddings"] + list(SHIFTS):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    t = pq.read_table(f"{SRC}/documents.parquet")
+    stride = pc.max(t["doc_id"]).as_py() + 1
+    texts = t["text"].to_pylist()
+    parts = []
+    for i in range(replicas):
+        idx = t.schema.get_field_index("doc_id")
+        shifted = pc.add(t["doc_id"], i * stride).cast(t.schema.field("doc_id").type)
+        r = t.set_column(idx, t.schema.field("doc_id"), shifted)
+        salted = [" ".join(f"{w}{i}" for w in s.split()) for s in texts]
+        tidx = r.schema.get_field_index("text")
+        r = r.set_column(tidx, r.schema.field("text"), pa.array(salted, pa.string()))
+        parts.append(r)
+    pq.write_table(pa.concat_tables(parts), f"{out}/documents.parquet")
+    print(f"[docs] documents: {t.num_rows} -> {t.num_rows * replicas} rows")
+
 if __name__ == "__main__":
     mode, out = sys.argv[1], sys.argv[2]
-    {"sf1x": sf1x, "skew": skew, "emb": emb}[mode](out)
+    {"sf1x": sf1x, "skew": skew, "emb": emb, "docs": docs}[mode](out)
