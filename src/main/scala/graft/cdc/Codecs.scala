@@ -155,15 +155,18 @@ object Codecs {
   def openProtocol(cl: DataFrame): DataFrame =
     cl.select(col("commit_ts"), openProtocolKey.as("key"), openProtocolValue.as("value"))
 
+  private[graft] val openProtocolValueSql: String =
+    s"""CASE WHEN op = 'D'
+       |    THEN CONCAT('{"d":{"pk":', pk, ',"value":', ${fmtSql("before_value")}, '}}')
+       |    ELSE CONCAT('{"u":{"pk":', pk, ',"value":', ${fmtSql("after_value")},
+       |                ',"props":', props, '}}')
+       |  END""".stripMargin
+
   val openProtocolSql: String =
     s"""SELECT commit_ts,
        |  CONCAT('{"ts":', commit_ts, ',"scm":"', schema_name,
        |         '","tbl":"', table_name, '","t":1}') AS key,
-       |  CASE WHEN op = 'D'
-       |    THEN CONCAT('{"d":{"pk":', pk, ',"value":', ${fmtSql("before_value")}, '}}')
-       |    ELSE CONCAT('{"u":{"pk":', pk, ',"value":', ${fmtSql("after_value")},
-       |                ',"props":', props, '}}')
-       |  END AS value
+       |  $openProtocolValueSql AS value
        |FROM changelog""".stripMargin
 
   /** A43 — open-protocol DECODE (reference: pkg/sink/codec/decoder +

@@ -235,4 +235,52 @@ object Sinks {
        |FROM changelog
        |GROUP BY 1, 2, 3, 4, 5""".stripMargin
   }
+
+  /** A49 — encoder-group batch framing (reference:
+    * pkg/sink/codec/encoder_group.go + open/encoder.go:122 — "one
+    * message can contain at most MaxBatchSize events"): within each
+    * (table, sink partition) stream, consecutive commit_ts-ordered
+    * events pack into messages of at most `maxBatch` rows; the frame
+    * carries each message's row count, encoded byte total, and ts
+    * span. The reference's companion byte cap (MaxMessageBytes) is the
+    * per-event claim-check/compression path (A31/A48) — an event
+    * stream under that cap batches exactly as here. One window shuffle
+    * keyed by the same (table, partition) the kafka writer uses. */
+  def batchFrame(cl: DataFrame, n: Int, maxBatch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("schema_name"), col("table_name"), col("partition"))
+      .orderBy(col("commit_ts"))
+    cl.select(col("schema_name"), col("table_name"), col("commit_ts"),
+        Dispatchers.indexValueBucket(n).as("partition"),
+        octet_length(Codecs.openProtocolValue).cast("long").as("payload_bytes"))
+      .withColumn("batch_id",
+        call_function("div", row_number().over(w) - lit(1), lit(maxBatch.toLong)))
+      .groupBy(col("schema_name"), col("table_name"), col("partition"),
+        col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("payload_bytes")).as("batch_bytes"),
+        min(col("commit_ts")).as("first_ts"),
+        max(col("commit_ts")).as("last_ts"))
+  }
+
+  def batchFrameSql(n: Int, maxBatch: Int): String =
+    s"""WITH msgs AS (
+       |  SELECT schema_name, table_name, commit_ts,
+       |    ${Dispatchers.indexValueBucketSql(n)} AS partition,
+       |    CAST(octet_length(encode(${Codecs.openProtocolValueSql})) AS BIGINT)
+       |      AS payload_bytes
+       |  FROM changelog
+       |), b AS (
+       |  SELECT *, CAST((ROW_NUMBER() OVER (
+       |      PARTITION BY schema_name, table_name, partition
+       |      ORDER BY commit_ts) - 1) // $maxBatch AS BIGINT) AS batch_id
+       |  FROM msgs
+       |)
+       |SELECT schema_name, table_name, partition, batch_id,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM(payload_bytes) AS BIGINT) AS batch_bytes,
+       |  MIN(commit_ts) AS first_ts, MAX(commit_ts) AS last_ts
+       |FROM b
+       |GROUP BY 1, 2, 3, 4""".stripMargin
 }

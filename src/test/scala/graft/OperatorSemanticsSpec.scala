@@ -416,6 +416,21 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(!got.contains(1L), "benchmark docs are not scored")
   }
 
+  test("encoder-group batches cap at maxBatch, conserve rows, and stay contiguous") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val f = cdc.Sinks.batchFrame(cl, 16, maxBatch = 4).collect()
+    assert(f.forall(r => r.getLong(4) >= 1L && r.getLong(4) <= 4L))
+    assert(f.map(_.getLong(4)).sum == cl.count())
+    assert(f.forall(r => r.getLong(6) <= r.getLong(7))) // first_ts <= last_ts
+    for ((_, batches) <- f.groupBy(r => (r.getString(0), r.getString(1), r.getLong(2)))) {
+      val ids = batches.map(_.getLong(3)).sorted
+      assert(ids.sameElements(0L until ids.length.toLong), "batch ids not contiguous")
+      // only the LAST batch of a stream may be short
+      val short = batches.filter(_.getLong(4) < 4L).map(_.getLong(3))
+      assert(short.isEmpty || (short.length == 1 && short.head == ids.last))
+    }
+  }
+
   test("funnel stages are ordered and consistent with raw event timelines") {
     val rows = queries.Analytics.qFunnel(spark, dir).collect()
     for (r <- rows) {
