@@ -137,6 +137,7 @@ object SparkEntry {
     "contamination_ngram" -> ((s, d) => ops.Curation.contamination(s, d)),
     "stratified_sample" -> ((s, d) => ops.Curation.stratifiedSample(s, d)),
     "pii_redact" -> ((s, d) => ops.Curation.piiRedact(s, d)),
+    "corpus_manifest" -> ((s, d) => ops.Curation.corpusManifest(s, d)),
     "seq_pack" -> ((s, d) => ops.Corpus.seqPack(s, d)),
     "corpus_stats" -> ((s, d) => ops.Corpus.corpusStats(s, d)),
     "q_funnel" -> ((s, d) => Analytics.qFunnel(s, d)),
@@ -234,6 +235,7 @@ object SparkEntry {
     "contamination_ngram" -> ops.Curation.contaminationSql,
     "stratified_sample" -> ops.Curation.stratifiedSampleSql(),
     "pii_redact" -> ops.Curation.piiRedactSql,
+    "corpus_manifest" -> ops.Curation.corpusManifestSql,
     "seq_pack" -> ops.Corpus.seqPackSql(),
     "corpus_stats" -> ops.Corpus.corpusStatsSql,
     "q_funnel" -> Analytics.qFunnelSql,

@@ -289,4 +289,60 @@ object Curation {
        |    '$Ipv4Pat', '<IP>', 'g'),
        |    '$PhonePat', '<PHONE>', 'g')) AS redacted_fp
        |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- C24
+
+  /** Drop thresholds for the manifest (ppm BIGINTs, exactly portable). */
+  private val ContamDropPpm = 100000L  // >10% benchmark 4-gram overlap
+  private val RepDropPpm    = 650000L  // >65% duplicate-token mass
+
+  /** C24 — the corpus manifest: the single keep/drop + split decision
+    * a full curation pass produces, composed from the already-verified
+    * operators — benchmark exclusion, dedup-cluster survivor selection
+    * (C18), contamination (C19), repetition (C14), deterministic split
+    * (C16). First matching drop reason wins, mirroring how a pipeline
+    * short-circuits. Each input frame is keyed by doc_id, so the
+    * composition is three broadcast-or-shuffle equi-joins on the same
+    * key — no new shuffle shapes beyond the component operators'. */
+  def corpusManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val clusters = dedupClusters(spark, dir).select(col("doc_id"), col("canonical"))
+    val contam = contamination(spark, dir).select(col("doc_id"), col("contam_ppm"))
+    val rep = Corpus.textRepetition(spark, dir).select(col("doc_id"), col("dup_token_ppm"))
+    val split = Corpus.dataSplit(spark, dir).select(col("doc_id"), col("split"))
+    val reason = when(col("source") === BenchSource, "benchmark")
+      .when(col("canonical") === 0L, "duplicate")
+      .when(col("contam_ppm") > ContamDropPpm, "contaminated")
+      .when(col("dup_token_ppm") > RepDropPpm, "repetitive")
+      .otherwise(lit("keep"))
+    docs.join(clusters, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"))
+      .join(split, Seq("doc_id"))
+      .select(col("doc_id"), reason.as("reason"), col("split"))
+      .withColumn("keep", (col("reason") === "keep").cast("long"))
+  }
+
+  val corpusManifestSql: String =
+    s"""WITH cl AS (SELECT doc_id, canonical FROM (${dedupClustersSql()})),
+       |co AS (SELECT doc_id, contam_ppm FROM ($contaminationSql)),
+       |re AS (SELECT doc_id, dup_token_ppm FROM (${Corpus.textRepetitionSql})),
+       |sp AS (SELECT doc_id, split FROM (${Corpus.dataSplitSql()})),
+       |j AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.source = '$BenchSource' THEN 'benchmark'
+       |         WHEN cl.canonical = 0 THEN 'duplicate'
+       |         WHEN co.contam_ppm > $ContamDropPpm THEN 'contaminated'
+       |         WHEN re.dup_token_ppm > $RepDropPpm THEN 'repetitive'
+       |         ELSE 'keep' END AS reason,
+       |    sp.split
+       |  FROM documents d
+       |  JOIN cl USING (doc_id)
+       |  LEFT JOIN co USING (doc_id)
+       |  JOIN re USING (doc_id)
+       |  JOIN sp USING (doc_id)
+       |)
+       |SELECT doc_id, reason, split,
+       |  CAST(reason = 'keep' AS BIGINT) AS keep
+       |FROM j""".stripMargin
 }

@@ -501,6 +501,25 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus manifest decisions agree with the component operators") {
+    val m = ops.Curation.corpusManifest(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    val docs = graft.util.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == docs.size, "every document gets a manifest row")
+    // keep flag mirrors the reason; benchmark docs are always excluded
+    for ((id, (reason, split, keep)) <- m) {
+      assert(keep == (if (reason == "keep") 1L else 0L))
+      if (docs(id) == "src0") assert(reason == "benchmark")
+      assert(Set("train", "val", "test")(split))
+    }
+    // non-canonical cluster members are dropped as duplicates
+    val dups = ops.Curation.dedupClusters(spark, dir)
+      .filter(col("canonical") === 0L).collect().map(_.getLong(0))
+    for (d <- dups if docs(d) != "src0") assert(m(d)._1 == "duplicate")
+  }
+
   test("stratified sampling is deterministic and respects per-language rates") {
     val s1 = ops.Curation.stratifiedSample(spark, dir).collect()
     val s2 = ops.Curation.stratifiedSample(spark, dir).collect()
