@@ -100,18 +100,30 @@ object Curation {
     * form a graph; each document gets its connected component's min
     * doc_id as `cluster_id` (singletons are their own cluster), the
     * component size, and a 0/1 `canonical` flag marking the one row
-    * per cluster a pipeline would keep. */
-  def dedupClusters(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val assign = connectedComponents(dupEdges(spark, dir, tau))
-      .select(col("u").as("doc_id"), col("v").as("cluster_id"))
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .join(assign, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .withColumn("canonical",
-        (col("doc_id") === col("cluster_id")).cast("long"))
-  }
+    * per cluster a pipeline would keep.
+    *
+    * The result is memoized per (session, dir, tau): the CC loop runs
+    * eagerly (localCheckpoint per round), so two invocations build
+    * DISTINCT checkpointed plans the CacheManager can't dedupe — and
+    * the manifest (C24) reuses the cluster frame exactly as a real
+    * pipeline does. `GraftSession.releaseCaches` drops the memo. */
+  private val clusterMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, Double), DataFrame]()
+  private[graft] def clearMemo(): Unit = clusterMemo.clear()
+
+  def dedupClusters(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
+    clusterMemo.getOrElseUpdate((spark, dir, tau), {
+      val assign = connectedComponents(dupEdges(spark, dir, tau))
+        .select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .join(assign, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("canonical",
+          (col("doc_id") === col("cluster_id")).cast("long"))
+        .localCheckpoint()
+    })
 
   def dedupClustersSql(tau: Double = 0.5): String =
     s"""WITH RECURSIVE fp AS (

@@ -50,5 +50,6 @@ object GraftSession {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = false))
+    graft.ops.Curation.clearMemo()
   }
 }

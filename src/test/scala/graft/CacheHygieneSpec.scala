@@ -32,4 +32,17 @@ class CacheHygieneSpec extends AnyFunSuite {
     graft.util.GraftSession.releaseCaches(spark)
     assert(pinnedRdds == before, "cache entry count grew across runs")
   }
+
+  test("dedup cluster memo shares one frame per (dir, tau) and releases") {
+    graft.util.GraftSession.releaseCaches(spark)
+    val a = ops.Curation.dedupClusters(spark, dir)
+    assert(ops.Curation.dedupClusters(spark, dir) eq a,
+      "second call should reuse the memoized frame")
+    val n1 = a.count()
+    graft.util.GraftSession.releaseCaches(spark)
+    val c = ops.Curation.dedupClusters(spark, dir)
+    assert(!(c eq a), "release must drop the memo")
+    assert(c.count() == n1)
+    graft.util.GraftSession.releaseCaches(spark)
+  }
 }
