@@ -95,6 +95,8 @@ object SparkEntry {
     "codec_craft_decode" -> ((s, d) => Craft.decode(Craft.frame(cl(s, d)))),
     "sink_compression" -> ((s, d) => Sinks.compressedClaimCheck(cl(s, d), nParts, compressMaxBytes)),
     "sink_batch_frame" -> ((s, d) => Sinks.batchFrame(cl(s, d), nParts, maxBatch = 4)),
+    "sink_batch_bytes" -> ((s, d) =>
+      Sinks.batchFrameBytes(cl(s, d), nParts, maxBatch = 6, maxBytes = 300L)),
     "codec_canal_decode" -> ((s, d) => Codecs.canalJsonDecode(cl(s, d))),
     "codec_open_decode" -> ((s, d) => Codecs.openProtocolDecode(cl(s, d))),
     "codec_debezium_decode" -> ((s, d) => Codecs.debeziumDecode(cl(s, d))),
@@ -191,6 +193,7 @@ object SparkEntry {
     "codec_craft_decode" -> o(Craft.decodeSql),
     "sink_compression" -> o(Sinks.compressedClaimCheckSql(nParts, compressMaxBytes)),
     "sink_batch_frame" -> o(Sinks.batchFrameSql(nParts, maxBatch = 4)),
+    "sink_batch_bytes" -> o(Sinks.batchFrameBytesSql(nParts, maxBatch = 6, maxBytes = 300L)),
     "codec_canal_decode" -> o(Codecs.canalJsonDecodeSql),
     "codec_open_decode" -> o(Codecs.openProtocolDecodeSql),
     "codec_debezium_decode" -> o(Codecs.debeziumDecodeSql),

@@ -80,10 +80,17 @@ object ChangeEvents {
       |FROM events""".stripMargin
 
   /** Wrap an oracle query body with the changelog CTE. Bodies that start
-    * with their own WITH clause get merged (SQL forbids nested WITH). */
-  def withChangelogSql(body: String): String =
-    if (body.trim.toUpperCase.startsWith("WITH "))
-      s"WITH changelog AS (\n$changelogSql\n), ${body.trim.drop(5)}"
+    * with their own WITH clause get merged (SQL forbids nested WITH);
+    * a RECURSIVE body hoists the keyword to the merged list head
+    * (RECURSIVE may prefix a list whose first CTE is non-recursive). */
+  def withChangelogSql(body: String): String = {
+    val t = body.trim
+    val up = t.toUpperCase
+    if (up.startsWith("WITH RECURSIVE "))
+      s"WITH RECURSIVE changelog AS (\n$changelogSql\n), ${t.drop(15)}"
+    else if (up.startsWith("WITH "))
+      s"WITH changelog AS (\n$changelogSql\n), ${t.drop(5)}"
     else
       s"WITH changelog AS (\n$changelogSql\n)\n$body"
+  }
 }

@@ -283,4 +283,85 @@ object Sinks {
        |  MIN(commit_ts) AS first_ts, MAX(commit_ts) AS last_ts
        |FROM b
        |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** A50 — the byte-capped half of encoder-group batching (reference:
+    * open/encoder.go:122 — a new message starts when appending would
+    * exceed MaxMessageBytes OR the message already holds MaxBatchSize
+    * rows). A greedy prefix fold is inherently sequential per stream,
+    * so it runs as the canonical secondary-sort shape: repartition by
+    * the (table, partition) sink key, sort within partitions by key +
+    * commit_ts, one `mapPartitions` pass with O(1) state per stream —
+    * no per-group buffering, no window, linear at any scale. An event
+    * larger than the cap alone forms a singleton batch (the claim-check
+    * path would divert it in the real sink). The DuckDB oracle replays
+    * the identical fold as a recursive CTE over row_number. */
+  def batchFrameBytes(cl: DataFrame, n: Int, maxBatch: Int,
+                      maxBytes: Long): DataFrame = {
+    val spark = cl.sparkSession
+    import spark.implicits._
+    val base = cl.select(col("schema_name"), col("table_name"),
+        Dispatchers.indexValueBucket(n).as("partition"), col("commit_ts"),
+        octet_length(Codecs.openProtocolValue).cast("long").as("payload_bytes"))
+      .repartition(col("schema_name"), col("table_name"), col("partition"))
+      .sortWithinPartitions(col("schema_name"), col("table_name"),
+        col("partition"), col("commit_ts"))
+      .as[(String, String, Long, Long, Long)]
+    base.mapPartitions { it =>
+      var key: (String, String, Long) = null
+      var batchId = -1L; var rows = 0L; var bytes = 0L
+      var first = 0L; var last = 0L
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long, Long, Long, Long, Long, Long)]
+      def flush(): Unit = if (key != null && rows > 0)
+        out += ((key._1, key._2, key._3, batchId, rows, bytes, first, last))
+      for ((sch, tbl, part, ts, len) <- it) {
+        val k = (sch, tbl, part)
+        if (k != key) { flush(); key = k; batchId = -1L; rows = 0L; bytes = 0L }
+        if (rows == 0 || rows >= maxBatch || bytes + len > maxBytes) {
+          flush(); batchId += 1; rows = 0L; bytes = 0L; first = ts
+        }
+        rows += 1; bytes += len; last = ts
+      }
+      flush()
+      out.iterator
+    }.toDF("schema_name", "table_name", "partition", "batch_id",
+      "n_rows", "batch_bytes", "first_ts", "last_ts")
+  }
+
+  def batchFrameBytesSql(n: Int, maxBatch: Int, maxBytes: Long): String =
+    s"""WITH RECURSIVE msgs AS (
+       |  SELECT schema_name, table_name, commit_ts,
+       |    ${Dispatchers.indexValueBucketSql(n)} AS partition,
+       |    CAST(octet_length(encode(${Codecs.openProtocolValueSql})) AS BIGINT)
+       |      AS payload_bytes
+       |  FROM changelog
+       |), o AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY schema_name, table_name, partition
+       |      ORDER BY commit_ts) AS rn
+       |  FROM msgs
+       |), fold AS (
+       |  SELECT schema_name, table_name, partition, commit_ts, payload_bytes, rn,
+       |    CAST(0 AS BIGINT) AS batch_id, CAST(1 AS BIGINT) AS rows_in,
+       |    payload_bytes AS acc
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT m.schema_name, m.table_name, m.partition, m.commit_ts,
+       |    m.payload_bytes, m.rn,
+       |    CASE WHEN f.rows_in >= $maxBatch OR f.acc + m.payload_bytes > $maxBytes
+       |         THEN f.batch_id + 1 ELSE f.batch_id END,
+       |    CASE WHEN f.rows_in >= $maxBatch OR f.acc + m.payload_bytes > $maxBytes
+       |         THEN CAST(1 AS BIGINT) ELSE f.rows_in + 1 END,
+       |    CASE WHEN f.rows_in >= $maxBatch OR f.acc + m.payload_bytes > $maxBytes
+       |         THEN m.payload_bytes ELSE f.acc + m.payload_bytes END
+       |  FROM fold f JOIN o m
+       |    ON m.schema_name = f.schema_name AND m.table_name = f.table_name
+       |   AND m.partition = f.partition AND m.rn = f.rn + 1
+       |)
+       |SELECT schema_name, table_name, partition, batch_id,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM(payload_bytes) AS BIGINT) AS batch_bytes,
+       |  MIN(commit_ts) AS first_ts, MAX(commit_ts) AS last_ts
+       |FROM fold
+       |GROUP BY 1, 2, 3, 4""".stripMargin
 }
