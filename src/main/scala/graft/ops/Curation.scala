@@ -172,25 +172,34 @@ object Curation {
     * contam_ppm is a truncating integer division (non-negative → equal
     * to DuckDB `//`); gram-free docs carry the -1 sentinel, keeping
     * the column non-null BIGINT. */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
-    // repartition off the single parquet split (shingling is CPU-bound)
-    // and shingle with the native compiled-loop expression — the
-    // declarative transform-lambda runs interpreted at ~ms/doc
-    val g = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+  /** Shingle a documents frame into distinct word 4-grams with the
+    * native compiled-loop expression (the declarative transform-lambda
+    * runs interpreted at ~ms/doc). */
+  private def shingle4(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
         call_function("graft_word_ngrams", col("toks"), lit(4)).as("grams"))
-    val bench = g.filter(col("source") === BenchSource)
+
+  /** The distinct benchmark gram set (the static side: benchmark
+    * suites are fixed-size while the corpus grows, so this frame
+    * broadcasts — and in streaming mode it is the static side of a
+    * stream-static join). */
+  private[graft] def benchGrams(spark: SparkSession, dir: String): DataFrame =
+    shingle4(Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+      .filter(col("source") === BenchSource)
       .select(explode(col("grams")).as("gram")).distinct()
-      .withColumn("hit", lit(1))
-    // one shingling pass: n_grams rides along the exploded rows
-    // (explode_outer keeps gram-free docs; a null gram joins nothing),
-    // so the corpus side is scanned and shingled exactly once
-    val ex = g.filter(col("source") =!= BenchSource)
+
+  /** Score a (possibly streaming) documents frame against a benchmark
+    * gram set. One shingling pass: n_grams rides along the exploded
+    * rows (explode_outer keeps gram-free docs; a null gram joins
+    * nothing), so the corpus side is scanned and shingled exactly
+    * once. */
+  private[graft] def contaminationFrom(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val ex = shingle4(docs).filter(col("source") =!= BenchSource)
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
         explode_outer(col("grams")).as("gram"))
-    ex.join(bench, Seq("gram"), "left")
+    ex.join(bench.withColumn("hit", lit(1)), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(max(col("n_grams")).as("n_grams"),
         count(col("hit")).as("n_contaminated"))
@@ -199,6 +208,13 @@ object Curation {
           col("n_contaminated") * lit(1000000L), col("n_grams")))
           .otherwise(lit(-1L)))
   }
+
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    // repartition off the single parquet split (shingling is CPU-bound)
+    contaminationFrom(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      benchGrams(spark, dir))
 
   val contaminationSql: String =
     s"""WITH t AS (
@@ -237,18 +253,23 @@ object Curation {
     * across engines, runs, and cluster sizes, so re-running the
     * pipeline never resamples. Pure row-local: no shuffle at any
     * scale. */
-  def stratifiedSample(spark: SparkSession, dir: String,
-                       salt: String = "graft-strat-v1:"): DataFrame = {
+  /** Row-local projection + filter — identical in micro-batch
+    * execution, so the same code is the streaming twin (C20s). */
+  private[graft] def stratifiedSampleFrom(docs: DataFrame,
+                                          salt: String): DataFrame = {
     val rate = StratRates.foldRight(lit(StratDefault): Column) {
       case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
     }
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
+    docs.select(col("doc_id"), col("lang"),
         Portable.bucket(concat(lit(salt), col("doc_id").cast("string")), 1000000)
           .as("bucket"),
         rate.as("rate_ppm"))
       .filter(col("bucket") < col("rate_ppm"))
   }
+
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       salt: String = "graft-strat-v1:"): DataFrame =
+    stratifiedSampleFrom(Tables.documents(spark, dir), salt)
 
   def stratifiedSampleSql(salt: String = "graft-strat-v1:"): String = {
     val bucket = Portable.bucketSql(s"CONCAT('$salt', CAST(doc_id AS VARCHAR))", 1000000)

@@ -141,6 +141,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("C19s/C20s: curation ops run on a document stream and equal batch") {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    // C20s — row-local sampling: identical in micro-batch execution
+    runToCompletion(
+      ops.Curation.stratifiedSampleFrom(stream, "graft-strat-v1:"), "c20s", "append")
+    val s20 = spark.table("c20s")
+    val b20 = ops.Curation.stratifiedSample(spark, dir)
+    assert(s20.count() == b20.count() && s20.count() > 0)
+    assert(s20.exceptAll(b20).isEmpty && b20.exceptAll(s20).isEmpty)
+    // C19s — stream-static join: streamed corpus grams against the
+    // static benchmark gram set, per-doc counts in update mode
+    runToCompletion(
+      ops.Curation.contaminationFrom(stream, ops.Curation.benchGrams(spark, dir)),
+      "c19s", "update")
+    val s19 = spark.table("c19s")
+      .groupBy("doc_id").agg(max("n_grams").as("n_grams"),
+        max("n_contaminated").as("n_contaminated"), max("contam_ppm").as("contam_ppm"))
+    val b19 = ops.Curation.contamination(spark, dir)
+    assert(s19.count() == b19.count())
+    assert(s19.exceptAll(b19).isEmpty && b19.exceptAll(s19).isEmpty)
+  }
+
   test("C12s: streaming multimodal feature extraction equals the batch path") {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
