@@ -248,7 +248,8 @@ object Similarity {
     * hierarchical √k→√k), which changes nothing on the probe side. */
   def annIvf(spark: SparkSession, dir: String, nProbe: Int = 8,
              nQueries: Int = 8, topK: Int = 3, kMin: Int = 64,
-             kCap: Int = 4096, sampleFactor: Int = 64): DataFrame = {
+             kCap: Int = 4096, sampleFactor: Int = 64,
+             lloydRounds: Int = 1): DataFrame = {
     val c = corpus(spark, dir).localCheckpoint()
     val k = math.min(kCap.toLong, math.max(kMin.toLong,
       math.ceil(math.sqrt(c.count().toDouble)).toLong))
@@ -283,14 +284,20 @@ object Similarity {
       sum(round(col("v").getItem(i) * lit(1024.0)).cast("long")).as(s"s$i"))
     def floorDiv(num: Column, den: Column): Column =
       call_function("div", num - pmod(num, den), den)
-    val refined = nearest(sample, seeds, 1)
-      .groupBy(col("cent_id"))
-      .agg(qSums.head, qSums.tail :+ count(lit(1)).as("cnt"): _*)
-      .select(col("cent_id"), array((0 until Dim).map(i =>
-        floorDiv(col(s"s$i") + call_function("div", col("cnt"), lit(2L)),
-          col("cnt")).cast("double")): _*).as("cv"))
-      .withColumn("cn", sqrt(dot("cv", "cv")))
-      .localCheckpoint()
+    // each round reassigns the sample to the current centroids and
+    // re-means; `lloydRounds` > 1 is the quality knob (recall-curve
+    // spec) — the oracle mirrors the default single round
+    def refine(cents: DataFrame): DataFrame =
+      nearest(sample, cents, 1)
+        .groupBy(col("cent_id"))
+        .agg(qSums.head, qSums.tail :+ count(lit(1)).as("cnt"): _*)
+        .select(col("cent_id"), array((0 until Dim).map(i =>
+          floorDiv(col(s"s$i") + call_function("div", col("cnt"), lit(2L)),
+            col("cnt")).cast("double")): _*).as("cv"))
+        .withColumn("cn", sqrt(dot("cv", "cv")))
+        .localCheckpoint()
+    val refined = (1 to math.max(1, lloydRounds))
+      .foldLeft(seeds.localCheckpoint())((cs, _) => refine(cs))
     val assigned = nearest(c, refined, 1)
       .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
       .localCheckpoint()

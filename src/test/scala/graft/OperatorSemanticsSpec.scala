@@ -94,6 +94,15 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.5, f"IVF recall $recall%.2f below 0.5 floor")
+    // the lloydRounds quality knob: extra refinement rounds keep the
+    // frame valid and at least hold the recall floor (tighter clusters
+    // concentrate true neighbors into the probed lists)
+    val ivf2 = ops.Similarity.annIvf(spark, dir, nQueries = nq, topK = 3,
+        lloydRounds = 3)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(_.toSeq).toSet
+    val recall2 = exact.intersect(ivf2).size.toDouble / exact.size
+    assert(recall2 >= 0.5, f"3-round IVF recall $recall2%.2f below floor")
   }
 
   // from-scratch Avro-binary reader — the independent side of the
