@@ -141,6 +141,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("B15s2: funnel state persists across multiple time-ordered micro-batches") {
+    import spark.implicits._
+    // split events into three time-terciles, one parquet file each,
+    // with strictly increasing modification times so the file source
+    // replays them as THREE micro-batches in event-time order —
+    // cross-batch state is genuinely exercised, unlike a single
+    // AvailableNow batch
+    val tmp = java.nio.file.Files.createTempDirectory("b15s2").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val cuts = ev.stat.approxQuantile("ts_us", Array(0.34, 0.67), 0.0)
+    val parts = Seq(
+      ev.filter(col("ts_us") <= cuts(0)),
+      ev.filter(col("ts_us") > cuts(0) && col("ts_us") <= cuts(1)),
+      ev.filter(col("ts_us") > cuts(1)))
+    val t0 = java.lang.System.currentTimeMillis() - 60000
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = s"$tmp/f$i"
+      p.coalesce(1).write.parquet(d)
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t0 + i * 10000))
+    }
+    val schema = parts.head.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/f*")
+      .as[graft.streaming.DataOps.UserEvent]
+    runToCompletion(
+      graft.streaming.DataOps.streamFunnel(stream).toDF(), "b15s2", "update")
+    // several emissions per user across batches; the final (max-stage)
+    // state must equal the batch funnel over the full event set
+    val streamed = spark.table("b15s2")
+      .groupBy(col("user_id"))
+      .agg(max(col("stage")).as("stage"),
+        max(col("t_view_us")).as("t_view_us"),
+        max(col("t_click_us")).as("t_click_us"),
+        max(col("t_purchase_us")).as("t_purchase_us"))
+      .select("user_id", "t_view_us", "t_click_us", "t_purchase_us", "stage")
+    val batch = graft.queries.Analytics.qFunnel(spark, dir)
+    assert(spark.table("b15s2").count() > batch.count(),
+      "expected multiple emissions per user across micro-batches")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("C19s/C20s: curation ops run on a document stream and equal batch") {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     def stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")

@@ -120,6 +120,25 @@ def docs(out, replicas=10):
     pq.write_table(pa.concat_tables(parts), f"{out}/documents.parquet")
     print(f"[docs] documents: {t.num_rows} -> {t.num_rows * replicas} rows")
 
+def docskew(out, hot_frac=0.8):
+    """Hot-language probe: ~80% of documents forced to lang='en' — the
+    realistic web-corpus shape. Exercises the (lang, shard) packing
+    partitions and the lang-keyed aggregation cells under one dominant
+    stratum."""
+    os.makedirs(out, exist_ok=True)
+    for t in ["region", "nation", "embeddings"] + list(SHIFTS):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+    t = pq.read_table(f"{SRC}/documents.parquet")
+    k = int(1 / (1 - hot_frac))
+    cold = pc.equal(pc.subtract(t["doc_id"],
+        pc.multiply(pc.divide(t["doc_id"], k), k)), 0)  # doc_id % k == 0
+    lang = pc.if_else(cold, t["lang"], pa.scalar("en", pa.string()))
+    idx = t.schema.get_field_index("lang")
+    pq.write_table(t.set_column(idx, t.schema.field("lang"), lang),
+                   f"{out}/documents.parquet")
+    print(f"[docskew] documents: {t.num_rows} rows, ~{hot_frac:.0%} now lang=en")
+
 if __name__ == "__main__":
     mode, out = sys.argv[1], sys.argv[2]
-    {"sf1x": sf1x, "skew": skew, "emb": emb, "docs": docs}[mode](out)
+    {"sf1x": sf1x, "skew": skew, "emb": emb, "docs": docs,
+     "docskew": docskew}[mode](out)
