@@ -73,6 +73,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length == 1, p)
   }
 
+  test("new aggregation ops hold their probed shuffle budgets") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    // seq_pack: one (lang, shard) window shuffle; corpus_stats: one
+    // cell-keyed aggregation; retention: user window + cohort cell
+    assert(exchanges(ops.Corpus.seqPack(spark, dir)) == 1)
+    assert(exchanges(ops.Corpus.corpusStats(spark, dir)) == 1)
+    assert(exchanges(queries.Analytics.qRetention(spark, dir)) == 2)
+  }
+
   test("snapshot materialization is a partial aggregation, not a global sort window") {
     val p = plan(cdc.Materialize.snapshot(cdc.ChangeEvents.changelog(spark, dir)))
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
