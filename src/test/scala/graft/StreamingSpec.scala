@@ -77,6 +77,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(live.count() == batch.count())
   }
 
+  test("A27b: snapshot state carries across multiple commit-ordered micro-batches") {
+    import spark.implicits._
+    // replay the event file as three commit_ts-ordered micro-batches
+    // (the B15s2 technique): per-key state must survive batch
+    // boundaries and the FINAL state per key must equal the batch
+    // max_by materialization over the whole log
+    val tmp = java.nio.file.Files.createTempDirectory("a27b").toString
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val cuts = raw.stat.approxQuantile("event_id", Array(0.34, 0.67), 0.0)
+    val parts = Seq(
+      raw.filter(col("event_id") <= cuts(0)),
+      raw.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      raw.filter(col("event_id") > cuts(1)))
+    val t0 = java.lang.System.currentTimeMillis() - 60000
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = s"$tmp/f$i"
+      p.coalesce(1).write.parquet(d)
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t0 + i * 10000))
+    }
+    val stream = graft.cdc.ChangeEvents.fromEvents(
+        spark.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/f*"))
+      .withColumn("before_value", col("before_value").cast("double"))
+      .as[CdcStream.ChangeEvent]
+    runToCompletion(CdcStream.snapshotState(stream).toDF(), "a27b", "update")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("schema_name", "table_name", "pk").orderBy(col("last_ts").desc)
+    val finalState = spark.table("a27b")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val live = finalState.filter(col("last_op") =!= "D")
+      .select(col("schema_name"), col("table_name"), col("pk"),
+        col("last_ts"), col("value"), col("props"))
+    val batch = graft.cdc.Materialize
+      .snapshot(graft.cdc.ChangeEvents.changelog(spark, dir))
+      .select(col("schema_name"), col("table_name"), col("pk"),
+        col("last_ts"), col("value"), col("props"))
+    assert(spark.table("a27b").count() > batch.count(),
+      "expected re-emissions across micro-batches")
+    assert(live.exceptAll(batch).isEmpty && batch.exceptAll(live).isEmpty)
+  }
+
   test("A35: streaming dedup keeps exactly one row per fingerprint") {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
