@@ -98,6 +98,7 @@ object SparkEntry {
     "sink_batch_bytes" -> ((s, d) =>
       Sinks.batchFrameBytes(cl(s, d), nParts, maxBatch = 6, maxBytes = 300L)),
     "codec_canal_decode" -> ((s, d) => Codecs.canalJsonDecode(cl(s, d))),
+    "codec_csv_decode" -> ((s, d) => Codecs.csvDecode(Codecs.csv(cl(s, d)))),
     "codec_open_decode" -> ((s, d) => Codecs.openProtocolDecode(cl(s, d))),
     "codec_debezium_decode" -> ((s, d) => Codecs.debeziumDecode(cl(s, d))),
     "changefeed_pipeline" -> ((s, d) => Changefeed.kafka(cl(s, d), changefeedCfg)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "sink_batch_frame" -> o(Sinks.batchFrameSql(nParts, maxBatch = 4)),
     "sink_batch_bytes" -> o(Sinks.batchFrameBytesSql(nParts, maxBatch = 6, maxBytes = 300L)),
     "codec_canal_decode" -> o(Codecs.canalJsonDecodeSql),
+    "codec_csv_decode" -> o(Codecs.csvDecodeSql),
     "codec_open_decode" -> o(Codecs.openProtocolDecodeSql),
     "codec_debezium_decode" -> o(Codecs.debeziumDecodeSql),
     "changefeed_pipeline" -> o(Changefeed.kafkaDebeziumSql(changefeedCfg)),

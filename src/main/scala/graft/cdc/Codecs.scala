@@ -301,6 +301,59 @@ object Codecs {
       |    '"', REPLACE(props, '"', '""'), '"') AS line
       |FROM changelog""".stripMargin
 
+  /** Anchored CSV-line pattern, identical under Java regex and RE2:
+    * a quoted field is `(?:[^"]|"")*` — a doubled quote can only match
+    * the `""` alternative (lone `"` is excluded from the class), so the
+    * parse is deterministic in both engines. Groups: op, schema, table,
+    * commit_ts, pk, value (`\N` = NULL image), props. */
+  private val csvPat =
+    "^\"((?:[^\"]|\"\")*)\",\"((?:[^\"]|\"\")*)\",\"((?:[^\"]|\"\")*)\"," +
+      "([0-9]+),([0-9]+),(\\\\N|[-0-9.]+),\"((?:[^\"]|\"\")*)\"$"
+
+  /** A51 — csv DECODE (consumer side of A22, reference:
+    * pkg/sink/codec/csv/csv_decoder.go): parse the line back to the
+    * after-image event frame — quoted fields unescaped (`""` → `"`),
+    * `\N` back to NULL, value at codec (%.4f) precision. Row-local
+    * regex extraction; the spec checks decode∘encode equals the
+    * changelog projection exactly. */
+  def csvDecode(frame: DataFrame): DataFrame = {
+    def g(i: Int): Column = regexp_extract(col("line"), csvPat, i)
+    def unq(c: Column): Column = call_function("replace", c, lit("\"\""), lit("\""))
+    frame.select(
+      g(4).cast("long").as("commit_ts"),
+      unq(g(2)).as("schema_name"),
+      unq(g(3)).as("table_name"),
+      unq(g(1)).as("op"),
+      g(5).cast("long").as("pk"),
+      when(g(6) === "\\N", lit(null).cast("double"))
+        .otherwise(g(6).cast("double")).as("after_value"),
+      unq(g(7)).as("props"))
+  }
+
+  private val csvLineSqlForDecode: String =
+    """CONCAT(
+      |    '"', REPLACE(op, '"', '""'), '",',
+      |    '"', REPLACE(schema_name, '"', '""'), '",',
+      |    '"', REPLACE(table_name, '"', '""'), '",',
+      |    CAST(commit_ts AS VARCHAR), ',', CAST(pk AS VARCHAR), ',',
+      |    CASE WHEN after_value IS NULL THEN '\N' ELSE printf('%.4f', after_value) END, ',',
+      |    '"', REPLACE(props, '"', '""'), '"')""".stripMargin
+
+  val csvDecodeSql: String = {
+    def g(i: Int) = s"regexp_extract(line, '$csvPat', $i)"
+    def unq(e: String) = s"""REPLACE($e, '""', '"')"""
+    s"""SELECT
+       |  CAST(${g(4)} AS BIGINT) AS commit_ts,
+       |  ${unq(g(2))} AS schema_name,
+       |  ${unq(g(3))} AS table_name,
+       |  ${unq(g(1))} AS op,
+       |  CAST(${g(5)} AS BIGINT) AS pk,
+       |  CASE WHEN ${g(6)} = '\\N' THEN NULL
+       |       ELSE CAST(${g(6)} AS DOUBLE) END AS after_value,
+       |  ${unq(g(7))} AS props
+       |FROM (SELECT $csvLineSqlForDecode AS line FROM changelog)""".stripMargin
+  }
+
   /** A23 — avro-style record rendering (reference: pkg/sink/codec/avro/
     * avro.go): schema'd record with explicit field types; nullable
     * fields render as avro JSON unions `{"double": x}` / null. */

@@ -425,6 +425,23 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(!got.contains(1L), "benchmark docs are not scored")
   }
 
+  test("csv decode inverts the encoder exactly at codec precision") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val decoded = cdc.Codecs.csvDecode(cdc.Codecs.csv(cl))
+    // the csv line carries the after image at %.4f precision; quoting
+    // round-trips the JSON props (every props value contains quotes)
+    val expected = cl.select(col("commit_ts"), col("schema_name"),
+      col("table_name"), col("op"), col("pk"),
+      round(col("after_value"), 4).as("after_value"), col("props"))
+    val got = decoded.select(col("commit_ts"), col("schema_name"),
+      col("table_name"), col("op"), col("pk"),
+      col("after_value"), col("props"))
+    assert(got.count() == cl.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // the quote-escaping branch is exercised, not vacuous
+    assert(cl.filter(col("props").contains("\"")).count() > 0)
+  }
+
   test("encoder-group batches cap at maxBatch, conserve rows, and stay contiguous") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val f = cdc.Sinks.batchFrame(cl, 16, maxBatch = 4).collect()
