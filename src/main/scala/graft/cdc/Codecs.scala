@@ -313,21 +313,25 @@ object Codecs {
   /** A51 — csv DECODE (consumer side of A22, reference:
     * pkg/sink/codec/csv/csv_decoder.go): parse the line back to the
     * after-image event frame — quoted fields unescaped (`""` → `"`),
-    * `\N` back to NULL, value at codec (%.4f) precision. Row-local
-    * regex extraction; the spec checks decode∘encode equals the
-    * changelog projection exactly. */
+    * `\N` back to NULL, value at codec (%.4f) precision. ONE `from_csv`
+    * parse per row (the csv analogue of the decoders' single `from_json`
+    * — seven per-field regex extractions re-scanned the line 7×); the
+    * DuckDB oracle parses with the anchored [[csvPat]] regex instead,
+    * so the oracle equality ALSO proves the two parsers agree. */
   def csvDecode(frame: DataFrame): DataFrame = {
-    def g(i: Int): Column = regexp_extract(col("line"), csvPat, i)
-    def unq(c: Column): Column = call_function("replace", c, lit("\"\""), lit("\""))
-    frame.select(
-      g(4).cast("long").as("commit_ts"),
-      unq(g(2)).as("schema_name"),
-      unq(g(3)).as("table_name"),
-      unq(g(1)).as("op"),
-      g(5).cast("long").as("pk"),
-      when(g(6) === "\\N", lit(null).cast("double"))
-        .otherwise(g(6).cast("double")).as("after_value"),
-      unq(g(7)).as("props"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "op STRING, schema_name STRING, table_name STRING, " +
+        "commit_ts BIGINT, pk BIGINT, value STRING, props STRING")
+    val opts = Map("quote" -> "\"", "escape" -> "\"", "nullValue" -> "\\N")
+    frame.select(from_csv(col("line"), schema, opts).as("m"))
+      .select(
+        col("m.commit_ts").as("commit_ts"),
+        col("m.schema_name").as("schema_name"),
+        col("m.table_name").as("table_name"),
+        col("m.op").as("op"),
+        col("m.pk").as("pk"),
+        col("m.value").cast("double").as("after_value"),
+        col("m.props").as("props"))
   }
 
   private val csvLineSqlForDecode: String =
