@@ -322,7 +322,12 @@ object Codecs {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "op STRING, schema_name STRING, table_name STRING, " +
         "commit_ts BIGINT, pk BIGINT, value STRING, props STRING")
-    val opts = Map("quote" -> "\"", "escape" -> "\"", "nullValue" -> "\\N")
+    // no parser-wide nullValue: that option would turn a QUOTED string
+    // field whose content is literally \N into NULL too (an engine
+    // divergence vs the oracle's per-field regex) — only the value
+    // column's unquoted \N means NULL in this layout, so it is mapped
+    // explicitly after the parse
+    val opts = Map("quote" -> "\"", "escape" -> "\"")
     frame.select(from_csv(col("line"), schema, opts).as("m"))
       .select(
         col("m.commit_ts").as("commit_ts"),
@@ -330,7 +335,8 @@ object Codecs {
         col("m.table_name").as("table_name"),
         col("m.op").as("op"),
         col("m.pk").as("pk"),
-        col("m.value").cast("double").as("after_value"),
+        when(col("m.value") === "\\N", lit(null).cast("double"))
+          .otherwise(col("m.value").cast("double")).as("after_value"),
         col("m.props").as("props"))
   }
 

@@ -307,23 +307,34 @@ object Sinks {
         col("partition"), col("commit_ts"))
       .as[(String, String, Long, Long, Long)]
     base.mapPartitions { it =>
-      var key: (String, String, Long) = null
-      var batchId = -1L; var rows = 0L; var bytes = 0L
-      var first = 0L; var last = 0L
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(String, String, Long, Long, Long, Long, Long, Long)]
-      def flush(): Unit = if (key != null && rows > 0)
-        out += ((key._1, key._2, key._3, batchId, rows, bytes, first, last))
-      for ((sch, tbl, part, ts, len) <- it) {
-        val k = (sch, tbl, part)
-        if (k != key) { flush(); key = k; batchId = -1L; rows = 0L; bytes = 0L }
-        if (rows == 0 || rows >= maxBatch || bytes + len > maxBytes) {
-          flush(); batchId += 1; rows = 0L; bytes = 0L; first = ts
+      // lazy one-batch-at-a-time fold: O(1) state per partition (the
+      // current stream key + batch counter), never materializing the
+      // partition's output — each next() consumes exactly one batch's
+      // input rows and emits its frame row
+      val in = it.buffered
+      new Iterator[(String, String, Long, Long, Long, Long, Long, Long)] {
+        private var lastKey: (String, String, Long) = null
+        private var lastBatchId = -1L
+        override def hasNext: Boolean = in.hasNext
+        override def next(): (String, String, Long, Long, Long, Long, Long, Long) = {
+          val (sch, tbl, part, ts0, len0) = in.next()
+          val key = (sch, tbl, part)
+          val batchId = if (key == lastKey) lastBatchId + 1 else 0L
+          var rows = 1L; var bytes = len0; var last = ts0
+          // accept while the next event shares the stream and fits both
+          // caps — the same greedy rule as the eager fold (an oversize
+          // event alone forms a singleton batch via the first accept)
+          while (in.hasNext && {
+            val (s, t, p, _, l) = in.head
+            (s, t, p) == key && rows < maxBatch && bytes + l <= maxBytes
+          }) {
+            val (_, _, _, ts, len) = in.next()
+            rows += 1; bytes += len; last = ts
+          }
+          lastKey = key; lastBatchId = batchId
+          (sch, tbl, part, batchId, rows, bytes, ts0, last)
         }
-        rows += 1; bytes += len; last = ts
       }
-      flush()
-      out.iterator
     }.toDF("schema_name", "table_name", "partition", "batch_id",
       "n_rows", "batch_bytes", "first_ts", "last_ts")
   }

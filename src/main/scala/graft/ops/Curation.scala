@@ -92,6 +92,15 @@ object Curation {
       prev = cur
       round += 1
     }
+    // a partially-contracted edge set would silently mislabel clusters
+    // downstream (wrong cluster_id, wrong keep/drop in the manifest) —
+    // fail loudly instead: diameter > 2^maxRounds is a data anomaly a
+    // pipeline must see, not paper over
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds " +
+          "large-star/small-star rounds (graph diameter > 2^maxRounds); " +
+          "raise maxRounds or investigate the edge set")
     edges
   }
 
@@ -112,18 +121,27 @@ object Curation {
   private[graft] def clearMemo(): Unit = clusterMemo.clear()
 
   def dedupClusters(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
-    clusterMemo.getOrElseUpdate((spark, dir, tau), {
-      val assign = connectedComponents(dupEdges(spark, dir, tau))
-        .select(col("u").as("doc_id"), col("v").as("cluster_id"))
-      Tables.documents(spark, dir).select(col("doc_id"))
-        .join(assign, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy("cluster_id")))
-        .withColumn("canonical",
-          (col("doc_id") === col("cluster_id")).cast("long"))
-        .localCheckpoint()
-    })
+    // the whole lookup is synchronized: the build is expensive (pair
+    // join + CC rounds) and TrieMap.getOrElseUpdate may run it twice
+    // under concurrency, orphaning a checkpoint-pinned frame; entries
+    // of stopped sessions are evicted here so a session stopped without
+    // GraftSession.releaseCaches cannot be retained process-wide
+    clusterMemo.synchronized {
+      clusterMemo.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(clusterMemo.remove)
+      clusterMemo.getOrElseUpdate((spark, dir, tau), {
+        val assign = connectedComponents(dupEdges(spark, dir, tau))
+          .select(col("u").as("doc_id"), col("v").as("cluster_id"))
+        Tables.documents(spark, dir).select(col("doc_id"))
+          .join(assign, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")))
+          .withColumn("canonical",
+            (col("doc_id") === col("cluster_id")).cast("long"))
+          .localCheckpoint()
+      })
+    }
 
   def dedupClustersSql(tau: Double = 0.5): String =
     s"""WITH RECURSIVE fp AS (

@@ -76,7 +76,20 @@ object DataOps {
     * greedy (a stage locks to the earliest qualifying event seen so
     * far), the standard streaming funnel semantics under in-order
     * arrival. State is one 4-long record per user — bounded by the
-    * user population, not the event volume. */
+    * user population, not the event volume.
+    *
+    * API CONTRACT — in-order arrival across micro-batches: a stage
+    * locks to the first qualifying event SEEN, so an earlier view/click
+    * arriving in a later micro-batch cannot revise a locked stage and
+    * the result can diverge from the batch funnel (B15) under
+    * cross-batch disorder. Feed this from an event-time-ordered source
+    * (e.g. a watermarked, sorted replay), or compare against B15 only
+    * on in-order streams. Long-running production streams over an
+    * unbounded user population should also swap `NoTimeout` for a
+    * processing-time TTL (GroupStateTimeout.ProcessingTimeTimeout +
+    * setTimeoutDuration on inactive users) so departed users' states
+    * are eventually reclaimed; the spec-verified semantics here keep
+    * NoTimeout so the twin is exactly comparable to batch. */
   def streamFunnel(events: Dataset[UserEvent]): Dataset[FunnelState] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

@@ -116,6 +116,14 @@ def docs(out, replicas=10):
         salted = [" ".join(f"{w}{i}" for w in s.split()) for s in texts]
         tidx = r.schema.get_field_index("text")
         r = r.set_column(tidx, r.schema.field("text"), pa.array(salted, pa.string()))
+        # salting lengthens the text, so n_chars must be recomputed from
+        # the salted text or char-based stats (corpus_stats total_chars)
+        # would be skewed relative to real data
+        if "n_chars" in r.schema.names:
+            cidx = r.schema.get_field_index("n_chars")
+            nchars = pa.array([len(s) for s in salted],
+                              r.schema.field("n_chars").type)
+            r = r.set_column(cidx, r.schema.field("n_chars"), nchars)
         parts.append(r)
     pq.write_table(pa.concat_tables(parts), f"{out}/documents.parquet")
     print(f"[docs] documents: {t.num_rows} -> {t.num_rows * replicas} rows")
