@@ -88,6 +88,7 @@ object SparkEntry {
     "cdc_ddl_filter_rich" -> ((s, d) => Filters.ddlSqlEventFilter(
       SchemaStore.ddlEvents(cl(s, d), Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> ((s, d) => SimpleProtocol.messages(cl(s, d))),
+    "sink_mysql_ddl" -> ((s, d) => MysqlDdl.frame(cl(s, d))),
     "codec_craft" -> ((s, d) => Craft.frame(cl(s, d))),
     "codec_avro_binary" -> ((s, d) => AvroBinary.messages(cl(s, d))),
     "codec_simple_decode" -> ((s, d) => SimpleProtocol.decode(cl(s, d))),
@@ -187,6 +188,7 @@ object SparkEntry {
     "cdc_ddl_filter_rich" -> o(Filters.ddlSqlEventFilterSql(
       SchemaStore.ddlEventsSql(Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> o(SimpleProtocol.messagesSql),
+    "sink_mysql_ddl" -> o(MysqlDdl.frameSql()),
     "codec_craft" -> o(Craft.frameSql),
     "codec_avro_binary" -> o(AvroBinary.messagesSql()),
     "codec_simple_decode" -> o(SimpleProtocol.decodeSql),

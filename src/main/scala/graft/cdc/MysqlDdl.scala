@@ -1,0 +1,174 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A52 — MySQL DDL execution + ddl_ts bookkeeping frame (reference:
+  * pkg/sink/mysql/mysql_writer.go:90-133 `FlushDDLEvent`/`FlushDDLTs`
+  * and :244-368 `SendDDLTs`): after executing a DDL downstream (with a
+  * `defaultDDLMaxRetry` = 20 retry budget, mysql_writer.go:42), the
+  * writer records the DDL's commitTs for every table the DDL influences
+  * in the `tidb_cdc.ddl_ts` bookkeeping table — one
+  * `INSERT ... ON DUPLICATE KEY UPDATE` carrying a VALUES tuple
+  * `('<cluster>', '<changefeed>', '<ddl_ts>', <table_id>)` per affected
+  * table (mysql_writer.go:288-327), plus one `DELETE ... WHERE (...) IN`
+  * for tables the DDL drops (:329-363). On restart the sink resumes each
+  * table from its recorded ddl_ts (`GetStartTsList`, :374); a missing
+  * row means the table was dropped.
+  *
+  * The affected-table set follows the blocked-tables influence model of
+  * `WriteBlockEvent` (downstreamadapter/sink/mysql_sink.go:155 →
+  * SendDDLTs's `InfluenceType` switch, mysql_writer.go:258-281):
+  *  - `normal` — the DDL's own table span (CREATE/ALTER/DROP TABLE),
+  *  - `db`     — every table of the DDL's schema (e.g. DROP DATABASE),
+  *  - `all`    — every table of the changefeed (e.g. FLASHBACK CLUSTER).
+  * Added tables (`GetNeedAddedTables`) join the upsert set; dropped
+  * tables (`GetNeedDroppedTables`) render the DELETE. The deterministic
+  * A18 DDL stream emits CREATE/ALTER only (all `normal` influence); the
+  * db/all/drop arms are exercised by the handcrafted-frame spec, exactly
+  * as the reference's own unit tests do.
+  *
+  * One row per DDL event — mirroring SendDDLTs's one bookkeeping
+  * transaction per DDL — with the executed statement, the retry/exec
+  * policy, and the rendered bookkeeping SQL. Scale shape: the universe
+  * frame is (tables × 1) and broadcasts; DDL events are rare; the
+  * per-event aggregation shuffles only the blocked expansion. */
+object MysqlDdl {
+
+  val RetryBudget = 20 // mysql_writer.go:42 defaultDDLMaxRetry
+
+  /** deterministic tableID, shared convention with SimpleProtocol:
+    * db ordinal × 3 + table ordinal. */
+  private val tableId: Column =
+    expr("cast(substr(u_schema, 3) as int) * 3 + cast(substr(u_table, 2) as int)")
+
+  /** Influence taxonomy of WriteBlockEvent (mysql_writer.go:258-281). */
+  private val influence: Column =
+    when(col("ddl_type") === "DROP_DATABASE", "db")
+      .when(col("ddl_type") === "FLASHBACK", "all")
+      .otherwise(lit("normal"))
+  private val isDrop: Column =
+    col("ddl_type").isin("DROP_TABLE", "DROP_DATABASE").cast("long")
+
+  /** The changefeed's table universe: (u_schema, u_table, table_id). */
+  private[graft] def universe(cl: DataFrame): DataFrame =
+    cl.select(col("schema_name").as("u_schema"), col("table_name").as("u_table"))
+      .distinct()
+      .withColumn("table_id", tableId)
+
+  /** Generic frame over any DDL-event stream + table universe — the
+    * spec drives the db/all/drop arms through this entry point. `ddl`
+    * needs (schema_name, table_name, valid_from, ddl_type, query). */
+  def frameFrom(ddl: DataFrame, uni: DataFrame,
+                clusterId: String = "graft-cluster",
+                changefeed: String = "cf-1",
+                isTiDB: Boolean = false): DataFrame = {
+    val d = ddl.withColumn("influence", influence).withColumn("is_drop", isDrop)
+    // blocked-set expansion, one scoped equi-join per influence arm
+    // (keeps hash joins; the db/all arms are empty for the A18 stream)
+    val normal = d.filter(col("influence") === "normal")
+      .join(broadcast(uni), col("schema_name") === col("u_schema") &&
+        col("table_name") === col("u_table"))
+    val db = d.filter(col("influence") === "db")
+      .join(broadcast(uni), col("schema_name") === col("u_schema"))
+    val all = d.filter(col("influence") === "all").crossJoin(broadcast(uni))
+    val blocked = normal.unionByName(db).unionByName(all)
+
+    val upsertTuple = concat(
+      lit(s"('$clusterId', '$changefeed', '"), col("valid_from"), lit("', "),
+      col("table_id"), lit(")"))
+    val deleteTuple = concat(
+      lit(s"('$clusterId', '$changefeed', "), col("table_id"), lit(")"))
+    // table_id-ordered string aggregation (collect_list order is not
+    // deterministic; the sort key rides in the struct's first field)
+    def ordered(c: Column, sep: String): Column = array_join(
+      transform(array_sort(collect_list(struct(col("table_id").as("k"), c.as("v")))),
+        x => x.getField("v")), sep)
+
+    val execMode =
+      if (isTiDB) when(col("exec_sql").contains("ADD INDEX"), "async")
+        .otherwise(lit("sync")) // asyncExecAddIndexDDLIfTimeout, :91
+      else lit("sync")
+
+    blocked
+      .groupBy(col("schema_name"), col("table_name"),
+        col("valid_from").as("ddl_ts"), col("ddl_type"),
+        col("query").as("exec_sql"), col("influence"), col("is_drop"))
+      .agg(
+        count(lit(1)).as("n_upsert"),
+        ordered(col("table_id").cast("string"), ",").as("upsert_ids"),
+        concat(
+          lit("INSERT INTO tidb_cdc.ddl_ts (ticdc_cluster_id, changefeed, ddl_ts, table_id) VALUES "),
+          ordered(upsertTuple, ", "),
+          lit(" ON DUPLICATE KEY UPDATE ddl_ts=VALUES(ddl_ts), created_at=CURRENT_TIMESTAMP;"))
+          .as("upsert_stmt"),
+        when(max(col("is_drop")) === 1L, concat(
+          lit("DELETE FROM tidb_cdc.ddl_ts WHERE (ticdc_cluster_id, changefeed, table_id) IN ("),
+          ordered(deleteTuple, ", "), lit(")")))
+          .otherwise(lit(null).cast("string")).as("delete_stmt"))
+      .select(col("schema_name"), col("table_name"), col("ddl_ts"),
+        col("ddl_type"), col("exec_sql"), execMode.as("exec_mode"),
+        lit(RetryBudget.toLong).as("retry_budget"), col("influence"),
+        col("n_upsert"), col("upsert_ids"), col("upsert_stmt"),
+        (col("is_drop") * col("n_upsert")).as("n_dropped"),
+        col("delete_stmt"))
+  }
+
+  /** A52 queries entry: the frame over the deterministic A18 DDL
+    * stream and the changelog's table universe. */
+  def frame(cl: DataFrame, clusterId: String = "graft-cluster",
+            changefeed: String = "cf-1"): DataFrame =
+    frameFrom(SchemaStore.ddlEvents(cl, Nil), universe(cl),
+      clusterId, changefeed)
+
+  def frameSql(clusterId: String = "graft-cluster",
+               changefeed: String = "cf-1"): String = {
+    // a literal single quote inside a SQL string literal is '' — the
+    // rendered tuples must match the Scala side byte-for-byte
+    val upsertTuple =
+      s"CONCAT('(''$clusterId'', ''$changefeed'', ''', valid_from, ''', ', table_id, ')')"
+    val deleteTuple =
+      s"CONCAT('(''$clusterId'', ''$changefeed'', ', table_id, ')')"
+    s"""WITH ddl AS (${SchemaStore.ddlEventsSql(Nil)}),
+       |inf AS (
+       |  SELECT *,
+       |    CASE WHEN ddl_type = 'DROP_DATABASE' THEN 'db'
+       |         WHEN ddl_type = 'FLASHBACK' THEN 'all'
+       |         ELSE 'normal' END AS influence,
+       |    CASE WHEN ddl_type IN ('DROP_TABLE', 'DROP_DATABASE')
+       |         THEN 1 ELSE 0 END AS is_drop
+       |  FROM ddl
+       |),
+       |uni AS (
+       |  SELECT schema_name AS u_schema, table_name AS u_table,
+       |    CAST(SUBSTRING(schema_name, 3) AS INT) * 3
+       |      + CAST(SUBSTRING(table_name, 2) AS INT) AS table_id
+       |  FROM (SELECT DISTINCT schema_name, table_name FROM changelog)
+       |),
+       |blocked AS (
+       |  SELECT i.*, u.table_id FROM inf i JOIN uni u
+       |    ON (i.influence = 'normal' AND i.schema_name = u.u_schema
+       |        AND i.table_name = u.u_table)
+       |    OR (i.influence = 'db' AND i.schema_name = u.u_schema)
+       |    OR i.influence = 'all'
+       |)
+       |SELECT schema_name, table_name, valid_from AS ddl_ts, ddl_type,
+       |  query AS exec_sql,
+       |  'sync' AS exec_mode,
+       |  CAST($RetryBudget AS BIGINT) AS retry_budget,
+       |  influence,
+       |  CAST(COUNT(*) AS BIGINT) AS n_upsert,
+       |  string_agg(CAST(table_id AS VARCHAR), ',' ORDER BY table_id) AS upsert_ids,
+       |  CONCAT('INSERT INTO tidb_cdc.ddl_ts (ticdc_cluster_id, changefeed, ddl_ts, table_id) VALUES ',
+       |    string_agg($upsertTuple, ', ' ORDER BY table_id),
+       |    ' ON DUPLICATE KEY UPDATE ddl_ts=VALUES(ddl_ts), created_at=CURRENT_TIMESTAMP;') AS upsert_stmt,
+       |  CAST(is_drop * COUNT(*) AS BIGINT) AS n_dropped,
+       |  CASE WHEN is_drop = 1 THEN
+       |    CONCAT('DELETE FROM tidb_cdc.ddl_ts WHERE (ticdc_cluster_id, changefeed, table_id) IN (',
+       |      string_agg($deleteTuple, ', ' ORDER BY table_id), ')')
+       |  END AS delete_stmt
+       |FROM blocked
+       |GROUP BY schema_name, table_name, valid_from, ddl_type, query,
+       |  influence, is_drop""".stripMargin
+  }
+}

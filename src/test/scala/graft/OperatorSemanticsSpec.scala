@@ -580,4 +580,58 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     val s3 = ops.Curation.stratifiedSample(spark, dir, salt = "graft-strat-v2:").collect()
     assert(!s1.map(_.getLong(0)).sorted.sameElements(s3.map(_.getLong(0)).sorted))
   }
+
+  test("A52: mysql ddl_ts blocked-table sets follow WriteBlockEvent influence semantics") {
+    import spark.implicits._
+    // universe: two schemas × three tables, ids per the tableID convention
+    val uniCl = Seq(
+      ("db0", "t0"), ("db0", "t1"), ("db0", "t2"),
+      ("db1", "t0"), ("db1", "t1"), ("db1", "t2"))
+      .toDF("schema_name", "table_name")
+    val uni = cdc.MysqlDdl.universe(uniCl)
+    // one DDL per influence arm of mysql_writer.go:258-281, plus both
+    // drop shapes (:269-281, :329-363)
+    val ddl = Seq(
+      ("db0", "t1", 100L, "ALTER", "ALTER TABLE db0.t1 ADD COLUMN v1 BIGINT"),
+      ("db0", "t2", 200L, "DROP_TABLE", "DROP TABLE db0.t2"),
+      ("db1", "t0", 300L, "DROP_DATABASE", "DROP DATABASE db1"),
+      ("db0", "t0", 400L, "FLASHBACK", "FLASHBACK CLUSTER TO TIMESTAMP '...'"))
+      .toDF("schema_name", "table_name", "valid_from", "ddl_type", "query")
+    val rows = cdc.MysqlDdl.frameFrom(ddl, uni, "cid", "cf")
+      .collect().map(r => r.getString(3) -> r).toMap
+
+    // normal influence: the DDL's own span only (db0.t1 -> id 1)
+    val alter = rows("ALTER")
+    assert(alter.getString(7) == "normal" && alter.getLong(8) == 1L)
+    assert(alter.getString(9) == "1")
+    assert(alter.getString(10) ==
+      "INSERT INTO tidb_cdc.ddl_ts (ticdc_cluster_id, changefeed, ddl_ts, table_id) VALUES " +
+        "('cid', 'cf', '100', 1) " +
+        "ON DUPLICATE KEY UPDATE ddl_ts=VALUES(ddl_ts), created_at=CURRENT_TIMESTAMP;")
+    assert(alter.getLong(11) == 0L && alter.isNullAt(12))
+
+    // normal drop: bookkeeping upserts AND deletes its own id (db0.t2 -> 2)
+    val dropT = rows("DROP_TABLE")
+    assert(dropT.getString(7) == "normal" && dropT.getLong(8) == 1L)
+    assert(dropT.getLong(11) == 1L)
+    assert(dropT.getString(12) ==
+      "DELETE FROM tidb_cdc.ddl_ts WHERE (ticdc_cluster_id, changefeed, table_id) IN " +
+        "(('cid', 'cf', 2))")
+
+    // db influence: every table of the schema (db1 -> ids 3,4,5), dropped too
+    val dropDb = rows("DROP_DATABASE")
+    assert(dropDb.getString(7) == "db" && dropDb.getLong(8) == 3L)
+    assert(dropDb.getString(9) == "3,4,5")
+    assert(dropDb.getLong(11) == 3L)
+    assert(dropDb.getString(12).contains("(('cid', 'cf', 3), ('cid', 'cf', 4), ('cid', 'cf', 5))"))
+
+    // all influence: the whole changefeed universe, ordered by table id
+    val flash = rows("FLASHBACK")
+    assert(flash.getString(7) == "all" && flash.getLong(8) == 6L)
+    assert(flash.getString(9) == "0,1,2,3,4,5")
+    assert(flash.getLong(11) == 0L && flash.isNullAt(12))
+
+    // exec policy: sync + the reference's retry budget on every row
+    assert(rows.values.forall(r => r.getString(5) == "sync" && r.getLong(6) == 20L))
+  }
 }
