@@ -91,6 +91,7 @@ object SparkEntry {
     "sink_mysql_ddl" -> ((s, d) => MysqlDdl.frame(cl(s, d))),
     "codec_craft" -> ((s, d) => Craft.frame(cl(s, d))),
     "codec_avro_binary" -> ((s, d) => AvroBinary.messages(cl(s, d))),
+    "codec_avro_decode" -> ((s, d) => AvroBinary.decode(AvroBinary.messages(cl(s, d)))),
     "codec_simple_decode" -> ((s, d) => SimpleProtocol.decode(cl(s, d))),
     "codec_checksum" -> ((s, d) => Checksum.verify(cl(s, d))),
     "codec_craft_decode" -> ((s, d) => Craft.decode(Craft.frame(cl(s, d)))),
@@ -191,6 +192,7 @@ object SparkEntry {
     "sink_mysql_ddl" -> o(MysqlDdl.frameSql()),
     "codec_craft" -> o(Craft.frameSql),
     "codec_avro_binary" -> o(AvroBinary.messagesSql()),
+    "codec_avro_decode" -> o(AvroBinary.decodeSql()),
     "codec_simple_decode" -> o(SimpleProtocol.decodeSql),
     "codec_checksum" -> o(Checksum.verifySql),
     "codec_craft_decode" -> o(Craft.decodeSql),

@@ -128,6 +128,53 @@ object AvroBinary {
           col("h_op"), col("h_pk"), col("h_ts"), col("h_before"), col("h_after"))
           .as("value"))
 
+  /** A53 — Avro binary DECODE, the consumer side of [[messages]]
+    * (reference: pkg/sink/codec/decoder/decoder.go:24-38 — the decoder
+    * interface every protocol implements — instantiated for avro by the
+    * consumer's schema-registry reader). Both wire messages parse
+    * through a real sequential Avro-binary parser (native loop-codegen
+    * expressions [[graft.functions.AvroDecodeKey]]/[[AvroDecodeValue]]):
+    * Confluent magic + int32 schema id, varint-length UTF-8 strings,
+    * zigzag varints, union-branch decimal cents (minimal big-endian
+    * two's complement, sign-extended). `valid`=1 requires magic 0x00 AND
+    * full byte consumption — the same whole-message bounds invariant as
+    * the craft decoder. The DuckDB oracle is the independent side of the
+    * contract: it projects the changelog directly (decode ∘ encode =
+    * projection), so any parser drift breaks the hash match. Absent
+    * money images take the -1 sentinel (cents are non-negative by
+    * construction); row-local, zero shuffle. */
+  def decode(msgs: DataFrame): DataFrame = {
+    import graft.functions.WireExprs
+    // layered projections: parse once per message, then field accesses
+    msgs.select(
+        WireExprs.avroDecodeKey(col("key")).as("k"),
+        WireExprs.avroDecodeValue(col("value")).as("v"))
+      .select(
+        col("k.schema_id").as("key_schema_id"),
+        col("k.pk").as("key_pk"),
+        col("v.schema_id").as("val_schema_id"),
+        col("v.schema_name").as("schema_name"),
+        col("v.table_name").as("table_name"),
+        col("v.op").as("op"),
+        col("v.pk").as("pk"),
+        col("v.commit_ts").as("commit_ts"),
+        col("v.before_cents").as("before_cents"),
+        col("v.after_cents").as("after_cents"),
+        (col("k.valid") * col("v.valid")).as("valid"))
+  }
+
+  def decodeSql(keySchemaId: Int = 1, valueSchemaId: Int = 2): String =
+    s"""SELECT CAST($keySchemaId AS BIGINT) AS key_schema_id,
+       |  pk AS key_pk,
+       |  CAST($valueSchemaId AS BIGINT) AS val_schema_id,
+       |  schema_name, table_name, op, pk, commit_ts,
+       |  CASE WHEN before_value IS NULL THEN CAST(-1 AS BIGINT)
+       |       ELSE CAST(ROUND(before_value * 100.0, 0) AS BIGINT) END AS before_cents,
+       |  CASE WHEN after_value IS NULL THEN CAST(-1 AS BIGINT)
+       |       ELSE CAST(ROUND(after_value * 100.0, 0) AS BIGINT) END AS after_cents,
+       |  CAST(1 AS BIGINT) AS valid
+       |FROM changelog""".stripMargin
+
   def messagesSql(keySchemaId: Int = 1, valueSchemaId: Int = 2): String =
     s"""SELECT commit_ts,
        |  CONCAT('${headerHex(keySchemaId)}', h_pk) AS key,

@@ -194,6 +194,42 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("A53: avro decode operator inverts the encoder at every boundary and flags tampering") {
+    import spark.implicits._
+    // boundary frame (same edges as the encoder-boundary test): the
+    // operator-level decoder must agree with the encoder on negative
+    // cents (sign extension) and every varint length class
+    val centsEdges = (1 to 7).flatMap { k =>
+      val h = 1L << (8 * k - 1); Seq(h - 1, h, -h, -h - 1)
+    } ++ Seq(0L, 1L, -1L, 127L, -128L, Long.MaxValue / 200, Long.MinValue / 200)
+    val rows = centsEdges.zipWithIndex.map { case (c, i) => (i.toLong, c / 100.0) }
+    val frame = rows.toDF("commit_ts", "money").select(
+      lit("db0").as("schema_name"), lit("t0").as("table_name"), lit("U").as("op"),
+      col("commit_ts").as("pk"), col("commit_ts"), col("money").as("before_value"),
+      col("money").as("after_value"), lit("{}").as("props"),
+      lit("x").as("event_type"), lit(0L).as("start_ts"),
+      lit(null).cast("timestamp").as("event_time"))
+    val decoded = cdc.AvroBinary.decode(cdc.AvroBinary.messages(frame))
+      .collect().map(r => r.getAs[Long]("commit_ts") -> r).toMap
+    assert(decoded.size == rows.length)
+    for ((ts, cents) <- centsEdges.zipWithIndex.map { case (c, i) => (i.toLong, c) }) {
+      val r = decoded(ts)
+      val want = math.round((cents / 100.0) * 100.0) // round-trip through the double
+      assert(r.getAs[Long]("valid") == 1L, s"ts=$ts not valid")
+      assert(r.getAs[Long]("key_schema_id") == 1L && r.getAs[Long]("val_schema_id") == 2L)
+      assert(r.getAs[Long]("key_pk") == ts && r.getAs[Long]("pk") == ts)
+      assert(r.getAs[Long]("before_cents") == want && r.getAs[Long]("after_cents") == want,
+        s"cents boundary $cents decoded ${r.getAs[Long]("after_cents")} want $want")
+    }
+    // tamper: drop the final byte of every value message — the parser
+    // must hit EOF or leave bytes unconsumed, never return valid=1
+    val tampered = cdc.AvroBinary.messages(frame)
+      .withColumn("value", expr("substring(value, 1, length(value) - 2)"))
+    val flags = cdc.AvroBinary.decode(tampered).select("valid").collect()
+    assert(flags.nonEmpty && flags.forall(_.getLong(0) == 0L),
+      "a truncated message decoded as valid")
+  }
+
   test("canal-json decode inverts the encoder at codec precision") {
     // the codec renders money as %.4f, so the round trip is exact at 4
     // decimals (a computed image like value-1.0 sits 1 ULP off the
