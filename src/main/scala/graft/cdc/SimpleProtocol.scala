@@ -67,10 +67,45 @@ object SimpleProtocol {
       lit("}"))
   }
 
-  /** A34 — the full simple-protocol message stream over a changelog. */
-  def messages(cl: DataFrame): DataFrame = {
+  /** Default bootstrap re-send cadence: one re-sent BOOTSTRAP per table
+    * per 500 DML messages (reference default
+    * send-bootstrap-in-msg-count; bootstraper.go:55). */
+  val DefaultResendEvery = 500
+
+  /** A34 — the full simple-protocol message stream over a changelog.
+    *
+    * Bootstrap re-send cadence (reference: pkg/sink/codec/
+    * bootstraper.go:80-156 — `sendBootstrapMsg` re-emits a table's
+    * BOOTSTRAP when the row count since the last send exceeds
+    * `sendBootstrapInMsgCount` OR the wall-clock interval elapses):
+    * every `resendEvery`-th DML of a table (row_number per table in
+    * commit_ts order — commit_ts is this engine's deterministic clock,
+    * so the msg-count arm is exact and the interval arm maps to the
+    * same mechanism) re-emits that table's BOOTSTRAP carrying the
+    * AS-OF tableSchema version (the reference re-sends the table's
+    * CURRENT tableInfo, bootstraper.go:141), message commitTs 0 (the
+    * bootstrap DDL's FinishedTs, :156-163) and buildTs = the
+    * triggering commit_ts (deterministic stand-in for the reference's
+    * wall-clock build time). A consumer joining mid-stream is thus at
+    * most `resendEvery` DMLs per table away from a schema-carrying
+    * message — the invariant the spec checks. One extra per-table
+    * window shuffle; `resendEvery` ≤ 0 disables. */
+  def messages(cl: DataFrame, resendEvery: Int = DefaultResendEvery): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dml = cl.select(col("commit_ts"), lit("DML").as("msg_type"),
       dmlValue.as("value"))
+
+    val resend = if (resendEvery <= 0) None else Some {
+      val w = Window.partitionBy(col("schema_name"), col("table_name"))
+        .orderBy(col("commit_ts"))
+      cl.withColumn("rn", row_number().over(w))
+        .filter(pmod(col("rn"), lit(resendEvery)) === 0)
+        .select(col("commit_ts"), lit("BOOTSTRAP").as("msg_type"), concat(
+          lit(s"""{"version":$version,"type":"BOOTSTRAP","commitTs":0,"buildTs":"""),
+          col("commit_ts"), lit(",\"tableSchema\":"),
+          tableSchema(expr(s"commit_ts div ${SchemaStore.step}")), lit("}"))
+          .as("value"))
+    }
 
     val ddlFrame = SchemaStore.ddlEvents(cl, Nil)
     val ddl = ddlFrame.select(col("valid_from").as("commit_ts"),
@@ -96,10 +131,23 @@ object SimpleProtocol {
         lit(s"""{"version":$version,"type":"WATERMARK","commitTs":"""), col("rts"),
         lit(",\"buildTs\":"), col("rts"), lit("}")).as("value"))
 
-    bootstrap.unionAll(ddl).unionAll(dml).unionAll(watermark)
+    val base = bootstrap.unionAll(ddl).unionAll(dml).unionAll(watermark)
+    resend.fold(base)(base.unionAll)
   }
 
-  def messagesSql: String = {
+  def messagesSql: String = messagesSql(DefaultResendEvery)
+
+  def messagesSql(resendEvery: Int): String = {
+    val resendLeg = if (resendEvery <= 0) "" else
+      s"""
+         |UNION ALL
+         |SELECT commit_ts, 'BOOTSTRAP' AS msg_type,
+         |  CONCAT('{"version":$version,"type":"BOOTSTRAP","commitTs":0,"buildTs":', commit_ts,
+         |    ',"tableSchema":', ${tableSchemaSql(s"commit_ts // ${SchemaStore.step}")}, '}') AS value
+         |FROM (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY schema_name, table_name ORDER BY commit_ts) AS rn
+         |      FROM changelog)
+         |WHERE rn % $resendEvery = 0""".stripMargin
     val dmlTypeSql = "CASE op WHEN 'I' THEN 'INSERT' WHEN 'D' THEN 'DELETE' ELSE 'UPDATE' END"
     val imageSql =
       s"""CONCAT('{"pk":', pk, ',"value":', ${Codecs.fmtSql("after_value")}, ',"props":', props, '}')"""
@@ -138,7 +186,7 @@ object SimpleProtocol {
        |SELECT MAX(commit_ts) AS commit_ts, 'WATERMARK' AS msg_type,
        |  CONCAT('{"version":$version,"type":"WATERMARK","commitTs":', MAX(commit_ts),
        |    ',"buildTs":', MAX(commit_ts), '}') AS value
-       |FROM changelog""".stripMargin
+       |FROM changelog$resendLeg""".stripMargin
   }
 
   /** A45 — simple-protocol DECODE, the consumer side of [[messages]]
@@ -160,8 +208,12 @@ object SimpleProtocol {
     * has the whole stream, so only the schema-less WATERMARK rows
     * miss). Absent numerics take -1 sentinels, never NULL (oracle
     * pandas-bridge contract). */
-  def decode(cl: DataFrame): DataFrame = {
-    val msgs = messages(cl)
+  def decode(cl: DataFrame): DataFrame = decodeFrom(messages(cl))
+
+  /** Decode an already-encoded message stream — the entry point a
+    * mid-stream consumer uses (the cadence spec feeds a suffix of the
+    * stream through this). */
+  def decodeFrom(msgs: DataFrame): DataFrame = {
     // ONE from_json parse per row, then struct-field accesses — a
     // dozen get_json_object calls each re-tokenized the message and
     // quadrupled the decode cost at sf0.1

@@ -230,6 +230,45 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       "a truncated message decoded as valid")
   }
 
+  test("A34: bootstrap re-send cadence lets a mid-stream consumer resolve schemas") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val every = 40
+    val msgs = cdc.SimpleProtocol.messages(cl, resendEvery = every).cache()
+    val resends = msgs
+      .filter(col("msg_type") === "BOOTSTRAP" && col("commit_ts") > 0).cache()
+    assert(resends.count() > 0, "cadence produced no re-sent bootstraps")
+    // every re-sent bootstrap carries the AS-OF schema version (the
+    // reference re-sends the table's CURRENT tableInfo), commitTs 0,
+    // and buildTs = the triggering position
+    val bad = resends.filter(
+      get_json_object(col("value"), "$.tableSchema.version").cast("long")
+        =!= expr(s"commit_ts div ${cdc.SchemaStore.step}") ||
+      get_json_object(col("value"), "$.commitTs").cast("long") =!= 0L ||
+      get_json_object(col("value"), "$.buildTs").cast("long") =!= col("commit_ts"))
+    assert(bad.count() == 0, "re-sent bootstrap with wrong version/commitTs/buildTs")
+
+    // consumer joins mid-stream at a re-send boundary T
+    val ts = resends.select("commit_ts").collect().map(_.getLong(0)).sorted
+    val t = ts(ts.length / 2)
+    def unresolved(stream: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+      cdc.SimpleProtocol.decodeFrom(stream.filter(col("commit_ts") >= t))
+        .filter(col("msg_kind") === "ROW" && col("schema_cols") === -1L)
+        .select(col("commit_ts"), col("schema_version"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val withCadence = unresolved(msgs)
+    val withoutCadence = unresolved(cdc.SimpleProtocol.messages(cl, resendEvery = 0))
+    // without re-sends, every current-window DML of every table is
+    // stranded (its DDL predates T); the cadence strictly shrinks that
+    assert(withoutCadence.nonEmpty, "probe window has no stranded DMLs — move T")
+    assert(withCadence.length < withoutCadence.length,
+      s"cadence did not recover stranded DMLs (${withCadence.length} vs ${withoutCadence.length})")
+    // staleness is confined to the join window: any still-unresolved DML
+    // can only be a current-version one whose table had no in-window
+    // re-send after T — never a later version (its DDL is in the suffix)
+    assert(withCadence.forall(_._2 == t / cdc.SchemaStore.step),
+      "a post-window DML failed to resolve despite its DDL being in the suffix")
+  }
+
   test("canal-json decode inverts the encoder at codec precision") {
     // the codec renders money as %.4f, so the round trip is exact at 4
     // decimals (a computed image like value-1.0 sits 1 ULP off the

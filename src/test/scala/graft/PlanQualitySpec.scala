@@ -54,9 +54,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // codec_simple_decode re-plans the codec_simple stream and inherits
     // its schema-version-grid broadcast; its own schema-cache join is a
     // BroadcastHashJoin.
+    // sink_mysql_ddl re-plans the DDL stream (same version-grid
+    // broadcast) and its influence='all' arm is a deliberate broadcast
+    // cross against the tables-×-1 universe frame.
     val tinyBroadcastByDesign = Set("q_scalar_subquery",
       "cdc_schema_asof", "cdc_ddl_events", "cdc_ddl_filter_rich", "codec_simple",
-      "codec_simple_decode",
+      "codec_simple_decode", "sink_mysql_ddl",
       "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf", "doc_tfidf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
