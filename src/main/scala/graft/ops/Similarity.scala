@@ -61,7 +61,7 @@ object Similarity {
   /** corpus with unit-norm metadata: (vec_id, label, v, nrm),
     * repartitioned for parallel scoring (single parquet split locally)
     * and aligned with the bucket joins. */
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
@@ -246,10 +246,60 @@ object Similarity {
     * building the inverted file; at extreme corpus sizes it too can
     * be pruned (hyperplane-bucket the centroids like C7, or go
     * hierarchical √k→√k), which changes nothing on the probe side. */
+  /** Nearest-centroid scoring: every input row against every centroid
+    * (broadcast), keep the top `keep` per vector. */
+  private def nearestCents(in: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+    val win = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    in.crossJoin(broadcast(cents))
+      .withColumn("sim", round(dot("v", "cv") / (col("nrm") * col("cn")), 4))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= keep)
+  }
+
+  /** The IVF list assignment — the one full n·k pass of the index
+    * build. `prune` = the extreme-scale path (SURVEY §5): centroids are
+    * hyperplane-bucketed with C7's own machinery (`assignPlanes` seeded
+    * sign bits) and each corpus vector scores only the centroids of its
+    * own cell plus every 1-bit-flip neighbor — expected work
+    * n·k·(assignPlanes+1)/2^assignPlanes instead of n·k. A vector whose
+    * probed cells hold no centroid falls back to the full scan (a
+    * vanishing fraction; the union keeps the assignment total).
+    * Default (false) is the exact assignment the DuckDB oracle mirrors. */
+  private[graft] def assignLists(c: DataFrame, cents: DataFrame,
+                                 prune: Boolean = false,
+                                 assignPlanes: Int = 4): DataFrame = {
+    val full = (in: DataFrame) => nearestCents(in, cents, 1)
+      .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+    if (!prune) full(c)
+    else {
+      val w = planes(assignPlanes, seed = 11L)
+      def bucket(vcol: String): Column = (0 until assignPlanes)
+        .map(p => when(proj(vcol, w(p)) >= 0d, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val cb = cents.withColumn("cbucket", bucket("cv"))
+      val probeMasks = 0L +: (0 until assignPlanes).map(p => 1L << p)
+      val probed = c.withColumn("bucket", bucket("v"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          explode(array(probeMasks.map(m =>
+            col("bucket").bitwiseXOR(lit(m))): _*)).as("cell"))
+      val win = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cent_id"))
+      val pruned = probed.join(broadcast(cb), col("cell") === col("cbucket"))
+        .withColumn("sim", round(dot("v", "cv") / (col("nrm") * col("cn")), 4))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+      val missed = c.join(pruned.select("vec_id"), Seq("vec_id"), "left_anti")
+      pruned.unionByName(full(missed))
+    }
+  }
+
   def annIvf(spark: SparkSession, dir: String, nProbe: Int = 8,
              nQueries: Int = 8, topK: Int = 3, kMin: Int = 64,
              kCap: Int = 4096, sampleFactor: Int = 64,
-             lloydRounds: Int = 1): DataFrame = {
+             lloydRounds: Int = 1, pruneAssign: Boolean = false,
+             assignPlanes: Int = 4): DataFrame = {
     val c = corpus(spark, dir).localCheckpoint()
     val k = math.min(kCap.toLong, math.max(kMin.toLong,
       math.ceil(math.sqrt(c.count().toDouble)).toLong))
@@ -264,14 +314,8 @@ object Similarity {
       .localCheckpoint()
     val seeds = sample.orderBy(col("h"), col("vec_id")).limit(k.toInt)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    def nearest(in: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
-      val win = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cent_id"))
-      in.crossJoin(broadcast(cents))
-        .withColumn("sim", round(dot("v", "cv") / (col("nrm") * col("cn")), 4))
-        .withColumn("rn", row_number().over(win))
-        .filter(col("rn") <= keep)
-    }
+    def nearest(in: DataFrame, cents: DataFrame, keep: Int): DataFrame =
+      nearestCents(in, cents, keep)
     // Lloyd refinement: per-dimension integer-exact rounded mean of the
     // quantized members; the refined centroid lives on the 1/1024 grid.
     // The floor-divide is written as (num - pmod(num, cnt)) div cnt —
@@ -298,8 +342,7 @@ object Similarity {
         .localCheckpoint()
     val refined = (1 to math.max(1, lloydRounds))
       .foldLeft(seeds.localCheckpoint())((cs, _) => refine(cs))
-    val assigned = nearest(c, refined, 1)
-      .select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+    val assigned = assignLists(c, refined, pruneAssign, assignPlanes)
       .localCheckpoint()
     val qprobe = nearest(c.filter(col("vec_id") < nQueries), refined, nProbe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
