@@ -260,6 +260,27 @@ object Corpus {
         call_function("div", col("total_tokens") * lit(1000000L), col("n_docs"))
           .as("avg_tokens_micro"))
 
+  /** C23's 100 TB variant: token percentiles via `approx_percentile`
+    * (bounded sketch, mergeable partials) instead of the exact
+    * group-buffering `percentile`; rank error ≤ 1/accuracy, asserted
+    * by the ApproxProbe main. Same frame and output convention. */
+  def corpusStatsApprox(spark: SparkSession, dir: String,
+                        accuracy: Int = 10000): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        expr(s"approx_percentile(n_tokens, array(0.5, 0.95), $accuracy)").as("pp"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("total_tokens"), col("total_chars"),
+        round(element_at(col("pp"), 1) * lit(10000.0)).cast("long").as("p50_tokens_x10k"),
+        round(element_at(col("pp"), 2) * lit(10000.0)).cast("long").as("p95_tokens_x10k"),
+        call_function("div", col("total_tokens") * lit(1000000L), col("n_docs"))
+          .as("avg_tokens_micro"))
+
   val corpusStatsSql: String =
     s"""WITH t AS (
        |  SELECT lang, source, n_chars,

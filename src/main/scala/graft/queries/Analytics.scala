@@ -373,6 +373,23 @@ object Analytics {
         round(element_at(col("pp"), 2) * lit(10000.0)).cast("long").as("p95_x10k"),
         round(col("pq") * lit(10000.0)).cast("long").as("p50_qty_x10k"))
 
+  /** B13's 100 TB variant: `percentile_approx` (a bounded GK sketch —
+    * constant memory per group and mergeable partials, where exact
+    * `percentile` buffers every value of a group) with rank error
+    * ≤ 1/accuracy. Same frame and ×10⁴ integer convention; not an
+    * oracle row (the sketch is engine-specific) — the ApproxProbe main
+    * asserts the rank-error bound against the exact path instead. */
+  def qApproxQuantileApprox(spark: SparkSession, dir: String,
+                            accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.5, 0.95), $accuracy)").as("pp"),
+        expr(s"approx_percentile(l_quantity, 0.5, $accuracy)").as("pq"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pp"), 1) * lit(10000.0)).cast("long").as("p50_x10k"),
+        round(element_at(col("pp"), 2) * lit(10000.0)).cast("long").as("p95_x10k"),
+        round(col("pq") * lit(10000.0)).cast("long").as("p50_qty_x10k"))
+
   val qApproxQuantileSql: String =
     """SELECT l_returnflag,
       |  CAST(ROUND(quantile_cont(l_extendedprice, 0.5) * 10000.0, 0) AS BIGINT) AS p50_x10k,
