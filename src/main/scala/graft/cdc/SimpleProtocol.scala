@@ -98,7 +98,11 @@ object SimpleProtocol {
     val resend = if (resendEvery <= 0) None else Some {
       val w = Window.partitionBy(col("schema_name"), col("table_name"))
         .orderBy(col("commit_ts"))
-      cl.withColumn("rn", row_number().over(w))
+      // project to the three needed columns BEFORE the window so the
+      // per-table sort shuffles 24-byte rows, not full-width changelog
+      // rows with both images (decode re-plans this subtree twice)
+      cl.select(col("schema_name"), col("table_name"), col("commit_ts"))
+        .withColumn("rn", row_number().over(w))
         .filter(pmod(col("rn"), lit(resendEvery)) === 0)
         .select(col("commit_ts"), lit("BOOTSTRAP").as("msg_type"), concat(
           lit(s"""{"version":$version,"type":"BOOTSTRAP","commitTs":0,"buildTs":"""),
@@ -226,8 +230,12 @@ object SimpleProtocol {
         "version: BIGINT, columns: ARRAY<STRUCT<name: STRING>>>")
     def m(p: String): Column = col("m").getField(p)
     val ts = m("tableSchema")
+    // parse ONCE, eagerly: the decoded leg and the schema-cache leg
+    // both read this frame, and without the checkpoint each side of
+    // the broadcast join re-runs the union + window + from_json
+    // subtree (same both-sides-of-a-self-join rule as the gram cache)
     val parsed = msgs.select(col("msg_type"),
-      from_json(col("value"), schema).as("m"))
+      from_json(col("value"), schema).as("m")).localCheckpoint()
     val decoded = parsed.select(
       when(m("data").isNotNull || m("old").isNotNull, "ROW")
         .when(m("type") === "WATERMARK", "RESOLVED")
