@@ -89,6 +89,8 @@ object SparkEntry {
       SchemaStore.ddlEvents(cl(s, d), Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> ((s, d) => SimpleProtocol.messages(cl(s, d))),
     "sink_mysql_ddl" -> ((s, d) => MysqlDdl.frame(cl(s, d))),
+    "sink_syncpoint_stmts" -> ((s, d) => MysqlDdl.syncpointStmts(cl(s, d), syncStep)),
+    "sink_startts_resume" -> ((s, d) => MysqlDdl.startTs(cl(s, d))),
     "codec_craft" -> ((s, d) => Craft.frame(cl(s, d))),
     "codec_avro_binary" -> ((s, d) => AvroBinary.messages(cl(s, d))),
     "codec_avro_decode" -> ((s, d) => AvroBinary.decode(AvroBinary.messages(cl(s, d)))),
@@ -190,6 +192,8 @@ object SparkEntry {
       SchemaStore.ddlEventsSql(Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> o(SimpleProtocol.messagesSql),
     "sink_mysql_ddl" -> o(MysqlDdl.frameSql()),
+    "sink_syncpoint_stmts" -> o(MysqlDdl.syncpointStmtsSql(syncStep)),
+    "sink_startts_resume" -> o(MysqlDdl.startTsSql()),
     "codec_craft" -> o(Craft.frameSql),
     "codec_avro_binary" -> o(AvroBinary.messagesSql()),
     "codec_avro_decode" -> o(AvroBinary.decodeSql()),

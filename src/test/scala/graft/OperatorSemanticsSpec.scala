@@ -715,7 +715,7 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(alter.getString(7) == "normal" && alter.getLong(8) == 1L)
     assert(alter.getString(9) == "1")
     assert(alter.getString(10) ==
-      "INSERT INTO tidb_cdc.ddl_ts (ticdc_cluster_id, changefeed, ddl_ts, table_id) VALUES " +
+      "INSERT INTO tidb_cdc.ddl_ts_v1 (ticdc_cluster_id, changefeed, ddl_ts, table_id) VALUES " +
         "('cid', 'cf', '100', 1) " +
         "ON DUPLICATE KEY UPDATE ddl_ts=VALUES(ddl_ts), created_at=CURRENT_TIMESTAMP;")
     assert(alter.getLong(11) == 0L && alter.isNullAt(12))
@@ -725,7 +725,7 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(dropT.getString(7) == "normal" && dropT.getLong(8) == 1L)
     assert(dropT.getLong(11) == 1L)
     assert(dropT.getString(12) ==
-      "DELETE FROM tidb_cdc.ddl_ts WHERE (ticdc_cluster_id, changefeed, table_id) IN " +
+      "DELETE FROM tidb_cdc.ddl_ts_v1 WHERE (ticdc_cluster_id, changefeed, table_id) IN " +
         "(('cid', 'cf', 2))")
 
     // db influence: every table of the schema (db1 -> ids 3,4,5), dropped too
@@ -743,5 +743,59 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
     // exec policy: sync + the reference's retry budget on every row
     assert(rows.values.forall(r => r.getString(5) == "sync" && r.getLong(6) == 20L))
+  }
+
+  test("A55: resume start-ts follows GetStartTsList semantics incl. drops and re-creates") {
+    import spark.implicits._
+    val uniCl = Seq(
+      ("db0", "t0"), ("db0", "t1"), ("db0", "t2"),
+      ("db1", "t0"), ("db1", "t1"), ("db1", "t2"))
+      .toDF("schema_name", "table_name")
+    val uni = cdc.MysqlDdl.universe(uniCl)
+    val ddl = Seq(
+      ("db0", "t0", 0L, "CREATE", "CREATE TABLE db0.t0 (...)"),
+      ("db0", "t0", 100L, "ALTER", "ALTER TABLE db0.t0 ADD COLUMN v1 BIGINT"),
+      ("db0", "t1", 0L, "CREATE", "CREATE TABLE db0.t1 (...)"),
+      ("db0", "t1", 200L, "DROP_TABLE", "DROP TABLE db0.t1"),
+      ("db0", "t2", 0L, "CREATE", "CREATE TABLE db0.t2 (...)"),
+      ("db0", "t2", 150L, "DROP_TABLE", "DROP TABLE db0.t2"),
+      ("db0", "t2", 300L, "CREATE", "CREATE TABLE db0.t2 (...)"), // re-created
+      ("db1", "t0", 0L, "CREATE", "CREATE TABLE db1.t0 (...)"),
+      ("db1", "t1", 0L, "CREATE", "CREATE TABLE db1.t1 (...)"),
+      ("db1", "t0", 250L, "DROP_DATABASE", "DROP DATABASE db1"))
+      .toDF("schema_name", "table_name", "valid_from", "ddl_type", "query")
+    val rows = cdc.MysqlDdl.startTsFrom(ddl, uni).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.size == 6, "one resume row per universe table")
+    assert(rows(("db0", "t0")) == (100L, 0L), "last upsert wins")
+    assert(rows(("db0", "t1")) == (0L, 1L), "dropped table resumes as new")
+    assert(rows(("db0", "t2")) == (300L, 0L), "re-create after drop resumes at the re-create")
+    assert(rows(("db1", "t0")) == (0L, 1L), "db drop clears the whole schema")
+    assert(rows(("db1", "t1")) == (0L, 1L), "db drop clears the whole schema")
+    assert(rows(("db1", "t2")) == (0L, 1L), "never-touched table is new")
+  }
+
+  test("A54: syncpoint statements carry a monotone applied position and the cleanup cadence") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val sp = cdc.MysqlDdl.syncpointStmts(cl, step = 100L, cleanupEvery = 5)
+      .orderBy(col("primary_ts")).collect()
+    assert(sp.nonEmpty)
+    // the downstream position never exceeds the syncpoint's upstream ts
+    // and never goes backwards (it is the applied max <= boundary)
+    assert(sp.forall(r => r.getLong(1) <= r.getLong(0)))
+    val secs = sp.map(_.getLong(1))
+    assert(secs.zip(secs.tail).forall { case (a, b) => a <= b })
+    // statements render the ts pair verbatim
+    for (r <- sp) {
+      assert(r.getString(2) == "insert ignore into tidb_cdc.syncpoint_v1 " +
+        "(ticdc_cluster_id, changefeed, primary_ts, secondary_ts) VALUES " +
+        s"('graft-cluster', 'cf-1', ${r.getLong(0)}, ${r.getLong(1)})")
+      assert(r.getString(3) == s"set global tidb_external_ts = ${r.getLong(1)}")
+    }
+    // retention sweep fires exactly on the cadence (every 5th boundary)
+    assert(sp.forall(r =>
+      (r.getLong(4) == 1L) == ((r.getLong(0) / 100L) % 5L == 0L)))
+    assert(sp.forall(r => (r.getLong(4) == 1L) == !r.isNullAt(5)))
   }
 }

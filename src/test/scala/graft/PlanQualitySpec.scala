@@ -59,7 +59,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // cross against the tables-×-1 universe frame.
     val tinyBroadcastByDesign = Set("q_scalar_subquery",
       "cdc_schema_asof", "cdc_ddl_events", "cdc_ddl_filter_rich", "codec_simple",
-      "codec_simple_decode", "sink_mysql_ddl",
+      "codec_simple_decode", "sink_mysql_ddl", "sink_startts_resume",
+      "sink_syncpoint_stmts",
       "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf", "doc_tfidf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
