@@ -91,6 +91,7 @@ object SparkEntry {
     "sink_mysql_ddl" -> ((s, d) => MysqlDdl.frame(cl(s, d))),
     "sink_syncpoint_stmts" -> ((s, d) => MysqlDdl.syncpointStmts(cl(s, d), syncStep)),
     "sink_startts_resume" -> ((s, d) => MysqlDdl.startTs(cl(s, d))),
+    "sink_blackhole" -> ((s, d) => Sinks.blackhole(cl(s, d))),
     "codec_craft" -> ((s, d) => Craft.frame(cl(s, d))),
     "codec_avro_binary" -> ((s, d) => AvroBinary.messages(cl(s, d))),
     "codec_avro_decode" -> ((s, d) => AvroBinary.decode(AvroBinary.messages(cl(s, d)))),
@@ -194,6 +195,7 @@ object SparkEntry {
     "sink_mysql_ddl" -> o(MysqlDdl.frameSql()),
     "sink_syncpoint_stmts" -> o(MysqlDdl.syncpointStmtsSql(syncStep)),
     "sink_startts_resume" -> o(MysqlDdl.startTsSql()),
+    "sink_blackhole" -> o(Sinks.blackholeSql),
     "codec_craft" -> o(Craft.frameSql),
     "codec_avro_binary" -> o(AvroBinary.messagesSql()),
     "codec_avro_decode" -> o(AvroBinary.decodeSql()),

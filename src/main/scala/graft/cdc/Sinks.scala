@@ -339,6 +339,31 @@ object Sinks {
       "n_rows", "batch_bytes", "first_ts", "last_ts")
   }
 
+  /** A56 — blackhole sink ack frame (reference:
+    * downstreamadapter/sink/blackhole.go:44-72 — `AddDMLEvent` fires
+    * every PostTxnFlushed callback inline and `WriteBlockEvent` acks
+    * DDL/syncpoint events the same way): the sink's observable behavior
+    * is instantaneous checkpoint advancement. Per table: acked event
+    * counts by op and the checkpoint ts — the table's max commit_ts,
+    * since nothing is ever pending. One partial-agg shuffle. */
+  def blackhole(cl: DataFrame): DataFrame =
+    cl.groupBy(col("schema_name"), col("table_name"))
+      .agg(count(lit(1)).as("n_acked"),
+        sum((col("op") === "I").cast("long")).as("n_insert"),
+        sum((col("op") === "U").cast("long")).as("n_update"),
+        sum((col("op") === "D").cast("long")).as("n_delete"),
+        max(col("commit_ts")).as("checkpoint_ts"))
+
+  val blackholeSql: String =
+    """SELECT schema_name, table_name,
+      |  COUNT(*) AS n_acked,
+      |  CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+      |  CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+      |  CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+      |  MAX(commit_ts) AS checkpoint_ts
+      |FROM changelog
+      |GROUP BY 1, 2""".stripMargin
+
   def batchFrameBytesSql(n: Int, maxBatch: Int, maxBytes: Long): String =
     s"""WITH RECURSIVE msgs AS (
        |  SELECT schema_name, table_name, commit_ts,
