@@ -64,6 +64,48 @@ object DataOps {
   /** Typed event for the stateful funnel. */
   case class UserEvent(user_id: Long, event_type: String, ts_us: Long)
 
+  /** Typed day-activity event for the stateful retention twin. */
+  case class DayEvent(user_id: Long, day: Long)
+
+  /** Per-user retention state: the cohort (first active day) and every
+    * day already emitted — bounded by the user's distinct active days,
+    * i.e. the retention horizon, not the event volume. */
+  case class RetentionState(cohort_day: Long, days: Seq[Long])
+
+  /** One (user, cohort, offset) activity pair, emitted exactly once. */
+  case class RetentionPair(user_id: Long, cohort_day: Long, day_offset: Long)
+
+  /** B16s — streaming retention pairs: the continuous form of the batch
+    * cohort query (B16). Per-user state tracks the cohort day and the
+    * set of already-emitted active days; each micro-batch emits the
+    * user's NEW (cohort_day, day_offset) pairs exactly once. The final
+    * `COUNT(DISTINCT user)` per (cohort, offset) cell is a stateless
+    * aggregation over this pair stream (applied by the consumer — Spark
+    * disallows an aggregation after `flatMapGroupsWithState` within one
+    * streaming query). Same in-order contract as [[streamFunnel]]: the
+    * cohort locks to the earliest day seen SO FAR, so a batch carrying
+    * an earlier day than an established cohort would re-base only
+    * subsequent emissions — feed day-ordered replays (spec-verified on
+    * a three-micro-batch day-tercile replay). */
+  def streamRetention(events: Dataset[DayEvent]): Dataset[RetentionPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, batch, state: GroupState[RetentionState]) =>
+          val days = batch.map(_.day).toSeq.distinct.sorted
+          if (days.isEmpty) Iterator.empty
+          else {
+            val prior = state.getOption
+            val cohort = prior.map(_.cohort_day).getOrElse(days.head).min(days.head)
+            val seen = prior.map(_.days.toSet).getOrElse(Set.empty[Long])
+            val fresh = days.filterNot(seen)
+            state.update(RetentionState(cohort, (seen ++ fresh).toSeq))
+            fresh.iterator.map(d => RetentionPair(user, cohort, d - cohort))
+          }
+      }
+  }
+
   /** Per-user funnel progress; -1 = stage not reached. */
   case class FunnelState(user_id: Long, t_view_us: Long, t_click_us: Long,
                          t_purchase_us: Long, stage: Long)

@@ -743,6 +743,17 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
     // exec policy: sync + the reference's retry budget on every row
     assert(rows.values.forall(r => r.getString(5) == "sync" && r.getLong(6) == 20L))
+
+    // TiDB downstream: ADD INDEX goes async (asyncExecAddIndexDDLIfTimeout,
+    // mysql_writer.go:91), everything else stays sync
+    val withIdx = ddl.union(Seq(
+      ("db0", "t0", 500L, "ALTER", "ALTER TABLE db0.t0 ADD INDEX idx_v (v1)"))
+      .toDF("schema_name", "table_name", "valid_from", "ddl_type", "query"))
+    val modes = cdc.MysqlDdl.frameFrom(withIdx, uni, "cid", "cf", isTiDB = true)
+      .select(col("exec_sql"), col("exec_mode")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(modes.filter(_._1.contains("ADD INDEX")).values.forall(_ == "async"))
+    assert(modes.filterNot(_._1.contains("ADD INDEX")).values.forall(_ == "sync"))
   }
 
   test("A55: resume start-ts follows GetStartTsList semantics incl. drops and re-creates") {

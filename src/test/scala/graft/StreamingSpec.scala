@@ -226,6 +226,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("B16s: streaming retention pairs across day-ordered micro-batches equal batch cohorts") {
+    import spark.implicits._
+    // three day-tercile micro-batches (the B15s2 replay technique):
+    // cohort + emitted-day state must survive batch boundaries, and the
+    // cell counts over the emitted pair stream must equal batch B16
+    val tmp = java.nio.file.Files.createTempDirectory("b16s").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+    val cuts = ev.stat.approxQuantile("day", Array(0.34, 0.67), 0.0)
+    val parts = Seq(
+      ev.filter(col("day") <= cuts(0)),
+      ev.filter(col("day") > cuts(0) && col("day") <= cuts(1)),
+      ev.filter(col("day") > cuts(1)))
+    val t0 = java.lang.System.currentTimeMillis() - 60000
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = s"$tmp/f$i"
+      p.coalesce(1).write.parquet(d)
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t0 + i * 10000))
+    }
+    val stream = spark.readStream.schema(parts.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/f*")
+      .as[graft.streaming.DataOps.DayEvent]
+    runToCompletion(
+      graft.streaming.DataOps.streamRetention(stream).toDF(), "b16s", "append")
+    val pairs = spark.table("b16s")
+    // exactly-once pair emission across batches
+    assert(pairs.count() == pairs.distinct().count(), "a pair was emitted twice")
+    // the stateless cell aggregation over the pair stream = batch B16
+    val streamedCells = pairs
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val batch = graft.queries.Analytics.qRetention(spark, dir)
+    assert(streamedCells.count() == batch.count())
+    assert(streamedCells.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamedCells).isEmpty)
+  }
+
   test("C19s/C20s: curation ops run on a document stream and equal batch") {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     def stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
