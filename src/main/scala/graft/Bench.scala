@@ -8,11 +8,17 @@ import java.nio.file.{Files, Paths}
   * Each query is forced with a hash-reduce over ALL output columns —
   * `count()` would let Catalyst prune unreferenced projections, so
   * codec/dispatcher timings would measure the parquet scan only, not
-  * the encode work. Each query runs `SPARK_GRAFT_BENCH_REPEAT` times
-  * (default 2) and reports the minimum: the steady-state per-operator
-  * time, robust to background contention and one-time codegen/JIT
-  * warmup. The JSON line is also written to `BENCH_LOCAL.json` as a
-  * fallback channel (stdout may be decorated by the build tool).
+  * the encode work. Repeats run as FULL PASSES over the query list
+  * (pass 1 = every query once, pass 2 = every query again, …,
+  * `SPARK_GRAFT_BENCH_REPEAT` passes, default 2) and each query
+  * reports its minimum across passes: three consecutive driver rounds
+  * showed sustained multi-minute load windows inflating 2–8× every
+  * consecutive sample of whichever queries ran inside them — with
+  * interleaved passes a load window inflates one PASS, and the other
+  * pass still lands a quiet sample for every query. Sub-second ops
+  * additionally get a third pass (they showed the worst noise swings).
+  * The JSON line is also written to `BENCH_LOCAL.json` as a fallback
+  * channel (stdout may be decorated by the build tool).
   *
   * Optional CLI args restrict the run to the named queries (dev loop;
   * the driver calls with no args = full run). */
@@ -28,6 +34,12 @@ object Bench {
                           sfDir: String): Seq[(String, Long, Double, Long)] = {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
+    // recentProgress retains only the last numRecentProgressUpdates
+    // entries (default 100): at larger SFs or with maxFilesPerTrigger a
+    // >100-micro-batch run would undercount rows and skew rows_per_sec,
+    // so raise the buffer well past any realistic micro-batch count
+    // before the queries start
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     def run(name: String, df: org.apache.spark.sql.DataFrame,
             mode: String): (String, Long, Double, Long) =
       try {
@@ -66,36 +78,50 @@ object Bench {
       .builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-        // a failed run records the sentinel -1, NOT its (fast) wall
-        // time — a broken operator must not improve the benchmark
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          try {
-            val df = fn(spark, sfDir)
-            df.select(xxhash64(df.columns.map(col): _*).as("h"))
-              .agg(expr("bit_xor(h)")).collect()
-            (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
-          }
-        }
-        val base = (1 to repeat).map(_ => once())
-        // sub-second ops showed 6x load-noise swings in two consecutive
-        // driver rounds; give them a third repeat so the reported min
-        // lands inside the quiet-box envelope
-        val okBase = base.filter(_ >= 0)
-        val runs = if (okBase.nonEmpty && okBase.min < 1.0 && base.length < 3)
-          base ++ (base.length until 3).map(_ => once())
-        else base
-        val ok = runs.filter(_ >= 0)
-        val sec = if (ok.nonEmpty) ok.min else -1.0
-        System.err.println(f"[bench] $name%-28s $sec%9.3f s (min of ${runs.length})")
-        name -> sec
+    // a failed run records the sentinel -1, NOT its (fast) wall
+    // time — a broken operator must not improve the benchmark
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(expr("bit_xor(h)")).collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
       }
+    }
+    // interleaved passes (see header): every query once per pass, so a
+    // sustained load window on the box inflates one pass's samples,
+    // never every sample of one query
+    val samples = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (pass <- 1 to repeat; (name, fn) <- qlist) {
+      val s = once(name, fn)
+      samples(name) = samples(name) :+ s
+      System.err.println(f"[bench] pass $pass $name%-28s $s%9.3f s")
+    }
+    // sub-second ops showed 6x load-noise swings in two consecutive
+    // driver rounds; give them a third (still interleaved) pass so the
+    // reported min lands inside the quiet-box envelope
+    if (repeat < 3) {
+      val subs = qlist.filter { case (name, _) =>
+        val ok = samples(name).filter(_ >= 0)
+        ok.nonEmpty && ok.min < 1.0
+      }
+      for ((name, fn) <- subs) samples(name) = samples(name) :+ once(name, fn)
+    }
+    val results = qlist.map { case (name, _) =>
+      val ok = samples(name).filter(_ >= 0)
+      val sec = if (ok.nonEmpty) ok.min else -1.0
+      System.err.println(
+        f"[bench] $name%-28s $sec%9.3f s (min of ${samples(name).length})")
+      name -> sec
+    }
     // streaming throughput (judge round-5 item 5): replay the events
     // file through the A26 pipeline and the A27 stateful snapshot at
     // this SF, report micro-batch events/s — so streaming regressions
