@@ -38,9 +38,12 @@ object MysqlDdl {
   val RetryBudget = 20 // mysql_writer.go:42 defaultDDLMaxRetry
 
   /** deterministic tableID, shared convention with SimpleProtocol:
-    * db ordinal × 3 + table ordinal. */
+    * db ordinal × 1000 + table ordinal — injective for any schema with
+    * fewer than 1000 tables (the old ×3 multiplier collided at 4 tables
+    * per schema, silently merging ddl_ts bookkeeping rows; injectivity
+    * over the universe is spec-asserted). */
   private val tableId: Column =
-    expr("cast(substr(u_schema, 3) as int) * 3 + cast(substr(u_table, 2) as int)")
+    expr("cast(substr(u_schema, 3) as int) * 1000 + cast(substr(u_table, 2) as int)")
 
   /** Influence taxonomy of WriteBlockEvent (mysql_writer.go:258-281). */
   private val influence: Column =
@@ -253,7 +256,7 @@ object MysqlDdl {
        |),
        |uni AS (
        |  SELECT schema_name AS u_schema, table_name AS u_table,
-       |    CAST(SUBSTRING(schema_name, 3) AS INT) * 3
+       |    CAST(SUBSTRING(schema_name, 3) AS INT) * 1000
        |      + CAST(SUBSTRING(table_name, 2) AS INT) AS table_id
        |  FROM (SELECT DISTINCT schema_name, table_name FROM changelog)
        |),
@@ -297,7 +300,7 @@ object MysqlDdl {
        |),
        |uni AS (
        |  SELECT schema_name AS u_schema, table_name AS u_table,
-       |    CAST(SUBSTRING(schema_name, 3) AS INT) * 3
+       |    CAST(SUBSTRING(schema_name, 3) AS INT) * 1000
        |      + CAST(SUBSTRING(table_name, 2) AS INT) AS table_id
        |  FROM (SELECT DISTINCT schema_name, table_name FROM changelog)
        |),

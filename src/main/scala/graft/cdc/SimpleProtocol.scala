@@ -22,11 +22,13 @@ object SimpleProtocol {
 
   private val version = 1
 
-  /** deterministic tableID: db ordinal × 3 + table ordinal. */
-  private val tableId: Column =
-    expr("cast(substr(schema_name, 3) as int) * 3 + cast(substr(table_name, 2) as int)")
-  private val tableIdSql: String =
-    "CAST(SUBSTRING(schema_name, 3) AS INT) * 3 + CAST(SUBSTRING(table_name, 2) AS INT)"
+  /** deterministic tableID: db ordinal × 1000 + table ordinal —
+    * injective below 1000 tables per schema (shared convention with
+    * [[MysqlDdl]]; the old ×3 multiplier collided at 4 tables). */
+  private[cdc] val tableId: Column =
+    expr("cast(substr(schema_name, 3) as int) * 1000 + cast(substr(table_name, 2) as int)")
+  private[cdc] val tableIdSql: String =
+    "CAST(SUBSTRING(schema_name, 3) AS INT) * 1000 + CAST(SUBSTRING(table_name, 2) AS INT)"
 
   /** tableSchema JSON for schema version `v` (reference: TableSchema). */
   private def tableSchema(verCol: Column): Column = concat(
@@ -234,8 +236,12 @@ object SimpleProtocol {
     // both read this frame, and without the checkpoint each side of
     // the broadcast join re-runs the union + window + from_json
     // subtree (same both-sides-of-a-self-join rule as the gram cache)
+    // lazy checkpoint: materialization happens on the first ACTION, so
+    // plan-only consumers (PlanQualitySpec, repeated bench plan builds)
+    // pay nothing at frame-construction time, and the two legs still
+    // share one materialized RDD once an action runs
     val parsed = msgs.select(col("msg_type"),
-      from_json(col("value"), schema).as("m")).localCheckpoint()
+      from_json(col("value"), schema).as("m")).localCheckpoint(false)
     val decoded = parsed.select(
       when(m("data").isNotNull || m("old").isNotNull, "ROW")
         .when(m("type") === "WATERMARK", "RESOLVED")

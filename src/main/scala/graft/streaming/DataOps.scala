@@ -82,26 +82,47 @@ object DataOps {
     * `COUNT(DISTINCT user)` per (cohort, offset) cell is a stateless
     * aggregation over this pair stream (applied by the consumer — Spark
     * disallows an aggregation after `flatMapGroupsWithState` within one
-    * streaming query). Same in-order contract as [[streamFunnel]]: the
-    * cohort locks to the earliest day seen SO FAR, so a batch carrying
-    * an earlier day than an established cohort would re-base only
-    * subsequent emissions — feed day-ordered replays (spec-verified on
-    * a three-micro-batch day-tercile replay). */
-  def streamRetention(events: Dataset[DayEvent]): Dataset[RetentionPair] = {
+    * streaming query). Same in-order contract as [[streamFunnel]], and
+    * the cohort is IMMUTABLE once set: the first batch locks it to its
+    * earliest day, and any event carrying an earlier day in a LATER
+    * micro-batch is dropped (the funnel's lock semantics) — never
+    * re-based, so every emitted pair stays consistent with the single
+    * locked cohort. Feed day-ordered replays to match batch exactly
+    * (spec-verified on a three-micro-batch day-tercile replay; the
+    * drop arm has its own out-of-order spec).
+    *
+    * `ttl` — the production state-TTL arm: a processing-time timeout
+    * reclaims a user's state after `ttl` of inactivity, so a departed
+    * user costs nothing forever; the user's NEXT event re-admits them
+    * as a NEW cohort (spec-verified). Default None keeps `NoTimeout`,
+    * the exact-batch-comparability contract. */
+  def streamRetention(events: Dataset[DayEvent],
+                      ttl: Option[String] = None): Dataset[RetentionPair] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[RetentionState, RetentionPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user, batch, state: GroupState[RetentionState]) =>
-          val days = batch.map(_.day).toSeq.distinct.sorted
-          if (days.isEmpty) Iterator.empty
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val prior = state.getOption
-            val cohort = prior.map(_.cohort_day).getOrElse(days.head).min(days.head)
-            val seen = prior.map(_.days.toSet).getOrElse(Set.empty[Long])
-            val fresh = days.filterNot(seen)
-            state.update(RetentionState(cohort, (seen ++ fresh).toSeq))
-            fresh.iterator.map(d => RetentionPair(user, cohort, d - cohort))
+            val days = batch.map(_.day).toSeq.distinct.sorted
+            if (days.isEmpty) Iterator.empty
+            else {
+              val prior = state.getOption
+              // the cohort locks at first sight; later batches cannot
+              // re-base it (pairs already emitted would silently keep
+              // offsets against the stale cohort) — pre-cohort stragglers
+              // are dropped instead
+              val cohort = prior.map(_.cohort_day).getOrElse(days.head)
+              val seen = prior.map(_.days.toSet).getOrElse(Set.empty[Long])
+              val fresh = days.filter(d => d >= cohort && !seen(d))
+              state.update(RetentionState(cohort, (seen ++ fresh).toSeq))
+              ttl.foreach(state.setTimeoutDuration)
+              fresh.iterator.map(d => RetentionPair(user, cohort, d - cohort))
+            }
           }
       }
   }
@@ -126,17 +147,29 @@ object DataOps {
     * the result can diverge from the batch funnel (B15) under
     * cross-batch disorder. Feed this from an event-time-ordered source
     * (e.g. a watermarked, sorted replay), or compare against B15 only
-    * on in-order streams. Long-running production streams over an
-    * unbounded user population should also swap `NoTimeout` for a
-    * processing-time TTL (GroupStateTimeout.ProcessingTimeTimeout +
-    * setTimeoutDuration on inactive users) so departed users' states
-    * are eventually reclaimed; the spec-verified semantics here keep
-    * NoTimeout so the twin is exactly comparable to batch. */
-  def streamFunnel(events: Dataset[UserEvent]): Dataset[FunnelState] = {
+    * on in-order streams.
+    *
+    * `ttl` — the production state-TTL arm for an unbounded user
+    * population: a processing-time timeout emits the user's last-known
+    * state once more and reclaims it; the user's next event re-admits
+    * them at stage 0 (spec-verified). Default None keeps `NoTimeout`,
+    * the exact-batch-comparability contract. */
+  def streamFunnel(events: Dataset[UserEvent],
+                   ttl: Option[String] = None): Dataset[FunnelState] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelState](GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[FunnelState, FunnelState](timeoutConf) {
         (user, batch, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // final emission of the expired state, then reclaim — the
+            // user's next event starts a fresh funnel
+            val last = state.get
+            state.remove()
+            last
+          } else {
           var s = state.getOption.getOrElse(FunnelState(user, -1L, -1L, -1L, 0L))
           for (e <- batch.toSeq.sortBy(_.ts_us)) {
             if (e.event_type == "view" && s.t_view_us == -1L)
@@ -151,7 +184,9 @@ object DataOps {
           s = s.copy(stage =
             Seq(s.t_view_us, s.t_click_us, s.t_purchase_us).count(_ != -1L).toLong)
           state.update(s)
+          ttl.foreach(state.setTimeoutDuration)
           s
+          }
       }
   }
 }

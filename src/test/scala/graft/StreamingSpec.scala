@@ -265,6 +265,84 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamedCells).isEmpty)
   }
 
+  test("B16s: an earlier day arriving late is dropped, never re-bases the locked cohort") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DataOps.DayEvent
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[DayEvent]
+    val q = graft.streaming.DataOps.streamRetention(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("b16s_ooo")
+      .outputMode("append").start()
+    try {
+      in.addData(DayEvent(1L, 10L), DayEvent(1L, 12L))
+      q.processAllAvailable()
+      // day 8 < the locked cohort 10: dropped (not emitted, not re-based);
+      // day 13 still emits against cohort 10
+      in.addData(DayEvent(1L, 8L), DayEvent(1L, 13L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("b16s_ooo")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L, 0L), (1L, 10L, 2L), (1L, 10L, 3L)),
+      s"cohort must stay locked at 10 and day 8 must be dropped, got $pairs")
+  }
+
+  test("B15s/B16s TTL arm: expired state is reclaimed and users re-admit as new") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DataOps.{DayEvent, UserEvent}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // NOTE: with ProcessingTimeTimeout the state operator's
+    // shouldRunAnotherBatch keeps the engine constructing timer batches
+    // forever, so `noNewData` is never signaled and processAllAvailable
+    // HANGS — poll the memory sink with a deadline instead.
+    def await(cond: => Boolean, msg: String): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(cond, msg)
+    }
+    // retention: after the TTL fires, the user's next event starts a
+    // NEW cohort (without TTL the second event would be day-offset 90)
+    val rin = MemoryStream[DayEvent]
+    val rq = graft.streaming.DataOps
+      .streamRetention(rin.toDS(), ttl = Some("1 millisecond")).toDF()
+      .writeStream.format("memory").queryName("b16s_ttl")
+      .outputMode("append").start()
+    def rPairs = spark.table("b16s_ttl").as[(Long, Long, Long)].collect().toSet
+    try {
+      rin.addData(DayEvent(7L, 100L))
+      await(rPairs.contains((7L, 100L, 0L)), s"cohort day never emitted: $rPairs")
+      // the 1 ms TTL expires on the wall clock; the continuously-running
+      // timer batches reclaim user 7's state well inside this sleep
+      Thread.sleep(2000)
+      rin.addData(DayEvent(7L, 190L)) // re-admits as a fresh cohort
+      await(rPairs.contains((7L, 190L, 0L)),
+        s"user 7 must re-admit as a new cohort after TTL expiry, got $rPairs")
+    } finally rq.stop()
+    assert(!rPairs.contains((7L, 100L, 90L)), s"stale cohort survived TTL: $rPairs")
+
+    // funnel: the expired state is emitted once more, then the user
+    // restarts at stage 0 — the view after expiry begins a fresh funnel
+    val fin = MemoryStream[UserEvent]
+    val fq = graft.streaming.DataOps
+      .streamFunnel(fin.toDS(), ttl = Some("1 millisecond")).toDF()
+      .writeStream.format("memory").queryName("b15s_ttl")
+      .outputMode("update").start()
+    def fStates = spark.table("b15s_ttl")
+      .filter(col("user_id") === 7L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    try {
+      fin.addData(UserEvent(7L, "view", 1000L), UserEvent(7L, "click", 2000L))
+      await(fStates.contains((7L, 1000L, 2000L, -1L, 2L)),
+        s"pre-expiry state never emitted: $fStates")
+      Thread.sleep(2000) // TTL fires: final emission + reclaim
+      fin.addData(UserEvent(7L, "view", 4000L))
+      await(fStates.contains((7L, 4000L, -1L, -1L, 1L)),
+        s"user 7 must restart at a fresh stage-1 funnel after TTL expiry, got $fStates")
+    } finally fq.stop()
+  }
+
   test("C19s/C20s: curation ops run on a document stream and equal batch") {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     def stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
