@@ -88,6 +88,8 @@ object SparkEntry {
     "cdc_ddl_filter_rich" -> ((s, d) => Filters.ddlSqlEventFilter(
       SchemaStore.ddlEvents(cl(s, d), Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> ((s, d) => SimpleProtocol.messages(cl(s, d))),
+    "codec_simple_avro" -> ((s, d) => SimpleAvro.messages(cl(s, d))),
+    "codec_simple_avro_decode" -> ((s, d) => SimpleAvro.decode(cl(s, d))),
     "sink_mysql_ddl" -> ((s, d) => MysqlDdl.frame(cl(s, d))),
     "sink_syncpoint_stmts" -> ((s, d) => MysqlDdl.syncpointStmts(cl(s, d), syncStep)),
     "sink_startts_resume" -> ((s, d) => MysqlDdl.startTs(cl(s, d))),
@@ -103,6 +105,12 @@ object SparkEntry {
     "sink_batch_bytes" -> ((s, d) =>
       Sinks.batchFrameBytes(cl(s, d), nParts, maxBatch = 6, maxBytes = 300L)),
     "codec_canal_decode" -> ((s, d) => Codecs.canalJsonDecode(cl(s, d))),
+    "codec_canal_envelope" -> ((s, d) => Codecs.canalEnvelope(cl(s, d))),
+    "codec_open_wire" -> ((s, d) => OpenWire.messages(cl(s, d), nParts, maxBatch = 4)),
+    "codec_open_wire_decode" -> ((s, d) =>
+      OpenWire.decode(OpenWire.messages(cl(s, d), nParts, maxBatch = 4))),
+    "sink_handle_key_only" -> ((s, d) =>
+      Sinks.handleKeyOnly(cl(s, d), nParts, compressMaxBytes)),
     "codec_csv_decode" -> ((s, d) => Codecs.csvDecode(Codecs.csv(cl(s, d)))),
     "codec_open_decode" -> ((s, d) => Codecs.openProtocolDecode(cl(s, d))),
     "codec_debezium_decode" -> ((s, d) => Codecs.debeziumDecode(cl(s, d))),
@@ -132,6 +140,7 @@ object SparkEntry {
     "ann_topk_bruteforce" -> ((s, d) => ops.Similarity.annTopK(s, d)),
     "ann_lsh_bucketed" -> ((s, d) => ops.Similarity.annLshBucketed(s, d)),
     "ann_ivf" -> ((s, d) => ops.Similarity.annIvf(s, d)),
+    "dedup_semantic" -> ((s, d) => ops.Similarity.dedupSemantic(s, d)),
     "embedding_quantize" -> ((s, d) => ops.Similarity.embeddingQuantize(s, d)),
     "text_langid" -> ((s, d) => ops.TextAnalysis.langId(s, d)),
     "text_quality_score" -> ((s, d) => ops.TextAnalysis.qualityScore(s, d)),
@@ -192,6 +201,8 @@ object SparkEntry {
     "cdc_ddl_filter_rich" -> o(Filters.ddlSqlEventFilterSql(
       SchemaStore.ddlEventsSql(Nil), ddlIgnoreTypes, ddlIgnoreSql)),
     "codec_simple" -> o(SimpleProtocol.messagesSql),
+    "codec_simple_avro" -> o(SimpleAvro.messagesSql),
+    "codec_simple_avro_decode" -> o(SimpleAvro.decodeSql),
     "sink_mysql_ddl" -> o(MysqlDdl.frameSql()),
     "sink_syncpoint_stmts" -> o(MysqlDdl.syncpointStmtsSql(syncStep)),
     "sink_startts_resume" -> o(MysqlDdl.startTsSql()),
@@ -206,6 +217,10 @@ object SparkEntry {
     "sink_batch_frame" -> o(Sinks.batchFrameSql(nParts, maxBatch = 4)),
     "sink_batch_bytes" -> o(Sinks.batchFrameBytesSql(nParts, maxBatch = 6, maxBytes = 300L)),
     "codec_canal_decode" -> o(Codecs.canalJsonDecodeSql),
+    "codec_canal_envelope" -> o(Codecs.canalEnvelopeSql),
+    "codec_open_wire" -> o(OpenWire.messagesSql(nParts, maxBatch = 4)),
+    "codec_open_wire_decode" -> o(OpenWire.decodeSql(nParts, maxBatch = 4)),
+    "sink_handle_key_only" -> o(Sinks.handleKeyOnlySql(nParts, compressMaxBytes)),
     "codec_csv_decode" -> o(Codecs.csvDecodeSql),
     "codec_open_decode" -> o(Codecs.openProtocolDecodeSql),
     "codec_debezium_decode" -> o(Codecs.debeziumDecodeSql),
@@ -237,6 +252,7 @@ object SparkEntry {
     "ann_topk_bruteforce" -> ops.Similarity.annTopKSql(),
     "ann_lsh_bucketed" -> ops.Similarity.annLshBucketedSql(),
     "ann_ivf" -> ops.Similarity.annIvfSql(),
+    "dedup_semantic" -> ops.Similarity.dedupSemanticSql(),
     "embedding_quantize" -> ops.Similarity.embeddingQuantizeSql(),
     "text_langid" -> ops.TextAnalysis.langIdSql,
     "text_quality_score" -> ops.TextAnalysis.qualityScoreSql,

@@ -46,11 +46,13 @@ object AvroBinary {
     * ([[graft.functions.ZigzagVarintHex]]): the equivalent 9-arm CASE
     * of per-byte substr terms — seven fields of it in one projection —
     * blew the whole-stage-codegen method past the JIT limit and this
-    * codec ran interpreted (see WireExprs). Byte-identical output. */
-  private def zvarHex(n: Column): Column =
+    * codec ran interpreted (see WireExprs). Byte-identical output.
+    * (private[cdc]: shared with [[SimpleAvro]], the second Avro wire
+    * format.) */
+  private[cdc] def zvarHex(n: Column): Column =
     graft.functions.WireExprs.zvarintHex(n.cast("long"))
 
-  private def zvarHexSql(e: String): String = {
+  private[cdc] def zvarHexSql(e: String): String = {
     val z = s"(($e) * 2)"
     def b(shift: Int, more: Boolean): String = {
       val part = s"(($z >> ${7 * shift}) % 128)"
@@ -66,10 +68,33 @@ object AvroBinary {
   }
 
   /** Avro string: zigzag-varint byte length + UTF-8 bytes, hex. */
-  private def strHex(c: Column): Column =
+  private[cdc] def strHex(c: Column): Column =
     concat(zvarHex(octet_length(c).cast("long")), hex(c.cast("binary")))
-  private def strHexSql(e: String): String =
+  private[cdc] def strHexSql(e: String): String =
     s"CONCAT(${zvarHexSql(s"octet_length(encode($e))")}, hex(encode($e)))"
+
+  /** Constant-foldable hex of an Avro string literal (used for the
+    * constant schema sections of [[SimpleAvro]]). */
+  private[cdc] def strHexConst(s: String): String = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    zvarHexConst(b.length.toLong) + b.map(x => f"${x & 0xff}%02X").mkString
+  }
+
+  /** Hex of the zigzag varint of a non-negative long, computed at plan
+    * build time (mirrors [[graft.functions.WireHex.zvarintHex]]). */
+  private[cdc] def zvarHexConst(n: Long): String = {
+    require(n >= 0)
+    var z = n * 2
+    val sb = new StringBuilder
+    var done = false
+    while (!done) {
+      val low = (z & 0x7fL).toInt
+      z = z >>> 7
+      val out = if (z == 0L) { done = true; low } else low | 0x80
+      sb.append(f"$out%02X")
+    }
+    sb.toString
+  }
 
   /** Avro union [null, bytes.decimal(18,2)] of a 2-decimal money
     * column: union index (varint 0 | 1), then minimal big-endian

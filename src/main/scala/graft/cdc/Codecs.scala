@@ -37,7 +37,9 @@ object Codecs {
   def canalJson(cl: DataFrame): DataFrame =
     cl.select(col("commit_ts"), canalJsonValue.as("value"))
 
-  private[cdc] def canalJsonValue: Column = concat(
+  /** Everything of the canal-json DML message except the closing brace
+    * — shared by A19 (plain) and the TiDB-extension envelope (A57). */
+  private[cdc] def canalJsonCore: Column = concat(
     lit("{\"id\":"), col("commit_ts"),
     lit(",\"database\":\""), col("schema_name"),
     lit("\",\"table\":\""), col("table_name"),
@@ -50,10 +52,11 @@ object Codecs {
     lit(",\"props\":"), col("props"),
     lit("}],\"old\":"),
     when(col("op") === "U", concat(lit("[{\"value\":"), fmt(col("before_value")), lit("}]")))
-      .otherwise(lit("null")),
-    lit("}"))
+      .otherwise(lit("null")))
 
-  private[cdc] val canalJsonValueSql: String =
+  private[cdc] def canalJsonValue: Column = concat(canalJsonCore, lit("}"))
+
+  private[cdc] val canalJsonCoreSql: String =
     s"""CONCAT('{"id":', commit_ts,
        |  ',"database":"', schema_name,
        |  '","table":"', table_name,
@@ -66,11 +69,82 @@ object Codecs {
        |  '}],"old":',
        |  CASE WHEN op = 'U'
        |    THEN CONCAT('[{"value":', ${fmtSql("before_value")}, '}]')
-       |    ELSE 'null' END,
-       |  '}')""".stripMargin
+       |    ELSE 'null' END)""".stripMargin
+
+  private[cdc] val canalJsonValueSql: String =
+    s"CONCAT($canalJsonCoreSql, '}')"
 
   val canalJsonSql: String =
     s"SELECT commit_ts, $canalJsonValueSql AS value FROM changelog"
+
+  /** A57 — canal-json TiDB-extension envelope stream (reference:
+    * pkg/sink/codec/canal/encoder.go:397-433 `newJSONMessageForDDL` /
+    * `newJSONMessage4CheckpointEvent` + :435-457 EncodeCheckpointEvent
+    * + :585-608 EncodeDDLEvent, canal_json_message.go:126-140
+    * `tidbExtension`): with EnableTiDBExtension every DML message gains
+    * `"_tidb":{"commitTs":…}`, DDL events become isDdl=true messages
+    * carrying the query and the canal event type
+    * (helper.go:305-337 convertDdlEventType: CREATE TABLE→CREATE,
+    * ADD COLUMN→ALTER), and the resolved ts rides a TIDB_WATERMARK
+    * message with `"_tidb":{"watermarkTs":…}` — the two non-DML
+    * message types every canal consumer must handle.
+    *
+    * Deterministic divergences (documented, same family as A19/A34):
+    * `es` stays commit_ts (the reference's convertToCanalTs shifts a
+    * TSO's physical-millis bits — our clock is not a TSO), `ts`
+    * (BuildTime, wall clock in the reference) = commit_ts, watermark
+    * `ts` = the resolved ts. Row-local projections + the A15 max
+    * aggregate; one union, no joins. */
+  def canalEnvelope(cl: DataFrame): DataFrame = {
+    val dml = cl.select(col("commit_ts"), lit("ROW").as("msg_type"),
+      concat(canalJsonCore, lit(",\"_tidb\":{\"commitTs\":"), col("commit_ts"),
+        lit("}}")).as("value"))
+    val canalDdlType =
+      when(col("ddl_type") === "CREATE", lit("CREATE")).otherwise(lit("ALTER"))
+    val ddl = SchemaStore.ddlEvents(cl, Nil)
+      .select(col("valid_from").as("commit_ts"), lit("DDL").as("msg_type"),
+        concat(
+          lit("{\"id\":0,\"database\":\""), col("schema_name"),
+          lit("\",\"table\":\""), col("table_name"),
+          lit("\",\"pkNames\":null,\"isDdl\":true,\"type\":\""), canalDdlType,
+          lit("\",\"es\":"), col("valid_from"),
+          lit(",\"ts\":"), col("valid_from"),
+          lit(",\"sql\":\""), col("query"),
+          lit("\",\"data\":null,\"old\":null,\"_tidb\":{\"commitTs\":"),
+          col("valid_from"), lit("}}")).as("value"))
+    val watermark = cl.agg(max(col("commit_ts")).as("rts"))
+      .select(col("rts").as("commit_ts"), lit("WATERMARK").as("msg_type"),
+        concat(
+          lit("{\"id\":0,\"database\":\"\",\"table\":\"\",\"pkNames\":null," +
+            "\"isDdl\":false,\"type\":\"TIDB_WATERMARK\",\"es\":"), col("rts"),
+          lit(",\"ts\":"), col("rts"),
+          lit(",\"data\":null,\"old\":null,\"_tidb\":{\"watermarkTs\":"),
+          col("rts"), lit("}}")).as("value"))
+    dml.unionAll(ddl).unionAll(watermark)
+  }
+
+  val canalEnvelopeSql: String =
+    s"""SELECT commit_ts, 'ROW' AS msg_type,
+       |  CONCAT($canalJsonCoreSql, ',"_tidb":{"commitTs":', commit_ts, '}}') AS value
+       |FROM changelog
+       |UNION ALL
+       |SELECT valid_from AS commit_ts, 'DDL' AS msg_type,
+       |  CONCAT('{"id":0,"database":"', schema_name,
+       |    '","table":"', table_name,
+       |    '","pkNames":null,"isDdl":true,"type":"',
+       |    CASE WHEN ddl_type = 'CREATE' THEN 'CREATE' ELSE 'ALTER' END,
+       |    '","es":', valid_from,
+       |    ',"ts":', valid_from,
+       |    ',"sql":"', query,
+       |    '","data":null,"old":null,"_tidb":{"commitTs":', valid_from, '}}') AS value
+       |FROM (${SchemaStore.ddlEventsSql(Nil)}) ddl_frame
+       |UNION ALL
+       |SELECT MAX(commit_ts) AS commit_ts, 'WATERMARK' AS msg_type,
+       |  CONCAT('{"id":0,"database":"","table":"","pkNames":null,',
+       |    '"isDdl":false,"type":"TIDB_WATERMARK","es":', MAX(commit_ts),
+       |    ',"ts":', MAX(commit_ts),
+       |    ',"data":null,"old":null,"_tidb":{"watermarkTs":', MAX(commit_ts), '}}') AS value
+       |FROM changelog""".stripMargin
 
   /** A42 — consumer-side canal-json DECODE (reference:
     * pkg/sink/codec/decoder + canal decoding — the path every

@@ -1,0 +1,200 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Open-protocol BATCHED WIRE layout + non-DML envelopes (reference:
+  * pkg/sink/codec/open/encoder.go:102-186 `Build`/`pushMessage` and
+  * codec.go:99-185 `encodeDDLEvent`/`encodeResolvedTs`): the actual
+  * bytes a Kafka consumer of an open-protocol topic reads.
+  *
+  * Wire rules (pushMessage):
+  *  - message KEY   = 8-byte big-endian BatchVersion1 (=1), then per
+  *    event: 8-byte big-endian key length + key JSON bytes
+  *  - message VALUE = per event: 8-byte big-endian value length +
+  *    value JSON bytes (no version head on the value side)
+  *  - a message holds at most `maxBatch` events (MaxBatchSize; the
+  *    companion MaxMessageBytes cap is the A50 fold / A31 claim-check
+  *    path), events appended in commit_ts order per (table, sink
+  *    partition) — the same stream keying as A49
+  *  - DDL events and resolved-ts checkpoints are messages TOO
+  *    (encoder.go:205-231): single-event frames with the same
+  *    version+length framing; the resolved-ts value is the bare
+  *    zero length prefix (codec.go:149-185)
+  * Key/value JSONs are the A20 encodings; the DDL value is
+  * `{"q":<query>,"t":<action type>}` with the TiDB action numbers
+  * (ActionCreateTable=3, ActionAddColumn=5) and the key `t` field
+  * carries the message type (row 1, DDL 2, resolved 3 —
+  * tiflow model.MessageType). Emitted as uppercase hex, byte-exact
+  * against the DuckDB oracle.
+  *
+  * Scale shape: ROW batching is ONE window shuffle keyed exactly like
+  * the kafka writer (A49's shape) followed by an ordered string
+  * aggregation on the same key — no new shuffle classes; DDL/RESOLVED
+  * legs are tiny. */
+object OpenWire {
+
+  private val BatchVersion1 = 1L
+  private val versionHex = f"$BatchVersion1%016X"
+
+  /** 8-byte big-endian length prefix of a string's UTF-8 bytes, hex. */
+  private def lenHex(c: Column): Column =
+    format_string("%016X", octet_length(c).cast("long"))
+  private def lenHexSql(e: String): String =
+    s"printf('%016X', octet_length(encode($e)))"
+
+  private def segHex(c: Column): Column = concat(lenHex(c), hex(c.cast("binary")))
+  private def segHexSql(e: String): String =
+    s"CONCAT(${lenHexSql(e)}, hex(encode($e)))"
+
+  /** commit_ts-ordered concat within the batch (collect_list order is
+    * not deterministic; the sort key rides in the struct). */
+  private def orderedConcat(c: Column): Column = array_join(
+    transform(array_sort(collect_list(struct(col("commit_ts").as("k"), c.as("v")))),
+      x => x.getField("v")), "")
+
+  /** The full open-protocol message stream: batched ROW messages +
+    * one DDL message per DDL event + the resolved-ts checkpoint. */
+  def messages(cl: DataFrame, n: Int, maxBatch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("schema_name"), col("table_name"), col("partition"))
+      .orderBy(col("commit_ts"))
+    val rows = cl.select(col("schema_name"), col("table_name"), col("commit_ts"),
+        Dispatchers.indexValueBucket(n).as("partition"),
+        segHex(Codecs.openProtocolKey).as("k_seg"),
+        segHex(Codecs.openProtocolValue).as("v_seg"))
+      .withColumn("batch_id",
+        call_function("div", row_number().over(w) - lit(1), lit(maxBatch.toLong)))
+      .groupBy(col("schema_name"), col("table_name"), col("partition"),
+        col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        concat(lit(versionHex), orderedConcat(col("k_seg"))).as("key_wire"),
+        orderedConcat(col("v_seg")).as("value_wire"))
+      .select(lit("ROW").as("msg_type"), col("schema_name"), col("table_name"),
+        col("partition"), col("batch_id"), col("n_rows"),
+        col("key_wire"), col("value_wire"))
+
+    // DDL envelope (codec.go:99-147): single-event message, the key's
+    // t=2, the value {"q":…,"t":<TiDB action type>}
+    val ddlKey = concat(lit("{\"ts\":"), col("valid_from"),
+      lit(",\"scm\":\""), col("schema_name"),
+      lit("\",\"tbl\":\""), col("table_name"), lit("\",\"t\":2}"))
+    val actionType = when(col("ddl_type") === "CREATE", lit(3L)).otherwise(lit(5L))
+    val ddlValue = concat(lit("{\"q\":\""), col("query"), lit("\",\"t\":"),
+      actionType, lit("}"))
+    val ddl = SchemaStore.ddlEvents(cl, Nil)
+      .select(lit("DDL").as("msg_type"), col("schema_name"), col("table_name"),
+        lit(-1L).as("partition"), lit(-1L).as("batch_id"), lit(1L).as("n_rows"),
+        concat(lit(versionHex), segHex(ddlKey)).as("key_wire"),
+        segHex(ddlValue).as("value_wire"))
+
+    // resolved-ts checkpoint (codec.go:149-185): key-only frame, the
+    // value is the bare zero length prefix
+    val resolvedKey = concat(lit("{\"ts\":"), col("rts"), lit(",\"t\":3}"))
+    val resolved = cl.agg(max(col("commit_ts")).as("rts"))
+      .select(lit("RESOLVED").as("msg_type"),
+        lit(null).cast("string").as("schema_name"),
+        lit(null).cast("string").as("table_name"),
+        lit(-1L).as("partition"), lit(-1L).as("batch_id"), lit(1L).as("n_rows"),
+        concat(lit(versionHex), segHex(resolvedKey)).as("key_wire"),
+        lit(f"${0L}%016X").as("value_wire"))
+
+    rows.unionAll(ddl).unionAll(resolved)
+  }
+
+  def messagesSql(n: Int, maxBatch: Int): String = {
+    val ddlKeySql =
+      """CONCAT('{"ts":', valid_from, ',"scm":"', schema_name,
+        |       '","tbl":"', table_name, '","t":2}')""".stripMargin
+    val ddlValueSql =
+      """CONCAT('{"q":"', query, '","t":',
+        |       CASE WHEN ddl_type = 'CREATE' THEN 3 ELSE 5 END, '}')""".stripMargin
+    s"""SELECT 'ROW' AS msg_type, schema_name, table_name, partition, batch_id,
+       |  COUNT(*) AS n_rows,
+       |  CONCAT('$versionHex', string_agg(k_seg, '' ORDER BY commit_ts)) AS key_wire,
+       |  string_agg(v_seg, '' ORDER BY commit_ts) AS value_wire
+       |FROM (
+       |  SELECT *, CAST((ROW_NUMBER() OVER (
+       |      PARTITION BY schema_name, table_name, partition
+       |      ORDER BY commit_ts) - 1) // $maxBatch AS BIGINT) AS batch_id
+       |  FROM (
+       |    SELECT schema_name, table_name, commit_ts,
+       |      ${Dispatchers.indexValueBucketSql(n)} AS partition,
+       |      ${segHexSql(Codecs.openProtocolKeySql)} AS k_seg,
+       |      ${segHexSql(Codecs.openProtocolValueSql)} AS v_seg
+       |    FROM changelog
+       |  )
+       |)
+       |GROUP BY 1, 2, 3, 4, 5
+       |UNION ALL
+       |SELECT 'DDL' AS msg_type, schema_name, table_name,
+       |  CAST(-1 AS BIGINT) AS partition, CAST(-1 AS BIGINT) AS batch_id,
+       |  CAST(1 AS BIGINT) AS n_rows,
+       |  CONCAT('$versionHex', ${segHexSql(ddlKeySql)}) AS key_wire,
+       |  ${segHexSql(ddlValueSql)} AS value_wire
+       |FROM (${SchemaStore.ddlEventsSql(Nil)}) ddl_frame
+       |UNION ALL
+       |SELECT 'RESOLVED' AS msg_type, NULL AS schema_name, NULL AS table_name,
+       |  CAST(-1 AS BIGINT) AS partition, CAST(-1 AS BIGINT) AS batch_id,
+       |  CAST(1 AS BIGINT) AS n_rows,
+       |  CONCAT('$versionHex',
+       |    ${segHexSql("""CONCAT('{"ts":', MAX(commit_ts), ',"t":3}')""")}) AS key_wire,
+       |  '${f"${0L}%016X"}' AS value_wire
+       |FROM changelog""".stripMargin
+  }
+
+  /** Decode — split every message back into its (key, value) event
+    * pairs, the exact inverse of `pushMessage` (native parser
+    * [[graft.functions.OpenWireDecode]]: version head check, 8-byte BE
+    * length prefixes, byte-count bounds). One row per event with its
+    * index inside the message; a RESOLVED message decodes to its key
+    * with an empty value. The DuckDB oracle derives the identical
+    * frame from the changelog without touching the wire (the batch
+    * assignment + the A20 JSONs), so the oracle equality proves
+    * decode ∘ encode = id over the whole stream. */
+  def decode(msgs: DataFrame): DataFrame = {
+    import graft.functions.WireExprs
+    msgs.select(col("msg_type"), col("schema_name"), col("table_name"),
+        col("partition"), col("batch_id"),
+        posexplode(WireExprs.openWireDecode(col("key_wire"), col("value_wire"))))
+      .select(col("msg_type"), col("schema_name"), col("table_name"),
+        col("partition"), col("batch_id"), col("pos").cast("long").as("idx"),
+        col("col.key").as("key"), col("col.value").as("value"))
+  }
+
+  def decodeSql(n: Int, maxBatch: Int): String =
+    s"""SELECT 'ROW' AS msg_type, schema_name, table_name, partition, batch_id,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY schema_name, table_name, partition, batch_id
+       |    ORDER BY commit_ts) - 1 AS BIGINT) AS idx,
+       |  key, value
+       |FROM (
+       |  SELECT *, CAST((ROW_NUMBER() OVER (
+       |      PARTITION BY schema_name, table_name, partition
+       |      ORDER BY commit_ts) - 1) // $maxBatch AS BIGINT) AS batch_id
+       |  FROM (
+       |    SELECT schema_name, table_name, commit_ts,
+       |      ${Dispatchers.indexValueBucketSql(n)} AS partition,
+       |      ${Codecs.openProtocolKeySql} AS key,
+       |      ${Codecs.openProtocolValueSql} AS value
+       |    FROM changelog
+       |  )
+       |)
+       |UNION ALL
+       |SELECT 'DDL' AS msg_type, schema_name, table_name,
+       |  CAST(-1 AS BIGINT) AS partition, CAST(-1 AS BIGINT) AS batch_id,
+       |  CAST(0 AS BIGINT) AS idx,
+       |  CONCAT('{"ts":', valid_from, ',"scm":"', schema_name,
+       |         '","tbl":"', table_name, '","t":2}') AS key,
+       |  CONCAT('{"q":"', query, '","t":',
+       |         CASE WHEN ddl_type = 'CREATE' THEN 3 ELSE 5 END, '}') AS value
+       |FROM (${SchemaStore.ddlEventsSql(Nil)}) ddl_frame
+       |UNION ALL
+       |SELECT 'RESOLVED' AS msg_type, NULL AS schema_name, NULL AS table_name,
+       |  CAST(-1 AS BIGINT) AS partition, CAST(-1 AS BIGINT) AS batch_id,
+       |  CAST(0 AS BIGINT) AS idx,
+       |  CONCAT('{"ts":', MAX(commit_ts), ',"t":3}') AS key,
+       |  '' AS value
+       |FROM changelog""".stripMargin
+}

@@ -84,8 +84,11 @@ object Sinks {
     * threshold exactly the way enabling compression does in the
     * reference. `ratio_pct` mirrors the reference's ×100 compression
     * ratio metric as a BIGINT. Row-local, zero shuffle. */
-  def compressedClaimCheck(cl: DataFrame, n: Int, maxBytes: Int,
-                           uriPrefix: String = "s3://claim-check"): DataFrame = {
+  /** The A48 deterministic compression size model over the canal
+    * payload — shared by the claim-check (A48) and handle-key-only
+    * (A58) large-message arms. Adds payload_bytes / var_bytes /
+    * compressed_bytes to the changelog columns. */
+  private def compressedSized(cl: DataFrame): DataFrame = {
     val fmtV = (c: org.apache.spark.sql.Column) =>
       when(c.isNull, lit("null")).otherwise(format_string("%.4f", c))
     val digits = (c: org.apache.spark.sql.Column) =>
@@ -107,6 +110,11 @@ object Sinks {
           col("var_bytes") +
           ((col("payload_bytes") - col("var_bytes") + lit(7)) / lit(8))
             .cast("int")).cast("long"))
+  }
+
+  def compressedClaimCheck(cl: DataFrame, n: Int, maxBytes: Int,
+                           uriPrefix: String = "s3://claim-check"): DataFrame = {
+    compressedSized(cl)
       .withColumn("claimed", col("compressed_bytes") > maxBytes)
       .select(
         col("commit_ts"),
@@ -121,6 +129,88 @@ object Sinks {
           lit("/"), col("table_name"), lit("/"), col("commit_ts"),
           lit(".json.sz"))).otherwise(lit(null).cast("string"))
           .as("claim_location"))
+  }
+
+  /** A58 — handle-key-only large-message arm (reference:
+    * pkg/sink/codec/simple/marshaller.go:38 — every
+    * `MarshalRowChangedEvent` takes `handleKeyOnly`; open/encoder
+    * .go:82-99 — when `LargeMessageHandle.HandleKeyOnly()`, an
+    * oversized message re-encodes carrying ONLY the handle-key columns
+    * instead of being offloaded to external storage; canal marks such
+    * messages `_tidb.onlyHandleKey`). The SECOND option of the
+    * large-message config, complementing A31/A48's claim check: same
+    * compressed-size gate (the A48 model), but the oversized value
+    * degrades in place — data keeps just the pk, old is dropped — and
+    * no external location exists.
+    *
+    * `mode` column: 'inline' (under the cap) | 'handle_key' (degraded).
+    * The degraded set equals the claim-check set at the same threshold
+    * by construction of the shared gate — spec-asserted. Row-local,
+    * zero shuffle. */
+  def handleKeyOnly(cl: DataFrame, n: Int, maxBytes: Int): DataFrame = {
+    val opWord = when(col("op") === "I", lit("INSERT"))
+      .when(col("op") === "D", lit("DELETE")).otherwise(lit("UPDATE"))
+    val degraded = concat(
+      lit("{\"id\":"), col("commit_ts"),
+      lit(",\"database\":\""), col("schema_name"),
+      lit("\",\"table\":\""), col("table_name"),
+      lit("\",\"pkNames\":[\"pk\"],\"isDdl\":false,\"type\":\""), opWord,
+      lit("\",\"es\":"), col("commit_ts"),
+      lit(",\"ts\":"), col("start_ts"),
+      lit(",\"data\":[{\"pk\":"), col("pk"),
+      lit("}],\"old\":null,\"_tidb\":{\"onlyHandleKey\":true}}"))
+    compressedSized(cl)
+      .withColumn("oversized", col("compressed_bytes") > maxBytes)
+      .select(
+        col("commit_ts"),
+        Dispatchers.indexValueBucket(n).as("partition"),
+        col("payload_bytes").cast("long").as("payload_bytes"),
+        col("compressed_bytes"),
+        when(col("oversized"), lit("handle_key")).otherwise(lit("inline"))
+          .as("mode"),
+        when(col("oversized"), degraded).otherwise(Codecs.canalJsonValue)
+          .as("value"))
+  }
+
+  def handleKeyOnlySql(n: Int, maxBytes: Int): String = {
+    val opWordSql =
+      "CASE op WHEN 'I' THEN 'INSERT' WHEN 'D' THEN 'DELETE' ELSE 'UPDATE' END"
+    val degradedSql =
+      s"""CONCAT('{"id":', commit_ts,
+         |  ',"database":"', schema_name,
+         |  '","table":"', table_name,
+         |  '","pkNames":["pk"],"isDdl":false,"type":"', $opWordSql,
+         |  '","es":', commit_ts,
+         |  ',"ts":', start_ts,
+         |  ',"data":[{"pk":', pk,
+         |  '}],"old":null,"_tidb":{"onlyHandleKey":true}}')""".stripMargin
+    val fmtV = (e: String) =>
+      s"CASE WHEN $e IS NULL THEN 'null' ELSE printf('%.4f', $e) END"
+    val payload = s"octet_length(encode(${Codecs.canalJsonValueSql}))"
+    val varBytes =
+      s"""(octet_length(encode(schema_name)) + octet_length(encode(table_name))
+         | + octet_length(encode(CAST(commit_ts AS VARCHAR))) + octet_length(encode(CAST(start_ts AS VARCHAR)))
+         | + octet_length(encode(CAST(pk AS VARCHAR)))
+         | + octet_length(encode(${fmtV("CASE WHEN op = 'D' THEN before_value ELSE after_value END")}))
+         | + octet_length(encode(props))
+         | + CASE WHEN op = 'U' THEN octet_length(encode(${fmtV("before_value")})) ELSE 0 END)""".stripMargin
+    s"""WITH sized AS (
+       |  SELECT *, ${Dispatchers.indexValueBucketSql(n)} AS partition,
+       |    $payload AS payload_bytes,
+       |    $varBytes AS var_bytes
+       |  FROM changelog
+       |), modeled AS (
+       |  SELECT *, CAST(18 + ${Craft.uvarintLenSql("payload_bytes")} + var_bytes
+       |    + (payload_bytes - var_bytes + 7) // 8 AS BIGINT) AS compressed_bytes
+       |  FROM sized
+       |)
+       |SELECT commit_ts, partition,
+       |  CAST(payload_bytes AS BIGINT) AS payload_bytes,
+       |  compressed_bytes,
+       |  CASE WHEN compressed_bytes > $maxBytes THEN 'handle_key' ELSE 'inline' END AS mode,
+       |  CASE WHEN compressed_bytes > $maxBytes THEN $degradedSql
+       |       ELSE ${Codecs.canalJsonValueSql} END AS value
+       |FROM modeled""".stripMargin
   }
 
   def compressedClaimCheckSql(n: Int, maxBytes: Int,

@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native wire-encoding expressions for the binary codecs.
@@ -61,6 +62,22 @@ object WireHex {
       (hi << 4) | lo
     }
     def int32(): Int = (byte() << 24) | (byte() << 16) | (byte() << 8) | byte()
+    /** 8-byte big-endian unsigned long (the open-protocol length/
+      * version fields). */
+    def int64be(): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < 8) { acc = (acc << 8) | byte().toLong; i += 1 }
+      acc
+    }
+    /** n UTF-8 bytes as a string (length already known). */
+    def strN(n: Long): String = {
+      if (n < 0 || n > (s.length - pos) / 2) throw new IllegalArgumentException("bad len")
+      val bytes = new Array[Byte](n.toInt)
+      var i = 0
+      while (i < n) { bytes(i) = byte().toByte; i += 1 }
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    }
     /** zigzag varint → long (LEB128, LSB first). */
     def zvarint(): Long = {
       var shift = 0; var acc = 0L; var b = 0x80
@@ -160,6 +177,203 @@ object WireHex {
         before, after, 1L))
     } catch { case _: Exception => corruptValue }
 
+  // ------------------------------------------------------------------
+  // open-protocol batched wire (codec_open_wire_decode): the exact
+  // inverse of open/encoder.go:115-160 pushMessage — version head,
+  // 8-byte big-endian length prefixes, paired key/value segments
+
+  val OpenPairStruct: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  /** Split a batched open-protocol message back into its event pairs.
+    * Returns null on any malformed frame (bad version, truncated
+    * segment, key/value count mismatch) — the round-trip spec treats
+    * null as corrupt. */
+  def openWireDecode(keyHexU: UTF8String, valueHexU: UTF8String): ArrayData =
+    try {
+      val kp = new HexParser(keyHexU.toString)
+      if (kp.int64be() != 1L) throw new IllegalArgumentException("bad version")
+      val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (!kp.done) keys += kp.strN(kp.int64be())
+      val vp = new HexParser(valueHexU.toString)
+      val values = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (!vp.done) values += vp.strN(vp.int64be())
+      if (keys.length != values.length)
+        throw new IllegalArgumentException("key/value count mismatch")
+      new GenericArrayData(keys.zip(values).map { case (k, v) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(k), UTF8String.fromString(v)))
+      }.toArray[Any])
+    } catch { case _: Exception => null }
+
+  // ------------------------------------------------------------------
+  // simple-protocol Avro arm (codec_simple_avro_decode): a sequential
+  // parser of the full message.json Message record — enum + union
+  // dispatch, block-counted arrays/maps, the complete TableSchema walk
+  // (reference: the goavro NativeFromBinary path of simple/marshaller
+  // .go:146-151 + avro.go:470-573 newMessageFromAvroNative)
+
+  val SimpleStruct: StructType = StructType(Seq(
+    StructField("msg_kind", StringType, nullable = false),
+    StructField("commit_ts", LongType, nullable = false),
+    StructField("schema_name", StringType, nullable = true),
+    StructField("table_name", StringType, nullable = true),
+    StructField("op", StringType, nullable = true),
+    StructField("ddl_type", StringType, nullable = true),
+    StructField("ddl_sql", StringType, nullable = true),
+    StructField("pk", LongType, nullable = false),
+    StructField("after_value", DoubleType, nullable = true),
+    StructField("before_value", DoubleType, nullable = true),
+    StructField("schema_version", LongType, nullable = false),
+    StructField("ts_cols", LongType, nullable = false),
+    StructField("valid", LongType, nullable = false)))
+
+  // message.json enum symbol tables, by ordinal
+  private val DdlSymbols = Array(
+    "CREATE", "ALTER", "ERASE", "RENAME", "TRUNCATE", "CINDEX", "DINDEX", "QUERY")
+  private val OpSymbols = Array("I", "U", "D") // INSERT UPDATE DELETE
+
+  private def simpleCorrupt: InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString("CORRUPT"), -1L,
+      null, null, null, null, null, -1L, null, null, -1L, -1L, 0L))
+
+  /** Decode one simple-protocol Avro-binary message (hex). Emits the
+    * JSON decoder's column values (msg_kind ROW/RESOLVED/DDL, images,
+    * as-of schema version) plus `ts_cols` — the column count of an
+    * embedded TableSchema (-1 when absent), which the DataFrame side
+    * broadcasts into the schema-resolution join. valid=1 iff the
+    * message parses AND consumes every byte. */
+  def simpleAvroDecode(hexU: UTF8String): InternalRow =
+    try {
+      val p = new HexParser(hexU.toString)
+      def bool(): Boolean = p.byte() != 0
+      def skipStrArray(): Unit = {
+        var c = p.zvarint()
+        while (c != 0) {
+          var j = 0L
+          while (j < c) { p.str(); j += 1 }
+          c = p.zvarint()
+        }
+      }
+      // TableSchema record → (database, table, version, n_columns)
+      def tableSchema(): (UTF8String, UTF8String, Long, Long) = {
+        val db = UTF8String.fromString(p.str())
+        val tbl = UTF8String.fromString(p.str())
+        p.zvarint() // tableID
+        val ver = p.zvarint()
+        var ncols = 0L
+        var n = p.zvarint()
+        while (n != 0) { // columns blocks
+          var i = 0L
+          while (i < n) {
+            p.str() // name
+            p.str(); p.str(); p.str(); p.zvarint() // DataType: type/charset/collate/length
+            if (p.zvarint() == 1L) p.zvarint() // decimal
+            if (p.zvarint() == 1L) skipStrArray() // elements
+            if (p.zvarint() == 1L) bool() // unsigned
+            if (p.zvarint() == 1L) bool() // zerofill
+            bool() // nullable
+            if (p.zvarint() == 1L) p.str() // default
+            ncols += 1; i += 1
+          }
+          n = p.zvarint()
+        }
+        var m = p.zvarint()
+        while (m != 0) { // indexes blocks
+          var i = 0L
+          while (i < m) {
+            p.str(); bool(); bool(); bool(); skipStrArray()
+            i += 1
+          }
+          m = p.zvarint()
+        }
+        (db, tbl, ver, ncols)
+      }
+      // data/old map: string keys, union values (null|long|...|string)
+      def image(): (Long, Any) = {
+        var pk = -1L
+        var v: Any = null
+        var n = p.zvarint()
+        while (n != 0) {
+          var i = 0L
+          while (i < n) {
+            val k = p.str()
+            p.zvarint() match {
+              case 0L => () // null
+              case 1L => val x = p.zvarint(); if (k == "pk") pk = x
+              case 4L =>
+                val s = p.str()
+                if (k == "value") v = java.lang.Double.parseDouble(s)
+              case _ => throw new IllegalArgumentException("bad value branch")
+            }
+            i += 1
+          }
+          n = p.zvarint()
+        }
+        (pk, v)
+      }
+      def row(kind: String, cts: Long, db: UTF8String, tbl: UTF8String,
+              op: String, ddlType: String, ddlSql: UTF8String, pk: Long,
+              after: Any, before: Any, ver: Long, nc: Long): InternalRow =
+        new GenericInternalRow(Array[Any](UTF8String.fromString(kind), cts,
+          db, tbl,
+          if (op == null) null else UTF8String.fromString(op),
+          if (ddlType == null) null else UTF8String.fromString(ddlType),
+          ddlSql, pk, after, before, ver, nc, 1L))
+
+      val mt = p.zvarint()
+      if (p.zvarint() != mt) // union branch order matches the enum order
+        throw new IllegalArgumentException("wrapper branch mismatch")
+      val out = mt match {
+        case 0L => // WATERMARK
+          p.zvarint() // version
+          val cts = p.zvarint()
+          p.zvarint() // buildTs
+          row("RESOLVED", cts, null, null, null, null, null, -1L,
+            null, null, -1L, -1L)
+        case 1L => // BOOTSTRAP
+          p.zvarint(); p.zvarint() // version, buildTs
+          val (db, tbl, ver, nc) = tableSchema()
+          row("DDL", 0L, db, tbl, null, "BOOTSTRAP", null, -1L,
+            null, null, ver, nc)
+        case 2L => // DDL
+          p.zvarint() // version
+          val dt = DdlSymbols(p.zvarint().toInt)
+          val sql = UTF8String.fromString(p.str())
+          val cts = p.zvarint()
+          p.zvarint() // buildTs
+          val ts = if (p.zvarint() == 1L) tableSchema() else (null, null, -1L, -1L)
+          if (p.zvarint() == 1L) tableSchema() // preTableSchema
+          // the JSON decoder surfaces only the taxonomy it routes on
+          val dtOut = if (dt == "CREATE" || dt == "ALTER") dt else null
+          row("DDL", cts, ts._1, ts._2, null, dtOut, sql, -1L,
+            null, null, ts._3, ts._4)
+        case 3L => // DML
+          p.zvarint() // version
+          val db = UTF8String.fromString(p.str())
+          val tbl = UTF8String.fromString(p.str())
+          p.zvarint() // tableID
+          val op = OpSymbols(p.zvarint().toInt)
+          val cts = p.zvarint()
+          p.zvarint() // buildTs
+          val sv = p.zvarint()
+          if (p.zvarint() == 1L) p.str() // claimCheckLocation
+          if (p.zvarint() == 1L) bool() // handleKeyOnly
+          if (p.zvarint() == 1L) { // Checksum record
+            p.zvarint(); bool(); p.zvarint(); p.zvarint()
+          }
+          val data = if (p.zvarint() == 1L) image() else null
+          val old = if (p.zvarint() == 1L) image() else null
+          val pk = if (data != null) data._1 else if (old != null) old._1 else -1L
+          row("ROW", cts, db, tbl, op, null, null, pk,
+            if (data != null) data._2 else null,
+            if (old != null) old._2 else null, sv, -1L)
+        case _ => throw new IllegalArgumentException("bad message type")
+      }
+      if (!p.done) simpleCorrupt else out
+    } catch { case _: Exception => simpleCorrupt }
+
   /** Avro `bytes` body of an unscaled decimal: zigzag-varint length
     * prefix + minimal two's-complement big-endian image (1..8 bytes —
     * truncation to the minimal k IS two's complement). */
@@ -213,6 +427,38 @@ case class AvroDecodeKey(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class OpenWireDecode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(WireHex.OpenPairStruct, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_open_wire_decode"
+  override def nullSafeEval(k: Any, v: Any): Any =
+    WireHex.openWireDecode(k.asInstanceOf[UTF8String], v.asInstanceOf[UTF8String])
+  // a malformed frame decodes to NULL, so the generated code must
+  // null-check the helper's result (defineCodeGen would propagate only
+  // the children's nullability and NPE downstream)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (k, v) =>
+      s"""
+         |${ev.value} = graft.functions.WireHex.openWireDecode($k, $v);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): OpenWireDecode =
+    copy(left = newLeft, right = newRight)
+}
+
+case class SimpleAvroDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WireHex.SimpleStruct
+  override def prettyName: String = "graft_simple_avro_decode"
+  override def nullSafeEval(a: Any): Any =
+    WireHex.simpleAvroDecode(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.WireHex.simpleAvroDecode($a)")
+  override protected def withNewChildInternal(newChild: Expression): SimpleAvroDecode =
+    copy(child = newChild)
+}
+
 case class AvroDecodeValue(child: Expression) extends UnaryExpression {
   override def dataType: DataType = WireHex.ValueStruct
   override def prettyName: String = "graft_avro_decode_value"
@@ -242,6 +488,14 @@ object WireExprs {
       FunctionIdentifier("graft_avro_decode_value"),
       new ExpressionInfo(classOf[AvroDecodeValue].getName, "graft_avro_decode_value"),
       (children: Seq[Expression]) => AvroDecodeValue(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simple_avro_decode"),
+      new ExpressionInfo(classOf[SimpleAvroDecode].getName, "graft_simple_avro_decode"),
+      (children: Seq[Expression]) => SimpleAvroDecode(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_open_wire_decode"),
+      new ExpressionInfo(classOf[OpenWireDecode].getName, "graft_open_wire_decode"),
+      (children: Seq[Expression]) => OpenWireDecode(children(0), children(1))))
   }
 
   def zvarintHex(n: Column): Column = call_function("graft_zvarint_hex", n)
@@ -251,4 +505,8 @@ object WireExprs {
     call_function("graft_avro_decode_key", msg)
   def avroDecodeValue(msg: Column): Column =
     call_function("graft_avro_decode_value", msg)
+  def simpleAvroDecode(msg: Column): Column =
+    call_function("graft_simple_avro_decode", msg)
+  def openWireDecode(keyWire: Column, valueWire: Column): Column =
+    call_function("graft_open_wire_decode", keyWire, valueWire)
 }

@@ -728,18 +728,29 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       "DELETE FROM tidb_cdc.ddl_ts_v1 WHERE (ticdc_cluster_id, changefeed, table_id) IN " +
         "(('cid', 'cf', 2))")
 
-    // db influence: every table of the schema (db1 -> ids 3,4,5), dropped too
+    // db influence: every table of the schema (db1 -> ids 1000,1001,1002),
+    // dropped too
     val dropDb = rows("DROP_DATABASE")
     assert(dropDb.getString(7) == "db" && dropDb.getLong(8) == 3L)
-    assert(dropDb.getString(9) == "3,4,5")
+    assert(dropDb.getString(9) == "1000,1001,1002")
     assert(dropDb.getLong(11) == 3L)
-    assert(dropDb.getString(12).contains("(('cid', 'cf', 3), ('cid', 'cf', 4), ('cid', 'cf', 5))"))
+    assert(dropDb.getString(12).contains(
+      "(('cid', 'cf', 1000), ('cid', 'cf', 1001), ('cid', 'cf', 1002))"))
 
     // all influence: the whole changefeed universe, ordered by table id
     val flash = rows("FLASHBACK")
     assert(flash.getString(7) == "all" && flash.getLong(8) == 6L)
-    assert(flash.getString(9) == "0,1,2,3,4,5")
+    assert(flash.getString(9) == "0,1,2,1000,1001,1002")
     assert(flash.getLong(11) == 0L && flash.isNullAt(12))
+
+    // tableID injectivity: the convention must never merge two tables'
+    // bookkeeping rows — the old x3 multiplier collided at 4 tables per
+    // schema (db1.t0 vs db0.t3); assert over a wide universe
+    val wide = (for (db <- 0 to 2; t <- 0 to 6) yield (s"db$db", s"t$t"))
+      .toDF("schema_name", "table_name")
+    val wideIds = cdc.MysqlDdl.universe(wide)
+      .select(col("table_id").cast("long")).collect().map(_.getLong(0))
+    assert(wideIds.distinct.length == wideIds.length, "tableID must be injective")
 
     // exec policy: sync + the reference's retry budget on every row
     assert(rows.values.forall(r => r.getString(5) == "sync" && r.getLong(6) == 20L))
@@ -808,5 +819,147 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(sp.forall(r =>
       (r.getLong(4) == 1L) == ((r.getLong(0) / 100L) % 5L == 0L)))
     assert(sp.forall(r => (r.getLong(4) == 1L) == !r.isNullAt(5)))
+  }
+
+  test("semantic dedup drops exactly the docs with a lower-id cell neighbor above tau") {
+    val tau = 0.4
+    // naive recomputation from the shared IVF assignment: a doc drops
+    // iff its cell holds a LOWER-id doc with cosine >= tau, keyed to
+    // the smallest such keeper — quadratic within cells, like the
+    // operator, but built from first principles on the test side
+    val (c, cents, _) = ops.Similarity.ivfIndexInputs(spark, dir)
+    val assigned = ops.Similarity.assignLists(c, cents).cache()
+    val a = assigned.select(col("cent_id"), col("vec_id").as("keep_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("doc_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val naive = a.join(b, Seq("cent_id"))
+      .filter(col("keep_id") < col("doc_id"))
+      .withColumn("cosine",
+        round(graft.functions.VectorExprs.dot("va", "vb") / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= tau)
+      .groupBy(col("doc_id"))
+      .agg(min(col("keep_id")).as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = ops.Similarity.dedupSemantic(spark, dir, tau).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("dup_of"), r.getAs[Double]("cosine"))).toMap
+    assert(got.keySet == naive.keySet,
+      s"dropped sets differ: ${got.keySet.diff(naive.keySet)} / ${naive.keySet.diff(got.keySet)}")
+    assert(got.forall { case (d, (k, _)) => naive(d) == k },
+      "every dropped doc must key to its smallest qualifying keeper")
+    assert(got.forall { case (d, (k, cos)) => k < d && cos >= tau })
+  }
+
+  test("simple-avro arm decodes to the JSON arm's exact frame and flags truncation") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    // the two wire formats of marshaller.go carry identical information:
+    // decode(avro-binary stream) == decode(json stream), column for column
+    val avroDec = cdc.SimpleAvro.decode(cl)
+    val jsonDec = cdc.SimpleProtocol.decode(cl)
+    assert(avroDec.count() == jsonDec.count())
+    assert(avroDec.exceptAll(jsonDec).isEmpty && jsonDec.exceptAll(avroDec).isEmpty,
+      "avro-arm decode must equal the JSON-arm decode frame exactly")
+    // tamper: drop the final byte of every message — the sequential
+    // parser must flag every frame CORRUPT, never return a stale decode
+    val tampered = cdc.SimpleAvro.messages(cl)
+      .withColumn("value", expr("substring(value, 1, length(value) - 2)"))
+    val kinds = cdc.SimpleAvro.decodeFrom(tampered)
+      .select("msg_kind").distinct().collect().map(_.getString(0))
+    assert(kinds.sameElements(Array("CORRUPT")),
+      s"truncated avro messages must all decode CORRUPT, got ${kinds.mkString(",")}")
+  }
+
+  test("open-wire batches respect the version+length framing and split back to A20 pairs") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val maxBatch = 4
+    val msgs = cdc.OpenWire.messages(cl, n = 16, maxBatch = maxBatch).cache()
+    val rowMsgs = msgs.filter(col("msg_type") === "ROW").cache()
+    // batch membership: never above the cap, row-conserving, and every
+    // stream's batches are full except possibly the last
+    assert(rowMsgs.filter(col("n_rows") > maxBatch).count() == 0)
+    assert(rowMsgs.agg(sum(col("n_rows"))).head.getLong(0) == cl.count())
+    assert(rowMsgs.filter(col("n_rows") < maxBatch)
+      .groupBy(col("schema_name"), col("table_name"), col("partition"))
+      .count().filter(col("count") > 1).count() == 0,
+      "at most one partial batch per (table, partition) stream")
+    // wire framing: every key leads with the 8-byte BatchVersion1 head
+    assert(msgs.filter(!col("key_wire").startsWith("0000000000000001")).count() == 0)
+    // decode splits every message back into exactly the A20 (key, value)
+    // pairs computed directly from the changelog — proof the length
+    // prefixes tile the wire
+    val pairs = cdc.OpenWire.decode(msgs)
+      .filter(col("msg_type") === "ROW").select("key", "value")
+    val direct = cl.select(cdc.Codecs.openProtocolKey.as("key"),
+      cdc.Codecs.openProtocolValue.as("value"))
+    assert(pairs.exceptAll(direct).isEmpty && direct.exceptAll(pairs).isEmpty,
+      "decode(pushMessage(events)) must reproduce the per-event key/value JSONs")
+    // a RESOLVED message is key-only: bare zero-length value segment
+    assert(msgs.filter(col("msg_type") === "RESOLVED")
+      .filter(col("value_wire") =!= "0000000000000000").count() == 0)
+    // tamper: a flipped version head or a truncated segment fails the
+    // parse (null array), never yields a partial split
+    val badVer = rowMsgs.withColumn("key_wire",
+      concat(lit("00000000000000FF"), expr("substring(key_wire, 17)")))
+    assert(cdc.OpenWire.decode(badVer).count() == 0, "bad version must not decode")
+    val cut = rowMsgs.withColumn("value_wire",
+      expr("substring(value_wire, 1, length(value_wire) - 2)"))
+    assert(cdc.OpenWire.decode(cut).count() == 0, "truncated segment must not decode")
+  }
+
+  test("canal envelope carries _tidb extensions, DDL frames, and one watermark") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val env = cdc.Codecs.canalEnvelope(cl).cache()
+    // DML: the A19 body + _tidb.commitTs, nothing else changed
+    val dml = env.filter(col("msg_type") === "ROW").cache()
+    assert(dml.count() == cl.count())
+    assert(dml.filter(get_json_object(col("value"), "$._tidb.commitTs").cast("long")
+      =!= col("commit_ts")).count() == 0)
+    assert(dml.filter(get_json_object(col("value"), "$.isDdl") =!= "false").count() == 0)
+    // DDL: one frame per schema event, isDdl=true, canal action word,
+    // the query on board
+    val ddlSrc = cdc.SchemaStore.ddlEvents(cl, Nil).cache()
+    val ddl = env.filter(col("msg_type") === "DDL").cache()
+    assert(ddl.count() == ddlSrc.count())
+    assert(ddl.filter(get_json_object(col("value"), "$.isDdl") =!= "true").count() == 0)
+    assert(ddl.filter(!get_json_object(col("value"), "$.type").isin("CREATE", "ALTER"))
+      .count() == 0)
+    assert(ddl.filter(get_json_object(col("value"), "$.sql").isNull).count() == 0)
+    // exactly one TIDB_WATERMARK, riding the stream's high water mark
+    val wm = env.filter(col("msg_type") === "WATERMARK").collect()
+    assert(wm.length == 1)
+    val rts = cl.agg(max(col("commit_ts"))).head.getLong(0)
+    val wmJson = wm.head.getAs[String]("value")
+    assert(wm.head.getAs[Long]("commit_ts") == rts)
+    assert(wmJson.contains(s""""_tidb":{"watermarkTs":$rts}""") &&
+      wmJson.contains(""""type":"TIDB_WATERMARK""""))
+  }
+
+  test("handle-key-only degrades exactly the claim-check set, keeping only the pk") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val maxBytes = 75
+    val hk = cdc.Sinks.handleKeyOnly(cl, n = 16, maxBytes = maxBytes).cache()
+    val ccSet = cdc.Sinks.compressedClaimCheck(cl, n = 16, maxBytes = maxBytes)
+      .filter(col("claimed")).select("commit_ts")
+    val hkSet = hk.filter(col("mode") === "handle_key").select("commit_ts")
+    // the two large-message options share one gate: identical sets
+    assert(hkSet.count() > 0 && hk.filter(col("mode") === "inline").count() > 0,
+      "threshold must split the stream")
+    assert(hkSet.exceptAll(ccSet).isEmpty && ccSet.exceptAll(hkSet).isEmpty,
+      "handle-key degrade set must equal the claim-check set at the same threshold")
+    // degraded frames: marked onlyHandleKey, data = just the pk, old dropped
+    val deg = hk.filter(col("mode") === "handle_key")
+    assert(deg.filter(get_json_object(col("value"), "$._tidb.onlyHandleKey")
+      =!= "true").count() == 0)
+    assert(deg.filter(get_json_object(col("value"), "$.data[0].value").isNotNull)
+      .count() == 0, "degraded data must not carry the value column")
+    assert(deg.filter(get_json_object(col("value"), "$.old") =!= lit(null))
+      .filter(get_json_object(col("value"), "$.old").isNotNull).count() == 0)
+    // inline frames are byte-identical to the plain canal-json value
+    val inlineBad = hk.filter(col("mode") === "inline")
+      .join(cdc.Codecs.canalJson(cl).withColumnRenamed("value", "want"),
+        Seq("commit_ts"))
+      .filter(col("value") =!= col("want"))
+    assert(inlineBad.count() == 0, "inline frames must equal the A19 encoding")
   }
 }

@@ -57,11 +57,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // sink_mysql_ddl re-plans the DDL stream (same version-grid
     // broadcast) and its influence='all' arm is a deliberate broadcast
     // cross against the tables-×-1 universe frame.
+    // codec_simple_avro(_decode), codec_open_wire(_decode) and
+    // codec_canal_envelope embed the same DDL stream (SchemaStore
+    // .ddlEvents) and inherit its version-grid broadcast.
     val tinyBroadcastByDesign = Set("q_scalar_subquery",
       "cdc_schema_asof", "cdc_ddl_events", "cdc_ddl_filter_rich", "codec_simple",
       "codec_simple_decode", "sink_mysql_ddl", "sink_startts_resume",
-      "sink_syncpoint_stmts",
-      "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf", "doc_tfidf")
+      "sink_syncpoint_stmts", "codec_simple_avro", "codec_simple_avro_decode",
+      "codec_open_wire", "codec_open_wire_decode", "codec_canal_envelope",
+      "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf", "doc_tfidf",
+      "dedup_semantic") // shares ann_ivf's corpus x k-centroid broadcast cross
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
