@@ -295,11 +295,37 @@ object Similarity {
     }
   }
 
-  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 8,
-             nQueries: Int = 8, topK: Int = 3, kMin: Int = 64,
-             kCap: Int = 4096, sampleFactor: Int = 64,
-             lloydRounds: Int = 1, pruneAssign: Boolean = false,
-             assignPlanes: Int = 4): DataFrame = {
+  /** Work accounting for the pruned assignment: (candidate pairs the
+    * pruned path actually scores, fallback rows that rescan all k).
+    * The exact path's work is n·k by definition; the expected pruned
+    * ratio is (assignPlanes+1)/2^assignPlanes. Probe-only — mirrors
+    * the candidate generation of [[assignLists]] exactly. */
+  private[graft] def assignWorkStats(c: DataFrame, cents: DataFrame,
+                                     assignPlanes: Int = 4): (Long, Long) = {
+    val w = planes(assignPlanes, seed = 11L)
+    def bucket(vcol: String): Column = (0 until assignPlanes)
+      .map(p => when(proj(vcol, w(p)) >= 0d, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val cb = cents.withColumn("cbucket", bucket("cv"))
+    val probeMasks = 0L +: (0 until assignPlanes).map(p => 1L << p)
+    val probed = c.withColumn("bucket", bucket("v"))
+      .select(col("vec_id"),
+        explode(array(probeMasks.map(m =>
+          col("bucket").bitwiseXOR(lit(m))): _*)).as("cell"))
+    val perVec = probed.join(broadcast(cb), col("cell") === col("cbucket"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("cands"))
+    val candPairs = perVec.agg(sum(col("cands"))).head.getLong(0)
+    val fallback = c.join(perVec.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    (candPairs, fallback)
+  }
+
+  /** Corpus + trained centroids — the index-build inputs shared by
+    * [[annIvf]] and the pruneAssign work probe ([[graft.IvfAssignProbe]]).
+    * Returns (corpus, refined centroids, k). */
+  private[graft] def ivfIndexInputs(spark: SparkSession, dir: String,
+                                    kMin: Int = 64, kCap: Int = 4096,
+                                    sampleFactor: Int = 64,
+                                    lloydRounds: Int = 1): (DataFrame, DataFrame, Long) = {
     val c = corpus(spark, dir).localCheckpoint()
     val k = math.min(kCap.toLong, math.max(kMin.toLong,
       math.ceil(math.sqrt(c.count().toDouble)).toLong))
@@ -342,9 +368,19 @@ object Similarity {
         .localCheckpoint()
     val refined = (1 to math.max(1, lloydRounds))
       .foldLeft(seeds.localCheckpoint())((cs, _) => refine(cs))
+    (c, refined, k)
+  }
+
+  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 8,
+             nQueries: Int = 8, topK: Int = 3, kMin: Int = 64,
+             kCap: Int = 4096, sampleFactor: Int = 64,
+             lloydRounds: Int = 1, pruneAssign: Boolean = false,
+             assignPlanes: Int = 4): DataFrame = {
+    val (c, refined, _) =
+      ivfIndexInputs(spark, dir, kMin, kCap, sampleFactor, lloydRounds)
     val assigned = assignLists(c, refined, pruneAssign, assignPlanes)
       .localCheckpoint()
-    val qprobe = nearest(c.filter(col("vec_id") < nQueries), refined, nProbe)
+    val qprobe = nearestCents(c.filter(col("vec_id") < nQueries), refined, nProbe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cent_id"))
     val win = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
@@ -356,9 +392,11 @@ object Similarity {
       .select(col("query_id"), col("cent_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
-  def annIvfSql(nProbe: Int = 8, nQueries: Int = 8, topK: Int = 3,
-                kMin: Int = 64, kCap: Int = 4096,
-                sampleFactor: Int = 64): String = {
+  /** The IVF index-build CTE chain (corpus → bounded training sample →
+    * seeds → one Lloyd round → `cents`/`s1`/`assigned`) shared by the
+    * C13 oracle and the semantic-dedup oracle — the SQL mirror of
+    * [[ivfIndexInputs]] + [[assignLists]]. */
+  private def ivfAssignedCtes(kMin: Int, kCap: Int, sampleFactor: Int): String = {
     val qSums = (0 until Dim)
       .map(i => s"SUM(CAST(ROUND(v[${i + 1}] * 1024.0, 0) AS BIGINT)) AS s$i")
       .mkString(", ")
@@ -373,7 +411,7 @@ object Similarity {
       .mkString("[", ", ", "]")
     val trainHSql = graft.functions.Portable
       .hash60Sql("CONCAT('ivf-train-v1:', CAST(vec_id AS VARCHAR))")
-    s"""WITH $corpusSql,
+    s"""$corpusSql,
        |kk AS (SELECT LEAST($kCap, GREATEST($kMin, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS k FROM c),
        |sample AS (SELECT *, $trainHSql AS h FROM c
        |  ORDER BY h, vec_id LIMIT (SELECT k * $sampleFactor FROM kk)),
@@ -395,7 +433,13 @@ object Similarity {
        |assigned AS (SELECT cent_id, vec_id, v, nrm FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY sim DESC, cent_id) AS rn FROM s1
-       |  ) WHERE rn = 1),
+       |  ) WHERE rn = 1)""".stripMargin
+  }
+
+  def annIvfSql(nProbe: Int = 8, nQueries: Int = 8, topK: Int = 3,
+                kMin: Int = 64, kCap: Int = 4096,
+                sampleFactor: Int = 64): String = {
+    s"""WITH ${ivfAssignedCtes(kMin, kCap, sampleFactor)},
        |qprobe AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY sim DESC, cent_id) AS rn
@@ -411,6 +455,54 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $topK""".stripMargin
   }
+
+  /** C25 — semantic dedup (SemDeDup-style: arXiv:2303.09540 — dedup in
+    * embedding space by clustering, then dropping near-identical
+    * neighbors WITHIN each cluster): every vector is filed into its IVF
+    * cell (C13's trained centroids + exact list assignment — the same
+    * index build, so the cluster structure is shared with ANN), and
+    * within each cell every pair is scored with the exact cosine; a doc
+    * whose cell holds a LOWER-id doc with cosine ≥ τ is dropped, keyed
+    * to its smallest such keeper. Output: one row per dropped doc
+    * (doc_id, cent_id, dup_of, cosine-to-keeper).
+    *
+    * Scale shape: NEVER all-pairs — the quadratic work is per-cell
+    * (cell size ≈ n/k = √n under k~√n, and bounded by the k knob:
+    * at 100 TB you raise kCap so cells stay ~10⁴ rows and the pair
+    * work stays cell-linear, Σ|cell|² ≪ n²). The pair join shuffles
+    * once on cent_id; the keeper choice is one window per dropped doc.
+    * The dropped set feeds C18's cluster resolution exactly like the
+    * MinHash pair stream. */
+  def dedupSemantic(spark: SparkSession, dir: String,
+                    tau: Double = 0.4): DataFrame = {
+    val (c, cents, _) = ivfIndexInputs(spark, dir)
+    val assigned = assignLists(c, cents).localCheckpoint()
+    val a = assigned.select(col("cent_id"), col("vec_id").as("dup_of"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("doc_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("dup_of"))
+    a.join(b, Seq("cent_id"))
+      .filter(col("dup_of") < col("doc_id"))
+      .withColumn("cosine", round(dot("va", "vb") / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= tau)
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cent_id"), col("dup_of"), col("cosine"))
+  }
+
+  def dedupSemanticSql(tau: Double = 0.4, kMin: Int = 64, kCap: Int = 4096,
+                       sampleFactor: Int = 64): String =
+    s"""WITH ${ivfAssignedCtes(kMin, kCap, sampleFactor)},
+       |pairs AS (SELECT b.vec_id AS doc_id, a.cent_id, a.vec_id AS dup_of,
+       |    ROUND((${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm), 4) AS cosine
+       |  FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id
+       |    AND a.vec_id < b.vec_id)
+       |SELECT doc_id, cent_id, dup_of, cosine FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY dup_of) AS rn
+       |  FROM pairs WHERE cosine >= $tau
+       |) WHERE rn = 1""".stripMargin
 
   /** C17 — int8 embedding quantization: per-vector affine compression
     * (the storage/transport format ANN indexes and feature stores ship
