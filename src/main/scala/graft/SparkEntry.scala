@@ -141,6 +141,7 @@ object SparkEntry {
     "ann_lsh_bucketed" -> ((s, d) => ops.Similarity.annLshBucketed(s, d)),
     "ann_ivf" -> ((s, d) => ops.Similarity.annIvf(s, d)),
     "dedup_semantic" -> ((s, d) => ops.Similarity.dedupSemantic(s, d)),
+    "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
     "embedding_quantize" -> ((s, d) => ops.Similarity.embeddingQuantize(s, d)),
     "text_langid" -> ((s, d) => ops.TextAnalysis.langId(s, d)),
     "text_quality_score" -> ((s, d) => ops.TextAnalysis.qualityScore(s, d)),
@@ -253,6 +254,7 @@ object SparkEntry {
     "ann_lsh_bucketed" -> ops.Similarity.annLshBucketedSql(),
     "ann_ivf" -> ops.Similarity.annIvfSql(),
     "dedup_semantic" -> ops.Similarity.dedupSemanticSql(),
+    "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,
     "embedding_quantize" -> ops.Similarity.embeddingQuantizeSql(),
     "text_langid" -> ops.TextAnalysis.langIdSql,
     "text_quality_score" -> ops.TextAnalysis.qualityScoreSql,

@@ -155,7 +155,12 @@ object MysqlDdl {
       .select(explode(when(col("m") >= step, sequence(lit(step), col("m"), lit(step)))
         .otherwise(array().cast("array<long>"))).as("primary_ts"))
     // per-boundary max applied ts, then a running max over the (tiny)
-    // boundary sequence fills boundaries with no events of their own
+    // boundary sequence fills boundaries with no events of their own.
+    // The unpartitioned window is deliberate and safe: the grid has
+    // max_ts/step rows — bounded by the TIME HORIZON (syncpoints are
+    // minutes apart in production), not by data volume — so this is a
+    // single small task after the per-boundary aggregation, never a
+    // whole-data global sort
     val perBound = cl
       .select((expr(s"((commit_ts + $step - 1) div $step) * $step")).as("primary_ts"),
         col("commit_ts"))

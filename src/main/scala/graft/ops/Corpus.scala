@@ -295,4 +295,64 @@ object Corpus {
        |  CAST((CAST(SUM(n_tokens) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS avg_tokens_micro
        |FROM t
        |GROUP BY 1, 2""".stripMargin
+
+  /** C26 — training-mixture reweighting: temperature-smoothed sampling
+    * weights per (lang, source) cell (the multilingual mixture rule of
+    * mT5/XLM-R, p_i ∝ tokens_i^α at α = 1/2 — τ = 2 temperature
+    * sampling). α = 1/2 is chosen deliberately: the smoothed mass is
+    * floor(sqrt(tokens)) and IEEE sqrt is CORRECTLY ROUNDED, so —
+    * unlike pow(x, 0.7), whose libm rounding may differ between
+    * engines — every number here is a bigint both engines compute
+    * bit-identically. Output per cell: token total, natural corpus
+    * share (ppm), smoothed target share (ppm), the resampling weight
+    * (target/natural, milli-units), and the oversampled flag —
+    * exactly what a data-loader mixture config consumes.
+    *
+    * Scale shape: ONE cell-keyed aggregation shuffle (C23's shape),
+    * then the 1-row totals broadcast back over the #cells frame —
+    * cells are a few thousand at any corpus size, so the final join
+    * is trivially broadcast and nothing global touches row volume. */
+  def sourceMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_tokens")).as("tokens"))
+      .withColumn("smoothed", floor(sqrt(col("tokens"))).cast("long"))
+    val totals = cells.agg(sum(col("tokens")).as("tot"),
+      sum(col("smoothed")).as("smt"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("tokens"),
+        call_function("div", col("tokens") * lit(1000000L), col("tot"))
+          .as("natural_ppm"),
+        call_function("div", col("smoothed") * lit(1000000L), col("smt"))
+          .as("target_ppm"))
+      .withColumn("weight_x1000",
+        call_function("div", col("target_ppm") * lit(1000L),
+          greatest(col("natural_ppm"), lit(1L))))
+      .withColumn("oversampled",
+        (col("target_ppm") > col("natural_ppm")).cast("long"))
+  }
+
+  val sourceMixWeightsSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, source,
+       |    CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |cells AS (
+       |  SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       |    CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS BIGINT))) AS BIGINT) AS smoothed
+       |  FROM t GROUP BY 1, 2
+       |),
+       |totals AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot,
+       |  CAST(SUM(smoothed) AS BIGINT) AS smt FROM cells)
+       |SELECT lang, source, tokens,
+       |  CAST((tokens * 1000000) // tot AS BIGINT) AS natural_ppm,
+       |  CAST((smoothed * 1000000) // smt AS BIGINT) AS target_ppm,
+       |  CAST(((smoothed * 1000000) // smt * 1000)
+       |    // GREATEST((tokens * 1000000) // tot, 1) AS BIGINT) AS weight_x1000,
+       |  CAST((smoothed * 1000000) // smt > (tokens * 1000000) // tot AS BIGINT)
+       |    AS oversampled
+       |FROM cells CROSS JOIN totals""".stripMargin
 }

@@ -821,6 +821,30 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(sp.forall(r => (r.getLong(4) == 1L) == !r.isNullAt(5)))
   }
 
+  test("mixture weights conserve shares and flatten toward small cells") {
+    val rows = ops.Corpus.sourceMixWeights(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val cells = rows.map(r => (r.getAs[Long]("tokens"), r.getAs[Long]("natural_ppm"),
+      r.getAs[Long]("target_ppm"), r.getAs[Long]("weight_x1000"),
+      r.getAs[Long]("oversampled")))
+    // shares are ppm partitions of unity (floor-division slack < #cells)
+    assert(math.abs(cells.map(_._2).sum - 1000000L) < cells.length)
+    assert(math.abs(cells.map(_._3).sum - 1000000L) < cells.length)
+    // integer recomputation from first principles
+    val tot = cells.map(_._1).sum
+    val smt = cells.map(c => math.sqrt(c._1.toDouble).toLong).sum
+    for ((tk, nat, tgt, w, over) <- cells) {
+      assert(nat == tk * 1000000L / tot && tgt == math.sqrt(tk.toDouble).toLong * 1000000L / smt)
+      assert(w == tgt * 1000L / math.max(nat, 1L))
+      assert((over == 1L) == (tgt > nat))
+    }
+    // temperature smoothing flattens: the smallest cell is oversampled
+    // (weight > 1), the largest undersampled (weight < 1)
+    val byTokens = cells.sortBy(_._1)
+    assert(byTokens.head._4 > 1000L, s"smallest cell not oversampled: ${byTokens.head}")
+    assert(byTokens.last._4 < 1000L, s"largest cell not undersampled: ${byTokens.last}")
+  }
+
   test("semantic dedup drops exactly the docs with a lower-id cell neighbor above tau") {
     val tau = 0.4
     // naive recomputation from the shared IVF assignment: a doc drops

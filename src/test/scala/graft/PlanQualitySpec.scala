@@ -66,7 +66,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "sink_syncpoint_stmts", "codec_simple_avro", "codec_simple_avro_decode",
       "codec_open_wire", "codec_open_wire_decode", "codec_canal_envelope",
       "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf", "doc_tfidf",
-      "dedup_semantic") // shares ann_ivf's corpus x k-centroid broadcast cross
+      "dedup_semantic", // shares ann_ivf's corpus x k-centroid broadcast cross
+      "source_mix_weights") // 1-row totals broadcast (q_scalar_subquery shape)
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -90,6 +91,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges(ops.Corpus.seqPack(spark, dir)) == 1)
     assert(exchanges(ops.Corpus.corpusStats(spark, dir)) == 1)
     assert(exchanges(queries.Analytics.qRetention(spark, dir)) == 2)
+  }
+
+  test("new wire ops hold their shuffle budgets") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    // the Avro arm emits the same legs as the JSON arm (DML row-local,
+    // bootstrap distinct, cadence window, DDL grid, watermark agg) —
+    // the wire format must not change the shuffle structure
+    assert(exchanges(cdc.SimpleAvro.messages(cl)) ==
+      exchanges(cdc.SimpleProtocol.messages(cl)),
+      "avro arm must match the JSON arm's shuffle budget")
+    // handle-key degrade is a pure projection over the changelog
+    assert(exchanges(cdc.Sinks.handleKeyOnly(cl, 16, 75)) == 0)
+    // open-wire ROW batching is ONE window shuffle whose (table,
+    // partition) hash partitioning the batch groupBy reuses (its keys
+    // are a superset), so the ROW leg contributes exactly one exchange
+    val ow = cdc.OpenWire.messages(cl, 16, 4)
+    val p = ow.queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(p).length == 1, p)
+    val ddlLeg = exchanges(cdc.SchemaStore.ddlEvents(cl, Nil))
+    assert(exchanges(ow) <= 1 + ddlLeg + 1,
+      s"open-wire exchanges ${exchanges(ow)} vs ROW 1 + ddl $ddlLeg + watermark 1")
   }
 
   test("snapshot materialization is a partial aggregation, not a global sort window") {
