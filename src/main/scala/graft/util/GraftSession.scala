@@ -23,6 +23,12 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // ~100 queries x several codegen stages each far exceeds the
+      // default 100-entry generated-class cache: a pass-interleaved
+      // bench (or any long-lived session composing many operators)
+      // would recompile + re-JIT every stage on every revisit. Static
+      // conf — must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
 
   /** Test/dev session. */
   def local(cores: Int = 4): SparkSession = {
