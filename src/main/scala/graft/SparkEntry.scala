@@ -107,6 +107,8 @@ object SparkEntry {
     "codec_canal_decode" -> ((s, d) => Codecs.canalJsonDecode(cl(s, d))),
     "codec_canal_envelope" -> ((s, d) => Codecs.canalEnvelope(cl(s, d))),
     "codec_open_wire" -> ((s, d) => OpenWire.messages(cl(s, d), nParts, maxBatch = 4)),
+    "codec_open_wire_bytes" -> ((s, d) =>
+      OpenWire.messagesByteCapped(cl(s, d), nParts, maxBatch = 6, maxBytes = 900L)),
     "codec_open_wire_decode" -> ((s, d) =>
       OpenWire.decode(OpenWire.messages(cl(s, d), nParts, maxBatch = 4))),
     "sink_handle_key_only" -> ((s, d) =>
@@ -220,6 +222,8 @@ object SparkEntry {
     "codec_canal_decode" -> o(Codecs.canalJsonDecodeSql),
     "codec_canal_envelope" -> o(Codecs.canalEnvelopeSql),
     "codec_open_wire" -> o(OpenWire.messagesSql(nParts, maxBatch = 4)),
+    "codec_open_wire_bytes" ->
+      o(OpenWire.messagesByteCappedSql(nParts, maxBatch = 6, maxBytes = 900L)),
     "codec_open_wire_decode" -> o(OpenWire.decodeSql(nParts, maxBatch = 4)),
     "sink_handle_key_only" -> o(Sinks.handleKeyOnlySql(nParts, compressMaxBytes)),
     "codec_csv_decode" -> o(Codecs.csvDecodeSql),

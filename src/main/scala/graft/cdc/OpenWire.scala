@@ -144,6 +144,103 @@ object OpenWire {
        |FROM changelog""".stripMargin
   }
 
+  /** The PRODUCTION batch-close rule of `pushMessage` (encoder.go:122:
+    * a new message opens when the current one would exceed
+    * `MaxMessageBytes` OR holds `MaxBatchSize` events — the byte term
+    * counts key + value + 16 prefix bytes per event) applied to the
+    * actual ROW wire: the A50 greedy fold assigns each event its batch
+    * id (lazy O(1)-state per-row variant), then the same ordered
+    * segment aggregation renders each batch's key/value wire. DDL /
+    * RESOLVED legs are identical to [[messages]]. Same shuffle shape:
+    * the fold runs on the (table, partition)-repartitioned stream the
+    * window would use, and the groupBy reuses that partitioning. */
+  def messagesByteCapped(cl: DataFrame, n: Int, maxBatch: Int,
+                         maxBytes: Long): DataFrame = {
+    val spark = cl.sparkSession
+    import spark.implicits._
+    val base = cl.select(col("schema_name"), col("table_name"),
+        Dispatchers.indexValueBucket(n).as("partition"), col("commit_ts"),
+        segHex(Codecs.openProtocolKey).as("k_seg"),
+        segHex(Codecs.openProtocolValue).as("v_seg"))
+      .repartition(col("schema_name"), col("table_name"), col("partition"))
+      .sortWithinPartitions(col("schema_name"), col("table_name"),
+        col("partition"), col("commit_ts"))
+      .as[(String, String, Long, Long, String, String)]
+    val assigned = base.mapPartitions { it =>
+      // per-row greedy fold: batch length = Σ (key + value + 16) bytes,
+      // where each seg hex is (8-byte prefix + body) rendered at 2
+      // chars/byte — so seg byte length = hex length / 2
+      var lastKey: (String, String, Long) = null
+      var batchId = 0L; var rows = 0L; var bytes = 0L
+      it.map { case (sch, tbl, part, ts, k, v) =>
+        val key = (sch, tbl, part)
+        val evBytes = (k.length + v.length) / 2L // includes the 16 prefix bytes
+        // a fresh message carries the 8-byte version head, so its first
+        // event costs evBytes + 8 — exactly message.Length() upstream
+        if (key != lastKey) { lastKey = key; batchId = 0L; rows = 1L; bytes = evBytes + 8L }
+        else if (rows >= maxBatch || bytes + evBytes > maxBytes) {
+          batchId += 1L; rows = 1L; bytes = evBytes + 8L
+        } else { rows += 1L; bytes += evBytes }
+        (sch, tbl, part, batchId, ts, k, v)
+      }
+    }.toDF("schema_name", "table_name", "partition", "batch_id",
+      "commit_ts", "k_seg", "v_seg")
+    val rows = assigned
+      .groupBy(col("schema_name"), col("table_name"), col("partition"),
+        col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        concat(lit(versionHex), orderedConcat(col("k_seg"))).as("key_wire"),
+        orderedConcat(col("v_seg")).as("value_wire"))
+      .select(lit("ROW").as("msg_type"), col("schema_name"), col("table_name"),
+        col("partition"), col("batch_id"), col("n_rows"),
+        col("key_wire"), col("value_wire"))
+    rows.unionAll(messages(cl, n, maxBatch)
+      .filter(col("msg_type") =!= "ROW"))
+  }
+
+  def messagesByteCappedSql(n: Int, maxBatch: Int, maxBytes: Long): String = {
+    val ddlResolvedLegs = messagesSql(n, maxBatch)
+      .split("\\nUNION ALL\\n", 2)(1) // the DDL + RESOLVED legs verbatim
+    s"""WITH RECURSIVE msgs AS (
+       |  SELECT schema_name, table_name, commit_ts,
+       |    ${Dispatchers.indexValueBucketSql(n)} AS partition,
+       |    ${segHexSql(Codecs.openProtocolKeySql)} AS k_seg,
+       |    ${segHexSql(Codecs.openProtocolValueSql)} AS v_seg
+       |  FROM changelog
+       |), o AS (
+       |  SELECT *, CAST((length(k_seg) + length(v_seg)) // 2 AS BIGINT) AS ev_bytes,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY schema_name, table_name, partition
+       |      ORDER BY commit_ts) AS rn
+       |  FROM msgs
+       |), fold AS (
+       |  SELECT schema_name, table_name, partition, commit_ts, k_seg, v_seg, rn,
+       |    CAST(0 AS BIGINT) AS batch_id, CAST(1 AS BIGINT) AS rows_in,
+       |    ev_bytes + 8 AS acc
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT m.schema_name, m.table_name, m.partition, m.commit_ts,
+       |    m.k_seg, m.v_seg, m.rn,
+       |    CASE WHEN f.rows_in >= $maxBatch OR f.acc + m.ev_bytes > $maxBytes
+       |         THEN f.batch_id + 1 ELSE f.batch_id END,
+       |    CASE WHEN f.rows_in >= $maxBatch OR f.acc + m.ev_bytes > $maxBytes
+       |         THEN CAST(1 AS BIGINT) ELSE f.rows_in + 1 END,
+       |    CASE WHEN f.rows_in >= $maxBatch OR f.acc + m.ev_bytes > $maxBytes
+       |         THEN m.ev_bytes + 8 ELSE f.acc + m.ev_bytes END
+       |  FROM fold f JOIN o m
+       |    ON m.schema_name = f.schema_name AND m.table_name = f.table_name
+       |   AND m.partition = f.partition AND m.rn = f.rn + 1
+       |)
+       |SELECT 'ROW' AS msg_type, schema_name, table_name, partition, batch_id,
+       |  COUNT(*) AS n_rows,
+       |  CONCAT('$versionHex', string_agg(k_seg, '' ORDER BY commit_ts)) AS key_wire,
+       |  string_agg(v_seg, '' ORDER BY commit_ts) AS value_wire
+       |FROM fold
+       |GROUP BY 1, 2, 3, 4, 5
+       |UNION ALL
+       |$ddlResolvedLegs""".stripMargin
+  }
+
   /** Decode — split every message back into its (key, value) event
     * pairs, the exact inverse of `pushMessage` (native parser
     * [[graft.functions.OpenWireDecode]]: version head check, 8-byte BE

@@ -931,6 +931,32 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(cdc.OpenWire.decode(cut).count() == 0, "truncated segment must not decode")
   }
 
+  test("byte-capped open-wire batches respect both caps, are greedy-maximal, and still decode") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val (maxBatch, maxBytes) = (6, 900L)
+    val msgs = cdc.OpenWire.messagesByteCapped(cl, 16, maxBatch, maxBytes).cache()
+    val rows = msgs.filter(col("msg_type") === "ROW").cache()
+    // wire length per message: key_wire counts the 8-byte head + the
+    // per-event 16 prefix bytes, so hex/2 over both sides IS the
+    // reference's message Length() — never above the cap unless a
+    // single oversized event forms a singleton
+    val over = rows.filter(
+      (length(col("key_wire")) + length(col("value_wire"))) / 2 > maxBytes &&
+        col("n_rows") > 1)
+    assert(over.count() == 0, "a multi-event message exceeded MaxMessageBytes")
+    assert(rows.filter(col("n_rows") > maxBatch).count() == 0)
+    assert(rows.agg(sum(col("n_rows"))).head.getLong(0) == cl.count())
+    // both close rules fire at this threshold
+    assert(rows.filter(col("n_rows") === maxBatch).count() > 0, "count cap never hit")
+    assert(rows.filter(col("n_rows") < maxBatch).count() > 0, "byte cap never hit")
+    // the framing still tiles: decode reproduces the per-event pairs
+    val pairs = cdc.OpenWire.decode(msgs)
+      .filter(col("msg_type") === "ROW").select("key", "value")
+    val direct = cl.select(cdc.Codecs.openProtocolKey.as("key"),
+      cdc.Codecs.openProtocolValue.as("value"))
+    assert(pairs.exceptAll(direct).isEmpty && direct.exceptAll(pairs).isEmpty)
+  }
+
   test("canal envelope carries _tidb extensions, DDL frames, and one watermark") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val env = cdc.Codecs.canalEnvelope(cl).cache()
