@@ -162,6 +162,8 @@ object SparkEntry {
     "corpus_stats" -> ((s, d) => ops.Corpus.corpusStats(s, d)),
     "q_funnel" -> ((s, d) => Analytics.qFunnel(s, d)),
     "q_retention" -> ((s, d) => Analytics.qRetention(s, d)),
+    "q_asof_join" -> ((s, d) => Analytics.qAsofJoin(s, d)),
+    "q_range_join" -> ((s, d) => Analytics.qRangeJoin(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -277,5 +279,7 @@ object SparkEntry {
     "corpus_stats" -> ops.Corpus.corpusStatsSql,
     "q_funnel" -> Analytics.qFunnelSql,
     "q_retention" -> Analytics.qRetentionSql,
+    "q_asof_join" -> Analytics.qAsofJoinSql,
+    "q_range_join" -> Analytics.qRangeJoinSql,
   )
 }

@@ -525,4 +525,118 @@ object Analytics {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM c
       |GROUP BY 1, 2""".stripMargin
+
+  /** B17 — AS-OF JOIN (last-touch attribution): for every purchase,
+    * the user's latest view at or before the purchase instant.
+    *
+    * The scalable plan is the union-tag trick — NOT a per-row range
+    * probe: tag views 0 and purchases 1, union them into ONE stream,
+    * window it per user ordered by (ts, tag, id), and carry the last
+    * non-null view columns forward (`last(_, ignoreNulls)` over an
+    * unbounded-preceding rows frame). Every purchase row then reads
+    * its as-of view from the running columns. ONE shuffle on user_id,
+    * O(n log n) in the partition — the classic big-big as-of that
+    * never materializes candidate pairs. A view at the exact purchase
+    * instant is included (tag orders views first at equal ts); views
+    * are pre-deduped per (user, ts) to max event_id so the window
+    * peer order cannot affect the answer.
+    *
+    * Oracle: DuckDB's NATIVE `ASOF LEFT JOIN` — a genuinely
+    * independent implementation of the operator checks ours. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), lit(0L).as("tag"),
+        col("event_id").as("view_id"), lit(null).cast("long").as("purchase_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1L).as("tag"),
+        lit(null).cast("long").as("view_id"),
+        col("event_id").as("purchase_id"))
+    // one ordered pass: at equal ts views sort before purchases (tag)
+    // and by ascending id, so `last` lands on the max-id view at the
+    // latest instant ≤ the purchase — duplicate-instant determinism
+    // without a dedup aggregation. Single struct-valued `last` keeps
+    // Catalyst to ONE Window operator (two lasts plan as two stacked
+    // windows over the same sort).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"), coalesce(col("view_id"), lit(Long.MaxValue)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("asof", last(
+        when(col("tag") === 0L, struct(col("view_id"), col("ts_us"))),
+        ignoreNulls = true).over(w))
+      .filter(col("tag") === 1L)
+      .select(col("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_us"),
+        col("asof.view_id").as("asof_view_id"),
+        col("asof.ts_us").as("asof_view_us"),
+        (col("ts_us") - col("asof.ts_us")).as("gap_us"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, ts_us, CAST(MAX(event_id) AS BIGINT) AS view_id
+      |  FROM e WHERE event_type = 'view' GROUP BY 1, 2
+      |), p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts_us, value
+      |  FROM e WHERE event_type = 'purchase'
+      |)
+      |SELECT p.purchase_id, p.user_id, p.ts_us AS purchase_us,
+      |  v.view_id AS asof_view_id, v.ts_us AS asof_view_us,
+      |  p.ts_us - v.ts_us AS gap_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND v.ts_us <= p.ts_us""".stripMargin
+
+  /** B18 — bucketed RANGE JOIN (attribution window): per purchase, how
+    * many of the user's views fall in the 24 h before it, and the
+    * latest such view.
+    *
+    * The scalable plan buckets time by the RANGE WIDTH: each view
+    * lands in bucket ts/W; each purchase probes exactly two buckets
+    * (its own and the previous — any in-range view must be in one of
+    * them since W = the range), so the join is EQUI on
+    * (user, bucket) with the exact range predicate as a post-filter.
+    * Candidate work is bounded by bucket co-membership — never the
+    * per-user cross product a naive non-equi join plans (and
+    * PlanQualitySpec forbids). One shuffle each side + one aggregation.
+    * Purchase-side explode is ×2, the fixed fan-out. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val rangeUs = 86400000000L // 24 h, also the bucket width
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_us"),
+        col("event_id").as("view_id"),
+        ldiv(col("ts_us"), lit(rangeUs)).as("bucket"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("purchase_us"),
+        col("event_id").as("purchase_id"),
+        explode(array(ldiv(col("ts_us"), lit(rangeUs)) - 1L,
+          ldiv(col("ts_us"), lit(rangeUs)))).as("bucket"))
+    purchases.join(views, Seq("user_id", "bucket"))
+      .filter(col("view_us") > col("purchase_us") - rangeUs &&
+        col("view_us") <= col("purchase_us"))
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_us"))
+      .agg(count(lit(1)).as("n_views_24h"),
+        max(col("view_us")).as("last_view_us"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+      |)
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ts_us AS purchase_us,
+      |  COUNT(*) AS n_views_24h,
+      |  CAST(MAX(v.ts_us) AS BIGINT) AS last_view_us
+      |FROM e p JOIN e v
+      |  ON p.user_id = v.user_id AND p.event_type = 'purchase'
+      | AND v.event_type = 'view'
+      | AND v.ts_us > p.ts_us - 86400000000 AND v.ts_us <= p.ts_us
+      |GROUP BY 1, 2, 3""".stripMargin
 }

@@ -821,6 +821,32 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(sp.forall(r => (r.getLong(4) == 1L) == !r.isNullAt(5)))
   }
 
+  test("as-of join equals the naive per-purchase latest-view recomputation") {
+    val e = graft.util.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_us"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("view_us"),
+        col("event_id").as("view_id"))
+    // naive quadratic-per-user: every candidate pair, then argmax by
+    // (view_us, view_id) — the semantics the one-pass window must match
+    val naive = p.join(v, Seq("user_id"), "left")
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_us"))
+      .agg(max(when(col("view_us") <= col("purchase_us"),
+        struct(col("view_us"), col("view_id")))).as("best"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("best.view_id").as("asof_view_id"),
+        col("best.view_us").as("asof_view_us"),
+        (col("purchase_us") - col("best.view_us")).as("gap_us"))
+    val got = queries.Analytics.qAsofJoin(spark, dir)
+    assert(got.count() == p.count(), "every purchase must emit exactly one row")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "window as-of must equal the naive argmax recomputation")
+  }
+
   test("mixture weights conserve shares and flatten toward small cells") {
     val rows = ops.Corpus.sourceMixWeights(spark, dir).collect()
     assert(rows.nonEmpty)

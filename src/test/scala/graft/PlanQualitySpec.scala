@@ -117,6 +117,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"open-wire exchanges ${exchanges(ow)} vs ROW 1 + ddl $ddlLeg + watermark 1")
   }
 
+  test("as-of and range joins are equi-planned, never per-pair") {
+    // the union-tag as-of: no join operator AT ALL — one user-keyed
+    // window over the unioned stream is the whole operator
+    val asof = queries.Analytics.qAsofJoin(spark, dir)
+    val pa = asof.queryExecution.executedPlan.toString
+    assert(!pa.contains("Join"), s"as-of must be join-free:\n$pa")
+    assert("Window".r.findAllIn(pa).length == 1, pa)
+    // the bucketed range join: an EQUI hash/sort-merge join on
+    // (user, bucket) — the generic no-cartesian assertion already
+    // covers it, this pins that the range predicate stayed a filter
+    val rj = queries.Analytics.qRangeJoin(spark, dir)
+    val pr = rj.queryExecution.executedPlan.toString
+    assert(pr.contains("SortMergeJoin") || pr.contains("ShuffledHashJoin") ||
+      pr.contains("BroadcastHashJoin"), s"range join must be equi-planned:\n$pr")
+  }
+
   test("snapshot materialization is a partial aggregation, not a global sort window") {
     val p = plan(cdc.Materialize.snapshot(cdc.ChangeEvents.changelog(spark, dir)))
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
