@@ -189,4 +189,60 @@ object DataOps {
           }
       }
   }
+
+  case class AsofEvent(event_id: Long, user_id: Long, event_type: String,
+                       ts_us: Long)
+  /** Last view per user — the WHOLE as-of state: O(1) per user, vs the
+    * batch window's full per-user sort. */
+  case class AsofState(view_id: Long, view_us: Long)
+  case class AsofPair(purchase_id: Long, user_id: Long, purchase_us: Long,
+                      asof_view_id: Option[Long], asof_view_us: Option[Long],
+                      gap_us: Option[Long])
+
+  /** B17s — streaming AS-OF JOIN (last-touch attribution), the twin of
+    * [[graft.queries.Analytics.qAsofJoin]]: per user the state is just
+    * the latest view seen — constant per key, the reason as-of is THE
+    * streaming-friendly join — and every purchase emits one pair
+    * against it. Within a batch events apply in (ts, views-first, id)
+    * order, the batch plan's exact tie rule. Same in-order contract
+    * across batches as the other twins (a view arriving after a later
+    * purchase's batch cannot retro-attribute — feed ts-ordered
+    * replays; spec-equal to batch on one). `ttl` reclaims dormant
+    * users' state; their next purchase then attributes to nothing
+    * until a fresh view arrives. */
+  def streamAsof(events: Dataset[AsofEvent],
+                 ttl: Option[String] = None): Dataset[AsofPair] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofPair](
+        OutputMode.Append(), timeoutConf) {
+        (user, batch, state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = Seq.newBuilder[AsofPair]
+            var s = state.getOption.orNull
+            val ordered = batch.toSeq.sortBy(e =>
+              (e.ts_us, if (e.event_type == "view") 0L else 1L, e.event_id))
+            for (e <- ordered) e.event_type match {
+              case "view" =>
+                if (s == null || e.ts_us > s.view_us ||
+                    (e.ts_us == s.view_us && e.event_id > s.view_id))
+                  s = AsofState(e.event_id, e.ts_us)
+              case "purchase" =>
+                out += (if (s == null)
+                  AsofPair(e.event_id, user, e.ts_us, None, None, None)
+                else
+                  AsofPair(e.event_id, user, e.ts_us, Some(s.view_id),
+                    Some(s.view_us), Some(e.ts_us - s.view_us)))
+              case _ => ()
+            }
+            if (s != null) state.update(s)
+            ttl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
 }

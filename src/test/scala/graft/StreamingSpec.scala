@@ -288,6 +288,41 @@ class StreamingSpec extends AnyFunSuite {
       s"cohort must stay locked at 10 and day 8 must be dropped, got $pairs")
   }
 
+  test("B17s: streaming as-of pairs across ts-ordered micro-batches equal batch attribution") {
+    import spark.implicits._
+    // three ts-tercile micro-batches: the one-view state must survive
+    // batch boundaries; the emitted pair stream must equal batch B17
+    val tmp = java.nio.file.Files.createTempDirectory("b17s").toString
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .filter(col("event_type").isin("view", "purchase"))
+    val cuts = ev.stat.approxQuantile("ts_us", Array(0.34, 0.67), 0.0)
+    val parts = Seq(
+      ev.filter(col("ts_us") <= cuts(0)),
+      ev.filter(col("ts_us") > cuts(0) && col("ts_us") <= cuts(1)),
+      ev.filter(col("ts_us") > cuts(1)))
+    val t0 = java.lang.System.currentTimeMillis() - 60000
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = s"$tmp/f$i"
+      p.coalesce(1).write.parquet(d)
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t0 + i * 10000))
+    }
+    val stream = spark.readStream.schema(parts.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/f*")
+      .as[graft.streaming.DataOps.AsofEvent]
+    runToCompletion(
+      graft.streaming.DataOps.streamAsof(stream).toDF(), "b17s", "append")
+    val got = spark.table("b17s").select(
+      col("purchase_id"), col("user_id"), col("purchase_us"),
+      col("asof_view_id"), col("asof_view_us"), col("gap_us"))
+    val batch = queries.Analytics.qAsofJoin(spark, dir)
+    assert(got.count() == batch.count(), "one pair per purchase")
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streamed as-of pairs must equal the batch window attribution")
+  }
+
   test("B15s/B16s TTL arm: expired state is reclaimed and users re-admit as new") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
