@@ -95,6 +95,7 @@ object SparkEntry {
     "sink_startts_resume" -> ((s, d) => MysqlDdl.startTs(cl(s, d))),
     "sink_blackhole" -> ((s, d) => Sinks.blackhole(cl(s, d))),
     "codec_craft" -> ((s, d) => Craft.frame(cl(s, d))),
+    "codec_craft_resolved" -> ((s, d) => Craft.resolvedFrame(cl(s, d))),
     "codec_avro_binary" -> ((s, d) => AvroBinary.messages(cl(s, d))),
     "codec_avro_decode" -> ((s, d) => AvroBinary.decode(AvroBinary.messages(cl(s, d)))),
     "codec_simple_decode" -> ((s, d) => SimpleProtocol.decode(cl(s, d))),
@@ -213,6 +214,7 @@ object SparkEntry {
     "sink_startts_resume" -> o(MysqlDdl.startTsSql()),
     "sink_blackhole" -> o(Sinks.blackholeSql),
     "codec_craft" -> o(Craft.frameSql),
+    "codec_craft_resolved" -> o(Craft.resolvedFrameSql),
     "codec_avro_binary" -> o(AvroBinary.messagesSql()),
     "codec_avro_decode" -> o(AvroBinary.decodeSql()),
     "codec_simple_decode" -> o(SimpleProtocol.decodeSql),

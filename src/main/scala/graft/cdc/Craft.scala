@@ -178,6 +178,59 @@ object Craft {
         (lit(1) + col("header_size") + col("body_size") + col("dict_size") +
           col("size_tables_size")).cast("long").as("msg_size"))
 
+  /** A64 — craft resolved-ts checkpoint frame (reference:
+    * craft_encoder.go:37-42 EncodeCheckpointEvent +
+    * message_encoder.go:303-313 NewResolvedEventEncoder): the one
+    * non-DML message type the craft protocol actually supports (its
+    * DDL encoder is commented out upstream). The resolved message is a
+    * headers-only frame — ts + type=3 (tiflow model.MessageTypeResolved)
+    * + null partition/schema/table — with an EMPTY body, an empty term
+    * dictionary (encodeTermDictionary emits zero bytes for an empty
+    * dict), and size tables carrying only the meta + body chunks (no
+    * group tables). Header size is the same uvarintLen(ts)+4 shape as
+    * A39's ROW header: the three null header columns each encode as
+    * one varint byte, exactly like ROW's partition/dict refs. One
+    * 1-row aggregation; the A15 resolved-ts semantics on the craft
+    * wire. */
+  def resolvedFrame(cl: DataFrame): DataFrame =
+    cl.agg(max(col("commit_ts")).as("resolved_ts"))
+      .withColumn("header_size", uvarintLen(col("resolved_ts")) + lit(4))
+      // metaSizeTable [header, dict=0] as a delta-varint chunk + the
+      // bodySize chunk [0]; no group tables for a headers-only message
+      .withColumn("tables_pre",
+        (lit(1) + zzLen(col("header_size")) +
+          zzLen(lit(0) - col("header_size"))) +
+        (lit(1) + zzLen(lit(0))))
+      .select(
+        col("resolved_ts"),
+        lit(1L).as("version"),
+        lit(3L).as("msg_type"), // model.MessageTypeResolved
+        lit(-1L).as("partition_id"),
+        col("header_size").cast("long").as("header_size"),
+        lit(0L).as("body_size"),
+        lit(0L).as("dict_size"),
+        (col("tables_pre") + uvarintLen(col("tables_pre"))).cast("long")
+          .as("size_tables_size"),
+        (lit(1) + col("header_size") + col("tables_pre") +
+          uvarintLen(col("tables_pre"))).cast("long").as("msg_size"))
+
+  def resolvedFrameSql: String = {
+    val header = s"(${uvarintLenSql("rts")} + 4)"
+    val tablesPre = s"(1 + ${zzLenSql(header)} + ${zzLenSql(s"(0 - $header)")}" +
+      s" + 1 + ${zzLenSql("0")})"
+    s"""WITH r AS (SELECT MAX(commit_ts) AS rts FROM changelog)
+       |SELECT rts AS resolved_ts,
+       |  CAST(1 AS BIGINT) AS version,
+       |  CAST(3 AS BIGINT) AS msg_type,
+       |  CAST(-1 AS BIGINT) AS partition_id,
+       |  CAST($header AS BIGINT) AS header_size,
+       |  CAST(0 AS BIGINT) AS body_size,
+       |  CAST(0 AS BIGINT) AS dict_size,
+       |  CAST($tablesPre + ${uvarintLenSql(tablesPre)} AS BIGINT) AS size_tables_size,
+       |  CAST(1 + $header + $tablesPre + ${uvarintLenSql(tablesPre)} AS BIGINT) AS msg_size
+       |FROM r""".stripMargin
+  }
+
   /** A47 — craft DECODE over the layout frame (reference:
     * craft_decoder.go:34-160 `batchDecoder` + message_decoder.go).
     * The reference consumer parses tail-first: the reversed-uvarint
