@@ -901,6 +901,28 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got.forall { case (d, (k, cos)) => k < d && cos >= tau })
   }
 
+  test("semantic dedup pairs resolve through the C18 component machinery") {
+    // the SURVEY contract: C25's dropped pairs feed C18's cluster
+    // resolution exactly like the MinHash pair stream — run them
+    // through the actual large-star/small-star CC and check closure
+    val pairs = ops.Similarity.dedupSemantic(spark, dir, tau = 0.35)
+      .select(col("doc_id").as("u"), col("dup_of").as("v")).cache()
+    assert(pairs.count() > 0, "no semantic pairs at this tau — lower it")
+    val assign = ops.Curation.connectedComponents(pairs)
+      .select(col("u").as("node"), col("v").as("root")).cache()
+    def rootOf(side: String) = assign
+      .select(col("node").as(side), col("root").as(s"r_$side"))
+    val joined = pairs
+      .join(rootOf("u"), Seq("u"), "left")
+      .join(rootOf("v"), Seq("v"), "left")
+      .select(coalesce(col("r_u"), col("u")).as("ru"),
+        coalesce(col("r_v"), col("v")).as("rv"))
+    assert(joined.filter(col("ru") =!= col("rv")).count() == 0,
+      "a semantic pair's endpoints resolved to different clusters")
+    // roots are component minima (the canonical-keeper convention)
+    assert(assign.filter(col("root") > col("node")).count() == 0)
+  }
+
   test("simple-avro arm decodes to the JSON arm's exact frame and flags truncation") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     // the two wire formats of marshaller.go carry identical information:
