@@ -107,6 +107,7 @@ object SparkEntry {
       Sinks.batchFrameBytes(cl(s, d), nParts, maxBatch = 6, maxBytes = 300L)),
     "codec_canal_decode" -> ((s, d) => Codecs.canalJsonDecode(cl(s, d))),
     "codec_canal_envelope" -> ((s, d) => Codecs.canalEnvelope(cl(s, d))),
+    "codec_canal_envelope_decode" -> ((s, d) => Codecs.canalEnvelopeDecode(cl(s, d))),
     "codec_open_wire" -> ((s, d) => OpenWire.messages(cl(s, d), nParts, maxBatch = 4)),
     "codec_open_wire_bytes" -> ((s, d) =>
       OpenWire.messagesByteCapped(cl(s, d), nParts, maxBatch = 6, maxBytes = 900L)),
@@ -225,6 +226,7 @@ object SparkEntry {
     "sink_batch_bytes" -> o(Sinks.batchFrameBytesSql(nParts, maxBatch = 6, maxBytes = 300L)),
     "codec_canal_decode" -> o(Codecs.canalJsonDecodeSql),
     "codec_canal_envelope" -> o(Codecs.canalEnvelopeSql),
+    "codec_canal_envelope_decode" -> o(Codecs.canalEnvelopeDecodeSql),
     "codec_open_wire" -> o(OpenWire.messagesSql(nParts, maxBatch = 4)),
     "codec_open_wire_bytes" ->
       o(OpenWire.messagesByteCappedSql(nParts, maxBatch = 6, maxBytes = 900L)),

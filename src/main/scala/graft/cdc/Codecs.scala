@@ -203,6 +203,72 @@ object Codecs {
        |FROM (SELECT $canalJsonValueSql AS value FROM changelog)""".stripMargin
   }
 
+  /** A65 — consumer side of the canal TiDB-extension envelope (A57):
+    * the classification every canal consumer runs
+    * (canal_json_message.go:126-140 tidbExtension + the decoder's
+    * isDdl/TIDB_WATERMARK routing). One `from_json` parse per message;
+    * WATERMARK messages resolve their ts from `_tidb.watermarkTs`,
+    * DDL messages surface the action word + query, ROW messages decode
+    * exactly as A42 (DELETE's image rides `data`, UPDATE's old image
+    * in `old[0]`); the envelope's empty-string db/table on watermarks
+    * decode to NULL. Oracle = the identical JSON-path extraction over
+    * the same envelope (the A42 convention). Row-local. */
+  def canalEnvelopeDecode(cl: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "es BIGINT, `database` STRING, `table` STRING, `type` STRING, " +
+        "isDdl BOOLEAN, `sql` STRING, " +
+        "data ARRAY<STRUCT<pk: BIGINT, value: DOUBLE>>, " +
+        "old ARRAY<STRUCT<value: DOUBLE>>, " +
+        "`_tidb` STRUCT<commitTs: BIGINT, watermarkTs: BIGINT>")
+    def m(p: String): Column = col("m").getField(p)
+    val d0 = m("data").getItem(0)
+    val isRow = !m("isDdl") && m("type") =!= "TIDB_WATERMARK"
+    canalEnvelope(cl)
+      .select(from_json(col("value"), schema).as("m")).select(
+        when(m("type") === "TIDB_WATERMARK", "RESOLVED")
+          .when(m("isDdl"), "DDL").otherwise(lit("ROW")).as("msg_kind"),
+        coalesce(m("_tidb").getField("commitTs"),
+          m("_tidb").getField("watermarkTs")).as("commit_ts"),
+        call_function("nullif", m("database"), lit("")).as("schema_name"),
+        call_function("nullif", m("table"), lit("")).as("table_name"),
+        when(isRow, when(m("type") === "INSERT", "I")
+          .when(m("type") === "DELETE", "D").otherwise(lit("U"))).as("op"),
+        when(isRow, d0.getField("pk")).as("pk"),
+        when(isRow && m("type") =!= "DELETE", d0.getField("value"))
+          .as("after_value"),
+        when(isRow, when(m("type") === "DELETE", d0.getField("value"))
+          .when(m("type") === "UPDATE", m("old").getItem(0).getField("value")))
+          .as("before_value"),
+        when(m("isDdl"), m("type")).as("ddl_type"),
+        when(m("isDdl"), m("sql")).as("ddl_sql"))
+  }
+
+  val canalEnvelopeDecodeSql: String = {
+    def js(path: String) = s"json_extract_string(value, '$path')"
+    val isRow = s"(${js("$.isDdl")} = 'false' AND ${js("$.type")} <> 'TIDB_WATERMARK')"
+    s"""SELECT
+       |  CASE WHEN ${js("$.type")} = 'TIDB_WATERMARK' THEN 'RESOLVED'
+       |    WHEN ${js("$.isDdl")} = 'true' THEN 'DDL' ELSE 'ROW' END AS msg_kind,
+       |  CAST(COALESCE(${js("$._tidb.commitTs")}, ${js("$._tidb.watermarkTs")})
+       |    AS BIGINT) AS commit_ts,
+       |  NULLIF(${js("$.database")}, '') AS schema_name,
+       |  NULLIF(${js("$.table")}, '') AS table_name,
+       |  CASE WHEN $isRow THEN CASE ${js("$.type")} WHEN 'INSERT' THEN 'I'
+       |    WHEN 'DELETE' THEN 'D' ELSE 'U' END END AS op,
+       |  CASE WHEN $isRow THEN CAST(${js("$.data[0].pk")} AS BIGINT) END AS pk,
+       |  CASE WHEN $isRow AND ${js("$.type")} <> 'DELETE'
+       |    THEN CAST(${js("$.data[0].value")} AS DOUBLE) END AS after_value,
+       |  CASE WHEN $isRow THEN
+       |    CASE WHEN ${js("$.type")} = 'DELETE'
+       |        THEN CAST(${js("$.data[0].value")} AS DOUBLE)
+       |      WHEN ${js("$.type")} = 'UPDATE'
+       |        THEN CAST(${js("$.old[0].value")} AS DOUBLE) END
+       |  END AS before_value,
+       |  CASE WHEN ${js("$.isDdl")} = 'true' THEN ${js("$.type")} END AS ddl_type,
+       |  CASE WHEN ${js("$.isDdl")} = 'true' THEN ${js("$.sql")} END AS ddl_sql
+       |FROM ($canalEnvelopeSql)""".stripMargin
+  }
+
   /** A20 — open-protocol key/value pair (reference: pkg/sink/codec/open/
     * open_protocol_message.go): key carries ts+table routing, value is
     * `{"u":{...}}` for upsert / `{"d":{...}}` for delete. */

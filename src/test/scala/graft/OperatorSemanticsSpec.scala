@@ -1033,6 +1033,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       wmJson.contains(""""type":"TIDB_WATERMARK""""))
   }
 
+  test("canal envelope decode inverts the envelope and routes all three message kinds") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val dec = cdc.Codecs.canalEnvelopeDecode(cl).cache()
+    // ROW rows reproduce the changelog at codec precision (%.4f wire)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("commit_ts"), col("schema_name"), col("table_name"), col("op"),
+      col("pk"), round(col("before_value"), 4).as("b"),
+      round(col("after_value"), 4).as("a"))
+    val rows = canon(dec.filter(col("msg_kind") === "ROW"))
+    val src = canon(cl)
+    assert(rows.exceptAll(src).isEmpty && src.exceptAll(rows).isEmpty,
+      "decoded ROW stream must reproduce the changelog")
+    // DDL frames: one per schema event, carrying the query + action word
+    val ddl = dec.filter(col("msg_kind") === "DDL")
+    assert(ddl.count() == cdc.SchemaStore.ddlEvents(cl, Nil).count())
+    assert(ddl.filter(col("ddl_sql").isNull ||
+      !col("ddl_type").isin("CREATE", "ALTER")).count() == 0)
+    // exactly one RESOLVED at the high watermark, db/table decoded NULL
+    val res = dec.filter(col("msg_kind") === "RESOLVED").collect()
+    assert(res.length == 1)
+    assert(res.head.getAs[Long]("commit_ts") ==
+      cl.agg(max(col("commit_ts"))).head.getLong(0))
+    assert(res.head.isNullAt(res.head.fieldIndex("schema_name")))
+  }
+
   test("handle-key-only degrades exactly the claim-check set, keeping only the pk") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val maxBytes = 75
