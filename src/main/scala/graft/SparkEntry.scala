@@ -82,6 +82,8 @@ object SparkEntry {
     "sink_kafka_messages" -> ((s, d) => Codecs.kafkaMessages(cl(s, d), nParts)),
     "cdc_dispatch_key" -> ((s, d) => Dispatchers.byKey(cl(s, d), "route-key-1")),
     "sink_topic_router" -> ((s, d) => Routing.route(cl(s, d), topicRules, defaultTopic)),
+    "sink_ddl_routing" -> ((s, d) =>
+      Routing.ddlRouting(cl(s, d), topicRules, defaultTopic, "open", nParts)),
     "sink_claim_check" -> ((s, d) => Sinks.claimCheck(cl(s, d), nParts, claimMaxBytes)),
     "sink_mysql_stmts" -> ((s, d) => Sinks.mysqlStmts(cl(s, d), maxTxnRow = 2)),
     "sink_txn_atomicity" -> ((s, d) => Sinks.txnAtomicity(cl(s, d), maxTxnRow = 8)),
@@ -202,6 +204,8 @@ object SparkEntry {
     "sink_kafka_messages" -> o(Codecs.kafkaMessagesSql(nParts)),
     "cdc_dispatch_key" -> o(Dispatchers.byKeySql("route-key-1")),
     "sink_topic_router" -> o(Routing.routeSql(topicRules, defaultTopic)),
+    "sink_ddl_routing" ->
+      o(Routing.ddlRoutingSql(topicRules, defaultTopic, "open", nParts)),
     "sink_claim_check" -> o(Sinks.claimCheckSql(nParts, claimMaxBytes)),
     "sink_mysql_stmts" -> o(Sinks.mysqlStmtsSql(maxTxnRow = 2)),
     "sink_txn_atomicity" -> o(Sinks.txnAtomicitySql(maxTxnRow = 8)),

@@ -93,4 +93,62 @@ object Routing {
     s"""SELECT schema_name, table_name, commit_ts, op,
        |  ${topicForSql(rules, defaultTopic)} AS topic
        |FROM changelog""".stripMargin
+
+  /** A66 — DDL/checkpoint partition dispatch (reference:
+    * downstreamadapter/worker/kafka_ddl_worker.go:54-68
+    * getDDLDispatchRule + :140-160 and :180-215): non-DML kafka
+    * messages have their OWN partition rule, separate from the row
+    * dispatchers — a DDL message goes to partition 0 under canal /
+    * canal-json (consumers there require global DDL order) and is
+    * BROADCAST to every partition under any other protocol
+    * (SyncBroadcastMessage); a checkpoint ts is broadcast to every
+    * partition of every ACTIVE topic (the topics the replicated
+    * tables route to — the default topic only when there are none).
+    * One delivery row per (message, topic, partition).
+    *
+    * Scale shape: the DDL leg is the tiny A18 stream × ≤n fan-out;
+    * the active-topic set is a distinct over the routed table list —
+    * both trivial next to the row traffic they coordinate. */
+  def ddlRouting(cl: DataFrame, rules: Seq[(Seq[String], String)],
+                 defaultTopic: String, protocol: String, n: Int): DataFrame = {
+    val broadcastAll = protocol != "canal" && protocol != "canal-json"
+    val ddlParts =
+      if (broadcastAll) sequence(lit(0L), lit(n.toLong - 1L))
+      else array(lit(0L))
+    val ddl = SchemaStore.ddlEvents(cl, Nil)
+      .select(lit("DDL").as("msg_kind"), col("valid_from").as("commit_ts"),
+        col("schema_name"), col("table_name"),
+        topicFor(rules, defaultTopic).as("topic"),
+        explode(ddlParts).as("partition"))
+    val activeTopics = cl
+      .select(topicFor(rules, defaultTopic).as("topic")).distinct()
+    val ckpt = cl.agg(max(col("commit_ts")).as("rts"))
+      .crossJoin(activeTopics)
+      .select(lit("CHECKPOINT").as("msg_kind"), col("rts").as("commit_ts"),
+        lit(null).cast("string").as("schema_name"),
+        lit(null).cast("string").as("table_name"),
+        col("topic"),
+        explode(sequence(lit(0L), lit(n.toLong - 1L))).as("partition"))
+    ddl.unionByName(ckpt)
+  }
+
+  def ddlRoutingSql(rules: Seq[(Seq[String], String)], defaultTopic: String,
+                    protocol: String, n: Int): String = {
+    val broadcastAll = protocol != "canal" && protocol != "canal-json"
+    val ddlPartsRange = if (broadcastAll) s"range(0, $n)" else "range(0, 1)"
+    s"""SELECT 'DDL' AS msg_kind, valid_from AS commit_ts,
+       |  schema_name, table_name,
+       |  ${topicForSql(rules, defaultTopic)} AS topic,
+       |  CAST(p.part AS BIGINT) AS partition
+       |FROM (${SchemaStore.ddlEventsSql(Nil)}) ddl_frame
+       |CROSS JOIN (SELECT UNNEST($ddlPartsRange) AS part) p
+       |UNION ALL
+       |SELECT 'CHECKPOINT' AS msg_kind, r.rts AS commit_ts,
+       |  NULL AS schema_name, NULL AS table_name,
+       |  t.topic, CAST(p.part AS BIGINT) AS partition
+       |FROM (SELECT MAX(commit_ts) AS rts FROM changelog) r
+       |CROSS JOIN (SELECT DISTINCT ${topicForSql(rules, defaultTopic)} AS topic
+       |            FROM changelog) t
+       |CROSS JOIN (SELECT UNNEST(range(0, $n)) AS part) p""".stripMargin
+  }
 }

@@ -1033,6 +1033,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       wmJson.contains(""""type":"TIDB_WATERMARK""""))
   }
 
+  test("DDL routing pins canal DDLs to partition 0 and broadcasts elsewhere") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val rules = Seq(Seq("db0.%") -> "t_{schema}")
+    val n = 8
+    val open = cdc.Routing.ddlRouting(cl, rules, "changefeed", "open", n).cache()
+    val canal = cdc.Routing.ddlRouting(cl, rules, "changefeed", "canal-json", n).cache()
+    val nDdl = cdc.SchemaStore.ddlEvents(cl, Nil).count()
+    // broadcast arm: every DDL delivered to ALL n partitions
+    assert(open.filter(col("msg_kind") === "DDL").count() == nDdl * n)
+    // canal arm: exactly one delivery per DDL, always partition 0
+    val cd = canal.filter(col("msg_kind") === "DDL")
+    assert(cd.count() == nDdl)
+    assert(cd.filter(col("partition") =!= 0L).count() == 0)
+    // checkpoints are protocol-independent: the max commit_ts broadcast
+    // to every partition of every ACTIVE topic
+    val topics = cl.select(cdc.Routing.topicFor(rules, "changefeed").as("t"))
+      .distinct().count()
+    for (arm <- Seq(open, canal)) {
+      val ck = arm.filter(col("msg_kind") === "CHECKPOINT")
+      assert(ck.count() == topics * n)
+      assert(ck.filter(col("commit_ts") =!=
+        cl.agg(max(col("commit_ts"))).head.getLong(0)).count() == 0)
+    }
+  }
+
   test("canal envelope decode inverts the envelope and routes all three message kinds") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val dec = cdc.Codecs.canalEnvelopeDecode(cl).cache()

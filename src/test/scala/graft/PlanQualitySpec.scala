@@ -65,6 +65,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "codec_simple_decode", "sink_mysql_ddl", "sink_startts_resume",
       "sink_syncpoint_stmts", "codec_simple_avro", "codec_simple_avro_decode",
       "codec_open_wire", "codec_open_wire_bytes", "codec_open_wire_decode",
+      "sink_ddl_routing", // DDL grid + the 1-row checkpoint x topics cross
       "codec_canal_envelope", "codec_canal_envelope_decode",
       "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf", "doc_tfidf",
       "dedup_semantic", // shares ann_ivf's corpus x k-centroid broadcast cross
