@@ -526,6 +526,65 @@ object Analytics {
       |FROM c
       |GROUP BY 1, 2""".stripMargin
 
+  /** B19 — PIVOT: per-user daily activity matrix, event types as
+    * columns (`groupBy().pivot(values)` — Spark pivots with an
+    * explicit value list stay a single partial-aggregated shuffle and
+    * a STATIC schema; an unlisted-values pivot would need a distinct
+    * pre-pass and break oracle comparability). The oracle is the
+    * equivalent conditional aggregation — what PIVOT desugars to. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        ldiv(expr("ts div 1000"), lit(86400000000L)).as("day"),
+        col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: col("day") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  val qPivotSql: String = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val cells = types.map(t =>
+      s"CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS n_$t")
+      .mkString(",\n      |  ")
+    s"""SELECT user_id,
+      |  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |  $cells
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** B20 — GROUPING SETS with grouping_id: one pass producing the
+    * (flag, bucket) cells, the per-flag margins, the per-bucket
+    * margins, and the grand total — four aggregation levels in a
+    * single shuffle (Spark expands the sets map-side; a UNION of four
+    * GROUP BYs would scan four times). `gid` disambiguates the NULL
+    * of a rolled-up key from a data NULL — the standard consumer
+    * contract for margin tables. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        (col("l_linenumber") % 2).cast("long").as("bucket"),
+        col("l_quantity"))
+      .groupingSets(
+        Seq(Seq(col("flag"), col("bucket")), Seq(col("flag")),
+          Seq(col("bucket")), Seq()),
+        col("flag"), col("bucket"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+
+  val qGroupingSetsSql: String =
+    """SELECT flag, bucket, CAST(GROUPING(flag, bucket) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM (SELECT l_returnflag AS flag,
+      |        CAST(l_linenumber % 2 AS BIGINT) AS bucket, l_quantity
+      |      FROM lineitem)
+      |GROUP BY GROUPING SETS ((flag, bucket), (flag), (bucket), ())""".stripMargin
+
   /** B17 — AS-OF JOIN (last-touch attribution): for every purchase,
     * the user's latest view at or before the purchase instant.
     *
