@@ -319,13 +319,32 @@ object Similarity {
     (candPairs, fallback)
   }
 
+  /** Memoized trained index per (session, dir, knobs): C6/C13/C25 and
+    * the assign probe all build the SAME corpus + centroids, and a real
+    * pipeline runs several of them per session — train once, reuse.
+    * Same synchronized + evict-stopped-sessions discipline as the C18
+    * cluster memo (getOrElseUpdate may double-build under concurrency,
+    * orphaning checkpoint-pinned frames). */
+  private val ivfMemo = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Int, Int, Int, Int), (DataFrame, DataFrame, Long)]()
+  private[graft] def clearIvfMemo(): Unit = ivfMemo.clear()
+
   /** Corpus + trained centroids — the index-build inputs shared by
-    * [[annIvf]] and the pruneAssign work probe ([[graft.IvfAssignProbe]]).
-    * Returns (corpus, refined centroids, k). */
+    * [[annIvf]], [[dedupSemantic]] and the pruneAssign work probe
+    * ([[graft.IvfAssignProbe]]). Returns (corpus, refined centroids, k). */
   private[graft] def ivfIndexInputs(spark: SparkSession, dir: String,
                                     kMin: Int = 64, kCap: Int = 4096,
                                     sampleFactor: Int = 64,
-                                    lloydRounds: Int = 1): (DataFrame, DataFrame, Long) = {
+                                    lloydRounds: Int = 1): (DataFrame, DataFrame, Long) =
+    ivfMemo.synchronized {
+      ivfMemo.keys.filter(_._1.sparkContext.isStopped).foreach(ivfMemo.remove)
+      ivfMemo.getOrElseUpdate((spark, dir, kMin, kCap, sampleFactor, lloydRounds),
+        buildIvfIndex(spark, dir, kMin, kCap, sampleFactor, lloydRounds))
+    }
+
+  private def buildIvfIndex(spark: SparkSession, dir: String,
+                            kMin: Int, kCap: Int, sampleFactor: Int,
+                            lloydRounds: Int): (DataFrame, DataFrame, Long) = {
     val c = corpus(spark, dir).localCheckpoint()
     val k = math.min(kCap.toLong, math.max(kMin.toLong,
       math.ceil(math.sqrt(c.count().toDouble)).toLong))
