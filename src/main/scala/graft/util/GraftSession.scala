@@ -57,5 +57,9 @@ object GraftSession {
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = false))
     graft.ops.Curation.clearMemo()
+    // Every memo holding checkpoint-backed frames must drop with the
+    // blocks above, or later lookups serve frames whose blocks are gone
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on first action).
+    graft.ops.Similarity.clearIvfMemo()
   }
 }

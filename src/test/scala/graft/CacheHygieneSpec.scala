@@ -33,6 +33,22 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(pinnedRdds == before, "cache entry count grew across runs")
   }
 
+  test("ivf index memo shares one build and releases with the caches") {
+    graft.util.GraftSession.releaseCaches(spark)
+    val (c1, cent1, k1) = ops.Similarity.ivfIndexInputs(spark, dir)
+    val (c2, cent2, k2) = ops.Similarity.ivfIndexInputs(spark, dir)
+    assert((c1 eq c2) && (cent1 eq cent2) && k1 == k2,
+      "second lookup should reuse the memoized build")
+    val n1 = cent1.count()
+    graft.util.GraftSession.releaseCaches(spark)
+    val (c3, cent3, _) = ops.Similarity.ivfIndexInputs(spark, dir)
+    assert(!(c3 eq c1), "release must drop the ivf memo")
+    // the rebuilt frames must be live (their blocks exist) and identical
+    assert(cent3.count() == n1)
+    assert(c3.count() > 0)
+    graft.util.GraftSession.releaseCaches(spark)
+  }
+
   test("dedup cluster memo shares one frame per (dir, tau) and releases") {
     graft.util.GraftSession.releaseCaches(spark)
     val a = ops.Curation.dedupClusters(spark, dir)
