@@ -147,6 +147,7 @@ object SparkEntry {
     "ann_lsh_bucketed" -> ((s, d) => ops.Similarity.annLshBucketed(s, d)),
     "ann_ivf" -> ((s, d) => ops.Similarity.annIvf(s, d)),
     "dedup_semantic" -> ((s, d) => ops.Similarity.dedupSemantic(s, d)),
+    "dedup_lines" -> ((s, d) => ops.Dedup.dedupLines(s, d)),
     "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
     "embedding_quantize" -> ((s, d) => ops.Similarity.embeddingQuantize(s, d)),
     "text_langid" -> ((s, d) => ops.TextAnalysis.langId(s, d)),
@@ -270,6 +271,7 @@ object SparkEntry {
     "ann_lsh_bucketed" -> ops.Similarity.annLshBucketedSql(),
     "ann_ivf" -> ops.Similarity.annIvfSql(),
     "dedup_semantic" -> ops.Similarity.dedupSemanticSql(),
+    "dedup_lines" -> ops.Dedup.dedupLinesSql(),
     "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,
     "embedding_quantize" -> ops.Similarity.embeddingQuantizeSql(),
     "text_langid" -> ops.TextAnalysis.langIdSql,

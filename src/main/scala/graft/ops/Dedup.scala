@@ -311,4 +311,84 @@ object Dedup {
        |  AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming""".stripMargin
   }
+
+  /** C27 — line-level dedup across the corpus (the CCNet / RefinedWeb
+    * boilerplate pass: drop every later occurrence of a repeated line,
+    * keep the first in corpus order). This corpus has no newlines, so
+    * "lines" are consecutive `width`-token windows — the same fixed
+    * chunking both engines derive row-locally from the token array.
+    *
+    * Scale design: line construction is a pure array expression (zero
+    * shuffle). First-occurrence resolution is a groupBy on the LINE key
+    * with map-side partial aggregation — deliberately NOT a window over
+    * the line: boilerplate lines are the canonical skew case ("click
+    * here..." × 10⁹ docs), and a window would move every occurrence of
+    * a hot line to one task, while partial agg collapses them per
+    * partition before the shuffle. The keep decision joins occurrences
+    * back on the line key (AQE skew-split applies); reassembly is one
+    * doc-keyed aggregation. First occurrence = min composite key
+    * doc_id·2²⁰ + line_no (line_no < 2²⁰ asserted by construction —
+    * docs with ≥ 2²⁰·width tokens would need a wider multiplier).
+    *
+    * Output per doc: line totals, kept/dropped counts, kept token
+    * count, and the md5 fingerprint of the surviving text (kept lines
+    * re-joined in order). */
+  def dedupLines(spark: SparkSession, dir: String, width: Int = 10): DataFrame = {
+    val occ = lineFrame(spark, dir, width)
+      .withColumn("okey", col("doc_id") * lit(1048576L) + col("line_no"))
+    val firsts = occ.groupBy(col("line")).agg(min(col("okey")).as("first_key"))
+    val marked = occ.join(firsts, "line")
+      .withColumn("kept", col("okey") === col("first_key"))
+    marked.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("kept_lines"),
+      sum(when(col("kept"), 0L).otherwise(1L)).as("dropped_lines"),
+      sum(when(col("kept"), size(split(col("line"), " ")).cast("long"))
+        .otherwise(0L)).as("kept_tokens"),
+      md5(array_join(
+        transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("line_no"), col("line"))))),
+          x => x.getField("line")),
+        "\n").cast("binary")).as("kept_fp"))
+  }
+
+  /** (doc_id, line_no, line): consecutive `width`-token windows of the
+    * normalized text, built row-locally (slice + array_join). */
+  private def lineFrame(spark: SparkSession, dir: String, width: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        expr(s"""transform(
+          sequence(0, CAST(ceil(size(toks) / ${width}.0) AS INT) - 1),
+          i -> array_join(slice(toks, i * $width + 1, $width), ' '))""").as("lines"))
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no").cast("long").as("line_no"), col("line"))
+
+  def dedupLinesSql(width: Int = 10): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), occ AS (
+       |  SELECT doc_id,
+       |    CAST((pos - 1) // $width AS BIGINT) AS line_no,
+       |    string_agg(w, ' ' ORDER BY pos) AS line
+       |  FROM (SELECT doc_id, unnest(toks) AS w,
+       |          generate_subscripts(toks, 1) AS pos FROM t)
+       |  GROUP BY 1, 2
+       |), keyed AS (
+       |  SELECT *, doc_id * 1048576 + line_no AS okey FROM occ
+       |), firsts AS (
+       |  SELECT line, MIN(okey) AS first_key FROM keyed GROUP BY 1
+       |), marked AS (
+       |  SELECT k.*, k.okey = f.first_key AS kept
+       |  FROM keyed k JOIN firsts f ON k.line = f.line
+       |)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(COALESCE(SUM(CASE WHEN kept THEN 1 ELSE 0 END), 0) AS BIGINT) AS kept_lines,
+       |  CAST(COALESCE(SUM(CASE WHEN kept THEN 0 ELSE 1 END), 0) AS BIGINT) AS dropped_lines,
+       |  CAST(COALESCE(SUM(CASE WHEN kept THEN length(string_split(line, ' ')) ELSE 0 END), 0) AS BIGINT) AS kept_tokens,
+       |  md5(COALESCE(string_agg(line, chr(10) ORDER BY line_no) FILTER (WHERE kept), '')) AS kept_fp
+       |FROM marked
+       |GROUP BY doc_id""".stripMargin
 }

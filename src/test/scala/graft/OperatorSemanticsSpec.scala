@@ -516,6 +516,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got(2L).getString(4) == orig)
   }
 
+  test("line dedup keeps first occurrences only and reassembles the survivor text") {
+    import spark.implicits._
+    def fp(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = java.nio.file.Files.createTempDirectory("lines").toString
+    Seq(
+      (1L, "a b c d e f", "en", "s", 11L),    // lines: "a b c", "d e f"
+      (2L, "a b c x y z", "en", "s", 11L),    // "a b c" dup of doc1; "x y z" first
+      (3L, "x y z d e f g", "en", "s", 13L),  // both 3-grams dup; "g" survives
+      (4L, "a b c d e f", "en", "s", 11L))    // exact copy: every line drops
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = ops.Dedup.dedupLines(spark, tmp, width = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got(1L) == ((2L, 2L, 0L, 6L, fp("a b c\nd e f"))))
+    assert(got(2L) == ((2L, 1L, 1L, 3L, fp("x y z"))))
+    assert(got(3L) == ((3L, 1L, 2L, 1L, fp("g"))))
+    assert(got(4L) == ((2L, 0L, 2L, 0L, fp(""))))
+    // corpus-wide: every distinct line survives exactly once
+    val totals = ops.Dedup.dedupLines(spark, tmp, width = 3)
+      .agg(sum("kept_lines")).collect()(0).getLong(0)
+    assert(totals == 4L) // {"a b c", "d e f", "x y z", "g"}
+  }
+
   test("contamination flags exactly the docs sharing a 4-gram with the benchmark") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("contam").toString

@@ -95,6 +95,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges(queries.Analytics.qRetention(spark, dir)) == 2)
   }
 
+  test("line dedup is windowless partial aggregation on the line key") {
+    val df = ops.Dedup.dedupLines(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // boilerplate lines are hot keys: first-occurrence resolution must
+    // be a map-side-combined aggregate, never a window over the line
+    assert(!p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).length <= 3,
+      s"line agg + occurrence probe + doc reassembly expected, got:\n$p")
+  }
+
   test("new wire ops hold their shuffle budgets") {
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =
       "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
