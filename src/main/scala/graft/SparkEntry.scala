@@ -73,6 +73,8 @@ object SparkEntry {
     "cdc_syncpoint" -> ((s, d) => Materialize.syncpoint(s, cl(s, d), syncStep)),
     "cdc_schema_asof" -> ((s, d) => SchemaStore.eventsWithSchema(cl(s, d))),
     "cdc_ddl_events" -> ((s, d) => SchemaStore.ddlEvents(cl(s, d), Seq("ALTER"))),
+    "cdc_table_lifecycle" -> ((s, d) => SchemaStore.tableLifecycle(s, d)),
+    "cdc_event_physical" -> ((s, d) => SchemaStore.eventPhysicalTable(s, d)),
     "codec_canal_json" -> ((s, d) => Codecs.canalJson(cl(s, d))),
     "codec_open_protocol" -> ((s, d) => Codecs.openProtocol(cl(s, d))),
     "codec_debezium" -> ((s, d) => Codecs.debezium(cl(s, d))),
@@ -198,6 +200,8 @@ object SparkEntry {
     "cdc_syncpoint" -> o(Materialize.syncpointSql(syncStep)),
     "cdc_schema_asof" -> o(SchemaStore.eventsWithSchemaSql),
     "cdc_ddl_events" -> o(SchemaStore.ddlEventsSql(Seq("ALTER"))),
+    "cdc_table_lifecycle" -> o(SchemaStore.tableLifecycleSql),
+    "cdc_event_physical" -> o(SchemaStore.eventPhysicalTableSql),
     "codec_canal_json" -> o(Codecs.canalJsonSql),
     "codec_open_protocol" -> o(Codecs.openProtocolSql),
     "codec_debezium" -> o(Codecs.debeziumSql),

@@ -73,6 +73,181 @@ object SchemaStore {
       .filter(!col("ddl_type").isin(ignoreTypes: _*))
       .select("schema_name", "table_name", "valid_from", "schema_ver", "ddl_type", "query")
 
+  // ------------------------------------------------------------- A67/A68
+  // Physical-table lifecycle — the `versionedTableInfoStore` apply rules
+  // (reference: logservice/schemastore/multi_version.go:211-384):
+  //   CREATE   appends the first info version;
+  //   ALTER    (add/drop column, rename) appends an info version;
+  //   TRUNCATE tombstones the old PHYSICAL table id (deleteVersion =
+  //            finishedTs) and births a new physical id at that ts;
+  //   DROP     tombstones the id; a deleted store receives no more DDL.
+  // The DDL-job log is derived deterministically from the changelog (the
+  // same boundary grid as A18, actions rotated by table ordinal) so the
+  // DuckDB oracle reproduces it; the APPLY rules above are the part
+  // under test. All frames here are dimension-scale (tables ×
+  // boundaries), so global row_number windows are fine — the
+  // corpus-scale side only ever joins against the result (A68, as-of).
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.expressions.Window
+
+  /** Table universe with a dense 0-based ordinal (injective across
+    * engines: unique (schema, table) pairs, total order). */
+  private def tableUniverse(cl: DataFrame): DataFrame =
+    cl.select(col("schema_name"), col("table_name")).distinct()
+      .withColumn("base",
+        row_number().over(Window.orderBy(col("schema_name"), col("table_name")))
+          .cast("long") - 1L)
+
+  /** Deterministic DDL-job log: at boundary v (ts = v·step), a table
+    * with ordinal b gets TRUNCATE iff (b+v)%5=0, else DROP iff v=vmax
+    * and b%7=3, else ALTER iff (3b+v)%4=0. */
+  private def ddlJobs(cl: DataFrame): DataFrame = {
+    val grid = cl.agg(expr(s"CAST(MAX(commit_ts) DIV $step AS BIGINT)").as("vmax"))
+      .select(col("vmax"),
+        explode(when(col("vmax") >= 1L, sequence(lit(1L), col("vmax")))
+          .otherwise(array())).as("v"))
+      .select(col("v"), (col("v") * step).as("ts"), col("vmax"))
+    tableUniverse(cl).crossJoin(broadcast(grid))
+      .withColumn("action",
+        when(pmod(col("base") + col("v"), lit(5L)) === 0L, lit("TRUNCATE"))
+          .when(col("v") === col("vmax") && pmod(col("base"), lit(7L)) === 3L, lit("DROP"))
+          .when(pmod(col("base") * 3L + col("v"), lit(4L)) === 0L, lit("ALTER")))
+      .filter(col("action").isNotNull)
+      .select(col("schema_name"), col("table_name"), col("base"),
+        col("v"), col("ts"), col("action"))
+  }
+
+  /** A67: one row per PHYSICAL table generation. `table_id` =
+    * base·2²⁰ + generation (injective — the A52 collision lesson),
+    * `born_ts` its birth (0 for the created generation, the truncate
+    * ts after), `delete_ts` the tombstone (-1 while alive),
+    * `n_schema_versions` the appended info count (birth + alters
+    * landing inside the generation), `dropped` 1 iff closed by DROP. */
+  def tableLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val cl = ChangeEvents.changelog(spark, dir)
+    val jobs = ddlJobs(cl)
+    val births = jobs.filter(col("action") === "TRUNCATE")
+      .withColumn("g",
+        row_number().over(Window.partitionBy(col("base")).orderBy(col("v"))).cast("long"))
+      .select(col("schema_name"), col("table_name"), col("base"), col("g"),
+        col("ts").as("born_ts"))
+      .unionByName(tableUniverse(cl).select(col("schema_name"), col("table_name"),
+        col("base"), lit(0L).as("g"), lit(0L).as("born_ts")))
+    val drops = jobs.filter(col("action") === "DROP")
+      .select(col("base"), col("ts").as("drop_ts"))
+    val alters = jobs.filter(col("action") === "ALTER")
+      .select(col("base"), col("ts").as("alter_ts"))
+    // an alter lands in the latest generation born at or before it
+    val altGen = alters.join(births.select(col("base"), col("g"), col("born_ts")), Seq("base"))
+      .filter(col("born_ts") <= col("alter_ts"))
+      .groupBy(col("base"), col("alter_ts")).agg(max(col("g")).as("g"))
+      .groupBy(col("base"), col("g")).agg(count(lit(1)).as("n_alters"))
+    births
+      .withColumn("delete_ts",
+        coalesce(lead(col("born_ts"), 1).over(
+          Window.partitionBy(col("base")).orderBy(col("g"))), lit(-1L)))
+      .join(drops, Seq("base"), "left")
+      .withColumn("dropped",
+        when(col("delete_ts") === -1L && col("drop_ts").isNotNull, 1L).otherwise(0L))
+      .withColumn("delete_ts",
+        when(col("dropped") === 1L, col("drop_ts")).otherwise(col("delete_ts")))
+      .join(altGen, Seq("base", "g"), "left")
+      .select(col("schema_name"), col("table_name"),
+        (col("base") * 1048576L + col("g")).as("table_id"),
+        col("g").as("generation"), col("born_ts"), col("delete_ts"),
+        (lit(1L) + coalesce(col("n_alters"), lit(0L))).as("n_schema_versions"),
+        col("dropped"))
+  }
+
+  /** The A67 derivation as a DuckDB CTE chain ending in `lifecycle`. */
+  private val lifecycleCtes: String =
+    s"""u AS (
+       |  SELECT schema_name, table_name,
+       |    ROW_NUMBER() OVER (ORDER BY schema_name, table_name) - 1 AS base
+       |  FROM (SELECT DISTINCT schema_name, table_name FROM changelog)
+       |), grid AS (
+       |  SELECT v, v * $step AS ts, vmax FROM
+       |    (SELECT UNNEST(GENERATE_SERIES(1, vmax)) AS v, vmax
+       |     FROM (SELECT MAX(commit_ts) // $step AS vmax FROM changelog))
+       |), jobs AS (
+       |  SELECT u.schema_name, u.table_name, u.base, g.v, g.ts,
+       |    CASE WHEN (u.base + g.v) % 5 = 0 THEN 'TRUNCATE'
+       |         WHEN g.v = g.vmax AND u.base % 7 = 3 THEN 'DROP'
+       |         WHEN (u.base * 3 + g.v) % 4 = 0 THEN 'ALTER' END AS action
+       |  FROM u CROSS JOIN grid g
+       |), births AS (
+       |  SELECT schema_name, table_name, base,
+       |    ROW_NUMBER() OVER (PARTITION BY base ORDER BY v) AS g, ts AS born_ts
+       |  FROM jobs WHERE action = 'TRUNCATE'
+       |  UNION ALL
+       |  SELECT schema_name, table_name, base, 0 AS g, 0 AS born_ts FROM u
+       |), gen AS (
+       |  SELECT *, COALESCE(LEAD(born_ts) OVER (PARTITION BY base ORDER BY g), -1) AS delete0
+       |  FROM births
+       |), drops AS (SELECT base, ts AS drop_ts FROM jobs WHERE action = 'DROP'),
+       |alters AS (SELECT base, ts AS alter_ts FROM jobs WHERE action = 'ALTER'),
+       |altgen AS (
+       |  SELECT base, g, COUNT(*) AS n_alters FROM (
+       |    SELECT a.base, a.alter_ts, MAX(b.g) AS g
+       |    FROM alters a JOIN births b ON a.base = b.base AND b.born_ts <= a.alter_ts
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1, 2
+       |), lifecycle AS (
+       |  SELECT gen.schema_name, gen.table_name,
+       |    CAST(gen.base * 1048576 + gen.g AS BIGINT) AS table_id,
+       |    CAST(gen.g AS BIGINT) AS generation,
+       |    CAST(gen.born_ts AS BIGINT) AS born_ts,
+       |    CAST(CASE WHEN gen.delete0 = -1 AND d.drop_ts IS NOT NULL
+       |              THEN d.drop_ts ELSE gen.delete0 END AS BIGINT) AS delete_ts,
+       |    CAST(1 + COALESCE(ag.n_alters, 0) AS BIGINT) AS n_schema_versions,
+       |    CAST(CASE WHEN gen.delete0 = -1 AND d.drop_ts IS NOT NULL
+       |              THEN 1 ELSE 0 END AS BIGINT) AS dropped
+       |  FROM gen
+       |  LEFT JOIN drops d ON gen.base = d.base
+       |  LEFT JOIN altgen ag ON gen.base = ag.base AND gen.g = ag.g
+       |)""".stripMargin
+
+  val tableLifecycleSql: String =
+    s"""WITH $lifecycleCtes
+       |SELECT * FROM lifecycle""".stripMargin
+
+  /** A68: resolve every changelog event to the physical table
+    * generation alive at its commitTs (`getTableInfo(ts)` against the
+    * A67 store). Events landing at or after a tombstone — DML the
+    * reference would reject on a deleted store — carry `alive` = 0.
+    * One union-tag as-of shuffle; the lifecycle side is
+    * dimension-scale. */
+  def eventPhysicalTable(spark: SparkSession, dir: String): DataFrame = {
+    val cl = ChangeEvents.changelog(spark, dir)
+    val lc = tableLifecycle(spark, dir)
+      .select(col("schema_name"), col("table_name"), col("born_ts"),
+        col("table_id"), col("delete_ts"))
+    AsOf.joinAsOf(
+      cl.select(col("schema_name"), col("table_name"), col("pk"),
+        col("commit_ts"), col("op")),
+      lc, keys = Seq("schema_name", "table_name"),
+      leftTs = "commit_ts", rightTs = "born_ts",
+      payload = Seq("table_id", "delete_ts"))
+      .withColumn("alive",
+        when(col("delete_ts") === -1L || col("commit_ts") < col("delete_ts"), 1L)
+          .otherwise(0L))
+      .select(col("schema_name"), col("table_name"), col("pk"), col("commit_ts"),
+        col("op"), col("table_id"), col("alive"))
+  }
+
+  val eventPhysicalTableSql: String =
+    s"""WITH $lifecycleCtes
+       |SELECT c.schema_name, c.table_name, c.pk, c.commit_ts, c.op,
+       |  l.table_id,
+       |  CAST(CASE WHEN l.delete_ts = -1 OR c.commit_ts < l.delete_ts
+       |            THEN 1 ELSE 0 END AS BIGINT) AS alive
+       |FROM changelog c
+       |ASOF JOIN lifecycle l
+       |  ON c.schema_name = l.schema_name
+       | AND c.table_name = l.table_name
+       | AND c.commit_ts >= l.born_ts""".stripMargin
+
   def ddlEventsSql(ignoreTypes: Seq[String]): String = {
     val ignoreList = ignoreTypes.map(t => s"'$t'").mkString(", ")
     val ignoreClause = if (ignoreTypes.isEmpty) "" else s"WHERE ddl_type NOT IN ($ignoreList)"

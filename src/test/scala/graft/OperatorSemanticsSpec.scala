@@ -516,6 +516,46 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got(2L).getString(4) == orig)
   }
 
+  test("table lifecycle generations tile time and events resolve to the live generation") {
+    val lc = cdc.SchemaStore.tableLifecycle(spark, dir).collect()
+    val byTable = lc.groupBy(r => (r.getString(0), r.getString(1)))
+    // table_id injective across the whole frame
+    assert(lc.map(_.getLong(2)).distinct.length == lc.length)
+    byTable.foreach { case (_, gens) =>
+      val sorted = gens.sortBy(_.getLong(3))
+      // generations are dense from 0 and tile time: a generation closed
+      // by TRUNCATE ends exactly where the next begins
+      assert(sorted.map(_.getLong(3)).toSeq == sorted.indices.map(_.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(5) == b.getLong(4), "truncate must tile born/delete")
+          assert(a.getLong(7) == 0L, "only the terminal generation can be dropped")
+        case _ =>
+      }
+      // open or tombstoned, never born after death; at least one info version
+      sorted.foreach { g =>
+        assert(g.getLong(5) == -1L || g.getLong(5) > g.getLong(4))
+        assert(g.getLong(6) >= 1L)
+      }
+    }
+    // every event resolves; events at a truncate boundary land in the NEW
+    // generation (multi_version.go: the new physical id owns finishedTs)
+    val ev = cdc.SchemaStore.eventPhysicalTable(spark, dir)
+    assert(ev.filter(col("table_id").isNull).count() == 0)
+    val births = lc.filter(_.getLong(4) > 0)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4)) -> r.getLong(2)).toMap
+    if (births.nonEmpty) {
+      // each event whose commit_ts equals a birth ts of its table must
+      // carry that generation's table_id
+      val rows = ev.select("schema_name", "table_name", "commit_ts", "table_id").collect()
+      rows.foreach { r =>
+        births.get((r.getString(0), r.getString(1), r.getLong(2))).foreach { id =>
+          assert(r.getLong(3) == id, s"boundary event must resolve to the new generation")
+        }
+      }
+    }
+  }
+
   test("line dedup keeps first occurrences only and reassembles the survivor text") {
     import spark.implicits._
     def fp(s: String): String = java.security.MessageDigest.getInstance("MD5")
