@@ -150,6 +150,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => ops.Similarity.annIvf(s, d)),
     "dedup_semantic" -> ((s, d) => ops.Similarity.dedupSemantic(s, d)),
     "dedup_lines" -> ((s, d) => ops.Dedup.dedupLines(s, d)),
+    "text_vocab_coverage" -> ((s, d) => ops.TextAnalysis.vocabCoverage(s, d)),
     "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
     "embedding_quantize" -> ((s, d) => ops.Similarity.embeddingQuantize(s, d)),
     "text_langid" -> ((s, d) => ops.TextAnalysis.langId(s, d)),
@@ -276,6 +277,7 @@ object SparkEntry {
     "ann_ivf" -> ops.Similarity.annIvfSql(),
     "dedup_semantic" -> ops.Similarity.dedupSemanticSql(),
     "dedup_lines" -> ops.Dedup.dedupLinesSql(),
+    "text_vocab_coverage" -> ops.TextAnalysis.vocabCoverageSql(),
     "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,
     "embedding_quantize" -> ops.Similarity.embeddingQuantizeSql(),
     "text_langid" -> ops.TextAnalysis.langIdSql,

@@ -147,4 +147,51 @@ object TextAnalysis {
        |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bag_md5,
        |  len(list_distinct(toks))::BIGINT AS n_distinct_tokens
        |FROM t""".stripMargin
+
+  /** C28 — tokenizer-vocabulary coverage: fit a top-`vocabSize` word
+    * vocabulary on the corpus (frequency desc, word asc — the
+    * deterministic tie-break both engines replay), then report per doc
+    * the out-of-vocabulary profile a tokenizer team reads before
+    * freezing a word list: token total, OOV hits, OOV rate (ppm), and
+    * how many distinct vocab words the doc touches.
+    *
+    * Scale: one partial-aggregated explode→count shuffle fits the
+    * vocab (distinct-word scale output); the top-N is a TakeOrdered
+    * over that dimension-scale frame, broadcast back against the
+    * token stream (explode again, broadcast hash join — no second
+    * corpus shuffle for membership); the per-doc profile is one
+    * doc-keyed aggregation. */
+  def vocabCoverage(spark: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"),
+        count_distinct(when(col("in_vocab") === 1L, col("w"))).as("vocab_words_used"))
+      .withColumn("oov_ppm", expr("oov_tokens * 1000000 DIV n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("oov_tokens"),
+        col("oov_ppm"), col("vocab_words_used"))
+  }
+
+  def vocabCoverageSql(vocabSize: Int = 16): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS w FROM documents
+       |), vocab AS (
+       |  SELECT w FROM (
+       |    SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1)
+       |  ORDER BY cnt DESC, w LIMIT $vocabSize
+       |)
+       |SELECT t.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+       |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+       |       // COUNT(*) AS BIGINT) AS oov_ppm,
+       |  CAST(COUNT(DISTINCT CASE WHEN v.w IS NOT NULL THEN t.w END) AS BIGINT)
+       |    AS vocab_words_used
+       |FROM toks t LEFT JOIN vocab v ON t.w = v.w
+       |GROUP BY t.doc_id""".stripMargin
 }

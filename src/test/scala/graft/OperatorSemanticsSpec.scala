@@ -556,6 +556,18 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab coverage counts exactly the tokens outside the fitted top-N") {
+    val rows = ops.TextAnalysis.vocabCoverage(spark, dir, vocabSize = 4).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "oov cannot exceed the token total")
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1), "ppm consistency")
+      assert(r.getLong(4) <= 4L, "cannot use more vocab words than exist")
+    }
+    // a vocab wider than the corpus' distinct words leaves nothing OOV
+    val all = ops.TextAnalysis.vocabCoverage(spark, dir, vocabSize = 1000000)
+    assert(all.agg(sum("oov_tokens")).collect()(0).getLong(0) == 0L)
+  }
+
   test("line dedup keeps first occurrences only and reassembles the survivor text") {
     import spark.implicits._
     def fp(s: String): String = java.security.MessageDigest.getInstance("MD5")

@@ -105,6 +105,12 @@ class PlanQualitySpec extends AnyFunSuite {
       s"line agg + occurrence probe + doc reassembly expected, got:\n$p")
   }
 
+  test("vocab membership is a broadcast join, not a corpus shuffle") {
+    val p = ops.TextAnalysis.vocabCoverage(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("new wire ops hold their shuffle budgets") {
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =
       "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
