@@ -523,6 +523,56 @@ object Similarity {
        |  FROM pairs WHERE cosine >= $tau
        |) WHERE rn = 1""".stripMargin
 
+  /** C29 — kNN-graph construction over the embedding corpus: each
+    * vector's top-`k` cosine neighbors WITHIN ITS IVF CELL, plus the
+    * mutual flag (reverse edge also present) that graph-based dedup /
+    * clustering / NN-descent seeding consumes downstream.
+    *
+    * Scale: candidates are within-cell only — Σ|cell|² bounded work
+    * exactly like [[dedupSemantic]] (never all-pairs; the k knob
+    * bounds cell size at scale), sharing the SAME memoized index
+    * build, so a session composing dedup + graph pays for one
+    * training pass. Ranking is a per-src top-k window on the cell
+    * join; the mutual flag is a self-equi-join of the (n·k)-row edge
+    * frame on the reversed key — edge-scale, not corpus-scale. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val (c, cents, _) = ivfIndexInputs(spark, dir)
+    val assigned = assignLists(c, cents).localCheckpoint()
+    val a = assigned.select(col("cent_id"), col("vec_id").as("src"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("dst"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val win = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    val edges = a.join(b, Seq("cent_id"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cosine", round(dot("va", "vb") / (col("na") * col("nb")), 4))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("rank"), col("cosine"))
+      .localCheckpoint()
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"), lit(1L).as("m"))
+    edges.join(rev, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"), col("rank"), col("cosine"),
+        coalesce(col("m"), lit(0L)).as("mutual"))
+  }
+
+  def knnGraphSql(k: Int = 3, kMin: Int = 64, kCap: Int = 4096,
+                  sampleFactor: Int = 64): String =
+    s"""WITH ${ivfAssignedCtes(kMin, kCap, sampleFactor)},
+       |pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ROUND((${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm), 4) AS cosine
+       |  FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id
+       |    AND a.vec_id <> b.vec_id),
+       |edges AS (SELECT src, dst, CAST(rank AS BIGINT) AS rank, cosine FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst) AS rank
+       |    FROM pairs
+       |  ) WHERE rank <= $k)
+       |SELECT e.src, e.dst, e.rank, e.cosine,
+       |  CAST(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS mutual
+       |FROM edges e LEFT JOIN (SELECT dst AS src, src AS dst FROM edges) r
+       |  ON e.src = r.src AND e.dst = r.dst""".stripMargin
+
   /** C17 — int8 embedding quantization: per-vector affine compression
     * (the storage/transport format ANN indexes and feature stores ship
     * at scale — 8× smaller than float64, 4× smaller than float32).

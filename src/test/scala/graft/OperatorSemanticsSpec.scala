@@ -556,6 +556,27 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph ranks neighbors by cosine within the cell and flags mutual edges") {
+    val e = ops.Similarity.knnGraph(spark, dir).collect()
+    assert(e.nonEmpty)
+    e.groupBy(_.getLong(0)).values.foreach { es =>
+      val sorted = es.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq,
+        "ranks must be dense from 1")
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x.getDouble(3) >= y.getDouble(3),
+          "cosine must be non-increasing with rank")
+        case _ =>
+      }
+    }
+    // the mutual flag is exactly reverse-edge membership
+    val set = e.map(r => (r.getLong(0), r.getLong(1))).toSet
+    e.foreach { r =>
+      val expect = if (set.contains((r.getLong(1), r.getLong(0)))) 1L else 0L
+      assert(r.getLong(4) == expect)
+    }
+  }
+
   test("vocab coverage counts exactly the tokens outside the fitted top-N") {
     val rows = ops.TextAnalysis.vocabCoverage(spark, dir, vocabSize = 4).collect()
     rows.foreach { r =>
