@@ -91,6 +91,75 @@ object Materialize {
       |  FROM changelog GROUP BY schema_name, table_name
       |) GROUP BY schema_name""".stripMargin
 
+  /** A69: the span frontier — a table's keyspace splits into REGIONS
+    * that each advance their own resolvedTs; the table's resolved ts is
+    * the MINIMUM over its regions, and the range-lock statistics track
+    * the fastest and slowest region (reference: logservice/logpuller/
+    * regionlock/region_range_lock.go:244-263 RangeLock.ResolvedTs +
+    * :293-335 IterAll — strict >/< comparisons in start-key Ascend
+    * order, so the FIRST region wins ties: min region_id here).
+    *
+    * Regions are the deterministic pk-hash buckets (the index-value
+    * dispatch hash pmod nRegions); a region's resolvedTs is the max
+    * commit_ts it has seen. One partial-aggregated (table, region)
+    * shuffle, then dimension-scale table reduces + tie-break joins. */
+  def spanFrontier(cl: DataFrame, nRegions: Int = 8): DataFrame = {
+    val regions = cl
+      .withColumn("region_id",
+        graft.functions.Portable.bucket(col("pk").cast("string"), nRegions))
+      .groupBy(col("schema_name"), col("table_name"), col("region_id"))
+      .agg(max(col("commit_ts")).as("rts"))
+    val tbl = regions.groupBy(col("schema_name"), col("table_name"))
+      .agg(count(lit(1)).as("n_regions"),
+        min(col("rts")).as("frontier_ts"),
+        max(col("rts")).as("fastest_ts"))
+    val fast = regions.join(tbl, Seq("schema_name", "table_name"))
+      .filter(col("rts") === col("fastest_ts"))
+      .groupBy(col("schema_name"), col("table_name"))
+      .agg(min(col("region_id")).as("fastest_region"))
+    val slow = regions.join(tbl, Seq("schema_name", "table_name"))
+      .filter(col("rts") === col("frontier_ts"))
+      .groupBy(col("schema_name"), col("table_name"))
+      .agg(min(col("region_id")).as("slowest_region"))
+    tbl.join(fast, Seq("schema_name", "table_name"))
+      .join(slow, Seq("schema_name", "table_name"))
+      .select(col("schema_name"), col("table_name"), col("n_regions"),
+        col("frontier_ts"), col("fastest_region"), col("fastest_ts"),
+        col("slowest_region"))
+  }
+
+  def spanFrontierSql(nRegions: Int = 8): String = {
+    val bucket = graft.functions.Portable.bucketSql("CAST(pk AS VARCHAR)", nRegions)
+    s"""WITH regions AS (
+       |  SELECT schema_name, table_name, $bucket AS region_id,
+       |    MAX(commit_ts) AS rts
+       |  FROM changelog
+       |  GROUP BY 1, 2, 3
+       |), tbl AS (
+       |  SELECT schema_name, table_name,
+       |    CAST(COUNT(*) AS BIGINT) AS n_regions,
+       |    MIN(rts) AS frontier_ts, MAX(rts) AS fastest_ts
+       |  FROM regions GROUP BY 1, 2
+       |), fast AS (
+       |  SELECT r.schema_name, r.table_name, MIN(r.region_id) AS fastest_region
+       |  FROM regions r JOIN tbl t
+       |    ON r.schema_name = t.schema_name AND r.table_name = t.table_name
+       |   AND r.rts = t.fastest_ts
+       |  GROUP BY 1, 2
+       |), slow AS (
+       |  SELECT r.schema_name, r.table_name, MIN(r.region_id) AS slowest_region
+       |  FROM regions r JOIN tbl t
+       |    ON r.schema_name = t.schema_name AND r.table_name = t.table_name
+       |   AND r.rts = t.frontier_ts
+       |  GROUP BY 1, 2
+       |)
+       |SELECT t.schema_name, t.table_name, t.n_regions, t.frontier_ts,
+       |  f.fastest_region, t.fastest_ts, s.slowest_region
+       |FROM tbl t
+       |JOIN fast f ON t.schema_name = f.schema_name AND t.table_name = f.table_name
+       |JOIN slow s ON t.schema_name = s.schema_name AND t.table_name = s.table_name""".stripMargin
+  }
+
   /** Transaction batches: events sharing a start_ts form one upstream
     * txn (reference: txn batching in pkg/sink/mysql — events of one txn
     * are flushed atomically). */

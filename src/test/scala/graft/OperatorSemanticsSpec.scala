@@ -516,6 +516,22 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got(2L).getString(4) == orig)
   }
 
+  test("span frontier is bounded by the region extremes and agrees with the table max") {
+    val clf = cdc.ChangeEvents.changelog(spark, dir)
+    val got = cdc.Materialize.spanFrontier(clf).collect()
+    assert(got.nonEmpty)
+    val tableMax = clf.groupBy(col("schema_name"), col("table_name"))
+      .agg(max(col("commit_ts")).as("m")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(3) <= r.getLong(5), "frontier cannot pass the fastest region")
+      // the fastest region's ts IS the table max (max over regions)
+      assert(r.getLong(5) == tableMax(key))
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 8L, "region count within the bucket knob")
+    }
+  }
+
   test("table lifecycle generations tile time and events resolve to the live generation") {
     val lc = cdc.SchemaStore.tableLifecycle(spark, dir).collect()
     val byTable = lc.groupBy(r => (r.getString(0), r.getString(1)))
