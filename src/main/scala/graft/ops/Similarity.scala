@@ -573,6 +573,136 @@ object Similarity {
        |FROM edges e LEFT JOIN (SELECT dst AS src, src AS dst FROM edges) r
        |  ON e.src = r.src AND e.dst = r.dst""".stripMargin
 
+  /** C30 — product quantization (the public PQ construction of
+    * Jégou/Douze/Schmid, IEEE TPAMI 2011): the 64-dim space splits
+    * into `subspaces` 8-dim subspaces, each with its own `subK`-entry
+    * codebook trained on the SAME deterministic bounded sample as the
+    * IVF index (lowest salted hashes; seed assignment + one
+    * integer-exact Lloyd round on the 1/1024 grid, so the oracle
+    * replays the training bit-for-bit). A vector's code is one hex
+    * nibble per subspace — 4 bytes replacing 512, the memory format
+    * ANN serving tiers hold in RAM at 100 TB scale.
+    *
+    * Scale: training is sample-bounded (subK·sampleFactor rows);
+    * encoding is a fixed n×subspaces×subK fan-out (explode + broadcast
+    * codebook join), collapsed by map-side partial aggregation —
+    * min(struct) per (vec, sub) combines the 16 candidate rows inside
+    * the explode's own partition before any shuffle. Distances are
+    * rounded at 1e-4 with the cent-index tie-break (portable argmin);
+    * the reconstruction error ships as e4-quantized BIGINT so the
+    * 8-term sum is order-independent. */
+  def pqEncode(spark: SparkSession, dir: String, subspaces: Int = 8,
+               subK: Int = 16, sampleFactor: Int = 64): DataFrame = {
+    val S = Dim / subspaces
+    val c = corpus(spark, dir).localCheckpoint()
+    def floorDiv(num: Column, den: Column): Column =
+      call_function("div", num - pmod(num, den), den)
+    def subExplode(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), explode(array((0 until subspaces).map(s =>
+          struct(lit(s).as("sub"), slice(col("v"), s * S + 1, S).as("sv"))): _*)).as("x"))
+        .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val trainH = graft.functions.Portable.hash60(
+      concat(lit("pq-train-v1:"), col("vec_id").cast("string")))
+    val sample = c.withColumn("h", trainH)
+      .orderBy(col("h"), col("vec_id")).limit(sampleFactor * subK)
+      .localCheckpoint()
+    val seeds = sample.orderBy(col("h"), col("vec_id")).limit(subK)
+      .withColumn("cent",
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))).cast("int") - 1)
+    val book0 = seeds.select(explode(array((0 until subspaces).map(s =>
+        struct(lit(s).as("sub"), col("cent"),
+          slice(col("v"), s * S + 1, S).as("cv"))): _*)).as("x"))
+      .select(col("x.sub").as("sub"), col("x.cent").as("cent"), col("x.cv").as("cv"))
+    val d2 = (0 until S).map(i =>
+      (col("sv")(i) - col("cv")(i)) * (col("sv")(i) - col("cv")(i))).reduce(_ + _)
+    def assign(ex: DataFrame, book: DataFrame): DataFrame =
+      ex.join(broadcast(book), Seq("sub"))
+        .withColumn("rd", round(d2, 4))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("rd"), col("cent"))).as("best"))
+        .select(col("vec_id"), col("sub"),
+          col("best.cent").as("cent"), col("best.rd").as("rd"))
+    val exSample = subExplode(sample).localCheckpoint()
+    val qSums = (0 until S).map(i =>
+      sum(round(col("sv")(i) * 1024.0).cast("long")).as(s"s$i"))
+    val book = assign(exSample, book0)
+      .join(exSample, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("cent"))
+      .agg(qSums.head, qSums.tail :+ count(lit(1)).as("cnt"): _*)
+      // divide the grid integers back to vector scale: cosine is
+      // scale-invariant so IVF never needs this, but L2 distances do;
+      // /1024 is a power of two, so the double is exact both engines
+      .select(col("sub"), col("cent"), array((0 until S).map(i =>
+        (floorDiv(col(s"s$i") + floorDiv(col("cnt"), lit(2L)), col("cnt"))
+          .cast("double") / lit(1024.0))): _*).as("cv"))
+      .localCheckpoint()
+    assign(subExplode(c), book)
+      .groupBy(col("vec_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("sub"), lower(hex(col("cent"))).as("hx")))),
+          x => x.getField("hx")), "").as("pq_code"),
+        sum(round(col("rd") * 10000.0).cast("long")).as("err2_e4"))
+      .join(c.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("pq_code"), col("err2_e4"))
+  }
+
+  def pqEncodeSql(subspaces: Int = 8, subK: Int = 16,
+                  sampleFactor: Int = 64): String = {
+    val S = Dim / subspaces
+    val trainHSql = graft.functions.Portable
+      .hash60Sql("CONCAT('pq-train-v1:', CAST(vec_id AS VARCHAR))")
+    def subUnion(src: String): String = (0 until subspaces).map { s =>
+      s"SELECT vec_id, $s AS sub, v[${s * S + 1}:${s * S + S}] AS sv FROM $src"
+    }.mkString("\n    UNION ALL\n    ")
+    val bookUnion = (0 until subspaces).map { s =>
+      s"SELECT $s AS sub, cent, v[${s * S + 1}:${s * S + S}] AS cv FROM seeds"
+    }.mkString("\n    UNION ALL\n    ")
+    val d2 = (0 until S).map(i =>
+      s"(x.sv[${i + 1}] - b.cv[${i + 1}]) * (x.sv[${i + 1}] - b.cv[${i + 1}])")
+      .mkString(" + ")
+    val qSums = (0 until S)
+      .map(i => s"SUM(CAST(ROUND(x.sv[${i + 1}] * 1024.0, 0) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val cvArr = (0 until S).map { i =>
+      val num = s"(s$i + cnt // 2)"
+      s"(CAST(($num - ((($num % cnt) + cnt) % cnt)) // cnt AS DOUBLE) / 1024.0)"
+    }.mkString("[", ", ", "]")
+    def argmin(ex: String, book: String): String =
+      s"""SELECT vec_id, sub, cent, rd FROM (
+         |    SELECT x.vec_id, x.sub, b.cent, ROUND($d2, 4) AS rd,
+         |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.sub
+         |        ORDER BY ROUND($d2, 4), b.cent) AS rn
+         |    FROM $ex x JOIN $book b ON x.sub = b.sub) WHERE rn = 1""".stripMargin
+    s"""WITH $corpusSql,
+       |samp AS (SELECT *, $trainHSql AS h FROM c
+       |  ORDER BY h, vec_id LIMIT ${sampleFactor * subK}),
+       |seeds AS (SELECT vec_id, v,
+       |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cent
+       |  FROM samp ORDER BY h, vec_id LIMIT $subK),
+       |book0 AS (
+       |    $bookUnion
+       |),
+       |sx AS (
+       |    ${subUnion("samp")}
+       |),
+       |a0 AS (${argmin("sx", "book0")}),
+       |book AS (SELECT sub, cent, $cvArr AS cv FROM (
+       |    SELECT a0.sub, a0.cent, $qSums, COUNT(*) AS cnt
+       |    FROM a0 JOIN sx x ON a0.vec_id = x.vec_id AND a0.sub = x.sub
+       |    GROUP BY 1, 2)),
+       |cx AS (
+       |    ${subUnion("c")}
+       |),
+       |af AS (${argmin("cx", "book")}),
+       |g AS (SELECT vec_id,
+       |    string_agg(lower(to_hex(cent)), '' ORDER BY sub) AS pq_code,
+       |    CAST(SUM(CAST(ROUND(rd * 10000.0, 0) AS BIGINT)) AS BIGINT) AS err2_e4
+       |  FROM af GROUP BY 1)
+       |SELECT g.vec_id, c.label, g.pq_code, g.err2_e4
+       |FROM g JOIN c ON g.vec_id = c.vec_id""".stripMargin
+  }
+
   /** C17 — int8 embedding quantization: per-vector affine compression
     * (the storage/transport format ANN indexes and feature stores ship
     * at scale — 8× smaller than float64, 4× smaller than float32).

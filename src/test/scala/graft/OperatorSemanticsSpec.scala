@@ -572,6 +572,27 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq codes are well-formed, non-degenerate, and on the data's error scale") {
+    val rows = ops.Similarity.pqEncode(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(2).matches("[0-9a-f]{8}"), s"code ${r.getString(2)}")
+      assert(r.getLong(3) >= 0L)
+      // components are O(1), so per-subspace L2^2 is O(1): a blown-up
+      // error means the codebook is on the wrong scale (the 1024x grid
+      // bug class - cosine never notices scale, L2 does)
+      assert(r.getLong(3) < 1000000L, s"err2_e4 ${r.getLong(3)} implies a mis-scaled codebook")
+    }
+    // the code must carry information: multiple distinct codes, and
+    // each subspace nibble must use more than one centroid
+    val codes = rows.map(_.getString(2)).distinct
+    assert(codes.length > 1, "degenerate codebook: every vector got the same code")
+    (0 until 8).foreach { s =>
+      assert(codes.map(_.charAt(s)).distinct.length > 1,
+        s"subspace $s collapsed to one centroid")
+    }
+  }
+
   test("knn graph ranks neighbors by cosine within the cell and flags mutual edges") {
     val e = ops.Similarity.knnGraph(spark, dir).collect()
     assert(e.nonEmpty)
