@@ -698,4 +698,48 @@ object Analytics {
       | AND v.event_type = 'view'
       | AND v.ts_us > p.ts_us - 86400000000 AND v.ts_us <= p.ts_us
       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** B21 — the EXPLICIT skew-salting pattern: events join a per-type
+    * dimension on `event_type`, a handful of hot values carrying the
+    * whole corpus — the one shape where a plain shuffle join puts an
+    * entire key on one task. The big side salts deterministically
+    * (event_id pmod R); the dimension replicates ×R; the join is EQUI
+    * on (type, salt), so each hot key spreads over R tasks. The
+    * follow-up aggregation is two-stage for the same reason: partial
+    * per (type, salt), final per type — the hot-key reduce never sees
+    * more than R pre-combined rows per key. AQE's skew-join split
+    * covers sort-merge plans at runtime; the explicit salt is the
+    * plan-level guarantee for when the dimension is mid-size (too big
+    * to broadcast, as forced here) or the engine's splitter can't see
+    * the skew. Oracle = the plain unsalted join + aggregation. */
+  def qSaltedSkewJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        pmod(col("event_id"), lit(salts.toLong)).as("salt"))
+    val dim = Tables.events(spark, dir).select(col("event_type")).distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("long"))
+    val dimSalted = dim.crossJoin(
+      spark.range(salts).select(col("id").as("salt")))
+    ev.join(dimSalted.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(round(col("value") * 100.0).cast("long") * col("type_weight")).as("pw"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("pw")).as("weighted_cents"),
+        count(lit(1)).as("n_salt_parts"))
+  }
+
+  def qSaltedSkewJoinSql(salts: Int = 8): String =
+    s"""WITH dim AS (
+       |  SELECT event_type, CAST(LENGTH(event_type) AS BIGINT) AS type_weight
+       |  FROM (SELECT DISTINCT event_type FROM events)
+       |)
+       |SELECT e.event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(ROUND(e.value * 100.0, 0) AS BIGINT) * d.type_weight)
+       |    AS BIGINT) AS weighted_cents,
+       |  CAST(COUNT(DISTINCT e.event_id % $salts) AS BIGINT) AS n_salt_parts
+       |FROM events e JOIN dim d ON e.event_type = d.event_type
+       |GROUP BY 1""".stripMargin
 }

@@ -105,6 +105,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"line agg + occurrence probe + doc reassembly expected, got:\n$p")
   }
 
+  test("salted skew join spreads hot keys and keeps the two-stage aggregation") {
+    val df = queries.Analytics.qSaltedSkewJoin(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the join must be the salted shuffle join (no broadcast collapse
+    // erasing the demonstration) with salt in the join keys
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("salt"), p)
+    // partial (type, salt) aggregate below the final per-type one
+    assert("HashAggregate\\(keys=\\[event_type[^\\]]*salt".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("vocab membership is a broadcast join, not a corpus shuffle") {
     val p = ops.TextAnalysis.vocabCoverage(spark, dir)
       .queryExecution.executedPlan.toString
