@@ -152,6 +152,7 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => ops.Similarity.dedupSemantic(s, d)),
     "knn_graph" -> ((s, d) => ops.Similarity.knnGraph(s, d)),
     "pq_encode" -> ((s, d) => ops.Similarity.pqEncode(s, d)),
+    "pq_adc_topk" -> ((s, d) => ops.Similarity.pqAdcTopK(s, d)),
     "dedup_lines" -> ((s, d) => ops.Dedup.dedupLines(s, d)),
     "text_vocab_coverage" -> ((s, d) => ops.TextAnalysis.vocabCoverage(s, d)),
     "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
@@ -283,6 +284,7 @@ object SparkEntry {
     "dedup_semantic" -> ops.Similarity.dedupSemanticSql(),
     "knn_graph" -> ops.Similarity.knnGraphSql(),
     "pq_encode" -> ops.Similarity.pqEncodeSql(),
+    "pq_adc_topk" -> ops.Similarity.pqAdcTopKSql(),
     "dedup_lines" -> ops.Dedup.dedupLinesSql(),
     "text_vocab_coverage" -> ops.TextAnalysis.vocabCoverageSql(),
     "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,

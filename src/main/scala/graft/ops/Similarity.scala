@@ -327,7 +327,7 @@ object Similarity {
     * orphaning checkpoint-pinned frames). */
   private val ivfMemo = scala.collection.concurrent.TrieMap[
     (SparkSession, String, Int, Int, Int, Int), (DataFrame, DataFrame, Long)]()
-  private[graft] def clearIvfMemo(): Unit = ivfMemo.clear()
+  private[graft] def clearIvfMemo(): Unit = { ivfMemo.clear(); pqMemo.clear() }
 
   /** Corpus + trained centroids — the index-build inputs shared by
     * [[annIvf]], [[dedupSemantic]] and the pruneAssign work probe
@@ -591,8 +591,25 @@ object Similarity {
     * rounded at 1e-4 with the cent-index tie-break (portable argmin);
     * the reconstruction error ships as e4-quantized BIGINT so the
     * 8-term sum is order-independent. */
-  def pqEncode(spark: SparkSession, dir: String, subspaces: Int = 8,
-               subK: Int = 16, sampleFactor: Int = 64): DataFrame = {
+  /** Trained PQ parts memo — [[pqEncode]] and [[pqAdcTopK]] share one
+    * (corpus, codebook, assignments) build per (session, dir, knobs);
+    * released together with the IVF memo by [[clearIvfMemo]]. */
+  private val pqMemo = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Int, Int, Int), (DataFrame, DataFrame, DataFrame)]()
+
+  private[graft] def pqIndexParts(spark: SparkSession, dir: String,
+                                  subspaces: Int = 8, subK: Int = 16,
+                                  sampleFactor: Int = 64): (DataFrame, DataFrame, DataFrame) =
+    pqMemo.synchronized {
+      pqMemo.keys.filter(_._1.sparkContext.isStopped).foreach(pqMemo.remove)
+      pqMemo.getOrElseUpdate((spark, dir, subspaces, subK, sampleFactor),
+        buildPqIndex(spark, dir, subspaces, subK, sampleFactor))
+    }
+
+  /** (corpus, refined codebook (sub, cent, cv), assignments
+    * (vec_id, sub, cent, rd)) — the trained-PQ state. */
+  private def buildPqIndex(spark: SparkSession, dir: String, subspaces: Int,
+                           subK: Int, sampleFactor: Int): (DataFrame, DataFrame, DataFrame) = {
     val S = Dim / subspaces
     val c = corpus(spark, dir).localCheckpoint()
     def floorDiv(num: Column, den: Column): Column =
@@ -636,7 +653,13 @@ object Similarity {
         (floorDiv(col(s"s$i") + floorDiv(col("cnt"), lit(2L)), col("cnt"))
           .cast("double") / lit(1024.0))): _*).as("cv"))
       .localCheckpoint()
-    assign(subExplode(c), book)
+    (c, book, assign(subExplode(c), book).localCheckpoint())
+  }
+
+  def pqEncode(spark: SparkSession, dir: String, subspaces: Int = 8,
+               subK: Int = 16, sampleFactor: Int = 64): DataFrame = {
+    val (c, _, af) = pqIndexParts(spark, dir, subspaces, subK, sampleFactor)
+    af
       .groupBy(col("vec_id"))
       .agg(
         array_join(transform(
@@ -701,6 +724,80 @@ object Similarity {
        |  FROM af GROUP BY 1)
        |SELECT g.vec_id, c.label, g.pq_code, g.err2_e4
        |FROM g JOIN c ON g.vec_id = c.vec_id""".stripMargin
+  }
+
+  /** C31 — asymmetric-distance (ADC) top-k over the PQ codes: the
+    * serving pattern the codes exist for (Jégou et al. §IV). Each
+    * query precomputes its distance to every codebook entry — a
+    * subspaces×subK lookup table, broadcast — and a database vector's
+    * approximate distance is the SUM OF TABLE LOOKUPS addressed by its
+    * code nibbles: the 64-dim scan never touches the raw vectors
+    * again. Distances live on the e4 integer grid (order-independent
+    * sums, and ADC(q → q's own code) reconstructs q's err2_e4 exactly
+    * — the cross-operator identity the spec pins).
+    *
+    * Scale: the LUT is queries×subspaces×subK rows (broadcast); the
+    * scan is the code frame (n×subspaces) joined to it with map-side
+    * partial aggregation per (query, vec); one top-k window. */
+  def pqAdcTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+                topK: Int = 3, subspaces: Int = 8, subK: Int = 16,
+                sampleFactor: Int = 64): DataFrame = {
+    val scores = pqAdcScores(spark, dir, nQueries, subspaces, subK, sampleFactor)
+      .filter(col("vec_id") =!= col("query_id"))
+    val win = Window.partitionBy(col("query_id")).orderBy(col("adc_e4"), col("vec_id"))
+    scores.withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id"), col("rank"), col("adc_e4"))
+  }
+
+  /** Full ADC score frame (query_id, vec_id, adc_e4), self included. */
+  private[graft] def pqAdcScores(spark: SparkSession, dir: String,
+                                 nQueries: Int, subspaces: Int = 8,
+                                 subK: Int = 16, sampleFactor: Int = 64): DataFrame = {
+    val S = Dim / subspaces
+    val (c, book, af) = pqIndexParts(spark, dir, subspaces, subK, sampleFactor)
+    val qx = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), explode(array((0 until subspaces).map(s =>
+        struct(lit(s).as("sub"), slice(col("v"), s * S + 1, S).as("sv"))): _*)).as("x"))
+      .select(col("query_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    val d2 = (0 until S).map(i =>
+      (col("sv")(i) - col("cv")(i)) * (col("sv")(i) - col("cv")(i))).reduce(_ + _)
+    val lut = qx.join(book, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent"),
+        round(round(d2, 4) * 10000.0).cast("long").as("qd_e4"))
+    af.join(broadcast(lut), Seq("sub", "cent"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd_e4")).as("adc_e4"))
+  }
+
+  def pqAdcTopKSql(nQueries: Int = 8, topK: Int = 3, subspaces: Int = 8,
+                   subK: Int = 16, sampleFactor: Int = 64): String = {
+    val S = Dim / subspaces
+    val d2q = (0 until S).map(i =>
+      s"(q.sv[${i + 1}] - b.cv[${i + 1}]) * (q.sv[${i + 1}] - b.cv[${i + 1}])")
+      .mkString(" + ")
+    val qxUnion = (0 until subspaces).map { s =>
+      s"SELECT vec_id AS query_id, $s AS sub, v[${s * S + 1}:${s * S + S}] AS sv FROM c WHERE vec_id < $nQueries"
+    }.mkString("\n    UNION ALL\n    ")
+    val encodeBody = pqEncodeSql(subspaces, subK, sampleFactor)
+    // reuse the encode chain up to the assignment CTE `af`
+    val ctes = encodeBody.substring(0, encodeBody.indexOf(",\ng AS ("))
+    s"""$ctes,
+       |qx AS (
+       |    $qxUnion
+       |),
+       |lut AS (SELECT q.query_id, q.sub, b.cent,
+       |    CAST(ROUND(ROUND($d2q, 4) * 10000.0, 0) AS BIGINT) AS qd_e4
+       |  FROM qx q JOIN book b ON q.sub = b.sub),
+       |adc AS (SELECT l.query_id, a.vec_id,
+       |    CAST(SUM(l.qd_e4) AS BIGINT) AS adc_e4
+       |  FROM af a JOIN lut l ON a.sub = l.sub AND a.cent = l.cent
+       |  GROUP BY 1, 2)
+       |SELECT query_id, vec_id, rank, adc_e4 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc_e4, vec_id) AS rank
+       |  FROM adc WHERE vec_id <> query_id
+       |) WHERE rank <= $topK""".stripMargin
   }
 
   /** C17 — int8 embedding quantization: per-vector affine compression

@@ -593,6 +593,26 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("ADC distance to a vector's own code reconstructs its PQ error exactly") {
+    val err = ops.Similarity.pqEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val self = ops.Similarity.pqAdcScores(spark, dir, nQueries = 8)
+      .filter(col("query_id") === col("vec_id")).collect()
+    assert(self.nonEmpty)
+    // ADC(q -> q's own code) sums the same e4 lookup entries the
+    // encoder summed as reconstruction error - bit-equal by design
+    self.foreach { r =>
+      assert(r.getLong(2) == err(r.getLong(0)),
+        s"query ${r.getLong(0)}: adc ${r.getLong(2)} != err ${err(r.getLong(0))}")
+    }
+    // and the served top-k never includes self, with dense ranks
+    val served = ops.Similarity.pqAdcTopK(spark, dir).collect()
+    assert(served.forall(r => r.getLong(0) != r.getLong(1)))
+    served.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
   test("knn graph ranks neighbors by cosine within the cell and flags mutual edges") {
     val e = ops.Similarity.knnGraph(spark, dir).collect()
     assert(e.nonEmpty)
