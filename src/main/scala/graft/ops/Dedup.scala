@@ -364,14 +364,26 @@ object Dedup {
   /** (doc_id, line_no, line): consecutive `width`-token windows of the
     * normalized text, built row-locally (slice + array_join). */
   private def lineFrame(spark: SparkSession, dir: String, width: Int): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
+    lineFrameOf(Tables.documents(spark, dir), width)
+
+  /** [[lineFrame]] over an arbitrary documents frame — shared with the
+    * streaming twin (row-local, so it runs unchanged per micro-batch).
+    * `keep` carries extra columns through (the streaming twin threads
+    * its event-time column to the watermarked dedup state). */
+  private[graft] def lineFrameOf(docs: DataFrame, width: Int,
+                                 keep: Seq[String] = Nil): DataFrame =
+    docs
+      .select(col("doc_id") +: Text.tokens(col("text")).as("toks") +:
+        keep.map(col): _*)
+      .select(col("doc_id") +:
         expr(s"""transform(
           sequence(0, CAST(ceil(size(toks) / ${width}.0) AS INT) - 1),
-          i -> array_join(slice(toks, i * $width + 1, $width), ' '))""").as("lines"))
-      .select(col("doc_id"), posexplode(col("lines")).as(Seq("line_no", "line")))
-      .select(col("doc_id"), col("line_no").cast("long").as("line_no"), col("line"))
+          i -> array_join(slice(toks, i * $width + 1, $width), ' '))""").as("lines") +:
+        keep.map(col): _*)
+      .select(col("doc_id") +: posexplode(col("lines")).as(Seq("line_no", "line")) +:
+        keep.map(col): _*)
+      .select(col("doc_id") +: col("line_no").cast("long").as("line_no") +:
+        col("line") +: keep.map(col): _*)
 
   def dedupLinesSql(width: Int = 10): String =
     s"""WITH t AS (

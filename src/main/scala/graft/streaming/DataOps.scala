@@ -37,6 +37,31 @@ object DataOps {
           .dropDuplicates("fingerprint")
     }
 
+  /** C27s — streaming line-level dedup: the C27 boilerplate pass over
+    * a document stream. Line construction is row-local (identical per
+    * micro-batch); first-occurrence resolution is per-line-digest
+    * dedup state, exactly A35's shape one level finer. In production
+    * the state bounds with `dropDuplicatesWithinWatermark` like A35;
+    * the unbounded form is the exact global pass (spec mode). Emits
+    * one row per SURVIVING line occurrence. */
+  def streamLineDedup(docs: DataFrame, width: Int = 10,
+                      withinWatermarkDelay: Option[String] = None): DataFrame = {
+    withinWatermarkDelay match {
+      case Some(delay) =>
+        graft.ops.Dedup
+          .lineFrameOf(docs.withWatermark("ingest_time", delay), width,
+            keep = Seq("ingest_time"))
+          .withColumn("lh", md5(col("line").cast("binary")))
+          .dropDuplicatesWithinWatermark("lh")
+          .select(col("doc_id"), col("line_no"), col("lh"))
+      case None =>
+        graft.ops.Dedup.lineFrameOf(docs, width)
+          .withColumn("lh", md5(col("line").cast("binary")))
+          .dropDuplicates("lh")
+          .select(col("doc_id"), col("line_no"), col("lh"))
+    }
+  }
+
   /** A36 — streaming sessionization: per-user session windows with a
     * 30-minute gap over event time; a session finalizes when the
     * watermark passes its close. Emits the same (user, session start,

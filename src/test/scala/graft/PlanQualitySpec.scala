@@ -69,7 +69,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "codec_canal_envelope", "codec_canal_envelope_decode",
       "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf", "doc_tfidf",
       "dedup_semantic", // shares ann_ivf's corpus x k-centroid broadcast cross
-      "source_mix_weights") // 1-row totals broadcast (q_scalar_subquery shape)
+      "source_mix_weights", // 1-row totals broadcast (q_scalar_subquery shape)
+      "knn_graph", // shares the ann_ivf corpus x k-centroid assignment cross
+      // the deliberate dimension x salt-range replication cross (R rows)
+      "q_salted_skew_join",
+      // table universe x boundary grid broadcast cross (dimension-scale),
+      // the same shape as cdc_syncpoint's telescoping grid
+      "cdc_table_lifecycle", "cdc_event_physical")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -143,6 +143,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == graft.ops.Dedup.exact(spark, dir).count())
   }
 
+  test("C27s: streaming line dedup keeps one occurrence per line and covers the corpus") {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    runToCompletion(graft.streaming.DataOps.streamLineDedup(stream), "c27s", "append")
+    val streamed = spark.table("c27s")
+    // exactly one survivor per distinct line, total kept equals batch
+    assert(streamed.count() == streamed.select("lh").distinct().count())
+    val batchKept = graft.ops.Dedup.dedupLines(spark, dir)
+      .agg(sum("kept_lines")).collect()(0).getLong(0)
+    assert(streamed.count() == batchKept)
+    // the watermark-bounded arm resolves and dedupes within the horizon
+    val wmStream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+      .withColumn("ingest_time", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
+    runToCompletion(
+      graft.streaming.DataOps.streamLineDedup(wmStream, 10, Some("10 minutes")),
+      "c27sw", "append")
+    assert(spark.table("c27sw").count() == batchKept)
+  }
+
   test("A36: streaming session windows equal batch lag+cumsum sessions") {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
