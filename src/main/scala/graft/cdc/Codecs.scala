@@ -414,6 +414,93 @@ object Codecs {
        |FROM (SELECT commit_ts, $debeziumValueSql AS value FROM changelog)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- A70
+  // Full-fidelity debezium envelope (reference: pkg/sink/codec/debezium/
+  // codec.go:518-772 EncodeRowChangedEvent): the complete payload.source
+  // block in writer order (version/connector/name/ts_ms/snapshot/db/
+  // table/server_id/gtid/file/pos/row/thread/query + the TiDB
+  // commit_ts/cluster_id extensions), processing ts_ms, null
+  // transaction, the op-first image rules (insert: before null; delete:
+  // after null; update: both — DebeziumOutputOldValue default), and the
+  // optional trailing `schema` descriptor — Envelope struct with
+  // before/after Value structs (per-column field schemas), the
+  // io.debezium.connector.mysql.Source struct (snapshot as the
+  // io.debezium.data.Enum), op, ts_ms, and the event.block transaction
+  // struct. Deterministic stand-ins: cluster id literal, both ts_ms
+  // fields = commit_ts (the TSO physical-ms and nowFunc clocks).
+  // Row-local codegen concat — zero shuffle at any scale.
+
+  private val dbzCluster = "graft-cluster"
+  private val dbzColFields =
+    """{"type":"int64","optional":false,"field":"pk"},{"type":"double","optional":true,"field":"value"}"""
+  private val dbzSourceSchema =
+    """{"type":"struct","fields":[{"type":"string","optional":false,"field":"version"},{"type":"string","optional":false,"field":"connector"},{"type":"string","optional":false,"field":"name"},{"type":"int64","optional":false,"field":"ts_ms"},{"type":"string","optional":true,"name":"io.debezium.data.Enum","version":1,"parameters":{"allowed":"true,last,false,incremental"},"default":"false","field":"snapshot"},{"type":"string","optional":false,"field":"db"},{"type":"string","optional":true,"field":"sequence"},{"type":"string","optional":true,"field":"table"},{"type":"int64","optional":false,"field":"server_id"},{"type":"string","optional":true,"field":"gtid"},{"type":"string","optional":false,"field":"file"},{"type":"int64","optional":false,"field":"pos"},{"type":"int32","optional":false,"field":"row"},{"type":"int64","optional":true,"field":"thread"},{"type":"string","optional":true,"field":"query"}],"optional":false,"name":"io.debezium.connector.mysql.Source","field":"source"}"""
+  private val dbzTailSchema =
+    """{"type":"string","optional":false,"field":"op"},{"type":"int64","optional":true,"field":"ts_ms"},{"type":"struct","fields":[{"type":"string","optional":false,"field":"id"},{"type":"int64","optional":false,"field":"total_order"},{"type":"int64","optional":false,"field":"data_collection_order"}],"optional":true,"name":"event.block","version":1,"field":"transaction"}"""
+
+  private[cdc] def debeziumEnvelopeValue: Column = {
+    def image(v: Column): Column =
+      concat(lit("{\"pk\":"), col("pk"), lit(",\"value\":"),
+        when(v.isNull, lit("null")).otherwise(fmt(v)), lit("}"))
+    def valueStruct(f: String): Column = concat(
+      lit(s"""{"type":"struct","optional":true,"name":"$dbzCluster."""),
+      col("schema_name"), lit("."), col("table_name"),
+      lit(s""".Value","field":"$f","fields":[$dbzColFields]}"""))
+    val source = concat(
+      lit(s"""{"payload":{"source":{"version":"2.4.0.Final","connector":"TiCDC","name":"$dbzCluster","ts_ms":"""),
+      col("commit_ts"),
+      lit(""","snapshot":"false","db":""""), col("schema_name"),
+      lit("""","table":""""), col("table_name"),
+      lit("""","server_id":0,"gtid":null,"file":"","pos":0,"row":0,"thread":0,"query":null,"commit_ts":"""),
+      col("commit_ts"), lit(s""","cluster_id":"$dbzCluster"},"ts_ms":"""),
+      col("commit_ts"), lit(""","transaction":null,"""))
+    val ops = when(col("op") === "I",
+        concat(lit("\"op\":\"c\",\"before\":null,\"after\":"), image(col("after_value"))))
+      .when(col("op") === "D",
+        concat(lit("\"op\":\"d\",\"after\":null,\"before\":"), image(col("before_value"))))
+      .otherwise(
+        concat(lit("\"op\":\"u\",\"before\":"), image(col("before_value")),
+          lit(",\"after\":"), image(col("after_value"))))
+    val schemaBlock = concat(
+      lit(s"""},"schema":{"type":"struct","optional":false,"name":"$dbzCluster."""),
+      col("schema_name"), lit("."), col("table_name"),
+      lit(""".Envelope","version":1,"fields":["""),
+      valueStruct("before"), lit(","), valueStruct("after"), lit(","),
+      lit(dbzSourceSchema), lit(","), lit(dbzTailSchema), lit("]}}"))
+    concat(source, ops, schemaBlock)
+  }
+
+  def debeziumEnvelope(cl: DataFrame): DataFrame =
+    cl.select(col("commit_ts"), debeziumEnvelopeValue.as("value"))
+
+  val debeziumEnvelopeSql: String = {
+    def imageSql(v: String) =
+      s"""CONCAT('{"pk":', pk, ',"value":',
+         |  CASE WHEN $v IS NULL THEN 'null' ELSE ${fmtSql(v)} END, '}')""".stripMargin
+    def valueStructSql(f: String) =
+      s"""CONCAT('{"type":"struct","optional":true,"name":"$dbzCluster.', schema_name, '.', table_name, '.Value","field":"$f","fields":[$dbzColFields]}')"""
+    s"""SELECT commit_ts, CONCAT(
+       |  '{"payload":{"source":{"version":"2.4.0.Final","connector":"TiCDC","name":"$dbzCluster","ts_ms":',
+       |  commit_ts,
+       |  ',"snapshot":"false","db":"', schema_name,
+       |  '","table":"', table_name,
+       |  '","server_id":0,"gtid":null,"file":"","pos":0,"row":0,"thread":0,"query":null,"commit_ts":',
+       |  commit_ts, ',"cluster_id":"$dbzCluster"},"ts_ms":', commit_ts,
+       |  ',"transaction":null,',
+       |  CASE op
+       |    WHEN 'I' THEN CONCAT('"op":"c","before":null,"after":', ${imageSql("after_value")})
+       |    WHEN 'D' THEN CONCAT('"op":"d","after":null,"before":', ${imageSql("before_value")})
+       |    ELSE CONCAT('"op":"u","before":', ${imageSql("before_value")},
+       |      ',"after":', ${imageSql("after_value")})
+       |  END,
+       |  '},"schema":{"type":"struct","optional":false,"name":"$dbzCluster.',
+       |  schema_name, '.', table_name, '.Envelope","version":1,"fields":[',
+       |  ${valueStructSql("before")}, ',', ${valueStructSql("after")}, ',',
+       |  '$dbzSourceSchema', ',', '$dbzTailSchema', ']}}'
+       |) AS value
+       |FROM changelog""".stripMargin
+  }
+
   /** A22 — csv line (reference: pkg/sink/codec/csv/csv_message.go —
     * opType,schema,table,commitTs,cols...). Strings double-quote with
     * `""` escaping; NULL image renders `\N` (MySQL convention). */

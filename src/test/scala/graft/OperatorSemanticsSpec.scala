@@ -516,6 +516,40 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got(2L).getString(4) == orig)
   }
 
+  test("debezium envelope parses as JSON and round-trips payload + schema blocks") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val n = cl.count()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "payload STRUCT<source STRUCT<db: STRING, `table`: STRING, commit_ts: BIGINT, " +
+        "connector: STRING, version: STRING>, op STRING, ts_ms BIGINT, " +
+        "before STRUCT<pk: BIGINT, value: DOUBLE>, after STRUCT<pk: BIGINT, value: DOUBLE>>, " +
+        "schema STRUCT<name: STRING, version: BIGINT, optional: BOOLEAN>")
+    val parsed = cdc.Codecs.debeziumEnvelope(cl)
+      .select(from_json(col("value"), schema).as("m"))
+    // malformed JSON parses to null - none may
+    assert(parsed.filter(col("m").isNull || col("m.payload").isNull ||
+      col("m.schema").isNull).count() == 0)
+    assert(parsed.count() == n)
+    // payload round-trips the event identity; schema block is the Envelope
+    val m = parsed.select(
+      col("m.payload.source.db"), col("m.payload.source.table"),
+      col("m.payload.source.commit_ts"), col("m.payload.op"),
+      col("m.payload.source.connector"), col("m.schema.name"))
+    assert(m.filter(col("connector") =!= "TiCDC").count() == 0)
+    assert(m.filter(!col("name").endsWith(".Envelope")).count() == 0)
+    val back = m.select(col("db").as("schema_name"), col("table").as("table_name"),
+      col("commit_ts"),
+      when(col("op") === "c", "I").when(col("op") === "d", "D").otherwise(lit("U")).as("op"))
+    val orig = cl.select(col("schema_name"), col("table_name"), col("commit_ts"), col("op"))
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+    // image rules: inserts carry no before, deletes no after, updates both
+    val imgs = parsed.select(col("m.payload.op").as("op"),
+      col("m.payload.before").isNotNull.as("b"), col("m.payload.after").isNotNull.as("a"))
+    assert(imgs.filter(col("op") === "c" && (col("b") || !col("a"))).count() == 0)
+    assert(imgs.filter(col("op") === "d" && (col("a") || !col("b"))).count() == 0)
+    assert(imgs.filter(col("op") === "u" && (!col("a") || !col("b"))).count() == 0)
+  }
+
   test("span frontier is bounded by the region extremes and agrees with the table max") {
     val clf = cdc.ChangeEvents.changelog(spark, dir)
     val got = cdc.Materialize.spanFrontier(clf).collect()
