@@ -80,6 +80,7 @@ object SparkEntry {
     "codec_open_protocol" -> ((s, d) => Codecs.openProtocol(cl(s, d))),
     "codec_debezium" -> ((s, d) => Codecs.debezium(cl(s, d))),
     "codec_debezium_envelope" -> ((s, d) => Codecs.debeziumEnvelope(cl(s, d))),
+    "codec_debezium_envelope_decode" -> ((s, d) => Codecs.debeziumEnvelopeDecode(cl(s, d))),
     "codec_csv" -> ((s, d) => Codecs.csv(cl(s, d))),
     "codec_avro_schema" -> ((s, d) => Codecs.avroRecord(cl(s, d))),
     "sink_storage_layout" -> ((s, d) => Codecs.storageLayout(cl(s, d))),
@@ -214,6 +215,7 @@ object SparkEntry {
     "codec_open_protocol" -> o(Codecs.openProtocolSql),
     "codec_debezium" -> o(Codecs.debeziumSql),
     "codec_debezium_envelope" -> o(Codecs.debeziumEnvelopeSql),
+    "codec_debezium_envelope_decode" -> o(Codecs.debeziumEnvelopeDecodeSql),
     "codec_csv" -> o(Codecs.csvSql),
     "codec_avro_schema" -> o(Codecs.avroRecordSql),
     "sink_storage_layout" -> o(Codecs.storageLayoutSql),

@@ -501,6 +501,42 @@ object Codecs {
        |FROM changelog""".stripMargin
   }
 
+  /** A71 — consumer side of the full envelope: one JSON parse back to
+    * the row-event frame, event identity from payload.source (the
+    * TiDB commit_ts extension — the consumer's only exact clock),
+    * images from the op-gated before/after. decode∘encode = id over
+    * the changelog projection (the oracle checks it; A44 covers the
+    * simplified form). */
+  def debeziumEnvelopeDecode(cl: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "payload STRUCT<source STRUCT<db: STRING, `table`: STRING, commit_ts: BIGINT>, " +
+        "op STRING, before STRUCT<pk: BIGINT, value: DOUBLE>, " +
+        "after STRUCT<pk: BIGINT, value: DOUBLE>>")
+    def m(p: String): Column = col("m").getField("payload").getField(p)
+    debeziumEnvelope(cl).select(from_json(col("value"), schema).as("m")).select(
+      m("source").getField("commit_ts").as("commit_ts"),
+      m("source").getField("db").as("schema_name"),
+      m("source").getField("table").as("table_name"),
+      when(m("op") === "c", "I").when(m("op") === "d", "D")
+        .otherwise(lit("U")).as("op"),
+      coalesce(m("after").getField("pk"), m("before").getField("pk")).as("pk"),
+      m("before").getField("value").as("before_value"),
+      m("after").getField("value").as("after_value"))
+  }
+
+  val debeziumEnvelopeDecodeSql: String = {
+    def v(p: String) = s"json_extract_string(value, '$p')"
+    s"""SELECT
+       |  CAST(${v("$.payload.source.commit_ts")} AS BIGINT) AS commit_ts,
+       |  ${v("$.payload.source.db")} AS schema_name,
+       |  ${v("$.payload.source.table")} AS table_name,
+       |  CASE ${v("$.payload.op")} WHEN 'c' THEN 'I' WHEN 'd' THEN 'D' ELSE 'U' END AS op,
+       |  CAST(COALESCE(${v("$.payload.after.pk")}, ${v("$.payload.before.pk")}) AS BIGINT) AS pk,
+       |  CAST(${v("$.payload.before.value")} AS DOUBLE) AS before_value,
+       |  CAST(${v("$.payload.after.value")} AS DOUBLE) AS after_value
+       |FROM ($debeziumEnvelopeSql)""".stripMargin
+  }
+
   /** A22 — csv line (reference: pkg/sink/codec/csv/csv_message.go —
     * opType,schema,table,commitTs,cols...). Strings double-quote with
     * `""` escaping; NULL image renders `\N` (MySQL convention). */
