@@ -550,6 +550,25 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(imgs.filter(col("op") === "u" && (!col("a") || !col("b"))).count() == 0)
   }
 
+  test("txn matcher drops rollbacks and orphan commits and defeats fake prewrites") {
+    val clf = cdc.ChangeEvents.changelog(spark, dir)
+    val m = cdc.TxnMatcher.matched(clf)
+    val arms = m.select("arm").distinct().collect().map(_.getLong(0)).toSet
+    // rolled-back txns (arm 0) and orphan commits (arm 1) never emit
+    assert(!arms.contains(0L) && !arms.contains(1L))
+    // the fake-prewrite arm emits with the REAL payload, never the fake's
+    val fakeArm = m.filter(col("arm") === 2L)
+    assert(fakeArm.count() > 0, "arm 2 must occur at sf0.001")
+    assert(fakeArm.filter(col("value") === "").count() == 0)
+    // conservation: every commit outside arms 0/1 matches exactly once
+    val expected = clf.withColumn("arm",
+        pmod(graft.functions.Portable.hash60(concat_ws("|", lit("txn-arm-v1:"),
+          col("schema_name"), col("table_name"), col("pk").cast("string"),
+          col("start_ts").cast("string"))), lit(12L)))
+      .filter(col("arm") =!= 0L && col("arm") =!= 1L).count()
+    assert(m.count() == expected)
+  }
+
   test("span frontier is bounded by the region extremes and agrees with the table max") {
     val clf = cdc.ChangeEvents.changelog(spark, dir)
     val got = cdc.Materialize.spanFrontier(clf).collect()
