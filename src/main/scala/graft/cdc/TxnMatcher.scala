@@ -84,6 +84,28 @@ object TxnMatcher {
         col("commit_ts"), col("op"), col("value"), col("old_value"), col("arm"))
   }
 
+  /** The derived raw KV stream (kind P real-prewrite / F fake / R
+    * rollback / C commit, seq orders kinds within a pair) — the input
+    * the streaming twin consumes; [[matched]] fuses the same legs into
+    * the one-shuffle batch plan. */
+  private[graft] def rawStream(cl: DataFrame): DataFrame = {
+    val keyed = cl.withColumn("arm", arm)
+    val payload = when(col("op") === "D", lit("del"))
+      .otherwise(format_string("%.4f", col("after_value")))
+    val oldPayload = when(col("before_value").isNull, lit(""))
+      .otherwise(format_string("%.4f", col("before_value")))
+    def leg(f: Column, kind: String, seq: Long, v: Column, ov: Column,
+            cts: Column, op: Column): DataFrame =
+      keyed.filter(f).select(col("schema_name"), col("table_name"), col("pk"),
+        col("start_ts"), lit(kind).as("kind"), lit(seq).as("seq"),
+        cts.as("commit_ts"), op.as("op"), v.as("value"), ov.as("old_value"))
+    leg(col("arm") =!= 1L, "P", 0L, payload, oldPayload, lit(0L), lit(""))
+      .unionByName(leg(col("arm") === 2L, "F", 1L, lit(""), lit(""), lit(0L), lit("")))
+      .unionByName(leg(col("arm") === 0L, "R", 2L, lit(""), lit(""), lit(0L), lit("")))
+      .unionByName(leg(col("arm") =!= 0L, "C", 2L, lit(""), lit(""),
+        col("commit_ts"), col("op")))
+  }
+
   val matchedSql: String =
     s"""WITH keyed AS (
        |  SELECT *, $armSql AS arm FROM changelog

@@ -110,4 +110,62 @@ object CdcStream {
       .select(col("window.start").as("window_start"),
         col("schema_name"), col("table_name"),
         col("n_events"), col("sum_value_cents"))
+
+  /** One raw TiKV-style change entry (A72's stream form). */
+  case class RawKv(schema_name: String, table_name: String, pk: Long,
+                   start_ts: Long, kind: String, seq: Long, commit_ts: Long,
+                   op: String, value: String, old_value: String)
+
+  /** Cached prewrite per (table, key, startTs) — the matcher's map entry. */
+  case class PrewriteState(value: String, old_value: String)
+
+  /** A matched row event (commit + its prewrite's payloads). */
+  case class MatchedRow(schema_name: String, table_name: String, pk: Long,
+                        start_ts: Long, commit_ts: Long, op: String,
+                        value: String, old_value: String)
+
+  /** A72s — the transaction matcher as it actually runs: continuous,
+    * one O(1) prewrite cache per (table, key, startTs), exactly
+    * `txn_matcher.go`'s map entry. Commits emit iff a live prewrite
+    * exists; rollbacks clear it; an empty-payload (fake) prewrite never
+    * overwrites a cached real one. Batch-arrival order within a group
+    * is undefined under parallelism (the reference's map overwrite is
+    * arrival-order dependent), so the twin pins the batch operator's
+    * deterministic tie-break: rows process in (seq, value, old_value)
+    * order and the first non-empty prewrite wins. */
+  def txnMatch(raw: Dataset[RawKv]): Dataset[MatchedRow] = {
+    import raw.sparkSession.implicits._
+    raw.groupByKey(r => (r.schema_name, r.table_name, r.pk, r.start_ts))
+      .flatMapGroupsWithState[PrewriteState, MatchedRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((sch, tbl, pk, sts), it, state: GroupState[PrewriteState]) =>
+          val out = scala.collection.mutable.Buffer[MatchedRow]()
+          var cached = state.getOption
+          it.toSeq.sortBy(r => (r.seq, r.value, r.old_value)).foreach { r =>
+            r.kind match {
+              case "P" | "F" =>
+                val overwrite = cached.forall(_.value.isEmpty) && r.value.nonEmpty
+                if (cached.isEmpty || overwrite)
+                  cached = Some(PrewriteState(r.value, r.old_value))
+              case "R" => cached = None
+              // the reference deletes the entry on match (a real txn
+              // writes a key once per startTs); the synthetic changelog
+              // can carry several events per (key, startTs), and the
+              // batch operator's join matches EVERY commit against the
+              // one cached prewrite — the twin retains the entry to
+              // stay frame-equal with it
+              case "C" => cached.foreach { pw =>
+                  out += MatchedRow(sch, tbl, pk, sts, r.commit_ts, r.op,
+                    pw.value, pw.old_value)
+                }
+              case _ =>
+            }
+          }
+          cached match {
+            case Some(p) => state.update(p)
+            case None => if (state.exists) state.remove()
+          }
+          out.iterator
+      }
+  }
 }

@@ -143,6 +143,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == graft.ops.Dedup.exact(spark, dir).count())
   }
 
+  test("A72s: streaming txn matcher equals the batch matcher over an ordered replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CdcStream.RawKv
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cl = graft.cdc.ChangeEvents.changelog(spark, dir)
+    val raw = graft.cdc.TxnMatcher.rawStream(cl).as[RawKv].collect()
+    // replay in three start_ts ranges (groups never split: all rows of
+    // a (key, startTs) pair share its start_ts)
+    val cuts = raw.map(_.start_ts).distinct.sorted
+    val (c1, c2) = (cuts((cuts.length - 1) / 3), cuts(2 * (cuts.length - 1) / 3))
+    val in = MemoryStream[RawKv]
+    val q = graft.streaming.CdcStream.txnMatch(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("a72s").outputMode("append").start()
+    try {
+      in.addData(raw.filter(_.start_ts <= c1).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(raw.filter(r => r.start_ts > c1 && r.start_ts <= c2).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(raw.filter(_.start_ts > c2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("a72s")
+    val batch = graft.cdc.TxnMatcher.matched(cl)
+      .select("schema_name", "table_name", "pk", "start_ts", "commit_ts",
+        "op", "value", "old_value")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed matches must equal the batch matcher frame")
+  }
+
   test("C27s: streaming line dedup keeps one occurrence per line and covers the corpus") {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
