@@ -71,6 +71,7 @@ object SparkEntry {
     "cdc_resolved_ts" -> ((s, d) => Materialize.resolvedTs(cl(s, d))),
     "cdc_span_frontier" -> ((s, d) => Materialize.spanFrontier(cl(s, d))),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
+    "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_txn_group" -> ((s, d) => Materialize.txnGroup(cl(s, d))),
     "cdc_syncpoint" -> ((s, d) => Materialize.syncpoint(s, cl(s, d), syncStep)),
     "cdc_schema_asof" -> ((s, d) => SchemaStore.eventsWithSchema(cl(s, d))),
@@ -207,6 +208,7 @@ object SparkEntry {
     "cdc_resolved_ts" -> o(Materialize.resolvedTsSql),
     "cdc_span_frontier" -> o(Materialize.spanFrontierSql()),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
+    "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_txn_group" -> o(Materialize.txnGroupSql),
     "cdc_syncpoint" -> o(Materialize.syncpointSql(syncStep)),
     "cdc_schema_asof" -> o(SchemaStore.eventsWithSchemaSql),

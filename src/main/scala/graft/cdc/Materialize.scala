@@ -160,6 +160,50 @@ object Materialize {
        |JOIN slow s ON t.schema_name = s.schema_name AND t.table_name = s.table_name""".stripMargin
   }
 
+  /** A73: event-store retention GC (reference: logservice/eventstore/
+    * gc.go:33-76 — delete ranges (0, gcTs] per table). The GC
+    * watermark derives from the A69 span frontier minus the retention
+    * horizon (clamped at 0); the observable state per table is the
+    * trimmed/surviving split and the store's new low watermark (min
+    * surviving commit ts, -1 when the table empties). One broadcast
+    * of the dimension-scale gc frame + one partial-aggregated pass
+    * over the changelog. */
+  def gcTrim(cl: DataFrame, nRegions: Int = 8, retention: Long = 2000L): DataFrame = {
+    val gc = spanFrontier(cl, nRegions)
+      .select(col("schema_name"), col("table_name"),
+        greatest(col("frontier_ts") - retention, lit(0L)).as("gc_ts"))
+    cl.join(broadcast(gc), Seq("schema_name", "table_name"))
+      .groupBy(col("schema_name"), col("table_name"), col("gc_ts"))
+      .agg(
+        sum(when(col("commit_ts") <= col("gc_ts"), 1L).otherwise(0L)).as("trimmed_events"),
+        sum(when(col("commit_ts") > col("gc_ts"), 1L).otherwise(0L)).as("surviving_events"),
+        coalesce(min(when(col("commit_ts") > col("gc_ts"), col("commit_ts"))), lit(-1L))
+          .as("low_watermark"))
+  }
+
+  def gcTrimSql(nRegions: Int = 8, retention: Long = 2000L): String = {
+    val bucket = graft.functions.Portable.bucketSql("CAST(pk AS VARCHAR)", nRegions)
+    s"""WITH regions AS (
+       |  SELECT schema_name, table_name, $bucket AS region_id,
+       |    MAX(commit_ts) AS rts
+       |  FROM changelog GROUP BY 1, 2, 3
+       |), gc AS (
+       |  SELECT schema_name, table_name,
+       |    GREATEST(MIN(rts) - $retention, 0) AS gc_ts
+       |  FROM regions GROUP BY 1, 2
+       |)
+       |SELECT c.schema_name, c.table_name, g.gc_ts,
+       |  CAST(SUM(CASE WHEN c.commit_ts <= g.gc_ts THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS trimmed_events,
+       |  CAST(SUM(CASE WHEN c.commit_ts > g.gc_ts THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS surviving_events,
+       |  CAST(COALESCE(MIN(CASE WHEN c.commit_ts > g.gc_ts THEN c.commit_ts END), -1)
+       |    AS BIGINT) AS low_watermark
+       |FROM changelog c
+       |JOIN gc g ON c.schema_name = g.schema_name AND c.table_name = g.table_name
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** Transaction batches: events sharing a start_ts form one upstream
     * txn (reference: txn batching in pkg/sink/mysql — events of one txn
     * are flushed atomically). */

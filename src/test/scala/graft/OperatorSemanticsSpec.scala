@@ -569,6 +569,25 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(m.count() == expected)
   }
 
+  test("gc trim conserves events and derives its watermark from the span frontier") {
+    val clf = cdc.ChangeEvents.changelog(spark, dir)
+    val totals = clf.groupBy(col("schema_name"), col("table_name"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val frontier = cdc.Materialize.spanFrontier(clf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // a retention shorter than the frontier actually trims at sf0.001
+    val got = cdc.Materialize.gcTrim(clf, retention = 500L).collect()
+    assert(got.exists(_.getLong(3) > 0), "retention 500 must trim something")
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == math.max(frontier(key) - 500L, 0L), "gc_ts from frontier")
+      assert(r.getLong(3) + r.getLong(4) == totals(key), "trim conserves events")
+      assert(r.getLong(4) == 0L || r.getLong(5) > r.getLong(2),
+        "low watermark must clear the gc horizon")
+    }
+  }
+
   test("span frontier is bounded by the region extremes and agrees with the table max") {
     val clf = cdc.ChangeEvents.changelog(spark, dir)
     val got = cdc.Materialize.spanFrontier(clf).collect()
