@@ -173,6 +173,7 @@ object SparkEntry {
     "contamination_ngram" -> ((s, d) => ops.Curation.contamination(s, d)),
     "stratified_sample" -> ((s, d) => ops.Curation.stratifiedSample(s, d)),
     "pii_redact" -> ((s, d) => ops.Curation.piiRedact(s, d)),
+    "quality_filter_bank" -> ((s, d) => ops.Curation.qualityFilterBank(s, d)),
     "corpus_manifest" -> ((s, d) => ops.Curation.corpusManifest(s, d)),
     "seq_pack" -> ((s, d) => ops.Corpus.seqPack(s, d)),
     "corpus_stats" -> ((s, d) => ops.Corpus.corpusStats(s, d)),
@@ -309,6 +310,7 @@ object SparkEntry {
     "contamination_ngram" -> ops.Curation.contaminationSql,
     "stratified_sample" -> ops.Curation.stratifiedSampleSql(),
     "pii_redact" -> ops.Curation.piiRedactSql,
+    "quality_filter_bank" -> ops.Curation.qualityFilterBankSql(),
     "corpus_manifest" -> ops.Curation.corpusManifestSql,
     "seq_pack" -> ops.Corpus.seqPackSql(),
     "corpus_stats" -> ops.Corpus.corpusStatsSql,

@@ -396,4 +396,71 @@ object Curation {
        |SELECT doc_id, reason, split,
        |  CAST(reason = 'keep' AS BIGINT) AS keep
        |FROM j""".stripMargin
+
+  // ---------------------------------------------------------------- C32
+
+  /** C32 — the Gopher-style heuristic quality filter bank (public rule
+    * set: Rae et al. 2021 §A1.1, the C4 heuristics): per doc, every
+    * rule's metric plus the keep/drop verdict with the FIRST failing
+    * rule as the reason — word-count bounds, stopword presence,
+    * duplicate-3-gram mass, and top-gram concentration. This is the
+    * heuristic arm that runs BEFORE the dedup/contamination manifest
+    * (C24); thresholds are knobs.
+    *
+    * Scale: the count/stopword metrics are row-local; the repetition
+    * metrics reuse C14's per-doc gram profile (one explode→doc-keyed
+    * aggregation), and the final join is doc-keyed equi — no new
+    * shuffle shapes. */
+  def qualityFilterBank(spark: SparkSession, dir: String,
+                        minTokens: Long = 20L, maxTokens: Long = 100000L,
+                        minStopPpm: Long = 20000L, maxDupGramPpm: Long = 20000L,
+                        maxTopGramPpm: Long = 100000L): DataFrame = {
+    val m = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        call_function("graft_count_in", col("toks"),
+          array(TextAnalysis.enStopwords.map(lit): _*)))
+      .withColumn("stop_ppm", expr("n_stop * 1000000 DIV n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ppm"))
+    val rep = Corpus.textRepetition(spark, dir)
+      .select(col("doc_id"), col("dup_gram_ppm"), col("top_gram_ppm"))
+    m.join(rep, "doc_id")
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens, "word_count")
+          .when(col("stop_ppm") < minStopPpm, "stopword")
+          .when(col("dup_gram_ppm") > maxDupGramPpm, "repetition")
+          .when(col("top_gram_ppm") > maxTopGramPpm, "top_gram")
+          .otherwise("pass"))
+      .withColumn("keep", when(col("reason") === "pass", 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ppm"),
+        col("dup_gram_ppm"), col("top_gram_ppm"), col("keep"), col("reason"))
+  }
+
+  def qualityFilterBankSql(minTokens: Long = 20L, maxTokens: Long = 100000L,
+                           minStopPpm: Long = 20000L, maxDupGramPpm: Long = 20000L,
+                           maxTopGramPpm: Long = 100000L): String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(toks, t -> t IN (${TextAnalysis.enStopwordsSql})))
+       |      AS BIGINT) * 1000000
+       |      // CAST(len(toks) AS BIGINT) AS stop_ppm
+       |  FROM (SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents)
+       |), rep AS (
+       |  SELECT doc_id, dup_gram_ppm, top_gram_ppm
+       |  FROM (${Corpus.textRepetitionSql}) r
+       |), j AS (
+       |  SELECT m.doc_id, m.n_tokens, m.stop_ppm, rep.dup_gram_ppm, rep.top_gram_ppm,
+       |    CASE
+       |      WHEN m.n_tokens < $minTokens OR m.n_tokens > $maxTokens THEN 'word_count'
+       |      WHEN m.stop_ppm < $minStopPpm THEN 'stopword'
+       |      WHEN rep.dup_gram_ppm > $maxDupGramPpm THEN 'repetition'
+       |      WHEN rep.top_gram_ppm > $maxTopGramPpm THEN 'top_gram'
+       |      ELSE 'pass' END AS reason
+       |  FROM m JOIN rep ON m.doc_id = rep.doc_id
+       |)
+       |SELECT doc_id, n_tokens, stop_ppm, dup_gram_ppm, top_gram_ppm,
+       |  CAST(reason = 'pass' AS BIGINT) AS keep, reason
+       |FROM j""".stripMargin
 }

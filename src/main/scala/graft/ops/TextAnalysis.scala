@@ -19,6 +19,10 @@ object TextAnalysis {
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
+  /** The English stop list shared with the C32 filter bank. */
+  private[ops] val enStopwords: Seq[String] = markers.head._2
+  private[ops] def enStopwordsSql: String = inList(enStopwords)
+
   /** C8 — n-gram/stopword-profile language ID: score each language's
     * marker-word hits over the token stream, argmax with fixed
     * precedence (en,es,fr,de → 'und' when nothing matches). */

@@ -706,6 +706,27 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality filter bank applies first-match rule precedence over real metrics") {
+    val rows = ops.Curation.qualityFilterBank(spark, dir).collect()
+    assert(rows.length == spark.read.parquet(s"$dir/documents.parquet").count())
+    rows.foreach { r =>
+      val (nTok, stopPpm, dupPpm, topPpm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val expect =
+        if (nTok < 20 || nTok > 100000) "word_count"
+        else if (stopPpm < 20000) "stopword"
+        else if (dupPpm > 20000) "repetition"
+        else if (topPpm > 100000) "top_gram"
+        else "pass"
+      assert(r.getString(6) == expect, s"doc ${r.getLong(0)} precedence")
+      assert(r.getLong(5) == (if (expect == "pass") 1L else 0L))
+    }
+    // a tightened top-gram knob proves that arm fires too
+    val tight = ops.Curation
+      .qualityFilterBank(spark, dir, maxTopGramPpm = 30000L).collect()
+    assert(tight.exists(_.getString(6) == "top_gram"))
+  }
+
   test("vocab coverage counts exactly the tokens outside the fitted top-N") {
     val rows = ops.TextAnalysis.vocabCoverage(spark, dir, vocabSize = 4).collect()
     rows.foreach { r =>
