@@ -123,6 +123,19 @@ class PlanQualitySpec extends AnyFunSuite {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("txn matcher shuffles each leg once on the matcher key, nothing twice") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val p = cdc.TxnMatcher.matched(cl).queryExecution.executedPlan.toString
+    // every leg (prewrite dedup, rollback anti, commit probe) hashes
+    // its own arm-filtered SLICE of the changelog on (table, key,
+    // startTs) — total shuffled bytes ~ one pass of the data, and the
+    // anti/inner joins must ride the dedup agg's partitioning rather
+    // than re-shuffling it
+    val fresh = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(fresh <= 4, s"expected <=4 keyed exchanges (one per input leg), got $fresh:\n$p")
+    assert(!p.contains("SortMergeJoin") || fresh <= 4, p)
+  }
+
   test("vocab membership is a broadcast join, not a corpus shuffle") {
     val p = ops.TextAnalysis.vocabCoverage(spark, dir)
       .queryExecution.executedPlan.toString
