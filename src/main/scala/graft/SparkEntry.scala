@@ -166,6 +166,7 @@ object SparkEntry {
     "text_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(s, d)),
     "text_fingerprint" -> ((s, d) => ops.TextAnalysis.fingerprint(s, d)),
     "multimodal_meta" -> ((s, d) => ops.Multimodal.features(s, d)),
+    "multimodal_frame_sample" -> ((s, d) => ops.Multimodal.frameSamples(s, d)),
     "text_repetition" -> ((s, d) => ops.Corpus.textRepetition(s, d)),
     "doc_tfidf" -> ((s, d) => ops.Corpus.docTfidf(s, d)),
     "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
@@ -303,6 +304,7 @@ object SparkEntry {
     "text_token_count" -> ops.TextAnalysis.tokenCountSql,
     "text_fingerprint" -> ops.TextAnalysis.fingerprintSql,
     "multimodal_meta" -> ops.Multimodal.featuresSql,
+    "multimodal_frame_sample" -> ops.Multimodal.frameSamplesSql(),
     "text_repetition" -> ops.Corpus.textRepetitionSql,
     "doc_tfidf" -> ops.Corpus.docTfidfSql(),
     "data_split" -> ops.Corpus.dataSplitSql(),

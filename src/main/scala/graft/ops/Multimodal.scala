@@ -102,4 +102,73 @@ object Multimodal {
       |    ELSE 1 END AS INT) AS n_frames,
       |  CAST(CONCAT('0x', SUBSTRING(MD5(text), 1, 15)) AS BIGINT) AS checksum
       |FROM documents""".stripMargin
+
+  /** One sampled frame of a video payload. */
+  case class FrameSample(doc_id: Long, frame_no: Int, frame_offset: Long,
+                         frame_bytes: Long, frame_digest: Long)
+
+  /** C33 — video frame sampling: the uniform temporal sampling every
+    * frame-extraction pipeline runs before featurizing video (take
+    * every `step`-th frame, at most `maxFrames` per clip). The
+    * "container format" is the deterministic stub — fixed-width frames
+    * of `declared_w` bytes — but the batch shape is the real one:
+    * bounded row amplification (≤ maxFrames per clip, never the full
+    * frame count), partition-local byte slicing with one digest init
+    * per partition, no shuffle at any scale. A real demuxer changes
+    * only the slicing body. */
+  def frameSamples(spark: SparkSession, dir: String, step: Int = 4,
+                   maxFrames: Int = 8): DataFrame =
+    frameSamplesFrom(Tables.documents(spark, dir), step, maxFrames)
+
+  /** [[frameSamples]] over any documents frame (streaming-safe: the
+    * sampler is stateless per row). */
+  def frameSamplesFrom(docs: DataFrame, step: Int = 4,
+                       maxFrames: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    mediaFrom(docs)
+      .filter(col("media_type") === "video")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val stride = r.declared_w
+          val nFrames = (r.payload.length + stride - 1) / stride
+          (0 until nFrames).iterator
+            .filter(_ % step == 0).take(maxFrames)
+            .map { i =>
+              val from = i * stride
+              val frame = java.util.Arrays.copyOfRange(
+                r.payload, from, math.min(from + stride, r.payload.length))
+              md.reset()
+              val hex = md.digest(frame).take(8).map(b => f"$b%02x").mkString
+              FrameSample(r.doc_id, i, from.toLong, frame.length.toLong,
+                java.lang.Long.parseLong(hex.substring(0, 15), 16))
+            }
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB oracle for [[frameSamples]]: byte slicing over the UTF-8
+    * text payload via substring arithmetic (the corpus is ASCII after
+    * normalization upstream generated it, so char == byte offsets). */
+  def frameSamplesSql(step: Int = 4, maxFrames: Int = 8): String =
+    s"""WITH v AS (
+       |  SELECT doc_id, text,
+       |    CAST(64 + (doc_id % 8) * 32 AS INT) AS stride,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), f AS (
+       |  SELECT doc_id, text, stride, n,
+       |    UNNEST(GENERATE_SERIES(0, (n + stride - 1) // stride - 1)) AS i
+       |  FROM v
+       |)
+       |SELECT doc_id,
+       |  CAST(i AS INT) AS frame_no,
+       |  CAST(i * stride AS BIGINT) AS frame_offset,
+       |  CAST(LEAST(stride, n - i * stride) AS BIGINT) AS frame_bytes,
+       |  CAST(CONCAT('0x', SUBSTRING(MD5(SUBSTRING(text, i * stride + 1, stride)), 1, 15))
+       |    AS BIGINT) AS frame_digest
+       |FROM f
+       |WHERE i % $step = 0 AND i // $step < $maxFrames""".stripMargin
 }

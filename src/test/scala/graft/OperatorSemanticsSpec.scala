@@ -706,6 +706,32 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling is bounded, strided, and slices the payload bytes exactly") {
+    val rows = ops.Multimodal.frameSamples(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach(fs => assert(fs.length <= 8))
+    rows.foreach(r => assert(r.getInt(1) % 4 == 0, "sampled frames must be strided"))
+    // recompute one clip's sampled digests by hand from the raw payload
+    val doc = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(3L)) === 2L)
+      .select("doc_id", "text").head()
+    val payload = doc.getString(1).getBytes("UTF-8")
+    val stride = (64 + doc.getLong(0) % 8 * 32).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val got = rows.filter(_.getLong(0) == doc.getLong(0))
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val from = r.getInt(1) * stride
+      val frame = java.util.Arrays.copyOfRange(
+        payload, from, math.min(from + stride, payload.length))
+      assert(r.getLong(3) == frame.length.toLong)
+      md.reset()
+      val hex = md.digest(frame).take(8).map(b => f"$b%02x").mkString
+      assert(r.getLong(4) == java.lang.Long.parseLong(hex.substring(0, 15), 16),
+        s"doc ${doc.getLong(0)} frame ${r.getInt(1)} digest mismatch")
+    }
+  }
+
   test("quality filter bank applies first-match rule precedence over real metrics") {
     val rows = ops.Curation.qualityFilterBank(spark, dir).collect()
     assert(rows.length == spark.read.parquet(s"$dir/documents.parquet").count())

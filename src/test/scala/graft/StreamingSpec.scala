@@ -459,6 +459,13 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.ops.Multimodal.features(spark, dir)
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // C33s — the frame sampler is stateless per clip: same equality
+    val fstream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    runToCompletion(graft.ops.Multimodal.frameSamplesFrom(fstream), "c33s", "append")
+    val fs = spark.table("c33s")
+    val fb = graft.ops.Multimodal.frameSamples(spark, dir)
+    assert(fs.count() == fb.count() && fs.count() > 0)
+    assert(fs.exceptAll(fb).isEmpty && fb.exceptAll(fs).isEmpty)
   }
 
   test("A28: watermarked windowed agg matches batch time-bucket totals") {
