@@ -183,6 +183,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Analytics.qAsofJoin(s, d)),
     "q_range_join" -> ((s, d) => Analytics.qRangeJoin(s, d)),
     "q_salted_skew_join" -> ((s, d) => Analytics.qSaltedSkewJoin(s, d)),
+    "q_window_ranks" -> ((s, d) => Analytics.qWindowRanks(s, d)),
     "q_pivot" -> ((s, d) => Analytics.qPivot(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.qGroupingSets(s, d)),
   )
@@ -321,6 +322,7 @@ object SparkEntry {
     "q_asof_join" -> Analytics.qAsofJoinSql,
     "q_range_join" -> Analytics.qRangeJoinSql,
     "q_salted_skew_join" -> Analytics.qSaltedSkewJoinSql(),
+    "q_window_ranks" -> Analytics.qWindowRanksSql,
     "q_pivot" -> Analytics.qPivotSql,
     "q_grouping_sets" -> Analytics.qGroupingSetsSql,
   )

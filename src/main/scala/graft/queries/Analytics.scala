@@ -699,6 +699,35 @@ object Analytics {
       | AND v.ts_us > p.ts_us - 86400000000 AND v.ts_us <= p.ts_us
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** B22 — the ranking-window family on ONE keyed shuffle: ntile
+    * deciles, percent_rank, cume_dist (both ppm-scaled for exact
+    * comparison), and nth_value — the remaining SQL window functions an
+    * analytics user expects, all sharing a single (custkey, orderdate)
+    * window so Catalyst plans one Exchange + one Window operator. */
+  def qWindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(percent_rank().over(w) * 1000000.0).cast("long").as("pct_rank_ppm"),
+      round(cume_dist().over(w) * 1000000.0).cast("long").as("cume_dist_ppm"),
+      nth_value(col("o_orderkey"), 2).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("second_orderkey"))
+  }
+
+  val qWindowRanksSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+      |  CAST(ROUND(PERCENT_RANK() OVER w * 1000000.0, 0) AS BIGINT) AS pct_rank_ppm,
+      |  CAST(ROUND(CUME_DIST() OVER w * 1000000.0, 0) AS BIGINT) AS cume_dist_ppm,
+      |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_orderkey
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   /** B21 — the EXPLICIT skew-salting pattern: events join a per-type
     * dimension on `event_type`, a handful of hot values carrying the
     * whole corpus — the one shape where a plain shuffle join puts an

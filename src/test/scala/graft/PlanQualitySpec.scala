@@ -99,6 +99,8 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges(ops.Corpus.seqPack(spark, dir)) == 1)
     assert(exchanges(ops.Corpus.corpusStats(spark, dir)) == 1)
     assert(exchanges(queries.Analytics.qRetention(spark, dir)) == 2)
+    // the full ranking-window family shares one keyed shuffle
+    assert(exchanges(queries.Analytics.qWindowRanks(spark, dir)) == 1)
   }
 
   test("line dedup is windowless partial aggregation on the line key") {
