@@ -159,6 +159,7 @@ object SparkEntry {
     "pq_adc_topk" -> ((s, d) => ops.Similarity.pqAdcTopK(s, d)),
     "dedup_lines" -> ((s, d) => ops.Dedup.dedupLines(s, d)),
     "text_vocab_coverage" -> ((s, d) => ops.TextAnalysis.vocabCoverage(s, d)),
+    "text_unigram_surprisal" -> ((s, d) => ops.TextAnalysis.unigramSurprisal(s, d)),
     "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
     "embedding_quantize" -> ((s, d) => ops.Similarity.embeddingQuantize(s, d)),
     "text_langid" -> ((s, d) => ops.TextAnalysis.langId(s, d)),
@@ -298,6 +299,7 @@ object SparkEntry {
     "pq_adc_topk" -> ops.Similarity.pqAdcTopKSql(),
     "dedup_lines" -> ops.Dedup.dedupLinesSql(),
     "text_vocab_coverage" -> ops.TextAnalysis.vocabCoverageSql(),
+    "text_unigram_surprisal" -> ops.TextAnalysis.unigramSurprisalSql,
     "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,
     "embedding_quantize" -> ops.Similarity.embeddingQuantizeSql(),
     "text_langid" -> ops.TextAnalysis.langIdSql,

@@ -181,6 +181,58 @@ object TextAnalysis {
         col("oov_ppm"), col("vocab_words_used"))
   }
 
+  /** C34 — unigram-LM surprisal scoring: the CCNet/KenLM
+    * perplexity-filter stand-in with an INTEGER-EXACT language model.
+    * Per token, surprisal = floor(log₂(N / df(w))) computed as
+    * bit_length(N div df) − 1 — pure integer arithmetic, so both
+    * engines agree bit-for-bit where a float log() would not (libm
+    * rounding differs across engines). Per doc: token total, total and
+    * mean (milli-units) surprisal, and the max-surprisal token count —
+    * high mean surprisal ≙ high perplexity ≙ the docs a real LM filter
+    * drops.
+    *
+    * Scale: ONE df aggregation over the exploded token stream
+    * (partial-agg), df frame joined back by token (dimension-scale
+    * vocabulary, AQE broadcasts it), one doc-keyed reduce. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    val df = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = toks.select(count(lit(1)).as("n_total"))
+    toks.join(df, "w").crossJoin(broadcast(n))
+      // floor(log2(N/df)) = length(bin(N div df)) - 1: bin() renders
+      // no leading zeros in either engine, so this is exact integer
+      // arithmetic (N div df >= 1 always - every token has df >= 1)
+      .withColumn("surprisal_bits",
+        expr("CAST(length(bin(n_total DIV df)) - 1 AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surprisal_bits")).as("total_bits"),
+        max(col("surprisal_bits")).as("max_bits"))
+      .withColumn("mean_millibits", expr("total_bits * 1000 DIV n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("total_bits"),
+        col("mean_millibits"), col("max_bits"))
+  }
+
+  val unigramSurprisalSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS w FROM documents
+       |), df AS (
+       |  SELECT w, COUNT(*) AS df FROM toks GROUP BY 1
+       |), n AS (SELECT COUNT(*) AS n_total FROM toks),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(length(bin(n.n_total // d.df)) - 1 AS BIGINT) AS surprisal_bits
+       |  FROM toks t JOIN df d ON t.w = d.w CROSS JOIN n
+       |)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(surprisal_bits) AS BIGINT) AS total_bits,
+       |  CAST(SUM(surprisal_bits) * 1000 // COUNT(*) AS BIGINT) AS mean_millibits,
+       |  CAST(MAX(surprisal_bits) AS BIGINT) AS max_bits
+       |FROM scored
+       |GROUP BY doc_id""".stripMargin
+
   def vocabCoverageSql(vocabSize: Int = 16): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS w FROM documents

@@ -706,6 +706,30 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram surprisal equals the hand-computed floor-log2 model") {
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+    val all = docs.flatMap(r => toks(r.getString(1)))
+    val n = all.length.toLong
+    val dfm = all.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    def bits(w: String): Long = 63L - java.lang.Long.numberOfLeadingZeros(n / dfm(w))
+    val want = docs.map { r =>
+      val ts = toks(r.getString(1))
+      r.getLong(0) -> ((ts.length.toLong, ts.map(bits).sum, ts.map(bits).max))
+    }.toMap
+    val got = ops.TextAnalysis.unigramSurprisal(spark, dir).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (nt, tot, mx) = want(r.getLong(0))
+      assert(r.getLong(1) == nt && r.getLong(2) == tot && r.getLong(4) == mx,
+        s"doc ${r.getLong(0)}")
+      assert(r.getLong(3) == tot * 1000L / nt)
+    }
+  }
+
   test("frame sampling is bounded, strided, and slices the payload bytes exactly") {
     val rows = ops.Multimodal.frameSamples(spark, dir).collect()
     assert(rows.nonEmpty)
