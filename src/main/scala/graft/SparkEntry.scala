@@ -162,6 +162,7 @@ object SparkEntry {
     "text_unigram_surprisal" -> ((s, d) => ops.TextAnalysis.unigramSurprisal(s, d)),
     "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
     "embedding_quantize" -> ((s, d) => ops.Similarity.embeddingQuantize(s, d)),
+    "embedding_random_projection" -> ((s, d) => ops.Similarity.randomProjection(s, d)),
     "text_langid" -> ((s, d) => ops.TextAnalysis.langId(s, d)),
     "text_quality_score" -> ((s, d) => ops.TextAnalysis.qualityScore(s, d)),
     "text_token_count" -> ((s, d) => ops.TextAnalysis.tokenCount(s, d)),
@@ -302,6 +303,7 @@ object SparkEntry {
     "text_unigram_surprisal" -> ops.TextAnalysis.unigramSurprisalSql,
     "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,
     "embedding_quantize" -> ops.Similarity.embeddingQuantizeSql(),
+    "embedding_random_projection" -> ops.Similarity.randomProjectionSql(),
     "text_langid" -> ops.TextAnalysis.langIdSql,
     "text_quality_score" -> ops.TextAnalysis.qualityScoreSql,
     "text_token_count" -> ops.TextAnalysis.tokenCountSql,

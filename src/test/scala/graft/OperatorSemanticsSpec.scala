@@ -706,6 +706,37 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("random projection preserves high-similarity structure at 4x reduction") {
+    import spark.implicits._
+    val proj = ops.Similarity.projFrame(spark, dir, 16).collect()
+      .map(r => r.getLong(0) -> (2 until 18).map(r.getDouble).toArray).toMap
+    val full = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i => d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      d / math.sqrt(na * nb)
+    }
+    // JL distortion at 16 dims is ~1/sqrt(16): generic weak-cosine
+    // neighborhoods scramble on this corpus (spread < noise), but the
+    // HIGH-similarity structure ANN cares about must survive — verified
+    // near-dup pairs (64-dim cosine >= 0.4) must project to cosines far
+    // above the random-pair baseline
+    val dups = ops.Similarity.cosinePairs(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(dups.nonEmpty, "need near-dup pairs to probe preservation")
+    val dupMean = dups.map { case (a, b) => cos(proj(a), proj(b)) }.sum / dups.length
+    val ids = full.keys.toSeq.sorted
+    val rnd = for (i <- ids.indices; j <- i + 1 until ids.length; if (i + j) % 7 == 0)
+      yield cos(proj(ids(i)), proj(ids(j)))
+    val rndMean = rnd.sum / rnd.length
+    // expected signal: 64-dim cosine >= 0.4 carries through with
+    // ~1/sqrt(16) JL distortion => mean ~ 0.25 above the ~0 baseline
+    assert(dupMean > rndMean + 0.15,
+      f"near-dup projected cosine $dupMean%.3f must clear the random baseline $rndMean%.3f")
+  }
+
   test("unigram surprisal equals the hand-computed floor-log2 model") {
     import scala.jdk.CollectionConverters._
     val docs = spark.read.parquet(s"$dir/documents.parquet")

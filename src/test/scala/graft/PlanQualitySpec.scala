@@ -75,7 +75,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "q_salted_skew_join",
       // table universe x boundary grid broadcast cross (dimension-scale),
       // the same shape as cdc_syncpoint's telescoping grid
-      "cdc_table_lifecycle", "cdc_event_physical")
+      "cdc_table_lifecycle", "cdc_event_physical",
+      // 1-row corpus-total broadcast (q_scalar_subquery shape)
+      "text_unigram_surprisal")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
