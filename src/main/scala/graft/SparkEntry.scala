@@ -78,6 +78,7 @@ object SparkEntry {
     "cdc_ddl_events" -> ((s, d) => SchemaStore.ddlEvents(cl(s, d), Seq("ALTER"))),
     "cdc_table_lifecycle" -> ((s, d) => SchemaStore.tableLifecycle(s, d)),
     "cdc_event_physical" -> ((s, d) => SchemaStore.eventPhysicalTable(s, d)),
+    "cdc_schema_snapshot" -> ((s, d) => SchemaStore.schemaSnapshot(s, d)),
     "codec_canal_json" -> ((s, d) => Codecs.canalJson(cl(s, d))),
     "codec_open_protocol" -> ((s, d) => Codecs.openProtocol(cl(s, d))),
     "codec_debezium" -> ((s, d) => Codecs.debezium(cl(s, d))),
@@ -220,6 +221,7 @@ object SparkEntry {
     "cdc_ddl_events" -> o(SchemaStore.ddlEventsSql(Seq("ALTER"))),
     "cdc_table_lifecycle" -> o(SchemaStore.tableLifecycleSql),
     "cdc_event_physical" -> o(SchemaStore.eventPhysicalTableSql),
+    "cdc_schema_snapshot" -> o(SchemaStore.schemaSnapshotSql()),
     "codec_canal_json" -> o(Codecs.canalJsonSql),
     "codec_open_protocol" -> o(Codecs.openProtocolSql),
     "codec_debezium" -> o(Codecs.debeziumSql),

@@ -212,6 +212,55 @@ object SchemaStore {
     s"""WITH $lifecycleCtes
        |SELECT * FROM lifecycle""".stripMargin
 
+  /** A74: the schemastore's other read API —
+    * `getAllPhysicalTables(snapTs, tableFilter)` (reference:
+    * logservice/schemastore/persist_storage.go:257-276 +
+    * schema_store.go:213): the physical-table universe ALIVE at a
+    * snapshot ts, with the A3 matcher rules applied, each table
+    * carrying its generation and the info-version count as of the
+    * snapshot (birth + alters landed at or before it). Probe ts =
+    * max commit_ts div 2 — a deterministic mid-stream snapshot the
+    * oracle replays. Everything here is dimension-scale. */
+  def schemaSnapshot(spark: SparkSession, dir: String,
+                     tableRules: Seq[String] = Seq("db0.%", "db1.t1")): DataFrame = {
+    val cl = ChangeEvents.changelog(spark, dir)
+    val probe = cl.agg(expr(s"CAST(MAX(commit_ts) DIV 2 AS BIGINT)").as("snap_ts"))
+    val alive = Filters.tableFilter(tableLifecycle(spark, dir), tableRules)
+      .crossJoin(broadcast(probe))
+      .filter(col("born_ts") <= col("snap_ts") &&
+        (col("delete_ts") === -1L || col("snap_ts") < col("delete_ts")))
+      .withColumn("base", expr("table_id DIV 1048576"))
+    val alters = ddlJobs(cl).filter(col("action") === "ALTER")
+      .select(col("base"), col("ts"))
+    alive.join(alters, Seq("base"), "left")
+      .groupBy(col("schema_name"), col("table_name"), col("table_id"),
+        col("generation"), col("born_ts"), col("snap_ts"))
+      .agg(sum(when(col("ts") > col("born_ts") && col("ts") <= col("snap_ts"), 1L)
+        .otherwise(0L)).as("n_alters"))
+      .select(col("schema_name"), col("table_name"), col("table_id"),
+        col("generation"), col("born_ts"), col("snap_ts"),
+        (lit(1L) + col("n_alters")).as("n_versions_asof"))
+  }
+
+  def schemaSnapshotSql(tableRules: Seq[String] = Seq("db0.%", "db1.t1")): String =
+    s"""WITH $lifecycleCtes,
+       |snap AS (SELECT MAX(commit_ts) // 2 AS snap_ts FROM changelog),
+       |alive AS (
+       |  SELECT l.*, l.table_id // 1048576 AS base, s.snap_ts
+       |  FROM lifecycle l CROSS JOIN snap s
+       |  WHERE l.born_ts <= s.snap_ts
+       |    AND (l.delete_ts = -1 OR s.snap_ts < l.delete_ts)
+       |    AND ${Filters.tableFilterSql(tableRules)
+                  .replace("schema_name", "l.schema_name")
+                  .replace("table_name", "l.table_name")}
+       |), alt AS (SELECT base, ts FROM jobs WHERE action = 'ALTER')
+       |SELECT a.schema_name, a.table_name, a.table_id, a.generation,
+       |  a.born_ts, a.snap_ts,
+       |  CAST(1 + COALESCE(SUM(CASE WHEN j.ts > a.born_ts AND j.ts <= a.snap_ts
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_versions_asof
+       |FROM alive a LEFT JOIN alt j ON j.base = a.base
+       |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
   /** A68: resolve every changelog event to the physical table
     * generation alive at its commitTs (`getTableInfo(ts)` against the
     * A67 store). Events landing at or after a tombstone — DML the

@@ -604,6 +604,32 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("schema snapshot returns exactly the filtered tables alive at the probe ts") {
+    val snap = cdc.SchemaStore.schemaSnapshot(spark, dir).collect()
+    assert(snap.nonEmpty)
+    val lc = cdc.SchemaStore.tableLifecycle(spark, dir).collect()
+      .map(r => r.getLong(2) -> r).toMap
+    snap.foreach { r =>
+      val (id, ts) = (r.getLong(2), r.getLong(5))
+      // matcher rules hold
+      val q = s"${r.getString(0)}.${r.getString(1)}"
+      assert(q.startsWith("db0.") || q == "db1.t1", q)
+      // the generation's validity interval contains the snapshot ts
+      val g = lc(id)
+      assert(g.getLong(4) <= ts && (g.getLong(5) == -1L || ts < g.getLong(5)))
+      // as-of version count is bounded by the generation's final count
+      assert(r.getLong(6) >= 1L && r.getLong(6) <= g.getLong(6))
+    }
+    // completeness: every filtered lifecycle generation alive at ts is present
+    val ts = snap.head.getLong(5)
+    val expected = lc.values.filter { g =>
+      val q = s"${g.getString(0)}.${g.getString(1)}"
+      (q.startsWith("db0.") || q == "db1.t1") &&
+        g.getLong(4) <= ts && (g.getLong(5) == -1L || ts < g.getLong(5))
+    }.map(_.getLong(2)).toSet
+    assert(snap.map(_.getLong(2)).toSet == expected)
+  }
+
   test("table lifecycle generations tile time and events resolve to the live generation") {
     val lc = cdc.SchemaStore.tableLifecycle(spark, dir).collect()
     val byTable = lc.groupBy(r => (r.getString(0), r.getString(1)))
