@@ -63,10 +63,15 @@ object Bench {
         spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet*"))
       .withColumn("before_value", col("before_value").cast("double"))
       .as[streaming.CdcStream.ChangeEvent]
+    val rawKv = cdc.TxnMatcher.rawStream(cdc.ChangeEvents.fromEvents(
+        spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet*")))
+      .as[streaming.CdcStream.RawKv]
     Seq(
       run("stream_cdc_pipeline", pipeline, "append"),
       run("stream_snapshot_state",
-        streaming.CdcStream.snapshotState(stateIn).toDF(), "update"))
+        streaming.CdcStream.snapshotState(stateIn).toDF(), "update"),
+      run("stream_txn_match",
+        streaming.CdcStream.txnMatch(rawKv).toDF(), "append"))
   }
 
   def main(args: Array[String]): Unit = {

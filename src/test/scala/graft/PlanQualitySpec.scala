@@ -76,6 +76,8 @@ class PlanQualitySpec extends AnyFunSuite {
       // table universe x boundary grid broadcast cross (dimension-scale),
       // the same shape as cdc_syncpoint's telescoping grid
       "cdc_table_lifecycle", "cdc_event_physical",
+      // lifecycle grid cross + its own 1-row snapshot-ts broadcast
+      "cdc_schema_snapshot",
       // 1-row corpus-total broadcast (q_scalar_subquery shape)
       "text_unigram_surprisal")
     SparkEntry.queries.foreach { case (name, fn) =>
