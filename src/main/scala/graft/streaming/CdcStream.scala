@@ -111,6 +111,53 @@ object CdcStream {
         col("schema_name"), col("table_name"),
         col("n_events"), col("sum_value_cents"))
 
+  /** Region-frontier state per table: each region's resolved ts. */
+  case class FrontierState(region_ts: Map[Long, Long])
+
+  /** One frontier advancement: the table's resolved ts moved. */
+  case class FrontierAdvance(schema_name: String, table_name: String,
+                             frontier_ts: Long, n_regions: Long)
+
+  /** A69s — continuous span-frontier advancement: the per-table
+    * resolved ts as the reference actually maintains it (every region
+    * event lifts its region's resolvedTs; the table frontier is the
+    * min over regions and only ever moves FORWARD). State per table is
+    * one small region→ts map (nRegions entries); an advancement row
+    * emits ONLY when the min rises — the "no earlier event will
+    * arrive" signal downstream sinks key their flushes on. */
+  def spanFrontier(events: Dataset[ChangeEvent], nRegions: Int = 8): Dataset[FrontierAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.schema_name, e.table_name))
+      .flatMapGroupsWithState[FrontierState, FrontierAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((sch, tbl), it, state: GroupState[FrontierState]) =>
+          var regions = state.getOption.map(_.region_ts).getOrElse(Map.empty[Long, Long])
+          def frontier(m: Map[Long, Long]): Long =
+            if (m.isEmpty) -1L else m.values.min
+          val before = frontier(regions)
+          // region of an event = the same pk-hash bucket the batch
+          // operator (A69) uses; process in commit order for a
+          // deterministic advancement sequence
+          val out = scala.collection.mutable.Buffer[FrontierAdvance]()
+          var cur = before
+          it.toSeq.sortBy(_.commit_ts).foreach { e =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(e.pk.toString.getBytes("UTF-8"))
+              .take(8).map(b => f"$b%02x").mkString
+            val region = java.lang.Long.parseLong(hex.substring(0, 15), 16) % nRegions
+            if (regions.getOrElse(region, -1L) < e.commit_ts)
+              regions = regions.updated(region, e.commit_ts)
+            val f = frontier(regions)
+            if (f > cur) {
+              out += FrontierAdvance(sch, tbl, f, regions.size.toLong)
+              cur = f
+            }
+          }
+          state.update(FrontierState(regions))
+          out.iterator
+      }
+  }
+
   /** One raw TiKV-style change entry (A72's stream form). */
   case class RawKv(schema_name: String, table_name: String, pk: Long,
                    start_ts: Long, kind: String, seq: Long, commit_ts: Long,

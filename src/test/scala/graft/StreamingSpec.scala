@@ -143,6 +143,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == graft.ops.Dedup.exact(spark, dir).count())
   }
 
+  test("A69s: the streaming frontier advances monotonically to the batch frontier") {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.cdc.ChangeEvents.fromEvents(
+        spark.readStream.schema(schema).parquet(s"$dir/events.parquet*"))
+      .withColumn("before_value", col("before_value").cast("double"))
+      .as[graft.streaming.CdcStream.ChangeEvent](
+        org.apache.spark.sql.Encoders.product[graft.streaming.CdcStream.ChangeEvent])
+    runToCompletion(graft.streaming.CdcStream.spanFrontier(stream).toDF(), "a69s", "append")
+    val adv = spark.table("a69s").collect()
+    assert(adv.nonEmpty)
+    // strictly increasing advancement sequence per table
+    adv.groupBy(r => (r.getString(0), r.getString(1))).values.foreach { as =>
+      val seq = as.map(_.getLong(2)).toSeq
+      assert(seq == seq.sorted && seq.distinct.length == seq.length,
+        "frontier must only move forward")
+    }
+    // the last advancement equals the batch operator's frontier
+    val batch = graft.cdc.Materialize.spanFrontier(
+        graft.cdc.ChangeEvents.changelog(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(3), r.getLong(2))).toMap
+    adv.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (k, as) =>
+      val last = as.maxBy(_.getLong(2))
+      assert(last.getLong(2) == batch(k)._1, s"$k frontier")
+      assert(last.getLong(3) == batch(k)._2, s"$k region count")
+    }
+  }
+
   test("A72s: streaming txn matcher equals the batch matcher over an ordered replay") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
