@@ -15,6 +15,12 @@ object SparkEntry {
   private val dispatchCols = Seq("event_type", "props")
   private val minTs        = 100L
   private val syncStep     = 100L
+  // A76 changefeed configs: two live filter sets + one matching nothing
+  // (the NewMaxWatermark empty-changefeed arm)
+  private val watermarkCfs = Seq(
+    "cf-a" -> Seq("db0.%"),
+    "cf-b" -> Seq("db1.t1", "db1.t2"),
+    "cf-empty" -> Seq("db9.%"))
   private val topicRules   = Seq(
     Seq("db0.%") -> "cdc_{schema}_{table}",   // dynamic expression rule
     Seq("db1.t1") -> "db1-special",           // hard-coded topic rule
@@ -70,6 +76,9 @@ object SparkEntry {
     "cdc_safe_mode_upsert" -> ((s, d) => Materialize.safeModeUpsert(cl(s, d))),
     "cdc_resolved_ts" -> ((s, d) => Materialize.resolvedTs(cl(s, d))),
     "cdc_span_frontier" -> ((s, d) => Materialize.spanFrontier(cl(s, d))),
+    "cdc_ddl_barrier" -> ((s, d) => Barrier.ddlBarrier(cl(s, d), syncStep)),
+    "cdc_watermark_agg" -> ((s, d) =>
+      Barrier.watermarkAgg(cl(s, d), watermarkCfs, syncStep)),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_txn_group" -> ((s, d) => Materialize.txnGroup(cl(s, d))),
@@ -213,6 +222,8 @@ object SparkEntry {
     "cdc_safe_mode_upsert" -> o(Materialize.safeModeUpsertSql),
     "cdc_resolved_ts" -> o(Materialize.resolvedTsSql),
     "cdc_span_frontier" -> o(Materialize.spanFrontierSql()),
+    "cdc_ddl_barrier" -> o(Barrier.ddlBarrierSql(syncStep)),
+    "cdc_watermark_agg" -> o(Barrier.watermarkAggSql(watermarkCfs, syncStep)),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_txn_group" -> o(Materialize.txnGroupSql),

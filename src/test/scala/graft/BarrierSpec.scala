@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A75 barrier resolution + A76 watermark aggregation invariants:
+  * writer uniqueness, the three writer-selection arms, eventKey
+  * identity, and the component-wise UpdateMin semantics. */
+class BarrierSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.util.GraftSession.local(4)
+  val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private def blockedDF(rows: Seq[(Long, Long, String, Int, Long)]) =
+    rows.toDF("block_ts", "is_syncpoint", "event_tag", "sev", "dispatcher_id")
+
+  test("A75: every barrier key resolves exactly one writer") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val frame = cdc.Barrier.ddlBarrier(cl, 100L).cache()
+    val perKey = frame.groupBy("block_ts", "is_syncpoint")
+      .agg(sum("is_writer").as("writers"),
+        count(lit(1)).as("n"),
+        max("expected_reports").as("exp"),
+        min("expected_reports").as("exp2"))
+      .collect()
+    assert(perKey.nonEmpty)
+    perKey.foreach { r =>
+      assert(r.getLong(2) == 1L,
+        s"key (${r.get(0)},${r.get(1)}) has ${r.getLong(2)} writers")
+      // expected_reports is the key's blocked-set size, constant per key
+      assert(r.getLong(4) == r.getLong(5) && r.getLong(4) == r.getLong(3))
+    }
+    // the write action rides exactly on the writer row
+    assert(frame.filter(col("is_writer") === 1 && col("action") =!= "write")
+      .count() == 0)
+    assert(frame.filter(col("is_writer") === 0 && col("action") =!= "pass")
+      .count() == 0)
+    frame.unpersist()
+  }
+
+  test("A75: derived stream — CREATE blocks only the trigger, syncpoints block everyone") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val nTables = cl.select("schema_name", "table_name").distinct().count()
+    val frame = cdc.Barrier.ddlBarrier(cl, 100L).cache()
+    // the v0 CREATEs all land at blockTs 0 under one barrier key whose
+    // blocked set is just the trigger span (persist_storage.go:1504)
+    val createKey = frame.filter(col("block_ts") === 0 && col("is_syncpoint") === 0)
+      .collect()
+    assert(createKey.length == 1)
+    assert(createKey.head.getAs[Long]("dispatcher_id") == cdc.Barrier.TriggerDispatcher)
+    assert(createKey.head.getAs[Long]("is_writer") == 1L)
+    assert(createKey.head.getAs[Long]("n_blocking_events") == nTables)
+    // every syncpoint barrier covers all table dispatchers + the trigger
+    val sync = frame.filter(col("is_syncpoint") === 1)
+    assert(sync.count() > 0)
+    assert(sync.filter(col("expected_reports") =!= (nTables + 1)).count() == 0)
+    assert(sync.filter(col("influence") =!= "all").count() == 0)
+    // db/all influence always writes through the trigger
+    assert(sync.filter(col("is_writer") === 1 &&
+      col("dispatcher_id") =!= cdc.Barrier.TriggerDispatcher).count() == 0)
+    frame.unpersist()
+  }
+
+  test("A75: normal influence without the trigger selects the last reporter") {
+    val f = cdc.Barrier.frame(blockedDF(Seq(
+      (5L, 0L, "e1", 0, 1001L), (5L, 0L, "e1", 0, 2002L), (5L, 0L, "e1", 0, 7L))))
+      .collect().map(r => r.getAs[Long]("dispatcher_id") ->
+        (r.getAs[Long]("is_writer"), r.getAs[String]("action"))).toMap
+    // report order is dispatcher-id order, so the last reporter is the max
+    assert(f(2002L) == (1L, "write"))
+    assert(f(1001L) == (0L, "pass"))
+    assert(f(7L) == (0L, "pass"))
+  }
+
+  test("A75: trigger-related normal and db influence both write through the trigger") {
+    // tableTriggerDispatcherRelated: trigger blocked => trigger writes
+    val related = cdc.Barrier.frame(blockedDF(Seq(
+      (5L, 0L, "e1", 0, 1001L), (5L, 0L, "e1", 0, -1L))))
+      .filter(col("is_writer") === 1).collect()
+    assert(related.length == 1 &&
+      related.head.getAs[Long]("dispatcher_id") == -1L)
+    // db influence (the blocked set includes the trigger, as the
+    // reference's db/all checkers always append the DDL span)
+    val db = cdc.Barrier.frame(blockedDF(Seq(
+      (9L, 0L, "drop_db0", 1, 1001L), (9L, 0L, "drop_db0", 1, 1002L),
+      (9L, 0L, "drop_db0", 1, -1L))))
+    assert(db.filter(col("influence") =!= "db").count() == 0)
+    val dbWriter = db.filter(col("is_writer") === 1).collect()
+    assert(dbWriter.length == 1 &&
+      dbWriter.head.getAs[Long]("dispatcher_id") == -1L)
+  }
+
+  test("A75: eventKey merges same-ts DDLs but keeps syncpoints distinct") {
+    // two DDLs at ts 10 merge under one barrier (barrier.go:43-47); the
+    // syncpoint at the same ts is its own event key
+    val f = cdc.Barrier.frame(blockedDF(Seq(
+      (10L, 0L, "ddl_a", 0, 1001L), (10L, 0L, "ddl_a", 0, -1L),
+      (10L, 0L, "ddl_b", 0, 2002L), (10L, 0L, "ddl_b", 0, -1L),
+      (10L, 1L, "syncpoint", 2, 1001L), (10L, 1L, "syncpoint", 2, 2002L),
+      (10L, 1L, "syncpoint", 2, -1L)))).cache()
+    val ddlKey = f.filter(col("is_syncpoint") === 0)
+    assert(ddlKey.count() == 3) // {-1, 1001, 2002} merged
+    assert(ddlKey.filter(col("expected_reports") =!= 3).count() == 0)
+    // the trigger is blocked by BOTH merged events
+    assert(ddlKey.filter(col("dispatcher_id") === -1L).head
+      .getAs[Long]("n_blocking_events") == 2L)
+    assert(ddlKey.filter(col("is_writer") === 1).count() == 1)
+    // the syncpoint barrier resolved independently
+    val syncKey = f.filter(col("is_syncpoint") === 1)
+    assert(syncKey.count() == 3)
+    assert(syncKey.filter(col("is_writer") === 1).count() == 1)
+    f.unpersist()
+  }
+
+  test("A76: component-wise min watermark + empty-changefeed sentinel") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val cfs = Seq(
+      "cf-a" -> Seq("db0.%"),
+      "cf-b" -> Seq("db1.t1", "db1.t2"),
+      "cf-empty" -> Seq("db9.%"))
+    val agg = cdc.Barrier.watermarkAgg(cl, cfs, 100L)
+      .collect().map(r => r.getAs[String]("changefeed") -> r).toMap
+
+    // empty changefeed reports the NewMaxWatermark seed
+    val empty = agg("cf-empty")
+    assert(empty.getAs[Long]("n_spans") == 0L)
+    assert(empty.getAs[Long]("checkpoint_ts") == cdc.Barrier.MaxWatermark)
+    assert(empty.getAs[Long]("resolved_ts") == cdc.Barrier.MaxWatermark)
+    assert(empty.getAs[Long]("lag_ts") == 0L)
+    assert(empty.getAs[String]("slowest_span") == null)
+
+    // recompute cf-a's watermark from the span frontier independently
+    val spans = cdc.Materialize.spanFrontier(cl)
+      .filter(col("schema_name") === "db0")
+      .select(col("table_name"), col("frontier_ts"),
+        expr("(frontier_ts div 100) * 100").as("cp"))
+      .collect()
+    assert(agg("cf-a").getAs[Long]("n_spans") == spans.length.toLong)
+    assert(agg("cf-a").getAs[Long]("resolved_ts") ==
+      spans.map(_.getAs[Long]("frontier_ts")).min)
+    assert(agg("cf-a").getAs[Long]("checkpoint_ts") ==
+      spans.map(_.getAs[Long]("cp")).min)
+    // slowest span: argmin checkpoint, ties to the first span name
+    val minCp = spans.map(_.getAs[Long]("cp")).min
+    val slowest = spans.filter(_.getAs[Long]("cp") == minCp)
+      .map(r => s"db0.${r.getAs[String]("table_name")}").min
+    assert(agg("cf-a").getAs[String]("slowest_span") == slowest)
+    assert(agg("cf-a").getAs[Long]("lag_ts") ==
+      agg("cf-a").getAs[Long]("resolved_ts") - agg("cf-a").getAs[Long]("checkpoint_ts"))
+  }
+
+  test("A76: a span matching two rules of one changefeed counts once") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val once = cdc.Barrier.watermarkAgg(cl, Seq("cf-x" -> Seq("db0.%")), 100L)
+    val twice = cdc.Barrier.watermarkAgg(cl,
+      Seq("cf-x" -> Seq("db0.%", "db0.t0")), 100L)
+    assert(once.head.getAs[Long]("n_spans") == twice.head.getAs[Long]("n_spans"))
+  }
+}
