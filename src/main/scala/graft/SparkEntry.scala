@@ -79,6 +79,7 @@ object SparkEntry {
     "cdc_ddl_barrier" -> ((s, d) => Barrier.ddlBarrier(cl(s, d), syncStep)),
     "cdc_watermark_agg" -> ((s, d) =>
       Barrier.watermarkAgg(cl(s, d), watermarkCfs, syncStep)),
+    "cdc_scan_tasks" -> ((s, d) => EventService.scanTasks(cl(s, d))),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_txn_group" -> ((s, d) => Materialize.txnGroup(cl(s, d))),
@@ -224,6 +225,7 @@ object SparkEntry {
     "cdc_span_frontier" -> o(Materialize.spanFrontierSql()),
     "cdc_ddl_barrier" -> o(Barrier.ddlBarrierSql(syncStep)),
     "cdc_watermark_agg" -> o(Barrier.watermarkAggSql(watermarkCfs, syncStep)),
+    "cdc_scan_tasks" -> o(EventService.scanTasksSql()),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_txn_group" -> o(Materialize.txnGroupSql),

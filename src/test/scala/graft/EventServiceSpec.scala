@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A77 scan-task decision invariants: per-class arm correspondence,
+  * range arithmetic, and independent recount of the scan ranges. */
+class EventServiceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.util.GraftSession.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  test("A77: decision arms follow the dispatcher classes and ranges are sound") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val tasks = cdc.EventService.scanTasks(cl).cache()
+    val rows = tasks.collect()
+    assert(rows.nonEmpty)
+    val byClass = rows.groupBy(r => r.getAs[Long]("region_id") % 4)
+    // class 1 (caught up): always no_range
+    byClass.get(1L).foreach(_.foreach(r =>
+      assert(r.getAs[String]("decision") == "no_range", r.toString)))
+    // class 0 (lagging): scans unless its frontier sits on a boundary
+    byClass.get(0L).foreach(_.foreach { r =>
+      val d = r.getAs[String]("decision")
+      assert(d == "scan" || d == "no_range", r.toString)
+      if (d == "scan") assert(r.getAs[Long]("n_events") >= 1L,
+        s"lagging scan range must contain the frontier event: $r")
+    })
+    // class 2 (idle-advanced): watermark fast path or a DDL-pending scan
+    // whose range lies beyond the last commit (empty scan)
+    byClass.get(2L).foreach(_.foreach { r =>
+      val d = r.getAs[String]("decision")
+      assert(d == "watermark_only" || d == "scan", r.toString)
+      if (d == "scan") assert(r.getAs[Long]("n_events") == 0L, r.toString)
+    })
+    // class 3 (ddl-stalled): the clamp cancels the scan
+    byClass.get(3L).foreach(_.foreach { r =>
+      val d = r.getAs[String]("decision")
+      assert(d == "ddl_clamped" || d == "no_range", r.toString)
+    })
+    // non-scan rows never count events; ranges respect the store frontier
+    rows.foreach { r =>
+      if (r.getAs[String]("decision") != "scan")
+        assert(r.getAs[Long]("n_events") == 0L, r.toString)
+      assert(r.getAs[Long]("end_ts") <= r.getAs[Long]("store_resolved_ts") ||
+        r.getAs[String]("decision") == "no_range", r.toString)
+    }
+    tasks.unpersist()
+  }
+
+  test("A77: scan counts equal an independent recount of (start, end]") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir).cache()
+    val scans = cdc.EventService.scanTasks(cl)
+      .filter(col("decision") === "scan").collect()
+    assert(scans.nonEmpty, "no scan decisions at this SF")
+    val events = cl.withColumn("region_id",
+        graft.functions.Portable.bucket(col("pk").cast("string"), 8))
+      .select("schema_name", "table_name", "region_id", "commit_ts").collect()
+    scans.foreach { t =>
+      val n = events.count(e =>
+        e.getAs[String]("schema_name") == t.getAs[String]("schema_name") &&
+          e.getAs[String]("table_name") == t.getAs[String]("table_name") &&
+          e.getAs[Long]("region_id") == t.getAs[Long]("region_id") &&
+          e.getAs[Long]("commit_ts") > t.getAs[Long]("start_ts") &&
+          e.getAs[Long]("commit_ts") <= t.getAs[Long]("end_ts"))
+      assert(n.toLong == t.getAs[Long]("n_events"), s"recount $n != $t")
+    }
+    cl.unpersist()
+  }
+}

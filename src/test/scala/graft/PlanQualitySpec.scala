@@ -79,7 +79,13 @@ class PlanQualitySpec extends AnyFunSuite {
       // lifecycle grid cross + its own 1-row snapshot-ts broadcast
       "cdc_schema_snapshot",
       // 1-row corpus-total broadcast (q_scalar_subquery shape)
-      "text_unigram_surprisal")
+      "text_unigram_surprisal",
+      // universe x boundary-grid broadcast cross (cdc_syncpoint shape)
+      "cdc_ddl_barrier",
+      // changefeed-rule LIKE match over the dimension-scale span frame
+      "cdc_watermark_agg",
+      // 1-row ddl-grid broadcast (q_scalar_subquery shape)
+      "cdc_scan_tasks")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
