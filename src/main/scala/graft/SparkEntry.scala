@@ -21,6 +21,19 @@ object SparkEntry {
     "cf-a" -> Seq("db0.%"),
     "cf-b" -> Seq("db1.t1", "db1.t2"),
     "cf-empty" -> Seq("db9.%"))
+  // A78 fleet: every NeedBlockGC arm — blocking states, failed with a
+  // non-GC error (blocks), failed BY GC (doesn't), finished (doesn't),
+  // plus the empty-changefeed MaxWatermark passthrough
+  private val gcFleet = Seq(
+    Barrier.CfState("cf-a", Seq("db0.%"), "normal", None),
+    Barrier.CfState("cf-b", Seq("db1.t1", "db1.t2"), "stopped", None),
+    Barrier.CfState("cf-empty", Seq("db9.%"), "pending", None),
+    Barrier.CfState("cf-warn", Seq("db1.t0"), "warning", None),
+    Barrier.CfState("cf-fail", Seq("db0.t1"), "failed",
+      Some("CDC:ErrExecDDLFailed")),
+    Barrier.CfState("cf-gcfail", Seq("db0.%"), "failed",
+      Some("CDC:ErrGCTTLExceeded")),
+    Barrier.CfState("cf-fin", Seq("db1.%"), "finished", None))
   private val topicRules   = Seq(
     Seq("db0.%") -> "cdc_{schema}_{table}",   // dynamic expression rule
     Seq("db1.t1") -> "db1-special",           // hard-coded topic rule
@@ -80,6 +93,8 @@ object SparkEntry {
     "cdc_watermark_agg" -> ((s, d) =>
       Barrier.watermarkAgg(cl(s, d), watermarkCfs, syncStep)),
     "cdc_scan_tasks" -> ((s, d) => EventService.scanTasks(cl(s, d))),
+    "cdc_gc_safepoint" -> ((s, d) =>
+      Barrier.gcSafepoint(cl(s, d), gcFleet, syncStep)),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_txn_group" -> ((s, d) => Materialize.txnGroup(cl(s, d))),
@@ -226,6 +241,7 @@ object SparkEntry {
     "cdc_ddl_barrier" -> o(Barrier.ddlBarrierSql(syncStep)),
     "cdc_watermark_agg" -> o(Barrier.watermarkAggSql(watermarkCfs, syncStep)),
     "cdc_scan_tasks" -> o(EventService.scanTasksSql()),
+    "cdc_gc_safepoint" -> o(Barrier.gcSafepointSql(gcFleet, syncStep)),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_txn_group" -> o(Materialize.txnGroupSql),

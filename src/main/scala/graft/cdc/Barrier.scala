@@ -259,12 +259,14 @@ object Barrier {
         col("slowest_span"))
   }
 
-  def watermarkAggSql(changefeeds: Seq[(String, Seq[String])],
-                      syncStep: Long): String = {
+  /** The A76 pipeline as a reusable CTE chain ending in `wm` —
+    * A78's safepoint query extends it. */
+  private def watermarkCtes(changefeeds: Seq[(String, Seq[String])],
+                            syncStep: Long): String = {
     val defRows = changefeeds.flatMap { case (cf, rules) =>
       rules.map(r => s"('$cf', '$r')")
     }.mkString(", ")
-    s"""WITH regions AS (
+    s"""regions AS (
        |  SELECT schema_name, table_name,
        |    ${graft.functions.Portable.bucketSql("CAST(pk AS VARCHAR)", 8)} AS region_id,
        |    MAX(commit_ts) AS rts
@@ -284,13 +286,99 @@ object Barrier {
        |windowed AS (
        |  SELECT *, MIN(checkpoint_ts) OVER (PARTITION BY changefeed) AS min_cp
        |  FROM members
+       |),
+       |wm AS (
+       |  SELECT changefeed, CAST(COUNT(span) AS BIGINT) AS n_spans,
+       |    COALESCE(MIN(checkpoint_ts), ${MaxWatermark}) AS checkpoint_ts,
+       |    COALESCE(MIN(resolved_ts), ${MaxWatermark}) AS resolved_ts,
+       |    CASE WHEN COUNT(span) > 0
+       |      THEN MIN(resolved_ts) - MIN(checkpoint_ts) ELSE 0 END AS lag_ts,
+       |    MIN(CASE WHEN checkpoint_ts = min_cp THEN span END) AS slowest_span
+       |  FROM windowed GROUP BY changefeed
+       |)""".stripMargin
+  }
+
+  def watermarkAggSql(changefeeds: Seq[(String, Seq[String])],
+                      syncStep: Long): String =
+    s"""WITH ${watermarkCtes(changefeeds, syncStep)}
+       |SELECT * FROM wm""".stripMargin
+
+  // ------------------------------------------------------------------
+  // A78 — the coordinator's GC safepoint over the changefeed fleet
+  // ------------------------------------------------------------------
+
+  /** A changefeed's control state for the GC-safepoint calculation. */
+  case class CfState(changefeed: String, rules: Seq[String],
+                     state: String, errorCode: Option[String])
+
+  /** GC fast-fail error codes (public tiflow pkg/errors helper —
+    * changefeeds failed BY the GC itself stop protecting data). */
+  val GcFastFailCodes: Seq[String] =
+    Seq("CDC:ErrGCTTLExceeded", "CDC:ErrSnapshotLostByGC")
+
+  private val blockStates = Seq("normal", "stopped", "pending", "warning")
+
+  /** A78 (reference: coordinator/changefeed/changefeed_db.go:250-268
+    * `CalculateGCSafepoint` + pkg/config/changefeed.go:70-88
+    * `NeedBlockGC` + coordinator/coordinator.go:279-292
+    * `updateGCSafepoint`): the upstream GC safepoint is held at
+    * `min(checkpointTs over GC-blocking changefeeds) - 1`. A changefeed
+    * blocks GC in states normal/stopped/pending/warning; failed
+    * changefeeds block UNLESS their error is a GC fast-fail code (the
+    * data is already lost — protecting it is pointless); finished and
+    * removed changefeeds never block. An all-empty fleet leaves the min
+    * at the MaxUint64 seed (the coordinator then falls back to the
+    * current PD time — modeled as the seed minus one).
+    *
+    * Checkpoints come from the A76 watermark aggregation; one row per
+    * changefeed carrying its state, blocking verdict, and the fleet's
+    * safepoint upper bound. Dimension-scale end to end. */
+  def gcSafepoint(cl: DataFrame, fleet: Seq[CfState],
+                  syncStep: Long): DataFrame = {
+    val spark = cl.sparkSession
+    import spark.implicits._
+    val wm = watermarkAgg(cl, fleet.map(f => f.changefeed -> f.rules), syncStep)
+    val states = fleet.map(f =>
+      (f.changefeed, f.state, f.errorCode.orNull))
+      .toDF("changefeed", "state", "error_code")
+    val blocks = col("state").isin(blockStates: _*) ||
+      (col("state") === "failed" && (col("error_code").isNull ||
+        !col("error_code").isin(GcFastFailCodes: _*)))
+    val joined = wm.join(broadcast(states), Seq("changefeed"))
+      .withColumn("blocks_gc", blocks.cast("long"))
+    val w = Window.partitionBy() // fleet-level min: a handful of rows
+    joined
+      .withColumn("min_blocking_cp",
+        min(when(col("blocks_gc") === 1L, col("checkpoint_ts"))).over(w))
+      .select(col("changefeed"), col("state"),
+        coalesce(col("error_code"), lit(null).cast("string")).as("error_code"),
+        col("n_spans"), col("checkpoint_ts"), col("blocks_gc"),
+        (coalesce(col("min_blocking_cp"), lit(MaxWatermark)) - 1L)
+          .as("safepoint_upper"))
+  }
+
+  def gcSafepointSql(fleet: Seq[CfState], syncStep: Long): String = {
+    val stateRows = fleet.map { f =>
+      val err = f.errorCode.map(c => s"'$c'").getOrElse("NULL")
+      s"('${f.changefeed}', '${f.state}', $err)"
+    }.mkString(", ")
+    val blockList = blockStates.map(s => s"'$s'").mkString(", ")
+    val fastFail = GcFastFailCodes.map(c => s"'$c'").mkString(", ")
+    s"""WITH ${watermarkCtes(fleet.map(f => f.changefeed -> f.rules), syncStep)},
+       |states(changefeed, state, error_code) AS (VALUES $stateRows),
+       |joined AS (
+       |  SELECT w.changefeed, s.state, s.error_code, w.n_spans, w.checkpoint_ts,
+       |    CAST(CASE
+       |      WHEN s.state IN ($blockList) THEN 1
+       |      WHEN s.state = 'failed'
+       |        AND (s.error_code IS NULL OR s.error_code NOT IN ($fastFail))
+       |        THEN 1
+       |      ELSE 0 END AS BIGINT) AS blocks_gc
+       |  FROM wm w JOIN states s ON w.changefeed = s.changefeed
        |)
-       |SELECT changefeed, CAST(COUNT(span) AS BIGINT) AS n_spans,
-       |  COALESCE(MIN(checkpoint_ts), ${MaxWatermark}) AS checkpoint_ts,
-       |  COALESCE(MIN(resolved_ts), ${MaxWatermark}) AS resolved_ts,
-       |  CASE WHEN COUNT(span) > 0
-       |    THEN MIN(resolved_ts) - MIN(checkpoint_ts) ELSE 0 END AS lag_ts,
-       |  MIN(CASE WHEN checkpoint_ts = min_cp THEN span END) AS slowest_span
-       |FROM windowed GROUP BY changefeed""".stripMargin
+       |SELECT changefeed, state, error_code, n_spans, checkpoint_ts, blocks_gc,
+       |  COALESCE(MIN(CASE WHEN blocks_gc = 1 THEN checkpoint_ts END) OVER (),
+       |    ${MaxWatermark}) - 1 AS safepoint_upper
+       |FROM joined""".stripMargin
   }
 }

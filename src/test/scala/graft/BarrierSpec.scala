@@ -150,6 +150,41 @@ class BarrierSpec extends AnyFunSuite {
       agg("cf-a").getAs[Long]("resolved_ts") - agg("cf-a").getAs[Long]("checkpoint_ts"))
   }
 
+  test("A78: NeedBlockGC arms and the fleet safepoint bound") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val fleet = Seq(
+      cdc.Barrier.CfState("live", Seq("db0.%"), "normal", None),
+      cdc.Barrier.CfState("held", Seq("db1.%"), "stopped", None),
+      cdc.Barrier.CfState("crashed", Seq("db0.t1"), "failed",
+        Some("CDC:ErrExecDDLFailed")),
+      cdc.Barrier.CfState("gc-lost", Seq("db0.%"), "failed",
+        Some("CDC:ErrGCTTLExceeded")),
+      cdc.Barrier.CfState("done", Seq("db1.%"), "finished", None),
+      cdc.Barrier.CfState("idle", Seq("db9.%"), "pending", None))
+    val rows = cdc.Barrier.gcSafepoint(cl, fleet, 100L)
+      .collect().map(r => r.getAs[String]("changefeed") -> r).toMap
+    // blocking verdicts per state arm
+    assert(rows("live").getAs[Long]("blocks_gc") == 1L)
+    assert(rows("held").getAs[Long]("blocks_gc") == 1L)
+    assert(rows("crashed").getAs[Long]("blocks_gc") == 1L) // non-GC failure
+    assert(rows("gc-lost").getAs[Long]("blocks_gc") == 0L) // failed BY gc
+    assert(rows("done").getAs[Long]("blocks_gc") == 0L)
+    assert(rows("idle").getAs[Long]("blocks_gc") == 1L) // empty but pending
+    // the safepoint bound is min blocking checkpoint - 1, fleet-wide
+    val minBlocking = rows.values.filter(_.getAs[Long]("blocks_gc") == 1L)
+      .map(_.getAs[Long]("checkpoint_ts")).min
+    rows.values.foreach(r =>
+      assert(r.getAs[Long]("safepoint_upper") == minBlocking - 1L))
+    // the empty pending changefeed carries the seed but never binds
+    assert(rows("idle").getAs[Long]("checkpoint_ts") == cdc.Barrier.MaxWatermark)
+    assert(minBlocking < cdc.Barrier.MaxWatermark)
+    // an all-non-blocking fleet leaves the seed: the PD-time fallback arm
+    val none = cdc.Barrier.gcSafepoint(cl,
+      Seq(cdc.Barrier.CfState("done", Seq("db0.%"), "finished", None)), 100L)
+      .head
+    assert(none.getAs[Long]("safepoint_upper") == cdc.Barrier.MaxWatermark - 1L)
+  }
+
   test("A76: a span matching two rules of one changefeed counts once") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val once = cdc.Barrier.watermarkAgg(cl, Seq("cf-x" -> Seq("db0.%")), 100L)
