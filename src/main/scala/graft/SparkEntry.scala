@@ -95,6 +95,9 @@ object SparkEntry {
     "cdc_scan_tasks" -> ((s, d) => EventService.scanTasks(cl(s, d))),
     "cdc_gc_safepoint" -> ((s, d) =>
       Barrier.gcSafepoint(cl(s, d), gcFleet, syncStep)),
+    "cdc_sched_basic" -> ((s, d) => Scheduler.basicSchedule(cl(s, d))),
+    "cdc_sched_balance" -> ((s, d) => Scheduler.groupBalance(cl(s, d))),
+    "cdc_hot_span" -> ((s, d) => Scheduler.hotSpans(cl(s, d))),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_txn_group" -> ((s, d) => Materialize.txnGroup(cl(s, d))),
@@ -242,6 +245,9 @@ object SparkEntry {
     "cdc_watermark_agg" -> o(Barrier.watermarkAggSql(watermarkCfs, syncStep)),
     "cdc_scan_tasks" -> o(EventService.scanTasksSql()),
     "cdc_gc_safepoint" -> o(Barrier.gcSafepointSql(gcFleet, syncStep)),
+    "cdc_sched_basic" -> o(Scheduler.basicScheduleSql()),
+    "cdc_sched_balance" -> o(Scheduler.groupBalanceSql()),
+    "cdc_hot_span" -> o(Scheduler.hotSpansSql()),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_txn_group" -> o(Materialize.txnGroupSql),

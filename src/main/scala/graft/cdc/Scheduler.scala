@@ -1,0 +1,505 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+
+/** A79/A80/A81 — the maintainer's span-scheduling plane: absent-task
+  * assignment, group balance moves, and the hot-span split decision.
+  *
+  * A79 (reference: pkg/scheduler/basic.go:106-139 `BasicSchedule`):
+  * absent spans are assigned one at a time, each to the CURRENTLY
+  * least-loaded node (a min-heap keyed on load, re-pushed after every
+  * assignment), capped at the scheduler's available batch size.
+  *
+  * A80 (reference: pkg/scheduler/balance.go:196-280 `Balance` +
+  * :93-111 `schedulerGroup` + :169-194 `CheckBalanceStatus`): per
+  * replication group, `lowerLimit = floor(total / aliveNodes)`; nodes
+  * below the limit are targets (min-heap), the rest are victims
+  * (max-heap); the loop repeatedly moves one task from the max-loaded
+  * victim to the min-loaded target until every target reaches the
+  * limit, capped per group at the batch size; groups run in order and
+  * a group is skipped entirely once the cumulative move count has
+  * reached the batch (balance.go:104-107).
+  *
+  * Both heap loops admit an exact closed form — the HEAP→LAYER
+  * duality: popping the min-loaded node k times and re-pushing equals
+  * filling unit slots sorted by (height ASC, node ASC), and popping
+  * the max-loaded victim equals draining unit layers sorted by
+  * (height DESC, node ASC), where a victim's j-th donation happens at
+  * height `load - j + 1`. The r-th assignment (move) pairs the r-th
+  * slot with the r-th layer. Surpluses always cover deficits
+  * (sum(load) = n·lower + remainder), so no victim is ever pulled
+  * below the limit and the pairing is total. This turns both
+  * sequential schedulers into pure window/join plans.
+  *
+  * Determinism stand-ins, documented for the oracle: heap ties are
+  * broken by node id ASC (the reference's heap order is internal);
+  * the victim's donated task is its lowest span key (the reference
+  * shuffles tasks randomly, balance.go:233-239 — any order is
+  * semantically valid); absent spans schedule in span-key order (the
+  * reference processes its absent buffer in list order).
+  *
+  * A81 (reference: maintainer/replica/hot_span.go:123-158
+  * `updateHotSpan` + :82-121 `getBatchByGroup` + :29-38 constants):
+  * per heartbeat tick a span's score moves +1 when its write rate is
+  * at or above `writeThreshold × imbalanceCoefficient`, −1 (floored
+  * at 0) when below `writeThreshold`, else 0; the coefficient is 1
+  * for the default group and 3 for split groups
+  * (hot_span.go:41-46 `getImbalanceThreshold`). A span is HOT when
+  * its score reaches HotSpanScoreThreshold (3) and its last increment
+  * is within the clear timeout (stale entries are cleared, not
+  * returned). The floored walk has the Lindley closed form
+  * `score_t = S_t − min(0, min_{j≤t} S_j)` over the delta prefix sum
+  * S — two windows on one (span)-keyed shuffle. Hot spans carry the
+  * split hint `getSpansNumber(regionNum, captureNum, maxSpanNum)`
+  * (maintainer/split/region_count_splitter.go:173-180, constants
+  * splitter.go:32-39; consumed via maintainer_controller.go:135,174).
+  *
+  * Deterministic fleet replay over the A69/A77 region convention:
+  * spans are (table, pk-hash-region) cells; the current assignment
+  * skews onto the last node (`min(spanBucket, nNodes-1)`) so victims
+  * and targets both appear; the last region of every table is the
+  * newly-split ABSENT arm for A79. Hot-span ticks are syncStep-wide
+  * commit_ts buckets with the event count as the write-rate proxy,
+  * densified over the full grid (heartbeats arrive every tick).
+  *
+  * Scale shape: all three frames are dimension-scale (tables ×
+  * regions × nodes, tables × ticks) — the only full-data pass is the
+  * partial-aggregated changelog scan that builds them. The slot/layer
+  * rank windows are unpartitioned (A79) or group-partitioned (A80)
+  * over nodes×absent-size frames — bounded by the span universe, not
+  * data volume, the A54 boundary-grid precedent. */
+object Scheduler {
+
+  /** Alive-node universe (stand-in for NodeManager.GetAliveNodes). */
+  val NNodes = 4
+  /** Region sub-spans per table, the A69/A77 convention. */
+  val NRegions = 8
+
+  private def nodeFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    (0L until NNodes.toLong).toDF("node")
+  }
+
+  private val nodesValuesSql: String =
+    (0 until NNodes).map(n => s"(CAST($n AS BIGINT))").mkString(", ")
+
+  /** (grp, region_id, span, n_rows) — one row per table×region cell. */
+  private def spanFrame(cl: DataFrame, nRegions: Int): DataFrame =
+    cl.withColumn("region_id",
+        Portable.bucket(col("pk").cast("string"), nRegions))
+      .groupBy(
+        concat_ws(".", col("schema_name"), col("table_name")).as("grp"),
+        col("region_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("span",
+        concat(col("grp"), lit("#r"), col("region_id").cast("string")))
+
+  private def spanFrameSql(nRegions: Int): String =
+    s"""SELECT schema_name || '.' || table_name AS grp, region_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    schema_name || '.' || table_name || '#r' || CAST(region_id AS VARCHAR) AS span
+       |  FROM (SELECT *,
+       |    ${Portable.bucketSql("CAST(pk AS VARCHAR)", nRegions)} AS region_id
+       |    FROM changelog)
+       |  GROUP BY schema_name, table_name, region_id""".stripMargin
+
+  /** Skewed current assignment: buckets ≥ nNodes-1 pile onto the last
+    * node, so both surplus and deficit nodes exist. */
+  private def assignNode(span: Column): Column =
+    least(Portable.bucket(span, 2 * NNodes), lit(NNodes - 1L))
+
+  private def assignNodeSql(spanExpr: String): String =
+    s"LEAST(${Portable.bucketSql(spanExpr, 2 * NNodes)}, ${NNodes - 1})"
+
+  // ------------------------------------------------------------------
+  // A79 — basic scheduler: absent spans onto the min-loaded node
+  // ------------------------------------------------------------------
+
+  /** Core frame, spec-drivable with handcrafted inputs.
+    * `loads` = (node, load) over ALL alive nodes; `absent` = (span).
+    * Output: one row per scheduled span with its assignment order,
+    * target node and the node's load after the assignment. */
+  def basicFrame(loads: DataFrame, absent: DataFrame, batch: Int): DataFrame = {
+    val nAbs = absent.agg(count(lit(1)).as("n_abs"))
+    // ≥ n_abs slots per node always covers the worst case (every
+    // assignment landing on one node); extra slots rank later and
+    // simply go unfilled
+    val slots = loads.crossJoin(broadcast(nAbs))
+      .select(col("node"), col("load"),
+        explode(when(col("n_abs") > 0, sequence(lit(1L), col("n_abs")))
+          .otherwise(array().cast("array<long>"))).as("s"))
+      .withColumn("height", col("load") + col("s"))
+      .withColumn("slot_rank",
+        row_number().over(Window.orderBy(col("height"), col("node"))))
+    val ranked = absent
+      .withColumn("assign_seq",
+        row_number().over(Window.orderBy(col("span"))).cast("long"))
+      .filter(col("assign_seq") <= batch)
+    ranked.join(slots, col("assign_seq") === col("slot_rank"))
+      .select(col("span"), col("assign_seq"),
+        col("node").as("target_node"),
+        col("height").as("node_load_after"))
+  }
+
+  /** A79 production query: the last region of every table is newly
+    * split and absent; the rest replicate on the skewed assignment. */
+  def basicSchedule(cl: DataFrame, batch: Int = 1000,
+                    nRegions: Int = NRegions): DataFrame = {
+    val spans = spanFrame(cl, nRegions)
+    val absent = spans.filter(col("region_id") === (nRegions - 1L))
+      .select(col("span"))
+    val repl = spans.filter(col("region_id") < (nRegions - 1L))
+      .withColumn("node", assignNode(col("span")))
+    val loads = nodeFrame(cl.sparkSession)
+      .join(repl.groupBy("node").agg(count(lit(1)).as("cnt")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("cnt"), lit(0L)).as("load"))
+    basicFrame(loads, absent, batch)
+  }
+
+  def basicScheduleSql(batch: Int = 1000, nRegions: Int = NRegions): String =
+    s"""WITH spans AS (${spanFrameSql(nRegions)}),
+       |nodes(node) AS (VALUES $nodesValuesSql),
+       |absent AS (SELECT span FROM spans WHERE region_id = ${nRegions - 1}),
+       |repl AS (
+       |  SELECT span, ${assignNodeSql("span")} AS node
+       |  FROM spans WHERE region_id < ${nRegions - 1}
+       |),
+       |loads AS (
+       |  SELECT n.node, COALESCE(c.cnt, 0) AS load
+       |  FROM nodes n LEFT JOIN
+       |    (SELECT node, CAST(COUNT(*) AS BIGINT) AS cnt FROM repl GROUP BY node) c
+       |    ON n.node = c.node
+       |),
+       |acnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_abs FROM absent),
+       |slots AS (
+       |  SELECT node, load + s AS height,
+       |    ROW_NUMBER() OVER (ORDER BY load + s, node) AS slot_rank
+       |  FROM (SELECT l.node, l.load,
+       |          UNNEST(GENERATE_SERIES(1, (SELECT n_abs FROM acnt))) AS s
+       |        FROM loads l)
+       |),
+       |ranked AS (
+       |  SELECT span,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY span) AS BIGINT) AS assign_seq
+       |  FROM absent
+       |)
+       |SELECT r.span, r.assign_seq, s.node AS target_node,
+       |  s.height AS node_load_after
+       |FROM ranked r JOIN slots s ON r.assign_seq = s.slot_rank
+       |WHERE r.assign_seq <= $batch""".stripMargin
+
+  // ------------------------------------------------------------------
+  // A80 — balance scheduler: per-group surplus→deficit moves
+  // ------------------------------------------------------------------
+
+  /** Per-group per-node load over the full alive universe with the
+    * group's lower limit attached. lowerLimit divides by the ALIVE
+    * node count (balance.go:216-222 counts nodeTasks after
+    * absent-node fill), not a constant. */
+  private def loadStat(tasks: DataFrame, nodes: DataFrame): DataFrame = {
+    val loads = tasks.select("grp").distinct()
+      .crossJoin(broadcast(nodes))
+      .join(tasks.groupBy("grp", "node").agg(count(lit(1)).as("cnt")),
+        Seq("grp", "node"), "left")
+      .select(col("grp"), col("node"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    loads
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+      .withColumn("lower", expr("total div n_nodes"))
+  }
+
+  /** CheckBalanceStatus (balance.go:169-194) per group: the total,
+    * the lower limit, the deficit (its moveSize), the per-group cap
+    * min(batch, deficit), and the cumulative-moved gate position.
+    * One row per group — balanced groups report deficit 0 (the
+    * reference's fast-path: no scheduling needed). */
+  def balanceStatus(tasks: DataFrame, nodes: DataFrame, batch: Int): DataFrame =
+    loadStat(tasks, nodes).groupBy(col("grp"))
+      .agg(
+        max(col("total")).as("grp_total"),
+        max(col("lower")).as("grp_lower"),
+        sum(greatest(col("lower") - col("cnt"), lit(0L))).as("deficit"))
+      .withColumn("grp_cap", least(col("deficit"), lit(batch.toLong)))
+      .withColumn("moved_before",
+        coalesce(sum(col("grp_cap")).over(
+          Window.orderBy(col("grp")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+
+  /** Core frame, spec-drivable. `tasks` = (grp, node, span) current
+    * replicating assignment; `nodes` = (node) alive universe.
+    * Output: one row per move. */
+  def balanceFrame(tasks: DataFrame, nodes: DataFrame, batch: Int): DataFrame = {
+    val stat = loadStat(tasks, nodes)
+    // the cross-group batch gate: a group is skipped entirely once the
+    // cumulative moved count has reached the batch (balance.go:104-107)
+    val groupStat = balanceStatus(tasks, nodes, batch)
+      .filter(col("moved_before") < batch && col("deficit") > 0)
+    // layer duality: victim v's j-th donation happens at height
+    // cnt - j + 1; donations drain (height DESC, node ASC)
+    val donations = stat.filter(col("cnt") > col("lower"))
+      .select(col("grp"), col("node").as("from_node"), col("cnt"),
+        explode(sequence(col("lower") + 1L, col("cnt"))).as("from_height"))
+      .withColumn("task_rank", col("cnt") + 1L - col("from_height"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("from_height").desc, col("from_node"))).cast("long"))
+    // the donated task: lowest span key first (shuffle stand-in)
+    val rankedTasks = tasks
+      .withColumn("task_rank", row_number().over(
+        Window.partitionBy(col("grp"), col("node")).orderBy(col("span"))).cast("long"))
+      .withColumnRenamed("node", "from_node")
+    // slot duality: targets fill (height ASC, node ASC) up to the limit
+    val slots = stat.filter(col("cnt") < col("lower"))
+      .select(col("grp"), col("node").as("to_node"), col("lower"),
+        explode(sequence(col("cnt") + 1L, col("lower"))).as("to_height"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp"))
+          .orderBy(col("to_height"), col("to_node"))).cast("long"))
+    donations
+      .join(rankedTasks, Seq("grp", "from_node", "task_rank"))
+      .join(slots, Seq("grp", "rank"))
+      .join(groupStat.select("grp", "grp_cap"), Seq("grp"))
+      .filter(col("rank") <= col("grp_cap"))
+      .select(col("grp"), col("rank").as("move_seq"), col("span"),
+        col("from_node"), col("from_height"),
+        col("to_node"), col("to_height"), col("lower").as("grp_lower"))
+  }
+
+  /** A80 production query over the full skewed span fleet, grouped by
+    * table (the reference's split-span groups are per-table). One row
+    * per group ALWAYS (the CheckBalanceStatus verdict — balanced
+    * groups report deficit 0 with null move columns, the reference's
+    * fast-path) plus one row per move for groups with a deficit. */
+  def groupBalance(cl: DataFrame, batch: Int = 1000,
+                   nRegions: Int = NRegions): DataFrame = {
+    val tasks = spanFrame(cl, nRegions)
+      .withColumn("node", assignNode(col("span")))
+      .select("grp", "node", "span")
+    val nodes = nodeFrame(cl.sparkSession)
+    val moves = balanceFrame(tasks, nodes, batch)
+      .select(col("grp"), col("move_seq"), col("span"), col("from_node"),
+        col("from_height"), col("to_node"), col("to_height"))
+    balanceStatus(tasks, nodes, batch).join(moves, Seq("grp"), "left")
+  }
+
+  def groupBalanceSql(batch: Int = 1000, nRegions: Int = NRegions): String =
+    s"""WITH spans AS (${spanFrameSql(nRegions)}),
+       |nodes(node) AS (VALUES $nodesValuesSql),
+       |tasks AS (
+       |  SELECT grp, ${assignNodeSql("span")} AS node, span FROM spans
+       |),
+       |loads AS (
+       |  SELECT g.grp, n.node, COALESCE(c.cnt, 0) AS cnt
+       |  FROM (SELECT DISTINCT grp FROM tasks) g
+       |  CROSS JOIN nodes n
+       |  LEFT JOIN (SELECT grp, node, CAST(COUNT(*) AS BIGINT) AS cnt
+       |             FROM tasks GROUP BY grp, node) c
+       |    ON g.grp = c.grp AND n.node = c.node
+       |),
+       |stat AS (
+       |  SELECT *,
+       |    CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS total,
+       |    CAST(SUM(cnt) OVER (PARTITION BY grp)
+       |      // (SELECT COUNT(*) FROM nodes) AS BIGINT)
+       |    AS lower_lim
+       |  FROM loads
+       |),
+       |group_stat AS (
+       |  SELECT grp,
+       |    CAST(MAX(total) AS BIGINT) AS grp_total,
+       |    CAST(MAX(lower_lim) AS BIGINT) AS grp_lower,
+       |    CAST(SUM(GREATEST(lower_lim - cnt, 0)) AS BIGINT) AS deficit,
+       |    CAST(LEAST(SUM(GREATEST(lower_lim - cnt, 0)), $batch) AS BIGINT)
+       |      AS grp_cap
+       |  FROM stat GROUP BY grp
+       |),
+       |gated AS (
+       |  SELECT *,
+       |    CAST(COALESCE(SUM(grp_cap) OVER (ORDER BY grp
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS moved_before
+       |  FROM group_stat
+       |),
+       |donations AS (
+       |  SELECT grp, from_node, from_height,
+       |    cnt + 1 - from_height AS task_rank,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY grp
+       |      ORDER BY from_height DESC, from_node) AS BIGINT) AS rnk
+       |  FROM (SELECT grp, node AS from_node, cnt,
+       |          UNNEST(GENERATE_SERIES(lower_lim + 1, cnt)) AS from_height
+       |        FROM stat WHERE cnt > lower_lim)
+       |),
+       |ranked_tasks AS (
+       |  SELECT grp, node AS from_node, span,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY grp, node ORDER BY span)
+       |      AS BIGINT) AS task_rank
+       |  FROM tasks
+       |),
+       |slots AS (
+       |  SELECT grp, to_node, lower_lim, to_height,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY grp
+       |      ORDER BY to_height, to_node) AS BIGINT) AS rnk
+       |  FROM (SELECT grp, node AS to_node, lower_lim,
+       |          UNNEST(GENERATE_SERIES(cnt + 1, lower_lim)) AS to_height
+       |        FROM stat WHERE cnt < lower_lim)
+       |),
+       |moves AS (
+       |  SELECT d.grp, d.rnk AS move_seq, t.span,
+       |    d.from_node, d.from_height, s.to_node, s.to_height
+       |  FROM donations d
+       |  JOIN ranked_tasks t
+       |    ON d.grp = t.grp AND d.from_node = t.from_node
+       |    AND d.task_rank = t.task_rank
+       |  JOIN slots s ON d.grp = s.grp AND d.rnk = s.rnk
+       |  JOIN gated g ON d.grp = g.grp
+       |  WHERE g.moved_before < $batch AND g.deficit > 0
+       |    AND d.rnk <= g.grp_cap
+       |)
+       |SELECT g.grp, g.grp_total, g.grp_lower, g.deficit, g.grp_cap,
+       |  g.moved_before, m.move_seq, m.span, m.from_node, m.from_height,
+       |  m.to_node, m.to_height
+       |FROM gated g LEFT JOIN moves m ON g.grp = m.grp""".stripMargin
+
+  // ------------------------------------------------------------------
+  // A81 — hot-span score walk + split decision
+  // ------------------------------------------------------------------
+
+  /** getSpansNumber (region_count_splitter.go:173-180): how many
+    * sub-spans a hot span splits into. */
+  def spansNumber(regionNum: Int, captureNum: Int,
+                  maxSpanNum: Int = 100): Int = {
+    val spanRegionLimit = 50000
+    val coefficient = math.max(captureNum - 1, 3)
+    val spanNum =
+      if (regionNum > 1) math.max(captureNum * coefficient, regionNum / spanRegionLimit)
+      else 1
+    math.min(spanNum, maxSpanNum)
+  }
+
+  /** Core walk, spec-drivable. `ticks` = (span, tick, bytes, coeff)
+    * DENSE per span (every tick present). Output: one summary row per
+    * span with the Lindley-walked final score, peak, staleness and
+    * hot/split verdict. */
+  def hotWalkFrame(ticks: DataFrame, thr: Long, scoreThr: Int,
+                   clearTicks: Long, splitSpans: Int): DataFrame = {
+    val ws = Window.partitionBy(col("span")).orderBy(col("tick"))
+    val walked = ticks
+      .withColumn("delta",
+        when(col("bytes") >= lit(thr) * col("coeff"), 1L)
+          .when(col("bytes") < thr, -1L)
+          .otherwise(0L))
+      .withColumn("s", sum(col("delta")).over(ws))
+      .withColumn("score", col("s") - least(lit(0L), min(col("s")).over(ws)))
+    walked.groupBy(col("span"), col("coeff"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        max(col("score")).as("peak_score"),
+        max(col("tick")).as("last_tick"),
+        max(struct(col("tick"), col("score"))).getField("score").as("final_score"),
+        // -1 sentinel: the span never crossed the increment threshold
+        coalesce(max(when(col("delta") === 1L, col("tick"))), lit(-1L))
+          .as("last_inc_tick"))
+      .withColumn("is_stale",
+        (col("last_inc_tick") >= 0L &&
+          col("last_tick") - col("last_inc_tick") > clearTicks).cast("long"))
+      .withColumn("is_hot",
+        (col("final_score") >= scoreThr && col("is_stale") === 0L).cast("long"))
+      .withColumn("split_spans",
+        when(col("is_hot") === 1L, lit(splitSpans.toLong)).otherwise(lit(0L)))
+      .select(col("span"), col("coeff"), col("n_ticks"), col("peak_score"),
+        col("final_score"), col("last_inc_tick"), col("is_stale"),
+        col("is_hot"), col("split_spans"))
+  }
+
+  /** A81 production query: syncStep-wide commit_ts buckets as
+    * heartbeat ticks, event count as the write-rate proxy, densified
+    * over the span × tick grid (every working dispatcher reports each
+    * tick); db0 tables model the default group (coefficient 1), the
+    * rest split groups (coefficient 3). */
+  def hotSpans(cl: DataFrame, tickW: Long = 100L, thr: Long = 10L,
+               scoreThr: Int = 3, clearTicks: Long = 3L,
+               nRegions: Int = NRegions, maxSpanNum: Int = 100): DataFrame = {
+    val obs = cl.groupBy(
+        concat_ws(".", col("schema_name"), col("table_name")).as("span"),
+        expr(s"commit_ts div $tickW").as("tick"))
+      .agg(count(lit(1)).as("obs_bytes"))
+    val uni = cl.select(
+        concat_ws(".", col("schema_name"), col("table_name")).as("span"),
+        col("schema_name"))
+      .distinct()
+    val grid = cl.agg(max(expr(s"commit_ts div $tickW")).as("mx"))
+      .select(explode(sequence(lit(0L), col("mx"))).as("tick"))
+    val ticks = uni.crossJoin(broadcast(grid))
+      .join(obs, Seq("span", "tick"), "left")
+      .select(col("span"), col("tick"),
+        coalesce(col("obs_bytes"), lit(0L)).as("bytes"),
+        when(col("schema_name") === "db0", 1L).otherwise(3L).as("coeff"))
+    hotWalkFrame(ticks, thr, scoreThr, clearTicks,
+      spansNumber(nRegions, NNodes, maxSpanNum))
+  }
+
+  def hotSpansSql(tickW: Long = 100L, thr: Long = 10L, scoreThr: Int = 3,
+                  clearTicks: Long = 3L, nRegions: Int = NRegions,
+                  maxSpanNum: Int = 100): String = {
+    val split = spansNumber(nRegions, NNodes, maxSpanNum)
+    s"""WITH obs AS (
+       |  SELECT schema_name || '.' || table_name AS span,
+       |    commit_ts // $tickW AS tick, CAST(COUNT(*) AS BIGINT) AS obs_bytes
+       |  FROM changelog GROUP BY 1, 2
+       |),
+       |uni AS (
+       |  SELECT DISTINCT schema_name || '.' || table_name AS span, schema_name
+       |  FROM changelog
+       |),
+       |grid AS (
+       |  SELECT UNNEST(GENERATE_SERIES(0,
+       |    (SELECT MAX(commit_ts // $tickW) FROM changelog))) AS tick
+       |),
+       |ticks AS (
+       |  SELECT u.span, g.tick, COALESCE(o.obs_bytes, 0) AS bytes,
+       |    CASE WHEN u.schema_name = 'db0' THEN 1 ELSE 3 END AS coeff
+       |  FROM uni u CROSS JOIN grid g
+       |  LEFT JOIN obs o ON u.span = o.span AND g.tick = o.tick
+       |),
+       |walked AS (
+       |  SELECT *,
+       |    SUM(delta) OVER w AS s
+       |  FROM (SELECT *,
+       |    CASE WHEN bytes >= $thr * coeff THEN 1
+       |         WHEN bytes < $thr THEN -1 ELSE 0 END AS delta
+       |    FROM ticks)
+       |  WINDOW w AS (PARTITION BY span ORDER BY tick)
+       |),
+       |scored AS (
+       |  SELECT *, s - LEAST(0, MIN(s) OVER (PARTITION BY span ORDER BY tick))
+       |    AS score
+       |  FROM walked
+       |),
+       |summary AS (
+       |  SELECT span, coeff,
+       |    CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       |    CAST(MAX(score) AS BIGINT) AS peak_score,
+       |    MAX(tick) AS last_tick,
+       |    CAST(MAX_BY(score, tick) AS BIGINT) AS final_score,
+       |    COALESCE(MAX(CASE WHEN delta = 1 THEN tick END), -1) AS last_inc_tick
+       |  FROM scored GROUP BY span, coeff
+       |)
+       |SELECT span, coeff, n_ticks, peak_score, final_score, last_inc_tick,
+       |  CAST(CASE WHEN last_inc_tick >= 0
+       |    AND last_tick - last_inc_tick > $clearTicks THEN 1 ELSE 0 END
+       |    AS BIGINT) AS is_stale,
+       |  CAST(CASE WHEN final_score >= $scoreThr
+       |    AND NOT (last_inc_tick >= 0
+       |      AND last_tick - last_inc_tick > $clearTicks)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_hot,
+       |  CAST(CASE WHEN final_score >= $scoreThr
+       |    AND NOT (last_inc_tick >= 0
+       |      AND last_tick - last_inc_tick > $clearTicks)
+       |    THEN $split ELSE 0 END AS BIGINT) AS split_spans
+       |FROM summary""".stripMargin
+  }
+}

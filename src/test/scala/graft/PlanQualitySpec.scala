@@ -85,7 +85,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // changefeed-rule LIKE match over the dimension-scale span frame
       "cdc_watermark_agg", "cdc_gc_safepoint",
       // 1-row ddl-grid broadcast (q_scalar_subquery shape)
-      "cdc_scan_tasks")
+      "cdc_scan_tasks",
+      // scheduler frames: 1-row absent-count cross (A79), group x
+      // node-universe cross (A80), span x tick-grid cross (A81) —
+      // all dimension-scale
+      "cdc_sched_basic", "cdc_sched_balance", "cdc_hot_span")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

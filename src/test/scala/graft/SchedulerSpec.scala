@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A79/A80/A81 scheduler-plane invariants: the heap→layer duality of
+  * both schedulers proven against direct sequential heap folds (the
+  * reference algorithms transcribed as specs, with the documented
+  * deterministic tie-breaks), the Lindley closed form of the hot-span
+  * score walk, and the production-frame balance postconditions. */
+class SchedulerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.util.GraftSession.local(4)
+  val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  // ---- sequential reference folds (basic.go / balance.go semantics) ----
+
+  /** BasicSchedule as written: each absent task to the current
+    * min-loaded node, ties by node id asc. */
+  private def seqBasic(loads: Map[Long, Long], absent: Seq[String],
+                       batch: Int): Seq[(String, Long, Long, Long)] = {
+    val l = collection.mutable.Map(loads.toSeq: _*)
+    absent.sorted.take(batch).zipWithIndex.map { case (sp, i) =>
+      val (node, load) = l.toSeq.minBy { case (n, ld) => (ld, n) }
+      l(node) = load + 1
+      (sp, i + 1L, node, load + 1)
+    }
+  }
+
+  /** Balance + schedulerGroup as written: per group (sorted), two
+    * heaps, min target filled from max victim until the lower limit;
+    * per-group cap min(batch, deficit); a group is skipped once the
+    * cumulative moved count reaches the batch. Victim's donated task =
+    * lowest span key (the shuffle stand-in); heap ties node id asc. */
+  private def seqBalance(tasks: Seq[(String, Long, String)], nodes: Seq[Long],
+                         batch: Int): Seq[(String, Long, String, Long, Long, Long, Long)] = {
+    val out = collection.mutable.Buffer.empty[(String, Long, String, Long, Long, Long, Long)]
+    var moved = 0
+    for (grp <- tasks.map(_._1).distinct.sorted if moved < batch) {
+      val gTasks = tasks.filter(_._1 == grp)
+      val loads = collection.mutable.Map(
+        nodes.map(n => n -> gTasks.count(_._2 == n).toLong): _*)
+      val lower = loads.values.sum / nodes.size
+      val deficit = loads.values.map(l => math.max(0L, lower - l)).sum
+      if (deficit > 0) {
+        val queues = collection.mutable.Map(nodes.map(n =>
+          n -> collection.mutable.Queue(
+            gTasks.filter(_._2 == n).map(_._3).sorted: _*)): _*)
+        var grpMoved = 0L
+        var done = false
+        while (!done) {
+          val (tgt, tLoad) = loads.filter(_._2 < lower) match {
+            case m if m.isEmpty => (-1L, -1L)
+            case m => m.toSeq.minBy { case (n, l) => (l, n) }
+          }
+          if (tgt < 0 || grpMoved >= math.min(batch.toLong, deficit)) done = true
+          else {
+            val (vic, vLoad) = loads.toSeq.maxBy { case (n, l) => (l, -n) }
+            val span = queues(vic).dequeue()
+            grpMoved += 1
+            out += ((grp, grpMoved, span, vic, vLoad, tgt, tLoad + 1))
+            loads(vic) = vLoad - 1
+            loads(tgt) = tLoad + 1
+          }
+        }
+        moved += grpMoved.toInt
+      }
+    }
+    out.toSeq
+  }
+
+  /** updateHotSpan as written: score +1 / −1-floored-at-0 / unchanged. */
+  private def seqWalk(deltas: Seq[Long]): (Long, Long) = {
+    var s = 0L; var peak = 0L
+    deltas.foreach { d => s = math.max(0L, s + d); peak = math.max(peak, s) }
+    (s, peak)
+  }
+
+  // ---- A79 ----
+
+  test("A79: slot-fill frame equals the sequential min-heap fold") {
+    val loads = Map(0L -> 5L, 1L -> 0L, 2L -> 2L, 3L -> 2L)
+    val absent = Seq("s01", "s02", "s03", "s04", "s05", "s06", "s07", "s08", "s09")
+    val got = cdc.Scheduler.basicFrame(
+        loads.toSeq.toDF("node", "load"), absent.toDF("span"), 1000)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == seqBasic(loads, absent, 1000))
+    // the fold crosses the node-2/3 tie; the over-loaded node 0 (its
+    // first slot sits at height 6, above every filled slot) gets nothing
+    assert(!got.map(_._3).contains(0L))
+  }
+
+  test("A79: batch cap schedules exactly the first availableSize spans") {
+    val loads = Map(0L -> 1L, 1L -> 3L)
+    val absent = Seq("b", "a", "d", "c")
+    val got = cdc.Scheduler.basicFrame(
+        loads.toSeq.toDF("node", "load"), absent.toDF("span"), 3)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == seqBasic(loads, absent, 3))
+    assert(got.map(_._1) == Seq("a", "b", "c")) // span order, capped at 3
+  }
+
+  test("A79: production frame schedules every absent span onto the min-loaded nodes") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val frame = cdc.Scheduler.basicSchedule(cl).cache()
+    val n = frame.count()
+    assert(n > 0)
+    // assignment sequence is dense 1..n and spans are distinct
+    assert(frame.select("assign_seq").as[Long].collect().sorted.toSeq
+      == (1L to n).toSeq)
+    assert(frame.select("span").distinct().count() == n)
+    frame.unpersist()
+  }
+
+  // ---- A80 ----
+
+  test("A80: layer-duality frame equals the sequential two-heap fold") {
+    // g1: skewed victim; g2: already balanced (CheckBalanceStatus
+    // fast-path); g3: two victims with a height tie
+    val tasks = Seq(
+      ("g1", 0L, "g1-a"), ("g1", 0L, "g1-b"), ("g1", 0L, "g1-c"),
+      ("g1", 0L, "g1-d"), ("g1", 0L, "g1-e"), ("g1", 1L, "g1-f"),
+      ("g2", 0L, "g2-a"), ("g2", 1L, "g2-b"),
+      ("g3", 1L, "g3-a"), ("g3", 1L, "g3-b"), ("g3", 2L, "g3-c"),
+      ("g3", 2L, "g3-d"), ("g3", 3L, "g3-e"), ("g3", 0L, "g3-f"))
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val got = cdc.Scheduler.balanceFrame(
+        tasks.toDF("grp", "node", "span"), nodes.toDF("node"), 1000)
+      .select("grp", "move_seq", "span", "from_node", "from_height",
+        "to_node", "to_height")
+      .as[(String, Long, String, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = seqBalance(tasks, nodes, 1000)
+      .map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7))
+    assert(got == want)
+    // g2 balanced -> no moves
+    assert(!got.exists(_._1 == "g2"))
+  }
+
+  test("A80: cross-group batch gate skips whole groups once the cap is hit") {
+    val tasks = (1 to 8).map(i => ("g1", 0L, f"g1-$i%02d")) ++
+      (1 to 8).map(i => ("g2", 0L, f"g2-$i%02d"))
+    val nodes = Seq(0L, 1L)
+    // g1 alone produces 4 moves (lower=4); batch 3 caps g1 at 3 and
+    // the cumulative gate then skips g2 entirely (balance.go:104-107)
+    val got3 = cdc.Scheduler.balanceFrame(
+        tasks.toDF("grp", "node", "span"), nodes.toDF("node"), 3)
+      .as[(String, Long, String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val want3 = seqBalance(tasks, nodes, 3)
+    assert(got3.map(r => (r._1, r._2, r._3)) == want3.map(r => (r._1, r._2, r._3)))
+    assert(got3.size == 3 && got3.forall(_._1 == "g1"))
+    // batch 5: g1 runs its full 4 moves, cumulative 4 < 5 admits g2
+    val got5 = cdc.Scheduler.balanceFrame(
+        tasks.toDF("grp", "node", "span"), nodes.toDF("node"), 5)
+      .as[(String, Long, String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val want5 = seqBalance(tasks, nodes, 5)
+    assert(got5.map(r => (r._1, r._2, r._3)) == want5.map(r => (r._1, r._2, r._3)))
+    assert(got5.count(_._1 == "g1") == 4 && got5.count(_._1 == "g2") == 4)
+  }
+
+  test("A80: production frame reaches the lower limit and never drains a victim below it") {
+    // sf0.01: the full 6x8-span universe is populated, so the skewed
+    // assignment leaves real deficits (sf0.001 drops regions and can
+    // land balanced — those groups still emit their CheckBalanceStatus
+    // row with deficit 0 and null move columns)
+    val cl = cdc.ChangeEvents.changelog(spark, "/root/testdata/sf0.01")
+    val frame = cdc.Scheduler.groupBalance(cl).cache()
+    // status totality: every table group reports its verdict
+    assert(frame.select("grp").distinct().count() == 6)
+    val moves = frame.filter(col("move_seq").isNotNull)
+    assert(moves.count() > 0)
+    // balanced groups carry no move columns
+    assert(frame.filter(col("deficit") === 0L && col("move_seq").isNotNull)
+      .count() == 0)
+    // every move lands at or below the limit and drains from above it
+    assert(moves.filter(col("to_height") > col("grp_lower")).count() == 0)
+    assert(moves.filter(col("from_height") <= col("grp_lower")).count() == 0)
+    // post-state: every target fills exactly to the lower limit
+    // (batch unbounded, so the loop runs to completion)
+    val lastFill = moves.groupBy("grp", "to_node", "grp_lower")
+      .agg(max("to_height").as("final_h"))
+    assert(lastFill.filter(col("final_h") =!= col("grp_lower")).count() == 0,
+      "every target fills exactly to the lower limit")
+    // sf0.001's sparse universe: the status arm alone keeps the frame
+    // non-empty even when every group lands balanced
+    assert(cdc.Scheduler.groupBalance(
+      cdc.ChangeEvents.changelog(spark, dir)).count() > 0)
+    frame.unpersist()
+  }
+
+  // ---- A81 ----
+
+  test("A81: Lindley closed form equals the sequential floored walk") {
+    // walk with floor bounces, a 0-delta stretch, and a late surge
+    val cases = Seq(
+      "w1" -> Seq(-1L, -1L, 1L, 1L, -1L, -1L, -1L, 1L, 1L, 1L),
+      "w2" -> Seq(1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L),
+      "w3" -> Seq(0L, 0L, -1L, 0L, 1L, -1L, 1L, 1L, -1L, 1L),
+      "w4" -> Seq(-1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L))
+    // encode deltas as (bytes, coeff): thr=10, coeff=3 ->
+    // +1 at 30, 0 at 15, -1 at 0
+    val ticks = cases.flatMap { case (sp, ds) =>
+      ds.zipWithIndex.map { case (d, t) =>
+        (sp, t.toLong, d match { case 1L => 30L; case 0L => 15L; case _ => 0L }, 3L)
+      }
+    }.toDF("span", "tick", "bytes", "coeff")
+    val got = cdc.Scheduler.hotWalkFrame(ticks, 10L, 3, 100L, 12)
+      .select("span", "final_score", "peak_score")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    cases.foreach { case (sp, ds) =>
+      assert(got(sp) == seqWalk(ds), s"$sp: ${got(sp)} != ${seqWalk(ds)}")
+    }
+  }
+
+  test("A81: staleness clears a hot span whose last increment is outside the window") {
+    // hot early (score 3 by tick 2), then 0-deltas keep the score but
+    // age the entry past clearTicks=3 -> cleared, not returned
+    val ds = Seq(1L, 1L, 1L) ++ Seq.fill(7)(0L)
+    val ticks = ds.zipWithIndex.map { case (d, t) =>
+      ("stale", t.toLong, if (d == 1L) 30L else 15L, 3L)
+    }.toDF("span", "tick", "bytes", "coeff")
+    val row = cdc.Scheduler.hotWalkFrame(ticks, 10L, 3, 3L, 12)
+      .select("final_score", "is_stale", "is_hot", "split_spans")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row == ((3L, 1L, 0L, 0L)))
+    // same walk inside the window stays hot with the split hint
+    val fresh = cdc.Scheduler.hotWalkFrame(ticks, 10L, 3, 100L, 12)
+      .select("final_score", "is_stale", "is_hot", "split_spans")
+      .as[(Long, Long, Long, Long)].head()
+    assert(fresh == ((3L, 0L, 1L, 12L)))
+  }
+
+  test("A81: getSpansNumber arms match region_count_splitter.go:173-180") {
+    import cdc.Scheduler.spansNumber
+    assert(spansNumber(1, 4) == 1)            // single region never splits
+    assert(spansNumber(8, 4) == 12)           // captures*max(captures-1,3)
+    assert(spansNumber(8, 2) == 6)            // coefficient floors at 3
+    // regionNum/spanRegionLimit dominates huge tables
+    assert(spansNumber(1000000, 4, 1000) == 20)
+    assert(spansNumber(5000000, 4, 1000) == 100)
+    assert(spansNumber(5000000, 4, 50) == 50)  // maxSpanNum cap
+  }
+
+  test("A81: production frame — default-group spans run hot, split groups hold at coefficient 3") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val frame = cdc.Scheduler.hotSpans(cl).cache()
+    assert(frame.filter(col("coeff") === 1L).count() > 0)
+    assert(frame.filter(col("coeff") === 3L).count() > 0)
+    // split hint rides exactly on the hot rows
+    assert(frame.filter(col("is_hot") === 1L && col("split_spans") === 0L)
+      .count() == 0)
+    assert(frame.filter(col("is_hot") === 0L && col("split_spans") =!= 0L)
+      .count() == 0)
+    frame.unpersist()
+  }
+}
