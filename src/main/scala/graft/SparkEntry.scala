@@ -98,6 +98,7 @@ object SparkEntry {
     "cdc_sched_basic" -> ((s, d) => Scheduler.basicSchedule(cl(s, d))),
     "cdc_sched_balance" -> ((s, d) => Scheduler.groupBalance(cl(s, d))),
     "cdc_hot_span" -> ((s, d) => Scheduler.hotSpans(cl(s, d))),
+    "cdc_span_split_bytes" -> ((s, d) => Scheduler.spanSplitBytes(cl(s, d))),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_txn_group" -> ((s, d) => Materialize.txnGroup(cl(s, d))),
@@ -248,6 +249,7 @@ object SparkEntry {
     "cdc_sched_basic" -> o(Scheduler.basicScheduleSql()),
     "cdc_sched_balance" -> o(Scheduler.groupBalanceSql()),
     "cdc_hot_span" -> o(Scheduler.hotSpansSql()),
+    "cdc_span_split_bytes" -> o(Scheduler.spanSplitBytesSql()),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_txn_group" -> o(Materialize.txnGroupSql),

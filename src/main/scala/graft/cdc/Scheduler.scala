@@ -442,6 +442,202 @@ object Scheduler {
       spansNumber(nRegions, NNodes, maxSpanNum))
   }
 
+  // ------------------------------------------------------------------
+  // A82 — write-bytes span splitter (greedy weight packing)
+  // ------------------------------------------------------------------
+
+  /** Reference: maintainer/split/write_bytes_splitter.go:123-255
+    * `splitRegionsByWrittenKeysV1` — a hot span's regions are packed
+    * greedily into ~`spansNum` spans of approximately equal write
+    * weight: written keys are normalized (+1 per region), the limit is
+    * `totalNorm / spansNum`, and the loop emits a span when its weight
+    * EXCEEDS the limit or its region count hits spanRegionLimit; when
+    * one span remains, a small remainder is absorbed whole (the break
+    * arm) and a large remainder re-expands the budget to
+    * `restWeight / limit` spans; a tail with no more regions than
+    * remaining spans goes one-region-per-span. Below writeKeyThreshold
+    * the table is a single span (splitter.go's no-split fast path).
+    *
+    * The fold is inherently sequential PER TABLE (each arm reads state
+    * the previous regions built), but tables are independent — so it
+    * runs as a Catalyst higher-order `aggregate` over each table's
+    * sorted region list: one dimension-scale row per table, the fold
+    * inside the engine, parallel across tables, no driver loop. The
+    * oracle replays the identical fold as a recursive CTE. */
+  private def splitAggExpr(spansNum: Int, threshold: Long,
+                           spanRegionLimit: Long): String = {
+    // shared sub-expressions, inlined per SQL-lambda arm (no `let`):
+    // i1 = acc.i + 1 (current 0-based index), rc1/sw1 = updated span
+    // count/weight, st1 = current span's start rid, rs1 = restSpans
+    // after the one-span re-expansion arm (balance.go analog is
+    // write_bytes_splitter.go:186-208)
+    val st1 = "IF(acc.rc = 0, r.rid, acc.st_rid)"
+    val rs1 = "IF(acc.rest_spans = 1, acc.rest_weight div lim, acc.rest_spans)"
+    val sw1 = "acc.sw + r.wk + 1"
+    val rc1 = "acc.rc + 1"
+    s"""CASE WHEN total_write < $threshold THEN
+       |  array(named_struct(
+       |    'st', element_at(rs, 1).rid, 'en', element_at(rs, -1).rid,
+       |    'cnt', CAST(n AS BIGINT), 'w', total_norm))
+       |ELSE aggregate(
+       |  rs,
+       |  named_struct(
+       |    'spans', CAST(array() AS
+       |      ARRAY<STRUCT<st: BIGINT, en: BIGINT, cnt: BIGINT, w: BIGINT>>),
+       |    'st_rid', CAST(-1 AS BIGINT), 'sw', CAST(0 AS BIGINT),
+       |    'rc', CAST(0 AS BIGINT),
+       |    'rest_spans', CAST($spansNum AS BIGINT), 'rest_weight', total_norm,
+       |    'i', CAST(-1 AS BIGINT), 'done', false),
+       |  (acc, r) -> CASE
+       |    WHEN acc.done THEN acc
+       |    WHEN acc.rest_spans = 1 AND acc.rest_weight < lim THEN named_struct(
+       |      'spans', concat(acc.spans, array(named_struct(
+       |        'st', $st1, 'en', element_at(rs, -1).rid,
+       |        'cnt', n - acc.i - 1 + acc.rc, 'w', acc.rest_weight))),
+       |      'st_rid', CAST(-1 AS BIGINT), 'sw', CAST(0 AS BIGINT),
+       |      'rc', CAST(0 AS BIGINT),
+       |      'rest_spans', CAST(0 AS BIGINT), 'rest_weight', CAST(0 AS BIGINT),
+       |      'i', acc.i + 1, 'done', true)
+       |    WHEN (n - acc.i - 1) <= $rs1 OR ($sw1) > lim
+       |      OR ($rc1) >= $spanRegionLimit THEN named_struct(
+       |      'spans', concat(acc.spans, array(named_struct(
+       |        'st', $st1, 'en', r.rid, 'cnt', $rc1, 'w', $sw1))),
+       |      'st_rid', CAST(-1 AS BIGINT), 'sw', CAST(0 AS BIGINT),
+       |      'rc', CAST(0 AS BIGINT),
+       |      'rest_spans', ($rs1) - 1, 'rest_weight', acc.rest_weight - ($sw1),
+       |      'i', acc.i + 1, 'done', false)
+       |    ELSE named_struct(
+       |      'spans', acc.spans,
+       |      'st_rid', $st1, 'sw', $sw1, 'rc', $rc1,
+       |      'rest_spans', $rs1, 'rest_weight', acc.rest_weight,
+       |      'i', acc.i + 1, 'done', false)
+       |  END,
+       |  acc -> acc.spans)
+       |END""".stripMargin
+  }
+
+  /** Core frame, spec-drivable. `regions` = (grp, rid, wk) — one row
+    * per region with its written-key count, rid-ordered within grp.
+    * Output: one row per packed span. */
+  def splitFrame(regions: DataFrame, spansNum: Int, threshold: Long,
+                 spanRegionLimit: Long = 50000L): DataFrame =
+    regions
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("rid"), col("wk")))).as("rs"))
+      .withColumn("n", size(col("rs")))
+      .withColumn("total_write",
+        expr("aggregate(rs, CAST(0 AS BIGINT), (a, x) -> a + x.wk)"))
+      .withColumn("total_norm", col("total_write") + col("n"))
+      .withColumn("lim", expr(s"total_norm div $spansNum"))
+      .withColumn("spans_arr",
+        expr(splitAggExpr(spansNum, threshold, spanRegionLimit)))
+      .select(col("grp"), posexplode(col("spans_arr")))
+      .select(col("grp"),
+        (col("pos") + 1L).as("span_seq"),
+        col("col.st").as("start_rid"), col("col.en").as("end_rid"),
+        col("col.cnt").as("region_cnt"), col("col.w").as("span_weight"))
+
+  /** Region sub-spans scanned for the splitter: finer than the
+    * scheduling buckets — PD regions are much smaller than spans. */
+  val SplitScanRegions = 64
+
+  /** A82 production query: every table's PD-region scan (64 pk-hash
+    * cells, event count as written keys) packed into
+    * `getSpansNumber(regions, captures)` = 12 spans; tables under the
+    * write threshold stay whole (at sf0.001 every table takes that
+    * arm; at sf0.01+ the packing arms run). */
+  def spanSplitBytes(cl: DataFrame, threshold: Long = 500L,
+                     nScan: Int = SplitScanRegions): DataFrame = {
+    val regions = cl
+      .withColumn("rid", Portable.bucket(col("pk").cast("string"), nScan))
+      .groupBy(
+        concat_ws(".", col("schema_name"), col("table_name")).as("grp"),
+        col("rid"))
+      .agg(count(lit(1)).as("wk"))
+    splitFrame(regions, spansNumber(nScan, NNodes), threshold)
+  }
+
+  def spanSplitBytesSql(threshold: Long = 500L,
+                        nScan: Int = SplitScanRegions): String = {
+    val spansNum = spansNumber(nScan, NNodes)
+    val spanRegionLimit = 50000L
+    s"""WITH RECURSIVE regions0 AS (
+       |  SELECT schema_name || '.' || table_name AS grp,
+       |    ${Portable.bucketSql("CAST(pk AS VARCHAR)", nScan)} AS rid,
+       |    CAST(COUNT(*) AS BIGINT) AS wk
+       |  FROM changelog GROUP BY 1, 2
+       |),
+       |ridx AS (
+       |  SELECT grp, rid, wk,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rid) - 1 AS BIGINT)
+       |      AS idx
+       |  FROM regions0
+       |),
+       |tstats AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(wk) AS BIGINT) AS total_write,
+       |    CAST(SUM(wk) + COUNT(*) AS BIGINT) AS total_norm,
+       |    CAST((SUM(wk) + COUNT(*)) // $spansNum AS BIGINT) AS lim,
+       |    MIN(rid) AS first_rid, MAX(rid) AS last_rid
+       |  FROM ridx GROUP BY grp
+       |),
+       |step AS (
+       |  SELECT grp, CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS st_rid,
+       |    CAST(0 AS BIGINT) AS sw, CAST(0 AS BIGINT) AS rc,
+       |    CAST($spansNum AS BIGINT) AS rest_spans, total_norm AS rest_weight,
+       |    FALSE AS done,
+       |    CAST(NULL AS BIGINT) AS e_st, CAST(NULL AS BIGINT) AS e_en,
+       |    CAST(NULL AS BIGINT) AS e_cnt, CAST(NULL AS BIGINT) AS e_w
+       |  FROM tstats WHERE total_write >= $threshold
+       |  UNION ALL
+       |  SELECT grp, i1,
+       |    CAST(CASE WHEN brk OR em THEN -1 ELSE st1 END AS BIGINT),
+       |    CAST(CASE WHEN brk OR em THEN 0 ELSE sw1 END AS BIGINT),
+       |    CAST(CASE WHEN brk OR em THEN 0 ELSE rc1 END AS BIGINT),
+       |    CAST(CASE WHEN brk THEN 0 WHEN em THEN rs1 - 1 ELSE rs1 END
+       |      AS BIGINT),
+       |    CAST(CASE WHEN brk THEN 0 WHEN em THEN rw - sw1 ELSE rw END
+       |      AS BIGINT),
+       |    brk,
+       |    CAST(CASE WHEN brk OR em THEN st1 END AS BIGINT),
+       |    CAST(CASE WHEN brk THEN last_rid WHEN em THEN cur_rid END
+       |      AS BIGINT),
+       |    CAST(CASE WHEN brk THEN n - i1 + rc1 - 1 WHEN em THEN rc1 END
+       |      AS BIGINT),
+       |    CAST(CASE WHEN brk THEN rw WHEN em THEN sw1 END AS BIGINT)
+       |  FROM (
+       |    SELECT s.grp, s.i + 1 AS i1, s.rc + 1 AS rc1,
+       |      s.sw + r.wk + 1 AS sw1,
+       |      CASE WHEN s.rc = 0 THEN r.rid ELSE s.st_rid END AS st1,
+       |      CASE WHEN s.rest_spans = 1 THEN s.rest_weight // t.lim
+       |           ELSE s.rest_spans END AS rs1,
+       |      (s.rest_spans = 1 AND s.rest_weight < t.lim) AS brk,
+       |      (NOT (s.rest_spans = 1 AND s.rest_weight < t.lim)) AND
+       |        ((t.n - (s.i + 1)) <= (CASE WHEN s.rest_spans = 1
+       |            THEN s.rest_weight // t.lim ELSE s.rest_spans END)
+       |          OR (s.sw + r.wk + 1) > t.lim
+       |          OR (s.rc + 1) >= $spanRegionLimit) AS em,
+       |      s.rest_weight AS rw, t.n, t.last_rid, t.lim, r.rid AS cur_rid
+       |    FROM step s
+       |    JOIN tstats t ON t.grp = s.grp
+       |    JOIN ridx r ON r.grp = s.grp AND r.idx = s.i + 1
+       |    WHERE NOT s.done
+       |  ) x
+       |),
+       |sp AS (
+       |  SELECT grp, e_st, e_en, e_cnt, e_w, i FROM step WHERE e_st IS NOT NULL
+       |  UNION ALL
+       |  SELECT grp, first_rid, last_rid, n, total_norm, CAST(0 AS BIGINT)
+       |  FROM tstats WHERE total_write < $threshold
+       |)
+       |SELECT grp,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY i) AS BIGINT)
+       |    AS span_seq,
+       |  e_st AS start_rid, e_en AS end_rid,
+       |  e_cnt AS region_cnt, e_w AS span_weight
+       |FROM sp""".stripMargin
+  }
+
   def hotSpansSql(tickW: Long = 100L, thr: Long = 10L, scoreThr: Int = 3,
                   clearTicks: Long = 3L, nRegions: Int = NRegions,
                   maxSpanNum: Int = 100): String = {

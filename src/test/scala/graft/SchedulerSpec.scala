@@ -70,6 +70,45 @@ class SchedulerSpec extends AnyFunSuite {
     out.toSeq
   }
 
+  /** splitRegionsByWrittenKeysV1 as written
+    * (write_bytes_splitter.go:123-255): normalize (+1/region), limit =
+    * totalNorm/spansNum, greedy pack with the one-span-left
+    * absorb/re-expand arms, the regions<=spans tail, and the
+    * weight/regionLimit emit arms. Returns (st, en, cnt, w) spans. */
+  private def seqSplit(regions: Seq[(Long, Long)], spansNum: Long,
+                       threshold: Long, spanRegionLimit: Long): Seq[(Long, Long, Long, Long)] = {
+    val rs = regions.sortBy(_._1)
+    val n = rs.size
+    val totalWrite = rs.map(_._2).sum
+    val norm = rs.map { case (rid, wk) => (rid, wk + 1) }
+    val totalNorm = totalWrite + n
+    if (totalWrite < threshold)
+      return Seq((rs.head._1, rs.last._1, n.toLong, totalNorm))
+    val limit = totalNorm / spansNum
+    val out = collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+    var sw = 0L; var stIdx = 0; var restSpans = spansNum
+    var rc = 0L; var restWeight = totalNorm
+    var i = 0; var break = false
+    while (i < n && !break) {
+      val restRegions = n - i
+      rc += 1
+      sw += norm(i)._2
+      if (restSpans == 1) {
+        if (restWeight < limit) {
+          out += ((norm(stIdx)._1, norm(n - 1)._1, (n - stIdx).toLong, restWeight))
+          break = true
+        } else restSpans = restWeight / limit
+      }
+      if (!break && (restRegions <= restSpans || sw > limit || rc >= spanRegionLimit)) {
+        out += ((norm(stIdx)._1, norm(i)._1, rc, sw))
+        restSpans -= 1; restWeight -= sw
+        sw = 0L; rc = 0L; stIdx = i + 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** updateHotSpan as written: score +1 / −1-floored-at-0 / unchanged. */
   private def seqWalk(deltas: Seq[Long]): (Long, Long) = {
     var s = 0L; var peak = 0L
@@ -188,6 +227,66 @@ class SchedulerSpec extends AnyFunSuite {
     // non-empty even when every group lands balanced
     assert(cdc.Scheduler.groupBalance(
       cdc.ChangeEvents.changelog(spark, dir)).count() > 0)
+    frame.unpersist()
+  }
+
+  // ---- A82 ----
+
+  private def runSplit(regions: Seq[(String, Long, Long)], spansNum: Int,
+                       threshold: Long, spanRegionLimit: Long = 50000L) =
+    cdc.Scheduler.splitFrame(
+        regions.toDF("grp", "rid", "wk"), spansNum, threshold, spanRegionLimit)
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("A82: packing fold equals the sequential splitter on every arm") {
+    // t1: weight packing (hot skewed regions force the sw>limit arm and
+    // the one-span-left re-expansion); t2: below threshold -> whole;
+    // t3: fewer regions than spans -> one region per span; t4: uniform
+    // weights land the absorb (break) arm on the remainder
+    val t1 = (0L until 20L).map(r => ("t1", r, if (r % 5 == 0) 400L else 10L))
+    val t2 = (0L until 8L).map(r => ("t2", r, 10L))
+    val t3 = Seq(("t3", 3L, 900L), ("t3", 7L, 900L))
+    val t4 = (0L until 16L).map(r => ("t4", r, 100L))
+    for ((tag, regs, spansNum) <- Seq(
+        ("t1", t1, 4), ("t2", t2, 4), ("t3", t3, 4), ("t4", t4, 3))) {
+      val got = runSplit(regs, spansNum, 150L)
+        .map(r => (r._3, r._4, r._5, r._6))
+      val want = seqSplit(regs.map(r => (r._2, r._3)), spansNum, 150L, 50000L)
+      assert(got == want, s"$tag: $got != $want")
+      // seq numbering is dense 1..k
+      assert(runSplit(regs, spansNum, 150L).map(_._2) == (1L to got.size).toSeq, tag)
+    }
+  }
+
+  test("A82: spanRegionLimit caps a span's region count before its weight fills") {
+    val regs = (0L until 12L).map(r => ("t", r, 1L))
+    val got = runSplit(regs, 2, 1L, 3L).map(r => (r._3, r._4, r._5, r._6))
+    val want = seqSplit(regs.map(r => (r._2, r._3)), 2, 1L, 3L)
+    assert(got == want)
+    // every span but the tail is clamped at exactly 3 regions
+    assert(got.dropRight(1).forall(_._3 == 3L))
+  }
+
+  test("A82: production frame partitions every region exactly once with contiguous spans") {
+    val cl = cdc.ChangeEvents.changelog(spark, "/root/testdata/sf0.01")
+    val frame = cdc.Scheduler.spanSplitBytes(cl).cache()
+    val regions = cl.select(
+        concat_ws(".", col("schema_name"), col("table_name")).as("grp"),
+        graft.functions.Portable.bucket(
+          col("pk").cast("string"), cdc.Scheduler.SplitScanRegions).as("rid"))
+      .distinct().groupBy("grp").agg(count(lit(1)).as("n_regions"))
+    // per group: region counts sum to the region universe (no region
+    // dropped or double-packed), spans are rid-contiguous in seq order
+    val sums = frame.groupBy("grp").agg(sum("region_cnt").as("packed"))
+      .join(regions, "grp")
+    assert(sums.filter(col("packed") =!= col("n_regions")).count() == 0)
+    val gaps = frame.withColumn("prev_end",
+        lag("end_rid", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("grp")
+            .orderBy("span_seq")))
+      .filter(col("prev_end").isNotNull && col("start_rid") <= col("prev_end"))
+    assert(gaps.count() == 0, "spans overlap or run backwards")
     frame.unpersist()
   }
 
