@@ -201,6 +201,9 @@ object SparkEntry {
     "multimodal_frame_sample" -> ((s, d) => ops.Multimodal.frameSamples(s, d)),
     "text_repetition" -> ((s, d) => ops.Corpus.textRepetition(s, d)),
     "doc_tfidf" -> ((s, d) => ops.Corpus.docTfidf(s, d)),
+    "doc_chunk" -> ((s, d) => ops.Retrieval.docChunk(s, d)),
+    "text_winnowing" -> ((s, d) => ops.Retrieval.winnowing(s, d)),
+    "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
     "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
     "dedup_clusters" -> ((s, d) => ops.Curation.dedupClusters(s, d)),
     "contamination_ngram" -> ((s, d) => ops.Curation.contamination(s, d)),
@@ -351,6 +354,9 @@ object SparkEntry {
     "multimodal_frame_sample" -> ops.Multimodal.frameSamplesSql(),
     "text_repetition" -> ops.Corpus.textRepetitionSql,
     "doc_tfidf" -> ops.Corpus.docTfidfSql(),
+    "doc_chunk" -> ops.Retrieval.docChunkSql(),
+    "text_winnowing" -> ops.Retrieval.winnowingSql(),
+    "bm25_topk" -> ops.Retrieval.bm25TopKSql(),
     "data_split" -> ops.Corpus.dataSplitSql(),
     "dedup_clusters" -> ops.Curation.dedupClustersSql(),
     "contamination_ngram" -> ops.Curation.contaminationSql,

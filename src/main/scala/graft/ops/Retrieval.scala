@@ -1,0 +1,251 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+import graft.util.Tables
+
+/** C36/C37/C38 — retrieval-side corpus operators: RAG chunking,
+  * winnowing fingerprints, and BM25 ranking.
+  *
+  * C36 `doc_chunk`: sliding-window token chunking (window W, stride
+  * S < W for overlap) — the standard RAG pre-indexing step. Chunk
+  * text is reconstructed deterministically (normalized tokens joined
+  * by one space) and surfaced as a portable hash + char count, so
+  * the oracle checks the exact chunk CONTENT without shipping it.
+  * Row-local after the tokenizer: one explode per document, no
+  * shuffle (the chunk frame inherits the scan partitioning).
+  *
+  * C37 `text_winnowing`: winnowing document fingerprints (Schleimer,
+  * Wilkerson, Aiken, SIGMOD 2003 — the MOSS algorithm): hash all
+  * word 3-grams, slide a window of w=4 over the hash sequence, keep
+  * the minimum hash per window breaking ties to the RIGHTMOST
+  * position, and dedup the selections. Guarantees every match of
+  * length ≥ w+2 tokens shares a fingerprint — the local-dedup /
+  * plagiarism primitive. The min-with-rightmost-tie selection packs
+  * (hash, position) into ONE comparable BIGINT key — 40-bit hash
+  * above a 22-bit position complement — so a single frame-window
+  * MIN does the lexicographic argmin portably in both engines.
+  *
+  * C38 `bm25_topk`: Okapi BM25 (k1 = 6/5, b = 3/4) for a fixed
+  * query, top-k documents. Logarithm-free exactness: with rational
+  * k1/b every per-term score is a ratio of two exact int64 products
+  *   idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  *     = [(2N−2df+1) · 22 · tf · T] / [(2df+1) · ((10·tf+3)·T + 9·dl·N)]
+  * (avgdl = T/N cleared of fractions; Robertson idf (N−df+½)/(df+½)
+  * kept raw — ln() is not bit-portable across engines and a monotone
+  * transform preserves the ranking for fixed df, the C15 precedent).
+  * Both sides fit 2^53 at test scale, so the ONE double division is
+  * IEEE-exact and bit-identical in Spark and DuckDB; the per-term
+  * scores sum in fixed literal order. At 100 TB the same plan runs
+  * with plain double arithmetic — the integer clearing is the oracle
+  * contract, not the scale path.
+  */
+object Retrieval {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
+  // ------------------------------------------------------------------
+  // C36 — sliding-window chunking
+  // ------------------------------------------------------------------
+
+  /** Chunk count: 1 + ceil(max(0, n−W)/S) — the last chunk may be
+    * shorter than W; a doc shorter than W is one chunk. */
+  def docChunk(spark: SparkSession, dir: String,
+               w: Int = 64, s: Int = 48): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("ci", explode(sequence(lit(0L),
+        expr(s"(greatest(n - $w, CAST(0 AS BIGINT)) + ${s - 1}) div $s"))))
+      .withColumn("tok_start", col("ci") * s)
+      .withColumn("tok_end", least(col("tok_start") + w, col("n")))
+      .withColumn("chunk_tokens", col("tok_end") - col("tok_start"))
+      .withColumn("chunk_text",
+        array_join(slice(col("toks"),
+          (col("tok_start") + 1).cast("int"),
+          col("chunk_tokens").cast("int")), " "))
+      .select(col("doc_id"),
+        (col("ci") + 1L).as("chunk_seq"),
+        col("tok_start"), col("tok_end"), col("chunk_tokens"),
+        length(col("chunk_text")).cast("long").as("chunk_chars"),
+        Portable.hash60(col("chunk_text")).as("chunk_hash"))
+
+  def docChunkSql(w: Int = 64, s: Int = 48): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), c AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+       |    UNNEST(GENERATE_SERIES(0,
+       |      (GREATEST(CAST(len(toks) AS BIGINT) - $w, 0) + ${s - 1}) // $s))
+       |      AS ci
+       |  FROM t
+       |), x AS (
+       |  SELECT doc_id, ci, n,
+       |    CAST(ci * $s AS BIGINT) AS tok_start,
+       |    CAST(LEAST(ci * $s + $w, n) AS BIGINT) AS tok_end,
+       |    array_to_string(toks[CAST(ci * $s + 1 AS BIGINT) :
+       |      CAST(LEAST(ci * $s + $w, n) AS BIGINT)], ' ') AS chunk_text
+       |  FROM c
+       |)
+       |SELECT doc_id, CAST(ci + 1 AS BIGINT) AS chunk_seq,
+       |  tok_start, tok_end,
+       |  tok_end - tok_start AS chunk_tokens,
+       |  CAST(LENGTH(chunk_text) AS BIGINT) AS chunk_chars,
+       |  ${Portable.hash60Sql("chunk_text")} AS chunk_hash
+       |FROM x""".stripMargin
+
+  // ------------------------------------------------------------------
+  // C37 — winnowing fingerprints
+  // ------------------------------------------------------------------
+
+  /** 40-bit gram hash over a 22-bit position complement: MIN of the
+    * packed key = (min hash, rightmost position) lexicographically. */
+  private val HashMod = 1099511627776L // 2^40
+  private val PosMod = 4194304L // 2^22
+
+  def winnowing(spark: SparkSession, dir: String, win: Int = 4): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"),
+        call_function("graft_word_ngrams_all",
+          Text.tokens(col("text")), lit(3)).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("m"),
+        posexplode(col("grams")).as(Seq("pos", "gram")))
+      .withColumn("key",
+        (Portable.hash60(col("gram")) % HashMod) * PosMod +
+          (lit(PosMod - 1) - col("pos")))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, win - 1)
+    grams
+      .withColumn("mk", min(col("key")).over(frame))
+      .filter(col("pos") <= col("m") - win)
+      .select(col("doc_id"),
+        (lit(PosMod - 1) - pmod(col("mk"), lit(PosMod))).as("fp_pos"),
+        expr(s"mk div $PosMod").as("fp_hash"))
+      .distinct()
+  }
+
+  def winnowingSql(win: Int = 4): String = {
+    val allGrams =
+      """CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |  ELSE [] END""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, $allGrams AS grams FROM t
+       |), pg AS (
+       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS m,
+       |    UNNEST(list_transform(range(1, len(grams) + 1),
+       |      i -> {'pos': i - 1, 'gram': grams[i]})) AS e
+       |  FROM g
+       |), h AS (
+       |  SELECT doc_id, m, CAST(e.pos AS BIGINT) AS pos,
+       |    (${Portable.hash60Sql("e.gram")} % $HashMod) * $PosMod
+       |      + (${PosMod - 1} - e.pos) AS key
+       |  FROM pg
+       |), w AS (
+       |  SELECT doc_id, m, pos,
+       |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${win - 1} FOLLOWING) AS mk
+       |  FROM h
+       |)
+       |SELECT DISTINCT doc_id,
+       |  CAST(${PosMod - 1} - (mk % $PosMod) AS BIGINT) AS fp_pos,
+       |  CAST(mk // $PosMod AS BIGINT) AS fp_hash
+       |FROM w WHERE pos <= m - $win""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // C38 — BM25 top-k
+  // ------------------------------------------------------------------
+
+  /** The fixed retrieval query (high-df corpus terms — the summed
+    * score must be non-trivial on the synthetic vocabulary). */
+  val Query: Seq[String] = Seq("hash", "join", "scan")
+
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 20,
+               query: Seq[String] = Query): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val scal = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_toks"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(scal))
+      .withColumn("num",
+        (lit(2L) * col("n_docs") - lit(2L) * col("df") + 1L) *
+          lit(22L) * col("tf") * col("t_toks"))
+      .withColumn("den",
+        (lit(2L) * col("df") + 1L) *
+          ((lit(10L) * col("tf") + 3L) * col("t_toks") +
+            lit(9L) * col("dl") * col("n_docs")))
+      .withColumn("s", col("num").cast("double") / col("den"))
+    val sCols = query.map(q =>
+      coalesce(max(when(col("term") === q, col("s"))), lit(0.0d))
+        .as(s"s_$q"))
+    val pivoted = scored.groupBy(col("doc_id"), col("dl"))
+      .agg(sCols.head, sCols.tail: _*)
+    val score = query.map(q => s"s_$q").mkString(" + ")
+    pivoted
+      .withColumn("score", expr(score))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(Seq(col("doc_id"), col("dl")) ++
+        query.map(q => col(s"s_$q")) ++
+        Seq(col("score"), col("rank")): _*)
+  }
+
+  def bm25TopKSql(k: Int = 20, query: Seq[String] = Query): String = {
+    val inList = query.map(q => s"'$q'").mkString(", ")
+    val sCols = query.map(q =>
+      s"COALESCE(MAX(CASE WHEN term = '$q' THEN s END), 0.0) AS s_$q")
+      .mkString(",\n       |    ")
+    val score = query.map(q => s"s_$q").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(${Text.tokensSql("text")}) AS BIGINT) AS dl,
+       |    ${Text.tokensSql("text")} AS toks
+       |  FROM documents
+       |), scal AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS t_toks FROM base
+       |), tf AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, UNNEST(toks) AS term FROM base)
+       |  WHERE term IN ($inList)
+       |  GROUP BY doc_id, dl, term
+       |), dfq AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.dl, tf.term,
+       |    CAST((2 * n_docs - 2 * df + 1) * 22 * tf.tf * t_toks AS DOUBLE)
+       |      / ((2 * df + 1) * ((10 * tf.tf + 3) * t_toks
+       |          + 9 * tf.dl * n_docs)) AS s
+       |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN scal
+       |), pivoted AS (
+       |  SELECT doc_id, dl,
+       |    $sCols
+       |  FROM scored GROUP BY doc_id, dl
+       |)
+       |SELECT * FROM (
+       |  SELECT doc_id, dl, ${query.map(q => s"s_$q").mkString(", ")},
+       |    $score AS score,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY $score DESC, doc_id)
+       |      AS BIGINT) AS rank
+       |  FROM pivoted
+       |) WHERE rank <= $k""".stripMargin
+  }
+}

@@ -89,7 +89,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // scheduler frames: 1-row absent-count cross (A79), group x
       // node-universe cross (A80), span x tick-grid cross (A81) —
       // all dimension-scale
-      "cdc_sched_basic", "cdc_sched_balance", "cdc_hot_span")
+      "cdc_sched_basic", "cdc_sched_balance", "cdc_hot_span",
+      // 1-row corpus-scalars broadcast (q_scalar_subquery shape)
+      "bm25_topk")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
