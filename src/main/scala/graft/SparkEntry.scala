@@ -219,6 +219,7 @@ object SparkEntry {
     "q_range_join" -> ((s, d) => Analytics.qRangeJoin(s, d)),
     "q_salted_skew_join" -> ((s, d) => Analytics.qSaltedSkewJoin(s, d)),
     "q_window_ranks" -> ((s, d) => Analytics.qWindowRanks(s, d)),
+    "q_corr_agg_subquery" -> ((s, d) => Analytics.qCorrAggSubquery(s, d)),
     "q_pivot" -> ((s, d) => Analytics.qPivot(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.qGroupingSets(s, d)),
   )
@@ -372,6 +373,7 @@ object SparkEntry {
     "q_range_join" -> Analytics.qRangeJoinSql,
     "q_salted_skew_join" -> Analytics.qSaltedSkewJoinSql(),
     "q_window_ranks" -> Analytics.qWindowRanksSql,
+    "q_corr_agg_subquery" -> Analytics.qCorrAggSubquerySql,
     "q_pivot" -> Analytics.qPivotSql,
     "q_grouping_sets" -> Analytics.qGroupingSetsSql,
   )

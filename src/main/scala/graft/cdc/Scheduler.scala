@@ -420,9 +420,9 @@ object Scheduler {
     * over the span × tick grid (every working dispatcher reports each
     * tick); db0 tables model the default group (coefficient 1), the
     * rest split groups (coefficient 3). */
-  def hotSpans(cl: DataFrame, tickW: Long = 100L, thr: Long = 10L,
-               scoreThr: Int = 3, clearTicks: Long = 3L,
-               nRegions: Int = NRegions, maxSpanNum: Int = 100): DataFrame = {
+  /** The dense production tick frame feeding the walk (also the
+    * replay source for the A81s streaming twin). */
+  def hotTicks(cl: DataFrame, tickW: Long = 100L): DataFrame = {
     val obs = cl.groupBy(
         concat_ws(".", col("schema_name"), col("table_name")).as("span"),
         expr(s"commit_ts div $tickW").as("tick"))
@@ -433,14 +433,18 @@ object Scheduler {
       .distinct()
     val grid = cl.agg(max(expr(s"commit_ts div $tickW")).as("mx"))
       .select(explode(sequence(lit(0L), col("mx"))).as("tick"))
-    val ticks = uni.crossJoin(broadcast(grid))
+    uni.crossJoin(broadcast(grid))
       .join(obs, Seq("span", "tick"), "left")
       .select(col("span"), col("tick"),
         coalesce(col("obs_bytes"), lit(0L)).as("bytes"),
         when(col("schema_name") === "db0", 1L).otherwise(3L).as("coeff"))
-    hotWalkFrame(ticks, thr, scoreThr, clearTicks,
-      spansNumber(nRegions, NNodes, maxSpanNum))
   }
+
+  def hotSpans(cl: DataFrame, tickW: Long = 100L, thr: Long = 10L,
+               scoreThr: Int = 3, clearTicks: Long = 3L,
+               nRegions: Int = NRegions, maxSpanNum: Int = 100): DataFrame =
+    hotWalkFrame(hotTicks(cl, tickW), thr, scoreThr, clearTicks,
+      spansNumber(nRegions, NNodes, maxSpanNum))
 
   // ------------------------------------------------------------------
   // A82 — write-bytes span splitter (greedy weight packing)

@@ -728,6 +728,48 @@ object Analytics {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** B23 — correlated aggregate subquery (the TPC-H q17 class): line
+    * items whose quantity is below 20% of their OWN part's average,
+    * and the revenue lost to those small lots per brand. The
+    * correlation decorrelates to a per-part aggregate joined back on
+    * the same key — the join reuses the aggregation's partitioning,
+    * so the plan is one lineitem shuffle + a broadcast of the part
+    * dimension, not a per-row subquery. The 0.2·avg comparison clears
+    * to exact integers (qty·5·cnt < sum_qty): quantities are integral,
+    * so no engine-variant float division decides membership. */
+  def qCorrAggSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(stats, "l_partkey")
+      .filter(col("qty") * 5L * col("cnt") < col("sum_qty"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_lots"),
+        sum(graft.util.Money.cents(col("l_extendedprice")))
+          .as("lost_revenue_cents"))
+  }
+
+  val qCorrAggSubquerySql: String =
+    """WITH s AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY l_partkey
+      |)
+      |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small_lots,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+      |    AS lost_revenue_cents
+      |FROM lineitem l
+      |JOIN s ON l.l_partkey = s.l_partkey
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE CAST(l.l_quantity AS BIGINT) * 5 * s.cnt < s.sum_qty
+      |GROUP BY p_brand""".stripMargin
+
   /** B21 — the EXPLICIT skew-salting pattern: events join a per-type
     * dimension on `event_type`, a handful of hot values carrying the
     * whole corpus — the one shape where a plain shuffle join puts an

@@ -215,4 +215,57 @@ object CdcStream {
           out.iterator
       }
   }
+
+  /** One heartbeat observation for a span (A81s input). */
+  case class SpanTick(span: String, tick: Long, bytes: Long, coeff: Long)
+
+  /** Per-span walk state: the floored score, its peak, and the
+    * increment/heartbeat bookkeeping the staleness check reads. */
+  case class HotState(score: Long, peak: Long, last_inc: Long,
+                      last_tick: Long, n: Long)
+
+  /** A81s output: the span's hot verdict after each micro-batch. */
+  case class HotSummary(span: String, coeff: Long, n_ticks: Long,
+                        peak_score: Long, final_score: Long,
+                        last_inc_tick: Long, last_tick: Long,
+                        is_stale: Long, is_hot: Long, split_spans: Long)
+
+  /** A81s — the hot-span score walk as a continuous stateful stream:
+    * `updateHotSpan` (hot_span.go:123-158) is itself an incremental
+    * algorithm — per heartbeat the score moves +1 / −1-floored-at-0 /
+    * 0 — so the state is ONE 5-long record per span and each
+    * micro-batch folds its ticks in tick order. The batch operator
+    * (A81) computes the same walk as a Lindley closed form; the twin
+    * and the closed form are spec-checked equal on a replayed
+    * production frame — the incremental and the closed-form reading
+    * of the reference loop agree. In-order arrival across batches is
+    * the contract (heartbeats are periodic); state is bounded by the
+    * span universe. */
+  def streamHotSpans(ticks: Dataset[SpanTick], thr: Long = 10L,
+                     scoreThr: Int = 3, clearTicks: Long = 3L,
+                     splitSpans: Int = 12): Dataset[HotSummary] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(t => (t.span, t.coeff))
+      .mapGroupsWithState[HotState, HotSummary](
+        GroupStateTimeout.NoTimeout()) {
+        case ((span, coeff), it, state: GroupState[HotState]) =>
+          var s = state.getOption.getOrElse(HotState(0L, 0L, -1L, -1L, 0L))
+          it.toSeq.sortBy(_.tick).foreach { t =>
+            val delta =
+              if (t.bytes >= thr * coeff) 1L
+              else if (t.bytes < thr) -1L
+              else 0L
+            val score = math.max(0L, s.score + delta)
+            s = HotState(score, math.max(s.peak, score),
+              if (delta == 1L) t.tick else s.last_inc, t.tick, s.n + 1)
+          }
+          state.update(s)
+          val stale =
+            if (s.last_inc >= 0L && s.last_tick - s.last_inc > clearTicks) 1L
+            else 0L
+          val hot = if (s.score >= scoreThr && stale == 0L) 1L else 0L
+          HotSummary(span, coeff, s.n, s.peak, s.score, s.last_inc,
+            s.last_tick, stale, hot, if (hot == 1L) splitSpans.toLong else 0L)
+      }
+  }
 }

@@ -516,4 +516,44 @@ class StreamingSpec extends AnyFunSuite {
       col("s.sum_value_cents") =!= col("b.sum_value_cents")).count() == 0)
     assert(joined.count() == streamed.count(), "streamed window missing from batch")
   }
+
+  test("A81s: incremental hot-span walk across tick-ordered micro-batches equals the Lindley closed form") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CdcStream.SpanTick
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cl = graft.cdc.ChangeEvents.changelog(spark, dir)
+    val ticks = graft.cdc.Scheduler.hotTicks(cl)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => SpanTick(t._1, t._2, t._3, t._4)).sortBy(_.tick)
+    // three tick-tercile micro-batches: score/staleness state must
+    // survive batch boundaries
+    val mx = ticks.map(_.tick).max
+    val parts = Seq(
+      ticks.filter(_.tick <= mx / 3),
+      ticks.filter(t => t.tick > mx / 3 && t.tick <= 2 * mx / 3),
+      ticks.filter(_.tick > 2 * mx / 3))
+    val in = MemoryStream[SpanTick]
+    val q = graft.streaming.CdcStream.streamHotSpans(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("a81s")
+      .outputMode("update").start()
+    try {
+      parts.foreach { p => in.addData(p.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    // the last summary per span (all ticks folded) = the batch frame
+    val finals = spark.table("a81s")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("span")
+          .orderBy(col("n_ticks").desc)))
+      .filter(col("rn") === 1)
+      .select("span", "coeff", "n_ticks", "peak_score", "final_score",
+        "last_inc_tick", "is_stale", "is_hot", "split_spans")
+    val batch = graft.cdc.Scheduler.hotSpans(cl)
+      .select("span", "coeff", "n_ticks", "peak_score", "final_score",
+        "last_inc_tick", "is_stale", "is_hot", "split_spans")
+    assert(finals.count() == batch.count())
+    assert(finals.exceptAll(batch).isEmpty && batch.exceptAll(finals).isEmpty)
+    // every span reported a mid-stream verdict too (one per batch)
+    assert(spark.table("a81s").count() == 3 * batch.count())
+  }
 }
