@@ -41,8 +41,12 @@ object ChangeEvents {
     fromEvents(Tables.events(spark, dir))
 
   /** Derive the change-event frame from a raw events frame (batch or
-    * streaming — the projection is row-local, so it works for both). */
-  def fromEvents(events: DataFrame): DataFrame =
+    * streaming — the projection is row-local, so it works for both).
+    * `ts` is normalized to the long-nanos contract first, so raw
+    * parquet readers (streaming sources included) can feed either the
+    * TIMESTAMP(NANOS)-as-long or the timestamp[us] driver schema. */
+  def fromEvents(rawEvents: DataFrame): DataFrame = {
+    val events = graft.util.Tables.normalizeTs(rawEvents)
     events.select(
       concat(lit("db"), pmod(col("user_id"), lit(2L)).cast("string")).as("schema_name"),
       concat(lit("t"), pmod(col("user_id"), lit(3L)).cast("string")).as("table_name"),
@@ -60,6 +64,7 @@ object ChangeEvents {
         .otherwise(col("value")).as("after_value"),
       col("props"),
       expr("timestamp_micros(ts div 1000)").as("event_time"))
+  }
 
   /** DuckDB SQL producing the identical frame from the `events` view. */
   val changelogSql: String =

@@ -76,7 +76,7 @@ object DataOps {
     * the test data, but callers comparing the frames should know. */
   def streamSessionize(events: DataFrame, gap: String = "30 minutes",
                        watermarkDelay: String = "10 minutes"): DataFrame =
-    events
+    graft.util.Tables.normalizeTs(events)
       .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("event_time"),
         col("value"))
       .withWatermark("event_time", watermarkDelay)

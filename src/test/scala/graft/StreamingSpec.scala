@@ -242,7 +242,8 @@ class StreamingSpec extends AnyFunSuite {
   test("B15s: stateful streaming funnel equals the batch stacked-window funnel") {
     import spark.implicits._
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+    val stream = graft.util.Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(s"$dir/events.parquet*"))
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
       .as[graft.streaming.DataOps.UserEvent]
     runToCompletion(
@@ -268,7 +269,7 @@ class StreamingSpec extends AnyFunSuite {
     // cross-batch state is genuinely exercised, unlike a single
     // AvailableNow batch
     val tmp = java.nio.file.Files.createTempDirectory("b15s2").toString
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.util.Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
     val cuts = ev.stat.approxQuantile("ts_us", Array(0.34, 0.67), 0.0)
     val parts = Seq(
@@ -309,7 +310,7 @@ class StreamingSpec extends AnyFunSuite {
     // cohort + emitted-day state must survive batch boundaries, and the
     // cell counts over the emitted pair stream must equal batch B16
     val tmp = java.nio.file.Files.createTempDirectory("b16s").toString
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.util.Tables.events(spark, dir)
       .select(col("user_id"),
         expr("(ts div 1000) div 86400000000").as("day"))
     val cuts = ev.stat.approxQuantile("day", Array(0.34, 0.67), 0.0)
@@ -370,7 +371,7 @@ class StreamingSpec extends AnyFunSuite {
     // three ts-tercile micro-batches: the one-view state must survive
     // batch boundaries; the emitted pair stream must equal batch B17
     val tmp = java.nio.file.Files.createTempDirectory("b17s").toString
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.util.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         expr("ts div 1000").as("ts_us"))
       .filter(col("event_type").isin("view", "purchase"))
