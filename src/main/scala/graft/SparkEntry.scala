@@ -101,6 +101,7 @@ object SparkEntry {
     "cdc_span_split_bytes" -> ((s, d) => Scheduler.spanSplitBytes(cl(s, d))),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
+    "cdc_table_progress" -> ((s, d) => Materialize.tableProgress(cl(s, d))),
     "cdc_txn_group" -> ((s, d) => Materialize.txnGroup(cl(s, d))),
     "cdc_syncpoint" -> ((s, d) => Materialize.syncpoint(s, cl(s, d), syncStep)),
     "cdc_schema_asof" -> ((s, d) => SchemaStore.eventsWithSchema(cl(s, d))),
@@ -256,6 +257,7 @@ object SparkEntry {
     "cdc_span_split_bytes" -> o(Scheduler.spanSplitBytesSql()),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
+    "cdc_table_progress" -> o(Materialize.tableProgressSql()),
     "cdc_txn_group" -> o(Materialize.txnGroupSql),
     "cdc_syncpoint" -> o(Materialize.syncpointSql(syncStep)),
     "cdc_schema_asof" -> o(SchemaStore.eventsWithSchemaSql),

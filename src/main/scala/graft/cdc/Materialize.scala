@@ -317,4 +317,97 @@ object Materialize {
       |  ROW_NUMBER() OVER (PARTITION BY schema_name, table_name, pk
       |                     ORDER BY commit_ts, start_ts) AS seq
       |FROM changelog""".stripMargin
+
+  // ---------------------------------------------------------------- A83
+  /** A83: the dispatcher's sink-progress tracker — TiCDC's
+    * `TableProgress` (reference: downstreamadapter/dispatcher/
+    * table_progress.go:62-125): DML events enter a per-table FIFO in
+    * commit_ts order (`Add`), the sink acknowledges a prefix (`Remove`,
+    * which also cumulates the flushed event sizes), and block events
+    * that write nothing advance `maxCommitTs` without entering the list
+    * (`Pass`). `GetCheckpointTs` then returns
+    *   - earliest unflushed commit_ts − 1 when the list is non-empty,
+    *   - maxCommitTs − 1 (DMLs and passed block events both count)
+    *     when everything flushed,
+    *   - 0 when the dispatcher has seen nothing (that arm needs an
+    *     eventless dispatcher, which a changelog-derived table universe
+    *     cannot produce — documented, not modeled).
+    *
+    * The flush frontier is modeled deterministically as three scenarios
+    * per table — 0%, 50% (floor(n/2) oldest events), 100% flushed — so
+    * all reachable GetCheckpointTs arms land on the oracle board. Pass
+    * events are the A18 DDL boundary grid (latest boundary =
+    * (global max commit_ts div step)·step). Event size is the
+    * deterministic 16 + len(event_type) + len(props) model.
+    *
+    * Plan shape: one per-table window (the dispatcher's inherent
+    * per-table total order — the A2 event-sort shape), one grouped
+    * aggregation, and a 1-row broadcast of the pass boundary; the
+    * 3-scenario unpivot is a row-local explode of the 6-table frame. */
+  def tableProgress(cl: DataFrame, step: Long = SchemaStore.step): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("schema_name"), col("table_name"))
+      .orderBy(col("commit_ts"))
+    val wc = Window.partitionBy(col("schema_name"), col("table_name"))
+    val ranked = cl.select(col("schema_name"), col("table_name"), col("commit_ts"),
+        (lit(16L) + octet_length(col("event_type")) +
+          octet_length(col("props"))).cast("long").as("sz"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wc))
+    val agg = ranked.groupBy(col("schema_name"), col("table_name")).agg(
+      count(lit(1)).as("n"),
+      min(col("commit_ts")).as("min_ts"),
+      max(col("commit_ts")).as("max_dml"),
+      min(when(expr("rn > cnt div 2"), col("commit_ts"))).as("first_unflushed50"),
+      coalesce(sum(when(expr("rn <= cnt div 2"), col("sz"))), lit(0L)).as("bytes50"),
+      sum(col("sz")).as("bytes_all"))
+    val pass = cl.agg(expr(s"(MAX(commit_ts) div $step) * $step").as("pass_max"))
+    agg.crossJoin(broadcast(pass))
+      .select(col("schema_name"), col("table_name"), col("n").as("n_events"),
+        explode(array(
+          struct(lit("f0").as("scenario"), lit(0L).as("n_flushed"),
+            (col("min_ts") - 1L).as("checkpoint_ts"),
+            lit(0L).as("is_empty"), lit(0L).as("flushed_bytes")),
+          struct(lit("f50").as("scenario"), expr("n div 2").as("n_flushed"),
+            (col("first_unflushed50") - 1L).as("checkpoint_ts"),
+            lit(0L).as("is_empty"), col("bytes50").as("flushed_bytes")),
+          struct(lit("f100").as("scenario"), col("n").as("n_flushed"),
+            (greatest(col("max_dml"), col("pass_max")) - 1L).as("checkpoint_ts"),
+            lit(1L).as("is_empty"), col("bytes_all").as("flushed_bytes")))).as("s"))
+      .select(col("schema_name"), col("table_name"), col("s.scenario"),
+        col("n_events"), col("s.n_flushed"), col("s.checkpoint_ts"),
+        col("s.is_empty"), col("s.flushed_bytes"))
+  }
+
+  def tableProgressSql(step: Long = SchemaStore.step): String =
+    s"""WITH ranked AS (
+       |  SELECT schema_name, table_name, commit_ts,
+       |    16 + octet_length(encode(event_type)) + octet_length(encode(props)) AS sz,
+       |    ROW_NUMBER() OVER (PARTITION BY schema_name, table_name
+       |                       ORDER BY commit_ts) AS rn,
+       |    COUNT(*) OVER (PARTITION BY schema_name, table_name) AS cnt
+       |  FROM changelog
+       |), agg AS (
+       |  SELECT schema_name, table_name,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    MIN(commit_ts) AS min_ts,
+       |    MAX(commit_ts) AS max_dml,
+       |    MIN(CASE WHEN rn > cnt // 2 THEN commit_ts END) AS first_unflushed50,
+       |    CAST(COALESCE(SUM(CASE WHEN rn <= cnt // 2 THEN sz END), 0) AS BIGINT) AS bytes50,
+       |    CAST(SUM(sz) AS BIGINT) AS bytes_all
+       |  FROM ranked GROUP BY schema_name, table_name
+       |), pass AS (
+       |  SELECT (MAX(commit_ts) // $step) * $step AS pass_max FROM changelog
+       |)
+       |SELECT schema_name, table_name, 'f0' AS scenario, n AS n_events,
+       |  CAST(0 AS BIGINT) AS n_flushed, min_ts - 1 AS checkpoint_ts,
+       |  CAST(0 AS BIGINT) AS is_empty, CAST(0 AS BIGINT) AS flushed_bytes
+       |FROM agg
+       |UNION ALL
+       |SELECT schema_name, table_name, 'f50', n, n // 2,
+       |  first_unflushed50 - 1, CAST(0 AS BIGINT), bytes50 FROM agg
+       |UNION ALL
+       |SELECT schema_name, table_name, 'f100', n, n,
+       |  GREATEST(max_dml, (SELECT pass_max FROM pass)) - 1,
+       |  CAST(1 AS BIGINT), bytes_all FROM agg""".stripMargin
 }

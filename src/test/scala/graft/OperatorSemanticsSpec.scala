@@ -1465,4 +1465,42 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       .filter(col("value") =!= col("want"))
     assert(inlineBad.count() == 0, "inline frames must equal the A19 encoding")
   }
+
+  test("A83: table-progress checkpoints follow GetCheckpointTs incl. the Pass arm") {
+    import spark.implicits._
+    // step=1000 -> pass boundary (2900 div 1000)*1000 = 2000: t1's only
+    // DML (800) flushes below it, so its f100 checkpoint must come from
+    // the PASSED block event (1999), not its own max DML — the Pass arm.
+    // sz = 16 + len("click") + len("{}") = 23 per event.
+    val hand = Seq(
+      ("db0", "t0", 1500L, "click", "{}"),
+      ("db0", "t0", 1700L, "click", "{}"),
+      ("db0", "t0", 2900L, "click", "{}"),
+      ("db0", "t1", 800L,  "click", "{}"))
+      .toDF("schema_name", "table_name", "commit_ts", "event_type", "props")
+    val got = cdc.Materialize.tableProgress(hand, step = 1000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSet
+    val want = Set(
+      ("db0", "t0", "f0",   3L, 0L, 1499L, 0L, 0L),
+      ("db0", "t0", "f50",  3L, 1L, 1699L, 0L, 23L),
+      ("db0", "t0", "f100", 3L, 3L, 2899L, 1L, 69L),
+      ("db0", "t1", "f0",   1L, 0L, 799L,  0L, 0L),
+      ("db0", "t1", "f50",  1L, 0L, 799L,  0L, 0L),
+      ("db0", "t1", "f100", 1L, 1L, 1999L, 1L, 23L))
+    assert(got == want, s"unexpected rows: ${got.diff(want)} missing: ${want.diff(got)}")
+    // real-changelog invariants: checkpoints advance monotonically with
+    // the flushed fraction, and only the drained scenario reports empty
+    val tp = cdc.Materialize.tableProgress(
+      cdc.ChangeEvents.changelog(spark, dir)).cache()
+    val wide = tp.groupBy("schema_name", "table_name").agg(
+      min(when(col("scenario") === "f0", col("checkpoint_ts"))).as("c0"),
+      min(when(col("scenario") === "f50", col("checkpoint_ts"))).as("c50"),
+      min(when(col("scenario") === "f100", col("checkpoint_ts"))).as("c100"))
+    assert(wide.filter(col("c0") > col("c50") || col("c50") > col("c100"))
+      .count() == 0, "checkpoint must be monotone in the flushed fraction")
+    assert(tp.filter((col("is_empty") === 1L) =!= (col("scenario") === "f100"))
+      .count() == 0, "exactly the fully-flushed scenario is empty")
+  }
 }
