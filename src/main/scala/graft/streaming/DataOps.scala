@@ -270,4 +270,48 @@ object DataOps {
           }
       }
   }
+
+  /** B18s — the STREAM-STREAM interval join twin of the batch range
+    * join (B18): purchases and views as two independently-watermarked
+    * event streams, joined with Spark's native stream-stream inner
+    * join on (user, time-range). The time-range predicate on the two
+    * watermarked event-time columns is what lets the engine bound BOTH
+    * join states: a buffered view older than
+    * `watermark(purchase) − range` can never match a future purchase
+    * and is evicted, so state is O(range × rate), not O(stream).
+    * This is the one streaming capability class the mapGroupsWithState
+    * twins (B15s/B16s/B17s/A72s) cannot express — per-key scalar state
+    * keeps ONE value; the interval join must buffer the full in-range
+    * window of BOTH sides.
+    *
+    * Emits the matched (purchase, view) PAIR stream; an inner join
+    * emits a pair as soon as both sides arrived (append mode), so over
+    * a complete replay the pair set equals the batch B18 join exactly —
+    * the spec aggregates the pairs and checks frame equality with B18's
+    * per-purchase counts. `rangeUs` must be a whole number of seconds
+    * (it is interpolated into an INTERVAL literal). */
+  def streamRangeJoin(events: DataFrame,
+                      rangeUs: Long = 86400000000L,
+                      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(rangeUs % 1000000L == 0, "rangeUs must be whole seconds")
+    val e = graft.util.Tables.normalizeTs(events)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("etime"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("etime").as("view_time"))
+      .withWatermark("view_time", watermarkDelay)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("etime").as("purchase_time"))
+      .withWatermark("purchase_time", watermarkDelay)
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+        col("view_time") > col("purchase_time") -
+          expr(s"INTERVAL ${rangeUs / 1000000L} SECONDS") &&
+        col("view_time") <= col("purchase_time"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        expr("unix_micros(purchase_time)").as("purchase_us"),
+        col("view_id"), expr("unix_micros(view_time)").as("view_us"))
+  }
 }

@@ -401,6 +401,40 @@ class StreamingSpec extends AnyFunSuite {
       "streamed as-of pairs must equal the batch window attribution")
   }
 
+  test("B18s: stream-stream interval join pairs across micro-batches equal batch B18") {
+    // the native stream-stream inner join must buffer the in-range
+    // window of BOTH sides across micro-batch boundaries; over a
+    // complete 3-tercile replay the aggregated pair stream must equal
+    // the batch bucketed range join exactly
+    val tmp = java.nio.file.Files.createTempDirectory("b18s").toString
+    val ev = graft.util.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .filter(col("event_type").isin("view", "purchase"))
+    val cuts = ev.stat.approxQuantile("event_id", Array(0.34, 0.67), 0.0)
+    val parts = Seq(
+      ev.filter(col("event_id") <= cuts(0)),
+      ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      ev.filter(col("event_id") > cuts(1)))
+    val t0 = java.lang.System.currentTimeMillis() - 60000
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = s"$tmp/f$i"
+      p.coalesce(1).write.parquet(d)
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t0 + i * 10000))
+    }
+    val stream = spark.readStream.schema(parts.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/f*")
+    runToCompletion(
+      graft.streaming.DataOps.streamRangeJoin(stream), "b18s", "append")
+    val got = spark.table("b18s")
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_us"))
+      .agg(count(lit(1)).as("n_views_24h"), max(col("view_us")).as("last_view_us"))
+    val batch = queries.Analytics.qRangeJoin(spark, dir)
+    assert(got.count() > 0, "no pairs emitted")
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streamed interval-join pairs must aggregate to the batch range join")
+  }
+
   test("B15s/B16s TTL arm: expired state is reclaimed and users re-admit as new") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
