@@ -204,6 +204,7 @@ object SparkEntry {
     "doc_tfidf" -> ((s, d) => ops.Corpus.docTfidf(s, d)),
     "doc_chunk" -> ((s, d) => ops.Retrieval.docChunk(s, d)),
     "text_winnowing" -> ((s, d) => ops.Retrieval.winnowing(s, d)),
+    "decontaminate_winnow" -> ((s, d) => ops.Retrieval.decontaminateWinnow(s, d)),
     "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
     "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
     "dedup_clusters" -> ((s, d) => ops.Curation.dedupClusters(s, d)),
@@ -359,6 +360,7 @@ object SparkEntry {
     "doc_tfidf" -> ops.Corpus.docTfidfSql(),
     "doc_chunk" -> ops.Retrieval.docChunkSql(),
     "text_winnowing" -> ops.Retrieval.winnowingSql(),
+    "decontaminate_winnow" -> ops.Retrieval.decontaminateWinnowSql(),
     "bm25_topk" -> ops.Retrieval.bm25TopKSql(),
     "data_split" -> ops.Corpus.dataSplitSql(),
     "dedup_clusters" -> ops.Curation.dedupClustersSql(),

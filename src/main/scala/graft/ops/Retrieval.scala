@@ -128,6 +128,126 @@ object Retrieval {
       .distinct()
   }
 
+  // ------------------------------------------------------------------
+  // C39 — winnowing-fingerprint decontamination
+  // ------------------------------------------------------------------
+
+  /** Distinct winnowing fingerprint hashes per doc, carrying source —
+    * the C37 selection with positions stripped (overlap detection
+    * compares content, not offsets). */
+  private def winnowHashes(docsFrame: DataFrame, win: Int): DataFrame = {
+    val grams = docsFrame
+      .select(col("doc_id"), col("source"),
+        call_function("graft_word_ngrams_all",
+          Text.tokens(col("text")), lit(3)).as("grams"))
+      .select(col("doc_id"), col("source"),
+        size(col("grams")).cast("long").as("m"),
+        posexplode(col("grams")).as(Seq("pos", "gram")))
+      .withColumn("key",
+        (Portable.hash60(col("gram")) % HashMod) * PosMod +
+          (lit(PosMod - 1) - col("pos")))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, win - 1)
+    grams
+      .withColumn("mk", min(col("key")).over(frame))
+      .filter(col("pos") <= col("m") - win)
+      .select(col("doc_id"), col("source"), expr(s"mk div $PosMod").as("fp_hash"))
+      .distinct()
+  }
+
+  /** C39 — decontamination by winnowing-fingerprint overlap: the MOSS
+    * guarantee (any shared run of ≥ win+2 tokens shares a fingerprint)
+    * turned into a train/test overlap detector. Where C19 joins EVERY
+    * distinct corpus 4-gram against the benchmark gram set, this joins
+    * only the winnow-SELECTED ~2/(win+1) density of gram hashes — the
+    * same guarantee class at a fraction of the join traffic, which is
+    * the 100 TB path for substring-level decontamination. Per
+    * non-benchmark doc: distinct fingerprint count, benchmark-hit
+    * count, overlap ppm (−1 for fingerprint-free docs, the C19
+    * sentinel convention) and the keep/drop verdict at `tauPpm`.
+    * Plan: one doc-keyed window on the repartition key (no extra
+    * exchange), one distinct, benchmark side broadcast (benchmark
+    * suites are fixed-size while the corpus grows). */
+  private[graft] def decontaminateWinnowFrom(docsFrame: DataFrame,
+      win: Int = 4, tauPpm: Long = 100000L): DataFrame = {
+    val fps = winnowHashes(docsFrame, win)
+    val bench = fps.filter(col("source") === "src0")
+      .select(col("fp_hash")).distinct().withColumn("hit", lit(1))
+    val scored = fps.filter(col("source") =!= "src0")
+      .join(broadcast(bench), Seq("fp_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"), count(col("hit")).as("n_hits"))
+    // fingerprint-free docs (too short to winnow) re-enter with the -1
+    // sentinel — an un-checkable doc must stay visible, not vanish
+    docsFrame.filter(col("source") =!= "src0").select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_fps"), lit(0L)) > 0,
+          call_function("div", col("n_hits") * lit(1000000L), col("n_fps")))
+          .otherwise(lit(-1L)).as("overlap_ppm"))
+      .withColumn("verdict",
+        when(col("overlap_ppm") >= tauPpm, lit("drop")).otherwise(lit("keep")))
+  }
+
+  def decontaminateWinnow(spark: SparkSession, dir: String,
+      win: Int = 4, tauPpm: Long = 100000L): DataFrame =
+    decontaminateWinnowFrom(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      win, tauPpm)
+
+  def decontaminateWinnowSql(win: Int = 4, tauPpm: Long = 100000L): String = {
+    val allGrams =
+      """CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |  ELSE [] END""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, source, ${Text.tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, source, $allGrams AS grams FROM t
+       |), pg AS (
+       |  SELECT doc_id, source, CAST(len(grams) AS BIGINT) AS m,
+       |    UNNEST(list_transform(range(1, len(grams) + 1),
+       |      i -> {'pos': i - 1, 'gram': grams[i]})) AS e
+       |  FROM g
+       |), h AS (
+       |  SELECT doc_id, source, m, CAST(e.pos AS BIGINT) AS pos,
+       |    (${Portable.hash60Sql("e.gram")} % $HashMod) * $PosMod
+       |      + (${PosMod - 1} - e.pos) AS key
+       |  FROM pg
+       |), w AS (
+       |  SELECT doc_id, source, m, pos,
+       |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${win - 1} FOLLOWING) AS mk
+       |  FROM h
+       |), fps AS (
+       |  SELECT DISTINCT doc_id, source, CAST(mk // $PosMod AS BIGINT) AS fp_hash
+       |  FROM w WHERE pos <= m - $win
+       |), bench AS (
+       |  SELECT DISTINCT fp_hash FROM fps WHERE source = 'src0'
+       |), scored AS (
+       |  SELECT f.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_fps,
+       |    CAST(COUNT(b.fp_hash) AS BIGINT) AS n_hits
+       |  FROM fps f LEFT JOIN bench b ON f.fp_hash = b.fp_hash
+       |  WHERE f.source <> 'src0'
+       |  GROUP BY f.doc_id
+       |), u AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(s.n_fps, 0) AS n_fps, COALESCE(s.n_hits, 0) AS n_hits
+       |  FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+       |  LEFT JOIN scored s ON d.doc_id = s.doc_id
+       |)
+       |SELECT doc_id, n_fps, n_hits,
+       |  CASE WHEN n_fps > 0 THEN n_hits * 1000000 // n_fps ELSE -1 END AS overlap_ppm,
+       |  CASE WHEN (CASE WHEN n_fps > 0 THEN n_hits * 1000000 // n_fps ELSE -1 END)
+       |         >= $tauPpm THEN 'drop' ELSE 'keep' END AS verdict
+       |FROM u""".stripMargin
+  }
+
   def winnowingSql(win: Int = 4): String = {
     val allGrams =
       """CASE WHEN len(toks) >= 3

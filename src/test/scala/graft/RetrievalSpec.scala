@@ -138,4 +138,31 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().sortBy(_._7).toSeq
     assert(got == want)
   }
+
+  test("C39: the MOSS guarantee — a shared >= win+2 token run is always detected") {
+    // doc 2 embeds a 12-token run of benchmark doc 1 inside unrelated
+    // text; doc 3 shares nothing. Winnowing guarantees any shared run
+    // of >= win+2 tokens shares a selected fingerprint hash (the min
+    // key inside a fully-shared window depends only on the gram hashes
+    // -- positions are tie-break bits below the hash), so doc 2 MUST
+    // score hits > 0 and doc 3 must score 0.
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq(
+      (1L, s"benchmark preamble $run benchmark epilogue here", "src0"),
+      (2L, s"completely different opening words then $run and another tail", "src9"),
+      (3L, "nothing shared with the benchmark corpus at all in this text", "src9"))
+      .toDF("doc_id", "text", "source")
+    val byId = ops.Retrieval.decontaminateWinnowFrom(docs)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(byId(2L)._3 > 0, s"shared run must share a fingerprint: ${byId(2L)}")
+    assert(byId(3L)._3 == 0, s"disjoint doc must have zero hits: ${byId(3L)}")
+    assert(byId(2L)._5 == "drop" && byId(3L)._5 == "keep")
+    // a doc too short to winnow stays visible with the -1 sentinel
+    val tiny = Seq((1L, "benchmark words", "src0"), (4L, "tiny", "src9"))
+      .toDF("doc_id", "text", "source")
+    val t = ops.Retrieval.decontaminateWinnowFrom(tiny)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(t(4L)._2 == 0 && t(4L)._4 == -1L && t(4L)._5 == "keep",
+      s"unfingerprint-able doc must surface with the sentinel: ${t(4L)}")
+  }
 }
