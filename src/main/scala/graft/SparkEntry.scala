@@ -191,6 +191,7 @@ object SparkEntry {
     "dedup_lines" -> ((s, d) => ops.Dedup.dedupLines(s, d)),
     "text_vocab_coverage" -> ((s, d) => ops.TextAnalysis.vocabCoverage(s, d)),
     "text_unigram_surprisal" -> ((s, d) => ops.TextAnalysis.unigramSurprisal(s, d)),
+    "perplexity_bucket" -> ((s, d) => ops.TextAnalysis.perplexityBucket(s, d)),
     "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
     "embedding_quantize" -> ((s, d) => ops.Similarity.embeddingQuantize(s, d)),
     "embedding_random_projection" -> ((s, d) => ops.Similarity.randomProjection(s, d)),
@@ -347,6 +348,7 @@ object SparkEntry {
     "dedup_lines" -> ops.Dedup.dedupLinesSql(),
     "text_vocab_coverage" -> ops.TextAnalysis.vocabCoverageSql(),
     "text_unigram_surprisal" -> ops.TextAnalysis.unigramSurprisalSql,
+    "perplexity_bucket" -> ops.TextAnalysis.perplexityBucketSql,
     "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,
     "embedding_quantize" -> ops.Similarity.embeddingQuantizeSql(),
     "embedding_random_projection" -> ops.Similarity.randomProjectionSql(),

@@ -233,6 +233,74 @@ object TextAnalysis {
        |FROM scored
        |GROUP BY doc_id""".stripMargin
 
+  /** C40 — perplexity-bucket filtering (the CCNet recipe, Wenzek et
+    * al. 2020 §4.3): score every doc with the C34 unigram-LM mean
+    * surprisal, split the corpus into head/middle/tail at the EXACT
+    * corpus terciles, keep head+middle. The terciles are computed
+    * without a global sort: mean_millibits lives on a bounded integer
+    * grid (≤ 1000·max_bits distinct values regardless of corpus size),
+    * so a per-value count + one cumulative window over the VALUE GRID
+    * (dimension-scale rows, never corpus rows) yields the exact
+    * discrete tercile boundaries — the scalable exact-order-statistic
+    * pattern. b_k = min value whose cumulative doc count reaches
+    * ceil(k·n/3); both boundaries ride one 1-row broadcast. */
+  def perplexityBucket(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramSurprisal(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("mean_millibits"))
+    val wcum = Window.orderBy(col("mean_millibits"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = scored.groupBy(col("mean_millibits"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wcum))
+    val bounds = cum
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"),
+          col("mean_millibits"))).as("b1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"),
+          col("mean_millibits"))).as("b2"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_tokens"), col("mean_millibits"),
+        when(col("mean_millibits") <= col("b1"), lit("head"))
+          .when(col("mean_millibits") <= col("b2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        when(col("mean_millibits") <= col("b2"), lit(1L))
+          .otherwise(lit(0L)).as("keep"))
+  }
+
+  val perplexityBucketSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS w FROM documents
+       |), df AS (
+       |  SELECT w, COUNT(*) AS df FROM toks GROUP BY 1
+       |), nn AS (SELECT COUNT(*) AS n_total FROM toks),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    CAST(length(bin(nn.n_total // d.df)) - 1 AS BIGINT) AS surprisal_bits
+       |  FROM toks t JOIN df d ON t.w = d.w CROSS JOIN nn
+       |), scored AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(surprisal_bits) * 1000 // COUNT(*) AS BIGINT) AS mean_millibits
+       |  FROM sc GROUP BY doc_id
+       |), cum AS (
+       |  SELECT mean_millibits, SUM(c) OVER (ORDER BY mean_millibits
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (SELECT mean_millibits, COUNT(*) AS c FROM scored GROUP BY 1)
+       |), b AS (
+       |  SELECT
+       |    MIN(CASE WHEN cum >= (n + 2) // 3 THEN mean_millibits END) AS b1,
+       |    MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN mean_millibits END) AS b2
+       |  FROM cum CROSS JOIN (SELECT COUNT(*) AS n FROM scored) t
+       |)
+       |SELECT doc_id, n_tokens, mean_millibits,
+       |  CASE WHEN mean_millibits <= b1 THEN 'head'
+       |       WHEN mean_millibits <= b2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  CASE WHEN mean_millibits <= b2 THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM scored CROSS JOIN b""".stripMargin
+
   def vocabCoverageSql(vocabSize: Int = 16): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${Text.tokensSql("text")}) AS w FROM documents

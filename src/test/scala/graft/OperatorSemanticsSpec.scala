@@ -1466,6 +1466,27 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(inlineBad.count() == 0, "inline frames must equal the A19 encoding")
   }
 
+  test("C40: perplexity buckets are exact discrete terciles and keep drops the tail") {
+    val b = ops.TextAnalysis.perplexityBucket(spark, dir).cache()
+    val n = b.count()
+    val head = b.filter(col("bucket") === "head")
+    val mid = b.filter(col("bucket") === "middle")
+    val tail = b.filter(col("bucket") === "tail")
+    // discrete tercile minimality: head reaches ceil(n/3) docs, but
+    // removing its boundary value drops it below; same for head+middle
+    // at ceil(2n/3)
+    val b1 = head.agg(max("mean_millibits")).head.getLong(0)
+    val b2 = mid.agg(max("mean_millibits")).head.getLong(0)
+    assert(head.count() >= (n + 2) / 3)
+    assert(head.filter(col("mean_millibits") < b1).count() < (n + 2) / 3)
+    assert(head.count() + mid.count() >= (2 * n + 2) / 3)
+    assert(b.filter(col("mean_millibits") < b2).count() < (2 * n + 2) / 3)
+    // buckets are value-ordered and keep == not tail
+    assert(b1 <= mid.agg(min("mean_millibits")).head.getLong(0))
+    assert(b2 < tail.agg(min("mean_millibits")).head.getLong(0))
+    assert(b.filter((col("keep") === 1L) =!= (col("bucket") =!= "tail")).count() == 0)
+  }
+
   test("A83: table-progress checkpoints follow GetCheckpointTs incl. the Pass arm") {
     import spark.implicits._
     // step=1000 -> pass boundary (2900 div 1000)*1000 = 2000: t1's only

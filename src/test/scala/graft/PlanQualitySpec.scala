@@ -80,6 +80,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_schema_snapshot",
       // 1-row corpus-total broadcast (q_scalar_subquery shape)
       "text_unigram_surprisal",
+      // C34's corpus-total cross + its own 1-row tercile-bounds cross
+      "perplexity_bucket",
       // universe x boundary-grid broadcast cross (cdc_syncpoint shape)
       "cdc_ddl_barrier",
       // changefeed-rule LIKE match over the dimension-scale span frame
