@@ -225,6 +225,7 @@ object SparkEntry {
     "q_corr_agg_subquery" -> ((s, d) => Analytics.qCorrAggSubquery(s, d)),
     "q_pivot" -> ((s, d) => Analytics.qPivot(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.qGroupingSets(s, d)),
+    "q_median_mode" -> ((s, d) => Analytics.qMedianMode(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -382,5 +383,6 @@ object SparkEntry {
     "q_corr_agg_subquery" -> Analytics.qCorrAggSubquerySql,
     "q_pivot" -> Analytics.qPivotSql,
     "q_grouping_sets" -> Analytics.qGroupingSetsSql,
+    "q_median_mode" -> Analytics.qMedianModeSql,
   )
 }

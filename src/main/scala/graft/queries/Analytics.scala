@@ -813,4 +813,59 @@ object Analytics {
        |  CAST(COUNT(DISTINCT e.event_id % $salts) AS BIGINT) AS n_salt_parts
        |FROM events e JOIN dim d ON e.event_type = d.event_type
        |GROUP BY 1""".stripMargin
+
+  /** B24 — exact MEDIAN + deterministic MODE per group, distributed:
+    * order statistics over a value on a bounded grid (l_quantity is
+    * integral 1..50) need no global sort — ONE partial-aggregated
+    * (group, value) count shuffle, then cumulative/rank windows over
+    * the dimension-scale grid. median_qty_x2 = lo + hi (the two middle
+    * order statistics; ×2 keeps the even-count average in exact
+    * BIGINT), mode = most frequent value with ties broken to the
+    * smallest (both engines pin the same total order; a bare SQL
+    * `mode()` leaves ties unspecified). The same plan at 100 TB
+    * aggregates trillions of rows into 50·|groups| grid rows. */
+  def qMedianMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_returnflag"), col("qty"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("l_returnflag"))
+    val wrk = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("c").desc, col("qty"))
+    counts
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wall))
+      .withColumn("rk", row_number().over(wrk))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n_rows"),
+        (min(when(expr("cum >= (n + 1) div 2"), col("qty"))) +
+          min(when(expr("cum >= (n + 2) div 2"), col("qty"))))
+          .as("median_qty_x2"),
+        max(when(col("rk") === 1, col("qty"))).as("mode_qty"),
+        max(when(col("rk") === 1, col("c"))).as("mode_count"))
+  }
+
+  val qMedianModeSql: String =
+    """WITH counts AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2
+      |), w AS (
+      |  SELECT l_returnflag, qty, c,
+      |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY qty
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY l_returnflag) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY c DESC, qty) AS rk
+      |  FROM counts
+      |)
+      |SELECT l_returnflag,
+      |  CAST(MAX(n) AS BIGINT) AS n_rows,
+      |  CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN qty END)
+      |     + MIN(CASE WHEN cum >= (n + 2) // 2 THEN qty END) AS BIGINT) AS median_qty_x2,
+      |  CAST(MAX(CASE WHEN rk = 1 THEN qty END) AS BIGINT) AS mode_qty,
+      |  CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS mode_count
+      |FROM w GROUP BY 1""".stripMargin
 }

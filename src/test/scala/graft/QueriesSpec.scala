@@ -36,4 +36,29 @@ class QueriesSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("B24: grid median equals Spark's exact percentile; mode equals the naive argmax") {
+    import org.apache.spark.sql.functions._
+    val got = queries.Analytics.qMedianMode(spark, dir).cache()
+    // lo+hi over the grid == 2 * exact interpolated median (percentile
+    // runs a per-group sort — the small-data oracle, not the scale plan)
+    val want = graft.util.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(qty, 0.5) * 2").as("m2"), count(lit(1)).as("n"))
+    val j = got.join(want, "l_returnflag").cache()
+    assert(j.count() == 3)
+    assert(j.filter(col("median_qty_x2").cast("double") =!= col("m2")).count() == 0)
+    assert(j.filter(col("n_rows") =!= col("n")).count() == 0)
+    // naive mode with the same smallest-value tie-break
+    val naive = graft.util.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .groupBy("l_returnflag", "qty").agg(count(lit(1)).as("c"))
+      .groupBy("l_returnflag")
+      .agg(min_by(struct(col("qty"), col("c")), struct(-col("c"), col("qty"))).as("s"))
+      .select(col("l_returnflag"), col("s.qty").as("want_mode"), col("s.c").as("want_cnt"))
+    val jm = got.join(naive, "l_returnflag")
+    assert(jm.filter(col("mode_qty") =!= col("want_mode") ||
+      col("mode_count") =!= col("want_cnt")).count() == 0)
+  }
 }
