@@ -102,6 +102,7 @@ object SparkEntry {
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_table_progress" -> ((s, d) => Materialize.tableProgress(cl(s, d))),
+    "cdc_dispatcher_checkpoint" -> ((s, d) => Materialize.dispatcherCheckpoint(cl(s, d))),
     "cdc_txn_group" -> ((s, d) => Materialize.txnGroup(cl(s, d))),
     "cdc_syncpoint" -> ((s, d) => Materialize.syncpoint(s, cl(s, d), syncStep)),
     "cdc_schema_asof" -> ((s, d) => SchemaStore.eventsWithSchema(cl(s, d))),
@@ -261,6 +262,7 @@ object SparkEntry {
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_table_progress" -> o(Materialize.tableProgressSql()),
+    "cdc_dispatcher_checkpoint" -> o(Materialize.dispatcherCheckpointSql()),
     "cdc_txn_group" -> o(Materialize.txnGroupSql),
     "cdc_syncpoint" -> o(Materialize.syncpointSql(syncStep)),
     "cdc_schema_asof" -> o(SchemaStore.eventsWithSchemaSql),

@@ -379,8 +379,9 @@ object Materialize {
         col("s.is_empty"), col("s.flushed_bytes"))
   }
 
-  def tableProgressSql(step: Long = SchemaStore.step): String =
-    s"""WITH ranked AS (
+  /** The A83 CTE bodies + final select, split so A84 can reuse them. */
+  private def tpCtes(step: Long): String =
+    s"""ranked AS (
        |  SELECT schema_name, table_name, commit_ts,
        |    16 + octet_length(encode(event_type)) + octet_length(encode(props)) AS sz,
        |    ROW_NUMBER() OVER (PARTITION BY schema_name, table_name
@@ -398,16 +399,74 @@ object Materialize {
        |  FROM ranked GROUP BY schema_name, table_name
        |), pass AS (
        |  SELECT (MAX(commit_ts) // $step) * $step AS pass_max FROM changelog
+       |)""".stripMargin
+
+  private val tpSelect: String =
+    """SELECT schema_name, table_name, 'f0' AS scenario, n AS n_events,
+      |  CAST(0 AS BIGINT) AS n_flushed, min_ts - 1 AS checkpoint_ts,
+      |  CAST(0 AS BIGINT) AS is_empty, CAST(0 AS BIGINT) AS flushed_bytes
+      |FROM agg
+      |UNION ALL
+      |SELECT schema_name, table_name, 'f50', n, n // 2,
+      |  first_unflushed50 - 1, CAST(0 AS BIGINT), bytes50 FROM agg
+      |UNION ALL
+      |SELECT schema_name, table_name, 'f100', n, n,
+      |  GREATEST(max_dml, (SELECT pass_max FROM pass)) - 1,
+      |  CAST(1 AS BIGINT), bytes_all FROM agg""".stripMargin
+
+  def tableProgressSql(step: Long = SchemaStore.step): String =
+    s"WITH ${tpCtes(step)}\n$tpSelect"
+
+  // ---------------------------------------------------------------- A84
+  /** A84: the dispatcher-level checkpoint — `Dispatcher.GetCheckpointTs`
+    * (reference: downstreamadapter/dispatcher/dispatcher.go:520-533)
+    * composes the A83 table progress with the dispatcher's resolvedTs
+    * (fed by the event collector; modeled as the A69 span-frontier
+    * min-over-regions):
+    *   - checkpoint 0 (the dispatcher never sent an event to the sink)
+    *     → report resolvedTs;
+    *   - progress drained (isEmpty) → max(checkpoint, resolvedTs) —
+    *     a drained dispatcher rides the frontier forward;
+    *   - events pending → the table-progress checkpoint alone (the
+    *     sink, not the frontier, bounds recovery).
+    * One dimension-scale equi join of two already-derived frames. */
+  private[graft] def dispatcherCheckpointFrom(tp: DataFrame,
+      frontier: DataFrame): DataFrame =
+    tp.join(frontier, Seq("schema_name", "table_name"))
+      .select(col("schema_name"), col("table_name"), col("scenario"),
+        col("checkpoint_ts"), col("is_empty"), col("resolved_ts"),
+        when(col("checkpoint_ts") === 0L, col("resolved_ts"))
+          .when(col("is_empty") === 1L,
+            greatest(col("checkpoint_ts"), col("resolved_ts")))
+          .otherwise(col("checkpoint_ts")).as("final_ts"))
+
+  def dispatcherCheckpoint(cl: DataFrame,
+      step: Long = SchemaStore.step, nRegions: Int = 8): DataFrame =
+    dispatcherCheckpointFrom(
+      tableProgress(cl, step),
+      spanFrontier(cl, nRegions)
+        .select(col("schema_name"), col("table_name"),
+          col("frontier_ts").as("resolved_ts")))
+
+  def dispatcherCheckpointSql(step: Long = SchemaStore.step,
+      nRegions: Int = 8): String = {
+    val bucket = graft.functions.Portable.bucketSql("CAST(pk AS VARCHAR)", nRegions)
+    s"""WITH ${tpCtes(step)}, tp AS (
+       |$tpSelect
+       |), frontier AS (
+       |  SELECT schema_name, table_name, MIN(rts) AS resolved_ts
+       |  FROM (
+       |    SELECT schema_name, table_name, $bucket AS region_id,
+       |      MAX(commit_ts) AS rts
+       |    FROM changelog GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2
        |)
-       |SELECT schema_name, table_name, 'f0' AS scenario, n AS n_events,
-       |  CAST(0 AS BIGINT) AS n_flushed, min_ts - 1 AS checkpoint_ts,
-       |  CAST(0 AS BIGINT) AS is_empty, CAST(0 AS BIGINT) AS flushed_bytes
-       |FROM agg
-       |UNION ALL
-       |SELECT schema_name, table_name, 'f50', n, n // 2,
-       |  first_unflushed50 - 1, CAST(0 AS BIGINT), bytes50 FROM agg
-       |UNION ALL
-       |SELECT schema_name, table_name, 'f100', n, n,
-       |  GREATEST(max_dml, (SELECT pass_max FROM pass)) - 1,
-       |  CAST(1 AS BIGINT), bytes_all FROM agg""".stripMargin
+       |SELECT t.schema_name, t.table_name, t.scenario,
+       |  t.checkpoint_ts, t.is_empty, f.resolved_ts,
+       |  CASE WHEN t.checkpoint_ts = 0 THEN f.resolved_ts
+       |       WHEN t.is_empty = 1 THEN GREATEST(t.checkpoint_ts, f.resolved_ts)
+       |       ELSE t.checkpoint_ts END AS final_ts
+       |FROM tp t JOIN frontier f
+       |  ON t.schema_name = f.schema_name AND t.table_name = f.table_name""".stripMargin
+  }
 }

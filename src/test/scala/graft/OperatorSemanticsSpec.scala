@@ -1487,6 +1487,33 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(b.filter((col("keep") === 1L) =!= (col("bucket") =!= "tail")).count() == 0)
   }
 
+  test("A84: dispatcher checkpoint arms — never-sent, drained, and pending") {
+    import spark.implicits._
+    // handcrafted progress frame drives all three dispatcher.go arms,
+    // including the never-sent (checkpoint 0 -> resolvedTs) arm that a
+    // changelog-derived frame cannot reach
+    val tp = Seq(
+      ("db0", "t0", "f0",   0L, 0L),   // never sent: cp 0 -> resolved 500
+      ("db0", "t1", "f100", 300L, 1L), // drained, frontier ahead -> 500
+      ("db0", "t2", "f100", 900L, 1L), // drained, sink ahead -> 900
+      ("db0", "t3", "f50",  200L, 0L)) // pending -> its own cp 200
+      .toDF("schema_name", "table_name", "scenario", "checkpoint_ts", "is_empty")
+    val frontier = Seq(("db0", "t0", 500L), ("db0", "t1", 500L),
+      ("db0", "t2", 500L), ("db0", "t3", 500L))
+      .toDF("schema_name", "table_name", "resolved_ts")
+    val got = cdc.Materialize.dispatcherCheckpointFrom(tp, frontier)
+      .select("table_name", "final_ts").as[(String, Long)].collect().toMap
+    assert(got == Map("t0" -> 500L, "t1" -> 500L, "t2" -> 900L, "t3" -> 200L),
+      s"arm mismatch: $got")
+    // real-data invariant: final_ts >= checkpoint_ts always, and the
+    // pending scenarios never exceed their own checkpoint
+    val real = cdc.Materialize.dispatcherCheckpoint(
+      cdc.ChangeEvents.changelog(spark, dir)).cache()
+    assert(real.filter(col("final_ts") < col("checkpoint_ts")).count() == 0)
+    assert(real.filter(col("is_empty") === 0L && col("checkpoint_ts") =!= 0L &&
+      col("final_ts") =!= col("checkpoint_ts")).count() == 0)
+  }
+
   test("A83: table-progress checkpoints follow GetCheckpointTs incl. the Pass arm") {
     import spark.implicits._
     // step=1000 -> pass boundary (2900 div 1000)*1000 = 2000: t1's only

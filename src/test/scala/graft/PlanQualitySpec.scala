@@ -89,7 +89,7 @@ class PlanQualitySpec extends AnyFunSuite {
       // 1-row ddl-grid broadcast (q_scalar_subquery shape)
       "cdc_scan_tasks",
       // 1-row pass-boundary broadcast (q_scalar_subquery shape)
-      "cdc_table_progress",
+      "cdc_table_progress", "cdc_dispatcher_checkpoint",
       // scheduler frames: 1-row absent-count cross (A79), group x
       // node-universe cross (A80), span x tick-grid cross (A81) —
       // all dimension-scale
