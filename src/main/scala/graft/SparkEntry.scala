@@ -93,6 +93,7 @@ object SparkEntry {
     "cdc_watermark_agg" -> ((s, d) =>
       Barrier.watermarkAgg(cl(s, d), watermarkCfs, syncStep)),
     "cdc_scan_tasks" -> ((s, d) => EventService.scanTasks(cl(s, d))),
+    "cdc_event_seq_check" -> ((s, d) => EventService.seqCheck(cl(s, d))),
     "cdc_gc_safepoint" -> ((s, d) =>
       Barrier.gcSafepoint(cl(s, d), gcFleet, syncStep)),
     "cdc_sched_basic" -> ((s, d) => Scheduler.basicSchedule(cl(s, d))),
@@ -254,6 +255,7 @@ object SparkEntry {
     "cdc_ddl_barrier" -> o(Barrier.ddlBarrierSql(syncStep)),
     "cdc_watermark_agg" -> o(Barrier.watermarkAggSql(watermarkCfs, syncStep)),
     "cdc_scan_tasks" -> o(EventService.scanTasksSql()),
+    "cdc_event_seq_check" -> o(EventService.seqCheckSql()),
     "cdc_gc_safepoint" -> o(Barrier.gcSafepointSql(gcFleet, syncStep)),
     "cdc_sched_basic" -> o(Scheduler.basicScheduleSql()),
     "cdc_sched_balance" -> o(Scheduler.groupBalanceSql()),

@@ -146,4 +146,156 @@ object EventService {
        |  ON c.schema_name = t.schema_name AND c.table_name = t.table_name
        | AND c.region_id = t.region_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- A85
+  /** A85: the event collector's INGRESS protocol — how a dispatcher
+    * guards itself against a mis-sequencing event service (reference:
+    * downstreamadapter/eventcollector/event_collector.go:469-525
+    * `checkEventSeq` + `shouldIgnoreDataEvent`, `reset`:461-467,
+    * `handleHandshakeEvent`:527-551). Per event:
+    * wrong-server events are dropped outright (no state touched); while
+    * `waitHandshake`, every data event is dropped; otherwise the seq
+    * check INCREMENTS lastEventSeq and a mismatch resets the dispatcher
+    * (lastEventSeq=0, waitHandshake until the next handshake — which
+    * itself passes the seq check, so a recovery handshake carries
+    * seq 1); a surviving event older than sendCommitTs is dropped as
+    * stale; an accepted event advances sendCommitTs.
+    *
+    * The ingress trace is derived deterministically from the changelog
+    * so every arm appears and the whole decision sequence has a CLOSED
+    * FORM (no sequential fold needed): per dispatcher (= table), DMLs
+    * arrive in commit order; at rows with commit_ts%23==3 the service
+    * "mis-delivers" — a DUPLICATE of the row (stale seq → out-of-order
+    * → reset), on odd commit_ts a STRAGGLER copy of the next row
+    * arrives before the recovery handshake (dropped by the wait arm,
+    * then re-sent in the new epoch), a recovery HANDSHAKE (seq 1), and
+    * a REPLAY of the epoch's first DML with the correct next seq
+    * (dropped as STALE exactly when the epoch held ≥2 DMLs — otherwise
+    * its ts equals sendCommitTs and is accepted). Rows with
+    * commit_ts%29==7 also arrive from a WRONG SERVER. Epoch indices,
+    * per-epoch positions, seqs and every outcome are single-window
+    * expressions (anchor = last DML of its epoch, so the epoch count is
+    * the anchor's position; the epoch's first ts is the previous
+    * anchor's successor, read with last IGNORE NULLS) — ONE
+    * dispatcher-keyed shuffle, then a row-local item explode. The
+    * fold-equality spec replays the reference's stateful loop
+    * (transcribed) over the trace and must reproduce every outcome. */
+  def seqCheck(cl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("schema_name"), col("table_name"))
+      .orderBy(col("commit_ts"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val base = cl.select(col("schema_name"), col("table_name"), col("commit_ts"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("inj", expr("commit_ts % 23 = 3") && col("rn") > 1L)
+      .withColumn("delayed", col("inj") && expr("commit_ts % 2 = 1"))
+      .withColumn("wrong", expr("commit_ts % 29 = 7"))
+      .withColumn("next_ts", lead(col("commit_ts"), 1).over(w))
+      .withColumn("epoch",
+        coalesce(sum(col("inj").cast("long")).over(wPrev), lit(0L)))
+      .withColumn("p",
+        col("rn") - coalesce(max(when(col("inj"), col("rn"))).over(wPrev), lit(0L)))
+      .withColumn("first_ts_epoch",
+        coalesce(last(when(col("inj"), col("next_ts")), ignoreNulls = true).over(wPrev),
+          min(col("commit_ts")).over(Window.partitionBy(col("schema_name"), col("table_name")))))
+      .withColumn("seq",
+        when(col("epoch") === 0L, lit(1L) + col("p")).otherwise(lit(2L) + col("p")))
+    def item(sub: Int, kind: String, seq: org.apache.spark.sql.Column,
+             ts: org.apache.spark.sql.Column, src: String,
+             epoch: org.apache.spark.sql.Column,
+             outcome: org.apache.spark.sql.Column) =
+      struct(lit(sub).as("sub"), lit(kind).as("kind"), seq.as("seq"),
+        ts.as("commit_ts"), lit(src).as("src"), epoch.as("epoch"),
+        outcome.as("outcome"))
+    val items = base.select(col("schema_name"), col("table_name"),
+      col("rn").as("anchor_rn"),
+      explode(array(
+        when(col("rn") === 1L, item(-1, "HANDSHAKE", lit(1L), lit(0L),
+          "srv-0", lit(0L), lit("accept_handshake"))),
+        item(0, "DML", col("seq"), col("commit_ts"), "srv-0", col("epoch"),
+          lit("accept")),
+        when(col("wrong"), item(1, "DML", lit(0L), col("commit_ts"),
+          "srv-remote", col("epoch"), lit("ignore_wrong_server"))),
+        when(col("inj"), item(2, "DML", col("seq"), col("commit_ts"),
+          "srv-0", col("epoch"), lit("ignore_out_of_order"))),
+        when(col("delayed") && col("next_ts").isNotNull,
+          item(3, "DML", col("seq") + 1L, col("next_ts"), "srv-0",
+            col("epoch"), lit("ignore_wait_handshake"))),
+        when(col("inj"), item(4, "HANDSHAKE", lit(1L), col("commit_ts"),
+          "srv-0", col("epoch") + 1L, lit("accept_handshake"))),
+        when(col("inj"), item(5, "DML", lit(2L), col("first_ts_epoch"),
+          "srv-0", col("epoch") + 1L,
+          when(col("p") >= 2L, lit("ignore_stale")).otherwise(lit("accept"))))
+      )).as("e"))
+      .filter(col("e").isNotNull)
+    items.select(col("schema_name"), col("table_name"), col("anchor_rn"),
+        col("e.sub").cast("long").as("sub"),
+        row_number().over(Window.partitionBy(col("schema_name"), col("table_name"))
+          .orderBy(col("anchor_rn"), col("e.sub"))).cast("long").as("pos"),
+        col("e.kind").as("kind"), col("e.seq").as("seq"),
+        col("e.commit_ts").as("commit_ts"), col("e.src").as("src"),
+        col("e.epoch").as("epoch"), col("e.outcome").as("outcome"))
+  }
+
+  def seqCheckSql(): String =
+    s"""WITH base AS (
+       |  SELECT schema_name, table_name, commit_ts,
+       |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       |    (commit_ts % 23 = 3 AND ROW_NUMBER() OVER w > 1) AS inj,
+       |    (commit_ts % 23 = 3 AND ROW_NUMBER() OVER w > 1
+       |      AND commit_ts % 2 = 1) AS delayed,
+       |    (commit_ts % 29 = 7) AS wrong,
+       |    LEAD(commit_ts, 1) OVER w AS next_ts
+       |  FROM changelog
+       |  WINDOW w AS (PARTITION BY schema_name, table_name ORDER BY commit_ts)
+       |), d AS (
+       |  SELECT *,
+       |    COALESCE(SUM(CASE WHEN inj THEN 1 ELSE 0 END) OVER wp, 0) AS epoch,
+       |    rn - COALESCE(MAX(CASE WHEN inj THEN rn END) OVER wp, 0) AS p,
+       |    COALESCE(
+       |      LAST_VALUE(CASE WHEN inj THEN next_ts END IGNORE NULLS) OVER wp,
+       |      MIN(commit_ts) OVER (PARTITION BY schema_name, table_name)
+       |    ) AS first_ts_epoch
+       |  FROM base
+       |  WINDOW wp AS (PARTITION BY schema_name, table_name ORDER BY commit_ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), s AS (
+       |  SELECT *, CASE WHEN epoch = 0 THEN 1 + p ELSE 2 + p END AS seq
+       |  FROM d
+       |), ex AS (
+       |  SELECT schema_name, table_name, rn AS anchor_rn,
+       |    UNNEST(list_filter([
+       |      CASE WHEN rn = 1 THEN {'sub': -1, 'kind': 'HANDSHAKE', 'seq': 1,
+       |        'commit_ts': 0, 'src': 'srv-0', 'epoch': 0,
+       |        'outcome': 'accept_handshake'} END,
+       |      {'sub': 0, 'kind': 'DML', 'seq': seq, 'commit_ts': commit_ts,
+       |        'src': 'srv-0', 'epoch': epoch, 'outcome': 'accept'},
+       |      CASE WHEN wrong THEN {'sub': 1, 'kind': 'DML', 'seq': 0,
+       |        'commit_ts': commit_ts, 'src': 'srv-remote', 'epoch': epoch,
+       |        'outcome': 'ignore_wrong_server'} END,
+       |      CASE WHEN inj THEN {'sub': 2, 'kind': 'DML', 'seq': seq,
+       |        'commit_ts': commit_ts, 'src': 'srv-0', 'epoch': epoch,
+       |        'outcome': 'ignore_out_of_order'} END,
+       |      CASE WHEN delayed AND next_ts IS NOT NULL THEN {'sub': 3,
+       |        'kind': 'DML', 'seq': seq + 1, 'commit_ts': next_ts,
+       |        'src': 'srv-0', 'epoch': epoch,
+       |        'outcome': 'ignore_wait_handshake'} END,
+       |      CASE WHEN inj THEN {'sub': 4, 'kind': 'HANDSHAKE', 'seq': 1,
+       |        'commit_ts': commit_ts, 'src': 'srv-0', 'epoch': epoch + 1,
+       |        'outcome': 'accept_handshake'} END,
+       |      CASE WHEN inj THEN {'sub': 5, 'kind': 'DML', 'seq': 2,
+       |        'commit_ts': first_ts_epoch, 'src': 'srv-0', 'epoch': epoch + 1,
+       |        'outcome': CASE WHEN p >= 2 THEN 'ignore_stale'
+       |                        ELSE 'accept' END} END
+       |    ], x -> x IS NOT NULL)) AS e
+       |  FROM s
+       |)
+       |SELECT schema_name, table_name, anchor_rn,
+       |  CAST(e.sub AS BIGINT) AS sub,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY schema_name, table_name
+       |    ORDER BY anchor_rn, e.sub) AS BIGINT) AS pos,
+       |  e.kind AS kind, CAST(e.seq AS BIGINT) AS seq,
+       |  CAST(e.commit_ts AS BIGINT) AS commit_ts, e.src AS src,
+       |  CAST(e.epoch AS BIGINT) AS epoch, e.outcome AS outcome
+       |FROM ex""".stripMargin
 }

@@ -67,4 +67,49 @@ class EventServiceSpec extends AnyFunSuite {
     }
     cl.unpersist()
   }
+
+  test("A85: closed-form outcomes equal the reference fold, every arm fires") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val trace = cdc.EventService.seqCheck(cl).cache()
+    // every protocol arm must appear in the production trace
+    val arms = trace.select("outcome").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(arms == Set("accept", "accept_handshake", "ignore_wrong_server",
+      "ignore_out_of_order", "ignore_wait_handshake", "ignore_stale"),
+      s"missing arms: $arms")
+    // transcription of event_collector.go:461-525: reset / waitHandshake
+    // / lastEventSeq (incremented by the check itself) / sendCommitTs
+    case class Ev(pos: Long, kind: String, seq: Long, ts: Long, src: String,
+                  outcome: String)
+    val byDisp = trace.collect().map(r => (
+        (r.getAs[String]("schema_name"), r.getAs[String]("table_name")),
+        Ev(r.getAs[Long]("pos"), r.getAs[String]("kind"), r.getAs[Long]("seq"),
+          r.getAs[Long]("commit_ts"), r.getAs[String]("src"),
+          r.getAs[String]("outcome"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.pos)).toMap
+    assert(byDisp.nonEmpty)
+    for ((disp, evs) <- byDisp) {
+      var lastSeq = 0L; var wait = true; var sendTs = 0L
+      def checkSeq(seq: Long): Boolean = {
+        lastSeq += 1
+        if (seq != lastSeq) {
+          if (!wait) { lastSeq = 0; wait = true } // reset()
+          false
+        } else true
+      }
+      for (e <- evs) {
+        val got =
+          if (e.src != "srv-0") "ignore_wrong_server"
+          else if (e.kind == "HANDSHAKE") {
+            if (checkSeq(e.seq)) { wait = false; "accept_handshake" }
+            else "handshake_rejected"
+          } else if (wait) "ignore_wait_handshake"
+          else if (!checkSeq(e.seq)) "ignore_out_of_order"
+          else if (e.ts < sendTs) "ignore_stale"
+          else { sendTs = e.ts; "accept" }
+        assert(got == e.outcome,
+          s"$disp pos=${e.pos} $e: fold says $got, frame says ${e.outcome}")
+      }
+    }
+  }
 }
