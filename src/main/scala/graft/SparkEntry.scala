@@ -195,6 +195,7 @@ object SparkEntry {
     "text_unigram_surprisal" -> ((s, d) => ops.TextAnalysis.unigramSurprisal(s, d)),
     "perplexity_bucket" -> ((s, d) => ops.TextAnalysis.perplexityBucket(s, d)),
     "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
+    "bpe_pair_merge" -> ((s, d) => ops.Corpus.bpePairMerge(s, d)),
     "embedding_quantize" -> ((s, d) => ops.Similarity.embeddingQuantize(s, d)),
     "embedding_random_projection" -> ((s, d) => ops.Similarity.randomProjection(s, d)),
     "text_langid" -> ((s, d) => ops.TextAnalysis.langId(s, d)),
@@ -355,6 +356,7 @@ object SparkEntry {
     "text_unigram_surprisal" -> ops.TextAnalysis.unigramSurprisalSql,
     "perplexity_bucket" -> ops.TextAnalysis.perplexityBucketSql,
     "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,
+    "bpe_pair_merge" -> ops.Corpus.bpePairMergeSql(),
     "embedding_quantize" -> ops.Similarity.embeddingQuantizeSql(),
     "embedding_random_projection" -> ops.Similarity.randomProjectionSql(),
     "text_langid" -> ops.TextAnalysis.langIdSql,

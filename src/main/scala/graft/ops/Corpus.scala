@@ -355,4 +355,103 @@ object Corpus {
        |  CAST((smoothed * 1000000) // smt > (tokens * 1000000) // tot AS BIGINT)
        |    AS oversampled
        |FROM cells CROSS JOIN totals""".stripMargin
+
+  // ---------------------------------------------------------------- C41
+  /** C41 — one round of BPE tokenizer training (Sennrich et al. 2016
+    * §3.2): adjacent-symbol pair statistics over the word-frequency
+    * table (round 1: every symbol is a single character; the
+    * end-of-word marker is omitted — it only splits one pair class),
+    * the argmax merge with a pinned total order (count DESC, then the
+    * pair lexicographically — bare argmax ties are engine-unspecified),
+    * and the winning merge's application statistics. Pair counts use
+    * the canonical overlapping adjacent count ("aaa" yields two "aa"
+    * pairs) while the APPLICATION count is left-to-right
+    * non-overlapping, computed exactly by `replace` deletion (both
+    * engines replace non-overlapping left-to-right, which IS the BPE
+    * apply order): n_apply = (len − len(replace(w, lr, ''))) / 2.
+    *
+    * Scale shape: token explode → word-frequency aggregation (the
+    * shuffle is |vocab|-bounded), character-pair explode off the WORD
+    * table (vocab-scale, not corpus-scale), pair counts alphabet²-
+    * bounded, winner + stats ride 1-row broadcasts. A full BPE train
+    * iterates this round; each round re-aggregates only the vocab
+    * table, so the corpus is read once regardless of merge count. */
+  def bpePairMerge(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    bpePairMergeFrom(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      topK)
+
+  private[graft] def bpePairMergeFrom(docs: DataFrame, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(explode(graft.ops.Text.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val ranked = words
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, length(w) - 1),
+          |  i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pair_count").desc, col("left_sym"), col("right_sym")))
+        .cast("long"))
+      .filter(col("rnk") <= topK)
+    val winner = ranked.filter(col("rnk") === 1L)
+      .select(concat(col("left_sym"), col("right_sym")).as("ms"))
+    val stats = words.crossJoin(broadcast(winner))
+      .withColumn("na",
+        expr("(length(w) - length(replace(w, ms, ''))) div 2").cast("long"))
+      .agg(
+        coalesce(sum(when(col("na") > 0L, col("freq"))), lit(0L)).as("wa"),
+        coalesce(sum(col("na") * col("freq")), lit(0L)).as("napp"),
+        sum(length(col("w")).cast("long") * col("freq")).as("sb"))
+    ranked.crossJoin(broadcast(stats))
+      .select(col("rnk"), col("left_sym"), col("right_sym"), col("pair_count"),
+        when(col("rnk") === 1L, col("wa")).otherwise(lit(0L)).as("words_affected"),
+        when(col("rnk") === 1L, col("napp")).otherwise(lit(0L)).as("n_applications"),
+        when(col("rnk") === 1L, col("sb")).otherwise(lit(0L)).as("symbols_before"),
+        when(col("rnk") === 1L, col("sb") - col("napp")).otherwise(lit(0L))
+          .as("symbols_after"))
+  }
+
+  def bpePairMergeSql(topK: Int = 20): String =
+    s"""WITH words AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(${graft.ops.Text.tokensSql("text")}) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w
+       |), pc AS (
+       |  SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+       |  FROM (
+       |    SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+       |           substr(w, CAST(i AS INT) + 1, 1) AS right_sym, freq
+       |    FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM words))
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT * FROM (
+       |    SELECT left_sym, right_sym, pair_count,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, left_sym,
+       |        right_sym) AS BIGINT) AS rnk
+       |    FROM pc)
+       |  WHERE rnk <= $topK
+       |), winner AS (
+       |  SELECT left_sym || right_sym AS ms FROM ranked WHERE rnk = 1
+       |), stats AS (
+       |  SELECT
+       |    CAST(COALESCE(SUM(CASE WHEN na > 0 THEN freq END), 0) AS BIGINT) AS wa,
+       |    CAST(COALESCE(SUM(na * freq), 0) AS BIGINT) AS napp,
+       |    CAST(SUM(length(w) * freq) AS BIGINT) AS sb
+       |  FROM (
+       |    SELECT freq, w,
+       |      (length(w) - length(replace(w, ms, ''))) // 2 AS na
+       |    FROM words CROSS JOIN winner)
+       |)
+       |SELECT rnk, left_sym, right_sym, pair_count,
+       |  CASE WHEN rnk = 1 THEN wa ELSE 0 END AS words_affected,
+       |  CASE WHEN rnk = 1 THEN napp ELSE 0 END AS n_applications,
+       |  CASE WHEN rnk = 1 THEN sb ELSE 0 END AS symbols_before,
+       |  CASE WHEN rnk = 1 THEN sb - napp ELSE 0 END AS symbols_after
+       |FROM ranked CROSS JOIN stats""".stripMargin
 }

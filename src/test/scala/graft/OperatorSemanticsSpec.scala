@@ -1466,6 +1466,34 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(inlineBad.count() == 0, "inline frames must equal the A19 encoding")
   }
 
+  test("C41: BPE pair counts, tie-break, and merge application match a hand trace") {
+    import spark.implicits._
+    val docs = Seq((1L, "banana banana bandana aaa")).toDF("doc_id", "text")
+    val got = ops.Corpus.bpePairMergeFrom(docs, topK = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    // hand trace: banana x2, bandana, aaa; overlapping pair counts
+    // (a,n)=6 (n,a)=5 (b,a)=3 (a,a)=2 (d,a)=1 (n,d)=1 — the count-1 tie
+    // resolves lexicographically; winner "an" applies 2x in banana
+    // (left-to-right non-overlap), 2x in bandana -> 6 applications over
+    // 22 symbols
+    assert(got(0) == (1L, "a", "n", 6L, 3L, 6L, 22L, 16L), got(0).toString)
+    assert(got(1) == (2L, "n", "a", 5L, 0L, 0L, 0L, 0L))
+    assert(got(2) == (3L, "b", "a", 3L, 0L, 0L, 0L, 0L))
+    assert(got(3) == (4L, "a", "a", 2L, 0L, 0L, 0L, 0L))
+    assert(got(4) == (5L, "d", "a", 1L, 0L, 0L, 0L, 0L))
+    assert(got(5) == (6L, "n", "d", 1L, 0L, 0L, 0L, 0L))
+    // the a==b run case: overlapping counts but non-overlapping apply
+    val runs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val w = ops.Corpus.bpePairMergeFrom(runs, topK = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(5), r.getLong(6), r.getLong(7))).head
+    // pairs (a,a): 3+2=5 counted with overlap; applications floor the
+    // runs: aaaa -> 2, aaa -> 1
+    assert(w == ("a", "a", 5L, 3L, 7L, 4L), w.toString)
+  }
+
   test("C40: perplexity buckets are exact discrete terciles and keep drops the tail") {
     val b = ops.TextAnalysis.perplexityBucket(spark, dir).cache()
     val n = b.count()

@@ -82,6 +82,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "text_unigram_surprisal",
       // C34's corpus-total cross + its own 1-row tercile-bounds cross
       "perplexity_bucket",
+      // 1-row winner-merge + 1-row stats broadcasts over the vocab table
+      "bpe_pair_merge",
       // universe x boundary-grid broadcast cross (cdc_syncpoint shape)
       "cdc_ddl_barrier",
       // changefeed-rule LIKE match over the dimension-scale span frame
