@@ -209,6 +209,7 @@ object SparkEntry {
     "doc_chunk" -> ((s, d) => ops.Retrieval.docChunk(s, d)),
     "text_winnowing" -> ((s, d) => ops.Retrieval.winnowing(s, d)),
     "decontaminate_winnow" -> ((s, d) => ops.Retrieval.decontaminateWinnow(s, d)),
+    "dedup_containment" -> ((s, d) => ops.Retrieval.dedupContainment(s, d)),
     "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
     "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
     "dedup_clusters" -> ((s, d) => ops.Curation.dedupClusters(s, d)),
@@ -370,6 +371,7 @@ object SparkEntry {
     "doc_chunk" -> ops.Retrieval.docChunkSql(),
     "text_winnowing" -> ops.Retrieval.winnowingSql(),
     "decontaminate_winnow" -> ops.Retrieval.decontaminateWinnowSql(),
+    "dedup_containment" -> ops.Retrieval.dedupContainmentSql(),
     "bm25_topk" -> ops.Retrieval.bm25TopKSql(),
     "data_split" -> ops.Corpus.dataSplitSql(),
     "dedup_clusters" -> ops.Curation.dedupClustersSql(),

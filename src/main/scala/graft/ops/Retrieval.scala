@@ -248,6 +248,112 @@ object Retrieval {
        |FROM u""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // C42 — asymmetric containment dedup
+  // ------------------------------------------------------------------
+
+  /** C42 — containment dedup: C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)|,
+    * the asymmetric overlap that catches a SHORT document quoted inside
+    * a LONG one — a pair symmetric Jaccard (C4) scores near 0 (the
+    * union is dominated by the long side) but containment scores 1.
+    * Candidates are pairs sharing a winnowing fingerprint (the C37
+    * selection): a fully-contained passage of ≥ win+2 tokens is
+    * GUARANTEED to share one, and the ~2/(win+1) fingerprint density
+    * keeps the self-join a fraction of a full inverted-index join —
+    * the candidate generation is mirrored in the oracle exactly (the
+    * C2/C5 banding precedent). Exact verify on the distinct-3-gram
+    * sets; ppm containment both directions; `contained` labels which
+    * side dissolves into the other at `tauPpm`.
+    *
+    * Plan: fingerprint frame (one doc-keyed window on the repartition
+    * key) self-joined on fp_hash (bucket-bounded, never all-pairs),
+    * distinct pairs, then the C4 gram-cache join for the exact verify. */
+  def dedupContainment(spark: SparkSession, dir: String,
+      win: Int = 4, tauPpm: Long = 800000L): DataFrame =
+    dedupContainmentFrom(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      Dedup.gramFrame(spark, dir), win, tauPpm)
+
+  /** `g` must carry (doc_id, grams) with grams = the DISTINCT 3-gram
+    * set of the doc's text (the C4 cached frame in production). */
+  private[graft] def dedupContainmentFrom(docsFrame: DataFrame, g: DataFrame,
+      win: Int = 4, tauPpm: Long = 800000L): DataFrame = {
+    val fps = winnowHashes(docsFrame, win).select(col("doc_id"), col("fp_hash"))
+    val cand = fps.as("a").join(fps.as("b"), Seq("fp_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("cont_a_ppm",
+        call_function("div", col("inter") * lit(1000000L), size(col("ga")).cast("long")))
+      .withColumn("cont_b_ppm",
+        call_function("div", col("inter") * lit(1000000L), size(col("gb")).cast("long")))
+      .filter(col("cont_a_ppm") >= tauPpm || col("cont_b_ppm") >= tauPpm)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("cont_a_ppm"), col("cont_b_ppm"),
+        when(col("cont_a_ppm") >= tauPpm && col("cont_b_ppm") >= tauPpm, lit("both"))
+          .when(col("cont_a_ppm") >= tauPpm, lit("a_in_b"))
+          .otherwise(lit("b_in_a")).as("contained"))
+  }
+
+  def dedupContainmentSql(win: Int = 4, tauPpm: Long = 800000L): String = {
+    val allGrams =
+      """CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |  ELSE [] END""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), ga AS (
+       |  SELECT doc_id, $allGrams AS grams FROM t
+       |), pg AS (
+       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS m,
+       |    UNNEST(list_transform(range(1, len(grams) + 1),
+       |      i -> {'pos': i - 1, 'gram': grams[i]})) AS e
+       |  FROM ga
+       |), h AS (
+       |  SELECT doc_id, m, CAST(e.pos AS BIGINT) AS pos,
+       |    (${Portable.hash60Sql("e.gram")} % $HashMod) * $PosMod
+       |      + (${PosMod - 1} - e.pos) AS key
+       |  FROM pg
+       |), w AS (
+       |  SELECT doc_id, m, pos,
+       |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${win - 1} FOLLOWING) AS mk
+       |  FROM h
+       |), fps AS (
+       |  SELECT DISTINCT doc_id, CAST(mk // $PosMod AS BIGINT) AS fp_hash
+       |  FROM w WHERE pos <= m - $win
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fps a JOIN fps b
+       |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |), gs AS (
+       |  SELECT doc_id, list_distinct(grams) AS grams FROM ga WHERE len(grams) > 0
+       |), v AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS inter,
+       |    CAST(len(x.grams) AS BIGINT) AS sza, CAST(len(y.grams) AS BIGINT) AS szb
+       |  FROM cand c
+       |  JOIN gs x ON x.doc_id = c.doc_a
+       |  JOIN gs y ON y.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b, inter,
+       |  inter * 1000000 // sza AS cont_a_ppm,
+       |  inter * 1000000 // szb AS cont_b_ppm,
+       |  CASE WHEN inter * 1000000 // sza >= $tauPpm
+       |        AND inter * 1000000 // szb >= $tauPpm THEN 'both'
+       |       WHEN inter * 1000000 // sza >= $tauPpm THEN 'a_in_b'
+       |       ELSE 'b_in_a' END AS contained
+       |FROM v
+       |WHERE inter * 1000000 // sza >= $tauPpm
+       |   OR inter * 1000000 // szb >= $tauPpm""".stripMargin
+  }
+
   def winnowingSql(win: Int = 4): String = {
     val allGrams =
       """CASE WHEN len(toks) >= 3

@@ -165,4 +165,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(t(4L)._2 == 0 && t(4L)._4 == -1L && t(4L)._5 == "keep",
       s"unfingerprint-able doc must surface with the sentinel: ${t(4L)}")
   }
+
+  test("C42: containment catches a short doc quoted in a long one that Jaccard misses") {
+    val short = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, short, "src1"),                       // the quoted passage
+      (2L, s"$filler $short $filler", "src2"),   // the container
+      (3L, "entirely different content with nothing shared here at all ok", "src3"))
+      .toDF("doc_id", "text", "source")
+    val g = docs.select(col("doc_id"),
+        ops.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), expr(ops.Text.gramsExpr).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val got = ops.Retrieval.dedupContainmentFrom(docs, g)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(got.length == 1, s"exactly the quoted pair: ${got.toSeq}")
+    val p = got.head
+    // all of doc 1's grams appear in doc 2 -> containment exactly 1.0
+    assert(p._1 == 1L && p._2 == 2L && p._4 == 1000000L && p._6 == "a_in_b", p.toString)
+    // symmetric Jaccard on the same pair is far below any dedup tau:
+    // 8 shared grams over ~96 union grams
+    assert(p._5 < 200000L, s"the long side must NOT be contained: $p")
+  }
 }
