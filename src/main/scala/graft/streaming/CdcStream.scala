@@ -216,6 +216,59 @@ object CdcStream {
       }
   }
 
+  /** A85s input: one ingress item of the A85 trace (pos-ordered). */
+  case class SeqEvent(schema_name: String, table_name: String, pos: Long,
+                      kind: String, seq: Long, commit_ts: Long, src: String)
+
+  /** A85s dispatcher state — exactly the three fields of the reference
+    * DispatcherStat the protocol reads. */
+  case class SeqState(lastSeq: Long, waiting: Boolean, sendTs: Long)
+
+  case class SeqOutcome(schema_name: String, table_name: String, pos: Long,
+                        outcome: String)
+
+  /** A85s — the event collector's ingress protocol as a continuous
+    * stateful stream: the reference loop
+    * (event_collector.go:469-525) IS incremental — per event it reads
+    * and updates (lastEventSeq, waitHandshake, sendCommitTs) — so the
+    * state is ONE 3-field record per dispatcher and each micro-batch
+    * folds its items in pos order. The batch operator (A85) computes
+    * the same outcomes as closed-form windows; the spec replays the
+    * production trace across micro-batch boundaries and asserts the
+    * two readings agree outcome-for-outcome. In-order arrival across
+    * batches is the contract (the trace is the service's send order). */
+  def streamSeqCheck(ev: Dataset[SeqEvent]): Dataset[SeqOutcome] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(e => (e.schema_name, e.table_name))
+      .flatMapGroupsWithState[SeqState, SeqOutcome](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((sch, tbl), it, state: GroupState[SeqState]) =>
+          var s = state.getOption.getOrElse(SeqState(0L, waiting = true, 0L))
+          val out = scala.collection.mutable.Buffer[SeqOutcome]()
+          def checkSeq(seq: Long): Boolean = {
+            s = s.copy(lastSeq = s.lastSeq + 1)
+            if (seq != s.lastSeq) {
+              if (!s.waiting) s = s.copy(lastSeq = 0L, waiting = true) // reset()
+              false
+            } else true
+          }
+          it.toSeq.sortBy(_.pos).foreach { e =>
+            val outcome =
+              if (e.src != "srv-0") "ignore_wrong_server"
+              else if (e.kind == "HANDSHAKE") {
+                if (checkSeq(e.seq)) { s = s.copy(waiting = false); "accept_handshake" }
+                else "handshake_rejected"
+              } else if (s.waiting) "ignore_wait_handshake"
+              else if (!checkSeq(e.seq)) "ignore_out_of_order"
+              else if (e.commit_ts < s.sendTs) "ignore_stale"
+              else { s = s.copy(sendTs = e.commit_ts); "accept" }
+            out += SeqOutcome(sch, tbl, e.pos, outcome)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** One heartbeat observation for a span (A81s input). */
   case class SpanTick(span: String, tick: Long, bytes: Long, coeff: Long)
 

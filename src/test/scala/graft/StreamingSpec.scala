@@ -401,6 +401,39 @@ class StreamingSpec extends AnyFunSuite {
       "streamed as-of pairs must equal the batch window attribution")
   }
 
+  test("A85s: incremental seq-check protocol equals the batch closed form") {
+    import spark.implicits._
+    // dispatcher state (lastSeq/wait/sendTs) must survive micro-batch
+    // boundaries: replay the production trace in 3 pos-tercile batches
+    val tmp = java.nio.file.Files.createTempDirectory("a85s").toString
+    val trace = cdc.EventService.seqCheck(
+      cdc.ChangeEvents.changelog(spark, dir)).cache()
+    val in = trace.select("schema_name", "table_name", "pos", "kind",
+      "seq", "commit_ts", "src")
+    val cuts = in.stat.approxQuantile("pos", Array(0.34, 0.67), 0.0)
+    val parts = Seq(
+      in.filter(col("pos") <= cuts(0)),
+      in.filter(col("pos") > cuts(0) && col("pos") <= cuts(1)),
+      in.filter(col("pos") > cuts(1)))
+    val t0 = java.lang.System.currentTimeMillis() - 60000
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = s"$tmp/f$i"
+      p.coalesce(1).write.parquet(d)
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t0 + i * 10000))
+    }
+    val stream = spark.readStream.schema(parts.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/f*")
+      .as[graft.streaming.CdcStream.SeqEvent]
+    runToCompletion(
+      graft.streaming.CdcStream.streamSeqCheck(stream).toDF(), "a85s", "append")
+    val got = spark.table("a85s")
+    val want = trace.select("schema_name", "table_name", "pos", "outcome")
+    assert(got.count() == want.count(), "one outcome per trace item")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed outcomes must equal the batch closed form")
+  }
+
   test("B18s: stream-stream interval join pairs across micro-batches equal batch B18") {
     // the native stream-stream inner join must buffer the in-range
     // window of BOTH sides across micro-batch boundaries; over a
