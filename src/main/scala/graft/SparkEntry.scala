@@ -94,6 +94,7 @@ object SparkEntry {
       Barrier.watermarkAgg(cl(s, d), watermarkCfs, syncStep)),
     "cdc_scan_tasks" -> ((s, d) => EventService.scanTasks(cl(s, d))),
     "cdc_event_seq_check" -> ((s, d) => EventService.seqCheck(cl(s, d))),
+    "cdc_log_candidates" -> ((s, d) => EventService.logCandidates(cl(s, d))),
     "cdc_gc_safepoint" -> ((s, d) =>
       Barrier.gcSafepoint(cl(s, d), gcFleet, syncStep)),
     "cdc_sched_basic" -> ((s, d) => Scheduler.basicSchedule(cl(s, d))),
@@ -258,6 +259,7 @@ object SparkEntry {
     "cdc_watermark_agg" -> o(Barrier.watermarkAggSql(watermarkCfs, syncStep)),
     "cdc_scan_tasks" -> o(EventService.scanTasksSql()),
     "cdc_event_seq_check" -> o(EventService.seqCheckSql()),
+    "cdc_log_candidates" -> o(EventService.logCandidatesSql()),
     "cdc_gc_safepoint" -> o(Barrier.gcSafepointSql(gcFleet, syncStep)),
     "cdc_sched_basic" -> o(Scheduler.basicScheduleSql()),
     "cdc_sched_balance" -> o(Scheduler.groupBalanceSql()),

@@ -298,4 +298,97 @@ object EventService {
        |  CAST(e.commit_ts AS BIGINT) AS commit_ts, e.src AS src,
        |  CAST(e.epoch AS BIGINT) AS epoch, e.outcome AS outcome
        |FROM ex""".stripMargin
+
+  // ---------------------------------------------------------------- A86
+  /** A86: the log coordinator's candidate-node ranking — where a
+    * dispatcher can RE-FETCH history from when its local event store
+    * can't serve it (reference: logservice/coordinator/coordinator.go:
+    * 194-248 `getCandidateNodes` + updateEventStoreState:161-190).
+    * For a (table span, startTs) request: every OTHER node that holds a
+    * subscription on the table whose checkpointTs ≤ startTs can serve;
+    * each such node bids its MAX resolvedTs over qualifying
+    * subscriptions; candidates rank by resolvedTs DESC. The reference's
+    * sort leaves equal-resolvedTs order unspecified (sort.Slice is
+    * unstable) — the model pins ties to the smaller node ordinal, a
+    * deterministic refinement.
+    *
+    * The node fleet and its subscription table are derived
+    * deterministically from per-table changelog stats (4 nodes × 2
+    * subscriptions, one (node,table) pair absent per table — the `!ok`
+    * skip arm; checkpoints stride an eighth of the table's ts range,
+    * resolved ts vary by a rotating shift so rankings differ by table);
+    * requests probe two startTs grid points per table from node n0.
+    * Everything after the ONE changelog aggregation is
+    * dimension-scale: stats × node grid × request grid ride broadcast
+    * crosses. */
+  def logCandidates(cl: DataFrame, nNodes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = cl.groupBy(col("schema_name"), col("table_name"))
+      .agg(min(col("commit_ts")).as("tmin"), max(col("commit_ts")).as("tmax"))
+      .withColumn("tord",
+        row_number().over(Window.orderBy(col("schema_name"), col("table_name")))
+          .cast("long") - 1L)
+      .withColumn("stride", expr("(tmax - tmin) div 8"))
+    val nodes = stats.sparkSession.range(nNodes).select(col("id").as("nord"))
+    val subs = stats.crossJoin(broadcast(nodes))
+      .filter(expr(s"(tord + nord) % $nNodes != ${nNodes - 1}"))
+      .select(col("schema_name"), col("table_name"), col("tmin"), col("tmax"),
+        col("stride"), col("nord"),
+        explode(array(lit(0L), lit(1L))).as("k"))
+      .withColumn("cp", col("tmin") + (col("nord") * 2L + col("k")) * col("stride"))
+      .withColumn("rts",
+        col("tmax") - pmod(col("nord") + col("k") * 3L, lit(5L)) *
+          expr("(tmax - tmin) div 16"))
+    val reqs = stats.select(col("schema_name"), col("table_name"),
+      explode(array(expr("tmin + (tmax - tmin) div 4"),
+        expr("tmin + (tmax - tmin) div 2"))).as("start_ts"))
+    val bids = reqs.join(subs, Seq("schema_name", "table_name"))
+      .filter(col("nord") =!= 0L && col("cp") <= col("start_ts"))
+      .groupBy(col("schema_name"), col("table_name"), col("start_ts"), col("nord"))
+      .agg(max(col("rts")).as("resolved_ts"))
+    bids.withColumn("rnk",
+        row_number().over(Window
+          .partitionBy(col("schema_name"), col("table_name"), col("start_ts"))
+          .orderBy(col("resolved_ts").desc, col("nord"))).cast("long"))
+      .select(col("schema_name"), col("table_name"), col("start_ts"),
+        col("rnk"), concat(lit("n"), col("nord").cast("string")).as("node"),
+        col("resolved_ts"))
+  }
+
+  def logCandidatesSql(nNodes: Int = 4): String =
+    s"""WITH stats AS (
+       |  SELECT schema_name, table_name,
+       |    MIN(commit_ts) AS tmin, MAX(commit_ts) AS tmax,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY schema_name, table_name)
+       |      AS BIGINT) - 1 AS tord,
+       |    (MAX(commit_ts) - MIN(commit_ts)) // 8 AS stride
+       |  FROM changelog GROUP BY schema_name, table_name
+       |), subs AS (
+       |  SELECT s.schema_name, s.table_name, s.tmin, s.tmax, s.stride,
+       |    n.nord, k.k,
+       |    s.tmin + (n.nord * 2 + k.k) * s.stride AS cp,
+       |    s.tmax - ((n.nord + 3 * k.k) % 5) * ((s.tmax - s.tmin) // 16) AS rts
+       |  FROM stats s
+       |  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, ${nNodes - 1})) AS nord) n
+       |  CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+       |  WHERE (s.tord + n.nord) % $nNodes != ${nNodes - 1}
+       |), reqs AS (
+       |  SELECT schema_name, table_name,
+       |    UNNEST([tmin + (tmax - tmin) // 4,
+       |            tmin + (tmax - tmin) // 2]) AS start_ts
+       |  FROM stats
+       |), bids AS (
+       |  SELECT r.schema_name, r.table_name, r.start_ts, s.nord,
+       |    CAST(MAX(s.rts) AS BIGINT) AS resolved_ts
+       |  FROM reqs r JOIN subs s
+       |    ON r.schema_name = s.schema_name AND r.table_name = s.table_name
+       |  WHERE s.nord != 0 AND s.cp <= r.start_ts
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT schema_name, table_name, CAST(start_ts AS BIGINT) AS start_ts,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY schema_name, table_name, start_ts
+       |    ORDER BY resolved_ts DESC, nord) AS BIGINT) AS rnk,
+       |  CONCAT('n', CAST(nord AS VARCHAR)) AS node,
+       |  resolved_ts
+       |FROM bids""".stripMargin
 }

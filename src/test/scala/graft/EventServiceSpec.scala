@@ -68,6 +68,29 @@ class EventServiceSpec extends AnyFunSuite {
     cl.unpersist()
   }
 
+  test("A86: candidate ranking excludes the requester, honors cp <= startTs, ranks by rts") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val cand = cdc.EventService.logCandidates(cl).cache()
+    assert(cand.count() > 0)
+    // the requester (n0) never bids; ranks are 1..k dense per request
+    assert(cand.filter(col("node") === "n0").count() == 0)
+    val ranks = cand.groupBy("schema_name", "table_name", "start_ts")
+      .agg(count(lit(1)).as("k"), max("rnk").as("mx"), min("rnk").as("mn"))
+    assert(ranks.filter(col("mx") =!= col("k") || col("mn") =!= 1L).count() == 0)
+    // resolved_ts is non-increasing in rank within a request
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("schema_name", "table_name", "start_ts").orderBy("rnk")
+    assert(cand.withColumn("prev", lag("resolved_ts", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("resolved_ts"))
+      .count() == 0)
+    // the `!ok` arm: at least one (table, node) pair holds no
+    // subscription, so some node is absent from some table's candidates
+    val perTable = cand.select("schema_name", "table_name", "node").distinct()
+      .groupBy("schema_name", "table_name").agg(countDistinct("node").as("n"))
+    assert(perTable.filter(col("n") < 3).count() > 0,
+      "the absent-subscription arm must drop a node somewhere")
+  }
+
   test("A85: closed-form outcomes equal the reference fold, every arm fires") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val trace = cdc.EventService.seqCheck(cl).cache()

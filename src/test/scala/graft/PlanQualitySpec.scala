@@ -92,6 +92,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_scan_tasks",
       // 1-row pass-boundary broadcast (q_scalar_subquery shape)
       "cdc_table_progress", "cdc_dispatcher_checkpoint",
+      // table-stats x node/request grid broadcast crosses (dimension-scale)
+      "cdc_log_candidates",
       // scheduler frames: 1-row absent-count cross (A79), group x
       // node-universe cross (A80), span x tick-grid cross (A81) —
       // all dimension-scale
