@@ -299,6 +299,108 @@ object EventService {
        |  CAST(e.epoch AS BIGINT) AS epoch, e.outcome AS outcome
        |FROM ex""".stripMargin
 
+  // ---------------------------------------------------------------- A87
+  /** A87: the scan-task EMISSION assembly — what `doScan` actually
+    * sends for a task the A77 decision marked `scan` (reference:
+    * pkg/eventservice/event_broker.go:395-505 doScan + sendDDL:285-300
+    * + sendWatermark:144-157): DMLs of the range stream in commit
+    * order; the fetched DDL list interleaves by the STRICT rule
+    * (`dml.CommitTs > ddl.FinishedTs` sends the DDL first, so a DDL
+    * ties AFTER a DML at the same ts); leftover DDLs drain after the
+    * last DML; one final watermark message at EndTs closes the task.
+    * DML and DDL share the dispatcher's single seq counter
+    * (`d.seq.Add(1)` in both paths); the watermark carries none.
+    * The syncpoint arm is off — the production default
+    * (`enableSyncPoint=false`); A16/A54 model syncpoint semantics.
+    *
+    * Plan: the A77 task frame (dimension-scale, broadcast) gates one
+    * changelog pass (equi join on (table, region) + the range as a
+    * post-filter) unioned with the task × DDL-grid rows; pos and seq
+    * are two windows on the same task-keyed shuffle. */
+  def scanEmit(cl: DataFrame, nRegions: Int = 8, syncStep: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tasks = scanTasks(cl, nRegions, syncStep)
+      .filter(col("decision") === "scan")
+      .select(col("schema_name"), col("table_name"), col("region_id"),
+        // the changelog carries its own txn start_ts — rename the range
+        col("start_ts").as("scan_start"), col("end_ts"))
+    val dmls = cl
+      .withColumn("region_id",
+        graft.functions.Portable.bucket(col("pk").cast("string"), nRegions))
+      .join(broadcast(tasks), Seq("schema_name", "table_name", "region_id"))
+      .filter(col("commit_ts") > col("scan_start") && col("commit_ts") <= col("end_ts"))
+      .select(col("schema_name"), col("table_name"), col("region_id"),
+        col("commit_ts").as("ts"), lit(0L).as("tie"), lit("DML").as("kind"),
+        col("pk").cast("string").as("detail"))
+    val ddls = SchemaStore.ddlEvents(cl, Nil)
+      .join(broadcast(tasks), Seq("schema_name", "table_name"))
+      .filter(col("valid_from") > col("scan_start") && col("valid_from") <= col("end_ts"))
+      .select(col("schema_name"), col("table_name"), col("region_id"),
+        col("valid_from").as("ts"), lit(1L).as("tie"), lit("DDL").as("kind"),
+        col("schema_ver").as("detail"))
+    val wm = tasks.select(col("schema_name"), col("table_name"), col("region_id"),
+      col("end_ts").as("ts"), lit(2L).as("tie"), lit("WATERMARK").as("kind"),
+      lit("").as("detail"))
+    val w = Window.partitionBy(col("schema_name"), col("table_name"), col("region_id"))
+      .orderBy(col("ts"), col("tie"))
+    dmls.unionByName(ddls).unionByName(wm)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("seq",
+        when(col("kind") === "WATERMARK", lit(0L))
+          .otherwise(sum(when(col("kind") =!= "WATERMARK", lit(1L))
+            .otherwise(lit(0L)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .select(col("schema_name"), col("table_name"), col("region_id"),
+        col("pos"), col("kind"), col("ts"), col("seq"), col("detail"))
+  }
+
+  def scanEmitSql(nRegions: Int = 8, syncStep: Long = 100L): String = {
+    val bucket = graft.functions.Portable.bucketSql("CAST(pk AS VARCHAR)", nRegions)
+    s"""WITH alltasks AS (
+       |${scanTasksSql(nRegions, syncStep).linesIterator.map("  " + _).mkString("\n")}
+       |), tasks AS (
+       |  SELECT schema_name, table_name, region_id, start_ts, end_ts
+       |  FROM alltasks WHERE decision = 'scan'
+       |), ddlgrid AS (
+       |  SELECT t.schema_name, t.table_name,
+       |    g.v * ${SchemaStore.step} AS valid_from,
+       |    CONCAT('v', CAST(g.v AS VARCHAR)) AS schema_ver
+       |  FROM (SELECT DISTINCT schema_name, table_name FROM changelog) t
+       |  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0,
+       |    (SELECT MAX(commit_ts) FROM changelog) // ${SchemaStore.step})) AS v) g
+       |), msgs AS (
+       |  SELECT c.schema_name, c.table_name, r.region_id, c.commit_ts AS ts,
+       |    0 AS tie, 'DML' AS kind, CAST(c.pk AS VARCHAR) AS detail
+       |  FROM (SELECT *, $bucket AS region_id FROM changelog) c
+       |  JOIN tasks r ON c.schema_name = r.schema_name
+       |    AND c.table_name = r.table_name AND c.region_id = r.region_id
+       |  WHERE c.commit_ts > r.start_ts AND c.commit_ts <= r.end_ts
+       |  UNION ALL
+       |  SELECT d.schema_name, d.table_name, r.region_id, d.valid_from AS ts,
+       |    1 AS tie, 'DDL' AS kind, d.schema_ver AS detail
+       |  FROM ddlgrid d JOIN tasks r
+       |    ON d.schema_name = r.schema_name AND d.table_name = r.table_name
+       |  WHERE d.valid_from > r.start_ts AND d.valid_from <= r.end_ts
+       |  UNION ALL
+       |  SELECT schema_name, table_name, region_id, end_ts AS ts,
+       |    2 AS tie, 'WATERMARK' AS kind, '' AS detail
+       |  FROM tasks
+       |)
+       |SELECT schema_name, table_name, region_id,
+       |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos,
+       |  kind, CAST(ts AS BIGINT) AS ts,
+       |  CAST(CASE WHEN kind = 'WATERMARK' THEN 0
+       |    ELSE SUM(CASE WHEN kind <> 'WATERMARK' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY schema_name, table_name, region_id
+       |        ORDER BY ts, tie
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    END AS BIGINT) AS seq,
+       |  detail
+       |FROM msgs
+       |WINDOW w AS (PARTITION BY schema_name, table_name, region_id
+       |  ORDER BY ts, tie)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- A86
   /** A86: the log coordinator's candidate-node ranking — where a
     * dispatcher can RE-FETCH history from when its local event store

@@ -68,6 +68,37 @@ class EventServiceSpec extends AnyFunSuite {
     cl.unpersist()
   }
 
+  test("A87: scan emission — shared dense seq, strict DDL interleave, watermark closes") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val em = cdc.EventService.scanEmit(cl).cache()
+    val tasks = cdc.EventService.scanTasks(cl).filter(col("decision") === "scan")
+    assert(em.count() > 0)
+    // exactly one watermark per scan task, always the last message, at end_ts
+    val wm = em.filter(col("kind") === "WATERMARK")
+    assert(wm.count() == tasks.count())
+    val lastPos = em.groupBy("schema_name", "table_name", "region_id")
+      .agg(max("pos").as("mx"))
+    assert(wm.join(lastPos, Seq("schema_name", "table_name", "region_id"))
+      .filter(col("pos") =!= col("mx")).count() == 0, "watermark must close the task")
+    assert(wm.join(tasks, Seq("schema_name", "table_name", "region_id"))
+      .filter(col("ts") =!= col("end_ts")).count() == 0)
+    // DML and DDL share one dense seq counter; the watermark carries none
+    val seqs = em.filter(col("kind") =!= "WATERMARK")
+    assert(seqs.groupBy("schema_name", "table_name", "region_id")
+      .agg(count(lit(1)).as("n"), max("seq").as("mx"), min("seq").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0,
+      "seq must be dense 1..n over DML+DDL")
+    assert(wm.filter(col("seq") =!= 0L).count() == 0)
+    // the strict interleave rule: a DDL never precedes a DML at equal ts
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("schema_name", "table_name", "region_id").orderBy("pos")
+    val viol = em.withColumn("pk_kind", lag("kind", 1).over(w))
+      .withColumn("pk_ts", lag("ts", 1).over(w))
+      .filter(col("pk_kind") === "DDL" && col("kind") === "DML" &&
+        col("pk_ts") === col("ts"))
+    assert(viol.count() == 0, "DDL must tie AFTER a DML at the same ts")
+  }
+
   test("A86: candidate ranking excludes the requester, honors cp <= startTs, ranks by rts") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val cand = cdc.EventService.logCandidates(cl).cache()

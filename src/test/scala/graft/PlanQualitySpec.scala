@@ -90,6 +90,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_watermark_agg", "cdc_gc_safepoint",
       // 1-row ddl-grid broadcast (q_scalar_subquery shape)
       "cdc_scan_tasks",
+      // embeds cdc_scan_tasks' crosses + the table x DDL-grid cross
+      "cdc_scan_emit",
       // 1-row pass-boundary broadcast (q_scalar_subquery shape)
       "cdc_table_progress", "cdc_dispatcher_checkpoint",
       // table-stats x node/request grid broadcast crosses (dimension-scale)
