@@ -190,6 +190,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => ops.Similarity.annIvf(s, d)),
     "dedup_semantic" -> ((s, d) => ops.Similarity.dedupSemantic(s, d)),
     "knn_graph" -> ((s, d) => ops.Similarity.knnGraph(s, d)),
+    "cluster_label_tfidf" -> ((s, d) => ops.Similarity.clusterLabelTfidf(s, d)),
     "pq_encode" -> ((s, d) => ops.Similarity.pqEncode(s, d)),
     "pq_adc_topk" -> ((s, d) => ops.Similarity.pqAdcTopK(s, d)),
     "dedup_lines" -> ((s, d) => ops.Dedup.dedupLines(s, d)),
@@ -354,6 +355,7 @@ object SparkEntry {
     "ann_ivf" -> ops.Similarity.annIvfSql(),
     "dedup_semantic" -> ops.Similarity.dedupSemanticSql(),
     "knn_graph" -> ops.Similarity.knnGraphSql(),
+    "cluster_label_tfidf" -> ops.Similarity.clusterLabelTfidfSql(),
     "pq_encode" -> ops.Similarity.pqEncodeSql(),
     "pq_adc_topk" -> ops.Similarity.pqAdcTopKSql(),
     "dedup_lines" -> ops.Dedup.dedupLinesSql(),

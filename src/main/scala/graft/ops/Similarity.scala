@@ -556,6 +556,62 @@ object Similarity {
         coalesce(col("m"), lit(0L)).as("mutual"))
   }
 
+  /** C43 — cluster labeling: the top-`k` TF-IDF terms of every IVF
+    * cell, the corpus-exploration step after clustering (what IS this
+    * cluster about?). Each cell is a super-document: tf = the term's
+    * occurrence count across the cell's docs (doc_id ≡ vec_id in the
+    * corpus), idf = the log-free linear ratio n_cells/df_cells (the
+    * C15 precedent — a monotone transform preserves per-cell ranking
+    * for fixed df), score = tf·n_cells div df_cells in exact BIGINT,
+    * ties pinned to the lexicographically smaller term. Shares the
+    * memoized C13 index; the token explode is the one corpus-scale
+    * pass, tf/df aggregations are (cells×vocab)- and vocab-bounded,
+    * the top-k is a cell-keyed window. */
+  def clusterLabelTfidf(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val (c, cents, _) = ivfIndexInputs(spark, dir)
+    val assigned = assignLists(c, cents)
+      .select(col("vec_id").as("doc_id"), col("cent_id"))
+    val toks = graft.util.Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(graft.ops.Text.tokens(col("text"))).as("term"))
+    val tf = toks.join(assigned, "doc_id")
+      .groupBy(col("cent_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df_cells"))
+    val nCells = assigned.select(col("cent_id")).distinct()
+      .agg(count(lit(1)).as("n_cells"))
+    val win = Window.partitionBy(col("cent_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfc, "term").crossJoin(broadcast(nCells))
+      .withColumn("score",
+        call_function("div", col("tf") * col("n_cells"), col("df_cells")))
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("cent_id"), col("rnk"), col("term"), col("tf"),
+        col("df_cells"), col("score"))
+  }
+
+  def clusterLabelTfidfSql(topK: Int = 5, kMin: Int = 64, kCap: Int = 4096,
+                           sampleFactor: Int = 64): String =
+    s"""WITH ${ivfAssignedCtes(kMin, kCap, sampleFactor)},
+       |cells AS (SELECT vec_id AS doc_id, cent_id FROM assigned),
+       |toks AS (
+       |  SELECT doc_id, unnest(${graft.ops.Text.tokensSql("text")}) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT c.cent_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks t JOIN cells c ON t.doc_id = c.doc_id
+       |  GROUP BY 1, 2
+       |), dfc AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_cells FROM tf GROUP BY 1
+       |), nc AS (SELECT CAST(COUNT(DISTINCT cent_id) AS BIGINT) AS n_cells FROM cells)
+       |SELECT cent_id, rnk, term, tf, df_cells, score FROM (
+       |  SELECT f.cent_id, f.term, f.tf, d.df_cells,
+       |    f.tf * nc.n_cells // d.df_cells AS score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY f.cent_id
+       |      ORDER BY f.tf * nc.n_cells // d.df_cells DESC, f.term) AS BIGINT) AS rnk
+       |  FROM tf f JOIN dfc d ON f.term = d.term CROSS JOIN nc
+       |) WHERE rnk <= $topK""".stripMargin
+
   def knnGraphSql(k: Int = 3, kMin: Int = 64, kCap: Int = 4096,
                   sampleFactor: Int = 64): String =
     s"""WITH ${ivfAssignedCtes(kMin, kCap, sampleFactor)},

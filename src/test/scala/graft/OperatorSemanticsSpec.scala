@@ -1466,6 +1466,32 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(inlineBad.count() == 0, "inline frames must equal the A19 encoding")
   }
 
+  test("C43: cluster labels are dense ranked, score-monotone, and cover every cell") {
+    val labels = ops.Similarity.clusterLabelTfidf(spark, dir).cache()
+    assert(labels.count() > 0)
+    // dense ranks 1..k per cell, score non-increasing in rank
+    val per = labels.groupBy("cent_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"), min("rnk").as("mn"))
+    assert(per.filter(col("mx") =!= col("n") || col("mn") =!= 1L).count() == 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cent_id").orderBy("rnk")
+    assert(labels.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("score")).count() == 0)
+    // naive recount of one cell's winning term: tf of the rank-1 term
+    // must equal the raw token count of that term over the cell's docs
+    val row = labels.filter(col("rnk") === 1L).orderBy("cent_id").head
+    val cell = row.getAs[Long]("cent_id")
+    val term = row.getAs[String]("term")
+    val (c, cents, _) = ops.Similarity.ivfIndexInputs(spark, dir)
+    val docsInCell = ops.Similarity.assignLists(c, cents)
+      .filter(col("cent_id") === cell).select(col("vec_id").as("doc_id"))
+    val n = graft.util.Tables.documents(spark, dir)
+      .join(docsInCell, "doc_id")
+      .select(explode(ops.Text.tokens(col("text"))).as("t"))
+      .filter(col("t") === term).count()
+    assert(n == row.getAs[Long]("tf"), s"tf mismatch for cell $cell term $term")
+  }
+
   test("C41: BPE pair counts, tie-break, and merge application match a hand trace") {
     import spark.implicits._
     val docs = Seq((1L, "banana banana bandana aaa")).toDF("doc_id", "text")

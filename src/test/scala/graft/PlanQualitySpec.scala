@@ -71,6 +71,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "dedup_semantic", // shares ann_ivf's corpus x k-centroid broadcast cross
       "source_mix_weights", // 1-row totals broadcast (q_scalar_subquery shape)
       "knn_graph", // shares the ann_ivf corpus x k-centroid assignment cross
+      // the shared assignment cross + its 1-row n_cells broadcast
+      "cluster_label_tfidf",
       // the deliberate dimension x salt-range replication cross (R rows)
       "q_salted_skew_join",
       // table universe x boundary grid broadcast cross (dimension-scale),
