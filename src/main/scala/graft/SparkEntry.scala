@@ -233,6 +233,7 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Analytics.qPivot(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.qGroupingSets(s, d)),
     "q_median_mode" -> ((s, d) => Analytics.qMedianMode(s, d)),
+    "q_set_ops" -> ((s, d) => Analytics.qSetOps(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -398,5 +399,6 @@ object SparkEntry {
     "q_pivot" -> Analytics.qPivotSql,
     "q_grouping_sets" -> Analytics.qGroupingSetsSql,
     "q_median_mode" -> Analytics.qMedianModeSql,
+    "q_set_ops" -> Analytics.qSetOpsSql,
   )
 }

@@ -847,6 +847,46 @@ object Analytics {
         max(when(col("rk") === 1, col("c"))).as("mode_count"))
   }
 
+  /** B25 — bag-semantics set operations: the INTERSECT ALL / EXCEPT
+    * ALL query class (customer activity overlap between two years),
+    * using Spark's native operators (Catalyst rewrites both to
+    * aggregate+generate plans — declarative, no manual join). The
+    * result is aggregated to (custkey, multiplicity) so the frame is
+    * deterministic; multiplicities follow the SQL standard bag rules
+    * (min(a,b) for INTERSECT ALL, max(a−b,0) for EXCEPT ALL). */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def keys(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    val a = keys(1996)
+    val b = keys(1997)
+    def agg(df: DataFrame, op: String) =
+      df.groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+        .withColumn("op", lit(op))
+    agg(a.intersectAll(b), "intersect_all")
+      .unionByName(agg(a.exceptAll(b), "except_all"))
+      .unionByName(agg(b.exceptAll(a), "except_all_rev"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH a AS (
+      |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+      |), b AS (
+      |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+      |)
+      |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS multiplicity,
+      |  'intersect_all' AS op
+      |FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT o_custkey, CAST(COUNT(*) AS BIGINT), 'except_all'
+      |FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT o_custkey, CAST(COUNT(*) AS BIGINT), 'except_all_rev'
+      |FROM (SELECT o_custkey FROM b EXCEPT ALL SELECT o_custkey FROM a)
+      |GROUP BY 1""".stripMargin
+
   val qMedianModeSql: String =
     """WITH counts AS (
       |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,

@@ -37,6 +37,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("B25: INTERSECT ALL / EXCEPT ALL multiplicities follow the SQL bag rules") {
+    import org.apache.spark.sql.functions._
+    val o = graft.util.Tables.orders(spark, dir)
+    val counts = o.filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("na"),
+        sum(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L)).as("nb"))
+    val got = queries.Analytics.qSetOps(spark, dir).cache()
+    val j = got.join(counts, "o_custkey")
+    assert(j.filter(col("op") === "intersect_all" &&
+      col("multiplicity") =!= least(col("na"), col("nb"))).count() == 0)
+    assert(j.filter(col("op") === "except_all" &&
+      col("multiplicity") =!= greatest(col("na") - col("nb"), lit(0L))).count() == 0)
+    assert(j.filter(col("op") === "except_all_rev" &&
+      col("multiplicity") =!= greatest(col("nb") - col("na"), lit(0L))).count() == 0)
+    // rows only appear where the rule yields a positive multiplicity
+    assert(got.filter(col("multiplicity") <= 0).count() == 0)
+    assert(got.select("op").distinct().count() == 3)
+  }
+
   test("B24: grid median equals Spark's exact percentile; mode equals the naive argmax") {
     import org.apache.spark.sql.functions._
     val got = queries.Analytics.qMedianMode(spark, dir).cache()
