@@ -207,6 +207,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => ops.TextAnalysis.fingerprint(s, d)),
     "multimodal_meta" -> ((s, d) => ops.Multimodal.features(s, d)),
     "multimodal_frame_sample" -> ((s, d) => ops.Multimodal.frameSamples(s, d)),
+    "multimodal_phash_dedup" -> ((s, d) => ops.Multimodal.phashDedup(s, d)),
     "text_repetition" -> ((s, d) => ops.Corpus.textRepetition(s, d)),
     "doc_tfidf" -> ((s, d) => ops.Corpus.docTfidf(s, d)),
     "doc_chunk" -> ((s, d) => ops.Retrieval.docChunk(s, d)),
@@ -373,6 +374,7 @@ object SparkEntry {
     "text_fingerprint" -> ops.TextAnalysis.fingerprintSql,
     "multimodal_meta" -> ops.Multimodal.featuresSql,
     "multimodal_frame_sample" -> ops.Multimodal.frameSamplesSql(),
+    "multimodal_phash_dedup" -> ops.Multimodal.phashDedupSql(),
     "text_repetition" -> ops.Corpus.textRepetitionSql,
     "doc_tfidf" -> ops.Corpus.docTfidfSql(),
     "doc_chunk" -> ops.Retrieval.docChunkSql(),

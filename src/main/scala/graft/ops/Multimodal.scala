@@ -171,4 +171,92 @@ object Multimodal {
        |    AS BIGINT) AS frame_digest
        |FROM f
        |WHERE i % $step = 0 AND i // $step < $maxFrames""".stripMargin
+
+  // ---------------------------------------------------------------- C44
+  /** C44 — perceptual-hash image dedup: the banded near-dup join every
+    * image pipeline runs over pHash/aHash codes, on the engine's
+    * multimodal rows. The HASH is the deterministic stub (the payload's
+    * portable 60-bit digest — this container ships no image codec; a
+    * real DCT pHash swaps into `phashFrom` without touching the plan),
+    * the PLAN is the production shape: 4 bands × 15 bits exploded off
+    * the hash, equi-join on (band, value) within media_type='image'
+    * (never all-pairs), distinct candidate pairs, exact Hamming verify
+    * `bit_count(xor) ≤ tau`. Pigeonhole guarantee: hamming ≤ 3 leaves
+    * one 15-bit band untouched, so recall is 100% at the default τ=3
+    * (the C3 simhash argument). With the digest stub only exact
+    * payload duplicates land at hamming 0 — the spec injects them and
+    * a handcrafted hash frame drives the near-miss arms. */
+  /** The banded near-dup PAIR frame over a (doc_id, phash) index —
+    * the spec drives it with injected duplicates. */
+  private[graft] def phashPairsFrom(hashes: DataFrame, tau: Int = 3): DataFrame = {
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          pmod(shiftright(col("phash"), b * 15), lit(32768L)).as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("phash"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "bv"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= tau)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** The oracle row: one row PER IMAGE with its pHash, band values and
+    * near-dup partner count (the synthetic corpus holds no
+    * byte-identical payloads, so n_dups is honestly 0 there — the
+    * dedup arms are spec-driven with injected duplicates; a corpus
+    * with re-encoded copies populates them with no plan change). */
+  def phashDedup(spark: SparkSession, dir: String, tau: Int = 3): DataFrame = {
+    val hashes = mediaTable(spark, dir).toDF()
+      .filter(col("media_type") === "image")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.Portable.hash60(col("payload").cast("string")).as("phash"))
+    val pairs = phashPairsFrom(hashes, tau)
+    val cnt = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    hashes.join(cnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        pmod(shiftright(col("phash"), 0), lit(32768L)).as("band0"),
+        pmod(shiftright(col("phash"), 15), lit(32768L)).as("band1"),
+        pmod(shiftright(col("phash"), 30), lit(32768L)).as("band2"),
+        pmod(shiftright(col("phash"), 45), lit(32768L)).as("band3"),
+        coalesce(col("n"), lit(0L)).as("n_dups"))
+  }
+
+  def phashDedupSql(tau: Int = 3): String = {
+    val h = graft.functions.Portable.hash60Sql("text")
+    s"""WITH img AS (
+       |  SELECT doc_id, $h AS phash FROM documents WHERE doc_id % 3 = 0
+       |), bands AS (
+       |  SELECT doc_id, phash, b.band,
+       |    (phash // CAST(POWER(2, b.band * 15) AS BIGINT)) % 32768 AS bv
+       |  FROM img CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.phash AS ha, b.phash AS hb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(ha, hb)) <= $tau
+       |), cnt AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b FROM pairs)
+       |  GROUP BY 1
+       |)
+       |SELECT i.doc_id, i.phash,
+       |  (i.phash // 1) % 32768 AS band0,
+       |  (i.phash // 32768) % 32768 AS band1,
+       |  (i.phash // 1073741824) % 32768 AS band2,
+       |  (i.phash // 35184372088832) % 32768 AS band3,
+       |  COALESCE(c.n, 0) AS n_dups
+       |FROM img i LEFT JOIN cnt c ON i.doc_id = c.doc_id""".stripMargin
+  }
 }

@@ -1466,6 +1466,40 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(inlineBad.count() == 0, "inline frames must equal the A19 encoding")
   }
 
+  test("C44: phash banding — pigeonhole recall at tau<=3, filtered and missed arms") {
+    import spark.implicits._
+    val base = 0x123456789ABCDL
+    val hashes = Seq(
+      (1L, base),                 // anchor
+      (2L, base),                 // exact dup: hamming 0
+      (3L, base ^ (1L << 20)),    // 1 flipped bit (band 1): hamming 1
+      (4L, base ^ 0xFL),          // 4 flips inside band 0: candidate, hamming 4 > tau
+      (5L, base ^ (1L << 5) ^ (1L << 20) ^ (1L << 35) ^ (1L << 50)))
+      .toDF("doc_id", "phash")    // doc 5: one flip in EVERY band -> never a candidate
+    val pairs = ops.Multimodal.phashPairsFrom(hashes)
+      .as[(Long, Long, Long)].collect().toSet
+    // hamming <= 3 pairs are guaranteed found (some band untouched)
+    assert(pairs.contains((1L, 2L, 0L)) && pairs.contains((1L, 3L, 1L)),
+      s"pigeonhole recall violated: $pairs")
+    assert(pairs.contains((2L, 3L, 1L)))
+    // doc 4 collides on 3 bands but hamming 4 fails the verify;
+    // doc 5 differs from the ANCHOR in every band so it never pairs
+    // with 1 or 2 (vs doc 3 it shares the flipped bit 20, so band 1
+    // matches and the hamming-3 pair (3,5) is correctly found)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"tau filter leaked: $pairs")
+    assert(!pairs.exists(p => (p._1 == 5L || p._2 == 5L) &&
+      (p._1 <= 2L)), s"non-candidate leaked: $pairs")
+    assert(pairs.contains((3L, 5L, 3L)))
+    // production stats frame: per-image rows, dup counts consistent
+    val stats = ops.Multimodal.phashDedup(spark, dir).cache()
+    assert(stats.count() > 0)
+    assert(stats.filter(col("n_dups") < 0).count() == 0)
+    // band columns reconstruct the hash
+    assert(stats.filter(col("band0") + col("band1") * 32768L +
+      col("band2") * 32768L * 32768L +
+      col("band3") * 32768L * 32768L * 32768L =!= col("phash")).count() == 0)
+  }
+
   test("C43: cluster labels are dense ranked, score-monotone, and cover every cell") {
     val labels = ops.Similarity.clusterLabelTfidf(spark, dir).cache()
     assert(labels.count() > 0)
