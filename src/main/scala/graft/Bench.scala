@@ -66,12 +66,15 @@ object Bench {
     val rawKv = cdc.TxnMatcher.rawStream(cdc.ChangeEvents.fromEvents(
         spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet*")))
       .as[streaming.CdcStream.RawKv]
+    val rangeIn = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet*")
     Seq(
       run("stream_cdc_pipeline", pipeline, "append"),
       run("stream_snapshot_state",
         streaming.CdcStream.snapshotState(stateIn).toDF(), "update"),
       run("stream_txn_match",
-        streaming.CdcStream.txnMatch(rawKv).toDF(), "append"))
+        streaming.CdcStream.txnMatch(rawKv).toDF(), "append"),
+      run("stream_range_join",
+        streaming.DataOps.streamRangeJoin(rangeIn), "append"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -197,6 +197,7 @@ object SparkEntry {
     "text_vocab_coverage" -> ((s, d) => ops.TextAnalysis.vocabCoverage(s, d)),
     "text_unigram_surprisal" -> ((s, d) => ops.TextAnalysis.unigramSurprisal(s, d)),
     "perplexity_bucket" -> ((s, d) => ops.TextAnalysis.perplexityBucket(s, d)),
+    "quality_model_filter" -> ((s, d) => ops.TextAnalysis.qualityModelFilter(s, d)),
     "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
     "bpe_pair_merge" -> ((s, d) => ops.Corpus.bpePairMerge(s, d)),
     "embedding_quantize" -> ((s, d) => ops.Similarity.embeddingQuantize(s, d)),
@@ -364,6 +365,7 @@ object SparkEntry {
     "text_vocab_coverage" -> ops.TextAnalysis.vocabCoverageSql(),
     "text_unigram_surprisal" -> ops.TextAnalysis.unigramSurprisalSql,
     "perplexity_bucket" -> ops.TextAnalysis.perplexityBucketSql,
+    "quality_model_filter" -> ops.TextAnalysis.qualityModelFilterSql(),
     "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,
     "bpe_pair_merge" -> ops.Corpus.bpePairMergeSql(),
     "embedding_quantize" -> ops.Similarity.embeddingQuantizeSql(),

@@ -107,6 +107,72 @@ object TextAnalysis {
        |        (1.0 - ROUND(n_punct::DOUBLE / n_chars_norm, 4)) * 0.2, 5) AS quality_score
        |FROM m""".stripMargin
 
+  /** C45 — model-based quality filtering: the classifier stage between
+    * the heuristic rule bank (C32) and the perplexity filter (C40) —
+    * production pipelines run a trained fastText/LR quality model here.
+    * The MODEL is a linear scorer with FIXED integer weights (a trained
+    * model's weights would load into the same literals; no classifier
+    * library ships in this container), the FEATURES are real and
+    * integer-exact (ppm ratios / scaled means, truncating div on
+    * non-negative values), and the score is one BIGINT dot product —
+    * row-local, zero shuffle, fully oracle-checkable. keep ⇔ score ≥ τ. */
+  def qualityModelFilter(spark: SparkSession, dir: String,
+                         tau: Long = 290000L): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.norm(col("text")).as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chars", length(col("norm")).cast("long"))
+      .withColumn("stop_ppm", call_function("div",
+        call_function("graft_count_in", col("toks"),
+          array(markers.head._2.map(lit): _*)) * lit(1000000L), col("n_tokens")))
+      .withColumn("punct_ppm", call_function("div",
+        length(regexp_replace(col("norm"), "[^.!?,;:]", "")).cast("long") *
+          lit(1000000L), col("n_chars")))
+      .withColumn("digit_ppm", call_function("div",
+        length(regexp_replace(col("norm"), "[^0-9]", "")).cast("long") *
+          lit(1000000L), col("n_chars")))
+      .withColumn("len_sat_ppm", least(col("n_tokens") * lit(10000L), lit(1000000L)))
+      .withColumn("wordlen_e3", call_function("div",
+        (col("n_chars") - (col("n_tokens") - 1L)) * lit(1000L), col("n_tokens")))
+      .withColumn("score", call_function("div",
+        col("stop_ppm") * lit(200L) + col("len_sat_ppm") * lit(500L) -
+          col("punct_ppm") * lit(300L) - col("digit_ppm") * lit(100L) +
+          col("wordlen_e3") * lit(50L), lit(1000L)))
+      .withColumn("keep", (col("score") >= tau).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ppm"), col("punct_ppm"),
+        col("digit_ppm"), col("len_sat_ppm"), col("wordlen_e3"),
+        col("score"), col("keep"))
+
+  def qualityModelFilterSql(tau: Long = 290000L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.normSql("text")} AS norm FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |    len(string_split(norm, ' '))::BIGINT AS n_tokens,
+       |    len(norm)::BIGINT AS n_chars,
+       |    len(list_filter(string_split(norm, ' '),
+       |      t -> t IN (${inList(markers.head._2)})))::BIGINT AS n_stop,
+       |    len(regexp_replace(norm, '[^.!?,;:]', '', 'g'))::BIGINT AS n_punct,
+       |    len(regexp_replace(norm, '[^0-9]', '', 'g'))::BIGINT AS n_digit
+       |  FROM t
+       |), m AS (
+       |  SELECT doc_id, n_tokens,
+       |    n_stop * 1000000 // n_tokens AS stop_ppm,
+       |    n_punct * 1000000 // n_chars AS punct_ppm,
+       |    n_digit * 1000000 // n_chars AS digit_ppm,
+       |    LEAST(n_tokens * 10000, 1000000) AS len_sat_ppm,
+       |    (n_chars - (n_tokens - 1)) * 1000 // n_tokens AS wordlen_e3
+       |  FROM f
+       |)
+       |SELECT doc_id, n_tokens, stop_ppm, punct_ppm, digit_ppm, len_sat_ppm,
+       |  wordlen_e3,
+       |  (stop_ppm * 200 + len_sat_ppm * 500 - punct_ppm * 300
+       |    - digit_ppm * 100 + wordlen_e3 * 50) // 1000 AS score,
+       |  CAST(((stop_ppm * 200 + len_sat_ppm * 500 - punct_ppm * 300
+       |    - digit_ppm * 100 + wordlen_e3 * 50) // 1000 >= $tau) AS BIGINT) AS keep
+       |FROM m""".stripMargin
+
   /** C10 — token counting: whitespace tokens and a BPE-ish regex
     * segmentation (letter runs / digit runs / single symbols). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =

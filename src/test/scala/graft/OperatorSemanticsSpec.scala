@@ -1466,6 +1466,21 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(inlineBad.count() == 0, "inline frames must equal the A19 encoding")
   }
 
+  test("C45: model filter — score is the declared dot product, keep is the threshold") {
+    val f = ops.TextAnalysis.qualityModelFilter(spark, dir).cache()
+    assert(f.count() > 0)
+    // emitted score must equal the documented weight vector applied to
+    // the emitted features (the "model" is auditable from its output)
+    val recomputed = call_function("div",
+      col("stop_ppm") * lit(200L) + col("len_sat_ppm") * lit(500L) -
+        col("punct_ppm") * lit(300L) - col("digit_ppm") * lit(100L) +
+        col("wordlen_e3") * lit(50L), lit(1000L))
+    assert(f.filter(col("score") =!= recomputed).count() == 0)
+    assert(f.filter((col("keep") === 1L) =!= (col("score") >= 290000L)).count() == 0)
+    assert(f.filter(col("keep") === 1L).count() > 0)
+    assert(f.filter(col("keep") === 0L).count() > 0)
+  }
+
   test("C44: phash banding — pigeonhole recall at tau<=3, filtered and missed arms") {
     import spark.implicits._
     val base = 0x123456789ABCDL
