@@ -223,6 +223,7 @@ object SparkEntry {
     "pii_redact" -> ((s, d) => ops.Curation.piiRedact(s, d)),
     "quality_filter_bank" -> ((s, d) => ops.Curation.qualityFilterBank(s, d)),
     "corpus_manifest" -> ((s, d) => ops.Curation.corpusManifest(s, d)),
+    "curation_funnel" -> ((s, d) => ops.Curation.curationFunnel(s, d)),
     "seq_pack" -> ((s, d) => ops.Corpus.seqPack(s, d)),
     "corpus_stats" -> ((s, d) => ops.Corpus.corpusStats(s, d)),
     "q_funnel" -> ((s, d) => Analytics.qFunnel(s, d)),
@@ -391,6 +392,7 @@ object SparkEntry {
     "pii_redact" -> ops.Curation.piiRedactSql,
     "quality_filter_bank" -> ops.Curation.qualityFilterBankSql(),
     "corpus_manifest" -> ops.Curation.corpusManifestSql,
+    "curation_funnel" -> ops.Curation.curationFunnelSql(),
     "seq_pack" -> ops.Corpus.seqPackSql(),
     "corpus_stats" -> ops.Corpus.corpusStatsSql,
     "q_funnel" -> Analytics.qFunnelSql,

@@ -463,4 +463,94 @@ object Curation {
        |SELECT doc_id, n_tokens, stop_ppm, dup_gram_ppm, top_gram_ppm,
        |  CAST(reason = 'pass' AS BIGINT) AS keep, reason
        |FROM j""".stripMargin
+
+  // ---------------------------------------------------------------- C46
+  /** C46 — the curation-funnel attrition report: docs surviving each
+    * stage of the quality pipeline in its canonical order — benchmark
+    * exclusion → heuristic rule bank (C32) → model filter (C45) →
+    * perplexity terciles (C40) → winnow decontamination (C39) — with
+    * per-stage in/dropped/out counts. The observability frame every
+    * large curation run publishes next to its manifest (C24 is the
+    * per-doc decision; this is the per-stage ledger). A doc a stage
+    * cannot score (token-free → absent from the perplexity frame)
+    * drops at that stage. One pass per stage pipeline, then a single
+    * 5-flag aggregation exploded into stage rows. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.util.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val bank = qualityFilterBank(spark, dir)
+      .select(col("doc_id"), col("keep").as("bank_keep"))
+    val model = graft.ops.TextAnalysis.qualityModelFilter(spark, dir)
+      .select(col("doc_id"), col("keep").as("model_keep"))
+    val perp = graft.ops.TextAnalysis.perplexityBucket(spark, dir)
+      .select(col("doc_id"), col("keep").as("perp_keep"))
+    val deco = graft.ops.Retrieval.decontaminateWinnow(spark, dir)
+      .select(col("doc_id"),
+        (col("verdict") === "keep").cast("long").as("deco_keep"))
+    val flags = docs
+      .join(bank, Seq("doc_id"), "left")
+      .join(model, Seq("doc_id"), "left")
+      .join(perp, Seq("doc_id"), "left")
+      .join(deco, Seq("doc_id"), "left")
+      .withColumn("s0", (col("source") =!= "src0").cast("long"))
+      .withColumn("s1", col("s0") * coalesce(col("bank_keep"), lit(0L)))
+      .withColumn("s2", col("s1") * coalesce(col("model_keep"), lit(0L)))
+      .withColumn("s3", col("s2") * coalesce(col("perp_keep"), lit(0L)))
+      .withColumn("s4", col("s3") * coalesce(col("deco_keep"), lit(0L)))
+    val agg = flags.agg(count(lit(1)).as("n"),
+      sum(col("s0")).as("k0"), sum(col("s1")).as("k1"),
+      sum(col("s2")).as("k2"), sum(col("s3")).as("k3"),
+      sum(col("s4")).as("k4"))
+    def stage(no: Int, name: String, in: org.apache.spark.sql.Column,
+              out: org.apache.spark.sql.Column) =
+      struct(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+        in.as("n_in"), (in - out).as("n_dropped"), out.as("n_out"))
+    agg.select(explode(array(
+        stage(0, "benchmark_exclude", col("n"), col("k0")),
+        stage(1, "heuristic_bank", col("k0"), col("k1")),
+        stage(2, "model_filter", col("k1"), col("k2")),
+        stage(3, "perplexity", col("k2"), col("k3")),
+        stage(4, "decontaminate", col("k3"), col("k4")))).as("s"))
+      .select(col("s.stage_no"), col("s.stage"), col("s.n_in"),
+        col("s.n_dropped"), col("s.n_out"))
+  }
+
+  def curationFunnelSql(): String =
+    s"""WITH bank AS (
+       |${qualityFilterBankSql().linesIterator.map("  " + _).mkString("\n")}
+       |), model AS (
+       |${graft.ops.TextAnalysis.qualityModelFilterSql().linesIterator.map("  " + _).mkString("\n")}
+       |), perp AS (
+       |${graft.ops.TextAnalysis.perplexityBucketSql.linesIterator.map("  " + _).mkString("\n")}
+       |), deco AS (
+       |${graft.ops.Retrieval.decontaminateWinnowSql().linesIterator.map("  " + _).mkString("\n")}
+       |), flags AS (
+       |  SELECT d.doc_id,
+       |    CAST(d.source <> 'src0' AS BIGINT) AS s0,
+       |    CAST(d.source <> 'src0' AS BIGINT) * COALESCE(b.keep, 0) AS s1,
+       |    CAST(d.source <> 'src0' AS BIGINT) * COALESCE(b.keep, 0)
+       |      * COALESCE(m.keep, 0) AS s2,
+       |    CAST(d.source <> 'src0' AS BIGINT) * COALESCE(b.keep, 0)
+       |      * COALESCE(m.keep, 0) * COALESCE(p.keep, 0) AS s3,
+       |    CAST(d.source <> 'src0' AS BIGINT) * COALESCE(b.keep, 0)
+       |      * COALESCE(m.keep, 0) * COALESCE(p.keep, 0)
+       |      * COALESCE(CAST(o.verdict = 'keep' AS BIGINT), 0) AS s4
+       |  FROM documents d
+       |  LEFT JOIN bank b ON d.doc_id = b.doc_id
+       |  LEFT JOIN model m ON d.doc_id = m.doc_id
+       |  LEFT JOIN perp p ON d.doc_id = p.doc_id
+       |  LEFT JOIN deco o ON d.doc_id = o.doc_id
+       |), a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(s0) AS BIGINT) AS k0, CAST(SUM(s1) AS BIGINT) AS k1,
+       |    CAST(SUM(s2) AS BIGINT) AS k2, CAST(SUM(s3) AS BIGINT) AS k3,
+       |    CAST(SUM(s4) AS BIGINT) AS k4
+       |  FROM flags
+       |)
+       |SELECT CAST(0 AS BIGINT) AS stage_no, 'benchmark_exclude' AS stage,
+       |  n AS n_in, n - k0 AS n_dropped, k0 AS n_out FROM a
+       |UNION ALL SELECT 1, 'heuristic_bank', k0, k0 - k1, k1 FROM a
+       |UNION ALL SELECT 2, 'model_filter', k1, k1 - k2, k2 FROM a
+       |UNION ALL SELECT 3, 'perplexity', k2, k2 - k3, k3 FROM a
+       |UNION ALL SELECT 4, 'decontaminate', k3, k3 - k4, k4 FROM a""".stripMargin
 }

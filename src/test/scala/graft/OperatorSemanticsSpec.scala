@@ -1466,6 +1466,24 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(inlineBad.count() == 0, "inline frames must equal the A19 encoding")
   }
 
+  test("C46: the curation funnel conserves docs stage to stage") {
+    val f = ops.Curation.curationFunnel(spark, dir)
+      .orderBy("stage_no").collect()
+    assert(f.length == 5)
+    assert(f(0).getAs[Long]("n_in") ==
+      graft.util.Tables.documents(spark, dir).count())
+    f.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_out"), r.toString)
+      assert(r.getAs[Long]("n_dropped") >= 0, r.toString)
+    }
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") == b.getAs[Long]("n_in"),
+        s"stage handoff must conserve: $a -> $b")
+    }
+    assert(f.last.getAs[Long]("n_out") > 0, "the funnel must not drain the corpus")
+  }
+
   test("C45: model filter — score is the declared dot product, keep is the threshold") {
     val f = ops.TextAnalysis.qualityModelFilter(spark, dir).cache()
     assert(f.count() > 0)

@@ -86,6 +86,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "perplexity_bucket",
       // 1-row winner-merge + 1-row stats broadcasts over the vocab table
       "bpe_pair_merge",
+      // embeds C40's tercile cross + C34's corpus-total cross
+      "curation_funnel",
       // universe x boundary-grid broadcast cross (cdc_syncpoint shape)
       "cdc_ddl_barrier",
       // changefeed-rule LIKE match over the dimension-scale span frame
