@@ -96,6 +96,7 @@ object SparkEntry {
     "cdc_event_seq_check" -> ((s, d) => EventService.seqCheck(cl(s, d))),
     "cdc_log_candidates" -> ((s, d) => EventService.logCandidates(cl(s, d))),
     "cdc_scan_emit" -> ((s, d) => EventService.scanEmit(cl(s, d))),
+    "cdc_kv_key_codec" -> ((s, d) => EventService.kvKeyCodec(cl(s, d))),
     "cdc_gc_safepoint" -> ((s, d) =>
       Barrier.gcSafepoint(cl(s, d), gcFleet, syncStep)),
     "cdc_sched_basic" -> ((s, d) => Scheduler.basicSchedule(cl(s, d))),
@@ -267,6 +268,7 @@ object SparkEntry {
     "cdc_event_seq_check" -> o(EventService.seqCheckSql()),
     "cdc_log_candidates" -> o(EventService.logCandidatesSql()),
     "cdc_scan_emit" -> o(EventService.scanEmitSql()),
+    "cdc_kv_key_codec" -> o(EventService.kvKeyCodecSql()),
     "cdc_gc_safepoint" -> o(Barrier.gcSafepointSql(gcFleet, syncStep)),
     "cdc_sched_basic" -> o(Scheduler.basicScheduleSql()),
     "cdc_sched_balance" -> o(Scheduler.groupBalanceSql()),

@@ -401,6 +401,89 @@ object EventService {
        |  ORDER BY ts, tie)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- A88
+  /** A88: the TiKV RECORD-KEY layout — the raw key every entry of the
+    * ingestion side carries (reference: pkg/common/event/codec.go:32
+    * `tablePrefix` + :62-72 `decodeTableID` over tidb's
+    * codec.DecodeInt, mounter.go:243-249 DecodeTableID): byte layout
+    * `'t' ++ memcomparable(int64 tableID) ++ "_r" ++
+    * memcomparable(int64 handle)`, where memcomparable(int64) is the
+    * big-endian bytes of `v XOR 2^63` (the sign-flip that makes signed
+    * ints order as unsigned bytes). Both ids here are non-negative and
+    * < 2^60, so the encoding is the '8' sign nibble followed by the
+    * 15-nibble hex of the value — rendered as lowercase hex, the
+    * byte-exact convention of A41/A61. The frame carries encode AND
+    * decode (prefix/sign/separator checks; `valid`=1 ⇔ the key parses
+    * and round-trips) — row-local after a dimension-scale dense-rank
+    * broadcast assigns table ids. */
+  def kvKeyCodec(cl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = cl.select(col("schema_name"), col("table_name")).distinct()
+      .withColumn("table_id",
+        row_number().over(Window.orderBy(col("schema_name"), col("table_name")))
+          .cast("long") - 1L)
+    def enc15(c: org.apache.spark.sql.Column) =
+      concat(lit("8"), lpad(lower(hex(c)), 15, "0"))
+    val keyed = cl.select(col("schema_name"), col("table_name"),
+        col("pk"), col("commit_ts"))
+      .join(broadcast(ids), Seq("schema_name", "table_name"))
+      .withColumn("key_hex",
+        concat(lit("74"), enc15(col("table_id")), lit("5f72"), enc15(col("pk"))))
+    keyed
+      .withColumn("dec_table_id",
+        when(substring(col("key_hex"), 1, 2) === "74" &&
+             substring(col("key_hex"), 3, 1) === "8" &&
+             substring(col("key_hex"), 19, 4) === "5f72" &&
+             substring(col("key_hex"), 23, 1) === "8" &&
+             length(col("key_hex")) === 38,
+          conv(substring(col("key_hex"), 4, 15), 16, 10).cast("long"))
+          .otherwise(lit(-1L)))
+      .withColumn("dec_handle",
+        when(col("dec_table_id") >= 0L,
+          conv(substring(col("key_hex"), 24, 15), 16, 10).cast("long"))
+          .otherwise(lit(-1L)))
+      .withColumn("valid",
+        (col("dec_table_id") === col("table_id") &&
+          col("dec_handle") === col("pk")).cast("long"))
+      .select(col("schema_name"), col("table_name"), col("pk"), col("commit_ts"),
+        col("table_id"), col("key_hex"), col("dec_table_id"),
+        col("dec_handle"), col("valid"))
+  }
+
+  def kvKeyCodecSql(): String =
+    s"""WITH ids AS (
+       |  SELECT schema_name, table_name,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY schema_name, table_name)
+       |      AS BIGINT) - 1 AS table_id
+       |  FROM (SELECT DISTINCT schema_name, table_name FROM changelog)
+       |), keyed AS (
+       |  SELECT c.schema_name, c.table_name, c.pk, c.commit_ts, i.table_id,
+       |    CONCAT('74', '8', lpad(lower(to_hex(i.table_id)), 15, '0'),
+       |      '5f72', '8', lpad(lower(to_hex(c.pk)), 15, '0')) AS key_hex
+       |  FROM changelog c JOIN ids i
+       |    ON c.schema_name = i.schema_name AND c.table_name = i.table_name
+       |), dec AS (
+       |  SELECT *,
+       |    CASE WHEN substring(key_hex, 1, 2) = '74'
+       |          AND substring(key_hex, 3, 1) = '8'
+       |          AND substring(key_hex, 19, 4) = '5f72'
+       |          AND substring(key_hex, 23, 1) = '8'
+       |          AND length(key_hex) = 38
+       |      THEN CAST(CONCAT('0x', substring(key_hex, 4, 15)) AS BIGINT)
+       |      ELSE -1 END AS dec_table_id
+       |  FROM keyed
+       |)
+       |SELECT schema_name, table_name, pk, commit_ts, table_id, key_hex,
+       |  dec_table_id,
+       |  CASE WHEN dec_table_id >= 0
+       |    THEN CAST(CONCAT('0x', substring(key_hex, 24, 15)) AS BIGINT)
+       |    ELSE -1 END AS dec_handle,
+       |  CAST(dec_table_id = table_id AND
+       |    (CASE WHEN dec_table_id >= 0
+       |      THEN CAST(CONCAT('0x', substring(key_hex, 24, 15)) AS BIGINT)
+       |      ELSE -1 END) = pk AS BIGINT) AS valid
+       |FROM dec""".stripMargin
+
   // ---------------------------------------------------------------- A86
   /** A86: the log coordinator's candidate-node ranking — where a
     * dispatcher can RE-FETCH history from when its local event store

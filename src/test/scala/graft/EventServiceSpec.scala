@@ -99,6 +99,38 @@ class EventServiceSpec extends AnyFunSuite {
     assert(viol.count() == 0, "DDL must tie AFTER a DML at the same ts")
   }
 
+  test("A88: record keys round-trip byte-exactly; tampered keys reject") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val k = cdc.EventService.kvKeyCodec(cl).cache()
+    // every production key round-trips
+    assert(k.count() > 0)
+    assert(k.filter(col("valid") =!= 1L).count() == 0)
+    assert(k.filter(col("dec_table_id") =!= col("table_id") ||
+      col("dec_handle") =!= col("pk")).count() == 0)
+    // the memcomparable layout: 't'(74) + sign-flipped BE int64 +
+    // '_r'(5f72) + sign-flipped BE int64 = 38 hex chars
+    assert(k.filter(length(col("key_hex")) =!= 38).count() == 0)
+    assert(k.filter(!col("key_hex").startsWith("74")).count() == 0)
+    // tamper arms: wrong table prefix, wrong separator, truncation —
+    // each must decode to the -1 sentinel
+    import spark.implicits._
+    val good = k.head.getAs[String]("key_hex")
+    val tampered = Seq(
+      "75" + good.drop(2),                    // not a table key
+      good.take(18) + "5f69" + good.drop(22), // '_i' index key, not '_r'
+      good.take(30))                          // truncated
+      .toDF("key_hex")
+    val dec = tampered.select(
+      when(substring(col("key_hex"), 1, 2) === "74" &&
+           substring(col("key_hex"), 3, 1) === "8" &&
+           substring(col("key_hex"), 19, 4) === "5f72" &&
+           substring(col("key_hex"), 23, 1) === "8" &&
+           length(col("key_hex")) === 38,
+        conv(substring(col("key_hex"), 4, 15), 16, 10).cast("long"))
+        .otherwise(lit(-1L)).as("t"))
+    assert(dec.filter(col("t") =!= -1L).count() == 0, "tampered keys must reject")
+  }
+
   test("A86: candidate ranking excludes the requester, honors cp <= startTs, ranks by rts") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val cand = cdc.EventService.logCandidates(cl).cache()
