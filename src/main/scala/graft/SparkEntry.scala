@@ -97,6 +97,7 @@ object SparkEntry {
     "cdc_log_candidates" -> ((s, d) => EventService.logCandidates(cl(s, d))),
     "cdc_scan_emit" -> ((s, d) => EventService.scanEmit(cl(s, d))),
     "cdc_kv_key_codec" -> ((s, d) => EventService.kvKeyCodec(cl(s, d))),
+    "cdc_raw_key_filter" -> ((s, d) => EventService.rawKeyFilter(cl(s, d))),
     "cdc_gc_safepoint" -> ((s, d) =>
       Barrier.gcSafepoint(cl(s, d), gcFleet, syncStep)),
     "cdc_sched_basic" -> ((s, d) => Scheduler.basicSchedule(cl(s, d))),
@@ -269,6 +270,7 @@ object SparkEntry {
     "cdc_log_candidates" -> o(EventService.logCandidatesSql()),
     "cdc_scan_emit" -> o(EventService.scanEmitSql()),
     "cdc_kv_key_codec" -> o(EventService.kvKeyCodecSql()),
+    "cdc_raw_key_filter" -> o(EventService.rawKeyFilterSql),
     "cdc_gc_safepoint" -> o(Barrier.gcSafepointSql(gcFleet, syncStep)),
     "cdc_sched_basic" -> o(Scheduler.basicScheduleSql()),
     "cdc_sched_balance" -> o(Scheduler.groupBalanceSql()),

@@ -484,6 +484,59 @@ object EventService {
        |      ELSE -1 END) = pk AS BIGINT) AS valid
        |FROM dec""".stripMargin
 
+  // ---------------------------------------------------------------- A89
+  /** A89: the mounter's ingress key gate — what happens to each raw KV
+    * entry BEFORE it becomes a row event (reference:
+    * pkg/common/event/mounter.go:67-110 DecodeToChunk): only table
+    * RECORD keys (`t…_r…`, the A88 layout) decode; INDEX keys
+    * (`t…_i…`) fail DecodeRowKey and are skipped; non-table keys
+    * (the `m…` meta keyspace) fail the tablePrefix gate. A decoded
+    * entry contributes one chunk row PER PRESENT IMAGE — OldValue and
+    * Value each decode when non-empty (:81-109), so an update counts 2,
+    * an insert or delete 1. The mixed key stream is deterministic
+    * (every event carries its record key; commit_ts%7==0 adds an index
+    * key, %11==0 a meta key) and the frame aggregates per
+    * (table, kind): key count + decoded-image count. One
+    * partial-aggregated shuffle over the row-local classification. */
+  def rawKeyFilter(cl: DataFrame): DataFrame = {
+    val base = cl.select(col("schema_name"), col("table_name"), col("op"),
+        col("commit_ts"))
+      .withColumn("n_images",
+        when(col("op") === "U", lit(2L)).otherwise(lit(1L)))
+      .select(col("schema_name"), col("table_name"),
+        explode(array(
+          struct(lit("record").as("kind"), lit("decode").as("decision"),
+            col("n_images").as("imgs")),
+          when(expr("commit_ts % 7 = 0"),
+            struct(lit("index").as("kind"), lit("skip_index").as("decision"),
+              lit(0L).as("imgs"))),
+          when(expr("commit_ts % 11 = 0"),
+            struct(lit("meta").as("kind"), lit("skip_non_table").as("decision"),
+              lit(0L).as("imgs"))))).as("e"))
+      .filter(col("e").isNotNull)
+    base.groupBy(col("schema_name"), col("table_name"),
+        col("e.kind").as("kind"), col("e.decision").as("decision"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("e.imgs")).as("n_images_decoded"))
+  }
+
+  val rawKeyFilterSql: String =
+    """SELECT schema_name, table_name, e.kind AS kind, e.decision AS decision,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(e.imgs) AS BIGINT) AS n_images_decoded
+      |FROM (
+      |  SELECT schema_name, table_name,
+      |    UNNEST(list_filter([
+      |      {'kind': 'record', 'decision': 'decode',
+      |       'imgs': CASE WHEN op = 'U' THEN 2 ELSE 1 END},
+      |      CASE WHEN commit_ts % 7 = 0 THEN
+      |        {'kind': 'index', 'decision': 'skip_index', 'imgs': 0} END,
+      |      CASE WHEN commit_ts % 11 = 0 THEN
+      |        {'kind': 'meta', 'decision': 'skip_non_table', 'imgs': 0} END
+      |    ], x -> x IS NOT NULL)) AS e
+      |  FROM changelog
+      |)
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   // ---------------------------------------------------------------- A86
   /** A86: the log coordinator's candidate-node ranking — where a
     * dispatcher can RE-FETCH history from when its local event store

@@ -131,6 +131,28 @@ class EventServiceSpec extends AnyFunSuite {
     assert(dec.filter(col("t") =!= -1L).count() == 0, "tampered keys must reject")
   }
 
+  test("A89: only record keys decode; image counts follow old/new presence") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir).cache()
+    val f = cdc.EventService.rawKeyFilter(cl).cache()
+    // non-record keys never decode an image
+    assert(f.filter(col("kind") =!= "record" && col("n_images_decoded") =!= 0L)
+      .count() == 0)
+    assert(f.filter((col("decision") === "decode") =!= (col("kind") === "record"))
+      .count() == 0)
+    // per table: decoded images == updates*2 + inserts + deletes
+    val want = cl.groupBy("schema_name", "table_name")
+      .agg(sum(when(col("op") === "U", 2L).otherwise(1L)).as("want_imgs"),
+        count(lit(1)).as("want_keys"))
+    val rec = f.filter(col("kind") === "record")
+    val j = rec.join(want, Seq("schema_name", "table_name"))
+    assert(j.filter(col("n_images_decoded") =!= col("want_imgs") ||
+      col("n_keys") =!= col("want_keys")).count() == 0)
+    // the skip arms fire somewhere
+    assert(f.filter(col("kind") === "index").count() > 0)
+    assert(f.filter(col("kind") === "meta").count() > 0)
+    cl.unpersist()
+  }
+
   test("A86: candidate ranking excludes the requester, honors cp <= startTs, ranks by rts") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val cand = cdc.EventService.logCandidates(cl).cache()
