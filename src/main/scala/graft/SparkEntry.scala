@@ -227,6 +227,7 @@ object SparkEntry {
     "corpus_manifest" -> ((s, d) => ops.Curation.corpusManifest(s, d)),
     "curation_funnel" -> ((s, d) => ops.Curation.curationFunnel(s, d)),
     "seq_pack" -> ((s, d) => ops.Corpus.seqPack(s, d)),
+    "seq_length_histogram" -> ((s, d) => ops.Corpus.seqLengthHistogram(s, d)),
     "corpus_stats" -> ((s, d) => ops.Corpus.corpusStats(s, d)),
     "q_funnel" -> ((s, d) => Analytics.qFunnel(s, d)),
     "q_retention" -> ((s, d) => Analytics.qRetention(s, d)),
@@ -398,6 +399,7 @@ object SparkEntry {
     "corpus_manifest" -> ops.Curation.corpusManifestSql,
     "curation_funnel" -> ops.Curation.curationFunnelSql(),
     "seq_pack" -> ops.Corpus.seqPackSql(),
+    "seq_length_histogram" -> ops.Corpus.seqLengthHistogramSql,
     "corpus_stats" -> ops.Corpus.corpusStatsSql,
     "q_funnel" -> Analytics.qFunnelSql,
     "q_retention" -> Analytics.qRetentionSql,

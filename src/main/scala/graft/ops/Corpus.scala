@@ -356,6 +356,64 @@ object Corpus {
        |    AS oversampled
        |FROM cells CROSS JOIN totals""".stripMargin
 
+  // ---------------------------------------------------------------- C47
+  /** C47 — sequence-length histogram: token counts bucketed by powers
+    * of two with per-bucket doc/token totals and cumulative token
+    * share — the batch-shape planning input for packing (C22) and
+    * padding-waste estimation. bucket = floor(log2(n_tokens)) via the
+    * C34 bit-length identity (pure integer, bit-portable); share and
+    * cumulative share in ppm off a 1-row total broadcast; the
+    * cumulative sum runs over the ≤~40-row bucket grid. Padding waste
+    * ppm per bucket = what padding every doc to the bucket ceiling
+    * (2^(b+1)−1 is the max length in bucket b; ceiling = 2^(b+1))
+    * would discard — the quantity packing exists to reclaim. */
+  def seqLengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(graft.ops.Text.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bucket", expr("CAST(length(bin(n)) - 1 AS BIGINT)"))
+    val buckets = docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val total = docs.agg(sum(col("n")).as("t"))
+    val wcum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets.crossJoin(broadcast(total))
+      .withColumn("token_share_ppm",
+        call_function("div", col("n_tokens") * lit(1000000L), col("t")))
+      .withColumn("cum_token_ppm",
+        call_function("div", sum(col("n_tokens")).over(wcum) * lit(1000000L), col("t")))
+      .withColumn("pad_waste_ppm",
+        call_function("div",
+          (col("n_docs") * expr("CAST(pow(2, bucket + 1) AS BIGINT)") - col("n_tokens")) *
+            lit(1000000L),
+          col("n_docs") * expr("CAST(pow(2, bucket + 1) AS BIGINT)")))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("token_share_ppm"), col("cum_token_ppm"), col("pad_waste_ppm"))
+  }
+
+  val seqLengthHistogramSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(${graft.ops.Text.tokensSql("text")}) AS BIGINT) AS n
+       |  FROM documents
+       |), dd AS (
+       |  SELECT *, CAST(length(bin(n)) - 1 AS BIGINT) AS bucket
+       |  FROM d WHERE n > 0
+       |), b AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n) AS BIGINT) AS n_tokens
+       |  FROM dd GROUP BY 1
+       |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM dd)
+       |SELECT bucket, n_docs, n_tokens,
+       |  n_tokens * 1000000 // t AS token_share_ppm,
+       |  (CAST(SUM(n_tokens) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    * 1000000) // t AS cum_token_ppm,
+       |  ((n_docs * CAST(POWER(2, bucket + 1) AS BIGINT) - n_tokens) * 1000000)
+       |    // (n_docs * CAST(POWER(2, bucket + 1) AS BIGINT)) AS pad_waste_ppm
+       |FROM b CROSS JOIN t""".stripMargin
+
   // ---------------------------------------------------------------- C41
   /** C41 — one round of BPE tokenizer training (Sennrich et al. 2016
     * §3.2): adjacent-symbol pair statistics over the word-frequency

@@ -1466,6 +1466,26 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(inlineBad.count() == 0, "inline frames must equal the A19 encoding")
   }
 
+  test("C47: length histogram buckets are true power-of-2 ranges, cum closes at 1e6") {
+    val h = ops.Corpus.seqLengthHistogram(spark, dir).orderBy("bucket").collect()
+    assert(h.nonEmpty)
+    assert(h.last.getAs[Long]("cum_token_ppm") == 1000000L)
+    h.foreach { r =>
+      assert(r.getAs[Long]("pad_waste_ppm") >= 0 &&
+        r.getAs[Long]("pad_waste_ppm") < 1000000L, r.toString)
+    }
+    // recount one bucket from the raw token lengths
+    val b = h.head.getAs[Long]("bucket")
+    val docs = graft.util.Tables.documents(spark, dir)
+      .select(size(ops.Text.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val lo = 1L << b; val hi = (1L << (b + 1)) - 1
+    val want = docs.filter(col("n") >= lo && col("n") <= hi)
+      .agg(count(lit(1)).as("c"), sum("n").as("t")).head
+    assert(h.head.getAs[Long]("n_docs") == want.getAs[Long]("c"))
+    assert(h.head.getAs[Long]("n_tokens") == want.getAs[Long]("t"))
+  }
+
   test("C46: the curation funnel conserves docs stage to stage") {
     val f = ops.Curation.curationFunnel(spark, dir)
       .orderBy("stage_no").collect()

@@ -88,6 +88,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "bpe_pair_merge",
       // embeds C40's tercile cross + C34's corpus-total cross
       "curation_funnel",
+      // 1-row token-total broadcast (q_scalar_subquery shape)
+      "seq_length_histogram",
       // universe x boundary-grid broadcast cross (cdc_syncpoint shape)
       "cdc_ddl_barrier",
       // changefeed-rule LIKE match over the dimension-scale span frame
