@@ -240,6 +240,7 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, d) => Analytics.qGroupingSets(s, d)),
     "q_median_mode" -> ((s, d) => Analytics.qMedianMode(s, d)),
     "q_set_ops" -> ((s, d) => Analytics.qSetOps(s, d)),
+    "q_gaps_islands" -> ((s, d) => Analytics.qGapsIslands(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -412,5 +413,6 @@ object SparkEntry {
     "q_grouping_sets" -> Analytics.qGroupingSetsSql,
     "q_median_mode" -> Analytics.qMedianModeSql,
     "q_set_ops" -> Analytics.qSetOpsSql,
+    "q_gaps_islands" -> Analytics.qGapsIslandsSql,
   )
 }

@@ -887,6 +887,58 @@ object Analytics {
       |FROM (SELECT o_custkey FROM b EXCEPT ALL SELECT o_custkey FROM a)
       |GROUP BY 1""".stripMargin
 
+  /** B26 — gaps-and-islands: per-user CONSECUTIVE-day activity streaks
+    * via the rank-difference trick (day − row_number is constant
+    * within an island of consecutive days) — the calendar-streak
+    * class, distinct from time-gap sessionization (B14): islands are
+    * defined on the integer day grid, not on event spacing. Output per
+    * user: active days, streak count, longest streak with its start
+    * day (ties → earliest start). One user-keyed shuffle; both windows
+    * and both aggregations reuse its partitioning. */
+  def qGapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        ldiv(expr("ts div 1000"), lit(86400000000L)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("island", col("day") - row_number().over(w).cast("long"))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        min_by(col("start_day"), struct(-col("len"), col("start_day")))
+          .as("longest_streak_start"))
+  }
+
+  val qGapsIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events
+      |), islands AS (
+      |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+      |    MIN(day) AS start_day
+      |  FROM (
+      |    SELECT user_id, day,
+      |      day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |    FROM days)
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY len DESC, start_day) AS rk
+      |  FROM islands
+      |)
+      |SELECT user_id,
+      |  CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  CAST(MAX(CASE WHEN rk = 1 THEN start_day END) AS BIGINT)
+      |    AS longest_streak_start
+      |FROM ranked GROUP BY 1""".stripMargin
+
   val qMedianModeSql: String =
     """WITH counts AS (
       |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,

@@ -37,6 +37,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("B26: streaks recount naively for a sample user; islands are maximal") {
+    import org.apache.spark.sql.functions._
+    val got = queries.Analytics.qGapsIslands(spark, dir).cache()
+    assert(got.count() > 0)
+    // naive per-user recount over collected day sets for 5 users
+    val days = graft.util.Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    got.orderBy("user_id").limit(5).collect().foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val ds = days(u)
+      val streaks = ds.foldLeft(List.empty[(Long, Long)]) { // (start, len)
+        case (acc, d) => acc match {
+          case (s, l) :: t if s + l == d => (s, l + 1) :: t
+          case _ => (d, 1L) :: acc
+        }
+      }.reverse
+      assert(r.getAs[Long]("n_active_days") == ds.length.toLong, s"user $u")
+      assert(r.getAs[Long]("n_streaks") == streaks.length.toLong, s"user $u")
+      val best = streaks.minBy { case (s, l) => (-l, s) }
+      assert(r.getAs[Long]("longest_streak") == best._2, s"user $u")
+      assert(r.getAs[Long]("longest_streak_start") == best._1, s"user $u")
+    }
+  }
+
   test("B25: INTERSECT ALL / EXCEPT ALL multiplicities follow the SQL bag rules") {
     import org.apache.spark.sql.functions._
     val o = graft.util.Tables.orders(spark, dir)
