@@ -182,10 +182,13 @@ object EventService {
     * (transcribed) over the trace and must reproduce every outcome. */
   def seqCheck(cl: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pk closes the total order: two DMLs at one commit_ts would get
+    // engine-dependent rn/epoch otherwise (oracle hash parity)
     val w = Window.partitionBy(col("schema_name"), col("table_name"))
-      .orderBy(col("commit_ts"))
+      .orderBy(col("commit_ts"), col("pk"))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-    val base = cl.select(col("schema_name"), col("table_name"), col("commit_ts"))
+    val base = cl.select(col("schema_name"), col("table_name"), col("commit_ts"),
+        col("pk"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("inj", expr("commit_ts % 23 = 3") && col("rn") > 1L)
       .withColumn("delayed", col("inj") && expr("commit_ts % 2 = 1"))
@@ -239,7 +242,7 @@ object EventService {
 
   def seqCheckSql(): String =
     s"""WITH base AS (
-       |  SELECT schema_name, table_name, commit_ts,
+       |  SELECT schema_name, table_name, commit_ts, pk,
        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
        |    (commit_ts % 23 = 3 AND ROW_NUMBER() OVER w > 1) AS inj,
        |    (commit_ts % 23 = 3 AND ROW_NUMBER() OVER w > 1
@@ -247,7 +250,8 @@ object EventService {
        |    (commit_ts % 29 = 7) AS wrong,
        |    LEAD(commit_ts, 1) OVER w AS next_ts
        |  FROM changelog
-       |  WINDOW w AS (PARTITION BY schema_name, table_name ORDER BY commit_ts)
+       |  WINDOW w AS (PARTITION BY schema_name, table_name
+       |    ORDER BY commit_ts, pk)
        |), d AS (
        |  SELECT *,
        |    COALESCE(SUM(CASE WHEN inj THEN 1 ELSE 0 END) OVER wp, 0) AS epoch,
@@ -257,7 +261,8 @@ object EventService {
        |      MIN(commit_ts) OVER (PARTITION BY schema_name, table_name)
        |    ) AS first_ts_epoch
        |  FROM base
-       |  WINDOW wp AS (PARTITION BY schema_name, table_name ORDER BY commit_ts
+       |  WINDOW wp AS (PARTITION BY schema_name, table_name
+       |    ORDER BY commit_ts, pk
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
        |), s AS (
        |  SELECT *, CASE WHEN epoch = 0 THEN 1 + p ELSE 2 + p END AS seq
@@ -341,8 +346,10 @@ object EventService {
     val wm = tasks.select(col("schema_name"), col("table_name"), col("region_id"),
       col("end_ts").as("ts"), lit(2L).as("tie"), lit("WATERMARK").as("kind"),
       lit("").as("detail"))
+    // detail (the pk / schema version) closes the total order: two
+    // DMLs at one commit_ts must get engine-independent pos/seq
     val w = Window.partitionBy(col("schema_name"), col("table_name"), col("region_id"))
-      .orderBy(col("ts"), col("tie"))
+      .orderBy(col("ts"), col("tie"), col("detail"))
     dmls.unionByName(ddls).unionByName(wm)
       .withColumn("pos", row_number().over(w).cast("long"))
       .withColumn("seq",
@@ -392,13 +399,13 @@ object EventService {
        |  CAST(CASE WHEN kind = 'WATERMARK' THEN 0
        |    ELSE SUM(CASE WHEN kind <> 'WATERMARK' THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY schema_name, table_name, region_id
-       |        ORDER BY ts, tie
+       |        ORDER BY ts, tie, detail
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |    END AS BIGINT) AS seq,
        |  detail
        |FROM msgs
        |WINDOW w AS (PARTITION BY schema_name, table_name, region_id
-       |  ORDER BY ts, tie)""".stripMargin
+       |  ORDER BY ts, tie, detail)""".stripMargin
   }
 
   // ---------------------------------------------------------------- A88
@@ -424,11 +431,18 @@ object EventService {
           .cast("long") - 1L)
     def enc15(c: org.apache.spark.sql.Column) =
       concat(lit("8"), lpad(lower(hex(c)), 15, "0"))
+    // The 15-nibble encoding is only injective on 0 <= v < 2^60; an
+    // out-of-domain id must fail LOUDLY (NULL key, which decodes to
+    // valid=0) instead of silently truncating to a structurally
+    // plausible key for a different handle. Mirrored in the oracle.
+    def inDomain(c: org.apache.spark.sql.Column) =
+      c >= 0L && c < (1L << 60)
     val keyed = cl.select(col("schema_name"), col("table_name"),
         col("pk"), col("commit_ts"))
       .join(broadcast(ids), Seq("schema_name", "table_name"))
       .withColumn("key_hex",
-        concat(lit("74"), enc15(col("table_id")), lit("5f72"), enc15(col("pk"))))
+        when(inDomain(col("table_id")) && inDomain(col("pk")),
+          concat(lit("74"), enc15(col("table_id")), lit("5f72"), enc15(col("pk")))))
     keyed
       .withColumn("dec_table_id",
         when(substring(col("key_hex"), 1, 2) === "74" &&
@@ -458,8 +472,11 @@ object EventService {
        |  FROM (SELECT DISTINCT schema_name, table_name FROM changelog)
        |), keyed AS (
        |  SELECT c.schema_name, c.table_name, c.pk, c.commit_ts, i.table_id,
-       |    CONCAT('74', '8', lpad(lower(to_hex(i.table_id)), 15, '0'),
-       |      '5f72', '8', lpad(lower(to_hex(c.pk)), 15, '0')) AS key_hex
+       |    CASE WHEN i.table_id >= 0 AND i.table_id < ${1L << 60}
+       |          AND c.pk >= 0 AND c.pk < ${1L << 60}
+       |      THEN CONCAT('74', '8', lpad(lower(to_hex(i.table_id)), 15, '0'),
+       |        '5f72', '8', lpad(lower(to_hex(c.pk)), 15, '0'))
+       |      END AS key_hex
        |  FROM changelog c JOIN ids i
        |    ON c.schema_name = i.schema_name AND c.table_name = i.table_name
        |), dec AS (

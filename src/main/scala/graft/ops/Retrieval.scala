@@ -424,11 +424,17 @@ object Retrieval {
     val pivoted = scored.groupBy(col("doc_id"), col("dl"))
       .agg(sCols.head, sCols.tail: _*)
     val score = query.map(q => s"s_$q").mkString(" + ")
+    // Distributed top-k: orderBy+limit plans TakeOrderedAndProject
+    // (per-partition partial top-k, then a k-row merge) instead of
+    // dragging every scored doc through one unpartitioned window task.
+    // rank is re-derived over the <=k surviving rows, where a global
+    // window is a bounded frame, not a corpus-scale one.
     pivoted
       .withColumn("score", expr(score))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= k)
       .select(Seq(col("doc_id"), col("dl")) ++
         query.map(q => col(s"s_$q")) ++
         Seq(col("score"), col("rank")): _*)

@@ -126,12 +126,15 @@ object TextAnalysis {
       .withColumn("stop_ppm", call_function("div",
         call_function("graft_count_in", col("toks"),
           array(markers.head._2.map(lit): _*)) * lit(1000000L), col("n_tokens")))
+      // greatest(n_chars, 1): an empty normalized text must yield
+      // 0-ppm features (and a defined keep flag), not a NULL score —
+      // the same div-by-zero guard in the DuckDB oracle below
       .withColumn("punct_ppm", call_function("div",
         length(regexp_replace(col("norm"), "[^.!?,;:]", "")).cast("long") *
-          lit(1000000L), col("n_chars")))
+          lit(1000000L), greatest(col("n_chars"), lit(1L))))
       .withColumn("digit_ppm", call_function("div",
         length(regexp_replace(col("norm"), "[^0-9]", "")).cast("long") *
-          lit(1000000L), col("n_chars")))
+          lit(1000000L), greatest(col("n_chars"), lit(1L))))
       .withColumn("len_sat_ppm", least(col("n_tokens") * lit(10000L), lit(1000000L)))
       .withColumn("wordlen_e3", call_function("div",
         (col("n_chars") - (col("n_tokens") - 1L)) * lit(1000L), col("n_tokens")))
@@ -159,8 +162,8 @@ object TextAnalysis {
        |), m AS (
        |  SELECT doc_id, n_tokens,
        |    n_stop * 1000000 // n_tokens AS stop_ppm,
-       |    n_punct * 1000000 // n_chars AS punct_ppm,
-       |    n_digit * 1000000 // n_chars AS digit_ppm,
+       |    n_punct * 1000000 // GREATEST(n_chars, 1) AS punct_ppm,
+       |    n_digit * 1000000 // GREATEST(n_chars, 1) AS digit_ppm,
        |    LEAST(n_tokens * 10000, 1000000) AS len_sat_ppm,
        |    (n_chars - (n_tokens - 1)) * 1000 // n_tokens AS wordlen_e3
        |  FROM f

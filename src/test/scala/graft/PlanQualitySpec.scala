@@ -117,6 +117,43 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("no corpus-scale frame flows through an unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    // An unpartitioned Window pulls its whole input into ONE task — a
+    // scale-killer when the input is corpus-sized (the r7 bm25_topk
+    // verdict). It is admissible only when the frame is bounded by
+    // construction: a post-limit top-k (a GlobalLimit below the
+    // window), or one of the dimension/grid-scale frames listed here,
+    // whose row count is fixed by the schema universe or an integer
+    // grid, never by data volume.
+    val boundedGridByDesign = Set(
+      // table-universe row_number assigns table ids (SchemaStore:99,
+      // EventService:423/:567) — rows = #tables
+      "cdc_table_lifecycle", "cdc_event_physical", "cdc_schema_snapshot",
+      "cdc_kv_key_codec", "cdc_log_candidates",
+      // node/span scheduling frames (Scheduler:136) — rows = nodes x spans
+      "cdc_sched_basic", "cdc_sched_balance",
+      // changefeed-fleet x boundary grid (Barrier) — rows = fleet size
+      "cdc_gc_safepoint",
+      // syncpoint boundary grid (MysqlDdl:168) — rows = max_ts / step
+      "sink_syncpoint_stmts",
+      // integer value/bucket grids (TextAnalysis:317, Corpus:379)
+      "perplexity_bucket", "seq_length_histogram",
+      // embeds C40's tercile grid
+      "curation_funnel")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!boundedGridByDesign(name)) {
+        val lp = fn(spark, dir).queryExecution.optimizedPlan
+        val bad = lp.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case _: GlobalLimit => () }.isEmpty => w
+        }
+        assert(bad.isEmpty,
+          s"$name plans ${bad.size} unpartitioned corpus-scale window(s)")
+      }
+    }
+  }
+
   test("funnel stacks its stage windows on one user-keyed shuffle") {
     val p = queries.Analytics.qFunnel(spark, dir)
       .queryExecution.executedPlan.toString
