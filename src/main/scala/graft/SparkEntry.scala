@@ -104,6 +104,7 @@ object SparkEntry {
     "cdc_sched_balance" -> ((s, d) => Scheduler.groupBalance(cl(s, d))),
     "cdc_hot_span" -> ((s, d) => Scheduler.hotSpans(cl(s, d))),
     "cdc_span_split_bytes" -> ((s, d) => Scheduler.spanSplitBytes(cl(s, d))),
+    "cdc_span_split_regions" -> ((s, d) => Scheduler.spanSplitRegions(cl(s, d))),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_table_progress" -> ((s, d) => Materialize.tableProgress(cl(s, d))),
@@ -278,6 +279,7 @@ object SparkEntry {
     "cdc_sched_balance" -> o(Scheduler.groupBalanceSql()),
     "cdc_hot_span" -> o(Scheduler.hotSpansSql()),
     "cdc_span_split_bytes" -> o(Scheduler.spanSplitBytesSql()),
+    "cdc_span_split_regions" -> o(Scheduler.spanSplitRegionsSql()),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_table_progress" -> o(Materialize.tableProgressSql()),

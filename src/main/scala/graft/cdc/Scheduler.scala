@@ -642,6 +642,131 @@ object Scheduler {
        |FROM sp""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // A90 — region-count span splitter (the fresh-changefeed default)
+  // ------------------------------------------------------------------
+
+  /** Reference: maintainer/split/region_count_splitter.go:44-131
+    * `split` + :140-171 `evenlySplitStepper` — the fallback splitter
+    * every fresh changefeed takes when PD write stats are absent: a
+    * span covering more than `regionThreshold` regions is cut into
+    * `getSpansNumber(regions, captures, maxSpanNum)` sub-spans of
+    * evenly-distributed region count. The stepper's state collapses to
+    * a closed form: `regionPerSpan = n div pages`, `remain = n mod
+    * pages` < pages forces `extraRegionPerSpan = ceil(remain/pages)`
+    * to 0 or 1, so exactly the first `remain` spans carry one extra
+    * region — span j starts at region index `j*rps + min(j, remain)`
+    * and holds `rps + (j < remain)` regions. The `regionPerSpan == 0`
+    * arm (more pages than regions) degrades to one region per span.
+    * Unlike A82's write-weight packing there is no sequential
+    * dependence at all: every span is pure per-row arithmetic over
+    * (j, n) — dimension-scale rows, no fold, no window. */
+  def splitRegionsFrame(regions: DataFrame, captureNum: Int = NNodes,
+                        maxSpanNum: Int = 100,
+                        regionThreshold: Int = 20): DataFrame = {
+    val coeff = math.max(captureNum - 1, 3)
+    val agged = regions
+      .groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("rid"))).as("rs"))
+      .withColumn("n", size(col("rs")).cast("long"))
+      // getSpansNumber: max(captures*coeff, n/spanRegionLimit), capped
+      .withColumn("pages0", least(
+        when(col("n") > 1L,
+          greatest(lit(captureNum.toLong * coeff), expr("n div 50000")))
+          .otherwise(lit(1L)),
+        lit(maxSpanNum.toLong)))
+      .withColumn("rps0", expr("n div pages0"))
+      .withColumn("rem0", expr("n % pages0"))
+      .withColumn("pages", when(col("rps0") === 0L, col("n")).otherwise(col("pages0")))
+      .withColumn("rps", when(col("rps0") === 0L, lit(1L)).otherwise(col("rps0")))
+      .withColumn("rem", when(col("rps0") === 0L, lit(0L)).otherwise(col("rem0")))
+    val whole = agged
+      .filter(col("n") <= regionThreshold.toLong || lit(captureNum) === 0)
+      .select(col("grp"), lit(1L).as("span_seq"),
+        element_at(col("rs"), 1).as("start_rid"),
+        element_at(col("rs"), -1).as("end_rid"),
+        col("n").as("region_cnt"), col("n").as("n_regions"))
+    val split = agged
+      .filter(col("n") > regionThreshold.toLong && lit(captureNum) =!= 0)
+      .select(col("grp"), col("rs"), col("n"), col("rps"), col("rem"),
+        explode(expr("sequence(0L, pages - 1L)")).as("j"))
+      .withColumn("start_idx", col("j") * col("rps") + least(col("j"), col("rem")))
+      .withColumn("cnt", col("rps") + when(col("j") < col("rem"), 1L).otherwise(0L))
+      .select(col("grp"), (col("j") + 1L).as("span_seq"),
+        element_at(col("rs"), (col("start_idx") + 1L).cast("int")).as("start_rid"),
+        element_at(col("rs"), (col("start_idx") + col("cnt")).cast("int")).as("end_rid"),
+        col("cnt").as("region_cnt"), col("n").as("n_regions"))
+    whole.unionByName(split)
+  }
+
+  /** A90 production query: every table's occupied pk-hash region set
+    * (the A82 64-cell scan convention, region id = bucket); tables
+    * whose occupied-region count exceeds the threshold are evenly cut
+    * into `getSpansNumber` sub-spans, the rest stay whole — the path
+    * every fresh changefeed takes before write stats exist. */
+  def spanSplitRegions(cl: DataFrame, regionThreshold: Int = 20,
+                       nScan: Int = SplitScanRegions): DataFrame = {
+    val regions = cl
+      .withColumn("rid", Portable.bucket(col("pk").cast("string"), nScan))
+      .select(
+        concat_ws(".", col("schema_name"), col("table_name")).as("grp"),
+        col("rid"))
+      .distinct()
+    splitRegionsFrame(regions, NNodes, 100, regionThreshold)
+  }
+
+  def spanSplitRegionsSql(regionThreshold: Int = 20,
+                          nScan: Int = SplitScanRegions): String = {
+    val captureNum = NNodes
+    val coeff = math.max(captureNum - 1, 3)
+    s"""WITH regions AS (
+       |  SELECT DISTINCT schema_name || '.' || table_name AS grp,
+       |    ${Portable.bucketSql("CAST(pk AS VARCHAR)", nScan)} AS rid
+       |  FROM changelog
+       |), ridx AS (
+       |  SELECT grp, rid,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY rid) - 1
+       |      AS BIGINT) AS idx
+       |  FROM regions
+       |), t AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+       |    MIN(rid) AS first_rid, MAX(rid) AS last_rid
+       |  FROM ridx GROUP BY grp
+       |), q AS (
+       |  SELECT *, n // pages0 AS rps0, n % pages0 AS rem0
+       |  FROM (SELECT *,
+       |    LEAST(CASE WHEN n > 1
+       |        THEN GREATEST(${captureNum.toLong * coeff}, n // 50000)
+       |        ELSE 1 END, 100) AS pages0
+       |    FROM t)
+       |), a AS (
+       |  SELECT grp, n,
+       |    CASE WHEN rps0 = 0 THEN n ELSE pages0 END AS pages,
+       |    CASE WHEN rps0 = 0 THEN 1 ELSE rps0 END AS rps,
+       |    CASE WHEN rps0 = 0 THEN 0 ELSE rem0 END AS rem
+       |  FROM q
+       |), s AS (
+       |  SELECT grp, n, rps, rem,
+       |    UNNEST(GENERATE_SERIES(0, pages - 1)) AS j
+       |  FROM a WHERE n > $regionThreshold
+       |)
+       |SELECT s.grp, CAST(s.j + 1 AS BIGINT) AS span_seq,
+       |  r1.rid AS start_rid, r2.rid AS end_rid,
+       |  CAST(s.rps + CASE WHEN s.j < s.rem THEN 1 ELSE 0 END AS BIGINT)
+       |    AS region_cnt,
+       |  s.n AS n_regions
+       |FROM s
+       |JOIN ridx r1 ON r1.grp = s.grp
+       |  AND r1.idx = s.j * s.rps + LEAST(s.j, s.rem)
+       |JOIN ridx r2 ON r2.grp = s.grp
+       |  AND r2.idx = s.j * s.rps + LEAST(s.j, s.rem)
+       |    + s.rps + CASE WHEN s.j < s.rem THEN 1 ELSE 0 END - 1
+       |UNION ALL
+       |SELECT grp, CAST(1 AS BIGINT) AS span_seq, first_rid, last_rid,
+       |  n AS region_cnt, n AS n_regions
+       |FROM t WHERE n <= $regionThreshold""".stripMargin
+  }
+
   def hotSpansSql(tickW: Long = 100L, thr: Long = 10L, scoreThr: Int = 3,
                   clearTicks: Long = 3L, nRegions: Int = NRegions,
                   maxSpanNum: Int = 100): String = {

@@ -290,6 +290,95 @@ class SchedulerSpec extends AnyFunSuite {
     frame.unpersist()
   }
 
+  // ---- A90 ----
+
+  /** regionCountSplitter.split + evenlySplitStepper as written
+    * (region_count_splitter.go:44-131 loop, :140-171 stepper): stepper
+    * state (regionPerSpan, extraRegionPerSpan, remain) consumed per
+    * Step(); the loop emits [start, end) windows over the sorted
+    * region list, clamping the final step at n. */
+  private def seqRegionSplit(rids: Seq[Long], captureNum: Int, maxSpanNum: Int,
+                             regionThreshold: Int): Seq[(Long, Long, Long)] = {
+    val rs = rids.sorted
+    val n = rs.size
+    if (n <= regionThreshold || captureNum == 0)
+      return Seq((rs.head, rs.last, n.toLong))
+    val pages0 = cdc.Scheduler.spansNumber(n, captureNum, maxSpanNum)
+    var regionPerSpan = n / pages0
+    var remain = n % pages0
+    var extra = 0
+    if (regionPerSpan == 0) { regionPerSpan = 1; extra = 0 }
+    else if (remain != 0) extra = math.ceil(remain.toDouble / pages0).toInt
+    def step(): Int =
+      if (remain <= 0) regionPerSpan
+      else { remain -= extra; regionPerSpan + extra }
+    val out = collection.mutable.Buffer.empty[(Long, Long, Long)]
+    var start = 0
+    var end = step()
+    var break = false
+    while (!break) {
+      out += ((rs(start), rs(end - 1), (end - start).toLong))
+      if (end == n) break = true
+      else {
+        start = end
+        val s = step()
+        end = if (end + s < n) end + s else n
+      }
+    }
+    out.toSeq
+  }
+
+  private def runRegionSplit(regs: Seq[(String, Long)], captureNum: Int,
+                             maxSpanNum: Int, regionThreshold: Int) =
+    cdc.Scheduler.splitRegionsFrame(
+        regs.toDF("grp", "rid"), captureNum, maxSpanNum, regionThreshold)
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("A90: closed form equals the sequential stepper on every arm") {
+    // t1: rem=0 (48 = 12*4, even spans); t2: rem>0 (50 -> first 2
+    // spans carry the extra region); t3: regionPerSpan=0 (fewer
+    // regions than pages -> one region per span); t4: threshold arm
+    // (whole span); t5: sparse non-contiguous region ids
+    val cases = Seq(
+      ("t1", (0L until 48L).toSeq, 4, 100, 0),
+      ("t2", (0L until 50L).toSeq, 4, 100, 0),
+      ("t3", (0L until 7L).toSeq, 4, 100, 0),
+      ("t4", (0L until 7L).toSeq, 4, 100, 16),
+      ("t5", (0L until 40L).map(_ * 7L + 3L), 4, 100, 0),
+      ("t6", (0L until 64L).toSeq, 2, 5, 0))   // maxSpanNum cap binds
+    for ((tag, rids, cap, maxSpan, thr) <- cases) {
+      val got = runRegionSplit(rids.map(("t", _)), cap, maxSpan, thr)
+        .map(r => (r._3, r._4, r._5))
+      val want = seqRegionSplit(rids, cap, maxSpan, thr)
+      assert(got == want, s"$tag: $got != $want")
+      // dense 1..k numbering and exact partition of the region set
+      assert(got.map(_._3).sum == rids.size.toLong, tag)
+    }
+  }
+
+  test("A90: production frame partitions every occupied region exactly once") {
+    val cl = cdc.ChangeEvents.changelog(spark, "/root/testdata/sf0.01")
+    val frame = cdc.Scheduler.spanSplitRegions(cl).cache()
+    val regions = cl.select(
+        concat_ws(".", col("schema_name"), col("table_name")).as("grp"),
+        graft.functions.Portable.bucket(
+          col("pk").cast("string"), cdc.Scheduler.SplitScanRegions).as("rid"))
+      .distinct().groupBy("grp").agg(count(lit(1)).as("n_occupied"))
+    val sums = frame.groupBy("grp").agg(
+        sum("region_cnt").as("packed"), max("n_regions").as("reported"))
+      .join(regions, "grp")
+    assert(sums.filter(col("packed") =!= col("n_occupied")).count() == 0)
+    assert(sums.filter(col("reported") =!= col("n_occupied")).count() == 0)
+    val gaps = frame.withColumn("prev_end",
+        lag("end_rid", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("grp")
+            .orderBy("span_seq")))
+      .filter(col("prev_end").isNotNull && col("start_rid") <= col("prev_end"))
+    assert(gaps.count() == 0, "spans overlap or run backwards")
+    frame.unpersist()
+  }
+
   // ---- A81 ----
 
   test("A81: Lindley closed form equals the sequential floored walk") {
