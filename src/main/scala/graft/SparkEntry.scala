@@ -34,6 +34,22 @@ object SparkEntry {
     Barrier.CfState("cf-gcfail", Seq("db0.%"), "failed",
       Some("CDC:ErrGCTTLExceeded")),
     Barrier.CfState("cf-fin", Seq("db1.%"), "finished", None))
+  // A91 fleet: every backoff arm — clean advance, idle (no matching
+  // tables, checkpoint never moves), transient errors cleared by a
+  // checkpoint advance, a 7-error run reaching the 600s interval cap,
+  // a stuck feed that exceeds MaxElapsedTime (failed) then gets a cli
+  // Resume and re-enters retry, and a fast-fail error code
+  private val backoffFleet = Seq(
+    ChangefeedBackoff.BackoffCf("cf-ok", Seq("db0.%")),
+    ChangefeedBackoff.BackoffCf("cf-idle", Seq("db9.%")),
+    ChangefeedBackoff.BackoffCf("cf-warn", Seq("db1.%"),
+      errFrom = 2, errTo = 4),
+    ChangefeedBackoff.BackoffCf("cf-backoff", Seq("db0.t1"),
+      errFrom = 5, errTo = 11),
+    ChangefeedBackoff.BackoffCf("cf-stuck", Seq("db1.t1"),
+      errFrom = 1, errTo = 99, resumeTick = 15),
+    ChangefeedBackoff.BackoffCf("cf-fastfail", Seq("db0.t2"),
+      fastfailTick = 6))
   private val topicRules   = Seq(
     Seq("db0.%") -> "cdc_{schema}_{table}",   // dynamic expression rule
     Seq("db1.t1") -> "db1-special",           // hard-coded topic rule
@@ -105,6 +121,8 @@ object SparkEntry {
     "cdc_hot_span" -> ((s, d) => Scheduler.hotSpans(cl(s, d))),
     "cdc_span_split_bytes" -> ((s, d) => Scheduler.spanSplitBytes(cl(s, d))),
     "cdc_span_split_regions" -> ((s, d) => Scheduler.spanSplitRegions(cl(s, d))),
+    "cdc_changefeed_backoff" -> ((s, d) =>
+      ChangefeedBackoff.backoff(cl(s, d), backoffFleet)),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_table_progress" -> ((s, d) => Materialize.tableProgress(cl(s, d))),
@@ -280,6 +298,7 @@ object SparkEntry {
     "cdc_hot_span" -> o(Scheduler.hotSpansSql()),
     "cdc_span_split_bytes" -> o(Scheduler.spanSplitBytesSql()),
     "cdc_span_split_regions" -> o(Scheduler.spanSplitRegionsSql()),
+    "cdc_changefeed_backoff" -> o(ChangefeedBackoff.backoffSql(backoffFleet)),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_table_progress" -> o(Materialize.tableProgressSql()),

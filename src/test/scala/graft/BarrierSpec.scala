@@ -192,4 +192,95 @@ class BarrierSpec extends AnyFunSuite {
       Seq("cf-x" -> Seq("db0.%", "db0.t0")), 100L)
     assert(once.head.getAs[Long]("n_spans") == twice.head.getAs[Long]("n_spans"))
   }
+
+  // ---- A91 ----
+
+  /** Backoff.CheckStatus/HandleError + ChangefeedDB.Resume as written
+    * (backoff.go:91-199, changefeed_db.go:208-224), over the virtual
+    * tick clock: failed is sticky and checked first; checkpoint
+    * advance while retrying resets; an error takes the next
+    * exponential interval (10·2^k capped 600) and fails past
+    * MaxElapsedTime; a fast-fail code fails immediately; Resume
+    * clears everything. Returns (tick, state, k, interval, ns, run). */
+  private def seqBackoff(evs: Seq[(Long, Long, String)])
+      : Seq[(Long, String, Long, Long, Long, Long)] = {
+    var failed = false; var retrying = false
+    var k = 0L; var rs = 0L; var ns = -1L; var cp = -1L
+    val out = collection.mutable.Buffer.empty[(Long, String, Long, Long, Long, Long)]
+    for ((tick, ecp, kind) <- evs.sortBy(_._1)) {
+      val now = tick * 60L
+      if (kind == "RESUME") {
+        failed = false; retrying = false; k = 0; rs = now; ns = -1
+        out += ((tick, "resumed", 0L, 0L, -1L, 1L))
+      } else if (failed) out += ((tick, "failed", k, 0L, ns, 0L))
+      else if (kind == "ERR_FASTFAIL") {
+        failed = true; out += ((tick, "failed", k, 0L, ns, 0L))
+      } else if (kind == "ERR") {
+        if (!retrying) { k = 0; rs = now; retrying = true }
+        val itv = math.min(10L * (1L << math.min(k, 6L)), 600L)
+        k += 1; ns = now + itv
+        if (now - rs > 600L) { failed = true; out += ((tick, "failed", k, itv, ns, 0L)) }
+        else out += ((tick, "warning", k, itv, ns, 0L))
+      } else if (ecp > cp) {
+        cp = ecp
+        if (retrying) { retrying = false; k = 0; rs = now; ns = -1
+          out += ((tick, "normal", 0L, 0L, -1L, 1L))
+        } else out += ((tick, "normal", k, 0L, ns, if (now > ns) 1L else 0L))
+      } else out += ((tick, if (retrying) "warning" else "normal", k, 0L, ns,
+        if (now > ns) 1L else 0L))
+    }
+    out.toSeq
+  }
+
+  test("A91: Catalyst fold equals the transcribed backoff machine on every arm") {
+    // one trace per arm family: clean advance; error burst cleared by
+    // an advance; a long burst through the interval cap into
+    // max-elapsed failure, then Resume, then re-retry; fast-fail; an
+    // idle feed whose checkpoint never moves after the first report
+    def hb(t: Long, cp: Long) = (t, cp, "HB")
+    def err(t: Long) = (t, -999L, "ERR")
+    val traces = Map(
+      "ok" -> (0L to 20L).map(t => hb(t, t * 10)),
+      "warn" -> (Seq(hb(0, 5)) ++ (1L to 3L).map(err) ++
+        (4L to 8L).map(t => hb(t, t * 7))),
+      "stuck" -> (Seq(hb(0, 1)) ++ (1L to 13L).map(err) ++
+        Seq((14L, -999L, "RESUME")) ++ (15L to 20L).map(err)),
+      "fastfail" -> (Seq(hb(0, 1), hb(1, 2), (2L, -999L, "ERR_FASTFAIL")) ++
+        (3L to 6L).map(t => hb(t, t * 5))),
+      "idle" -> (0L to 10L).map(t => hb(t, 0L)))
+    val trace = traces.toSeq.flatMap { case (cf, evs) =>
+      evs.map { case (t, cp, kind) => (cf, t, cp, kind) }
+    }.toDF("changefeed", "tick", "cp", "kind")
+    val got = cdc.ChangefeedBackoff.backoffFrame(trace)
+      .select("changefeed", "tick", "state", "retry_k", "interval_s",
+        "next_retry_s", "should_run")
+      .as[(String, Long, String, Long, Long, Long, Long)]
+      .collect().groupBy(_._1)
+      .map { case (cf, rs) => cf ->
+        rs.sortBy(_._2).map(r => (r._2, r._3, r._4, r._5, r._6, r._7)).toSeq }
+    traces.foreach { case (cf, evs) =>
+      assert(got(cf) == seqBackoff(evs), s"$cf: ${got(cf)} != ${seqBackoff(evs)}")
+    }
+  }
+
+  test("A91: production fleet hits failure, cap, resume and recovery arms") {
+    val cl = cdc.ChangeEvents.changelog(spark, "/root/testdata/sf0.01")
+    val fleet = Seq(
+      cdc.ChangefeedBackoff.BackoffCf("cf-stuck", Seq("db1.t1"),
+        errFrom = 1, errTo = 99, resumeTick = 15),
+      cdc.ChangefeedBackoff.BackoffCf("cf-backoff", Seq("db0.t1"),
+        errFrom = 5, errTo = 11))
+    val rows = cdc.ChangefeedBackoff.backoff(cl, fleet)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("tick")) -> r).toMap
+    // the 7th consecutive error rides the 600s interval cap
+    assert(rows(("cf-backoff", 11L)).getAs[Long]("interval_s") == 600L)
+    // max-elapsed kills the stuck feed exactly when elapsed > 600s
+    assert(rows(("cf-stuck", 11L)).getAs[String]("state") == "warning")
+    assert(rows(("cf-stuck", 12L)).getAs[String]("state") == "failed")
+    assert(rows(("cf-stuck", 13L)).getAs[String]("state") == "failed")
+    // Resume reschedules and the next error restarts at 10s
+    assert(rows(("cf-stuck", 15L)).getAs[String]("state") == "resumed")
+    assert(rows(("cf-stuck", 15L)).getAs[Long]("should_run") == 1L)
+    assert(rows(("cf-stuck", 16L)).getAs[Long]("interval_s") == 10L)
+  }
 }

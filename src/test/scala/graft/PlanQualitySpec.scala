@@ -93,7 +93,7 @@ class PlanQualitySpec extends AnyFunSuite {
       // universe x boundary-grid broadcast cross (cdc_syncpoint shape)
       "cdc_ddl_barrier",
       // changefeed-rule LIKE match over the dimension-scale span frame
-      "cdc_watermark_agg", "cdc_gc_safepoint",
+      "cdc_watermark_agg", "cdc_gc_safepoint", "cdc_changefeed_backoff",
       // 1-row ddl-grid broadcast (q_scalar_subquery shape)
       "cdc_scan_tasks",
       // embeds cdc_scan_tasks' crosses + the table x DDL-grid cross
