@@ -170,6 +170,8 @@ object SparkEntry {
     "sink_batch_frame" -> ((s, d) => Sinks.batchFrame(cl(s, d), nParts, maxBatch = 4)),
     "sink_batch_bytes" -> ((s, d) =>
       Sinks.batchFrameBytes(cl(s, d), nParts, maxBatch = 6, maxBytes = 300L)),
+    "sink_batch_flush" -> ((s, d) =>
+      Sinks.batchFrameFlush(cl(s, d), nParts, maxBatch = 6, flushInterval = 300L)),
     "codec_canal_decode" -> ((s, d) => Codecs.canalJsonDecode(cl(s, d))),
     "codec_canal_envelope" -> ((s, d) => Codecs.canalEnvelope(cl(s, d))),
     "codec_canal_envelope_decode" -> ((s, d) => Codecs.canalEnvelopeDecode(cl(s, d))),
@@ -345,6 +347,8 @@ object SparkEntry {
     "sink_compression" -> o(Sinks.compressedClaimCheckSql(nParts, compressMaxBytes)),
     "sink_batch_frame" -> o(Sinks.batchFrameSql(nParts, maxBatch = 4)),
     "sink_batch_bytes" -> o(Sinks.batchFrameBytesSql(nParts, maxBatch = 6, maxBytes = 300L)),
+    "sink_batch_flush" ->
+      o(Sinks.batchFrameFlushSql(nParts, maxBatch = 6, flushInterval = 300L)),
     "codec_canal_decode" -> o(Codecs.canalJsonDecodeSql),
     "codec_canal_envelope" -> o(Codecs.canalEnvelopeSql),
     "codec_canal_envelope_decode" -> o(Codecs.canalEnvelopeDecodeSql),

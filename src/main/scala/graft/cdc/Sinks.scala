@@ -429,6 +429,124 @@ object Sinks {
       "n_rows", "batch_bytes", "first_ts", "last_ts")
   }
 
+  /** A93 — the Kafka DML worker's flush-interval batching (reference:
+    * downstreamadapter/worker/kafka_dml_worker.go:219-262
+    * `batchEncodeRun` + :264-307 `batch`): the production worker's
+    * latency-vs-throughput rule. `batch` blocks for the FIRST message,
+    * resets the flush ticker, then keeps collecting until the buffer
+    * holds `maxBatch` messages (returns immediately) OR the ticker
+    * fires — so a batch admits exactly the events arriving strictly
+    * inside `firstTs + flushInterval`. Deterministic commit-ts clock
+    * (the A34 cadence precedent): an event's arrival time IS its
+    * commit_ts, and the ticker at `first_ts + interval` beats any
+    * event arriving at or after that instant.
+    *
+    * The deadline chains from each batch's first event, so the fold is
+    * inherently sequential per (table, partition) stream — the A50
+    * secondary-sort shape: repartition by the sink key, sort by key +
+    * commit_ts, one `mapPartitions` pass with O(1) state. Each batch
+    * also records WHY it closed: 'size' (hit maxBatch — the immediate
+    * return), 'flush' (a successor event arrived past the deadline),
+    * 'eof' (stream drained). The DuckDB oracle replays the identical
+    * fold as a recursive CTE. */
+  def batchFrameFlush(cl: DataFrame, n: Int, maxBatch: Int,
+                      flushInterval: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = cl.sparkSession
+    import spark.implicits._
+    val base = cl.select(col("schema_name"), col("table_name"),
+        Dispatchers.indexValueBucket(n).as("partition"), col("commit_ts"),
+        octet_length(Codecs.openProtocolValue).cast("long").as("payload_bytes"))
+      .repartition(col("schema_name"), col("table_name"), col("partition"))
+      .sortWithinPartitions(col("schema_name"), col("table_name"),
+        col("partition"), col("commit_ts"))
+      .as[(String, String, Long, Long, Long)]
+    val folded = base.mapPartitions { it =>
+      val in = it.buffered
+      new Iterator[(String, String, Long, Long, Long, Long, Long, Long)] {
+        private var lastKey: (String, String, Long) = null
+        private var lastBatchId = -1L
+        override def hasNext: Boolean = in.hasNext
+        override def next(): (String, String, Long, Long, Long, Long, Long, Long) = {
+          val (sch, tbl, part, ts0, len0) = in.next()
+          val key = (sch, tbl, part)
+          val batchId = if (key == lastKey) lastBatchId + 1 else 0L
+          var rows = 1L; var bytes = len0; var last = ts0
+          // admit while the successor shares the stream, the buffer
+          // has room, and the ticker has not fired
+          while (in.hasNext && {
+            val (s, t, p, ts, _) = in.head
+            (s, t, p) == key && rows < maxBatch && ts - ts0 < flushInterval
+          }) {
+            val (_, _, _, ts, len) = in.next()
+            rows += 1; bytes += len; last = ts
+          }
+          lastKey = key; lastBatchId = batchId
+          (sch, tbl, part, batchId, rows, bytes, ts0, last)
+        }
+      }
+    }.toDF("schema_name", "table_name", "partition", "batch_id",
+      "n_rows", "batch_bytes", "first_ts", "last_ts")
+    // close reason: maxBatch returns immediately ('size'); otherwise a
+    // successor batch proves the ticker fired ('flush'); a stream's
+    // final short batch drained with the channel ('eof'). The window
+    // is stream-partitioned — bounded per sink partition.
+    val ws = Window.partitionBy(col("schema_name"), col("table_name"),
+      col("partition"))
+    folded
+      .withColumn("close_reason",
+        when(col("n_rows") >= maxBatch.toLong, "size")
+          .when(col("batch_id") === max(col("batch_id")).over(ws), "eof")
+          .otherwise("flush"))
+  }
+
+  def batchFrameFlushSql(n: Int, maxBatch: Int, flushInterval: Long): String =
+    s"""WITH RECURSIVE msgs AS (
+       |  SELECT schema_name, table_name, commit_ts,
+       |    ${Dispatchers.indexValueBucketSql(n)} AS partition,
+       |    CAST(octet_length(encode(${Codecs.openProtocolValueSql})) AS BIGINT)
+       |      AS payload_bytes
+       |  FROM changelog
+       |), o AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY schema_name, table_name, partition
+       |      ORDER BY commit_ts) AS rn
+       |  FROM msgs
+       |), fold AS (
+       |  SELECT schema_name, table_name, partition, commit_ts, payload_bytes, rn,
+       |    CAST(0 AS BIGINT) AS batch_id, CAST(1 AS BIGINT) AS rows_in,
+       |    commit_ts AS bfirst
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT m.schema_name, m.table_name, m.partition, m.commit_ts,
+       |    m.payload_bytes, m.rn,
+       |    CASE WHEN f.rows_in >= $maxBatch
+       |           OR m.commit_ts - f.bfirst >= $flushInterval
+       |         THEN f.batch_id + 1 ELSE f.batch_id END,
+       |    CASE WHEN f.rows_in >= $maxBatch
+       |           OR m.commit_ts - f.bfirst >= $flushInterval
+       |         THEN CAST(1 AS BIGINT) ELSE f.rows_in + 1 END,
+       |    CASE WHEN f.rows_in >= $maxBatch
+       |           OR m.commit_ts - f.bfirst >= $flushInterval
+       |         THEN m.commit_ts ELSE f.bfirst END
+       |  FROM fold f JOIN o m
+       |    ON m.schema_name = f.schema_name AND m.table_name = f.table_name
+       |   AND m.partition = f.partition AND m.rn = f.rn + 1
+       |), agged AS (
+       |  SELECT schema_name, table_name, partition, batch_id,
+       |    COUNT(*) AS n_rows,
+       |    CAST(SUM(payload_bytes) AS BIGINT) AS batch_bytes,
+       |    MIN(commit_ts) AS first_ts, MAX(commit_ts) AS last_ts
+       |  FROM fold
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT *,
+       |  CASE WHEN n_rows >= $maxBatch THEN 'size'
+       |       WHEN batch_id = MAX(batch_id) OVER (
+       |         PARTITION BY schema_name, table_name, partition) THEN 'eof'
+       |       ELSE 'flush' END AS close_reason
+       |FROM agged""".stripMargin
+
   /** A56 — blackhole sink ack frame (reference:
     * downstreamadapter/sink/blackhole.go:44-72 — `AddDMLEvent` fires
     * every PostTxnFlushed callback inline and `WriteBlockEvent` acks

@@ -946,6 +946,47 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     // oracle, which replays the identical fold as a recursive CTE
   }
 
+  test("flush-interval batches close on size, ticker, and eof exactly like the worker loop") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val f = cdc.Sinks.batchFrameFlush(cl, 16, maxBatch = 6, flushInterval = 60L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6), r.getLong(7), r.getString(8)))
+    assert(f.map(_._5).sum == cl.count(), "row conservation")
+    for ((_, _, _, _, rows, first, last, reason) <- f) {
+      assert(rows >= 1L && rows <= 6L)
+      // every admitted event beat the ticker: the batch's ts span is
+      // strictly inside the flush interval
+      assert(last - first < 60L, s"batch spans $first..$last")
+      assert(reason == "size" || reason == "flush" || reason == "eof")
+      if (rows == 6L) assert(reason == "size")
+    }
+    // kafka_dml_worker.go batch() transcribed: one stream replayed
+    // sequentially must produce identical batch boundaries
+    for ((key, stream) <- f.groupBy(t => (t._1, t._2, t._3)).take(3)) {
+      val ts = cl.filter(col("schema_name") === key._1 &&
+          col("table_name") === key._2)
+        .select(cdc.Dispatchers.indexValueBucket(16).as("p"), col("commit_ts"))
+        .filter(col("p") === key._3)
+        .collect().map(_.getLong(1)).sorted.toSeq
+      val batches = collection.mutable.Buffer.empty[(Long, Long, Long)]
+      var i = 0
+      while (i < ts.length) {
+        val t0 = ts(i); var n = 1L; var lastT = t0; i += 1
+        while (i < ts.length && n < 6L && ts(i) - t0 < 60L) {
+          n += 1; lastT = ts(i); i += 1
+        }
+        batches += ((n, t0, lastT))
+      }
+      val got = stream.sortBy(_._4).map(t => (t._5, t._6, t._7)).toSeq
+      assert(got == batches.toSeq, s"$key: $got != $batches")
+    }
+    // all three close reasons occur on this data
+    assert(f.exists(_._8 == "size"), "no size-closed batch")
+    assert(f.exists(_._8 == "flush"), "no ticker-closed batch")
+    assert(f.exists(_._8 == "eof"), "no eof-closed batch")
+  }
+
   test("funnel stages are ordered and consistent with raw event timelines") {
     val rows = queries.Analytics.qFunnel(spark, dir).collect()
     for (r <- rows) {
