@@ -41,8 +41,26 @@ object Corpus {
     * gets filtered before training. Ratios surface as parts-per-million
     * BIGINTs (exact truncating integer division of exact counts — the
     * raw double fractions hash-flaked on the round-3 driver); docs
-    * under 3 tokens carry the -1 sentinel in the gram ratios. */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    * under 3 tokens carry the -1 sentinel in the gram ratios.
+    *
+    * The per-doc profile is memoized per (session, dir) — the C18/C30
+    * discipline: the manifest (C24), the rule bank (C32) and the
+    * funnel (C46) all consume this exact frame, and without the memo
+    * each re-runs the explode → doc-keyed gram aggregation.
+    * `GraftSession.releaseCaches` drops the memo. */
+  private val repetitionMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private[graft] def clearRepetitionMemo(): Unit = repetitionMemo.clear()
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionMemo.synchronized {
+      repetitionMemo.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(repetitionMemo.remove)
+      repetitionMemo.getOrElseUpdate((spark, dir),
+        buildTextRepetition(spark, dir).localCheckpoint())
+    }
+
+  private def buildTextRepetition(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),

@@ -155,6 +155,24 @@ object Retrieval {
       .distinct()
   }
 
+  /** The production fingerprint frame, memoized per (session, dir,
+    * win) — the C18/C30 discipline: C39, C42 and the funnel (C46) all
+    * consume this exact frame, and the containment self-join consumes
+    * it TWICE; the eager checkpoint builds it once.
+    * `GraftSession.releaseCaches` drops the memo. */
+  private val winnowMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, Int), DataFrame]()
+  private[graft] def clearWinnowMemo(): Unit = winnowMemo.clear()
+
+  private def winnowHashesCached(spark: SparkSession, dir: String,
+                                 win: Int): DataFrame =
+    winnowMemo.synchronized {
+      winnowMemo.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(winnowMemo.remove)
+      winnowMemo.getOrElseUpdate((spark, dir, win),
+        winnowHashes(docs(spark, dir), win).localCheckpoint())
+    }
+
   /** C39 — decontamination by winnowing-fingerprint overlap: the MOSS
     * guarantee (any shared run of ≥ win+2 tokens shares a fingerprint)
     * turned into a train/test overlap detector. Where C19 joins EVERY
@@ -169,8 +187,11 @@ object Retrieval {
     * exchange), one distinct, benchmark side broadcast (benchmark
     * suites are fixed-size while the corpus grows). */
   private[graft] def decontaminateWinnowFrom(docsFrame: DataFrame,
-      win: Int = 4, tauPpm: Long = 100000L): DataFrame = {
-    val fps = winnowHashes(docsFrame, win)
+      win: Int = 4, tauPpm: Long = 100000L): DataFrame =
+    decontaminateFromFps(docsFrame, winnowHashes(docsFrame, win), tauPpm)
+
+  private def decontaminateFromFps(docsFrame: DataFrame, fps: DataFrame,
+      tauPpm: Long): DataFrame = {
     val bench = fps.filter(col("source") === "src0")
       .select(col("fp_hash")).distinct().withColumn("hit", lit(1))
     val scored = fps.filter(col("source") =!= "src0")
@@ -193,10 +214,8 @@ object Retrieval {
 
   def decontaminateWinnow(spark: SparkSession, dir: String,
       win: Int = 4, tauPpm: Long = 100000L): DataFrame =
-    decontaminateWinnowFrom(
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
-      win, tauPpm)
+    decontaminateFromFps(docs(spark, dir),
+      winnowHashesCached(spark, dir, win), tauPpm)
 
   def decontaminateWinnowSql(win: Int = 4, tauPpm: Long = 100000L): String = {
     val allGrams =
@@ -270,16 +289,18 @@ object Retrieval {
     * distinct pairs, then the C4 gram-cache join for the exact verify. */
   def dedupContainment(spark: SparkSession, dir: String,
       win: Int = 4, tauPpm: Long = 800000L): DataFrame =
-    dedupContainmentFrom(
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
-      Dedup.gramFrame(spark, dir), win, tauPpm)
+    containmentFromFps(winnowHashesCached(spark, dir, win),
+      Dedup.gramFrame(spark, dir), tauPpm)
 
   /** `g` must carry (doc_id, grams) with grams = the DISTINCT 3-gram
     * set of the doc's text (the C4 cached frame in production). */
   private[graft] def dedupContainmentFrom(docsFrame: DataFrame, g: DataFrame,
-      win: Int = 4, tauPpm: Long = 800000L): DataFrame = {
-    val fps = winnowHashes(docsFrame, win).select(col("doc_id"), col("fp_hash"))
+      win: Int = 4, tauPpm: Long = 800000L): DataFrame =
+    containmentFromFps(winnowHashes(docsFrame, win), g, tauPpm)
+
+  private def containmentFromFps(fpsFull: DataFrame, g: DataFrame,
+      tauPpm: Long): DataFrame = {
+    val fps = fpsFull.select(col("doc_id"), col("fp_hash"))
     val cand = fps.as("a").join(fps.as("b"), Seq("fp_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

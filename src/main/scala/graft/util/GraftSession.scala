@@ -61,5 +61,7 @@ object GraftSession {
     // blocks above, or later lookups serve frames whose blocks are gone
     // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on first action).
     graft.ops.Similarity.clearIvfMemo()
+    graft.ops.Corpus.clearRepetitionMemo()
+    graft.ops.Retrieval.clearWinnowMemo()
   }
 }

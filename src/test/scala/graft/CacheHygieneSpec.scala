@@ -49,6 +49,27 @@ class CacheHygieneSpec extends AnyFunSuite {
     graft.util.GraftSession.releaseCaches(spark)
   }
 
+  test("repetition-profile and winnow-fingerprint memos share one build and release") {
+    graft.util.GraftSession.releaseCaches(spark)
+    val rep = ops.Corpus.textRepetition(spark, dir)
+    assert(ops.Corpus.textRepetition(spark, dir) eq rep,
+      "second C14 call should reuse the memoized profile")
+    val nRep = rep.count()
+    // C39 and C42 must share ONE fingerprint frame (win=4 default)
+    val d1 = ops.Retrieval.decontaminateWinnow(spark, dir).count()
+    val pinnedAfterDeco = pinnedRdds
+    val c1 = ops.Retrieval.dedupContainment(spark, dir).count()
+    graft.util.GraftSession.releaseCaches(spark)
+    assert(pinnedRdds == 0, s"release left $pinnedRdds pinned RDDs")
+    // rebuilt frames are live and identical after release
+    val rep2 = ops.Corpus.textRepetition(spark, dir)
+    assert(!(rep2 eq rep), "release must drop the C14 memo")
+    assert(rep2.count() == nRep)
+    assert(ops.Retrieval.decontaminateWinnow(spark, dir).count() == d1)
+    assert(ops.Retrieval.dedupContainment(spark, dir).count() == c1)
+    graft.util.GraftSession.releaseCaches(spark)
+  }
+
   test("dedup cluster memo shares one frame per (dir, tau) and releases") {
     graft.util.GraftSession.releaseCaches(spark)
     val a = ops.Curation.dedupClusters(spark, dir)
