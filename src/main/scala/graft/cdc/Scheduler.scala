@@ -286,11 +286,17 @@ object Scheduler {
     balanceStatus(tasks, nodes, batch).join(moves, Seq("grp"), "left")
   }
 
-  def groupBalanceSql(batch: Int = 1000, nRegions: Int = NRegions): String =
+  /** The shared balance CTE chain (spans → tasks → loads → …
+    * → moves) with the scheduler-group expression pluggable: `grp`
+    * for the per-table split groups (A80), `'default'` for the
+    * one-group default arm (A92's operator input). */
+  private def balanceCteSql(batch: Int, nRegions: Int,
+                            grpExpr: String): String =
     s"""WITH spans AS (${spanFrameSql(nRegions)}),
        |nodes(node) AS (VALUES $nodesValuesSql),
        |tasks AS (
-       |  SELECT grp, ${assignNodeSql("span")} AS node, span FROM spans
+       |  SELECT $grpExpr AS grp, ${assignNodeSql("span")} AS node, span
+       |  FROM spans
        |),
        |loads AS (
        |  SELECT g.grp, n.node, COALESCE(c.cnt, 0) AS cnt
@@ -359,10 +365,36 @@ object Scheduler {
        |  WHERE g.moved_before < $batch AND g.deficit > 0
        |    AND d.rnk <= g.grp_cap
        |)
-       |SELECT g.grp, g.grp_total, g.grp_lower, g.deficit, g.grp_cap,
-       |  g.moved_before, m.move_seq, m.span, m.from_node, m.from_height,
-       |  m.to_node, m.to_height
-       |FROM gated g LEFT JOIN moves m ON g.grp = m.grp""".stripMargin
+       |""".stripMargin
+
+  def groupBalanceSql(batch: Int = 1000, nRegions: Int = NRegions): String =
+    balanceCteSql(batch, nRegions, "grp") +
+      s"""SELECT g.grp, g.grp_total, g.grp_lower, g.deficit, g.grp_cap,
+         |  g.moved_before, m.move_seq, m.span, m.from_node, m.from_height,
+         |  m.to_node, m.to_height
+         |FROM gated g LEFT JOIN moves m ON g.grp = m.grp""".stripMargin
+
+  /** The default-group move list: all spans of a CHANGEFEED in one
+    * scheduler group (pkg/scheduler/balance.go:93-111 — spans live in
+    * the changefeed's default group unless a split put them in their
+    * own; one group per feed means small fleets still rebalance). A
+    * changefeed here is a schema — the per-schema feed convention of
+    * A76/A78. */
+  def defaultGroupMoves(cl: DataFrame, batch: Int = 1000,
+                        nRegions: Int = NRegions): DataFrame = {
+    val tasks = spanFrame(cl, nRegions)
+      .withColumn("node", assignNode(col("span")))
+      .select(substring_index(col("grp"), ".", 1).as("grp"),
+        col("node"), col("span"))
+    balanceFrame(tasks, nodeFrame(cl.sparkSession), batch)
+      .select(col("grp"), col("move_seq"), col("span"),
+        col("from_node"), col("to_node"))
+  }
+
+  def defaultGroupMovesSql(batch: Int = 1000,
+                           nRegions: Int = NRegions): String =
+    balanceCteSql(batch, nRegions, "SPLIT_PART(grp, '.', 1)") +
+      "SELECT grp, move_seq, span, from_node, to_node FROM moves"
 
   // ------------------------------------------------------------------
   // A81 — hot-span score walk + split decision

@@ -106,6 +106,8 @@ class PlanQualitySpec extends AnyFunSuite {
       // node-universe cross (A80), span x tick-grid cross (A81) —
       // all dimension-scale
       "cdc_sched_basic", "cdc_sched_balance", "cdc_hot_span",
+      // embeds cdc_sched_balance's group x node-universe cross
+      "cdc_operator_move",
       // 1-row corpus-scalars broadcast (q_scalar_subquery shape)
       "bm25_topk")
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -133,6 +135,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_kv_key_codec", "cdc_log_candidates",
       // node/span scheduling frames (Scheduler:136) — rows = nodes x spans
       "cdc_sched_basic", "cdc_sched_balance",
+      // embeds the A80 balance frame; its own fold is per-move grouped
+      "cdc_operator_move",
       // changefeed-fleet x boundary grid (Barrier) — rows = fleet size
       "cdc_gc_safepoint",
       // syncpoint boundary grid (MysqlDdl:168) — rows = max_ts / step

@@ -444,4 +444,114 @@ class SchedulerSpec extends AnyFunSuite {
       .count() == 0)
     frame.unpersist()
   }
+
+  // ---- A92 ----
+
+  /** MoveMaintainerOperator as written (operator_move.go:55-173):
+    * Check marks the origin stopped on a non-Working origin heartbeat
+    * and finishes on a Working dest heartbeat once stopped;
+    * OnNodeRemove checks the dest first (absent-cancel after stop,
+    * swap-to-add before); OnTaskRemoved cancels; Schedule polls
+    * remove-from-origin until stopped, then binds once and polls
+    * add-to-dest; finished/canceled operators ignore everything.
+    * Returns (tick, dest, stopped, bind, fin, can, msg, target, mark). */
+  private def seqMove(origin: Long, dest0: Long, evs: Seq[(Long, String, Long)])
+      : Seq[(Long, Long, Long, Long, Long, Long, String, Long, String)] = {
+    def b(x: Boolean) = if (x) 1L else 0L
+    var stopped = false; var bind = false; var fin = false; var can = false
+    var dest = dest0
+    val out = collection.mutable.Buffer
+      .empty[(Long, Long, Long, Long, Long, Long, String, Long, String)]
+    for ((tick, kind, node) <- evs.sortBy(_._1)) {
+      var msg = "none"; var target = -1L; var mark = ""
+      if (!fin && !can) {
+        kind match {
+          case "TASK_REMOVED" => can = true
+          case "NODE_REMOVE" if node == dest && stopped =>
+            can = true; mark = "absent"
+          case "NODE_REMOVE" if node == dest =>
+            dest = origin; bind = true; stopped = true
+          case "NODE_REMOVE" if node == origin => stopped = true
+          case "CHECK_STOPPED" if node == origin => stopped = true
+          case "CHECK_WORKING" if node == dest && stopped =>
+            fin = true; mark = "replicating"
+          case _ =>
+        }
+        if (!fin && !can) {
+          if (stopped) { bind = true; msg = "add"; target = dest }
+          else { msg = "remove"; target = origin }
+        }
+      }
+      if (tick == 0) mark = "scheduling"
+      out += ((tick, dest, b(stopped), b(bind), b(fin), b(can), msg, target, mark))
+    }
+    out.toSeq
+  }
+
+  test("A92: Catalyst fold equals the transcribed move machine on every arm") {
+    // one trace per arm family, plus the ignored-event edges: a
+    // premature dest-Working heartbeat (not yet stopped), events after
+    // finish/cancel, and a removal of an unrelated node
+    def hb(t: Long) = (t, "HB", -1L)
+    val traces: Map[String, Seq[(Long, String, Long)]] = Map(
+      "clean" -> Seq(hb(0), (1L, "CHECK_STOPPED", 0L), hb(2),
+        (3L, "CHECK_WORKING", 1L), hb(4)),
+      "early_working" -> Seq(hb(0), (1L, "CHECK_WORKING", 1L),
+        (2L, "CHECK_STOPPED", 0L), (3L, "CHECK_WORKING", 1L), hb(4)),
+      "origin_crash" -> Seq(hb(0), (1L, "NODE_REMOVE", 0L),
+        (2L, "CHECK_WORKING", 1L), hb(3), hb(4)),
+      "swap" -> Seq(hb(0), (1L, "NODE_REMOVE", 1L),
+        (2L, "CHECK_WORKING", 0L), hb(3), hb(4)),
+      "dest_crash_absent" -> Seq(hb(0), (1L, "CHECK_STOPPED", 0L),
+        (2L, "NODE_REMOVE", 1L), hb(3), (4L, "CHECK_WORKING", 1L)),
+      "task_removed" -> Seq(hb(0), (1L, "TASK_REMOVED", -1L),
+        (2L, "CHECK_STOPPED", 0L), hb(3), hb(4)),
+      "stall" -> Seq(hb(0), (1L, "CHECK_STOPPED", 0L), hb(2), hb(3), hb(4)),
+      "other_node" -> Seq(hb(0), (1L, "NODE_REMOVE", 3L), hb(2), hb(3), hb(4)))
+    val trace = traces.toSeq.flatMap { case (op, evs) =>
+      evs.map { case (t, kind, node) => (op, op, 0L, 1L, t, kind, node) }
+    }.toDF("grp", "span", "origin", "dest0", "tick", "kind", "node")
+    val got = cdc.OperatorLifecycle.moveFrame(trace)
+      .select("span", "tick", "dest", "origin_stopped", "bound", "finished",
+        "canceled", "msg", "msg_target", "db_mark")
+      .as[(String, Long, Long, Long, Long, Long, Long, String, Long, String)]
+      .collect().groupBy(_._1)
+      .map { case (op, rs) => op ->
+        rs.sortBy(_._2).map(r =>
+          (r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10)).toSeq }
+    traces.foreach { case (op, evs) =>
+      assert(got(op) == seqMove(0L, 1L, evs),
+        s"$op: ${got(op)} != ${seqMove(0L, 1L, evs)}")
+    }
+  }
+
+  test("A92: production frame — lifecycle postconditions over the balance moves") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val frame = cdc.OperatorLifecycle.operatorMove(cl).cache()
+    val nOps = frame.select("grp", "span").distinct().count()
+    assert(nOps > 0)
+    // the full tick grid per operator, Start marked exactly at tick 0
+    assert(frame.count() == nOps * (cdc.OperatorLifecycle.MaxTick + 1))
+    assert(frame.filter(col("db_mark") === "scheduling").count() == nOps)
+    assert(frame.filter(col("db_mark") === "scheduling" && col("tick") =!= 0L)
+      .count() == 0)
+    // finished and canceled are absorbing and mutually exclusive
+    assert(frame.filter(col("finished") === 1L && col("canceled") === 1L)
+      .count() == 0)
+    val finals = frame.filter(col("tick") === cdc.OperatorLifecycle.MaxTick).cache()
+    // a finished op was marked replicating exactly once; a canceled-by-
+    // dest-loss op was marked absent exactly once; a stalled op is
+    // still re-scheduling the Add to its dest
+    val fin = finals.filter(col("finished") === 1L).select("grp", "span")
+    assert(frame.join(fin, Seq("grp", "span"))
+      .filter(col("db_mark") === "replicating")
+      .groupBy("grp", "span").count().filter(col("count") =!= 1L).count() == 0)
+    assert(frame.filter(col("db_mark") === "absent" && col("canceled") === 0L)
+      .count() == 0)
+    assert(finals.filter(col("finished") === 0L && col("canceled") === 0L &&
+      !(col("msg") === "add" && col("origin_stopped") === 1L)).count() == 0)
+    // the swap arm really swapped: some operator ends bound to its origin
+    assert(finals.filter(col("dest") === col("origin")).count() > 0)
+    finals.unpersist(); frame.unpersist()
+  }
 }
