@@ -240,6 +240,7 @@ object SparkEntry {
     "decontaminate_winnow" -> ((s, d) => ops.Retrieval.decontaminateWinnow(s, d)),
     "dedup_containment" -> ((s, d) => ops.Retrieval.dedupContainment(s, d)),
     "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
+    "hybrid_rrf_topk" -> ((s, d) => ops.Retrieval.hybridRrfTopK(s, d)),
     "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
     "dedup_clusters" -> ((s, d) => ops.Curation.dedupClusters(s, d)),
     "contamination_ngram" -> ((s, d) => ops.Curation.contamination(s, d)),
@@ -418,6 +419,7 @@ object SparkEntry {
     "decontaminate_winnow" -> ops.Retrieval.decontaminateWinnowSql(),
     "dedup_containment" -> ops.Retrieval.dedupContainmentSql(),
     "bm25_topk" -> ops.Retrieval.bm25TopKSql(),
+    "hybrid_rrf_topk" -> ops.Retrieval.hybridRrfTopKSql(),
     "data_split" -> ops.Corpus.dataSplitSql(),
     "dedup_clusters" -> ops.Curation.dedupClustersSql(),
     "contamination_ngram" -> ops.Curation.contaminationSql,

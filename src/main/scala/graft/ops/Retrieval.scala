@@ -501,4 +501,100 @@ object Retrieval {
        |  FROM pivoted
        |) WHERE rank <= $k""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // C48 — hybrid retrieval (reciprocal-rank fusion)
+  // ------------------------------------------------------------------
+
+  /** C48 — hybrid sparse+dense retrieval fused by Reciprocal Rank
+    * Fusion (Cormack, Clarke, Buettcher, SIGIR 2009): the standard
+    * production-RAG shape — run BM25 (C38) and dense cosine top-k
+    * over the same corpus, then fuse per-document by
+    * RRF(d) = Σ_arms 1/(κ + rank_arm(d)), κ = 60.
+    *
+    * Integer-exact fusion: each arm contributes
+    * 1000000 div (κ + rank) micro-units (positive truncating division
+    * — identical in both engines), so the fused score is a BIGINT and
+    * the oracle hash is stable. A document missing from an arm (docs
+    * without embeddings, or outside that arm's top-k) contributes 0
+    * and reports rank −1, the repo's sentinel convention. Documents
+    * and embeddings are linked by id (vec_id embeds doc_id's text) —
+    * the dense arm covers the embedded subset, exactly the
+    * partial-coverage reality RRF is built for.
+    *
+    * Scale shape: both arms end in a distributed top-k
+    * (TakeOrderedAndProject via orderBy+limit — the C38 discipline,
+    * never a corpus-scale global window); everything after the limits
+    * is a ≤2·kArm-row frame, so the full-outer fusion join and the
+    * final re-rank window are bounded by construction. */
+  def hybridRrfTopK(spark: SparkSession, dir: String,
+                    kArm: Int = 50, k: Int = 20, rrfK: Int = 60,
+                    queryVec: Long = 0L): DataFrame = {
+    val sparse = bm25TopK(spark, dir, kArm)
+      .select(col("doc_id"), col("rank").as("sparse_rank"))
+    val c = Similarity.corpus(spark, dir)
+    val q = c.filter(col("vec_id") === queryVec)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val dense = c.filter(col("vec_id") =!= queryVec)
+      .join(broadcast(q))
+      .withColumn("cosine",
+        round(Similarity.dot("qv", "v") / (col("qn") * col("nrm")), 4))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(kArm)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("sparse_rank"), lit(-1L)).as("sparse_rank"),
+        coalesce(col("dense_rank"), lit(-1L)).as("dense_rank"),
+        (coalesce(expr(s"1000000L div (${rrfK}L + sparse_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L div (${rrfK}L + dense_rank)"), lit(0L)))
+          .as("rrf_u"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_u").desc, col("doc_id"))).cast("long"))
+  }
+
+  def hybridRrfTopKSql(kArm: Int = 50, k: Int = 20, rrfK: Int = 60,
+                       queryVec: Long = 0L): String = {
+    val bm25 = bm25TopKSql(kArm)
+      .linesIterator.map("    " + _).mkString("\n")
+    s"""WITH ${Similarity.corpusSql},
+       |q AS (SELECT v AS qv, nrm AS qn FROM c WHERE vec_id = $queryVec),
+       |dscore AS (
+       |  SELECT c.vec_id,
+       |    ROUND((${Similarity.dotSql("c.v", "qv")}) / (c.nrm * qn), 4)
+       |      AS cosine
+       |  FROM c CROSS JOIN q WHERE c.vec_id <> $queryVec
+       |),
+       |dense AS (
+       |  SELECT vec_id AS doc_id, rnk AS dense_rank FROM (
+       |    SELECT vec_id, cosine,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id)
+       |        AS BIGINT) AS rnk
+       |    FROM dscore
+       |  ) WHERE rnk <= $kArm
+       |),
+       |sparse AS (
+       |  SELECT doc_id, rank AS sparse_rank FROM (
+       |$bm25
+       |  ) s
+       |),
+       |fused AS (
+       |  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+       |    CAST(COALESCE(s.sparse_rank, -1) AS BIGINT) AS sparse_rank,
+       |    CAST(COALESCE(d.dense_rank, -1) AS BIGINT) AS dense_rank,
+       |    CAST(COALESCE(1000000 // ($rrfK + s.sparse_rank), 0)
+       |      + COALESCE(1000000 // ($rrfK + d.dense_rank), 0) AS BIGINT)
+       |      AS rrf_u
+       |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, sparse_rank, dense_rank, rrf_u, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id)
+       |    AS BIGINT) AS rank
+       |  FROM fused
+       |) WHERE rank <= $k""".stripMargin
+  }
 }

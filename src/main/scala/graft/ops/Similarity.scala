@@ -44,11 +44,11 @@ object Similarity {
     * projection, falling back to interpreted execution. Accumulation
     * order (i ascending, left-assoc) matches the SQL rendering
     * exactly, so IEEE results are bit-identical. */
-  private def dot(a: String, b: String): Column =
+  private[ops] def dot(a: String, b: String): Column =
     graft.functions.VectorExprs.dot(a, b)
 
   /** DuckDB rendering of [[dot]] (1-based lists). */
-  private def dotSql(a: String, b: String): String =
+  private[ops] def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
 
   /** Signed projection of column `v` onto a literal plane. */
@@ -67,7 +67,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot("v", "v")))
 
-  private val corpusSql: String =
+  private[ops] val corpusSql: String =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |c AS (SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)""".stripMargin
 

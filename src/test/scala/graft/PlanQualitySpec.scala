@@ -109,7 +109,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // embeds cdc_sched_balance's group x node-universe cross
       "cdc_operator_move",
       // 1-row corpus-scalars broadcast (q_scalar_subquery shape)
-      "bm25_topk")
+      "bm25_topk",
+      // embeds bm25_topk's scalar cross + the 1-row query-vector cross
+      "hybrid_rrf_topk")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")

@@ -188,4 +188,45 @@ class RetrievalSpec extends AnyFunSuite {
     // 8 shared grams over ~96 union grams
     assert(p._5 < 200000L, s"the long side must NOT be contained: $p")
   }
+
+  test("C48: RRF fusion equals the per-arm recomputation and prefers dual-arm hits") {
+    val kArm = 50; val rrfK = 60L
+    val fused = ops.Retrieval.hybridRrfTopK(spark, dir, kArm = kArm)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(fused.nonEmpty)
+    // independent recomputation of both arm rankings
+    val sparse = ops.Retrieval.bm25TopK(spark, dir, kArm)
+      .select(col("doc_id"), col("rank")).as[(Long, Long)].collect().toMap
+    val c = ops.Similarity.corpus(spark, dir)
+    val qRow = c.filter(col("vec_id") === 0L).select("v", "nrm").head()
+    val qv = qRow.getSeq[Double](0); val qn = qRow.getDouble(1)
+    val dense = c.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .map { case (id, v, n) =>
+        val dotp = v.indices.foldLeft(0.0)((a, i) => a + qv(i) * v(i))
+        (id, BigDecimal(dotp / (qn * n))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, cos) => (-cos, id) }.take(kArm).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // every fused row's score is exactly the sum of its arm contributions
+    fused.values.foreach { case (id, sr, dr, rrf, _) =>
+      assert(sr == sparse.getOrElse(id, -1L), s"doc $id sparse rank")
+      assert(dr == dense.getOrElse(id, -1L), s"doc $id dense rank")
+      val expect = (if (sr > 0) 1000000L / (rrfK + sr) else 0L) +
+        (if (dr > 0) 1000000L / (rrfK + dr) else 0L)
+      assert(rrf == expect, s"doc $id rrf $rrf != $expect")
+    }
+    // ranks are dense 1..k by (rrf desc, doc_id)
+    val byRank = fused.values.toSeq.sortBy(_._5)
+    assert(byRank.map(_._5) == (1L to byRank.size.toLong))
+    assert(byRank.sliding(2).forall {
+      case Seq(a, b) => a._4 > b._4 || (a._4 == b._4 && a._1 < b._1)
+      case _ => true
+    })
+    // fusion actually fuses: some top document carries BOTH arm ranks
+    assert(fused.values.exists(r => r._2 > 0 && r._3 > 0),
+      "no dual-arm document in the fused top-k")
+  }
 }
