@@ -167,6 +167,66 @@ object Curation {
        |  CAST(doc_id = cluster_id AS BIGINT) AS canonical
        |FROM cc""".stripMargin
 
+  // ---------------------------------------------------------------- C49
+
+  /** C49 — quality-aware survivor selection: the step production
+    * pipelines run INSTEAD of C18's min-id canonical — within each
+    * dedup cluster keep the highest-quality member (the C45 model
+    * score; ties to the lowest doc_id), drop the rest. Gopher/CCNet
+    * lineage: near-dup groups keep their cleanest representative, not
+    * an arbitrary one, so dedup never degrades corpus quality.
+    *
+    * Composition of two verified frames — the memoized C18 cluster
+    * assignment and the row-local C45 scores — plus ONE
+    * cluster-partitioned rank window (bounded by the cluster, never
+    * the corpus; hot clusters are exactly-duplicated boilerplate and
+    * stay far below a partition). `why` makes the decision auditable:
+    * singleton / best_quality / dominated. */
+  def dedupKeepBest(spark: SparkSession, dir: String,
+                    tau: Double = 0.5): DataFrame = {
+    val clusters = dedupClusters(spark, dir, tau)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val scores = TextAnalysis.qualityModelFilter(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    clusters.join(scores, Seq("doc_id"))
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .withColumn("keep", (col("pick") === 1L).cast("long"))
+      .withColumn("why",
+        when(col("cluster_size") === 1L, "singleton")
+          .when(col("pick") === 1L, "best_quality")
+          .otherwise("dominated"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("score"), col("keep"), col("why"))
+  }
+
+  def dedupKeepBestSql(tau: Double = 0.5): String = {
+    val cc = dedupClustersSql(tau).linesIterator.map("    " + _).mkString("\n")
+    val qm = TextAnalysis.qualityModelFilterSql()
+      .linesIterator.map("    " + _).mkString("\n")
+    s"""WITH clusters AS (
+       |  SELECT doc_id, cluster_id, cluster_size FROM (
+       |$cc
+       |  ) c
+       |), scores AS (
+       |  SELECT doc_id, score FROM (
+       |$qm
+       |  ) q
+       |), ranked AS (
+       |  SELECT c.doc_id, c.cluster_id, c.cluster_size, s.score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY s.score DESC, c.doc_id) AS BIGINT) AS pick
+       |  FROM clusters c JOIN scores s ON s.doc_id = c.doc_id
+       |)
+       |SELECT doc_id, cluster_id, cluster_size, score,
+       |  CAST(pick = 1 AS BIGINT) AS keep,
+       |  CASE WHEN cluster_size = 1 THEN 'singleton'
+       |       WHEN pick = 1 THEN 'best_quality'
+       |       ELSE 'dominated' END AS why
+       |FROM ranked""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C19
 
   /** Benchmark source whose grams define the contamination set. */

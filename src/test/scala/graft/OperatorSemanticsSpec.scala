@@ -1076,6 +1076,30 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     for (d <- dups if docs(d) != "src0") assert(m(d)._1 == "duplicate")
   }
 
+  test("C49: keep-best retains exactly the max-quality member of every cluster") {
+    val kb = ops.Curation.dedupKeepBest(spark, dir).cache()
+    val scores = ops.TextAnalysis.qualityModelFilter(spark, dir)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = kb.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty && rows.forall { case (id, _, _, s, _, _) =>
+      s == scores(id) })
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      // exactly one survivor, and it is the (score desc, id asc) argmax
+      assert(members.count(_._5 == 1L) == 1, s"cluster $cid keep count")
+      val best = members.minBy(m => (-m._4, m._1))
+      assert(best._5 == 1L, s"cluster $cid kept ${members.filter(_._5 == 1L)}")
+      // why mirrors the decision
+      members.foreach { m =>
+        val expect = if (m._3 == 1L) "singleton"
+          else if (m._5 == 1L) "best_quality" else "dominated"
+        assert(m._6 == expect, s"doc ${m._1}: ${m._6} != $expect")
+      }
+    }
+    kb.unpersist()
+  }
+
   test("stratified sampling is deterministic and respects per-language rates") {
     val s1 = ops.Curation.stratifiedSample(spark, dir).collect()
     val s2 = ops.Curation.stratifiedSample(spark, dir).collect()
