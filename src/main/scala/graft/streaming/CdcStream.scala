@@ -321,4 +321,74 @@ object CdcStream {
             s.last_tick, stale, hot, if (hot == 1L) splitSpans.toLong else 0L)
       }
   }
+
+  /** A92s input: one heartbeat tick of a move operator's event trace. */
+  case class MoveEvent(grp: String, span: String, origin: Long, dest0: Long,
+                       tick: Long, kind: String, node: Long)
+
+  /** The move operator's live fields (operator_move.go:36-40:
+    * originNodeStopped / bind / finished / canceled, plus the dest
+    * that the rollback arm rewrites). */
+  case class MoveState(stopped: Boolean, bind: Boolean, fin: Boolean,
+                       can: Boolean, dest: Long)
+
+  case class MoveOutcome(grp: String, span: String, origin: Long, tick: Long,
+                         kind: String, node: Long, dest: Long,
+                         origin_stopped: Long, bound: Long, finished: Long,
+                         canceled: Long, msg: String, msg_target: Long,
+                         db_mark: String)
+
+  /** A92s — the move-operator machine as a continuous stateful
+    * stream: the reference operator IS event-driven (each
+    * Check/OnNodeRemove/OnTaskRemoved call mutates the five live
+    * fields, then the controller polls Schedule), so the state is ONE
+    * 5-field record per in-flight operator and each micro-batch folds
+    * its events in tick order. The batch operator (A92) computes the
+    * same replay as a Catalyst aggregate; the spec replays the
+    * production trace across micro-batch boundaries and asserts the
+    * two readings agree row-for-row. In-order arrival across batches
+    * is the contract (heartbeats are the controller's own poll
+    * cadence); state is bounded by the in-flight operator count. */
+  def streamOperatorMove(ev: Dataset[MoveEvent]): Dataset[MoveOutcome] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(e => (e.grp, e.span, e.origin, e.dest0))
+      .flatMapGroupsWithState[MoveState, MoveOutcome](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((grp, span, origin, dest0), it, state: GroupState[MoveState]) =>
+          var s = state.getOption.getOrElse(
+            MoveState(stopped = false, bind = false, fin = false,
+              can = false, dest = dest0))
+          val out = scala.collection.mutable.Buffer[MoveOutcome]()
+          it.toSeq.sortBy(_.tick).foreach { e =>
+            var msg = "none"; var target = -1L; var mark = ""
+            if (!s.fin && !s.can) {
+              e.kind match {
+                case "TASK_REMOVED" => s = s.copy(can = true)
+                case "NODE_REMOVE" if e.node == s.dest && s.stopped =>
+                  s = s.copy(can = true); mark = "absent"
+                case "NODE_REMOVE" if e.node == s.dest =>
+                  s = s.copy(dest = origin, bind = true, stopped = true)
+                case "NODE_REMOVE" if e.node == origin =>
+                  s = s.copy(stopped = true)
+                case "CHECK_STOPPED" if e.node == origin =>
+                  s = s.copy(stopped = true)
+                case "CHECK_WORKING" if e.node == s.dest && s.stopped =>
+                  s = s.copy(fin = true); mark = "replicating"
+                case _ =>
+              }
+              if (!s.fin && !s.can) {
+                if (s.stopped) { s = s.copy(bind = true); msg = "add"; target = s.dest }
+                else { msg = "remove"; target = origin }
+              }
+            }
+            if (e.tick == 0L) mark = "scheduling"
+            def b(x: Boolean) = if (x) 1L else 0L
+            out += MoveOutcome(grp, span, origin, e.tick, e.kind, e.node,
+              s.dest, b(s.stopped), b(s.bind), b(s.fin), b(s.can),
+              msg, target, mark)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 }
