@@ -124,6 +124,7 @@ object SparkEntry {
     "cdc_changefeed_backoff" -> ((s, d) =>
       ChangefeedBackoff.backoff(cl(s, d), backoffFleet)),
     "cdc_operator_move" -> ((s, d) => OperatorLifecycle.operatorMove(cl(s, d))),
+    "cdc_operator_addstop" -> ((s, d) => OperatorLifecycle.operatorAddStop(cl(s, d))),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_table_progress" -> ((s, d) => Materialize.tableProgress(cl(s, d))),
@@ -305,6 +306,7 @@ object SparkEntry {
     "cdc_span_split_regions" -> o(Scheduler.spanSplitRegionsSql()),
     "cdc_changefeed_backoff" -> o(ChangefeedBackoff.backoffSql(backoffFleet)),
     "cdc_operator_move" -> o(OperatorLifecycle.operatorMoveSql()),
+    "cdc_operator_addstop" -> o(OperatorLifecycle.operatorAddStopSql()),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_table_progress" -> o(Materialize.tableProgressSql()),

@@ -23,6 +23,19 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Scan parallelism: the row-local codec family deliberately
+      // inherits scan partitioning (PlanQualitySpec pins "no shuffle
+      // beyond the scan") — on a real cluster the source arrives in
+      // many splits and the work spreads for free. Locally two things
+      // must cooperate for that to happen: the file needs multiple
+      // row groups (a split only processes row groups STARTING inside
+      // its byte range — the driver's single-row-group files are
+      // unsplittable at any setting, measured: 24 nominal splits, one
+      // did all the work) and maxPartitionBytes must be below the
+      // file size. 512k sizes splits to ~1 row group of the ladder
+      // probes' 50k-row groups (tools/scaleprobe.py); driver-SF
+      // behavior is unchanged (their files are one row group).
+      .config("spark.sql.files.maxPartitionBytes", "512k")
       // ~100 queries x several codegen stages each far exceeds the
       // default 100-entry generated-class cache: a pass-interleaved
       // bench (or any long-lived session composing many operators)

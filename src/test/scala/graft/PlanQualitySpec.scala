@@ -108,6 +108,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_sched_basic", "cdc_sched_balance", "cdc_hot_span",
       // embeds cdc_sched_balance's group x node-universe cross
       "cdc_operator_move",
+      // embeds cdc_sched_basic's 1-row absent-count cross
+      "cdc_operator_addstop",
       // 1-row corpus-scalars broadcast (q_scalar_subquery shape)
       "bm25_topk",
       // embeds bm25_topk's scalar cross + the 1-row query-vector cross
@@ -139,6 +141,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_sched_basic", "cdc_sched_balance",
       // embeds the A80 balance frame; its own fold is per-move grouped
       "cdc_operator_move",
+      // embeds the A79 slot frame + the changefeed-universe stop rank
+      "cdc_operator_addstop",
       // changefeed-fleet x boundary grid (Barrier) — rows = fleet size
       "cdc_gc_safepoint",
       // syncpoint boundary grid (MysqlDdl:168) — rows = max_ts / step

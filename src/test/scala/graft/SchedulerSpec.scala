@@ -525,6 +525,98 @@ class SchedulerSpec extends AnyFunSuite {
     }
   }
 
+  /** AddMaintainerOperator (operator_add.go:49-99) and
+    * StopChangefeedOperator (operator_stop.go:55-112) as written.
+    * Returns (tick, cur, fin, can, msg, target, mark). */
+  private def seqAddStop(opType: String, removed: Long, dest0: Long,
+                         evs: Seq[(Long, String, Long)])
+      : Seq[(Long, Long, Long, Long, String, Long, String)] = {
+    def b(x: Boolean) = if (x) 1L else 0L
+    var fin = false; var can = false; var cur = dest0
+    val out = collection.mutable.Buffer
+      .empty[(Long, Long, Long, Long, String, Long, String)]
+    for ((tick, kind, node) <- evs.sortBy(_._1)) {
+      var msg = "none"; var target = -1L; var mark = ""
+      if (!fin) {
+        if (opType == "add") kind match {
+          case "CHECK_WORKING" if node == cur =>
+            fin = true; mark = "replicating"
+          case "NODE_REMOVE" if node == cur =>
+            fin = true; can = true; mark = "absent"
+          case "TASK_REMOVED" => fin = true; can = true; mark = "absent"
+          case _ => msg = "add"; target = cur
+        } else kind match {
+          case "CHECK_NONWORKING" | "TASK_REMOVED" =>
+            fin = true
+            mark = if (removed == 1L) "deleted" else "progress_none"
+          case "NODE_REMOVE" if node == cur =>
+            cur = 0L; msg = "remove"; target = 0L
+          case _ => msg = "remove"; target = cur
+        }
+      }
+      if (tick == 0 && opType == "add") mark = "bound"
+      out += ((tick, cur, b(fin), b(can), msg, target, mark))
+    }
+    out.toSeq
+  }
+
+  test("A94: Catalyst fold equals the transcribed add/stop machines on every arm") {
+    def hb(t: Long) = (t, "HB", -1L)
+    // (opType, removed, traces): adds on dest 2, stops on node 1
+    val cases: Seq[(String, String, Long, Seq[(Long, String, Long)])] = Seq(
+      ("add_clean", "add", -1L, Seq(hb(0), hb(1), (2L, "CHECK_WORKING", 2L), hb(3))),
+      ("add_wrong_node", "add", -1L,
+        Seq(hb(0), (1L, "CHECK_WORKING", 3L), (2L, "NODE_REMOVE", 2L), hb(3))),
+      ("add_task_rm", "add", -1L,
+        Seq(hb(0), (1L, "TASK_REMOVED", -1L), (2L, "CHECK_WORKING", 2L), hb(3))),
+      ("add_stall", "add", -1L, Seq(hb(0), hb(1), hb(2), hb(3))),
+      ("stop_clean_del", "stop", 1L,
+        Seq(hb(0), hb(1), (2L, "CHECK_NONWORKING", -1L), hb(3))),
+      ("stop_redirect", "stop", 0L,
+        Seq(hb(0), (1L, "NODE_REMOVE", 2L), hb(2), (3L, "CHECK_NONWORKING", -1L))),
+      ("stop_task_rm", "stop", 0L,
+        Seq(hb(0), (1L, "TASK_REMOVED", -1L), hb(2), hb(3))))
+    val trace = cases.flatMap { case (id, op, rem, evs) =>
+      evs.map { case (t, k, n) => (op, id, rem, 2L, t, k, n) }
+    }.toDF("op_type", "op_id", "removed", "dest0", "tick", "kind", "node")
+    val got = cdc.OperatorLifecycle.addStopFrame(trace)
+      .select("op_id", "tick", "cur", "finished", "canceled", "msg",
+        "msg_target", "db_mark")
+      .as[(String, Long, Long, Long, Long, String, Long, String)]
+      .collect().groupBy(_._1)
+      .map { case (id, rs) => id ->
+        rs.sortBy(_._2).map(r => (r._2, r._3, r._4, r._5, r._6, r._7, r._8)).toSeq }
+    cases.foreach { case (id, op, rem, evs) =>
+      assert(got(id) == seqAddStop(op, rem, 2L, evs),
+        s"$id: ${got(id)} != ${seqAddStop(op, rem, 2L, evs)}")
+    }
+  }
+
+  test("A94: production frame — every A79 assignment gets an add op, every feed a stop op") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val frame = cdc.OperatorLifecycle.operatorAddStop(cl).cache()
+    val nAdds = cdc.Scheduler.basicSchedule(cl).count()
+    val nStops = cl.select("schema_name").distinct().count()
+    assert(frame.filter(col("op_type") === "add")
+      .select("op_id").distinct().count() == nAdds)
+    assert(frame.filter(col("op_type") === "stop")
+      .select("op_id").distinct().count() == nStops)
+    // add ops bind at start; stop PostFinish marks are removed-parity
+    assert(frame.filter(col("op_type") === "add" && col("tick") === 0L &&
+      col("db_mark") =!= "bound").count() == 0)
+    assert(frame.filter(col("db_mark") === "deleted" &&
+      col("removed") =!= 1L).count() == 0)
+    assert(frame.filter(col("db_mark") === "progress_none" &&
+      col("removed") =!= 0L).count() == 0)
+    // a redirected stop polls the coordinator node afterward
+    val redirected = frame.filter(col("op_type") === "stop" &&
+      col("kind") === "NODE_REMOVE").cache()
+    if (redirected.count() > 0)
+      assert(redirected.filter(col("msg") =!= "remove" ||
+        col("msg_target") =!= 0L).count() == 0)
+    redirected.unpersist(); frame.unpersist()
+  }
+
   test("A92: production frame — lifecycle postconditions over the balance moves") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val frame = cdc.OperatorLifecycle.operatorMove(cl).cache()

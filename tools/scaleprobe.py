@@ -57,7 +57,7 @@ def sf1x(out, replicas=10):
                 shifted = pc.add(r[col], i * stride[label])
                 r = r.set_column(idx, r.schema.field(col), shifted.cast(r.schema.field(col).type))
             parts.append(r)
-        pq.write_table(pa.concat_tables(parts), f"{out}/{tbl}.parquet")
+        pq.write_table(pa.concat_tables(parts), f"{out}/{tbl}.parquet", row_group_size=50000)
         print(f"[sf1x] {tbl}: {t.num_rows} -> {t.num_rows * replicas} rows")
 
 def skew(out, hot_frac=0.2):
