@@ -10,6 +10,10 @@ object SparkEntry {
 
   // fixed demo parameters for the oracle-checked query entries
   private val tableRules   = Seq("db0.%", "db1.t1")
+  // A95: ordered polarity rules — leading exclusion prepends the
+  // implicit accept-all; db1.t1 is RE-included after the t1 exclusion;
+  // db0.t0 is re-included after the db0.% exclusion
+  private val polarityRules = Seq("!%.t1", "db1.t1", "!db0.%", "db0.t0")
   private val ignoreOps    = Seq("D")
   private val nParts       = 16
   private val dispatchCols = Seq("event_type", "props")
@@ -91,6 +95,8 @@ object SparkEntry {
     "cdc_changelog_build" -> ((s, d) => cl(s, d)),
     "cdc_event_sort" -> ((s, d) => Materialize.eventSort(cl(s, d))),
     "cdc_table_filter" -> ((s, d) => Filters.tableFilter(cl(s, d), tableRules)),
+    "cdc_table_filter_polarity" -> ((s, d) =>
+      Filters.tableFilterPolarity(cl(s, d), polarityRules)),
     "cdc_event_type_filter" -> ((s, d) => Filters.eventTypeFilter(cl(s, d), ignoreOps)),
     "cdc_expr_filter" -> ((s, d) => Filters.exprFilter(cl(s, d),
       col("after_value") > 150.0 && col("event_type") === "purchase")),
@@ -275,6 +281,8 @@ object SparkEntry {
     "cdc_event_sort" -> o(Materialize.eventSortSql),
     "cdc_table_filter" -> o(
       s"SELECT * FROM changelog WHERE ${Filters.tableFilterSql(tableRules)}"),
+    "cdc_table_filter_polarity" -> o(
+      Filters.tableFilterPolaritySql(polarityRules)),
     "cdc_event_type_filter" -> o(
       s"SELECT * FROM changelog WHERE op NOT IN ('D')"),
     "cdc_expr_filter" -> o(

@@ -62,6 +62,60 @@ object Filters {
     ddl.filter(!(typePred || sqlPred))
   }
 
+  /** A95 — the FULL table-filter rule semantics of the reference's
+    * matcher (pkg/filter/filter.go `tableFilter.ShouldIgnoreTable`,
+    * backed by the public tidb-tools table-filter): rules are an
+    * ORDERED list, each positive (`db.tbl` pattern) or negative
+    * (`!db.tbl`); a table is replicated iff the LAST matching rule is
+    * positive; a table matching NO rule is dropped; and when the
+    * FIRST rule is negative an implicit accept-all is prepended (so a
+    * config of only exclusions means "everything except these").
+    * Patterns here are SQL-LIKE (`%`/`_`), the repo's rendering of
+    * the matcher wildcards, compared case-insensitively
+    * (filter.go's CaseSensitive=false default).
+    *
+    * Built as a nested last-rule-outermost CASE — a row-local
+    * predicate chain that pushes into the scan like every other
+    * filter; `decided_by` carries the index (into the EFFECTIVE list,
+    * implicit rule = 0) of the deciding rule, -1 = no match, for
+    * config auditability. */
+  def tableFilterPolarity(cl: DataFrame, rules: Seq[String]): DataFrame = {
+    val eff = effectiveRules(rules)
+    val q = lower(concat_ws(".", col("schema_name"), col("table_name")))
+    val keep = eff.zipWithIndex.foldLeft(lit(false)) {
+      case (acc, ((pat, pos), _)) =>
+        when(q.like(pat.toLowerCase), lit(pos)).otherwise(acc)
+    }
+    val decider = eff.zipWithIndex.foldLeft(lit(-1L)) {
+      case (acc, ((pat, _), i)) =>
+        when(q.like(pat.toLowerCase), lit(i.toLong)).otherwise(acc)
+    }
+    cl.withColumn("decided_by", decider)
+      .filter(keep)
+  }
+
+  /** ("pattern", positive?) with the implicit accept-all prepended
+    * when the first configured rule is an exclusion. */
+  private def effectiveRules(rules: Seq[String]): Seq[(String, Boolean)] = {
+    val parsed = rules.map(r =>
+      if (r.startsWith("!")) (r.drop(1), false) else (r, true))
+    if (parsed.headOption.exists(!_._2)) ("%.%", true) +: parsed else parsed
+  }
+
+  def tableFilterPolaritySql(rules: Seq[String]): String = {
+    val eff = effectiveRules(rules)
+    val q = "LOWER(CONCAT(schema_name, '.', table_name))"
+    def esc(p: String) = p.toLowerCase.replace("'", "''")
+    val keep = eff.foldLeft("FALSE") { case (acc, (pat, pos)) =>
+      s"CASE WHEN $q LIKE '${esc(pat)}' THEN ${if (pos) "TRUE" else "FALSE"} ELSE $acc END"
+    }
+    val decider = eff.zipWithIndex.foldLeft("CAST(-1 AS BIGINT)") {
+      case (acc, ((pat, _), i)) =>
+        s"CASE WHEN $q LIKE '${esc(pat)}' THEN CAST($i AS BIGINT) ELSE $acc END"
+    }
+    s"SELECT *, $decider AS decided_by FROM changelog WHERE $keep"
+  }
+
   def ddlSqlEventFilterSql(ddlFrameSql: String, ignoreTypes: Seq[String],
                            ignoreSql: Seq[String]): String = {
     val typePred =

@@ -64,6 +64,55 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       ceil(col("n_stmts").cast("double") / 2.0).cast("long")).count() == 0)
   }
 
+  /** tidb-tools table-filter semantics as written (filter.go
+    * ShouldIgnoreTable): ordered rules, last match wins, no-match
+    * drops, leading exclusion prepends the implicit accept-all.
+    * Returns (keep, deciderIdx into the effective list, -1 no match). */
+  private def seqPolarity(rules: Seq[String], schema: String,
+                          table: String): (Boolean, Long) = {
+    val parsed = rules.map(r =>
+      if (r.startsWith("!")) (r.drop(1), false) else (r, true))
+    val eff = if (parsed.headOption.exists(!_._2)) ("%.%", true) +: parsed
+      else parsed
+    val q = s"$schema.$table".toLowerCase
+    def like(pat: String): Boolean = {
+      val re = java.util.regex.Pattern.quote(pat.toLowerCase)
+        .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
+      q.matches(re)
+    }
+    var keep = false; var idx = -1L
+    for (((pat, pos), i) <- eff.zipWithIndex if like(pat)) {
+      keep = pos; idx = i
+    }
+    (keep, idx)
+  }
+
+  test("A95: polarity table filter equals the sequential last-match-wins matcher") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val rules = Seq("!%.t1", "db1.t1", "!db0.%", "db0.t0")
+    val got = cdc.Filters.tableFilterPolarity(cl, rules)
+      .select("schema_name", "table_name", "decided_by").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val universe = cl.select("schema_name", "table_name").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(universe.nonEmpty)
+    universe.foreach { case (s, t) =>
+      val (keep, idx) = seqPolarity(rules, s, t)
+      assert(got.contains((s, t)) == keep, s"$s.$t keep mismatch")
+      if (keep) assert(got((s, t)) == idx, s"$s.$t decider")
+    }
+    // the demo rules exercise the interesting arms on the real universe:
+    // a re-included table after exclusion, and a wildcard-excluded one
+    assert(got.contains(("db1", "t1")), "re-inclusion arm missing")
+    assert(!got.contains(("db0", "t1")), "exclusion arm missing")
+    assert(got.contains(("db0", "t0")), "re-inclusion after db-wildcard missing")
+    // no leading exclusion -> NO implicit accept-all: unmatched drops
+    val strict = cdc.Filters.tableFilterPolarity(cl, Seq("db0.t0"))
+      .select("schema_name", "table_name").distinct().collect()
+    assert(strict.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("db0", "t0")))
+  }
+
   test("changefeed facade equals manual operator composition") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val cfg = cdc.Changefeed.Config(
