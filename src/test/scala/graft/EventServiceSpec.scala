@@ -220,4 +220,83 @@ class EventServiceSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** RangeLock at region granularity as written
+    * (region_range_lock.go:244-263 ResolvedTs, :169-233 UnlockRange,
+    * :292-335 IterAll; range_ts_map.go:33-41 startTs coverage):
+    * replay the deterministic lock/migrate schedule sequentially with
+    * a locked map + an unlocked-ts map and recompute every output. */
+  test("A96: range-lock frame equals the sequential lock/unlock replay") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val R = cdc.RangeLock.NRegions
+    val W = cdc.RangeLock.TickW
+    val maxTick = cdc.RangeLock.MaxTick
+    def bucket(s: String, n: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % n
+    }
+    // per (table, region, tick) max commit_ts below the boundary
+    val perTick = cl.collect().map { r =>
+      val t = (r.getAs[Long]("commit_ts") / W) + 1
+      ((r.getAs[String]("schema_name"), r.getAs[String]("table_name"),
+        bucket(r.getAs[Long]("pk").toString, R), t),
+        r.getAs[Long]("commit_ts"))
+    }.filter(_._1._4 <= maxTick)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val tables = perTick.keySet.map(k => (k._1, k._2))
+    val got = cdc.RangeLock.rangeLockStats(cl).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10))).toMap
+    for ((s, t) <- tables) {
+      // sequential replay: locked map region -> rts; unlocked map
+      // region -> frozen ts (whole-region set/unset on the grid)
+      val locked = collection.mutable.Map[Long, Long]()
+      val unlockedTs = collection.mutable.Map[Long, Long]()
+      val pending = collection.mutable.Set((0L until R.toLong): _*)
+      val cum = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for (tick <- 0L to maxTick) {
+        for (r <- 0L until R.toLong)
+          cum(r) = math.max(cum(r), perTick.getOrElse((s, t, r, tick), 0L))
+        for (r <- 0L until R.toLong) {
+          if (pending(r) && tick >= r % 3) { pending -= r; locked(r) = 0L }
+          if (r % 4 == 1 && tick == cdc.RangeLock.UnlockFrom &&
+            locked.contains(r)) {
+            unlockedTs(r) = cum(r); locked -= r
+          }
+          if (r % 4 == 1 && tick == cdc.RangeLock.RelockAt &&
+            unlockedTs.contains(r)) {
+            unlockedTs -= r; locked(r) = 0L
+          }
+        }
+        locked.keys.foreach(r => locked(r) = cum(r))
+        val effAll = (0L until R.toLong).map { r =>
+          if (pending(r)) 0L
+          else if (unlockedTs.contains(r)) unlockedTs(r)
+          else locked(r)
+        }
+        val lockedTs = locked.toSeq.sortBy(_._1)
+        val resolved = effAll.min
+        val (sr, st2) = if (lockedTs.isEmpty) (-1L, -1L)
+          else { val m = lockedTs.map(_._2).min
+            (lockedTs.filter(_._2 == m).map(_._1).min, m) }
+        val (fr, ft) = if (lockedTs.isEmpty) (-1L, -1L)
+          else { val m = lockedTs.map(_._2).max
+            (lockedTs.filter(_._2 == m).map(_._1).min, m) }
+        val want = (locked.size.toLong, pending.size.toLong,
+          unlockedTs.size.toLong, resolved, sr, st2, fr, ft)
+        assert(got((s, t, tick)) == want,
+          s"$s.$t tick $tick: ${got((s, t, tick))} != $want")
+      }
+    }
+    // the staggered capture pins resolvedTs at startTs until covered
+    for ((s, t) <- tables; tick <- 0L until 2L)
+      assert(got((s, t, tick))._4 == 0L, "uncaptured hole must pin resolvedTs")
+    // the migration window really unlocks and relocking drains it
+    assert(tables.forall(k =>
+      got((k._1, k._2, cdc.RangeLock.UnlockFrom))._3 == 2L))
+    assert(tables.forall(k =>
+      got((k._1, k._2, cdc.RangeLock.RelockAt))._3 == 0L))
+  }
 }
