@@ -231,6 +231,7 @@ object SparkEntry {
     "perplexity_bucket" -> ((s, d) => ops.TextAnalysis.perplexityBucket(s, d)),
     "quality_model_filter" -> ((s, d) => ops.TextAnalysis.qualityModelFilter(s, d)),
     "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
+    "mix_epoch_plan" -> ((s, d) => ops.Corpus.mixEpochPlan(s, d)),
     "bpe_pair_merge" -> ((s, d) => ops.Corpus.bpePairMerge(s, d)),
     "embedding_quantize" -> ((s, d) => ops.Similarity.embeddingQuantize(s, d)),
     "embedding_random_projection" -> ((s, d) => ops.Similarity.randomProjection(s, d)),
@@ -273,6 +274,8 @@ object SparkEntry {
     "q_median_mode" -> ((s, d) => Analytics.qMedianMode(s, d)),
     "q_set_ops" -> ((s, d) => Analytics.qSetOps(s, d)),
     "q_gaps_islands" -> ((s, d) => Analytics.qGapsIslands(s, d)),
+    "q_rolling_distinct" -> ((s, d) => Analytics.qRollingDistinct(s, d)),
+    "q_concurrency_gauge" -> ((s, d) => Analytics.qConcurrencyGauge(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -415,6 +418,7 @@ object SparkEntry {
     "perplexity_bucket" -> ops.TextAnalysis.perplexityBucketSql,
     "quality_model_filter" -> ops.TextAnalysis.qualityModelFilterSql(),
     "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,
+    "mix_epoch_plan" -> ops.Corpus.mixEpochPlanSql(),
     "bpe_pair_merge" -> ops.Corpus.bpePairMergeSql(),
     "embedding_quantize" -> ops.Similarity.embeddingQuantizeSql(),
     "embedding_random_projection" -> ops.Similarity.randomProjectionSql(),
@@ -457,5 +461,7 @@ object SparkEntry {
     "q_median_mode" -> Analytics.qMedianModeSql,
     "q_set_ops" -> Analytics.qSetOpsSql,
     "q_gaps_islands" -> Analytics.qGapsIslandsSql,
+    "q_rolling_distinct" -> Analytics.qRollingDistinctSql(),
+    "q_concurrency_gauge" -> Analytics.qConcurrencyGaugeSql(),
   )
 }

@@ -374,6 +374,65 @@ object Corpus {
        |    AS oversampled
        |FROM cells CROSS JOIN totals""".stripMargin
 
+  /** C50 — epoch planning: turn the C26 mixture into the data
+    * loader's actual schedule at a token budget. For a training run
+    * of `budgetX` × the corpus token total, each (lang, source) cell
+    * must supply budget × target_ppm / 10^6 tokens; dividing by the
+    * cell's own tokens gives its epoch count — full passes plus a
+    * partial tail — and any cell over 1000 milli-epochs is REPEATED
+    * data (the Muennighoff scaling-laws regime: repeat counts are
+    * what the run designer reads off this frame). All integer-exact:
+    * milli-epochs by truncating division, the tail as ppm of one
+    * epoch, conservation checkable by construction.
+    *
+    * Scale shape: C26's cell aggregation + the same 1-row totals
+    * broadcast; the plan itself is pure per-cell arithmetic. */
+  def mixEpochPlan(spark: SparkSession, dir: String,
+                   budgetX: Long = 4L): DataFrame = {
+    val mix = sourceMixWeights(spark, dir)
+    val tot = mix.agg(sum(col("tokens")).as("tot"))
+    mix.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        call_function("div",
+          col("target_ppm") * col("tot") * lit(budgetX), lit(1000000L)))
+      .withColumn("epochs_x1000",
+        call_function("div", col("target_tokens") * lit(1000L),
+          greatest(col("tokens"), lit(1L))))
+      .withColumn("full_epochs",
+        call_function("div", col("epochs_x1000"), lit(1000L)))
+      .withColumn("tail_ppm",
+        call_function("div",
+          (col("target_tokens") - col("full_epochs") * col("tokens")) *
+            lit(1000000L), greatest(col("tokens"), lit(1L))))
+      .withColumn("repeated",
+        (col("epochs_x1000") > 1000L).cast("long"))
+      .select(col("lang"), col("source"), col("tokens"),
+        col("target_ppm"), col("target_tokens"), col("epochs_x1000"),
+        col("full_epochs"), col("tail_ppm"), col("repeated"))
+  }
+
+  def mixEpochPlanSql(budgetX: Long = 4L): String =
+    s"""WITH mix AS (
+       |${sourceMixWeightsSql.linesIterator.map("  " + _).mkString("\n")}
+       |), tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot FROM mix),
+       |plan AS (
+       |  SELECT m.lang, m.source, m.tokens, m.target_ppm,
+       |    CAST((m.target_ppm * t.tot * $budgetX) // 1000000 AS BIGINT)
+       |      AS target_tokens
+       |  FROM mix m CROSS JOIN tot t
+       |)
+       |SELECT lang, source, tokens, target_ppm, target_tokens,
+       |  CAST((target_tokens * 1000) // GREATEST(tokens, 1) AS BIGINT)
+       |    AS epochs_x1000,
+       |  CAST((target_tokens * 1000) // GREATEST(tokens, 1) // 1000
+       |    AS BIGINT) AS full_epochs,
+       |  CAST(((target_tokens - ((target_tokens * 1000)
+       |      // GREATEST(tokens, 1) // 1000) * tokens) * 1000000)
+       |    // GREATEST(tokens, 1) AS BIGINT) AS tail_ppm,
+       |  CAST((target_tokens * 1000) // GREATEST(tokens, 1) > 1000
+       |    AS BIGINT) AS repeated
+       |FROM plan""".stripMargin
+
   // ---------------------------------------------------------------- C47
   /** C47 — sequence-length histogram: token counts bucketed by powers
     * of two with per-bucket doc/token totals and cumulative token

@@ -960,4 +960,94 @@ object Analytics {
       |  CAST(MAX(CASE WHEN rk = 1 THEN qty END) AS BIGINT) AS mode_qty,
       |  CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS mode_count
       |FROM w GROUP BY 1""".stripMargin
+
+  /** B27 — rolling distinct: 7-day trailing unique active users per
+    * day (the DAU/WAU class every product dashboard runs). COUNT
+    * (DISTINCT) over a SLIDING frame is not expressible as a plain
+    * window aggregate in either engine; the scale shape is the
+    * UNROLLED contribution join — reduce to distinct (user, day)
+    * pairs first (one partial-aggregated shuffle bounds the volume at
+    * active-pairs, not events), explode each pair to the ≤7 window
+    * ends it contributes to, and partial-agg COUNT DISTINCT per end
+    * day. Amplification is the window length — a constant — vs the
+    * running-set sweep that needs a global order. Day bounds ride a
+    * 1-row broadcast so no phantom post-horizon days appear. */
+  def qRollingDistinct(spark: SparkSession, dir: String,
+                       win: Int = 7): DataFrame = {
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"),
+        ldiv(expr("ts div 1000"), lit(86400000000L)).as("day"))
+      .distinct()
+    val bounds = pairs.agg(max(col("day")).as("max_day"))
+    val perDay = pairs.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("day_users"))
+    pairs
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, day + ${win - 1}L)")).as("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("max_day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as(s"users_${win}d"))
+      .join(perDay, Seq("day"), "left")
+      .select(col("day"), col(s"users_${win}d"),
+        coalesce(col("day_users"), lit(0L)).as("day_users"))
+  }
+
+  def qRollingDistinctSql(win: Int = 7): String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events
+       |), bounds AS (SELECT MAX(day) AS max_day FROM pairs),
+       |perday AS (
+       |  SELECT day, COUNT(DISTINCT user_id) AS day_users
+       |  FROM pairs GROUP BY 1
+       |), unrolled AS (
+       |  SELECT p.user_id, UNNEST(GENERATE_SERIES(p.day, p.day + ${win - 1}))
+       |    AS day
+       |  FROM pairs p
+       |), agg AS (
+       |  SELECT u.day, COUNT(DISTINCT u.user_id) AS users_${win}d
+       |  FROM unrolled u CROSS JOIN bounds b
+       |  WHERE u.day <= b.max_day
+       |  GROUP BY 1
+       |)
+       |SELECT a.day, a.users_${win}d,
+       |  CAST(COALESCE(p.day_users, 0) AS BIGINT) AS day_users
+       |FROM agg a LEFT JOIN perday p ON p.day = a.day""".stripMargin
+
+  /** B28 — concurrency gauge: how many sessions are open at each
+    * minute boundary (each event opens a fixed-duration interval) —
+    * the max-concurrent-intervals class (active sessions, open
+    * connections, concurrent viewers). The textbook +1/−1 sweep needs
+    * ONE global time-ordered cumulative sum — a corpus-scale
+    * unpartitioned window. The scale shape instead SAMPLES the gauge
+    * on the minute grid: each interval explodes to the ~D/M
+    * boundaries it covers (constant amplification), then one
+    * partial-aggregated count per boundary — embarrassingly parallel,
+    * exact at every sampled point. */
+  def qConcurrencyGauge(spark: SparkSession, dir: String,
+                        durUs: Long = 300000000L,
+                        gridUs: Long = 60000000L): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("ts div 1000").as("s"), col("event_type"))
+      .select(col("event_type"), explode(expr(
+        s"sequence((s + ${gridUs - 1}L) div ${gridUs}L, " +
+          s"(s + ${durUs - 1}L) div ${gridUs}L)")).as("minute"))
+      .groupBy(col("minute"))
+      .agg(count(lit(1)).as("n_concurrent"),
+        countDistinct(col("event_type")).as("n_types"))
+
+  def qConcurrencyGaugeSql(durUs: Long = 300000000L,
+                           gridUs: Long = 60000000L): String =
+    s"""WITH iv AS (
+       |  SELECT event_type, epoch_us(ts) AS s FROM events
+       |), cover AS (
+       |  SELECT event_type,
+       |    UNNEST(GENERATE_SERIES((s + ${gridUs - 1}) // $gridUs,
+       |      (s + ${durUs - 1}) // $gridUs)) AS minute
+       |  FROM iv
+       |)
+       |SELECT minute, CAST(COUNT(*) AS BIGINT) AS n_concurrent,
+       |  COUNT(DISTINCT event_type) AS n_types
+       |FROM cover GROUP BY 1""".stripMargin
 }

@@ -108,4 +108,71 @@ class QueriesSpec extends AnyFunSuite {
     assert(jm.filter(col("mode_qty") =!= col("want_mode") ||
       col("mode_count") =!= col("want_cnt")).count() == 0)
   }
+
+  test("B27: rolling distinct equals the brute-force trailing-window recount") {
+    val got = queries.Analytics.qRollingDistinct(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val raw = graft.util.Tables.events(spark, dir)
+      .selectExpr("user_id", "(ts div 1000) div 86400000000 AS day")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val maxDay = raw.map(_._2).max
+    assert(got.nonEmpty && got.keySet.max == maxDay)
+    for (d <- got.keySet) {
+      val want7 = raw.filter(p => p._2 <= d && p._2 > d - 7).map(_._1).distinct.length
+      val want1 = raw.filter(_._2 == d).map(_._1).distinct.length
+      assert(got(d) == (want7.toLong, want1.toLong), s"day $d: ${got(d)}")
+    }
+  }
+
+  test("B28: the sampled gauge equals the brute-force interval stab count") {
+    val durUs = 300000000L; val gridUs = 60000000L
+    val got = queries.Analytics.qConcurrencyGauge(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ivs = graft.util.Tables.events(spark, dir)
+      .selectExpr("ts div 1000 AS s", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.nonEmpty)
+    // spot-check a deterministic sample of sampled minutes exactly
+    val sample = got.keySet.toSeq.sorted
+    for (m <- sample.take(5) ++ sample.takeRight(5) ++
+        sample.drop(sample.size / 2).take(5)) {
+      val b = m * gridUs
+      val stab = ivs.filter(iv => iv._1 <= b && b < iv._1 + durUs)
+      assert(got(m)._1 == stab.length.toLong, s"minute $m count")
+      assert(got(m)._2 == stab.map(_._2).distinct.length.toLong, s"minute $m types")
+    }
+    // conservation: every event contributes exactly its covered-minute
+    // count, bounded by the constant amplification dur/grid + 1
+    val totalRows = got.values.map(_._1).sum
+    val wantRows = ivs.map { case (s, _) =>
+      (s + durUs - 1) / gridUs - (s + gridUs - 1) / gridUs + 1 }.sum
+    assert(totalRows == wantRows)
+    assert(ivs.forall { case (s, _) =>
+      ((s + durUs - 1) / gridUs - (s + gridUs - 1) / gridUs + 1) <=
+        durUs / gridUs + 1 })
+  }
+
+  test("C50: the epoch plan conserves the token budget and flags repeats") {
+    val budgetX = 4L
+    val rows = ops.Corpus.mixEpochPlan(spark, dir, budgetX).collect()
+    assert(rows.nonEmpty)
+    val tokens = rows.map(_.getAs[Long]("tokens")).sum
+    val target = rows.map(_.getAs[Long]("target_tokens")).sum
+    // truncating division loses < 1 token per cell at each of the two
+    // division stages (target_ppm, target_tokens)
+    val budget = budgetX * tokens
+    assert(target <= budget && budget - target <= 2L * budget / 1000L + rows.length,
+      s"target $target vs budget $budget")
+    rows.foreach { r =>
+      val t = r.getAs[Long]("tokens"); val tt = r.getAs[Long]("target_tokens")
+      val e = r.getAs[Long]("epochs_x1000"); val f = r.getAs[Long]("full_epochs")
+      val tail = r.getAs[Long]("tail_ppm"); val rep = r.getAs[Long]("repeated")
+      assert(e == tt * 1000L / math.max(t, 1L))
+      assert(f == e / 1000L)
+      assert(tail == (tt - f * t) * 1000000L / math.max(t, 1L))
+      assert(rep == (if (e > 1000L) 1L else 0L))
+      // a repeated cell really needs more than one pass of its data
+      if (rep == 1L) assert(tt > t)
+    }
+  }
 }
