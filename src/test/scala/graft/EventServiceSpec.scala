@@ -299,4 +299,68 @@ class EventServiceSpec extends AnyFunSuite {
     assert(tables.forall(k =>
       got((k._1, k._2, cdc.RangeLock.RelockAt))._3 == 0L))
   }
+
+  /** region_event_handler.go:160-283 transcribed per region: a cache
+    * for commits whose prewrite the snapshot race delayed (flushed at
+    * INITIALIZED), stale-skip at startTs, resolved entries ignored
+    * until init and dropped on regression. */
+  test("A97: region-init outcomes equal the sequential handler replay") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    def bucket(s: String, n: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % n
+    }
+    val W = cdc.RegionInit.TickW
+    val got = cdc.RegionInit.regionInit(cl).collect().map(r =>
+      (r.getAs[String]("schema_name"), r.getAs[String]("table_name"),
+        r.getAs[Long]("region_id"), r.getAs[String]("kind"),
+        r.getAs[Long]("ts"), r.getAs[String]("detail")) ->
+        r.getAs[String]("outcome")).toMap
+    assert(got.nonEmpty)
+    val commits = cl.collect().map { r =>
+      (r.getAs[String]("schema_name"), r.getAs[String]("table_name"),
+        bucket(r.getAs[Long]("pk").toString, cdc.RegionInit.NRegions),
+        r.getAs[Long]("commit_ts"), r.getAs[Long]("pk"))
+    }
+    val byRegion = commits.groupBy(c => (c._1, c._2, c._3))
+    for (((s, t, r), evs) <- byRegion) {
+      val initTs = (r % 3 + 1) * W
+      val startTs = (r % 2) * cdc.RegionInit.Stale
+      val race = r % 2 == 1
+      var lastResolved = startTs
+      var initialized = false
+      // ARRIVAL order, not ts order: the resolved stream arrives on
+      // the tick cadence (tick*W), and the planted regression is a
+      // late entry whose ts sits BELOW the already-advanced watermark
+      val merged: Seq[(Long, Long, String, String)] =
+        (evs.map(e => (e._4, e._4, "COMMIT", e._5.toString)) ++
+          (1L to cdc.RegionInit.MaxTick).map { k =>
+            val ts = if (k == cdc.RegionInit.RegressTick) (k - 2) * W else k * W
+            (k * W, ts, "RESOLVED", k.toString)
+          }).sortBy(e => (e._1, e._3))
+      for ((arrival, ts, kind, detail) <- merged) {
+        if (!initialized && arrival >= initTs) initialized = true
+        val want =
+          if (kind == "COMMIT") {
+            if (ts <= startTs) "stale_skip"
+            else if (ts >= initTs) "emit"
+            else if (race) "cached_then_init_emit"
+            else "emit_pre_init"
+          } else {
+            if (ts < initTs) "resolved_ignored_uninit"
+            else if (ts < lastResolved) { "resolved_regressed_skip" }
+            else { lastResolved = ts; "resolved_advance" }
+          }
+        assert(got((s, t, r, kind, ts, detail)) == want,
+          s"$s.$t r$r $kind@$ts: ${got((s, t, r, kind, ts, detail))} != $want")
+      }
+    }
+    // every arm of the taxonomy appears on the production universe
+    val outcomes = got.values.toSet
+    for (o <- Seq("emit", "emit_pre_init", "cached_then_init_emit",
+      "stale_skip", "resolved_advance", "resolved_ignored_uninit",
+      "resolved_regressed_skip"))
+      assert(outcomes(o), s"arm $o never exercised")
+  }
 }
