@@ -70,6 +70,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf", "doc_tfidf",
       "dedup_semantic", // shares ann_ivf's corpus x k-centroid broadcast cross
       "source_mix_weights", // 1-row totals broadcast (q_scalar_subquery shape)
+      "mix_epoch_plan",     // embeds C26's totals cross + its own 1-row budget cross
       "knn_graph", // shares the ann_ivf corpus x k-centroid assignment cross
       // the shared assignment cross + its 1-row n_cells broadcast
       "cluster_label_tfidf",
@@ -110,6 +111,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_operator_move",
       // embeds cdc_sched_basic's 1-row absent-count cross
       "cdc_operator_addstop",
+      // 1-row day-bounds broadcast trimming the unrolled window ends
+      "q_rolling_distinct",
       // 1-row corpus-scalars broadcast (q_scalar_subquery shape)
       "bm25_topk",
       // embeds bm25_topk's scalar cross + the 1-row query-vector cross
