@@ -277,6 +277,8 @@ object SparkEntry {
     "q_gaps_islands" -> ((s, d) => Analytics.qGapsIslands(s, d)),
     "q_rolling_distinct" -> ((s, d) => Analytics.qRollingDistinct(s, d)),
     "q_concurrency_gauge" -> ((s, d) => Analytics.qConcurrencyGauge(s, d)),
+    "q_range_frame" -> ((s, d) => Analytics.qRangeFrame(s, d)),
+    "ngram_heavy_hitters" -> ((s, d) => ops.Corpus.ngramHeavyHitters(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -465,5 +467,7 @@ object SparkEntry {
     "q_gaps_islands" -> Analytics.qGapsIslandsSql,
     "q_rolling_distinct" -> Analytics.qRollingDistinctSql(),
     "q_concurrency_gauge" -> Analytics.qConcurrencyGaugeSql(),
+    "q_range_frame" -> Analytics.qRangeFrameSql(),
+    "ngram_heavy_hitters" -> ops.Corpus.ngramHeavyHittersSql(),
   )
 }

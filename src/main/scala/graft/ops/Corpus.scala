@@ -433,6 +433,59 @@ object Corpus {
        |    AS BIGINT) AS repeated
        |FROM plan""".stripMargin
 
+  /** C51 — boilerplate heavy hitters: the word 5-grams shared by the
+    * most DOCUMENTS, corpus-wide — the cross-document complement of
+    * C14's intra-document repetition and the mining step behind
+    * line/template dedup rule lists (find the navigation chrome /
+    * license header / cookie banner phrases, then feed them to C27).
+    * Distinct grams per doc (the native compiled-loop shingler), so
+    * the count IS document frequency; singleton grams are dropped
+    * before ranking (they are the long tail, never boilerplate).
+    *
+    * Scale shape: explode → ONE partial-aggregated groupBy(gram)
+    * (map-side combine collapses within-partition repeats) → the
+    * distributed top-k (orderBy+limit → TakeOrderedAndProject, the
+    * C38 discipline) → rank re-derived over the ≤k survivors. */
+  def ngramHeavyHitters(spark: SparkSession, dir: String,
+                        n: Int = 5, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(call_function("graft_word_ngrams", col("toks"), lit(n)))
+          .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2L)
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("gram"))).cast("long"))
+  }
+
+  def ngramHeavyHittersSql(n: Int = 5, k: Int = 50): String = {
+    val terms = (0 until n).map(i => s"toks[i + $i]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= $n
+       |    THEN list_transform(range(1, len(toks) - ${n - 2}),
+       |         i -> $terms)
+       |    ELSE [] END) AS grams
+       |  FROM t
+       |), e AS (
+       |  SELECT doc_id, UNNEST(grams) AS gram FROM g
+       |), c AS (
+       |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM e GROUP BY 1 HAVING COUNT(*) >= 2
+       |)
+       |SELECT gram, n_docs,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, gram) AS BIGINT)
+       |    AS rank
+       |FROM c ORDER BY n_docs DESC, gram LIMIT $k""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C47
   /** C47 — sequence-length histogram: token counts bucketed by powers
     * of two with per-bucket doc/token totals and cumulative token

@@ -1050,4 +1050,34 @@ object Analytics {
        |SELECT minute, CAST(COUNT(*) AS BIGINT) AS n_concurrent,
        |  COUNT(DISTINCT event_type) AS n_types
        |FROM cover GROUP BY 1""".stripMargin
+
+  /** B29 — RANGE-frame window: per-user trailing-hour spend over the
+    * event stream — the VALUE-range sliding aggregate (RANGE BETWEEN
+    * x PRECEDING), distinct from B7's row-count frame: the frame
+    * holds however many events fall inside the time interval, and
+    * ts-ties are PEERS (all equal-ts rows share one frame — the
+    * deterministic semantics both engines pin, no tie-break needed).
+    * One user-keyed shuffle; the frame is bounded by the interval's
+    * event density, never the partition. */
+  def qRangeFrame(spark: SparkSession, dir: String,
+                  winUs: Long = 3600000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-winUs, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"),
+        graft.util.Money.cents(col("value")).as("cents"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        sum(col("cents")).over(w).as("hour_spend_cents"),
+        count(lit(1)).over(w).as("hour_events"))
+  }
+
+  def qRangeFrameSql(winUs: Long = 3600000000L): String =
+    s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |  CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) OVER w
+       |    AS BIGINT) AS hour_spend_cents,
+       |  CAST(COUNT(*) OVER w AS BIGINT) AS hour_events
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |  RANGE BETWEEN $winUs PRECEDING AND CURRENT ROW)""".stripMargin
 }

@@ -152,6 +152,47 @@ class QueriesSpec extends AnyFunSuite {
         durUs / gridUs + 1 })
   }
 
+  test("B29: the range frame equals the brute-force trailing-interval recount") {
+    val winUs = 3600000000L
+    val got = queries.Analytics.qRangeFrame(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    val evs = graft.util.Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100.0)))
+    assert(got.nonEmpty && got.size == evs.length)
+    val byUser = evs.groupBy(_._1)
+    // every row's frame: all of the user's events inside the trailing
+    // interval, ts-ties included as PEERS (equal-ts rows share a frame)
+    for ((u, rows) <- byUser; r <- rows) {
+      val frame = rows.filter(e => e._3 <= r._3 && e._3 >= r._3 - winUs)
+      assert(got((u, r._2)) == (frame.map(_._4).sum, frame.length.toLong),
+        s"user $u event ${r._2}")
+    }
+  }
+
+  test("C51: heavy hitters equal the brute-force document-frequency top-k") {
+    val n = 5; val k = 50
+    val got = ops.Corpus.ngramHeavyHitters(spark, dir, n, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val docs = graft.util.Tables.documents(spark, dir)
+      .select("text").collect().map(_.getString(0))
+    val df = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docs.foreach { text =>
+      val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+      toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        .distinct.foreach(g => df(g) += 1L)
+    }
+    val want = df.toSeq.filter(_._2 >= 2L)
+      .sortBy { case (g, c) => (-c, g) }.take(k)
+    assert(got.map(r => (r._1, r._2)).toSeq == want,
+      s"${got.take(3).toSeq} vs ${want.take(3)}")
+    assert(got.map(_._3).toSeq == (1L to got.length.toLong))
+  }
+
   test("C50: the epoch plan conserves the token budget and flags repeats") {
     val budgetX = 4L
     val rows = ops.Corpus.mixEpochPlan(spark, dir, budgetX).collect()
