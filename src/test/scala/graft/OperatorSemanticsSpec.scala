@@ -113,6 +113,45 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       Set(("db0", "t0")))
   }
 
+  test("A98: the pause ladder pauses exactly the top-k largest paths per band") {
+    val f = cdc.Backpressure.memBackpressure(
+      cdc.ChangeEvents.changelog(spark, dir)).cache()
+    val rows = f.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(rows.nonEmpty)
+    // memory_control.go:32-37 transcribed
+    def ratio(usagePpm: Long): Long =
+      if (usagePpm >= 950000L) 100L else if (usagePpm >= 900000L) 80L
+      else if (usagePpm >= 850000L) 50L else if (usagePpm >= 800000L) 20L
+      else 0L
+    for (((area, pct), grp) <- rows.groupBy(r => (r._1, r._2))) {
+      val n = grp.length.toLong
+      val total = grp.map(_._4).sum
+      val maxBytes = total * 100L / pct
+      val usage = total * 1000000L / maxBytes
+      val want = ratio(usage)
+      assert(grp.forall(_._5 == usage), s"$area@$pct usage")
+      assert(grp.forall(_._6 == want), s"$area@$pct ratio")
+      val stopMax = n * want / 100L
+      assert(grp.forall(_._7 == stopMax))
+      // the paused set is exactly the stop_max largest paths
+      val sorted = grp.sortBy(r => (-r._4, r._3))
+      assert(sorted.zipWithIndex.forall { case (r, i) =>
+        r._9 == (if (i < stopMax) 1L else 0L) },
+        s"$area@$pct paused set")
+      assert(grp.count(_._9 == 1L).toLong == stopMax)
+    }
+    // the sweep exercises every rule band including both extremes
+    val byPct = rows.groupBy(_._2).view.mapValues(_.head._6).toMap
+    assert(byPct(70L) == 0L && byPct(100L) == 100L)
+    assert(Set(20L, 50L, 80L).subsetOf(rows.map(_._6).toSet))
+    // all-paths pause really empties the area; the 70% arm pauses none
+    assert(rows.filter(r => r._2 == 100L && r._9 == 0L).isEmpty)
+    assert(rows.filter(r => r._2 == 70L && r._9 == 1L).isEmpty)
+    f.unpersist()
+  }
+
   test("changefeed facade equals manual operator composition") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val cfg = cdc.Changefeed.Config(
