@@ -134,6 +134,7 @@ object SparkEntry {
     "cdc_range_lock" -> ((s, d) => RangeLock.rangeLockStats(cl(s, d))),
     "cdc_region_init" -> ((s, d) => RegionInit.regionInit(cl(s, d))),
     "cdc_mem_backpressure" -> ((s, d) => Backpressure.memBackpressure(cl(s, d))),
+    "cdc_dispatcher_block" -> ((s, d) => DispatcherBlock.dispatcherBlock(cl(s, d))),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_table_progress" -> ((s, d) => Materialize.tableProgress(cl(s, d))),
@@ -326,6 +327,7 @@ object SparkEntry {
     "cdc_range_lock" -> o(RangeLock.rangeLockStatsSql()),
     "cdc_region_init" -> o(RegionInit.regionInitSql),
     "cdc_mem_backpressure" -> o(Backpressure.memBackpressureSql()),
+    "cdc_dispatcher_block" -> o(DispatcherBlock.dispatcherBlockSql()),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_table_progress" -> o(Materialize.tableProgressSql()),

@@ -113,6 +113,51 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       Set(("db0", "t0")))
   }
 
+  test("A99: the block verdict follows shouldBlock's decision table on every arm") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val f = cdc.DispatcherBlock.dispatcherBlock(cl).cache()
+    val rows = f.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getString(3), r.getString(4), r.getLong(5),
+      r.getString(6), r.getString(7)))
+    assert(rows.nonEmpty)
+    // dispatcher.go:372-401 transcribed
+    rows.foreach { case (span, split, _, ddlType, infl, blocked, verdict, reason) =>
+      val (wantV, wantR) =
+        if (infl == "syncpoint") ("block", "syncpoint")
+        else if (infl == "db" || infl == "all") ("block", "influence_scope")
+        else if (blocked > 1L) ("block", "multi_table")
+        else if (split == 1L) ("block", "split_span")
+        else if (ddlType == "CREATE") ("write_direct", "direct_notify_added")
+        else ("write_direct", "single_complete")
+      assert((verdict, reason) == (wantV, wantR), s"$span $ddlType $infl")
+    }
+    // the production universe exercises every arm of the table,
+    // including both dispatcher split states
+    val reasons = rows.map(_._8).toSet
+    for (r <- Seq("syncpoint", "influence_scope", "multi_table",
+      "split_span", "direct_notify_added"))
+      assert(reasons(r), s"arm $r never exercised")
+    // single_complete needs an ALTER on an unsplit table — present at
+    // the driver SFs with multiple schema versions; assert it exactly
+    // when the data carries one
+    val hasUnsplitAlter = rows.exists(r =>
+      r._4 == "ALTER" && r._2 == 0L && r._6 == 1L)
+    assert(reasons("single_complete") == hasUnsplitAlter,
+      s"single_complete presence must track unsplit ALTERs ($hasUnsplitAlter)")
+    assert(rows.map(_._2).toSet == Set(0L, 1L), "need split AND complete spans")
+    // scope fan-out: the flashback reaches every dispatcher, a drop-db
+    // only its schema's, a normal DDL only its own table
+    val nDisp = rows.map(_._1).distinct.length
+    assert(rows.count(_._4 == "FLASHBACK") == nDisp)
+    rows.filter(_._4 == "DROP_DATABASE").foreach { r =>
+      assert(r._1.startsWith(r._1.split("\\.")(0)))
+    }
+    val perTableDdl = rows.filter(r => r._4 == "CREATE")
+    assert(perTableDdl.map(_._1).distinct.length == nDisp,
+      "every table's dispatcher sees its own CREATE")
+    f.unpersist()
+  }
+
   test("A98: the pause ladder pauses exactly the top-k largest paths per band") {
     val f = cdc.Backpressure.memBackpressure(
       cdc.ChangeEvents.changelog(spark, dir)).cache()

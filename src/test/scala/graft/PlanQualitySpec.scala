@@ -107,6 +107,8 @@ class PlanQualitySpec extends AnyFunSuite {
       // node-universe cross (A80), span x tick-grid cross (A81) —
       // all dimension-scale
       "cdc_sched_basic", "cdc_sched_balance", "cdc_hot_span",
+      // embeds cdc_hot_span's grid cross + global-scope event fan-out
+      "cdc_dispatcher_block",
       // embeds cdc_sched_balance's group x node-universe cross
       "cdc_operator_move",
       // embeds cdc_sched_basic's 1-row absent-count cross
