@@ -135,6 +135,7 @@ object SparkEntry {
     "cdc_region_init" -> ((s, d) => RegionInit.regionInit(cl(s, d))),
     "cdc_mem_backpressure" -> ((s, d) => Backpressure.memBackpressure(cl(s, d))),
     "cdc_dispatcher_block" -> ((s, d) => DispatcherBlock.dispatcherBlock(cl(s, d))),
+    "cdc_span_coverage" -> ((s, d) => Coverage.spanCoverage(cl(s, d))),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
     "cdc_gc_trim" -> ((s, d) => Materialize.gcTrim(cl(s, d))),
     "cdc_table_progress" -> ((s, d) => Materialize.tableProgress(cl(s, d))),
@@ -328,6 +329,7 @@ object SparkEntry {
     "cdc_region_init" -> o(RegionInit.regionInitSql),
     "cdc_mem_backpressure" -> o(Backpressure.memBackpressureSql()),
     "cdc_dispatcher_block" -> o(DispatcherBlock.dispatcherBlockSql()),
+    "cdc_span_coverage" -> o(Coverage.spanCoverageSql()),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),
     "cdc_gc_trim" -> o(Materialize.gcTrimSql()),
     "cdc_table_progress" -> o(Materialize.tableProgressSql()),

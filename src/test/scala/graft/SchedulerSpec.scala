@@ -445,6 +445,66 @@ class SchedulerSpec extends AnyFunSuite {
     frame.unpersist()
   }
 
+  // ---- A100 ----
+
+  test("A100: coverage verdicts equal the sequential range-checker replay") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val nScan = cdc.Scheduler.SplitScanRegions
+    val got = cdc.Coverage.spanCoverage(cl).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got.nonEmpty)
+    // rebuild the same perturbed report set from the A90 spans
+    val ridx = cl.selectExpr("concat(schema_name, '.', table_name) AS grp",
+        s"pmod(conv(substring(md5(cast(cast(pk AS string) AS binary)),1,15),16,10), $nScan) AS rid")
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(_._2).sorted.zipWithIndex.map { case (rid, i) => rid -> i.toLong }.toMap }
+    val spans = cdc.Scheduler.spanSplitRegions(cl).collect().map { r =>
+      val g = r.getString(0)
+      (g, r.getLong(1), ridx(g)(r.getAs[Long]("start_rid")),
+        ridx(g)(r.getAs[Long]("end_rid")))
+    }
+    for ((g, ss) <- spans.groupBy(_._1)) {
+      val base = ss.filter(_._2 % 5 != 2).map(s => (s._3, s._4)) ++
+        ss.filter(_._2 % 7 == 3).map(s => (s._3, s._4)) ++
+        (if (ss.count(_._2 <= 2) == 2) {
+          val fst = ss.filter(_._2 <= 2)
+          Seq((fst.map(_._3).min, fst.map(_._4).max))
+        } else Nil)
+      // SpanCoverageChecker.AddSubRange transcribed: merge on overlap
+      // OR touch, exactly the sorted-union fold
+      val sorted = base.sortBy(identity)
+      val mergedIslands = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, (s, e)) => acc match {
+          case (ps, pe) :: rest if s <= pe + 1 =>
+            (ps, math.max(pe, e)) :: rest
+          case _ => (s, e) :: acc
+        }
+      }.reverse
+      val n = ridx(g).size.toLong
+      val covered = mergedIslands.map { case (s, e) => e - s + 1 }.sum
+      val fully = mergedIslands.size == 1 &&
+        mergedIslands.head == (0L, n - 1L)
+      val firstGap: (Long, Long) =
+        if (mergedIslands.head._1 > 0L) (0L, mergedIslands.head._1 - 1L)
+        else mergedIslands.sliding(2).collectFirst {
+          case List((_, pe), (s2, _)) => (pe + 1L, s2 - 1L)
+        }.getOrElse((-1L, -1L))
+      assert(got(g) == (n, base.length.toLong, mergedIslands.size.toLong,
+        covered, if (fully) 1L else 0L, firstGap._1, firstGap._2),
+        s"$g: ${got(g)}")
+    }
+    // whole tables are fully covered; a holed table appears exactly
+    // when some split table lost a report the stale pre-split span
+    // does not paper over (true at the driver sf0.01; sf0.001 tables
+    // are all single-span)
+    assert(got.values.exists(_._5 == 1L), "no fully covered table")
+    val expectHoled = spans.exists(s => s._2 % 5 == 2 && s._2 > 2)
+    assert(got.values.exists(_._5 == 0L) == expectHoled,
+      s"holed-table presence must track dropped reports ($expectHoled)")
+  }
+
   // ---- A92 ----
 
   /** MoveMaintainerOperator as written (operator_move.go:55-173):
