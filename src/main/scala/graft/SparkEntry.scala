@@ -257,6 +257,7 @@ object SparkEntry {
     "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
     "dedup_clusters" -> ((s, d) => ops.Curation.dedupClusters(s, d)),
     "dedup_keep_best" -> ((s, d) => ops.Curation.dedupKeepBest(s, d)),
+    "dedup_bloom" -> ((s, d) => ops.Dedup.dedupBloom(s, d)),
     "contamination_ngram" -> ((s, d) => ops.Curation.contamination(s, d)),
     "stratified_sample" -> ((s, d) => ops.Curation.stratifiedSample(s, d)),
     "pii_redact" -> ((s, d) => ops.Curation.piiRedact(s, d)),
@@ -450,6 +451,7 @@ object SparkEntry {
     "data_split" -> ops.Corpus.dataSplitSql(),
     "dedup_clusters" -> ops.Curation.dedupClustersSql(),
     "dedup_keep_best" -> ops.Curation.dedupKeepBestSql(),
+    "dedup_bloom" -> ops.Dedup.dedupBloomSql(),
     "contamination_ngram" -> ops.Curation.contaminationSql,
     "stratified_sample" -> ops.Curation.stratifiedSampleSql(),
     "pii_redact" -> ops.Curation.piiRedactSql,

@@ -193,6 +193,51 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq == (1L to got.length.toLong))
   }
 
+  test("C52: the bloom filter never misses a duplicate and verdicts partition") {
+    val got = ops.Dedup.dedupBloom(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    assert(got.nonEmpty)
+    // sequential reference: positions from the same salted portable hash
+    def hash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def fp(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(text.toLowerCase.replaceAll("\\s+", " ").trim
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def positions(f: String): Seq[Long] =
+      (0 until ops.Dedup.BloomK).map(i =>
+        hash60(s"bloom$i:$f") % ops.Dedup.BloomBits)
+    val docs = graft.util.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), fp(r.getString(1))))
+    val hist = docs.filter(_._1 % 3 != 0)
+    val bloomBits = hist.flatMap(d => positions(d._2)).toSet
+    val histFps = hist.map(_._2).toSet
+    val incoming = docs.filter(_._1 % 3 == 0)
+    assert(incoming.length == got.size)
+    incoming.foreach { case (id, f) =>
+      val hits = positions(f).count(bloomBits)
+      val pos = hits == ops.Dedup.BloomK
+      val dup = histFps(f)
+      val verdict = if (dup) "dup" else if (pos) "false_positive" else "new"
+      assert(got(id) == (hits.toLong, if (pos) 1L else 0L,
+        if (dup) 1L else 0L, verdict), s"doc $id")
+      // the sketch's contract: NO false negatives, ever
+      if (dup) assert(pos, s"doc $id: exact dup missed by the bloom")
+    }
+    // the sketch earns its keep: the overwhelming share of non-dups
+    // are filtered without touching the exact set
+    val nonDup = got.values.filter(_._3 == 0L)
+    if (nonDup.size >= 20)
+      assert(nonDup.count(_._4 == "false_positive") * 5 <= nonDup.size,
+        "false-positive rate out of range for this geometry")
+  }
+
   test("C50: the epoch plan conserves the token budget and flags repeats") {
     val budgetX = 4L
     val rows = ops.Corpus.mixEpochPlan(spark, dir, budgetX).collect()
