@@ -282,6 +282,7 @@ object SparkEntry {
     "q_rolling_distinct" -> ((s, d) => Analytics.qRollingDistinct(s, d)),
     "q_concurrency_gauge" -> ((s, d) => Analytics.qConcurrencyGauge(s, d)),
     "q_range_frame" -> ((s, d) => Analytics.qRangeFrame(s, d)),
+    "q_json_extract" -> ((s, d) => Analytics.qJsonExtract(s, d)),
     "ngram_heavy_hitters" -> ((s, d) => ops.Corpus.ngramHeavyHitters(s, d)),
   )
 
@@ -476,6 +477,7 @@ object SparkEntry {
     "q_rolling_distinct" -> Analytics.qRollingDistinctSql(),
     "q_concurrency_gauge" -> Analytics.qConcurrencyGaugeSql(),
     "q_range_frame" -> Analytics.qRangeFrameSql(),
+    "q_json_extract" -> Analytics.qJsonExtractSql,
     "ngram_heavy_hitters" -> ops.Corpus.ngramHeavyHittersSql(),
   )
 }

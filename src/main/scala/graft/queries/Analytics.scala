@@ -1072,6 +1072,39 @@ object Analytics {
         count(lit(1)).over(w).as("hour_events"))
   }
 
+  /** B30 — semi-structured extraction: aggregate over a field pulled
+    * out of a JSON payload column at scan time — the schema-on-read
+    * class every event pipeline runs (Spark `get_json_object` is
+    * codegen'd row-local string parsing; at 100 TB the same query
+    * prefers a materialized parsed column, but the extraction plan is
+    * the ingest step that builds it). Decile-bucketed `props.k` per
+    * event type with exact counts, cents, and user reach. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        graft.util.Money.cents(col("value")).as("cents"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("k_decile", ldiv(col("k"), lit(10L)))
+      .groupBy(col("event_type"), col("k_decile"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_value_cents"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+
+  val qJsonExtractSql: String =
+    """SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_cents,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS k_min,
+      |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS k_max
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   def qRangeFrameSql(winUs: Long = 3600000000L): String =
     s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
        |  CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) OVER w

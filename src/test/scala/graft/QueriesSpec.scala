@@ -193,6 +193,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.map(_._3).toSeq == (1L to got.length.toLong))
   }
 
+  test("B30: JSON extraction aggregates equal the parsed-column recount") {
+    val got = queries.Analytics.qJsonExtract(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.nonEmpty)
+    val evs = graft.util.Tables.events(spark, dir)
+      .select("event_type", "user_id", "value", "props").collect()
+      .map { r =>
+        val m = """"k"\s*:\s*(-?\d+)""".r.findFirstMatchIn(r.getString(3))
+          .getOrElse(sys.error(s"unparseable props: ${r.getString(3)}"))
+        (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100.0),
+          m.group(1).toLong)
+      }
+    val want = evs.groupBy(e => (e._1, e._4 / 10)).map { case (key, g) =>
+      key -> (g.length.toLong, g.map(_._3).sum, g.map(_._2).distinct.length.toLong,
+        g.map(_._4).min, g.map(_._4).max) }
+    assert(got == want)
+  }
+
   test("C52: the bloom filter never misses a duplicate and verdicts partition") {
     val got = ops.Dedup.dedupBloom(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
