@@ -314,4 +314,24 @@ object DataOps {
         expr("unix_micros(purchase_time)").as("purchase_us"),
         col("view_id"), expr("unix_micros(view_time)").as("view_us"))
   }
+
+  /** B28s — the concurrency gauge as a NATIVE sliding event-time
+    * window: `window(event_time, dur, slide)` assigns each event to
+    * its dur/slide overlapping windows and the watermark closes them
+    * finally — the idiomatic Structured Streaming rendering of the
+    * batch grid-sampled gauge (B28). A window ending at e counts the
+    * events in [e − dur, e) — the half-open convention of Spark's
+    * window assignment, vs B28's closed-right boundary stabs; the
+    * spec pins the streamed counts against an independent recount
+    * under exactly this convention. Append mode emits each window
+    * once, when the watermark passes it — the gauge row becomes
+    * immutable exactly like the reference's flushed metrics. */
+  def streamConcurrencyGauge(ev: DataFrame, dur: String = "5 minutes",
+                             slide: String = "1 minute",
+                             watermarkDelay: String = "10 minutes"): DataFrame =
+    ev.withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), dur, slide))
+      .agg(count(lit(1)).as("n_open"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("n_open"))
 }

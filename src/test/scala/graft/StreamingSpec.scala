@@ -620,6 +620,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == streamed.count(), "streamed window missing from batch")
   }
 
+  test("B28s: sliding-window gauge windows equal the half-open interval recount") {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.cdc.ChangeEvents.fromEvents(
+      spark.readStream.schema(schema).parquet(s"$dir/events.parquet*"))
+    runToCompletion(
+      graft.streaming.DataOps.streamConcurrencyGauge(stream), "b28s", "append")
+    val streamed = spark.table("b28s").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getLong(2)))
+    assert(streamed.nonEmpty, "no windows emitted")
+    // dur/slide = 5 overlapping windows per event; every emitted
+    // window's count must equal the [start, end) recount
+    val times = graft.cdc.ChangeEvents.changelog(spark, dir)
+      .select(unix_millis(col("event_time")).as("t")).collect()
+      .map(_.getLong(0))
+    streamed.foreach { case (s0, e0, n) =>
+      assert((e0 - s0) == 300000L, "window length must be the 5m duration")
+      val want = times.count(t => t >= s0 && t < e0).toLong
+      assert(n == want, s"window [$s0,$e0): $n != $want")
+    }
+    // the windows really overlap on the slide grid (empty windows are
+    // never emitted, so neighbors may skip grid points — but every
+    // start sits on the 1m grid and some pair is exactly 1m apart)
+    val starts = streamed.map(_._1).distinct.sorted
+    assert(starts.forall(_ % 60000L == 0L))
+    if (starts.length > 1) {
+      val diffs = starts.sliding(2).map { case Array(a, b) => b - a }.toSeq
+      assert(diffs.forall(_ % 60000L == 0L))
+      assert(diffs.contains(60000L), "no adjacent overlapping windows")
+    }
+  }
+
   test("A81s: incremental hot-span walk across tick-ordered micro-batches equals the Lindley closed form") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
