@@ -127,6 +127,11 @@ object SparkEntry {
     "cdc_hot_span" -> ((s, d) => Scheduler.hotSpans(cl(s, d))),
     "cdc_span_split_bytes" -> ((s, d) => Scheduler.spanSplitBytes(cl(s, d))),
     "cdc_span_split_regions" -> ((s, d) => Scheduler.spanSplitRegions(cl(s, d))),
+    // write threshold 1660 lands the sf0.01 fleet across all three
+    // chooser verdicts (write/region/none) — the claim-check precedent
+    // of demo params picked to exercise every branch
+    "cdc_span_split_choose" -> ((s, d) =>
+      Scheduler.spanSplitChoose(cl(s, d), threshold = 1660L)),
     "cdc_changefeed_backoff" -> ((s, d) =>
       ChangefeedBackoff.backoff(cl(s, d), backoffFleet)),
     "cdc_operator_move" -> ((s, d) => OperatorLifecycle.operatorMove(cl(s, d))),
@@ -324,6 +329,7 @@ object SparkEntry {
     "cdc_hot_span" -> o(Scheduler.hotSpansSql()),
     "cdc_span_split_bytes" -> o(Scheduler.spanSplitBytesSql()),
     "cdc_span_split_regions" -> o(Scheduler.spanSplitRegionsSql()),
+    "cdc_span_split_choose" -> o(Scheduler.spanSplitChooseSql(threshold = 1660L)),
     "cdc_changefeed_backoff" -> o(ChangefeedBackoff.backoffSql(backoffFleet)),
     "cdc_operator_move" -> o(OperatorLifecycle.operatorMoveSql()),
     "cdc_operator_addstop" -> o(OperatorLifecycle.operatorAddStopSql()),

@@ -799,6 +799,79 @@ object Scheduler {
        |FROM t WHERE n <= $regionThreshold""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // A101 — splitter priority chooser (SplitSpans)
+  // ------------------------------------------------------------------
+
+  /** Reference: maintainer/split/splitter.go:80-95 `SplitSpans` — the
+    * maintainer holds BOTH splitters in priority order (write-bytes
+    * first, region-count second, splitter.go:66-79) and takes the
+    * FIRST one that actually splits (returns >1 span); if neither
+    * does, the table stays one whole span. This is the production
+    * entry every split decision goes through: a table with PD write
+    * stats above the threshold splits by write weight (A82), a fresh
+    * changefeed with no stats but many regions splits evenly by
+    * region count (A90), and a small table stays whole.
+    *
+    * Both candidate frames are dimension-scale (spans per table), so
+    * the chooser is a tag-union + one broadcast join against the
+    * per-table span counts — no new corpus-scale work beyond the two
+    * splitters' own partial-aggregated scans. Output carries both
+    * candidate span counts so every verdict is auditable. */
+  def spanSplitChoose(cl: DataFrame, threshold: Long = 500L,
+                      regionThreshold: Int = 20,
+                      nScan: Int = SplitScanRegions): DataFrame = {
+    val cols = Seq("grp", "span_seq", "start_rid", "end_rid", "region_cnt")
+      .map(col)
+    val wb = spanSplitBytes(cl, threshold, nScan).select(cols: _*)
+    val rc = spanSplitRegions(cl, regionThreshold, nScan).select(cols: _*)
+    val counts = wb.groupBy(col("grp")).agg(count(lit(1)).as("n_write_spans"))
+      .join(rc.groupBy(col("grp")).agg(count(lit(1)).as("n_region_spans")),
+        Seq("grp"))
+      .withColumn("chosen",
+        when(col("n_write_spans") > 1L, lit("write"))
+          .when(col("n_region_spans") > 1L, lit("region"))
+          .otherwise(lit("none")))
+    val tagged = wb.withColumn("src", lit("write"))
+      .unionByName(rc.withColumn("src", lit("region")))
+    tagged.join(broadcast(counts), Seq("grp"))
+      // chosen=none keeps the write splitter's single whole-span row
+      // (both no-split arms emit the identical whole span)
+      .filter((col("chosen") === col("src")) ||
+        (col("chosen") === "none" && col("src") === "write"))
+      .select(col("grp"), col("chosen"), col("n_write_spans"),
+        col("n_region_spans"), col("span_seq"), col("start_rid"),
+        col("end_rid"), col("region_cnt"))
+  }
+
+  def spanSplitChooseSql(threshold: Long = 500L, regionThreshold: Int = 20,
+                         nScan: Int = SplitScanRegions): String =
+    s"""WITH wb AS (
+       |  ${spanSplitBytesSql(threshold, nScan).replace("\n", "\n  ")}
+       |), rc AS (
+       |  ${spanSplitRegionsSql(regionThreshold, nScan).replace("\n", "\n  ")}
+       |), counts AS (
+       |  SELECT w.grp, w.n_write_spans, r.n_region_spans,
+       |    CASE WHEN w.n_write_spans > 1 THEN 'write'
+       |         WHEN r.n_region_spans > 1 THEN 'region'
+       |         ELSE 'none' END AS chosen
+       |  FROM (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_write_spans
+       |        FROM wb GROUP BY grp) w
+       |  JOIN (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_region_spans
+       |        FROM rc GROUP BY grp) r ON r.grp = w.grp
+       |), tagged AS (
+       |  SELECT grp, span_seq, start_rid, end_rid, region_cnt,
+       |    'write' AS src FROM wb
+       |  UNION ALL
+       |  SELECT grp, span_seq, start_rid, end_rid, region_cnt,
+       |    'region' AS src FROM rc
+       |)
+       |SELECT t.grp, c.chosen, c.n_write_spans, c.n_region_spans,
+       |  t.span_seq, t.start_rid, t.end_rid, t.region_cnt
+       |FROM tagged t JOIN counts c ON c.grp = t.grp
+       |WHERE c.chosen = t.src
+       |   OR (c.chosen = 'none' AND t.src = 'write')""".stripMargin
+
   def hotSpansSql(tickW: Long = 100L, thr: Long = 10L, scoreThr: Int = 3,
                   clearTicks: Long = 3L, nRegions: Int = NRegions,
                   maxSpanNum: Int = 100): String = {

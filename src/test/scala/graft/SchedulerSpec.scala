@@ -379,6 +379,57 @@ class SchedulerSpec extends AnyFunSuite {
     frame.unpersist()
   }
 
+  // ---- A101 ----
+
+  test("A101: chooser takes write first, region second, whole last (splitter.go:80-95)") {
+    // hot: total write >= threshold and packs into >1 span -> 'write';
+    // wide: under the write threshold but >20 occupied buckets ->
+    // 'region'; tiny: under both thresholds -> 'none' (whole span)
+    val rows = Seq.tabulate(2000)(i => ("db0", "hot", (i % 200).toLong)) ++
+      Seq.tabulate(100)(i => ("db0", "wide", 10000L + i)) ++
+      Seq.tabulate(10)(i => ("db0", "tiny", 20000L + (i % 4)))
+    val cl = rows.toDF("schema_name", "table_name", "pk")
+    val got = cdc.Scheduler.spanSplitChoose(cl).cache()
+    val byGrp = got.select("grp", "chosen").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byGrp == Map("db0.hot" -> "write", "db0.wide" -> "region",
+      "db0.tiny" -> "none"), byGrp.toString)
+    // the chosen arm's rows ARE the source splitter's rows, verbatim
+    val wb = cdc.Scheduler.spanSplitBytes(cl)
+      .select("grp", "span_seq", "start_rid", "end_rid", "region_cnt")
+    val rc = cdc.Scheduler.spanSplitRegions(cl)
+      .select("grp", "span_seq", "start_rid", "end_rid", "region_cnt")
+    val picked = got.select("grp", "span_seq", "start_rid", "end_rid", "region_cnt")
+    assert(picked.filter(col("grp") === "db0.hot")
+      .exceptAll(wb.filter(col("grp") === "db0.hot")).count() == 0)
+    assert(picked.filter(col("grp") === "db0.wide")
+      .exceptAll(rc.filter(col("grp") === "db0.wide")).count() == 0)
+    assert(got.filter(col("grp") === "db0.tiny").count() == 1)
+    // no-split verdicts expose both candidate counts = 1
+    val tiny = got.filter(col("grp") === "db0.tiny").head()
+    assert(tiny.getAs[Long]("n_write_spans") == 1L &&
+      tiny.getAs[Long]("n_region_spans") == 1L)
+    got.unpersist()
+  }
+
+  test("A101: production frame — one verdict per table, chosen rows partition the regions") {
+    val cl = cdc.ChangeEvents.changelog(spark, "/root/testdata/sf0.01")
+    val frame = cdc.Scheduler.spanSplitChoose(cl).cache()
+    // exactly one chosen label per table
+    assert(frame.select("grp", "chosen").distinct().groupBy("grp")
+      .count().filter(col("count") =!= 1L).count() == 0)
+    // whichever splitter won, its spans partition the occupied regions
+    val occupied = cl.select(
+        concat_ws(".", col("schema_name"), col("table_name")).as("grp"),
+        graft.functions.Portable.bucket(
+          col("pk").cast("string"), cdc.Scheduler.SplitScanRegions).as("rid"))
+      .distinct().groupBy("grp").agg(count(lit(1)).as("n_occupied"))
+    val sums = frame.groupBy("grp").agg(sum("region_cnt").as("packed"))
+      .join(occupied, "grp")
+    assert(sums.filter(col("packed") =!= col("n_occupied")).count() == 0)
+    frame.unpersist()
+  }
+
   // ---- A81 ----
 
   test("A81: Lindley closed form equals the sequential floored walk") {
