@@ -197,6 +197,108 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     f.unpersist()
   }
 
+  test("A102: closed-form drain equals the sequential two-level-heap popEvents loop") {
+    // event_queue.go:239-310 transcribed: per stream, pre-filled
+    // per-path FIFOs drain by "globally minimal front event" (the
+    // two-level heap under the documented arrival/tie stand-ins);
+    // a batch takes up to B same-kind batchable events; DDLs travel
+    // alone; a signal-first batch of size >1 returns only its last.
+    type Ev = (Long, String, String, Long, Long, String, String)
+    def seqDrain(events: Seq[Ev], batchSize: Int)
+        : Seq[(String, Long, Long, Long, Long, Long, Long)] = {
+      val out = collection.mutable.Buffer
+        .empty[(String, Long, Long, Long, Long, Long, Long)]
+      for (stream <- events.map(_._1).distinct.sorted) {
+        val queues = collection.mutable.Map(
+          events.filter(_._1 == stream).groupBy(_._3).view.mapValues(es =>
+            collection.mutable.Queue(
+              es.sortBy(e => (e._4, e._5, e._7)): _*)).toSeq: _*)
+        var seq = 0L
+        while (queues.values.exists(_.nonEmpty)) {
+          val path = queues.filter(_._2.nonEmpty).minBy { case (p, q) =>
+            val f = q.front; (f._4, f._5, f._7, p)
+          }._1
+          val q = queues(path)
+          val first = q.dequeue()
+          val batch = collection.mutable.Buffer(first)
+          while (batch.length < batchSize && q.nonEmpty &&
+            q.front._6 == first._6 && q.front._6 != "DDL")
+            batch += q.dequeue()
+          seq += 1
+          val n = batch.length.toLong
+          batch.zipWithIndex.foreach { case (e, i) =>
+            val emitted = if (first._6 == "SIGNAL" && n > 1 && i + 1 < n) 0L else 1L
+            out += ((e._3, e._4, e._5, seq, i + 1L, n, emitted))
+          }
+        }
+      }
+      out.toSeq
+    }
+    // synthetic fleet: 2 streams x 2 areas x 4 paths; a 6-DML run
+    // (batch cap), kind changes, DDL singletons, signal runs (collapse
+    // arm), and cross-path ts ties on grid events
+    val fleet: Seq[(Long, String, String, Long, Long, String, String)] = Seq(
+      (0L, "a0", "a0#p1", 1L, 0L, "DML", "k1"),
+      (0L, "a0", "a0#p1", 2L, 0L, "DML", "k2"),
+      (0L, "a0", "a0#p1", 3L, 0L, "DML", "k3"),
+      (0L, "a0", "a0#p1", 4L, 0L, "DML", "k4"),
+      (0L, "a0", "a0#p1", 5L, 0L, "DML", "k5"),
+      (0L, "a0", "a0#p1", 6L, 0L, "DML", "k6"),
+      (0L, "a0", "a0#p1", 10L, 1L, "DDL", "v1"),
+      (0L, "a0", "a0#p1", 10L, 2L, "SIGNAL", ""),
+      (0L, "a0", "a0#p1", 20L, 2L, "SIGNAL", ""),
+      (0L, "a0", "a0#p1", 30L, 2L, "SIGNAL", ""),
+      (0L, "a1", "a1#p2", 1L, 0L, "DML", "k7"),
+      (0L, "a1", "a1#p2", 10L, 1L, "DDL", "v1"),
+      (0L, "a1", "a1#p2", 10L, 2L, "SIGNAL", ""),
+      (0L, "a1", "a1#p2", 11L, 0L, "DML", "k8"),
+      (1L, "a0", "a0#p3", 10L, 2L, "SIGNAL", ""),
+      (1L, "a0", "a0#p3", 20L, 2L, "SIGNAL", ""),
+      (1L, "a1", "a1#p4", 15L, 0L, "DML", "k9"),
+      (1L, "a1", "a1#p4", 16L, 0L, "DML", "k10"))
+    import spark.implicits._
+    val queue = fleet.toDF("stream", "area", "path", "ts", "tie", "kind", "detail")
+    val got = cdc.DynStreamQueue.drainFrame(queue, batchCount = 4)
+      .select("path", "ts", "tie", "batch_seq", "pos_in_batch", "batch_size",
+        "emitted")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val want = seqDrain(fleet, 4).toSet
+    assert(got == want, s"\ngot  ${got.toSeq.sorted}\nwant ${want.toSeq.sorted}")
+    // the collapse arm fired and kept exactly the last signal
+    val collapsed = seqDrain(fleet, 4).filter(r => r._6 > 1 && r._7 == 0L)
+    assert(collapsed.nonEmpty)
+  }
+
+  test("A102: production drain — dense per-stream batch seqs, batches in order, collapse only on signal runs") {
+    val f = cdc.DynStreamQueue.queueDrain(
+      cdc.ChangeEvents.changelog(spark, dir)).cache()
+    // every event lands in exactly one batch slot
+    assert(f.groupBy("path", "batch_seq", "pos_in_batch").count()
+      .filter(col("count") =!= 1L).count() == 0)
+    // batch seqs are dense 1..N per stream
+    val seqs = f.groupBy("stream").agg(
+      countDistinct("batch_seq").as("n"), max("batch_seq").as("mx"))
+    assert(seqs.filter(col("n") =!= col("mx")).count() == 0)
+    // batches drain in first-ts order within a stream
+    val heads = f.filter(col("pos_in_batch") === 1L)
+    val disorder = heads.withColumn("prev_ts",
+        lag("ts", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("stream").orderBy("batch_seq")))
+      .filter(col("prev_ts").isNotNull && col("ts") < col("prev_ts"))
+    assert(disorder.count() == 0)
+    // batch sizes respect the cap; DDLs travel alone; only signal
+    // batches collapse, keeping exactly their last event
+    assert(f.filter(col("batch_size") > cdc.DynStreamQueue.BatchCount).count() == 0)
+    assert(f.filter(col("kind") === "DDL" && col("batch_size") =!= 1L).count() == 0)
+    assert(f.filter(col("emitted") === 0L && col("kind") =!= "SIGNAL").count() == 0)
+    assert(f.filter(col("emitted") === 0L &&
+      col("pos_in_batch") === col("batch_size")).count() == 0)
+    // the collapse arm runs on the real fleet (quiet-gap signal runs)
+    assert(f.filter(col("emitted") === 0L).count() > 0)
+    f.unpersist()
+  }
+
   test("changefeed facade equals manual operator composition") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val cfg = cdc.Changefeed.Config(

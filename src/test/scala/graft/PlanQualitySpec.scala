@@ -118,7 +118,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // 1-row corpus-scalars broadcast (q_scalar_subquery shape)
       "bm25_topk",
       // embeds bm25_topk's scalar cross + the 1-row query-vector cross
-      "hybrid_rrf_topk")
+      "hybrid_rrf_topk",
+      // 1-row max-ts broadcast building the signal tick grid (A81 shape)
+      "cdc_event_queue_drain")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
