@@ -258,6 +258,7 @@ object SparkEntry {
     "text_winnowing" -> ((s, d) => ops.Retrieval.winnowing(s, d)),
     "decontaminate_winnow" -> ((s, d) => ops.Retrieval.decontaminateWinnow(s, d)),
     "dedup_containment" -> ((s, d) => ops.Retrieval.dedupContainment(s, d)),
+    "dedup_edit_distance" -> ((s, d) => ops.Retrieval.dedupEditDistance(s, d)),
     "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
     "hybrid_rrf_topk" -> ((s, d) => ops.Retrieval.hybridRrfTopK(s, d)),
     "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
@@ -455,6 +456,7 @@ object SparkEntry {
     "text_winnowing" -> ops.Retrieval.winnowingSql(),
     "decontaminate_winnow" -> ops.Retrieval.decontaminateWinnowSql(),
     "dedup_containment" -> ops.Retrieval.dedupContainmentSql(),
+    "dedup_edit_distance" -> ops.Retrieval.dedupEditDistanceSql(),
     "bm25_topk" -> ops.Retrieval.bm25TopKSql(),
     "hybrid_rrf_topk" -> ops.Retrieval.hybridRrfTopKSql(),
     "data_split" -> ops.Corpus.dataSplitSql(),

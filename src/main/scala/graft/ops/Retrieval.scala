@@ -375,6 +375,108 @@ object Retrieval {
        |   OR inter * 1000000 // szb >= $tauPpm""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // C53 — edit-distance near-dup verify (the reordering-sensitive arm)
+  // ------------------------------------------------------------------
+
+  /** Edit-distance near-dup pairs: winnowing candidates verified with
+    * character-level Levenshtein. The complement of the gram-set
+    * verifies (C4/C42): a doc with scattered single-token edits keeps
+    * a LOW edit distance while every touched 3-gram dies (gram
+    * Jaccard collapses), so set-similarity misses it — the classic
+    * plagiarism/boilerplate-variant case; conversely a short doc
+    * quoted inside a long one (C42's case) has edit distance ≈ the
+    * length difference and stays invisible here. Production dedup
+    * stacks both.
+    *
+    * Candidates = pairs sharing a winnowing fingerprint (the C42
+    * generation, ~2/(win+1) density — never all-pairs); verify =
+    * levenshtein on the first `cap` chars (the bounded-work contract:
+    * O(cap²) per pair no matter how long the docs grow; at this
+    * corpus' ≤553-char docs the cap never truncates), normalized to
+    * ppm of the LONGER doc's n_chars. Both engines run their native
+    * levenshtein — an independent cross-implementation check. */
+  def dedupEditDistance(spark: SparkSession, dir: String, win: Int = 4,
+      tauPpm: Long = 300000L, cap: Int = 600): DataFrame =
+    editDistanceFromFps(winnowHashesCached(spark, dir, win),
+      docs(spark, dir), tauPpm, cap)
+
+  private[graft] def dedupEditDistanceFrom(docsFrame: DataFrame, win: Int = 4,
+      tauPpm: Long = 300000L, cap: Int = 600): DataFrame =
+    editDistanceFromFps(winnowHashes(docsFrame, win), docsFrame, tauPpm, cap)
+
+  private def editDistanceFromFps(fpsFull: DataFrame, docsFrame: DataFrame,
+      tauPpm: Long, cap: Int): DataFrame = {
+    val fps = fpsFull.select(col("doc_id"), col("fp_hash"))
+    val cand = fps.as("a").join(fps.as("b"), Seq("fp_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val d = docsFrame.select(col("doc_id"),
+      substring(col("text"), 1, cap).as("txt"),
+      length(col("text")).cast("long").as("len"))
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("txt").as("ta"),
+        col("len").as("len_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("txt").as("tb"),
+        col("len").as("len_b")), "doc_b")
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("lev_ppm", call_function("div", col("lev") * lit(1000000L),
+        greatest(col("len_a"), col("len_b"), lit(1L))))
+      .filter(col("lev_ppm") <= tauPpm)
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        col("lev"), col("lev_ppm"))
+  }
+
+  def dedupEditDistanceSql(win: Int = 4, tauPpm: Long = 300000L,
+      cap: Int = 600): String = {
+    val allGrams =
+      """CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |  ELSE [] END""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, $allGrams AS grams FROM t
+       |), pg AS (
+       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS m,
+       |    UNNEST(list_transform(range(1, len(grams) + 1),
+       |      i -> {'pos': i - 1, 'gram': grams[i]})) AS e
+       |  FROM g
+       |), h AS (
+       |  SELECT doc_id, m, CAST(e.pos AS BIGINT) AS pos,
+       |    (${Portable.hash60Sql("e.gram")} % $HashMod) * $PosMod
+       |      + (${PosMod - 1} - e.pos) AS key
+       |  FROM pg
+       |), w AS (
+       |  SELECT doc_id, m, pos,
+       |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${win - 1} FOLLOWING) AS mk
+       |  FROM h
+       |), fps AS (
+       |  SELECT DISTINCT doc_id, CAST(mk // $PosMod AS BIGINT) AS fp_hash
+       |  FROM w WHERE pos <= m - $win
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fps a JOIN fps b
+       |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, len_a, len_b, lev,
+       |  lev * 1000000 // GREATEST(len_a, len_b, 1) AS lev_ppm
+       |FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(LENGTH(x.text) AS BIGINT) AS len_a,
+       |    CAST(LENGTH(y.text) AS BIGINT) AS len_b,
+       |    CAST(levenshtein(substring(x.text, 1, $cap),
+       |      substring(y.text, 1, $cap)) AS BIGINT) AS lev
+       |  FROM cand c
+       |  JOIN documents x ON x.doc_id = c.doc_a
+       |  JOIN documents y ON y.doc_id = c.doc_b
+       |)
+       |WHERE lev * 1000000 // GREATEST(len_a, len_b, 1) <= $tauPpm""".stripMargin
+  }
+
   def winnowingSql(win: Int = 4): String = {
     val allGrams =
       """CASE WHEN len(toks) >= 3

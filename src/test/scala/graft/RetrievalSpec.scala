@@ -189,6 +189,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(p._5 < 200000L, s"the long side must NOT be contained: $p")
   }
 
+  test("C53: edit distance catches scattered-edit variants that gram Jaccard misses") {
+    // base: 48 tokens; variant: every 8th token substituted — runs of 7
+    // unchanged tokens keep shared winnow fingerprints (candidates
+    // survive) while every touched 3-gram dies
+    val baseToks = (1 to 48).map(i => s"tok$i")
+    val varToks = baseToks.zipWithIndex.map { case (t, i) =>
+      if (i % 8 == 0) s"zzz$i" else t }
+    val docs = Seq(
+      (1L, baseToks.mkString(" "), "src1"),
+      (2L, varToks.mkString(" "), "src2"),
+      (3L, "entirely different content with nothing shared here at all ok", "src3"))
+      .toDF("doc_id", "text", "source")
+    val got = ops.Retrieval.dedupEditDistanceFrom(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L,
+      s"exactly the variant pair: ${got.toSeq}")
+    assert(got.head._6 <= 300000L, s"scattered edits stay near: ${got.head}")
+    // the same pair's symmetric gram Jaccard is deep below dedup taus
+    val g = docs.select(col("doc_id"), ops.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), expr(ops.Text.gramsExpr).as("grams"))
+    val sets = g.as[(Long, Seq[String])].collect().toMap
+    val (ga, gb) = (sets(1L).toSet, sets(2L).toSet)
+    val jacc = ga.intersect(gb).size.toDouble / ga.union(gb).size
+    assert(jacc < 0.6, s"gram jaccard should collapse under scattered edits: $jacc")
+    // the C42 converse: a short doc quoted in a long one is edit-FAR
+    // (distance ~ the length difference) — this operator must NOT pair it
+    val short = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val filler = (1 to 40).map(i => s"word$i").mkString(" ")
+    val quoted = Seq((1L, short, "s1"), (2L, s"$filler $short $filler", "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(ops.Retrieval.dedupEditDistanceFrom(quoted).count() == 0,
+      "containment's case must stay invisible to edit distance")
+  }
+
   test("C48: RRF fusion equals the per-arm recomputation and prefers dual-arm hits") {
     val kArm = 50; val rrfK = 60L
     val fused = ops.Retrieval.hybridRrfTopK(spark, dir, kArm = kArm)
