@@ -282,6 +282,7 @@ object SparkEntry {
     "q_window_ranks" -> ((s, d) => Analytics.qWindowRanks(s, d)),
     "q_corr_agg_subquery" -> ((s, d) => Analytics.qCorrAggSubquery(s, d)),
     "q_pivot" -> ((s, d) => Analytics.qPivot(s, d)),
+    "q_unpivot" -> ((s, d) => Analytics.qUnpivot(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.qGroupingSets(s, d)),
     "q_median_mode" -> ((s, d) => Analytics.qMedianMode(s, d)),
     "q_set_ops" -> ((s, d) => Analytics.qSetOps(s, d)),
@@ -480,6 +481,7 @@ object SparkEntry {
     "q_window_ranks" -> Analytics.qWindowRanksSql,
     "q_corr_agg_subquery" -> Analytics.qCorrAggSubquerySql,
     "q_pivot" -> Analytics.qPivotSql,
+    "q_unpivot" -> Analytics.qUnpivotSql,
     "q_grouping_sets" -> Analytics.qGroupingSetsSql,
     "q_median_mode" -> Analytics.qMedianModeSql,
     "q_set_ops" -> Analytics.qSetOpsSql,

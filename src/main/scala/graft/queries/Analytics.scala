@@ -557,6 +557,34 @@ object Analytics {
       |GROUP BY 1, 2""".stripMargin
   }
 
+  /** B31 — UNPIVOT, the inverse of B19: the wide per-(user, day)
+    * count matrix melts back to sparse long form through Spark's
+    * native `unpivot` (a map-side Expand — rows × types with NO
+    * shuffle beyond the pivot's own aggregation). The oracle is NOT
+    * the desugared union but the DIRECT long-form aggregate
+    * (GROUP BY user, day, type): green means unpivot ∘ pivot is the
+    * identity on non-zero cells against an independent derivation —
+    * the strongest contract the operator pair can state. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    qPivot(spark, dir)
+      .unpivot(Array(col("user_id"), col("day")),
+        types.map(t => col(s"n_$t")).toArray, "pivot_col", "n")
+      .filter(col("n") > 0L)
+      .select(col("user_id"), col("day"),
+        substring(col("pivot_col"), 3, 32).as("event_type"), col("n"))
+  }
+
+  val qUnpivotSql: String = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    s"""SELECT user_id,
+      |  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |  event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events
+      |WHERE event_type IN (${types.map(t => s"'$t'").mkString(", ")})
+      |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** B20 — GROUPING SETS with grouping_id: one pass producing the
     * (flag, bucket) cells, the per-flag margins, the per-bucket
     * margins, and the grand total — four aggregation levels in a

@@ -173,6 +173,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("B31: unpivot of the pivot matrix is the identity on the direct long-form aggregate") {
+    import org.apache.spark.sql.functions._
+    val long = graft.queries.Analytics.qUnpivot(spark, dir)
+    val direct = graft.util.Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"), col("event_type"))
+      .groupBy("user_id", "day", "event_type").agg(count(lit(1)).as("n"))
+    assert(long.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(long).count() == 0,
+      "unpivot(pivot(x)) must equal the direct aggregate")
+    // zero cells of the wide matrix are dropped, not emitted
+    assert(long.filter(col("n") === 0L).count() == 0)
+  }
+
   test("C51: heavy hitters equal the brute-force document-frequency top-k") {
     val n = 5; val k = 50
     val got = ops.Corpus.ngramHeavyHitters(spark, dir, n, k).collect()
