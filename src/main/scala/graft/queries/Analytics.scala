@@ -557,6 +557,55 @@ object Analytics {
       |GROUP BY 1, 2""".stripMargin
   }
 
+  /** B32 — FULL OUTER reconcile, the missing join polarity (B2/B3
+    * inner, B4 semi, B5 anti, B17 left-as-of): two independently
+    * filtered per-part summaries — the large-size catalog band vs the
+    * bulk-shipment aggregate — merged with presence labels and -1
+    * sentinels on the absent side. Spark plans a sort-merge full
+    * outer (broadcast cannot preserve both unmatched sides), the
+    * shuffle keyed on the join's own aggregation key so the
+    * b-side partial agg reuses its exchange. */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.part(spark, dir)
+      .filter(col("p_size") >= 40)
+      .select(col("p_partkey").as("partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+    val b = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("bulk_qty"),
+        count(lit(1)).as("n_bulk_items"))
+    a.join(b, Seq("partkey"), "full_outer")
+      .select(col("partkey"),
+        coalesce(col("price_cents"), lit(-1L)).as("price_cents"),
+        coalesce(col("bulk_qty"), lit(-1L)).as("bulk_qty"),
+        coalesce(col("n_bulk_items"), lit(-1L)).as("n_bulk_items"),
+        when(col("price_cents").isNotNull && col("bulk_qty").isNotNull, "both")
+          .when(col("price_cents").isNotNull, "catalog_only")
+          .otherwise("shipped_only").as("presence"))
+  }
+
+  val qFullOuterSql: String =
+    """WITH a AS (
+      |  SELECT p_partkey AS partkey,
+      |    CAST(ROUND(p_retailprice * 100.0, 0) AS BIGINT) AS price_cents
+      |  FROM part WHERE p_size >= 40
+      |), b AS (
+      |  SELECT l_partkey AS partkey,
+      |    CAST(SUM(l_quantity) AS BIGINT) AS bulk_qty,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bulk_items
+      |  FROM lineitem WHERE l_quantity >= 45
+      |  GROUP BY 1
+      |)
+      |SELECT COALESCE(a.partkey, b.partkey) AS partkey,
+      |  COALESCE(a.price_cents, -1) AS price_cents,
+      |  COALESCE(b.bulk_qty, -1) AS bulk_qty,
+      |  COALESCE(b.n_bulk_items, -1) AS n_bulk_items,
+      |  CASE WHEN a.partkey IS NOT NULL AND b.partkey IS NOT NULL THEN 'both'
+      |       WHEN a.partkey IS NOT NULL THEN 'catalog_only'
+      |       ELSE 'shipped_only' END AS presence
+      |FROM a FULL OUTER JOIN b ON a.partkey = b.partkey""".stripMargin
+
   /** B31 — UNPIVOT, the inverse of B19: the wide per-(user, day)
     * count matrix melts back to sparse long form through Spark's
     * native `unpivot` (a map-side Expand — rows × types with NO

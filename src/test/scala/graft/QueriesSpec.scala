@@ -187,6 +187,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(long.filter(col("n") === 0L).count() == 0)
   }
 
+  test("B32: full outer preserves both unmatched sides with the sentinel discipline") {
+    import org.apache.spark.sql.functions._
+    val f = graft.queries.Analytics.qFullOuter(spark, dir).cache()
+    val arms = f.groupBy("presence").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("both", "catalog_only", "shipped_only").subsetOf(arms.keySet),
+      s"all three presence arms must populate: $arms")
+    // sentinels exactly on the absent side, never on the present one
+    assert(f.filter(col("presence") === "shipped_only" &&
+      col("price_cents") =!= -1L).count() == 0)
+    assert(f.filter(col("presence") === "catalog_only" &&
+      (col("bulk_qty") =!= -1L || col("n_bulk_items") =!= -1L)).count() == 0)
+    assert(f.filter(col("presence") === "both" &&
+      (col("price_cents") === -1L || col("bulk_qty") === -1L)).count() == 0)
+    // partkey is unique — a full outer never duplicates a key
+    assert(f.groupBy("partkey").count().filter(col("count") > 1L).count() == 0)
+    f.unpersist()
+  }
+
   test("C51: heavy hitters equal the brute-force document-frequency top-k") {
     val n = 5; val k = 50
     val got = ops.Corpus.ngramHeavyHitters(spark, dir, n, k).collect()
