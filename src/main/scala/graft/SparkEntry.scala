@@ -140,6 +140,7 @@ object SparkEntry {
     "cdc_region_init" -> ((s, d) => RegionInit.regionInit(cl(s, d))),
     "cdc_mem_backpressure" -> ((s, d) => Backpressure.memBackpressure(cl(s, d))),
     "cdc_event_queue_drain" -> ((s, d) => DynStreamQueue.queueDrain(cl(s, d))),
+    "cdc_schema_gc" -> ((s, d) => SchemaStore.schemaGc(s, d)),
     "cdc_dispatcher_block" -> ((s, d) => DispatcherBlock.dispatcherBlock(cl(s, d))),
     "cdc_span_coverage" -> ((s, d) => Coverage.spanCoverage(cl(s, d))),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
@@ -341,6 +342,7 @@ object SparkEntry {
     "cdc_region_init" -> o(RegionInit.regionInitSql),
     "cdc_mem_backpressure" -> o(Backpressure.memBackpressureSql()),
     "cdc_event_queue_drain" -> o(DynStreamQueue.queueDrainSql()),
+    "cdc_schema_gc" -> o(SchemaStore.schemaGcSql),
     "cdc_dispatcher_block" -> o(DispatcherBlock.dispatcherBlockSql()),
     "cdc_span_coverage" -> o(Coverage.spanCoverageSql()),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),

@@ -261,6 +261,126 @@ object SchemaStore {
        |FROM alive a LEFT JOIN alt j ON j.base = a.base
        |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
 
+  /** A103: the schemastore GC sweep — what survives `doGc(gcTs)`
+    * (reference: logservice/schemastore/persist_storage.go:534-580 +
+    * :581-630 `cleanObsoleteDataInMemory` + multi_version.go:131-157
+    * `versionedTableInfoStore.gc`). The same event list is trimmed by
+    * TWO deliberately different retention rules, and that contrast is
+    * the behavior under test:
+    *   - the INFO STORE keeps every version strictly after gcTs PLUS
+    *     the floor (latest version at or before gcTs — readers at
+    *     gcTs still need it; multi_version.go's `target-1` slice); a
+    *     store whose deleteVersion ≤ gcTs is removed whole; a store
+    *     whose versions ALL sit past gcTs (`target == 0`) keeps
+    *     everything;
+    *   - the DDL HISTORY keeps strictly-after ONLY (no floor), and a
+    *     table whose history empties is dropped from the map
+    *     (persist_storage.go:588-599); the table-trigger history gets
+    *     the same strict trim globally (:602-606).
+    * Sweep = three gcTs scenarios at quarter points of the stream
+    * (doGc's monotone no-op guards make any increasing sweep valid).
+    * All frames are dimension-scale (stores × versions × 3). */
+  def schemaGc(spark: SparkSession, dir: String): DataFrame = {
+    val cl = ChangeEvents.changelog(spark, dir)
+    val lc = tableLifecycle(spark, dir)
+      .withColumn("base", expr("table_id div 1048576"))
+    val jobs = ddlJobs(cl)
+    val gcs = cl.agg(max(col("commit_ts")).as("mx"))
+      .select(explode(sequence(lit(1L), lit(3L))).as("k"), col("mx"))
+      .select((col("k") * call_function("div", col("mx"), lit(4L))).as("gc_ts"))
+    val vers = lc.select(col("table_id"), col("born_ts").as("ver_ts"))
+      .unionByName(
+        jobs.filter(col("action") === "ALTER").select(col("base"), col("ts"))
+          .join(lc.select(col("base"), col("table_id"), col("born_ts"),
+            col("delete_ts")), Seq("base"))
+          .filter(col("born_ts") <= col("ts") &&
+            (col("delete_ts") === -1L || col("ts") < col("delete_ts")))
+          .select(col("table_id"), col("ts").as("ver_ts")))
+    val perStore = vers.crossJoin(broadcast(gcs))
+      .groupBy(col("gc_ts"), col("table_id"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("ver_ts") <= col("gc_ts"), 1L).otherwise(0L)).as("n_le"),
+        max(when(col("ver_ts") <= col("gc_ts"), col("ver_ts"))).as("floor_ts"),
+        min(col("ver_ts")).as("min_ts"))
+    val trig = jobs.crossJoin(broadcast(gcs))
+      .groupBy(col("gc_ts"))
+      .agg(sum(when(col("ts") > col("gc_ts"), 1L).otherwise(0L))
+        .as("n_trigger_kept"))
+    perStore
+      .join(lc.select(col("schema_name"), col("table_name"), col("table_id"),
+        col("delete_ts")), Seq("table_id"))
+      .withColumn("removed",
+        when(col("delete_ts") =!= -1L && col("delete_ts") <= col("gc_ts"), 1L)
+          .otherwise(0L))
+      .withColumn("n_versions_kept",
+        when(col("removed") === 1L, 0L)
+          .when(col("n_le") > 0L, col("n_total") - col("n_le") + 1L)
+          .otherwise(col("n_total")))
+      .withColumn("kept_from_ts",
+        when(col("removed") === 1L, lit(-1L))
+          .when(col("n_le") > 0L, col("floor_ts"))
+          .otherwise(col("min_ts")))
+      .withColumn("n_hist_kept", col("n_total") - col("n_le"))
+      .withColumn("hist_removed",
+        when(col("n_hist_kept") === 0L, 1L).otherwise(0L))
+      .join(broadcast(trig), Seq("gc_ts"))
+      .select(col("gc_ts"), col("schema_name"), col("table_name"),
+        col("table_id"), col("removed"), col("kept_from_ts"),
+        col("n_versions_kept"),
+        (col("n_total") - col("n_versions_kept")).as("n_versions_dropped"),
+        col("n_hist_kept"), col("hist_removed"), col("n_trigger_kept"))
+  }
+
+  val schemaGcSql: String =
+    s"""WITH $lifecycleCtes,
+       |gcs AS (
+       |  SELECT CAST(k * ((SELECT MAX(commit_ts) FROM changelog) // 4)
+       |    AS BIGINT) AS gc_ts
+       |  FROM (SELECT UNNEST(GENERATE_SERIES(1, 3)) AS k)
+       |), vers AS (
+       |  SELECT table_id, born_ts AS ver_ts FROM lifecycle
+       |  UNION ALL
+       |  SELECT l.table_id, a.ts AS ver_ts
+       |  FROM (SELECT base, ts FROM jobs WHERE action = 'ALTER') a
+       |  JOIN lifecycle l ON l.table_id // 1048576 = a.base
+       |    AND l.born_ts <= a.ts
+       |    AND (l.delete_ts = -1 OR a.ts < l.delete_ts)
+       |), per_store AS (
+       |  SELECT g.gc_ts, v.table_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_total,
+       |    CAST(SUM(CASE WHEN v.ver_ts <= g.gc_ts THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_le,
+       |    MAX(CASE WHEN v.ver_ts <= g.gc_ts THEN v.ver_ts END) AS floor_ts,
+       |    MIN(v.ver_ts) AS min_ts
+       |  FROM vers v CROSS JOIN gcs g GROUP BY 1, 2
+       |), trig AS (
+       |  SELECT g.gc_ts,
+       |    CAST(SUM(CASE WHEN j.ts > g.gc_ts THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_trigger_kept
+       |  FROM jobs j CROSS JOIN gcs g
+       |  WHERE j.action IS NOT NULL GROUP BY 1
+       |)
+       |SELECT p.gc_ts, l.schema_name, l.table_name, p.table_id,
+       |  CAST(CASE WHEN l.delete_ts <> -1 AND l.delete_ts <= p.gc_ts
+       |    THEN 1 ELSE 0 END AS BIGINT) AS removed,
+       |  CAST(CASE WHEN l.delete_ts <> -1 AND l.delete_ts <= p.gc_ts THEN -1
+       |    WHEN p.n_le > 0 THEN p.floor_ts ELSE p.min_ts END
+       |    AS BIGINT) AS kept_from_ts,
+       |  CAST(CASE WHEN l.delete_ts <> -1 AND l.delete_ts <= p.gc_ts THEN 0
+       |    WHEN p.n_le > 0 THEN p.n_total - p.n_le + 1
+       |    ELSE p.n_total END AS BIGINT) AS n_versions_kept,
+       |  CAST(p.n_total - (CASE WHEN l.delete_ts <> -1
+       |      AND l.delete_ts <= p.gc_ts THEN 0
+       |    WHEN p.n_le > 0 THEN p.n_total - p.n_le + 1
+       |    ELSE p.n_total END) AS BIGINT) AS n_versions_dropped,
+       |  CAST(p.n_total - p.n_le AS BIGINT) AS n_hist_kept,
+       |  CAST(CASE WHEN p.n_total - p.n_le = 0 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS hist_removed,
+       |  t.n_trigger_kept
+       |FROM per_store p
+       |JOIN lifecycle l ON l.table_id = p.table_id
+       |JOIN trig t ON t.gc_ts = p.gc_ts""".stripMargin
+
   /** A68: resolve every changelog event to the physical table
     * generation alive at its commitTs (`getTableInfo(ts)` against the
     * A67 store). Events landing at or after a tombstone — DML the

@@ -865,6 +865,78 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(snap.map(_.getLong(2)).toSet == expected)
   }
 
+  test("A103: gc sweep equals the transcribed versionedTableInfoStore.gc on every store") {
+    import org.apache.spark.sql.Row
+    // multi_version.go:131-157 transcribed: removed when gcTs >=
+    // deleteVersion; else slice infos[target-1:] where target = first
+    // version > gcTs (target == 0 keeps all)
+    def seqGc(versions: Seq[Long], deleteTs: Long, gcTs: Long)
+        : (Long, Long, Long) = { // (removed, keptFrom, nKept)
+      if (deleteTs != -1L && gcTs >= deleteTs) (1L, -1L, 0L)
+      else {
+        val sorted = versions.sorted
+        val target = sorted.indexWhere(_ > gcTs) match {
+          case -1 => sorted.length
+          case i => i
+        }
+        if (target == 0) (0L, sorted.head, sorted.length.toLong)
+        else (0L, sorted(target - 1), (sorted.length - (target - 1)).toLong)
+      }
+    }
+    // sf0.01: vmax = 10 boundaries — the sweep hits every arm
+    val gcDir = "/root/testdata/sf0.01"
+    val f = cdc.SchemaStore.schemaGc(spark, gcDir).cache()
+    val rows = f.collect().map { r: Row =>
+      (r.getLong(0), r.getLong(3), (r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9)))
+    }
+    assert(rows.nonEmpty)
+    // reconstruct each store's version list independently of the op
+    val lc = cdc.SchemaStore.tableLifecycle(spark, gcDir).collect()
+      .map(r => r.getLong(2) -> (r.getLong(4), r.getLong(5))).toMap
+    val vers: Map[Long, Seq[Long]] = {
+      // rebuild version ts values from the A67 job rule directly
+      val cl = cdc.ChangeEvents.changelog(spark, gcDir)
+      val mx = cl.agg(max(col("commit_ts"))).head().getLong(0)
+      val step = cdc.SchemaStore.step
+      val vmax = mx / step
+      val bases = cl.select("schema_name", "table_name").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(identity).zipWithIndex
+        .map { case (st, i) => st -> i.toLong }.toMap
+      val jobs = for {
+        ((_, _), b) <- bases.toSeq
+        v <- 1L to vmax
+        a <- if ((b + v) % 5 == 0) Some("TRUNCATE")
+             else if (v == vmax && b % 7 == 3) Some("DROP")
+             else if ((b * 3 + v) % 4 == 0) Some("ALTER") else None
+      } yield (b, v * step, a)
+      lc.keys.toSeq.map { tid =>
+        val (born, del) = lc(tid)
+        val base = tid / 1048576L
+        val alters = jobs.filter { case (b, ts, a) => b == base && a == "ALTER" &&
+          born <= ts && (del == -1L || ts < del) }.map(_._2)
+        tid -> (born +: alters)
+      }.toMap
+    }
+    rows.foreach { case (gc, tid, (rem, keptFrom, nKept, nDropped, nHist, histRem)) =>
+      val (born, del) = lc(tid)
+      val vs = vers(tid)
+      val (wRem, wFrom, wKept) = seqGc(vs, del, gc)
+      assert((rem, keptFrom, nKept) == (wRem, wFrom, wKept),
+        s"store $tid at gc=$gc: got ($rem,$keptFrom,$nKept) want ($wRem,$wFrom,$wKept)")
+      assert(nDropped == vs.length - nKept)
+      // the two-rule contrast: history never keeps the floor version
+      assert(nHist == vs.count(_ > gc))
+      assert(histRem == (if (nHist == 0) 1L else 0L))
+    }
+    // all three info-store arms occur across the sweep
+    val arms = rows.map { case (gc, tid, (rem, _, nKept, nDropped, _, _)) =>
+      if (rem == 1L) "removed"
+      else if (nDropped > 0L) "trim" else "keep_all" }.toSet
+    assert(arms == Set("removed", "trim", "keep_all"), arms.toString)
+    f.unpersist()
+  }
+
   test("table lifecycle generations tile time and events resolve to the live generation") {
     val lc = cdc.SchemaStore.tableLifecycle(spark, dir).collect()
     val byTable = lc.groupBy(r => (r.getString(0), r.getString(1)))

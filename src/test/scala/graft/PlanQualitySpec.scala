@@ -120,7 +120,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // embeds bm25_topk's scalar cross + the 1-row query-vector cross
       "hybrid_rrf_topk",
       // 1-row max-ts broadcast building the signal tick grid (A81 shape)
-      "cdc_event_queue_drain")
+      "cdc_event_queue_drain",
+      // A67 lifecycle grid cross + the 3-row gc-sweep broadcast
+      "cdc_schema_gc")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
