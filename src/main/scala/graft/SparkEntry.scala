@@ -239,6 +239,7 @@ object SparkEntry {
     "dedup_lines" -> ((s, d) => ops.Dedup.dedupLines(s, d)),
     "text_vocab_coverage" -> ((s, d) => ops.TextAnalysis.vocabCoverage(s, d)),
     "text_unigram_surprisal" -> ((s, d) => ops.TextAnalysis.unigramSurprisal(s, d)),
+    "text_bigram_surprisal" -> ((s, d) => ops.TextAnalysis.bigramSurprisal(s, d)),
     "perplexity_bucket" -> ((s, d) => ops.TextAnalysis.perplexityBucket(s, d)),
     "quality_model_filter" -> ((s, d) => ops.TextAnalysis.qualityModelFilter(s, d)),
     "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
@@ -440,6 +441,7 @@ object SparkEntry {
     "dedup_lines" -> ops.Dedup.dedupLinesSql(),
     "text_vocab_coverage" -> ops.TextAnalysis.vocabCoverageSql(),
     "text_unigram_surprisal" -> ops.TextAnalysis.unigramSurprisalSql,
+    "text_bigram_surprisal" -> ops.TextAnalysis.bigramSurprisalSql,
     "perplexity_bucket" -> ops.TextAnalysis.perplexityBucketSql,
     "quality_model_filter" -> ops.TextAnalysis.qualityModelFilterSql(),
     "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,

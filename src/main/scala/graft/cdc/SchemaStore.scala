@@ -323,12 +323,15 @@ object SchemaStore {
       .withColumn("n_hist_kept", col("n_total") - col("n_le"))
       .withColumn("hist_removed",
         when(col("n_hist_kept") === 0L, 1L).otherwise(0L))
-      .join(broadcast(trig), Seq("gc_ts"))
+      // LEFT: a stream too short for any DDL boundary (sf0.001) has an
+      // EMPTY job log — the trigger history is 0, not a vanished frame
+      .join(broadcast(trig), Seq("gc_ts"), "left")
       .select(col("gc_ts"), col("schema_name"), col("table_name"),
         col("table_id"), col("removed"), col("kept_from_ts"),
         col("n_versions_kept"),
         (col("n_total") - col("n_versions_kept")).as("n_versions_dropped"),
-        col("n_hist_kept"), col("hist_removed"), col("n_trigger_kept"))
+        col("n_hist_kept"), col("hist_removed"),
+        coalesce(col("n_trigger_kept"), lit(0L)).as("n_trigger_kept"))
   }
 
   val schemaGcSql: String =
@@ -376,10 +379,10 @@ object SchemaStore {
        |  CAST(p.n_total - p.n_le AS BIGINT) AS n_hist_kept,
        |  CAST(CASE WHEN p.n_total - p.n_le = 0 THEN 1 ELSE 0 END
        |    AS BIGINT) AS hist_removed,
-       |  t.n_trigger_kept
+       |  COALESCE(t.n_trigger_kept, 0) AS n_trigger_kept
        |FROM per_store p
        |JOIN lifecycle l ON l.table_id = p.table_id
-       |JOIN trig t ON t.gc_ts = p.gc_ts""".stripMargin
+       |LEFT JOIN trig t ON t.gc_ts = p.gc_ts""".stripMargin
 
   /** A68: resolve every changelog event to the physical table
     * generation alive at its commitTs (`getTableInfo(ts)` against the

@@ -250,6 +250,82 @@ object TextAnalysis {
         col("oov_ppm"), col("vocab_words_used"))
   }
 
+  /** C54 — bigram-LM surprisal: the TRANSITION model completing C34's
+    * unigram arm. A word-salad document — common words in random
+    * order — has exactly the unigram profile of clean prose, so C34
+    * scores it fluent; its TRANSITIONS are all rare, and a bigram
+    * model is the cheapest detector (the KenLM-filter intuition: the
+    * n-gram order is what buys fluency sensitivity). Add-one
+    * (Laplace) smoothed conditional, integer-exact via the C34 bit
+    * trick: surprisal = floor(log₂((c(w1)+V) / (c(w1,w2)+1))) =
+    * bit_length(num div den) − 1, exact because c(w1,w2) ≤ c(w1) <
+    * c(w1)+V keeps the ratio ≥ 1.
+    *
+    * Scale: one bigram explode (corpus-scale), two partial-agg counts
+    * (bigram table ≤ corpus rows, unigram table = vocabulary), joins
+    * keyed on the explode's own keys, one doc-keyed reduce — the C34
+    * plan with one extra dimension-bounded join. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalFrom(Tables.documents(spark, dir))
+
+  private[graft] def bigramSurprisalFrom(docsFrame: DataFrame): DataFrame = {
+    val toks = docsFrame
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = toks.select(col("doc_id"),
+      posexplode(expr("slice(toks, 1, size(toks) - 1)")).as(Seq("i", "w1")),
+      col("toks"))
+      .withColumn("w2", expr("toks[i + 1]"))
+      .select(col("doc_id"), col("w1"), col("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = bigrams.select(col("w1"))
+      .unionByName(bigrams.select(col("w2").as("w1")))
+      .agg(countDistinct(col("w1")).as("vocab"))
+    bigrams.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("surprisal_bits",
+        expr("CAST(length(bin((c1 + vocab) DIV (c12 + 1))) - 1 AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("surprisal_bits")).as("total_bits"),
+        max(col("surprisal_bits")).as("max_bits"))
+      .withColumn("mean_millibits", expr("total_bits * 1000 DIV n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        col("mean_millibits"), col("max_bits"))
+  }
+
+  val bigramSurprisalSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, toks,
+       |          UNNEST(GENERATE_SERIES(1, len(toks) - 1)) AS i
+       |        FROM t WHERE len(toks) >= 2)
+       |), c12 AS (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1
+       |), v AS (
+       |  SELECT COUNT(DISTINCT w) AS vocab FROM (
+       |    SELECT w1 AS w FROM bg UNION ALL SELECT w2 AS w FROM bg)
+       |), s AS (
+       |  SELECT b.doc_id,
+       |    CAST(LENGTH(bin((c1.c1 + v.vocab) // (c12.c12 + 1))) - 1
+       |      AS BIGINT) AS surprisal_bits
+       |  FROM bg b
+       |  JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+       |  JOIN c1 ON c1.w1 = b.w1
+       |  CROSS JOIN v
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(surprisal_bits) AS BIGINT) AS total_bits,
+       |  CAST(SUM(surprisal_bits) * 1000 // COUNT(*) AS BIGINT)
+       |    AS mean_millibits,
+       |  CAST(MAX(surprisal_bits) AS BIGINT) AS max_bits
+       |FROM s GROUP BY 1""".stripMargin
+
   /** C34 — unigram-LM surprisal scoring: the CCNet/KenLM
     * perplexity-filter stand-in with an INTEGER-EXACT language model.
     * Per token, surprisal = floor(log₂(N / df(w))) computed as

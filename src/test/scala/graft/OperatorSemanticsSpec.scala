@@ -865,6 +865,28 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(snap.map(_.getLong(2)).toSet == expected)
   }
 
+  test("C54: bigram surprisal flags word salad that the unigram model scores fluent") {
+    import spark.implicits._
+    // five copies of a fixed 40-word sentence vs the SAME multiset in
+    // a seeded random shuffle: identical unigram profile, opposite
+    // transition profiles (a stride walk is NOT random enough — its
+    // bigrams are as periodic as the prose's)
+    val sentence = (1 to 40).map(i => s"word$i")
+    val prose = (1 to 5).flatMap(_ => sentence)
+    val salad = new scala.util.Random(42L).shuffle(prose)
+    val docs = Seq(
+      (1L, prose.mkString(" "), "en", "src1", 0L),
+      (2L, salad.mkString(" "), "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = ops.TextAnalysis.bigramSurprisalFrom(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(f(2L) > f(1L),
+      s"salad mean surprisal ${f(2L)} must exceed prose ${f(1L)}")
+    // unigram profiles are identical by construction — C34's mean
+    // cannot separate them
+    assert(prose.sorted == salad.sorted)
+  }
+
   test("A103: gc sweep equals the transcribed versionedTableInfoStore.gc on every store") {
     import org.apache.spark.sql.Row
     // multi_version.go:131-157 transcribed: removed when gcTs >=

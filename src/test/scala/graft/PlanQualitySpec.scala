@@ -83,6 +83,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_schema_snapshot",
       // 1-row corpus-total broadcast (q_scalar_subquery shape)
       "text_unigram_surprisal",
+      // 1-row vocab-size broadcast (the C34 shape, bigram arm)
+      "text_bigram_surprisal",
       // C34's corpus-total cross + its own 1-row tercile-bounds cross
       "perplexity_bucket",
       // 1-row winner-merge + 1-row stats broadcasts over the vocab table
@@ -156,6 +158,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_gc_safepoint",
       // syncpoint boundary grid (MysqlDdl:168) — rows = max_ts / step
       "sink_syncpoint_stmts",
+      // embeds the A67 table-universe row_number (rows = #tables)
+      "cdc_schema_gc",
       // integer value/bucket grids (TextAnalysis:317, Corpus:379)
       "perplexity_bucket", "seq_length_histogram",
       // embeds C40's tercile grid
