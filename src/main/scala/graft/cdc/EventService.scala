@@ -501,6 +501,95 @@ object EventService {
        |      ELSE -1 END) = pk AS BIGINT) AS valid
        |FROM dec""".stripMargin
 
+  // --------------------------------------------------------------- A104
+  /** A104: the eventstore's SORT-KEY layout (reference:
+    * logservice/eventstore/format.go:50-85 EncodeKey + getDMLOrder) —
+    * the on-disk key whose BYTE order IS the replay order: big-endian
+    * (uniqueID, tableID, CRTs, startTs) as four 8-byte words, a
+    * 2-byte DML-order discriminator pinning delete < update < insert
+    * at equal commit ts (the storage-layer tiebreak the A2 sort
+    * relies on), then the raw record key (the A88 layout). Because
+    * every field is fixed-width big-endian, lexicographic order of
+    * the encoded bytes equals the tuple order — THE invariant an LSM
+    * iterator needs, and the oracle makes it visible: `pos_bykey`
+    * ranks by the hex string, `pos_bytuple` by the logical tuple, and
+    * a layout bug (little-endian words, unpadded hex) splits them.
+    * uniqueID stand-in = the subscription's table id (one
+    * subscription per table — the A77 scan-task granularity).
+    * Row-local encode after the dimension-scale id broadcast + one
+    * per-table rank window pair on a single shuffle (the A2 class). */
+  def eventstoreKey(cl: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = cl.select(col("schema_name"), col("table_name")).distinct()
+      .withColumn("table_id",
+        row_number().over(Window.orderBy(col("schema_name"), col("table_name")))
+          .cast("long") - 1L)
+    def w16(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 16, "0")
+    def enc15(c: org.apache.spark.sql.Column) =
+      concat(lit("8"), lpad(lower(hex(c)), 15, "0"))
+    val w = Window.partitionBy(col("table_id"))
+    val keyed = cl.select(col("schema_name"), col("table_name"), col("op"),
+        col("pk"), col("commit_ts"), col("start_ts"))
+      .join(broadcast(ids), Seq("schema_name", "table_name"))
+      .withColumn("dml_order",
+        when(col("op") === "D", 1L).when(col("op") === "U", 2L).otherwise(3L))
+      .withColumn("raw_key",
+        concat(lit("74"), enc15(col("table_id")), lit("5f72"), enc15(col("pk"))))
+      .withColumn("sort_key",
+        concat(w16(col("table_id")), w16(col("table_id")),
+          w16(col("commit_ts")), w16(col("start_ts")),
+          lpad(lower(hex(col("dml_order"))), 4, "0"), col("raw_key")))
+    keyed
+      .withColumn("pos_bykey",
+        row_number().over(w.orderBy(col("sort_key"))).cast("long"))
+      .withColumn("pos_bytuple",
+        row_number().over(w.orderBy(col("commit_ts"), col("start_ts"),
+          col("dml_order"), col("raw_key"))).cast("long"))
+      .select(col("schema_name"), col("table_name"), col("pk"),
+        col("commit_ts"), col("op"), col("table_id"), col("dml_order"),
+        col("sort_key"), col("pos_bykey"), col("pos_bytuple"),
+        (col("pos_bykey") === col("pos_bytuple")).cast("long")
+          .as("order_preserved"))
+  }
+
+  def eventstoreKeySql(): String =
+    s"""WITH ids AS (
+       |  SELECT schema_name, table_name,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY schema_name, table_name)
+       |      AS BIGINT) - 1 AS table_id
+       |  FROM (SELECT DISTINCT schema_name, table_name FROM changelog)
+       |), keyed AS (
+       |  SELECT c.schema_name, c.table_name, c.pk, c.commit_ts, c.start_ts,
+       |    c.op, i.table_id,
+       |    CASE WHEN c.op = 'D' THEN 1 WHEN c.op = 'U' THEN 2 ELSE 3 END
+       |      AS dml_order,
+       |    CONCAT('74', '8', lpad(lower(to_hex(i.table_id)), 15, '0'),
+       |      '5f72', '8', lpad(lower(to_hex(c.pk)), 15, '0')) AS raw_key,
+       |    CONCAT(
+       |      lpad(lower(to_hex(i.table_id)), 16, '0'),
+       |      lpad(lower(to_hex(i.table_id)), 16, '0'),
+       |      lpad(lower(to_hex(c.commit_ts)), 16, '0'),
+       |      lpad(lower(to_hex(c.start_ts)), 16, '0'),
+       |      lpad(lower(to_hex(CASE WHEN c.op = 'D' THEN 1
+       |        WHEN c.op = 'U' THEN 2 ELSE 3 END)), 4, '0'),
+       |      CONCAT('74', '8', lpad(lower(to_hex(i.table_id)), 15, '0'),
+       |        '5f72', '8', lpad(lower(to_hex(c.pk)), 15, '0'))) AS sort_key
+       |  FROM changelog c JOIN ids i
+       |    ON c.schema_name = i.schema_name AND c.table_name = i.table_name
+       |)
+       |SELECT schema_name, table_name, pk, commit_ts, op, table_id,
+       |  CAST(dml_order AS BIGINT) AS dml_order, sort_key,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY table_id ORDER BY sort_key)
+       |    AS BIGINT) AS pos_bykey,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY table_id
+       |    ORDER BY commit_ts, start_ts, dml_order, raw_key)
+       |    AS BIGINT) AS pos_bytuple,
+       |  CAST((ROW_NUMBER() OVER (PARTITION BY table_id ORDER BY sort_key)) =
+       |    (ROW_NUMBER() OVER (PARTITION BY table_id
+       |      ORDER BY commit_ts, start_ts, dml_order, raw_key))
+       |    AS BIGINT) AS order_preserved
+       |FROM keyed""".stripMargin
+
   // ---------------------------------------------------------------- A89
   /** A89: the mounter's ingress key gate — what happens to each raw KV
     * entry BEFORE it becomes a row event (reference:

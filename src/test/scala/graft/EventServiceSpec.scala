@@ -7,8 +7,42 @@ import org.scalatest.funsuite.AnyFunSuite
 /** A77 scan-task decision invariants: per-class arm correspondence,
   * range arithmetic, and independent recount of the scan ranges. */
 class EventServiceSpec extends AnyFunSuite {
+
   lazy val spark: SparkSession = graft.util.GraftSession.local(4)
   val dir = "/root/testdata/sf0.001"
+
+  test("A104: fixed-width big-endian keys sort as their tuples; unpadded hex would not") {
+    import spark.implicits._
+    // ts values crossing hex-width boundaries (9 -> '9', 16 -> '10':
+    // unpadded string order inverts) + a same-ts DML pair where the
+    // 2-byte discriminator must pin delete < insert
+    val cl = Seq(
+      ("db0", "t0", "I", 1L, 9L, 0L),
+      ("db0", "t0", "I", 2L, 16L, 10L),
+      ("db0", "t0", "I", 3L, 255L, 250L),
+      ("db0", "t0", "I", 4L, 256L, 250L),
+      ("db0", "t0", "D", 5L, 300L, 290L),
+      ("db0", "t0", "I", 6L, 300L, 290L),
+      ("db1", "t1", "U", 7L, 16L, 10L),
+      ("db1", "t1", "I", 8L, 9L, 0L))
+      .toDF("schema_name", "table_name", "op", "pk", "commit_ts", "start_ts")
+    val f = cdc.EventService.eventstoreKey(cl).cache()
+    // the invariant the layout exists for: byte order == tuple order
+    assert(f.filter(col("order_preserved") =!= 1L).count() == 0)
+    // the same-ts pair drains delete first (format.go getDMLOrder)
+    val sameTs = f.filter(col("commit_ts") === 300L)
+      .orderBy(col("pos_bykey")).select("op").as[String].collect()
+    assert(sameTs.toSeq == Seq("D", "I"))
+    // counter-demonstration: UNPADDED hex concat breaks string order
+    // exactly where ts crosses a hex width (16 sorts before 9)
+    val unpadded = cl.filter(col("table_name") === "t0")
+      .withColumn("k", concat(lower(hex(col("commit_ts"))),
+        lower(hex(col("pk")))))
+      .orderBy(col("k")).select("commit_ts").as[Long].collect()
+    assert(unpadded.toSeq != unpadded.toSeq.sorted,
+      "unpadded hex must NOT preserve numeric order — else this spec proves nothing")
+    f.unpersist()
+  }
 
   test("A77: decision arms follow the dispatcher classes and ranges are sound") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
