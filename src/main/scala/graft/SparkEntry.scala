@@ -241,6 +241,7 @@ object SparkEntry {
     "text_vocab_coverage" -> ((s, d) => ops.TextAnalysis.vocabCoverage(s, d)),
     "text_unigram_surprisal" -> ((s, d) => ops.TextAnalysis.unigramSurprisal(s, d)),
     "text_bigram_surprisal" -> ((s, d) => ops.TextAnalysis.bigramSurprisal(s, d)),
+    "doc_token_offsets" -> ((s, d) => ops.TextAnalysis.tokenOffsets(s, d)),
     "perplexity_bucket" -> ((s, d) => ops.TextAnalysis.perplexityBucket(s, d)),
     "quality_model_filter" -> ((s, d) => ops.TextAnalysis.qualityModelFilter(s, d)),
     "source_mix_weights" -> ((s, d) => ops.Corpus.sourceMixWeights(s, d)),
@@ -444,6 +445,7 @@ object SparkEntry {
     "text_vocab_coverage" -> ops.TextAnalysis.vocabCoverageSql(),
     "text_unigram_surprisal" -> ops.TextAnalysis.unigramSurprisalSql,
     "text_bigram_surprisal" -> ops.TextAnalysis.bigramSurprisalSql,
+    "doc_token_offsets" -> ops.TextAnalysis.tokenOffsetsSql,
     "perplexity_bucket" -> ops.TextAnalysis.perplexityBucketSql,
     "quality_model_filter" -> ops.TextAnalysis.qualityModelFilterSql(),
     "source_mix_weights" -> ops.Corpus.sourceMixWeightsSql,

@@ -176,6 +176,64 @@ object TextAnalysis {
        |    - digit_ppm * 100 + wordlen_e3 * 50) // 1000 >= $tau) AS BIGINT) AS keep
        |FROM m""".stripMargin
 
+  /** C55 — token→char offset map: the span-annotation infrastructure
+    * every labeling/NER/extraction pipeline needs before it can talk
+    * about "characters 14–20 of doc 7". Over the single-space
+    * normalized text, token i starts at Σ_{j<i}(len(tok_j)+1) — a
+    * per-doc cumulative window over the exploded token stream, no
+    * join. The contract is SELF-CHECKING: `verified` re-extracts
+    * substring(norm, start+1, len) in BOTH engines and compares to
+    * the token, so an off-by-one in either engine's arithmetic (or a
+    * divergent split semantics) fails the oracle hash loudly rather
+    * than silently mis-anchoring every downstream span.
+    *
+    * Scale: one doc-keyed repartition + one window on the same key;
+    * output rows = token stream (corpus-scale by design — it IS the
+    * annotation table). */
+  def tokenOffsets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("token_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), Text.norm(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        posexplode(split(col("norm"), " ")).as(Seq("token_idx", "token")))
+      .withColumn("tok_len", length(col("token")).cast("long"))
+      .withColumn("char_start",
+        coalesce(sum(col("tok_len") + 1L).over(w), lit(0L)))
+      .withColumn("char_end", col("char_start") + col("tok_len"))
+      .withColumn("verified",
+        (expr("substring(norm, CAST(char_start + 1 AS INT), CAST(tok_len AS INT))")
+          === col("token")).cast("long"))
+      .select(col("doc_id"), col("token_idx").cast("long").as("token_idx"),
+        col("token"), col("char_start"), col("char_end"), col("verified"))
+  }
+
+  val tokenOffsetsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.normSql("text")} AS norm FROM documents
+       |), e AS (
+       |  SELECT doc_id, norm, CAST(i - 1 AS BIGINT) AS token_idx,
+       |    toks[i] AS token
+       |  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
+       |    UNNEST(GENERATE_SERIES(1, len(string_split(norm, ' ')))) AS u(i)
+       |), c AS (
+       |  SELECT doc_id, norm, token_idx, token,
+       |    CAST(LENGTH(token) AS BIGINT) AS tok_len,
+       |    COALESCE(SUM(LENGTH(token) + 1) OVER (PARTITION BY doc_id
+       |      ORDER BY token_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS char_start
+       |  FROM e
+       |)
+       |SELECT doc_id, token_idx, token,
+       |  CAST(char_start AS BIGINT) AS char_start,
+       |  CAST(char_start + tok_len AS BIGINT) AS char_end,
+       |  CAST(substring(norm, CAST(char_start + 1 AS INT),
+       |    CAST(tok_len AS INT)) = token AS BIGINT) AS verified
+       |FROM c""".stripMargin
+
   /** C10 — token counting: whitespace tokens and a BPE-ish regex
     * segmentation (letter runs / digit runs / single symbols). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =

@@ -865,6 +865,24 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(snap.map(_.getLong(2)).toSet == expected)
   }
 
+  test("C55: token offsets tile the normalized text exactly and self-verify") {
+    val f = ops.TextAnalysis.tokenOffsets(spark, dir).cache()
+    assert(f.count() > 0)
+    // every span re-extracts to its own token (the in-frame check)
+    assert(f.filter(col("verified") =!= 1L).count() == 0)
+    // spans tile: first starts at 0, consecutive spans abut across the
+    // single separator space, and nothing overlaps
+    assert(f.filter(col("token_idx") === 0L && col("char_start") =!= 0L)
+      .count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("token_idx")
+    val gaps = f.withColumn("prev_end", lag("char_end", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("char_start") =!= col("prev_end") + 1L)
+    assert(gaps.count() == 0, "spans must abut across exactly one space")
+    f.unpersist()
+  }
+
   test("C54: bigram surprisal flags word salad that the unigram model scores fluent") {
     import spark.implicits._
     // five copies of a fixed 40-word sentence vs the SAME multiset in

@@ -147,7 +147,7 @@ class PlanQualitySpec extends AnyFunSuite {
       // table-universe row_number assigns table ids (SchemaStore:99,
       // EventService:423/:567) — rows = #tables
       "cdc_table_lifecycle", "cdc_event_physical", "cdc_schema_snapshot",
-      "cdc_kv_key_codec", "cdc_log_candidates",
+      "cdc_kv_key_codec", "cdc_log_candidates", "cdc_eventstore_key",
       // node/span scheduling frames (Scheduler:136) — rows = nodes x spans
       "cdc_sched_basic", "cdc_sched_balance",
       // embeds the A80 balance frame; its own fold is per-move grouped
