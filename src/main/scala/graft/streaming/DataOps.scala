@@ -315,6 +315,45 @@ object DataOps {
         col("view_id"), expr("unix_micros(view_time)").as("view_us"))
   }
 
+  /** B32s — the stream-stream LEFT OUTER interval join: B18s's pair
+    * stream plus the capability inner joins can't express — a
+    * purchase with NO in-range view must still emit, and in a stream
+    * that answer is only safe once the WATERMARK has passed its
+    * whole candidate window (a matching view could still arrive until
+    * then). Spark buffers the left row and emits the null-padded
+    * result via the no-data eviction batch after the watermark
+    * clears it — the streaming rendering of B32's absent-side
+    * sentinel discipline (-1 on the unmatched view columns). State
+    * on both sides stays O(range × rate), bounded by the same
+    * time-range predicate as the inner twin. */
+  def streamLeftOuterJoin(events: DataFrame,
+                          rangeUs: Long = 86400000000L,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(rangeUs % 1000000L == 0, "rangeUs must be whole seconds")
+    val e = graft.util.Tables.normalizeTs(events)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").as("etime"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("etime").as("view_time"))
+      .withWatermark("view_time", watermarkDelay)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("etime").as("purchase_time"))
+      .withWatermark("purchase_time", watermarkDelay)
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+        col("view_time") > col("purchase_time") -
+          expr(s"INTERVAL ${rangeUs / 1000000L} SECONDS") &&
+        col("view_time") <= col("purchase_time"),
+        "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        expr("unix_micros(purchase_time)").as("purchase_us"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(expr("unix_micros(view_time)"), lit(-1L)).as("view_us"),
+        col("view_id").isNotNull.cast("long").as("matched"))
+  }
+
   /** B28s — the concurrency gauge as a NATIVE sliding event-time
     * window: `window(event_time, dur, slide)` assigns each event to
     * its dur/slide overlapping windows and the watermark closes them

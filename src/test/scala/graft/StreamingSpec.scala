@@ -503,6 +503,96 @@ class StreamingSpec extends AnyFunSuite {
       "streamed interval-join pairs must aggregate to the batch range join")
   }
 
+  test("B32s: stream-stream left outer emits unmatched purchases once the watermark clears them") {
+    val tmp = java.nio.file.Files.createTempDirectory("b32s").toString
+    val ev = graft.util.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .filter(col("event_type").isin("view", "purchase"))
+    val cuts = ev.stat.approxQuantile("event_id", Array(0.34, 0.67), 0.0)
+    // a far-future flush view (impossible user) pushes the watermark
+    // past every purchase's candidate window so ALL unmatched left
+    // rows are evicted with nulls before the stream drains
+    val maxUs = graft.util.Tables.normalizeTs(ev)
+      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    // BOTH sides need a far-future row: the global watermark is the
+    // MIN across inputs, so flushing only the views side leaves the
+    // purchases watermark (and the last purchases) stuck behind it;
+    // the impossible user matches nothing and the flush purchase
+    // itself stays inside its own watermark, so neither row surfaces
+    // ev's ts is the normalized LONG-NANOS contract — write the flush
+    // in the same unit (a timestamp->long cast would yield SECONDS)
+    val flush = spark.createDataFrame(Seq(
+        (-1L, (maxUs + 5000000000000L) * 1000L, -1L, "view"),
+        (-2L, (maxUs + 5000000000000L) * 1000L, -3L, "purchase")))
+      .toDF("event_id", "ns", "user_id", "event_type")
+      .select(col("event_id"),
+        col("ns").cast(ev.schema("ts").dataType).as("ts"),
+        col("user_id"), col("event_type"))
+    val parts = Seq(
+      ev.filter(col("event_id") <= cuts(0)),
+      ev.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      ev.filter(col("event_id") > cuts(1)),
+      flush)
+    val t0 = java.lang.System.currentTimeMillis() - 60000
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = s"$tmp/f$i"
+      p.coalesce(1).write.parquet(d)
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t0 + i * 10000))
+    }
+    val stream = spark.readStream.schema(parts.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/f*")
+    // AvailableNow stops at file exhaustion WITHOUT the no-data
+    // eviction batch that emits outer-join nulls — run the default
+    // trigger and poll for the outer arm (the B16s deadline pattern)
+    val q = graft.streaming.DataOps.streamLeftOuterJoin(stream)
+      .writeStream.format("memory").queryName("b32s")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val deadline = System.currentTimeMillis + 60000
+    var last = -1L
+    var cur = spark.table("b32s").filter(col("matched") === 0L).count()
+    while ((cur == 0 || cur != last) && System.currentTimeMillis < deadline) {
+      last = cur; Thread.sleep(1000)
+      cur = spark.table("b32s").filter(col("matched") === 0L).count()
+    }
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("b32s").cache()
+    // matched pairs aggregate exactly to the batch range join (B18)
+    val got = out.filter(col("matched") === 1L)
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_us"))
+      .agg(count(lit(1)).as("n_views_24h"), max(col("view_us")).as("last_view_us"))
+    val batch = queries.Analytics.qRangeJoin(spark, dir)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "matched arm must equal the batch range join")
+    // the outer arm: purchases with no in-range view emit EXACTLY ONCE
+    // with both view columns at the -1 sentinel
+    val e2 = graft.util.Tables.normalizeTs(ev)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val purch = e2.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
+    val views = e2.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("vus"))
+    val unmatchedBatch = purch.join(views,
+        Seq("user_id"), "left_outer")
+      .withColumn("inr", col("vus").isNotNull &&
+        col("vus") > col("us") - 86400000000L && col("vus") <= col("us"))
+      .groupBy(col("purchase_id"), col("user_id"), col("us"))
+      .agg(max(when(col("inr"), 1L).otherwise(0L)).as("has"))
+      .filter(col("has") === 0L)
+      .select(col("purchase_id"), col("user_id"), col("us").as("purchase_us"))
+    val unmatchedGot = out.filter(col("matched") === 0L)
+    assert(unmatchedGot.filter(col("view_id") =!= -1L || col("view_us") =!= -1L)
+      .count() == 0, "sentinel discipline on the absent side")
+    val ug = unmatchedGot.select("purchase_id", "user_id", "purchase_us")
+    assert(ug.exceptAll(unmatchedBatch).isEmpty && unmatchedBatch.exceptAll(ug).isEmpty,
+      "unmatched purchases must emit exactly once each")
+    assert(unmatchedGot.count() > 0, "the outer arm must actually fire")
+    out.unpersist()
+  }
+
   test("B15s/B16s TTL arm: expired state is reclaimed and users re-admit as new") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
