@@ -288,6 +288,7 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Analytics.qPivot(s, d)),
     "q_unpivot" -> ((s, d) => Analytics.qUnpivot(s, d)),
     "q_full_outer" -> ((s, d) => Analytics.qFullOuter(s, d)),
+    "q_approx_distinct" -> ((s, d) => Analytics.qApproxDistinct(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.qGroupingSets(s, d)),
     "q_median_mode" -> ((s, d) => Analytics.qMedianMode(s, d)),
     "q_set_ops" -> ((s, d) => Analytics.qSetOps(s, d)),
@@ -492,6 +493,7 @@ object SparkEntry {
     "q_pivot" -> Analytics.qPivotSql,
     "q_unpivot" -> Analytics.qUnpivotSql,
     "q_full_outer" -> Analytics.qFullOuterSql,
+    "q_approx_distinct" -> Analytics.qApproxDistinctSql,
     "q_grouping_sets" -> Analytics.qGroupingSetsSql,
     "q_median_mode" -> Analytics.qMedianModeSql,
     "q_set_ops" -> Analytics.qSetOpsSql,

@@ -389,29 +389,41 @@ object Retrieval {
     * length difference and stays invisible here. Production dedup
     * stacks both.
     *
-    * Candidates = pairs sharing a winnowing fingerprint (the C42
-    * generation, ~2/(win+1) density — never all-pairs); verify =
-    * levenshtein on the first `cap` chars (the bounded-work contract:
-    * O(cap²) per pair no matter how long the docs grow; at this
-    * corpus' ≤553-char docs the cap never truncates), normalized to
-    * ppm of the LONGER doc's n_chars. Both engines run their native
-    * levenshtein — an independent cross-implementation check. */
+    * The verify is the EXPENSIVE one in the family (O(len²) DP per
+    * pair vs C42's set intersection), so the candidate contract is
+    * deliberately tighter than C42's and BOTH filters are part of the
+    * operator's declared recall (mirrored exactly in the oracle, the
+    * C2/C5 banding discipline):
+    *   - pairs must share ≥ `minShared` winnowing fingerprints (one
+    *     shared phrase fingerprint is template noise; a ≤τ-edit
+    *     variant keeps long untouched runs and shares many) — on the
+    *     template-heavy sf0.1 corpus this cuts 334k candidate pairs
+    *     to ~400 while keeping every near pair but one borderline;
+    *   - the length bound |len_a−len_b| ≤ τ·max(len) (an edit
+    *     distance is never below the length difference).
+    * Verify = levenshtein on the first `cap` chars (bounded O(cap²)
+    * per pair at any doc length), ppm of the LONGER doc; each engine
+    * runs its own native levenshtein — an independent
+    * cross-implementation check. */
   def dedupEditDistance(spark: SparkSession, dir: String, win: Int = 4,
-      tauPpm: Long = 300000L, cap: Int = 600): DataFrame =
+      tauPpm: Long = 300000L, cap: Int = 600,
+      minShared: Int = 3): DataFrame =
     editDistanceFromFps(winnowHashesCached(spark, dir, win),
-      docs(spark, dir), tauPpm, cap)
+      docs(spark, dir), tauPpm, cap, minShared)
 
   private[graft] def dedupEditDistanceFrom(docsFrame: DataFrame, win: Int = 4,
-      tauPpm: Long = 300000L, cap: Int = 600): DataFrame =
-    editDistanceFromFps(winnowHashes(docsFrame, win), docsFrame, tauPpm, cap)
+      tauPpm: Long = 300000L, cap: Int = 600, minShared: Int = 3): DataFrame =
+    editDistanceFromFps(winnowHashes(docsFrame, win), docsFrame, tauPpm, cap,
+      minShared)
 
   private def editDistanceFromFps(fpsFull: DataFrame, docsFrame: DataFrame,
-      tauPpm: Long, cap: Int): DataFrame = {
+      tauPpm: Long, cap: Int, minShared: Int): DataFrame = {
     val fps = fpsFull.select(col("doc_id"), col("fp_hash"))
     val cand = fps.as("a").join(fps.as("b"), Seq("fp_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared.toLong)
     val d = docsFrame.select(col("doc_id"),
       substring(col("text"), 1, cap).as("txt"),
       length(col("text")).cast("long").as("len"))
@@ -420,16 +432,19 @@ object Retrieval {
         col("len").as("len_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("txt").as("tb"),
         col("len").as("len_b")), "doc_b")
+      // the length bound prunes BEFORE the quadratic DP runs
+      .filter(abs(col("len_a") - col("len_b")) * 1000000L <=
+        lit(tauPpm) * greatest(col("len_a"), col("len_b"), lit(1L)))
       .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
       .withColumn("lev_ppm", call_function("div", col("lev") * lit(1000000L),
         greatest(col("len_a"), col("len_b"), lit(1L))))
       .filter(col("lev_ppm") <= tauPpm)
-      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
-        col("lev"), col("lev_ppm"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("len_a"),
+        col("len_b"), col("lev"), col("lev_ppm"))
   }
 
   def dedupEditDistanceSql(win: Int = 4, tauPpm: Long = 300000L,
-      cap: Int = 600): String = {
+      cap: Int = 600, minShared: Int = 3): String = {
     val allGrams =
       """CASE WHEN len(toks) >= 3
         |  THEN list_transform(range(1, len(toks) - 1),
@@ -458,21 +473,30 @@ object Retrieval {
        |  SELECT DISTINCT doc_id, CAST(mk // $PosMod AS BIGINT) AS fp_hash
        |  FROM w WHERE pos <= m - $win
        |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
        |  FROM fps a JOIN fps b
        |    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-       |)
-       |SELECT doc_a, doc_b, len_a, len_b, lev,
-       |  lev * 1000000 // GREATEST(len_a, len_b, 1) AS lev_ppm
-       |FROM (
-       |  SELECT c.doc_a, c.doc_b,
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $minShared
+       |), pruned AS (
+       |  SELECT c.doc_a, c.doc_b, c.n_shared,
        |    CAST(LENGTH(x.text) AS BIGINT) AS len_a,
        |    CAST(LENGTH(y.text) AS BIGINT) AS len_b,
-       |    CAST(levenshtein(substring(x.text, 1, $cap),
-       |      substring(y.text, 1, $cap)) AS BIGINT) AS lev
+       |    x.text AS ta, y.text AS tb
        |  FROM cand c
        |  JOIN documents x ON x.doc_id = c.doc_a
        |  JOIN documents y ON y.doc_id = c.doc_b
+       |  WHERE ABS(LENGTH(x.text) - LENGTH(y.text)) * 1000000
+       |    <= $tauPpm * GREATEST(LENGTH(x.text), LENGTH(y.text), 1)
+       |)
+       |SELECT doc_a, doc_b, n_shared, len_a, len_b, lev,
+       |  lev * 1000000 // GREATEST(len_a, len_b, 1) AS lev_ppm
+       |FROM (
+       |  SELECT doc_a, doc_b, n_shared, len_a, len_b,
+       |    CAST(levenshtein(substring(ta, 1, $cap),
+       |      substring(tb, 1, $cap)) AS BIGINT) AS lev
+       |  FROM pruned
        |)
        |WHERE lev * 1000000 // GREATEST(len_a, len_b, 1) <= $tauPpm""".stripMargin
   }

@@ -557,6 +557,34 @@ object Analytics {
       |GROUP BY 1, 2""".stripMargin
   }
 
+  /** B33 — approximate distinct (HyperLogLog): the sketch-aggregate
+    * class exact distincts can't replace at 100 TB — B10's exact
+    * COUNT(DISTINCT) shuffles every (group, user) pair, while the HLL
+    * sketch is a fixed few-KB state per group that merges
+    * map-side. The two engines run DIFFERENT sketch implementations
+    * (Spark HLL++, DuckDB its own HLL), so raw estimates can never
+    * hash-match; the oracle contract is the TOLERANCE VERDICT both
+    * sides compute against their own exact count — each engine's
+    * sketch must land within 5% (rsd 2% requested), which is the
+    * property a user of the estimate actually relies on. */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) * 1000000L <=
+          col("n_exact") * 50000L).cast("long").as("approx_within_5pct"))
+
+  val qApproxDistinctSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  CAST(ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+      |      * 1000000 <= COUNT(DISTINCT user_id) * 50000
+      |    AS BIGINT) AS approx_within_5pct
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   /** B32 — FULL OUTER reconcile, the missing join polarity (B2/B3
     * inner, B4 semi, B5 anti, B17 left-as-of): two independently
     * filtered per-part summaries — the large-size catalog band vs the

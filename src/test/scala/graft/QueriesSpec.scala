@@ -187,6 +187,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(long.filter(col("n") === 0L).count() == 0)
   }
 
+  test("B33: the HLL estimate meets its tolerance and the exact counts recount") {
+    import org.apache.spark.sql.functions._
+    val f = graft.queries.Analytics.qApproxDistinct(spark, dir)
+    val rows = f.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    // every group's sketch lands inside the contract tolerance
+    assert(rows.values.forall(_._2 == 1L), rows.toString)
+    // the exact side recounts against a direct distinct
+    val direct = graft.util.Tables.events(spark, dir)
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map { case (k, (v, _)) => k -> v } == direct)
+  }
+
   test("B32: full outer preserves both unmatched sides with the sentinel discipline") {
     import org.apache.spark.sql.functions._
     val f = graft.queries.Analytics.qFullOuter(spark, dir).cache()

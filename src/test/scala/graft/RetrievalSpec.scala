@@ -202,10 +202,11 @@ class RetrievalSpec extends AnyFunSuite {
       (3L, "entirely different content with nothing shared here at all ok", "src3"))
       .toDF("doc_id", "text", "source")
     val got = ops.Retrieval.dedupEditDistanceFrom(docs)
-      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
     assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L,
       s"exactly the variant pair: ${got.toSeq}")
-    assert(got.head._6 <= 300000L, s"scattered edits stay near: ${got.head}")
+    assert(got.head._7 <= 300000L, s"scattered edits stay near: ${got.head}")
+    assert(got.head._3 >= 3L, "the variant pair clears the shared-fp gate")
     // the same pair's symmetric gram Jaccard is deep below dedup taus
     val g = docs.select(col("doc_id"), ops.Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), expr(ops.Text.gramsExpr).as("grams"))
