@@ -263,6 +263,7 @@ object SparkEntry {
     "decontaminate_winnow" -> ((s, d) => ops.Retrieval.decontaminateWinnow(s, d)),
     "dedup_containment" -> ((s, d) => ops.Retrieval.dedupContainment(s, d)),
     "dedup_edit_distance" -> ((s, d) => ops.Retrieval.dedupEditDistance(s, d)),
+    "ann_matryoshka_topk" -> ((s, d) => ops.Similarity.annMatryoshkaTopK(s, d)),
     "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
     "hybrid_rrf_topk" -> ((s, d) => ops.Retrieval.hybridRrfTopK(s, d)),
     "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
@@ -468,6 +469,7 @@ object SparkEntry {
     "decontaminate_winnow" -> ops.Retrieval.decontaminateWinnowSql(),
     "dedup_containment" -> ops.Retrieval.dedupContainmentSql(),
     "dedup_edit_distance" -> ops.Retrieval.dedupEditDistanceSql(),
+    "ann_matryoshka_topk" -> ops.Similarity.annMatryoshkaTopKSql(),
     "bm25_topk" -> ops.Retrieval.bm25TopKSql(),
     "hybrid_rrf_topk" -> ops.Retrieval.hybridRrfTopKSql(),
     "data_split" -> ops.Corpus.dataSplitSql(),

@@ -168,6 +168,86 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $k""".stripMargin
 
+  /** C56 — Matryoshka prefix-dimension retrieval audit: serve ANN from
+    * the first `prefixDim` of `Dim` dimensions (the MRL trick — a
+    * matryoshka-trained embedding packs most signal into its prefix,
+    * so the serving index stores 4× fewer floats) and measure what
+    * that truncation actually costs on THIS corpus: per query, the
+    * top-k overlap between the full-dimension and prefix rankings and
+    * whether the top-1 survives. This is the audit a platform runs
+    * BEFORE flipping serving to truncated vectors; on non-MRL
+    * embeddings (like these) it quantifies the recall you'd lose.
+    *
+    * Plan: one broadcast of the query rows, ONE corpus scan scoring
+    * both arms per row, two rank windows on the same query-keyed
+    * shuffle, then a per-query reduce — the C6 discipline, nothing
+    * quadratic. */
+  def annMatryoshkaTopK(spark: SparkSession, dir: String, nQueries: Int = 8,
+                        k: Int = 10, prefixDim: Int = 16): DataFrame = {
+    val c = corpus(spark, dir)
+      .withColumn("vp", expr(s"slice(v, 1, $prefixDim)"))
+      .withColumn("np", sqrt(dot("vp", "vp")))
+      .localCheckpoint()
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("vp").as("qvp"), col("np").as("qnp"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_full", round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
+      .withColumn("cos_pre", round(dot("qvp", "vp") / (col("qnp") * col("np")), 4))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_pre").desc, col("vec_id"))
+    scored
+      .withColumn("rank_full", row_number().over(wf).cast("long"))
+      .withColumn("rank_pre", row_number().over(wp).cast("long"))
+      .filter(col("rank_full") <= k || col("rank_pre") <= k)
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("rank_full") <= k && col("rank_pre") <= k, 1L)
+          .otherwise(0L)).as("n_overlap"),
+        max(when(col("rank_full") === 1L && col("rank_pre") === 1L, 1L)
+          .otherwise(0L)).as("top1_match"))
+      .withColumn("overlap_ppm",
+        call_function("div", col("n_overlap") * lit(1000000L), lit(k.toLong)))
+      .select(col("query_id"), col("n_overlap"), col("overlap_ppm"),
+        col("top1_match"))
+  }
+
+  def annMatryoshkaTopKSql(nQueries: Int = 8, k: Int = 10,
+                           prefixDim: Int = 16): String = {
+    def dotN(a: String, b: String) =
+      (1 to prefixDim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+    s"""WITH $corpusSql,
+       |cp AS (
+       |  SELECT vec_id, label, v, nrm, v[1:$prefixDim] AS vp,
+       |    sqrt(${dotN("v", "v")}) AS np
+       |  FROM c
+       |), scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id,
+       |    ROUND((${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm), 4) AS cos_full,
+       |    ROUND((${dotN("a.vp", "b.vp")}) / (a.np * b.np), 4) AS cos_pre
+       |  FROM cp a JOIN cp b ON a.vec_id < $nQueries AND b.vec_id <> a.vec_id
+       |), ranked AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_full DESC, vec_id) AS rank_full,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_pre DESC, vec_id) AS rank_pre
+       |  FROM scored
+       |)
+       |SELECT query_id,
+       |  CAST(SUM(CASE WHEN rank_full <= $k AND rank_pre <= $k
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |  CAST(SUM(CASE WHEN rank_full <= $k AND rank_pre <= $k
+       |    THEN 1 ELSE 0 END) * 1000000 // $k AS BIGINT) AS overlap_ppm,
+       |  CAST(MAX(CASE WHEN rank_full = 1 AND rank_pre = 1
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS top1_match
+       |FROM ranked
+       |WHERE rank_full <= $k OR rank_pre <= $k
+       |GROUP BY 1""".stripMargin
+  }
+
   /** C7 — LSH-bucketed ANN with multi-probe: `nPlanes` hyperplane sign
     * bits bucket the corpus into 2^nPlanes cells; each query probes its
     * own cell plus every 1-bit-flip neighbor (nPlanes+1 cells), scoring

@@ -865,6 +865,41 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(snap.map(_.getLong(2)).toSet == expected)
   }
 
+  test("C56: matryoshka overlap equals a driver-side recount of both rankings") {
+    val k = 10; val nQ = 8; val pd = 16
+    val f = ops.Similarity.annMatryoshkaTopK(spark, dir, nQ, k, pd)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(f.size == nQ)
+    // independent recount from raw vectors
+    val vecs = ops.Similarity.corpus(spark, dir)
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def topk(qid: Long, dims: Int): Seq[Long] = {
+      val q = vecs(qid).take(dims)
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      vecs.toSeq.filter(_._1 != qid).map { case (id, v0) =>
+        val v = v0.take(dims)
+        val cos = BigDecimal(
+          q.zip(v).map { case (a, b) => a * b }.sum /
+            (qn * math.sqrt(v.map(x => x * x).sum)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, cos)
+      }.sortBy { case (id, cos) => (-cos, id) }.take(k).map(_._1)
+    }
+    (0L until nQ.toLong).foreach { qid =>
+      val full = topk(qid, 64); val pre = topk(qid, pd)
+      val overlap = full.toSet.intersect(pre.toSet).size.toLong
+      val (gotOv, gotPpm, gotTop1) = f(qid)
+      assert(gotOv == overlap, s"q$qid overlap $gotOv != $overlap")
+      assert(gotPpm == overlap * 1000000L / k)
+      assert(gotTop1 == (if (full.head == pre.head) 1L else 0L))
+    }
+    // truncation is not free on non-MRL embeddings: some query must
+    // lose part of its top-k (else the audit is vacuous at this SF)
+    assert(f.values.exists(_._1 < k.toLong))
+  }
+
   test("C55: token offsets tile the normalized text exactly and self-verify") {
     val f = ops.TextAnalysis.tokenOffsets(spark, dir).cache()
     assert(f.count() > 0)

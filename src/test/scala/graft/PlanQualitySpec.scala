@@ -67,7 +67,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "codec_open_wire", "codec_open_wire_bytes", "codec_open_wire_decode",
       "sink_ddl_routing", // DDL grid + the 1-row checkpoint x topics cross
       "codec_canal_envelope", "codec_canal_envelope_decode",
-      "ann_topk_bruteforce", "cdc_syncpoint", "ann_ivf", "doc_tfidf",
+      "ann_topk_bruteforce", "ann_matryoshka_topk", "cdc_syncpoint",
+      "ann_ivf", "doc_tfidf",
       "dedup_semantic", // shares ann_ivf's corpus x k-centroid broadcast cross
       "source_mix_weights", // 1-row totals broadcast (q_scalar_subquery shape)
       "mix_epoch_plan",     // embeds C26's totals cross + its own 1-row budget cross
