@@ -264,6 +264,7 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => ops.Retrieval.dedupContainment(s, d)),
     "dedup_edit_distance" -> ((s, d) => ops.Retrieval.dedupEditDistance(s, d)),
     "ann_matryoshka_topk" -> ((s, d) => ops.Similarity.annMatryoshkaTopK(s, d)),
+    "embedding_dim_stats" -> ((s, d) => ops.Similarity.embeddingDimStats(s, d)),
     "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
     "hybrid_rrf_topk" -> ((s, d) => ops.Retrieval.hybridRrfTopK(s, d)),
     "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
@@ -470,6 +471,7 @@ object SparkEntry {
     "dedup_containment" -> ops.Retrieval.dedupContainmentSql(),
     "dedup_edit_distance" -> ops.Retrieval.dedupEditDistanceSql(),
     "ann_matryoshka_topk" -> ops.Similarity.annMatryoshkaTopKSql(),
+    "embedding_dim_stats" -> ops.Similarity.embeddingDimStatsSql(),
     "bm25_topk" -> ops.Retrieval.bm25TopKSql(),
     "hybrid_rrf_topk" -> ops.Retrieval.hybridRrfTopKSql(),
     "data_split" -> ops.Corpus.dataSplitSql(),

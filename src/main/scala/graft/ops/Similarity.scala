@@ -168,6 +168,66 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $k""".stripMargin
 
+  /** C57 — per-dimension embedding statistics: the dead/collapsed
+    * dimension audit run before trusting an embedding column (and
+    * before spending PQ codebooks or matryoshka truncation on it) —
+    * a dimension with ~zero variance carries no signal and a mean far
+    * from zero marks mis-centering. Components quantize to micro
+    * units FIRST (round(x·10⁶) as BIGINT) so the per-dimension sums
+    * are order-independent exact integers — summing raw doubles
+    * would make the result depend on reduction order and re-open the
+    * float-hash class. Variance is reported in micro² units via the
+    * integer identity E[q²] − E[q]² (truncating divisions,
+    * non-negative). One posexplode + ONE 64-group partial-agg shuffle
+    * — at any corpus size the reduce state is `Dim` rows. */
+  def embeddingDimStats(spark: SparkSession, dir: String,
+                        deadVarE12: Long = 1000000L): DataFrame =
+    corpus(spark, dir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("q", round(col("x") * 1000000d).cast("long"))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("ss_q"))
+      // exact-multiple floor division: sum_q can be negative and
+      // Spark div / DuckDB // disagree on negative truncation
+      .withColumn("mean_micro", call_function("div",
+        col("sum_q") - pmod(col("sum_q"), col("n_vecs")), col("n_vecs")))
+      .withColumn("var_e12",
+        call_function("div", col("ss_q"), col("n_vecs")) -
+          col("mean_micro") * col("mean_micro"))
+      .withColumn("dead", (col("var_e12") < deadVarE12).cast("long"))
+      .select(col("dim"), col("n_vecs"), col("mean_micro"), col("var_e12"),
+        col("dead"))
+
+  def embeddingDimStatsSql(deadVarE12: Long = 1000000L): String =
+    s"""WITH $corpusSql,
+       |q AS (
+       |  SELECT CAST(e.i - 1 AS BIGINT) AS dim,
+       |    CAST(ROUND(e.x * 1000000, 0) AS BIGINT) AS qv
+       |  FROM (
+       |    SELECT UNNEST(list_transform(range(1, len(v) + 1),
+       |      i -> {'i': i, 'x': v[i]})) AS e
+       |    FROM c)
+       |), s AS (
+       |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    CAST(SUM(qv) AS BIGINT) AS sum_q,
+       |    CAST(SUM(qv * qv) AS BIGINT) AS ss_q
+       |  FROM q GROUP BY 1
+       |)
+       |SELECT dim, n_vecs,
+       |  CAST(sum_q - ((sum_q % n_vecs + n_vecs) % n_vecs) AS BIGINT)
+       |    // n_vecs AS mean_micro,
+       |  CAST(ss_q // n_vecs
+       |    - ((sum_q - ((sum_q % n_vecs + n_vecs) % n_vecs)) // n_vecs)
+       |      * ((sum_q - ((sum_q % n_vecs + n_vecs) % n_vecs)) // n_vecs)
+       |    AS BIGINT) AS var_e12,
+       |  CAST(CASE WHEN ss_q // n_vecs
+       |    - ((sum_q - ((sum_q % n_vecs + n_vecs) % n_vecs)) // n_vecs)
+       |      * ((sum_q - ((sum_q % n_vecs + n_vecs) % n_vecs)) // n_vecs)
+       |    < $deadVarE12 THEN 1 ELSE 0 END AS BIGINT) AS dead
+       |FROM s""".stripMargin
+
   /** C56 — Matryoshka prefix-dimension retrieval audit: serve ANN from
     * the first `prefixDim` of `Dim` dimensions (the MRL trick — a
     * matryoshka-trained embedding packs most signal into its prefix,

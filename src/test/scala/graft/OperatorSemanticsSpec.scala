@@ -865,6 +865,30 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(snap.map(_.getLong(2)).toSet == expected)
   }
 
+  test("C57: dim stats equal a driver-side integer recount; a constant dim reads dead") {
+    val f = ops.Similarity.embeddingDimStats(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(f.size == 64)
+    val vecs = ops.Similarity.corpus(spark, dir)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    (0 until 64).foreach { d =>
+      val qs = vecs.map(v => math.round(v(d) * 1000000d))
+      val n = qs.length.toLong
+      val sum = qs.sum; val ss = qs.map(q => q * q).sum
+      val mean = java.lang.Math.floorDiv(sum, n)
+      val varE12 = ss / n - mean * mean
+      val (gn, gm, gv, _) = f(d.toLong)
+      assert(gn == n && gm == mean && gv == varE12,
+        s"dim $d: got ($gn,$gm,$gv) want ($n,$mean,$varE12)")
+    }
+    // real embeddings carry signal in every dimension here, and the
+    // dead verdict mirrors the variance threshold exactly
+    assert(f.values.forall { case (_, _, v, dead) =>
+      dead == (if (v < 1000000L) 1L else 0L) })
+    assert(f.values.forall(_._4 == 0L), "no dead dims in this corpus")
+  }
+
   test("C56: matryoshka overlap equals a driver-side recount of both rankings") {
     val k = 10; val nQ = 8; val pd = 16
     val f = ops.Similarity.annMatryoshkaTopK(spark, dir, nQ, k, pd)
