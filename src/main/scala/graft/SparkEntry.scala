@@ -265,6 +265,7 @@ object SparkEntry {
     "dedup_edit_distance" -> ((s, d) => ops.Retrieval.dedupEditDistance(s, d)),
     "ann_matryoshka_topk" -> ((s, d) => ops.Similarity.annMatryoshkaTopK(s, d)),
     "embedding_dim_stats" -> ((s, d) => ops.Similarity.embeddingDimStats(s, d)),
+    "corpus_drift" -> ((s, d) => ops.Corpus.corpusDrift(s, d)),
     "bm25_topk" -> ((s, d) => ops.Retrieval.bm25TopK(s, d)),
     "hybrid_rrf_topk" -> ((s, d) => ops.Retrieval.hybridRrfTopK(s, d)),
     "data_split" -> ((s, d) => ops.Corpus.dataSplit(s, d)),
@@ -291,6 +292,7 @@ object SparkEntry {
     "q_unpivot" -> ((s, d) => Analytics.qUnpivot(s, d)),
     "q_full_outer" -> ((s, d) => Analytics.qFullOuter(s, d)),
     "q_approx_distinct" -> ((s, d) => Analytics.qApproxDistinct(s, d)),
+    "q_share_of_total" -> ((s, d) => Analytics.qShareOfTotal(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.qGroupingSets(s, d)),
     "q_median_mode" -> ((s, d) => Analytics.qMedianMode(s, d)),
     "q_set_ops" -> ((s, d) => Analytics.qSetOps(s, d)),
@@ -472,6 +474,7 @@ object SparkEntry {
     "dedup_edit_distance" -> ops.Retrieval.dedupEditDistanceSql(),
     "ann_matryoshka_topk" -> ops.Similarity.annMatryoshkaTopKSql(),
     "embedding_dim_stats" -> ops.Similarity.embeddingDimStatsSql(),
+    "corpus_drift" -> ops.Corpus.corpusDriftSql(),
     "bm25_topk" -> ops.Retrieval.bm25TopKSql(),
     "hybrid_rrf_topk" -> ops.Retrieval.hybridRrfTopKSql(),
     "data_split" -> ops.Corpus.dataSplitSql(),
@@ -498,6 +501,7 @@ object SparkEntry {
     "q_unpivot" -> Analytics.qUnpivotSql,
     "q_full_outer" -> Analytics.qFullOuterSql,
     "q_approx_distinct" -> Analytics.qApproxDistinctSql,
+    "q_share_of_total" -> Analytics.qShareOfTotalSql,
     "q_grouping_sets" -> Analytics.qGroupingSetsSql,
     "q_median_mode" -> Analytics.qMedianModeSql,
     "q_set_ops" -> Analytics.qSetOpsSql,

@@ -314,6 +314,80 @@ object Corpus {
        |FROM t
        |GROUP BY 1, 2""".stripMargin
 
+  /** C58 — corpus drift: the batch-over-batch mix-shift monitor every
+    * continuously-crawled corpus runs before a new batch joins the
+    * training mix ("did this crawl change the language/source
+    * distribution"). Per (dimension, value): each batch's document
+    * share in ppm and the delta, with a drift verdict at the
+    * threshold. The batch id stand-in is doc_id parity (production
+    * reads a partition column; the comparison logic is what's under
+    * test). Shares are floor ppm of each batch's own doc total (a
+    * 2-row broadcast); a value absent from one batch reads 0 ppm —
+    * appearing/disappearing sources are exactly the drifts worth
+    * flagging. One partial-agg shuffle over the doc×dim explode;
+    * everything after is dimension-scale. */
+  def corpusDrift(spark: SparkSession, dir: String,
+                  driftPpm: Long = 20000L): DataFrame = {
+    val tagged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("batch", pmod(col("doc_id"), lit(2L)))
+      .select(col("batch"), explode(array(
+        struct(lit("lang").as("dim"), col("lang").as("value")),
+        struct(lit("source").as("dim"), col("source").as("value"))))
+        .as("dv"))
+      .select(col("batch"), col("dv.dim"), col("dv.value"))
+    val totals = tagged.filter(col("dim") === "lang")
+      .groupBy(col("batch")).agg(count(lit(1)).as("batch_total"))
+    tagged
+      .groupBy(col("dim"), col("value"), col("batch"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), Seq("batch"))
+      .withColumn("ppm", call_function("div",
+        col("n") * lit(1000000L), col("batch_total")))
+      .groupBy(col("dim"), col("value"))
+      .agg(sum(when(col("batch") === 0L, col("n")).otherwise(0L)).as("old_n"),
+        sum(when(col("batch") === 1L, col("n")).otherwise(0L)).as("new_n"),
+        sum(when(col("batch") === 0L, col("ppm")).otherwise(0L)).as("old_ppm"),
+        sum(when(col("batch") === 1L, col("ppm")).otherwise(0L)).as("new_ppm"))
+      .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
+      .withColumn("drifted",
+        (abs(col("delta_ppm")) >= driftPpm).cast("long"))
+      .select(col("dim"), col("value"), col("old_n"), col("new_n"),
+        col("old_ppm"), col("new_ppm"), col("delta_ppm"), col("drifted"))
+  }
+
+  def corpusDriftSql(driftPpm: Long = 20000L): String =
+    s"""WITH tagged AS (
+       |  SELECT doc_id % 2 AS batch, 'lang' AS dim, lang AS value
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id % 2 AS batch, 'source' AS dim, source AS value
+       |  FROM documents
+       |), totals AS (
+       |  SELECT batch, CAST(COUNT(*) AS BIGINT) AS batch_total
+       |  FROM tagged WHERE dim = 'lang' GROUP BY 1
+       |), counted AS (
+       |  SELECT t.dim, t.value, t.batch, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COUNT(*) * 1000000 // MAX(o.batch_total) AS BIGINT) AS ppm
+       |  FROM tagged t JOIN totals o ON o.batch = t.batch
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT dim, value,
+       |  CAST(SUM(CASE WHEN batch = 0 THEN n ELSE 0 END) AS BIGINT) AS old_n,
+       |  CAST(SUM(CASE WHEN batch = 1 THEN n ELSE 0 END) AS BIGINT) AS new_n,
+       |  CAST(SUM(CASE WHEN batch = 0 THEN ppm ELSE 0 END) AS BIGINT)
+       |    AS old_ppm,
+       |  CAST(SUM(CASE WHEN batch = 1 THEN ppm ELSE 0 END) AS BIGINT)
+       |    AS new_ppm,
+       |  CAST(SUM(CASE WHEN batch = 1 THEN ppm ELSE 0 END)
+       |    - SUM(CASE WHEN batch = 0 THEN ppm ELSE 0 END) AS BIGINT)
+       |    AS delta_ppm,
+       |  CAST(CASE WHEN ABS(SUM(CASE WHEN batch = 1 THEN ppm ELSE 0 END)
+       |    - SUM(CASE WHEN batch = 0 THEN ppm ELSE 0 END)) >= $driftPpm
+       |    THEN 1 ELSE 0 END AS BIGINT) AS drifted
+       |FROM counted
+       |GROUP BY 1, 2""".stripMargin
+
   /** C26 — training-mixture reweighting: temperature-smoothed sampling
     * weights per (lang, source) cell (the multilingual mixture rule of
     * mT5/XLM-R, p_i ∝ tokens_i^α at α = 1/2 — τ = 2 temperature

@@ -557,6 +557,54 @@ object Analytics {
       |GROUP BY 1, 2""".stripMargin
   }
 
+  /** B34 — share-of-parent ratios: the UNORDERED partition-window
+    * class (every other window on the board orders its frame — B7
+    * running, B6/B22 ranks, B29 range). Revenue per nation as ppm of
+    * its region and of the grand total: the aggregate reduces to the
+    * 25-row nation grid FIRST, so both windows (region-partitioned
+    * and the global one) run over a dimension-bounded frame — the
+    * unpartitioned total window never sees corpus-scale rows. */
+  def qShareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(moneyCents(revenue, 4).as("rev_cents"))
+    val wr = Window.partitionBy(col("r_name"))
+    val wg = Window.partitionBy()
+    perNation
+      .withColumn("region_share_ppm", call_function("div",
+        col("rev_cents") * lit(1000000L), sum(col("rev_cents")).over(wr)))
+      .withColumn("total_share_ppm", call_function("div",
+        col("rev_cents") * lit(1000000L), sum(col("rev_cents")).over(wg)))
+      .select(col("r_name"), col("n_name"), col("rev_cents"),
+        col("region_share_ppm"), col("total_share_ppm"))
+  }
+
+  val qShareOfTotalSql: String =
+    s"""WITH per_nation AS (
+      |  SELECT r_name, n_name,
+      |    ${moneyCentsSql("l_extendedprice * (1.0 - l_discount)", 4)} AS rev_cents
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT r_name, n_name, rev_cents,
+      |  CAST(rev_cents * 1000000
+      |    // SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
+      |    AS region_share_ppm,
+      |  CAST(rev_cents * 1000000 // SUM(rev_cents) OVER () AS BIGINT)
+      |    AS total_share_ppm
+      |FROM per_nation""".stripMargin
+
   /** B33 — approximate distinct (HyperLogLog): the sketch-aggregate
     * class exact distincts can't replace at 100 TB — B10's exact
     * COUNT(DISTINCT) shuffles every (group, user) pair, while the HLL

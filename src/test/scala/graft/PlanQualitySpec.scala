@@ -163,6 +163,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_schema_gc",
       // integer value/bucket grids (TextAnalysis:317, Corpus:379)
       "perplexity_bucket", "seq_length_histogram",
+      // global share window over the 25-row nation grid
+      "q_share_of_total",
       // embeds C40's tercile grid
       "curation_funnel")
     SparkEntry.queries.foreach { case (name, fn) =>

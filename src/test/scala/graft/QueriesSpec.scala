@@ -187,6 +187,56 @@ class QueriesSpec extends AnyFunSuite {
     assert(long.filter(col("n") === 0L).count() == 0)
   }
 
+  test("C58: drift deltas recount from raw batch shares and flag at the threshold") {
+    import org.apache.spark.sql.functions._
+    val f = graft.ops.Corpus.corpusDrift(spark, dir).cache()
+    assert(f.count() > 0)
+    // independent recount of one dimension
+    val docs = graft.util.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0) % 2, r.getString(1)))
+    val tot = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val bySrc = docs.groupBy(_._2)
+    f.filter(col("dim") === "source").collect().foreach { r =>
+      val v = r.getString(1)
+      val oldN = bySrc.getOrElse(v, Array()).count(_._1 == 0L).toLong
+      val newN = bySrc.getOrElse(v, Array()).count(_._1 == 1L).toLong
+      assert(r.getLong(2) == oldN && r.getLong(3) == newN, s"$v counts")
+      assert(r.getLong(4) == oldN * 1000000L / tot(0L))
+      assert(r.getLong(5) == newN * 1000000L / tot(1L))
+      assert(r.getLong(6) == r.getLong(5) - r.getLong(4))
+      assert(r.getLong(7) ==
+        (if (math.abs(r.getLong(6)) >= 20000L) 1L else 0L))
+    }
+    // batch totals agree regardless of which dimension counted them
+    assert(f.filter(col("dim") === "lang").agg(sum("old_n")).head().getLong(0)
+      == tot(0L))
+    f.unpersist()
+  }
+
+  test("B34: shares are exact floor ratios that close to one within truncation loss") {
+    import org.apache.spark.sql.functions._
+    val f = graft.queries.Analytics.qShareOfTotal(spark, dir).cache()
+    val n = f.count()
+    assert(n > 0)
+    // per region: shares sum to 1e6 minus at most (rows-1) of floor loss
+    val byRegion = f.groupBy("r_name")
+      .agg(sum("region_share_ppm").as("s"), count(lit(1)).as("k")).collect()
+    byRegion.foreach { r =>
+      val (s, k) = (r.getLong(1), r.getLong(2))
+      assert(s <= 1000000L && s > 1000000L - k, s"region ${r.getString(0)}: $s")
+    }
+    val totalS = f.agg(sum("total_share_ppm")).head().getLong(0)
+    assert(totalS <= 1000000L && totalS > 1000000L - n)
+    // ratios recompute exactly from the revenue column
+    val bad = f.withColumn("tot",
+        sum("rev_cents").over(org.apache.spark.sql.expressions.Window.partitionBy("r_name")))
+      .filter(col("region_share_ppm") =!=
+        expr("rev_cents * 1000000 div tot")).count()
+    assert(bad == 0)
+    f.unpersist()
+  }
+
   test("B33: the HLL estimate meets its tolerance and the exact counts recount") {
     import org.apache.spark.sql.functions._
     val f = graft.queries.Analytics.qApproxDistinct(spark, dir)
