@@ -142,6 +142,8 @@ object SparkEntry {
     "cdc_event_queue_drain" -> ((s, d) => DynStreamQueue.queueDrain(cl(s, d))),
     "cdc_schema_gc" -> ((s, d) => SchemaStore.schemaGc(s, d)),
     "cdc_eventstore_key" -> ((s, d) => EventService.eventstoreKey(cl(s, d))),
+    "cdc_changefeed_overview" -> ((s, d) =>
+      Barrier.changefeedOverview(cl(s, d), gcFleet, syncStep)),
     "cdc_dispatcher_block" -> ((s, d) => DispatcherBlock.dispatcherBlock(cl(s, d))),
     "cdc_span_coverage" -> ((s, d) => Coverage.spanCoverage(cl(s, d))),
     "cdc_txn_match" -> ((s, d) => TxnMatcher.matched(cl(s, d))),
@@ -352,6 +354,8 @@ object SparkEntry {
     "cdc_event_queue_drain" -> o(DynStreamQueue.queueDrainSql()),
     "cdc_schema_gc" -> o(SchemaStore.schemaGcSql),
     "cdc_eventstore_key" -> o(EventService.eventstoreKeySql()),
+    "cdc_changefeed_overview" ->
+      o(Barrier.changefeedOverviewSql(gcFleet, syncStep)),
     "cdc_dispatcher_block" -> o(DispatcherBlock.dispatcherBlockSql()),
     "cdc_span_coverage" -> o(Coverage.spanCoverageSql()),
     "cdc_txn_match" -> o(TxnMatcher.matchedSql),

@@ -357,6 +357,72 @@ object Barrier {
           .as("safepoint_upper"))
   }
 
+  /** A105 — the changefeed OVERVIEW: the `cdc cli changefeed list` /
+    * `query` view operators actually read, composed from the verified
+    * planes — per changefeed its control state (A78 fleet), span
+    * membership + checkpoint/resolved/lag and the slowest span (A76),
+    * the GC-blocking verdict with the fleet safepoint (A78), and how
+    * many of its spans are currently running HOT (A81 — the "why is
+    * my changefeed splitting" column). Composition only: every input
+    * frame is independently oracle-checked; the join fabric is
+    * dimension-scale (fleet × spans LIKE-join + the span-level hot
+    * frame), the C46-funnel discipline applied to the CDC plane. */
+  def changefeedOverview(cl: DataFrame, fleet: Seq[CfState],
+                         syncStep: Long): DataFrame = {
+    val spark = cl.sparkSession
+    import spark.implicits._
+    val base = gcSafepoint(cl, fleet, syncStep)
+    val wmFull = watermarkAgg(cl, fleet.map(f => f.changefeed -> f.rules),
+        syncStep)
+      .select(col("changefeed"), col("resolved_ts"), col("lag_ts"),
+        col("slowest_span"))
+    val rules = fleet.flatMap(f => f.rules.map(r => (f.changefeed, r)))
+      .toDF("changefeed", "rule")
+    val hot = Scheduler.hotSpans(cl)
+      .filter(col("is_hot") === 1L).select(col("span"))
+    val hotPerCf = rules
+      .join(broadcast(hot), expr("span LIKE rule"), "left")
+      .select(col("changefeed"), col("span")).distinct()
+      .groupBy(col("changefeed"))
+      .agg(count(col("span")).as("n_hot_spans"))
+    base
+      .join(wmFull, Seq("changefeed"))
+      .join(hotPerCf, Seq("changefeed"), "left")
+      .select(col("changefeed"), col("state"), col("error_code"),
+        col("n_spans"), col("checkpoint_ts"), col("resolved_ts"),
+        col("lag_ts"), col("slowest_span"), col("blocks_gc"),
+        col("safepoint_upper"),
+        coalesce(col("n_hot_spans"), lit(0L)).as("n_hot_spans"))
+  }
+
+  def changefeedOverviewSql(fleet: Seq[CfState], syncStep: Long): String = {
+    val ruleRows = fleet.flatMap(f =>
+      f.rules.map(r => s"('${f.changefeed}', '$r')")).mkString(", ")
+    s"""WITH base AS (
+       |  ${gcSafepointSql(fleet, syncStep).replace("\n", "\n  ")}
+       |), wmfull AS (
+       |  ${watermarkAggSql(fleet.map(f => f.changefeed -> f.rules), syncStep)
+             .replace("\n", "\n  ")}
+       |), hot AS (
+       |  SELECT span FROM (
+       |    ${Scheduler.hotSpansSql().replace("\n", "\n    ")}
+       |  ) WHERE is_hot = 1
+       |), cfrules(changefeed, rule) AS (VALUES $ruleRows),
+       |hotcf AS (
+       |  SELECT changefeed, CAST(COUNT(span) AS BIGINT) AS n_hot_spans
+       |  FROM (SELECT DISTINCT r.changefeed, h.span
+       |        FROM cfrules r LEFT JOIN hot h ON h.span LIKE r.rule)
+       |  GROUP BY 1
+       |)
+       |SELECT b.changefeed, b.state, b.error_code, b.n_spans,
+       |  b.checkpoint_ts, w.resolved_ts, w.lag_ts, w.slowest_span,
+       |  b.blocks_gc, b.safepoint_upper,
+       |  COALESCE(h.n_hot_spans, 0) AS n_hot_spans
+       |FROM base b
+       |JOIN wmfull w ON w.changefeed = b.changefeed
+       |LEFT JOIN hotcf h ON h.changefeed = b.changefeed""".stripMargin
+  }
+
   def gcSafepointSql(fleet: Seq[CfState], syncStep: Long): String = {
     val stateRows = fleet.map { f =>
       val err = f.errorCode.map(c => s"'$c'").getOrElse("NULL")

@@ -8,6 +8,48 @@ import org.scalatest.funsuite.AnyFunSuite
   * writer uniqueness, the three writer-selection arms, eventKey
   * identity, and the component-wise UpdateMin semantics. */
 class BarrierSpec extends AnyFunSuite {
+
+  test("A105: the overview is column-exact composition of its verified planes") {
+    import org.apache.spark.sql.functions._
+    val spark2 = graft.util.GraftSession.local(4)
+    val dir2 = "/root/testdata/sf0.001"
+    val cl = cdc.ChangeEvents.changelog(spark2, dir2)
+    val fleet = Seq(
+      cdc.Barrier.CfState("cf-a", Seq("db0.%"), "normal", None),
+      cdc.Barrier.CfState("cf-fail", Seq("db1.%"), "failed",
+        Some("CDC:ErrGCTTLExceeded")),
+      cdc.Barrier.CfState("cf-empty", Seq("db9.%"), "pending", None))
+    val ov = cdc.Barrier.changefeedOverview(cl, fleet, 100L).cache()
+    assert(ov.count() == fleet.size)
+    // every shared column equals the A78 frame verbatim
+    val gc = cdc.Barrier.gcSafepoint(cl, fleet, 100L)
+      .select("changefeed", "state", "n_spans", "checkpoint_ts",
+        "blocks_gc", "safepoint_upper")
+    assert(ov.select("changefeed", "state", "n_spans", "checkpoint_ts",
+      "blocks_gc", "safepoint_upper").exceptAll(gc).count() == 0)
+    // lag/resolved equal the A76 frame verbatim
+    val wm = cdc.Barrier.watermarkAgg(cl,
+        fleet.map(f => f.changefeed -> f.rules), 100L)
+      .select("changefeed", "resolved_ts", "lag_ts")
+    assert(ov.select("changefeed", "resolved_ts", "lag_ts")
+      .exceptAll(wm).count() == 0)
+    // hot counts recount against the A81 frame through the rules
+    val hot = cdc.Scheduler.hotSpans(cl).filter(col("is_hot") === 1L)
+      .select("span").collect().map(_.getString(0))
+    fleet.foreach { f =>
+      val expect = hot.filter(s =>
+        f.rules.exists(r => s.matches(r.replace(".", "\\.").replace("%", ".*"))))
+        .distinct.length.toLong
+      val got = ov.filter(col("changefeed") === f.changefeed)
+        .head().getAs[Long]("n_hot_spans")
+      assert(got == expect, s"${f.changefeed}: hot $got != $expect")
+    }
+    // the empty changefeed surfaces with the MaxWatermark seed and 0 hot
+    val empty = ov.filter(col("changefeed") === "cf-empty").head()
+    assert(empty.getAs[Long]("n_spans") == 0L &&
+      empty.getAs[Long]("n_hot_spans") == 0L)
+    ov.unpersist()
+  }
   lazy val spark: SparkSession = graft.util.GraftSession.local(4)
   val dir = "/root/testdata/sf0.001"
   import spark.implicits._

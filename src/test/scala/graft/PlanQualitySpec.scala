@@ -98,6 +98,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_ddl_barrier",
       // changefeed-rule LIKE match over the dimension-scale span frame
       "cdc_watermark_agg", "cdc_gc_safepoint", "cdc_changefeed_backoff",
+      "cdc_changefeed_overview", // composes A76/A78/A81's crosses
       // 1-row ddl-grid broadcast (q_scalar_subquery shape)
       "cdc_scan_tasks",
       // embeds cdc_scan_tasks' crosses + the table x DDL-grid cross
@@ -156,7 +157,7 @@ class PlanQualitySpec extends AnyFunSuite {
       // embeds the A79 slot frame + the changefeed-universe stop rank
       "cdc_operator_addstop",
       // changefeed-fleet x boundary grid (Barrier) — rows = fleet size
-      "cdc_gc_safepoint",
+      "cdc_gc_safepoint", "cdc_changefeed_overview",
       // syncpoint boundary grid (MysqlDdl:168) — rows = max_ts / step
       "sink_syncpoint_stmts",
       // embeds the A67 table-universe row_number (rows = #tables)
