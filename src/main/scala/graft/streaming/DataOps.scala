@@ -315,6 +315,18 @@ object DataOps {
         col("view_id"), expr("unix_micros(view_time)").as("view_us"))
   }
 
+  /** B33s — approximate distinct as a STREAMING aggregate: the HLL
+    * sketch is exactly the state shape streaming wants — a fixed
+    * few-KB register set per group that MERGES across micro-batches
+    * (an exact streaming COUNT(DISTINCT) would hold every seen key in
+    * state forever). Update mode re-emits each group's running
+    * estimate as batches land; the final row per group is the
+    * whole-stream sketch, spec-checked inside the same 5% tolerance
+    * contract as batch B33. */
+  def streamApproxDistinct(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+
   /** B32s — the stream-stream LEFT OUTER interval join: B18s's pair
     * stream plus the capability inner joins can't express — a
     * purchase with NO in-range view must still emit, and in a stream

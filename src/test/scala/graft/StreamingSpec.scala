@@ -503,6 +503,49 @@ class StreamingSpec extends AnyFunSuite {
       "streamed interval-join pairs must aggregate to the batch range join")
   }
 
+  test("B33s: the streaming HLL sketch merges across micro-batches inside the tolerance") {
+    // the sketch state must MERGE correctly across batch boundaries:
+    // replay the events as three micro-batches and require the final
+    // running estimate per group to meet the same 5% contract the
+    // batch B33 oracle states — against the exact batch distincts
+    val tmp = java.nio.file.Files.createTempDirectory("b33s").toString
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "event_type")
+    val cuts = raw.stat.approxQuantile("event_id", Array(0.34, 0.67), 0.0)
+    val parts = Seq(
+      raw.filter(col("event_id") <= cuts(0)),
+      raw.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      raw.filter(col("event_id") > cuts(1)))
+    val t0 = java.lang.System.currentTimeMillis() - 60000
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = s"$tmp/f$i"
+      p.coalesce(1).write.parquet(d)
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(t0 + i * 10000))
+    }
+    val stream = spark.readStream.schema(parts.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/f*")
+    runToCompletion(
+      graft.streaming.DataOps.streamApproxDistinct(stream), "b33s", "update")
+    // update mode re-emits rows per batch: the LAST estimate per group
+    // is the full-stream sketch
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val finalEst = spark.table("b33s")
+      .withColumn("rn", monotonically_increasing_id())
+      .withColumn("mx", max("rn").over(w)).filter(col("rn") === col("mx"))
+      .select("event_type", "n_approx").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = raw.select("event_type", "user_id").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finalEst.keySet == exact.keySet)
+    finalEst.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) * 1000000L <= exact(k) * 50000L,
+        s"$k: streamed sketch $est vs exact ${exact(k)} outside 5%")
+    }
+  }
+
   test("B32s: stream-stream left outer emits unmatched purchases once the watermark clears them") {
     val tmp = java.nio.file.Files.createTempDirectory("b32s").toString
     val ev = graft.util.Tables.events(spark, dir)
