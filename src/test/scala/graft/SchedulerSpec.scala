@@ -259,6 +259,41 @@ class SchedulerSpec extends AnyFunSuite {
     }
   }
 
+  test("A82: packing fold equals the sequential splitter on 120 random region lists") {
+    // bulk property sweep: scalacheck-style randomized tables, ONE
+    // Spark job per parameter set (each random table is a grp row) —
+    // the fixed-case fold-equality test pins the known arms, this
+    // sweeps the space between them. Seeded: deterministic per build.
+    val rnd = new scala.util.Random(4242L)
+    val paramSets = Seq((4L, 40L, 50000L), (6L, 1L, 50000L), (3L, 40L, 4L))
+    for (((spansNum, threshold, regionLimit), pi) <- paramSets.zipWithIndex) {
+      val tables = (0 until 40).map { t =>
+        val n = 1 + rnd.nextInt(30)
+        val rids = new scala.util.Random(pi * 1000 + t)
+          .shuffle((0L until 200L).toList).take(n).sorted
+        val wks = rids.map(_ => rnd.nextInt(40).toLong)
+        (s"t$t", rids.zip(wks))
+      }
+      val rows = tables.flatMap { case (g, rs) =>
+        rs.map { case (rid, wk) => (g, rid, wk) } }
+      import spark.implicits._
+      val got = cdc.Scheduler.splitFrame(
+          rows.toDF("grp", "rid", "wk"), spansNum.toInt, threshold, regionLimit)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(x => (x._3, x._4, x._5, x._6)).toSeq)
+        .toMap
+      tables.foreach { case (g, rs) =>
+        val want = seqSplit(rs, spansNum, threshold, regionLimit)
+        assert(got(g) == want,
+          s"params=($spansNum,$threshold,$regionLimit) $g rs=$rs:\n" +
+            s" got  ${got(g)}\n want $want")
+      }
+    }
+  }
+
   test("A82: spanRegionLimit caps a span's region count before its weight fills") {
     val regs = (0L until 12L).map(r => ("t", r, 1L))
     val got = runSplit(regs, 2, 1L, 3L).map(r => (r._3, r._4, r._5, r._6))
@@ -354,6 +389,34 @@ class SchedulerSpec extends AnyFunSuite {
       assert(got == want, s"$tag: $got != $want")
       // dense 1..k numbering and exact partition of the region set
       assert(got.map(_._3).sum == rids.size.toLong, tag)
+    }
+  }
+
+  test("A90: closed form equals the sequential stepper on 150 random region sets") {
+    // the A82-sweep discipline: randomized region sets, one Spark job
+    // per parameter regime, each random table a grp row; regimes hit
+    // the maxSpanNum cap, the one-region-per-span degenerate, and the
+    // threshold boundary. Seeded — deterministic per build.
+    val rnd = new scala.util.Random(90210L)
+    val regimes = Seq((4, 100, 20), (2, 5, 0), (4, 100, 0))
+    for (((cap, maxSpan, thr), pi) <- regimes.zipWithIndex) {
+      val tables = (0 until 50).map { t =>
+        val n = 1 + rnd.nextInt(120)
+        val rids = new scala.util.Random(pi * 7000 + t)
+          .shuffle((0L until 500L).toList).take(n).sorted
+        (s"t$t", rids)
+      }
+      val rows = tables.flatMap { case (g, rs) => rs.map(g -> _) }
+      val got = runRegionSplit(rows, cap, maxSpan, thr)
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(x => (x._3, x._4, x._5)).toSeq).toMap
+      tables.foreach { case (g, rs) =>
+        val want = seqRegionSplit(rs, cap, maxSpan, thr)
+        assert(got(g) == want,
+          s"regime=($cap,$maxSpan,$thr) $g n=${rs.size}:\n" +
+            s" got  ${got(g)}\n want $want")
+        assert(got(g).map(_._3).sum == rs.size.toLong, s"$g partition")
+      }
     }
   }
 
