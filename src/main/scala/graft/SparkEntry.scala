@@ -303,6 +303,11 @@ object SparkEntry {
     "q_concurrency_gauge" -> ((s, d) => Analytics.qConcurrencyGauge(s, d)),
     "q_range_frame" -> ((s, d) => Analytics.qRangeFrame(s, d)),
     "q_json_extract" -> ((s, d) => Analytics.qJsonExtract(s, d)),
+    "q_cube" -> ((s, d) => Analytics.qCube(s, d)),
+    "q_first_last" -> ((s, d) => Analytics.qFirstLast(s, d)),
+    "q_percentile_exact" -> ((s, d) => Analytics.qPercentileExact(s, d)),
+    "q_string_agg" -> ((s, d) => Analytics.qStringAgg(s, d)),
+    "q_ntile_cume" -> ((s, d) => Analytics.qNtileCume(s, d)),
     "ngram_heavy_hitters" -> ((s, d) => ops.Corpus.ngramHeavyHitters(s, d)),
   )
 
@@ -514,6 +519,11 @@ object SparkEntry {
     "q_concurrency_gauge" -> Analytics.qConcurrencyGaugeSql(),
     "q_range_frame" -> Analytics.qRangeFrameSql(),
     "q_json_extract" -> Analytics.qJsonExtractSql,
+    "q_cube" -> Analytics.qCubeSql,
+    "q_first_last" -> Analytics.qFirstLastSql,
+    "q_percentile_exact" -> Analytics.qPercentileExactSql,
+    "q_string_agg" -> Analytics.qStringAggSql,
+    "q_ntile_cume" -> Analytics.qNtileCumeSql,
     "ngram_heavy_hitters" -> ops.Corpus.ngramHeavyHittersSql(),
   )
 }

@@ -1266,4 +1266,242 @@ object Analytics {
        |FROM events
        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
        |  RANGE BETWEEN $winUs PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** B35 — CUBE: the full-margin lattice completing the grouping
+    * family (B8's rollup drops the status-only margin, B20 picks its
+    * sets by hand): order counts and money at every (priority, status)
+    * subset, tagged with the GROUPING_ID level bit-vector — Spark's
+    * `grouping_id()` and DuckDB's `GROUPING(a, b)` emit the same
+    * value (bit set = column rolled up), so the level id itself is
+    * oracle-checked. One scan: Catalyst plans Expand + ONE partial
+    * aggregation shared by all four levels — no per-level rescan. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        moneyCents(col("o_totalprice"), 2).as("total_cents"),
+        grouping_id().cast("long").as("gid"))
+
+  val qCubeSql: String =
+    s"""SELECT o_orderpriority, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  ${moneyCentsSql("o_totalprice", 2)} AS total_cents,
+      |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin
+
+  /** B36 — order-dependent endpoints: FIRST_VALUE / LAST_VALUE /
+    * NTH_VALUE over the full partition frame — the class min/max can't
+    * express (the first order BY DATE is not the cheapest order): per
+    * customer the first and latest order value and the second-ever
+    * order key (-1 for single-order customers). One keyed window
+    * (customer partitions are per-key small at any corpus size) with
+    * an explicit ROWS UNBOUNDED..UNBOUNDED frame — the default
+    * RANGE..CURRENT frame silently truncates LAST_VALUE in both
+    * engines, the classic footgun this row pins down. */
+  def qFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n_orders", count(lit(1)).over(frame))
+      .withColumn("first_cents", first(col("cents")).over(frame))
+      .withColumn("last_cents", last(col("cents")).over(frame))
+      .withColumn("second_orderkey",
+        coalesce(nth_value(col("o_orderkey"), 2).over(frame), lit(-1L)))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("custkey"), col("n_orders"),
+        col("first_cents"), col("last_cents"), col("second_orderkey"))
+  }
+
+  val qFirstLastSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey,
+      |    CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+      |  FROM orders
+      |), w AS (
+      |  SELECT o_custkey AS custkey,
+      |    ROW_NUMBER() OVER ord AS rn,
+      |    CAST(COUNT(*) OVER frame AS BIGINT) AS n_orders,
+      |    FIRST_VALUE(cents) OVER frame AS first_cents,
+      |    LAST_VALUE(cents) OVER frame AS last_cents,
+      |    COALESCE(NTH_VALUE(o_orderkey, 2) OVER frame, -1)
+      |      AS second_orderkey
+      |  FROM base
+      |  WINDOW ord AS (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey),
+      |    frame AS (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT custkey, n_orders, first_cents, last_cents, second_orderkey
+      |FROM w WHERE rn = 1""".stripMargin
+
+  /** B37 — EXACT interpolated percentiles (p25/p50/p75) through the
+    * value-grid cumulative, the scale-honest shape for exact order
+    * statistics (B13 is the sketch arm; this is the arm you run when
+    * the answer must be exact): reduce the corpus to the per-(group,
+    * value) count grid FIRST (one partial-aggregated shuffle — the
+    * only corpus-scale pass), run the cumulative window over the
+    * DISTINCT-value frame, then locate the two order statistics each
+    * percentile interpolates between by joining the ≤6-row/group
+    * target grid (broadcast) against the [cum-nv, cum) intervals.
+    * value×100 at the hundredth-fraction grid keeps the interpolated
+    * result an exact BIGINT: q_cents_x100 = 100·v_lo +
+    * frac_pct·(v_hi − v_lo), frac_pct = ((n−1)·p) mod 100. */
+  def qPercentileExact(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(25, 50, 75)
+    val grid = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      .agg(count(lit(1)).as("nv"))
+    val cum = grid.withColumn("cum",
+      sum(col("nv")).over(Window.partitionBy(col("prio")).orderBy(col("v"))))
+    val targets = cum.groupBy(col("prio")).agg(max(col("cum")).as("n"))
+      .select(col("prio").as("wprio"), col("n"),
+        explode(array(ps.map(p => lit(p.toLong)): _*)).as("p"))
+      .withColumn("lo", lit(1L) + ldiv((col("n") - 1L) * col("p"), lit(100L)))
+      .withColumn("frac_pct", ((col("n") - 1L) * col("p")) % 100L)
+    val wanted = targets.select(col("wprio"), col("p"), col("frac_pct"),
+      explode(when(col("frac_pct") > 0L,
+        array(struct(lit("lo").as("which"), col("lo").as("idx")),
+          struct(lit("hi").as("which"), (col("lo") + 1L).as("idx"))))
+        .otherwise(array(
+          struct(lit("lo").as("which"), col("lo").as("idx"))))).as("t"))
+      .select(col("wprio"), col("p"), col("frac_pct"),
+        col("t.which").as("which"), col("t.idx").as("idx"))
+    cum.join(broadcast(wanted),
+        col("prio") === col("wprio") &&
+          col("idx") > col("cum") - col("nv") && col("idx") <= col("cum"))
+      .groupBy(col("prio").as("o_orderpriority"), col("p"), col("frac_pct"))
+      .agg(max(when(col("which") === "lo", col("v"))).as("v_lo"),
+        max(when(col("which") === "hi", col("v"))).as("v_hi"))
+      .select(col("o_orderpriority"), col("p"),
+        (col("v_lo") * 100L + coalesce(
+          (col("v_hi") - col("v_lo")) * col("frac_pct"), lit(0L)))
+          .as("q_cents_x100"))
+  }
+
+  val qPercentileExactSql: String =
+    """WITH grid AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS v,
+      |    COUNT(*) AS nv
+      |  FROM orders GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT prio, v, nv,
+      |    SUM(nv) OVER (PARTITION BY prio ORDER BY v) AS cum
+      |  FROM grid
+      |), targets AS (
+      |  SELECT prio AS wprio, n, p,
+      |    1 + (((n - 1) * p) // 100) AS lo,
+      |    ((n - 1) * p) % 100 AS frac_pct
+      |  FROM (SELECT prio, MAX(cum) AS n FROM cum GROUP BY 1),
+      |    (SELECT UNNEST([25, 50, 75]) AS p)
+      |), wanted AS (
+      |  SELECT wprio, p, frac_pct, 'lo' AS which, lo AS idx FROM targets
+      |  UNION ALL
+      |  SELECT wprio, p, frac_pct, 'hi', lo + 1 FROM targets
+      |  WHERE frac_pct > 0
+      |)
+      |SELECT c.prio AS o_orderpriority, CAST(w.p AS BIGINT) AS p,
+      |  CAST(MAX(CASE WHEN w.which = 'lo' THEN c.v END) * 100
+      |    + COALESCE((MAX(CASE WHEN w.which = 'hi' THEN c.v END)
+      |        - MAX(CASE WHEN w.which = 'lo' THEN c.v END))
+      |      * w.frac_pct, 0) AS BIGINT) AS q_cents_x100
+      |FROM cum c JOIN wanted w ON c.prio = w.wprio
+      |  AND w.idx > c.cum - c.nv AND w.idx <= c.cum
+      |GROUP BY 1, 2, w.frac_pct""".stripMargin
+
+  /** B38 — ordered string aggregation (LISTAGG/STRING_AGG): the
+    * report-surface class turning a grouped set into one deterministic
+    * delimited string — here each nation's alphabetically-first five
+    * customer names plus the true group size. The top-5 cut runs as a
+    * rank window BEFORE the aggregation so the collected list is
+    * bounded (never collect_list an unbounded group); Spark spells the
+    * ordered agg array_sort ∘ collect_list ∘ array_join, DuckDB
+    * string_agg(... ORDER BY) — same string, oracle-checked. */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val byName = Window.partitionBy(col("n_name")).orderBy(col("c_name"))
+    val part = Window.partitionBy(col("n_name"))
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"))
+      .withColumn("rn", row_number().over(byName))
+      .withColumn("n_cust", count(lit(1)).over(part))
+      .filter(col("rn") <= 5)
+      .groupBy(col("n_name"))
+      .agg(max(col("n_cust")).as("n_customers"),
+        array_join(array_sort(collect_list(col("c_name"))), ",")
+          .as("top5_names"))
+  }
+
+  val qStringAggSql: String =
+    """WITH ranked AS (
+      |  SELECT n_name, c_name,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_name) AS rn,
+      |    COUNT(*) OVER (PARTITION BY n_name) AS n_cust
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |)
+      |SELECT n_name, CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS top5_names
+      |FROM ranked WHERE rn <= 5 GROUP BY 1""".stripMargin
+
+  /** B39 — distribution ranks (NTILE / PERCENT_RANK / CUME_DIST): the
+    * within-group position profile, integer-exact by re-deriving the
+    * fractional ranks from rank()/count() in ppm instead of trusting
+    * either engine's double (percent_rank = (rank−1)/(n−1) and
+    * cume_dist = peers-inclusive-count/n are exact on the ppm grid).
+    * NTILE's tie order is pinned by (value, key) so bucket edges are
+    * deterministic in both engines. Output folds to the bounded
+    * (priority × decile) grid: counts, value band, rank-ppm band. */
+  def qNtileCume(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("prio"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val byVal = Window.partitionBy(col("prio")).orderBy(col("cents"))
+    val part = Window.partitionBy(col("prio"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("decile", ntile(10).over(ord).cast("long"))
+      .withColumn("rnk", rank().over(byVal))
+      .withColumn("cume_cnt", count(lit(1)).over(byVal))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("prank_ppm",
+        ldiv((col("rnk") - 1L) * 1000000L, greatest(col("n") - 1L, lit(1L))))
+      .withColumn("cume_ppm", ldiv(col("cume_cnt") * 1000000L, col("n")))
+      .groupBy(col("prio"), col("decile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"),
+        min(col("prank_ppm")).as("min_prank_ppm"),
+        max(col("cume_ppm")).as("max_cume_ppm"))
+  }
+
+  val qNtileCumeSql: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS prio, o_orderkey,
+      |    CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+      |  FROM orders
+      |), w AS (
+      |  SELECT prio, cents,
+      |    CAST(NTILE(10) OVER ord AS BIGINT) AS decile,
+      |    RANK() OVER byval AS rnk,
+      |    COUNT(*) OVER byval AS cume_cnt,
+      |    COUNT(*) OVER part AS n
+      |  FROM base
+      |  WINDOW ord AS (PARTITION BY prio ORDER BY cents, o_orderkey),
+      |    byval AS (PARTITION BY prio ORDER BY cents),
+      |    part AS (PARTITION BY prio)
+      |)
+      |SELECT prio, decile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+      |  CAST(MIN(((rnk - 1) * 1000000)
+      |    // GREATEST(n - 1, 1)) AS BIGINT) AS min_prank_ppm,
+      |  CAST(MAX((cume_cnt * 1000000) // n) AS BIGINT) AS max_cume_ppm
+      |FROM w GROUP BY 1, 2""".stripMargin
 }

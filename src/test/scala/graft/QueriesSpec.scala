@@ -380,4 +380,95 @@ class QueriesSpec extends AnyFunSuite {
       if (rep == 1L) assert(tt > t)
     }
   }
+
+  test("B35: cube emits all four levels and margins reconcile") {
+    val rows = queries.Analytics.qCube(spark, dir).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L))
+    val cellN = byGid(0L).map(_.getAs[Long]("n")).sum
+    val grand = byGid(3L).head
+    assert(grand.getAs[Long]("n") == cellN)
+    // the status-only margin (gid=2, priority rolled up) is the level
+    // rollup drops — its counts must re-sum the base cells per status
+    val cellByStatus = byGid(0L)
+      .groupBy(_.getAs[String]("o_orderstatus"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    byGid(2L).foreach { r =>
+      assert(r.getAs[Long]("n") ==
+        cellByStatus(r.getAs[String]("o_orderstatus")))
+    }
+  }
+
+  test("B36: first/last/nth endpoints recount from collected history") {
+    import org.apache.spark.sql.functions._
+    val got = queries.Analytics.qFirstLast(spark, dir).collect()
+      .map(r => r.getAs[Long]("custkey") -> r).toMap
+    val hist = graft.util.Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"),
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    assert(got.keySet == hist.keySet)
+    hist.take(50).foreach { case (ck, rows) =>
+      val ord = rows.sortBy(r =>
+        (r.getAs[Long]("date_us"), r.getAs[Long]("o_orderkey")))
+      val g = got(ck)
+      assert(g.getAs[Long]("n_orders") == ord.length.toLong)
+      assert(g.getAs[Long]("first_cents") == ord.head.getAs[Long]("cents"))
+      assert(g.getAs[Long]("last_cents") == ord.last.getAs[Long]("cents"))
+      val second = if (ord.length >= 2) ord(1).getAs[Long]("o_orderkey") else -1L
+      assert(g.getAs[Long]("second_orderkey") == second)
+    }
+  }
+
+  test("B37: grid percentile equals the collected-sort interpolation") {
+    import org.apache.spark.sql.functions._
+    val got = queries.Analytics.qPercentileExact(spark, dir).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("p")) ->
+        r.getAs[Long]("q_cents_x100")).toMap
+    val vals = graft.util.Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().groupBy(_.getAs[String]("o_orderpriority"))
+      .view.mapValues(_.map(_.getAs[Long]("cents")).sorted).toMap
+    assert(got.keySet == (for (p <- vals.keySet; q <- Seq(25L, 50L, 75L))
+      yield (p, q)))
+    for ((prio, vs) <- vals; p <- Seq(25L, 50L, 75L)) {
+      val n = vs.length.toLong
+      val lo = ((n - 1) * p) / 100  // 0-based floor index
+      val frac = ((n - 1) * p) % 100
+      val want = vs(lo.toInt) * 100 +
+        (if (frac > 0) (vs(lo.toInt + 1) - vs(lo.toInt)) * frac else 0L)
+      assert(got((prio, p)) == want, s"($prio, p$p)")
+    }
+  }
+
+  test("B38: string agg is the sorted comma-joined top-5 per nation") {
+    val rows = queries.Analytics.qStringAgg(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val names = r.getAs[String]("top5_names").split(",").toSeq
+      assert(names.length <= 5)
+      assert(names == names.sorted, "names not in ascending order")
+      assert(r.getAs[Long]("n_customers") >= names.length.toLong)
+    }
+  }
+
+  test("B39: decile grid covers 1..10 and rank ppm hits both ends") {
+    val rows = queries.Analytics.qNtileCume(spark, dir).collect()
+    val byPrio = rows.groupBy(_.getAs[String]("prio"))
+    byPrio.foreach { case (prio, rs) =>
+      val deciles = rs.map(_.getAs[Long]("decile")).toSet
+      assert(deciles == (1L to 10L).toSet, s"$prio deciles $deciles")
+      assert(rs.filter(_.getAs[Long]("decile") == 1L)
+        .map(_.getAs[Long]("min_prank_ppm")).min == 0L)
+      assert(rs.filter(_.getAs[Long]("decile") == 10L)
+        .map(_.getAs[Long]("max_cume_ppm")).max == 1000000L)
+      // bucket sizes differ by at most one (the NTILE contract)
+      val sizes = rs.map(_.getAs[Long]("n_rows"))
+      assert(sizes.max - sizes.min <= 1L, s"$prio sizes $sizes")
+    }
+  }
 }
