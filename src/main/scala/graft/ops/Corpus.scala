@@ -716,4 +716,77 @@ object Corpus {
        |  CASE WHEN rnk = 1 THEN sb ELSE 0 END AS symbols_before,
        |  CASE WHEN rnk = 1 THEN sb - napp ELSE 0 END AS symbols_after
        |FROM ranked CROSS JOIN stats""".stripMargin
+
+  // ---------------------------------------------------------------- C61
+
+  /** C61 — vocabulary-growth curve (the Heaps'-law audit): how many
+    * DISTINCT word types the corpus has accumulated after each tenth
+    * of it, against cumulative token mass — the curve a tokenizer
+    * designer reads before sizing a vocab (still-steep growth at the
+    * corpus edge means unseen-type mass ahead; a flattening curve
+    * means the vocab is closing) and the first diagnostic for "is this
+    * crawl batch adding new language or more of the same". Corpus
+    * order = doc_id order, bucketed VALUE-PROPORTIONALLY against the
+    * broadcast (min, max) id span — a closed form with NO corpus-scale
+    * window (the rank-based decile would be exactly the global-sort
+    * scale-killer this board bans); each word's first-appearance
+    * bucket = min bucket over its occurrences (ONE vocabulary-scale
+    * partial agg — first-appearance is order-free under min);
+    * cumulative sums run on the 10-row grid. types_per_mtok =
+    * cumulative types per million cumulative tokens, the Heaps ratio
+    * on the ppm grid. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+    val span = toks.agg(min(col("doc_id")).as("lo"),
+      (max(col("doc_id")) - min(col("doc_id")) + 1L).as("w"))
+    val bucketed = toks.crossJoin(broadcast(span))
+      .withColumn("bucket", least(lit(9L), call_function("div",
+        (col("doc_id") - col("lo")) * 10L, col("w"))))
+    val tokensPer = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val typesPer = bucketed.groupBy(col("word"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_types"))
+    val grid = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokensPer.join(typesPer, Seq("bucket"), "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(grid))
+      .withColumn("cum_types", sum(col("n_new_types")).over(grid))
+      .select(col("bucket"), col("n_tokens"), col("n_new_types"),
+        col("cum_tokens"), col("cum_types"),
+        call_function("div", col("cum_types") * lit(1000000L),
+          col("cum_tokens")).as("types_per_mtok"))
+  }
+
+  def vocabGrowthSql(): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(${Text.tokensSql("text")}) AS word
+       |  FROM documents
+       |), span AS (
+       |  SELECT MIN(doc_id) AS lo,
+       |    MAX(doc_id) - MIN(doc_id) + 1 AS w
+       |  FROM toks
+       |), b AS (
+       |  SELECT word,
+       |    LEAST(9, ((doc_id - lo) * 10) // w) AS bucket
+       |  FROM toks CROSS JOIN span
+       |), tokens_per AS (
+       |  SELECT bucket, COUNT(*) AS n_tokens FROM b GROUP BY 1
+       |), types_per AS (
+       |  SELECT bucket, COUNT(*) AS n_new_types FROM (
+       |    SELECT word, MIN(bucket) AS bucket FROM b GROUP BY 1
+       |  ) GROUP BY 1
+       |)
+       |SELECT t.bucket, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(y.n_new_types, 0) AS BIGINT) AS n_new_types,
+       |  CAST(SUM(t.n_tokens) OVER cumw AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(COALESCE(y.n_new_types, 0)) OVER cumw AS BIGINT)
+       |    AS cum_types,
+       |  CAST(SUM(COALESCE(y.n_new_types, 0)) OVER cumw * 1000000
+       |    // SUM(t.n_tokens) OVER cumw AS BIGINT) AS types_per_mtok
+       |FROM tokens_per t LEFT JOIN types_per y ON t.bucket = y.bucket
+       |WINDOW cumw AS (ORDER BY t.bucket
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 }

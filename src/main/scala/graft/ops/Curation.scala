@@ -613,4 +613,188 @@ object Curation {
        |UNION ALL SELECT 2, 'model_filter', k1, k1 - k2, k2 FROM a
        |UNION ALL SELECT 3, 'perplexity', k2, k2 - k3, k3 FROM a
        |UNION ALL SELECT 4, 'decontaminate', k3, k3 - k4, k4 FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- C60
+
+  /** C60 — per-source document cap, the domain-balancing cut web
+    * corpora run so no single origin dominates the mix (the per-domain
+    * cap of the RefinedWeb/C4 lineage; `source` stands in for the
+    * registered domain): keep at most `cap` documents per source,
+    * chosen by a deterministic salted-hash priority (a stand-in for a
+    * quality ordering — swap the priority column and the machinery
+    * holds), emit every document with its keep verdict, its rank when
+    * kept (-1 otherwise), and the source's true size. The selection is
+    * the TWO-PHASE distributed top-K: phase 1 ranks inside (source,
+    * salt) buckets and keeps each bucket's top `cap` — the corpus-scale
+    * sort never sees one partition per source (sources are FEW and
+    * huge — the exact skew a naive per-source window dies on at
+    * 100 TB); phase 2 ranks the ≤ salts·cap survivors per source. Any
+    * global top-cap doc is top-cap in its own bucket, so the phases
+    * compose exactly to the single-window semantics the oracle states.
+    * Source sizes ride a separate partial-agg + broadcast join, never
+    * a full-partition window. */
+  def sourceCap(spark: SparkSession, dir: String,
+                cap: Int = 10, salts: Int = 4): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        Portable.hash60(concat(lit("graft-cap-v1:"),
+          col("doc_id").cast("string"))).as("prio"))
+    val local = base
+      .withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)))
+      .withColumn("lrn", row_number().over(Window
+        .partitionBy(col("source"), col("salt"))
+        .orderBy(col("prio"), col("doc_id"))))
+      .filter(col("lrn") <= cap)
+    val winners = local
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("source")).orderBy(col("prio"), col("doc_id"))))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("rn"))
+    val counts = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source_docs"))
+    base.join(winners, Seq("doc_id"), "left")
+      .join(broadcast(counts), "source")
+      .select(col("doc_id"), col("source"), col("n_source_docs"),
+        coalesce(col("rn").cast("long"), lit(-1L)).as("cap_rank"),
+        when(col("rn").isNotNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  def sourceCapSql(cap: Int = 10): String = {
+    val prio = Portable.hash60Sql("'graft-cap-v1:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT doc_id, source, $prio AS prio FROM documents
+       |), ranked AS (
+       |  SELECT doc_id, source, prio,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY prio, doc_id)
+       |      AS rn
+       |  FROM base
+       |), counts AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source_docs
+       |  FROM base GROUP BY 1
+       |)
+       |SELECT r.doc_id, r.source, c.n_source_docs,
+       |  CAST(CASE WHEN r.rn <= $cap THEN r.rn ELSE -1 END AS BIGINT)
+       |    AS cap_rank,
+       |  CAST(CASE WHEN r.rn <= $cap THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM ranked r JOIN counts c ON r.source = c.source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C63
+
+  /** Filter names in their canonical (alphabetical) order; the matrix
+    * emits pairs with f1 < f2 in this order. */
+  private val overlapFilters =
+    Seq("repetition", "stopword", "top_gram", "word_count")
+
+  /** C63 — filter-overlap matrix, the redundancy audit a pipeline
+    * owner runs over C32's heuristic bank before adding/retiring a
+    * rule: for every pair of filters, how many documents each kills
+    * ALONE (independent verdicts — C32's first-fail `reason` hides
+    * every later rule that would also have fired), how many BOTH
+    * kill, and the Jaccard of the kill sets in ppm (≈1e6 ⇒ the
+    * filters are interchangeable — one is dead weight; ≈0 ⇒ they
+    * carry independent signal) plus each side's conditional overlap
+    * (kills-of-f1 also caught by f2). The 6-pair grid is literal, so
+    * the matrix is complete even when a filter kills nothing at this
+    * corpus (-1 sentinels for undefined ratios). Plan: C32's metric
+    * frame → per-doc failed-filter explode (≤4 rows/doc) → one
+    * doc-keyed self-join → (f1, f2) partial agg; totals broadcast
+    * back onto the literal grid — the matrix never exceeds
+    * filters². */
+  def filterOverlap(spark: SparkSession, dir: String,
+                    minTokens: Long = 20L, maxTokens: Long = 100000L,
+                    minStopPpm: Long = 20000L, maxDupGramPpm: Long = 20000L,
+                    maxTopGramPpm: Long = 100000L): DataFrame = {
+    val spk = spark
+    import spk.implicits._
+    val kills = qualityFilterBank(spark, dir, minTokens, maxTokens,
+        minStopPpm, maxDupGramPpm, maxTopGramPpm)
+      .select(col("doc_id"), explode(array(
+        struct(lit("repetition").as("f"),
+          (col("dup_gram_ppm") > maxDupGramPpm).cast("long").as("k")),
+        struct(lit("stopword").as("f"),
+          (col("stop_ppm") < minStopPpm).cast("long").as("k")),
+        struct(lit("top_gram").as("f"),
+          (col("top_gram_ppm") > maxTopGramPpm).cast("long").as("k")),
+        struct(lit("word_count").as("f"),
+          (col("n_tokens") < minTokens || col("n_tokens") > maxTokens)
+            .cast("long").as("k")))).as("e"))
+      .filter(col("e.k") === 1L)
+      .select(col("doc_id"), col("e.f").as("f"))
+    val totals = kills.groupBy(col("f")).agg(count(lit(1)).as("nf"))
+    val both = kills.as("a")
+      .join(kills.as("b"), col("a.doc_id") === col("b.doc_id") &&
+        col("a.f") < col("b.f"))
+      .groupBy(col("a.f").as("f1"), col("b.f").as("f2"))
+      .agg(count(lit(1)).as("n_both"))
+    val grid = overlapFilters.combinations(2).toSeq
+      .map { case Seq(a, b) => (a, b) }.toDF("f1", "f2")
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0L, call_function("div", num * lit(1000000L), den))
+        .otherwise(lit(-1L))
+    grid
+      .join(broadcast(totals.select(col("f").as("f1"), col("nf").as("n_f1"))),
+        Seq("f1"), "left")
+      .join(broadcast(totals.select(col("f").as("f2"), col("nf").as("n_f2"))),
+        Seq("f2"), "left")
+      .join(broadcast(both), Seq("f1", "f2"), "left")
+      .select(col("f1"), col("f2"),
+        coalesce(col("n_f1"), lit(0L)).as("n_f1"),
+        coalesce(col("n_f2"), lit(0L)).as("n_f2"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
+      .withColumn("jaccard_ppm",
+        ratio(col("n_both"), col("n_f1") + col("n_f2") - col("n_both")))
+      .withColumn("overlap_f1_ppm", ratio(col("n_both"), col("n_f1")))
+      .withColumn("overlap_f2_ppm", ratio(col("n_both"), col("n_f2")))
+  }
+
+  def filterOverlapSql(minTokens: Long = 20L, maxTokens: Long = 100000L,
+                       minStopPpm: Long = 20000L, maxDupGramPpm: Long = 20000L,
+                       maxTopGramPpm: Long = 100000L): String = {
+    val qf = qualityFilterBankSql(minTokens, maxTokens, minStopPpm,
+      maxDupGramPpm, maxTopGramPpm).linesIterator.map("    " + _)
+      .mkString("\n")
+    val gridRows = overlapFilters.combinations(2)
+      .map { case Seq(a, b) => s"('$a', '$b')" }.mkString(", ")
+    s"""WITH qf AS (
+       |$qf
+       |), kills AS (
+       |  SELECT doc_id, e.f AS f FROM (
+       |    SELECT doc_id, UNNEST([
+       |      {'f': 'repetition',
+       |       'k': dup_gram_ppm > $maxDupGramPpm},
+       |      {'f': 'stopword', 'k': stop_ppm < $minStopPpm},
+       |      {'f': 'top_gram', 'k': top_gram_ppm > $maxTopGramPpm},
+       |      {'f': 'word_count',
+       |       'k': n_tokens < $minTokens OR n_tokens > $maxTokens}]) AS e
+       |    FROM qf)
+       |  WHERE e.k
+       |), totals AS (
+       |  SELECT f, CAST(COUNT(*) AS BIGINT) AS nf FROM kills GROUP BY 1
+       |), bothk AS (
+       |  SELECT a.f AS f1, b.f AS f2, CAST(COUNT(*) AS BIGINT) AS n_both
+       |  FROM kills a JOIN kills b
+       |    ON a.doc_id = b.doc_id AND a.f < b.f
+       |  GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT * FROM (VALUES $gridRows) AS g(f1, f2)
+       |), j AS (
+       |  SELECT g.f1, g.f2,
+       |    COALESCE(t1.nf, 0) AS n_f1, COALESCE(t2.nf, 0) AS n_f2,
+       |    COALESCE(bk.n_both, 0) AS n_both
+       |  FROM grid g
+       |  LEFT JOIN totals t1 ON g.f1 = t1.f
+       |  LEFT JOIN totals t2 ON g.f2 = t2.f
+       |  LEFT JOIN bothk bk ON g.f1 = bk.f1 AND g.f2 = bk.f2
+       |)
+       |SELECT f1, f2, n_f1, n_f2, n_both,
+       |  CAST(CASE WHEN n_f1 + n_f2 - n_both > 0
+       |    THEN n_both * 1000000 // (n_f1 + n_f2 - n_both)
+       |    ELSE -1 END AS BIGINT) AS jaccard_ppm,
+       |  CAST(CASE WHEN n_f1 > 0 THEN n_both * 1000000 // n_f1
+       |    ELSE -1 END AS BIGINT) AS overlap_f1_ppm,
+       |  CAST(CASE WHEN n_f2 > 0 THEN n_both * 1000000 // n_f2
+       |    ELSE -1 END AS BIGINT) AS overlap_f2_ppm
+       |FROM j""".stripMargin
+  }
 }

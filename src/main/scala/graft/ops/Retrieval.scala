@@ -723,4 +723,119 @@ object Retrieval {
        |  FROM fused
        |) WHERE rank <= $k""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // C59 — cross-document repeated-substring span marking
+  // ------------------------------------------------------------------
+
+  /** C59 — the SPAN-level arm of the dedup family (C1/C2/C53 keep or
+    * drop whole documents; production corpora instead CUT the shared
+    * boilerplate passage and keep the unique remainder — the
+    * "deduplicating training data" ExactSubstr discipline, applied at
+    * the word-k-gram grain): a token position is duplicated when the
+    * k-gram starting there also appears in ANOTHER document, and
+    * maximal runs of duplicated positions merge into removal spans
+    * (overlap or touch ⇒ one span — each span is a contiguous token
+    * interval whose every k-window is shared). Cross-doc only by
+    * construction (document frequency ≥ 2 on distinct doc sets);
+    * intra-doc repetition is C14's arm. Plan: one corpus gram explode,
+    * df via distinct+partial-agg groupBy on the 60-bit gram key, one
+    * equi-join back, then per-DOC windows (per-key small at any corpus
+    * size) for the island merge — nothing global, nothing quadratic.
+    * Output: one row per removal span with the doc's totals — exactly
+    * what a cut pass downstream consumes. */
+  def dedupSubstringSpans(spark: SparkSession, dir: String,
+                          k: Int = 8): DataFrame =
+    dedupSubstringSpansFrom(docs(spark, dir), k)
+
+  private[graft] def dedupSubstringSpansFrom(docsFrame: DataFrame,
+                                             k: Int = 8): DataFrame = {
+    val base = docsFrame
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("doc_tokens", size(col("toks")).cast("long"))
+      .withColumn("grams",
+        call_function("graft_word_ngrams_all", col("toks"), lit(k)))
+    val occ = base
+      .select(col("doc_id"), col("doc_tokens"),
+        posexplode(col("grams")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("doc_tokens"), col("pos").cast("long").as("pos"),
+        Portable.hash60(col("gram")).as("gh"))
+    val dupGrams = occ.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 2L)
+      .select(col("gh"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = occ.join(dupGrams, "gh")
+      .select(col("doc_id"), col("doc_tokens"), col("pos"))
+      .withColumn("prev_end", max(col("pos") + k.toLong)
+        .over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk", when(col("prev_end").isNull ||
+        col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("doc_tokens"), col("island"))
+      .agg(min(col("pos")).as("tok_start"),
+        (max(col("pos")) + k.toLong).as("tok_end"))
+    spans
+      .withColumn("span_seq", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tok_start"))).cast("long"))
+      .withColumn("dup_tokens", sum(col("tok_end") - col("tok_start"))
+        .over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("span_seq"), col("tok_start"),
+        col("tok_end"), (col("tok_end") - col("tok_start")).as("span_tokens"),
+        col("doc_tokens"),
+        call_function("div", col("dup_tokens") * lit(1000000L),
+          col("doc_tokens")).as("dup_ppm"))
+  }
+
+  def dedupSubstringSpansSql(k: Int = 8): String = {
+    val gramChain = "toks[i]" +
+      (1 until k).map(j => s" || ' ' || toks[i+$j]").mkString
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS doc_tokens,
+       |    CASE WHEN len(toks) >= $k
+       |      THEN list_transform(range(1, len(toks) - ${k - 2}),
+       |           i -> $gramChain)
+       |      ELSE [] END AS grams
+       |  FROM t
+       |), occ AS (
+       |  SELECT doc_id, doc_tokens,
+       |    CAST(e.pos AS BIGINT) AS pos, ${Portable.hash60Sql("e.gram")} AS gh
+       |  FROM (
+       |    SELECT doc_id, doc_tokens,
+       |      UNNEST(list_transform(range(1, len(grams) + 1),
+       |        i -> {'pos': i - 1, 'gram': grams[i]})) AS e
+       |    FROM g)
+       |), dup AS (
+       |  SELECT gh FROM (
+       |    SELECT gh, COUNT(*) AS gdf
+       |    FROM (SELECT DISTINCT gh, doc_id FROM occ) GROUP BY 1)
+       |  WHERE gdf >= 2
+       |), marked AS (
+       |  SELECT o.doc_id, o.doc_tokens, o.pos,
+       |    MAX(o.pos + $k) OVER (PARTITION BY o.doc_id ORDER BY o.pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM occ o JOIN dup USING (gh)
+       |), islands AS (
+       |  SELECT doc_id, doc_tokens, pos,
+       |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM marked
+       |), spans AS (
+       |  SELECT doc_id, doc_tokens, island,
+       |    MIN(pos) AS tok_start, MAX(pos) + $k AS tok_end
+       |  FROM islands GROUP BY 1, 2, 3
+       |)
+       |SELECT doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tok_start)
+       |    AS BIGINT) AS span_seq,
+       |  tok_start, tok_end, tok_end - tok_start AS span_tokens,
+       |  doc_tokens,
+       |  CAST(SUM(tok_end - tok_start) OVER (PARTITION BY doc_id)
+       |    * 1000000 // doc_tokens AS BIGINT) AS dup_ppm
+       |FROM spans""".stripMargin
+  }
 }

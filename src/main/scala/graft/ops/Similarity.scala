@@ -1124,4 +1124,70 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $k""".stripMargin
   }
+
+  // ---------------------------------------------------------------- C62
+
+  /** C62 — hard-negative mining, the training-pair generator for
+    * contrastive retrieval/embedding fine-tuning (the "mine the
+    * near-miss" step of the DPR/sentence-transformers lineage): for
+    * each query vector, the top-k most-similar OTHER-label vectors —
+    * the negatives near the decision boundary that teach the model
+    * anything (random negatives are trivially separable) — each
+    * carrying its rank, its cosine, the query's best same-label
+    * positive, and the margin positive−negative (negative margin =
+    * the negative OUTSCORES every positive: the pair a curriculum
+    * orders first and a label auditor reads as a mislabel signal;
+    * -2.0 sentinel when the query has no positive in the corpus). ONE
+    * corpus scan against the broadcast query block scores both arms;
+    * the positive arm folds to a per-query 1-row max and broadcasts
+    * back; the negative arm is the C6 per-query top-k rank. Nothing
+    * quadratic in the corpus — the quadratic side is capped by the
+    * bounded query block. */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot("qv", "v") / (col("qn") * col("nrm")), 4))
+    val posBest = scored.filter(col("label") === col("qlabel"))
+      .groupBy(col("query_id")).agg(max(col("cosine")).as("pos_best_cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.filter(col("label") =!= col("qlabel"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .join(broadcast(posBest), Seq("query_id"), "left")
+      .withColumn("pos_best_cosine",
+        coalesce(col("pos_best_cosine"), lit(-2.0d)))
+      .select(col("query_id"), col("vec_id").as("neg_vec_id"),
+        col("neg_rank"), col("cosine").as("neg_cosine"),
+        col("pos_best_cosine"),
+        round(col("pos_best_cosine") - col("cosine"), 4).as("margin"))
+  }
+
+  def hardNegativesSql(nQueries: Int = 8, k: Int = 5): String =
+    s"""WITH $corpusSql,
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, a.label AS qlabel,
+       |    b.vec_id, b.label,
+       |    ROUND((${dotSql("a.v", "b.v")}) / (a.nrm * b.nrm), 4) AS cosine
+       |  FROM c a JOIN c b ON a.vec_id < $nQueries AND b.vec_id <> a.vec_id
+       |), pos AS (
+       |  SELECT query_id, MAX(cosine) AS pos_best_cosine
+       |  FROM scored WHERE label = qlabel GROUP BY 1
+       |), neg AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS neg_rank
+       |  FROM scored WHERE label <> qlabel
+       |)
+       |SELECT n.query_id, n.vec_id AS neg_vec_id,
+       |  CAST(n.neg_rank AS BIGINT) AS neg_rank, n.cosine AS neg_cosine,
+       |  COALESCE(p.pos_best_cosine, -2.0) AS pos_best_cosine,
+       |  ROUND(COALESCE(p.pos_best_cosine, -2.0) - n.cosine, 4) AS margin
+       |FROM neg n LEFT JOIN pos p ON n.query_id = p.query_id
+       |WHERE n.neg_rank <= $k""".stripMargin
 }

@@ -889,6 +889,49 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(f.values.forall(_._4 == 0L), "no dead dims in this corpus")
   }
 
+  test("C62: hard negatives recount from raw vectors and margins close") {
+    val nQ = 8; val k = 5
+    val rows = ops.Similarity.hardNegatives(spark, dir, nQ, k).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == (0L until nQ.toLong).toSet)
+    val raw = ops.Similarity.corpus(spark, dir)
+      .select("vec_id", "label", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+    val byId = raw.map(r => r._1 -> r).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (_, _, va, na) = byId(a); val (_, _, vb, nb) = byId(b)
+      BigDecimal(va.zip(vb).map { case (x, y) => x * y }.sum / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0L until nQ.toLong).foreach { qid =>
+      val qlabel = byId(qid)._2
+      val others = raw.filter(_._1 != qid)
+      val negs = others.filter(_._2 != qlabel)
+        .map(o => (o._1, cos(qid, o._1)))
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+      val posBest = others.filter(_._2 == qlabel)
+        .map(o => cos(qid, o._1)).maxOption.getOrElse(-2.0)
+      val got = byQ(qid).sortBy(_.getAs[Long]("neg_rank"))
+      assert(got.map(_.getAs[Long]("neg_vec_id")).toSeq ==
+        negs.map(_._1).toSeq, s"q$qid negative ids")
+      got.zip(negs).zipWithIndex.foreach { case ((g, (_, c)), i) =>
+        assert(g.getAs[Long]("neg_rank") == i + 1L)
+        assert(g.getAs[Double]("neg_cosine") == c)
+        assert(g.getAs[Double]("pos_best_cosine") == posBest)
+        assert(g.getAs[Double]("margin") ==
+          BigDecimal(posBest - c).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    // hard negatives are non-trivial at this SF: some query's best
+    // negative must outscore its worst returned rank by a real gap,
+    // and at least one margin should be tight or negative (the
+    // boundary pairs the miner exists to surface)
+    assert(rows.exists(_.getAs[Double]("margin") < 0.05),
+      "no near-boundary negative found — the mining is vacuous here")
+  }
+
   test("C56: matryoshka overlap equals a driver-side recount of both rankings") {
     val k = 10; val nQ = 8; val pd = 16
     val f = ops.Similarity.annMatryoshkaTopK(spark, dir, nQ, k, pd)

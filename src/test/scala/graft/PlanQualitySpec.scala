@@ -126,7 +126,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // 1-row max-ts broadcast building the signal tick grid (A81 shape)
       "cdc_event_queue_drain",
       // A67 lifecycle grid cross + the 3-row gc-sweep broadcast
-      "cdc_schema_gc")
+      "cdc_schema_gc",
+      // corpus x bounded-query-block broadcast (the ann_topk shape)
+      "hard_negatives",
+      // 1-row (min, width) id-span broadcast bucketing the token stream
+      "vocab_growth")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -167,7 +171,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // global share window over the 25-row nation grid
       "q_share_of_total",
       // embeds C40's tercile grid
-      "curation_funnel")
+      "curation_funnel",
+      // cumulative window over the 10-row corpus-decile grid
+      "vocab_growth")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!boundedGridByDesign(name)) {
         val lp = fn(spark, dir).queryExecution.optimizedPlan

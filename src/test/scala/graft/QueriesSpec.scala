@@ -381,6 +381,81 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("C60: the two-phase cap equals the single-window rank and honors the cap") {
+    import org.apache.spark.sql.functions._
+    val cap = 10
+    val got = ops.Curation.sourceCap(spark, dir, cap = cap).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // independent single-pass recount: plain per-source rank in Scala
+    val base = graft.util.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Portable.hash60(concat(lit("graft-cap-v1:"),
+          col("doc_id").cast("string"))).as("prio"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("prio")))
+    assert(got.keySet == base.map(_._1).toSet)
+    base.groupBy(_._2).foreach { case (src, rows) =>
+      val ranked = rows.sortBy(r => (r._3, r._1)).zipWithIndex
+      ranked.foreach { case ((id, _, _), i) =>
+        val g = got(id)
+        val wantRank = if (i < cap) i + 1L else -1L
+        assert(g.getAs[Long]("cap_rank") == wantRank, s"doc $id in $src")
+        assert(g.getAs[Long]("kept") == (if (i < cap) 1L else 0L))
+        assert(g.getAs[Long]("n_source_docs") == rows.length.toLong)
+      }
+      assert(ranked.count(_._2 < cap) == math.min(cap, rows.length))
+    }
+  }
+
+  test("C61: the growth curve's totals close and the curve is monotone") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Corpus.vocabGrowth(spark, dir).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (0L to 9L))
+    val toks = graft.util.Tables.documents(spark, dir)
+      .select(explode(ops.Text.tokens(col("text"))).as("w"))
+    assert(rows.last.getAs[Long]("cum_tokens") == toks.count())
+    assert(rows.last.getAs[Long]("cum_types") ==
+      toks.distinct().count())
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("cum_tokens") > a.getAs[Long]("cum_tokens"))
+        assert(b.getAs[Long]("cum_types") >= a.getAs[Long]("cum_types"))
+      case _ =>
+    }
+    // per-bucket pieces re-sum to the cumulative
+    var (ct, cy) = (0L, 0L)
+    rows.foreach { r =>
+      ct += r.getAs[Long]("n_tokens"); cy += r.getAs[Long]("n_new_types")
+      assert(r.getAs[Long]("cum_tokens") == ct)
+      assert(r.getAs[Long]("cum_types") == cy)
+    }
+  }
+
+  test("C63: overlap matrix recounts from independent per-doc flags") {
+    val got = ops.Curation.filterOverlap(spark, dir).collect()
+      .map(r => (r.getAs[String]("f1"), r.getAs[String]("f2")) -> r).toMap
+    assert(got.size == 6)
+    val m = ops.Curation.qualityFilterBank(spark, dir).collect().map { r =>
+      val nt = r.getAs[Long]("n_tokens")
+      Map(
+        "repetition" -> (r.getAs[Long]("dup_gram_ppm") > 20000L),
+        "stopword" -> (r.getAs[Long]("stop_ppm") < 20000L),
+        "top_gram" -> (r.getAs[Long]("top_gram_ppm") > 100000L),
+        "word_count" -> (nt < 20L || nt > 100000L))
+    }
+    got.foreach { case ((f1, f2), r) =>
+      val n1 = m.count(_(f1)); val n2 = m.count(_(f2))
+      val nb = m.count(d => d(f1) && d(f2))
+      assert(r.getAs[Long]("n_f1") == n1.toLong, s"$f1")
+      assert(r.getAs[Long]("n_f2") == n2.toLong, s"$f2")
+      assert(r.getAs[Long]("n_both") == nb.toLong, s"($f1,$f2)")
+      val union = n1 + n2 - nb
+      val wantJ = if (union > 0) nb.toLong * 1000000L / union else -1L
+      assert(r.getAs[Long]("jaccard_ppm") == wantJ)
+    }
+  }
+
   test("B35: cube emits all four levels and margins reconcile") {
     val rows = queries.Analytics.qCube(spark, dir).collect()
     val byGid = rows.groupBy(_.getAs[Long]("gid"))

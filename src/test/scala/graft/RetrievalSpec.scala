@@ -224,6 +224,54 @@ class RetrievalSpec extends AnyFunSuite {
       "containment's case must stay invisible to edit distance")
   }
 
+  test("C59: shared runs become exact removal spans; touching runs merge; unique docs vanish") {
+    // doc1 = shared12 + uniq10, doc2 = uniq7 + shared12: with k=8 the
+    // duplicated gram starts are exactly the 5 positions inside each
+    // copy of the run, so the merged span is the run itself
+    val shared = (1 to 12).map(i => s"sh$i")
+    val d1 = shared ++ (1 to 10).map(i => s"ua$i")
+    val d2 = (1 to 7).map(i => s"ub$i") ++ shared
+    val d3 = (1 to 20).map(i => s"uc$i")
+    val docs = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")),
+      (3L, d3.mkString(" "))).toDF("doc_id", "text")
+    val got = ops.Retrieval.dedupSubstringSpansFrom(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(!got.contains(3L), "the unique doc must emit no spans")
+    assert(got(1L).toSeq == Seq((1L, 1L, 0L, 12L, 12L, 22L,
+      12L * 1000000L / 22L)))
+    assert(got(2L).toSeq == Seq((2L, 1L, 7L, 19L, 12L, 19L,
+      12L * 1000000L / 19L)))
+    // two shared runs separated by ONE unique token stay two spans
+    // (the bridging grams cross the unique token and are unshared)
+    val d4 = shared ++ Seq("gap") ++ shared
+    val twoRuns = Seq((1L, d4.mkString(" ")), (2L, shared.mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans4 = ops.Retrieval.dedupSubstringSpansFrom(twoRuns)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(spans4.map(s => (s._3, s._4)).toSeq == Seq((0L, 12L), (13L, 25L)),
+      spans4.toSeq.toString)
+    // real corpus: spans are disjoint, sorted, and the ppm identity holds
+    val real = ops.Retrieval.dedupSubstringSpans(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(real.nonEmpty, "sf0.001 corpus should contain shared substrings")
+    real.values.foreach { spans =>
+      val ord = spans.sortBy(_._2)
+      assert(ord.map(_._2).toSeq == (1L to ord.length.toLong))
+      ord.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 < b._3, s"overlapping spans: $a $b")
+        case _ =>
+      }
+      val dup = ord.map(s => s._4 - s._3).sum
+      ord.foreach { s =>
+        assert(s._5 == s._4 - s._3)
+        assert(s._7 == dup * 1000000L / s._6, s"ppm mismatch: $s")
+      }
+    }
+  }
+
   test("C48: RRF fusion equals the per-arm recomputation and prefers dual-arm hits") {
     val kArm = 50; val rrfK = 60L
     val fused = ops.Retrieval.hybridRrfTopK(spark, dir, kArm = kArm)
