@@ -397,4 +397,67 @@ class EventServiceSpec extends AnyFunSuite {
       "resolved_regressed_skip"))
       assert(outcomes(o), s"arm $o never exercised")
   }
+
+  test("A106: the registry fold equals a direct transcription of RegisterDispatcher") {
+    import org.apache.spark.sql.functions._
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val trace = cdc.SubRegistry.subTrace(cl).collect()
+      .map(r => ((r.getAs[String]("schema_name"), r.getAs[String]("table_name")),
+        (r.getAs[Long]("tick"), r.getAs[String]("kind"), r.getAs[Long]("disp"),
+          r.getAs[Long]("ts"), r.getAs[Long]("only_reuse"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    val got = cdc.SubRegistry.subReuse(cl).collect()
+      .map(r => ((r.getAs[String]("schema_name"), r.getAs[String]("table_name"),
+        r.getAs[Long]("tick")),
+        (r.getAs[String]("decision"), r.getAs[Long]("sid"),
+          r.getAs[Long]("n_subs"), r.getAs[Long]("n_disp"),
+          r.getAs[Long]("died")))).toMap
+    // direct transcription of event_store.go:367-536 per table
+    case class Sub(sid: Long, cp: Long, var rts: Long, var nd: Long)
+    trace.foreach { case ((s, t), evs) =>
+      var subs = Vector.empty[Sub]
+      var asg = Map.empty[Long, Long]
+      var nsid = 1L
+      evs.foreach { case (tick, kind, disp, ts, onlyReuse) =>
+        val (decision, sid, died) = kind match {
+          case "ADV" =>
+            subs.foreach(x => x.rts = math.max(x.rts, ts)) // :475-482
+            ("advance", -1L, 0L)
+          case "REG" =>
+            val cands = subs.filter(x => x.cp <= ts && ts <= x.rts) // :409
+            if (cands.nonEmpty) {
+              val r = cands.minBy(_.sid) // determinized map scan :395-401
+              r.nd += 1; asg += disp -> r.sid
+              ("reuse", r.sid, 0L)
+            } else if (onlyReuse == 1L) ("fail_only_reuse", -1L, 0L) // :430
+            else {
+              subs :+= Sub(nsid, ts, ts, 1L); asg += disp -> nsid // :440-455
+              nsid += 1; ("new", nsid - 1, 0L)
+            }
+          case _ =>
+            val usid = asg(disp); asg -= disp
+            val u = subs.find(_.sid == usid).get
+            u.nd -= 1 // :517
+            if (u.nd == 0L) { // :518-523 refcount teardown
+              subs = subs.filterNot(_.sid == usid); ("unreg_close", usid, 1L)
+            } else ("unreg", usid, 0L)
+        }
+        val want = (decision, sid, subs.length.toLong,
+          subs.map(_.nd).sum, died)
+        assert(got((s, t, tick)) == want,
+          s"$s.$t tick $tick: ${got((s, t, tick))} != $want")
+      }
+    }
+    // the script exercises every arm on every table
+    val byTable = got.keys.groupBy(k => (k._1, k._2))
+    byTable.keys.foreach { tb =>
+      val ds = (0L to 7L).map(tk => got((tb._1, tb._2, tk))._1)
+      assert(ds == Seq("new", "advance", "reuse", "new", "fail_only_reuse",
+        "unreg", "unreg_close", "new"), s"$tb decisions $ds")
+      // the onlyReuse failure left no trace in the registry gauges
+      assert(got((tb._1, tb._2, 4L))._3 == got((tb._1, tb._2, 3L))._3)
+      // the teardown really killed the shared sub: d4 gets a NEW sid
+      assert(got((tb._1, tb._2, 7L))._2 > got((tb._1, tb._2, 3L))._2)
+    }
+  }
 }
