@@ -438,4 +438,173 @@ object SchemaStore {
        |  END AS query
        |FROM ddl $ignoreClause""".stripMargin
   }
+
+  // --------------------------------------------------------------- A107
+  /** A107: the schemastore's persist-KV layout (reference:
+    * logservice/schemastore/disk_format.go:35-93) — the on-disk key
+    * space a restarting schemastore reads back: snapshot rows
+    * `ss_{ts}{schema_id}` / `st_{ts}{table_id}`, DDL jobs
+    * `ds_{finished_ts}` (finished ts unique — here v·step + base,
+    * injective because base < step), and the two metadata cells
+    * `gc` → snapshot_ts and `up` → (max_finished_ddl_ts,
+    * schema_version, resolved_ts). The VALIDITY rule of :45-47 is the
+    * point: live data = the snapshot at snapshot_ts plus DDL jobs in
+    * (snapshot_ts, upperBound] — a DDL at ts ≤ snapshot_ts is residue
+    * already folded into the snapshot (GC sweeps it), one above the
+    * upper bound is not yet persisted (restart re-pulls from
+    * resolved_ts). snapshot_ts = the commit-ts span midpoint,
+    * upperBound = its 3rd quartile, and every table persists three
+    * jobs at the 25/50/75% span points (+base, keeping finished ts
+    * unique), so all three arms fire at every SF. All fields
+    * fixed-width big-endian hex (the A104
+    * discipline), so byte order == (prefix, ts, id) tuple order —
+    * `pos_bykey`/`pos_bytuple` make the invariant oracle-visible; the
+    * ASCII prefixes themselves order ds_ < gc < ss_ < st_ < up, which
+    * the rank pair also pins. Dimension-scale frames only (table
+    * universe × DDL grid); one bounded global rank window pair. */
+  def schemaPersistKey(cl: DataFrame): DataFrame = {
+    def w16(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 16, "0")
+    // Quartile-anchored bounds + per-table DDL finish ts: every table
+    // persists three jobs at the global span's 25/50/75% points (+base
+    // for the unique-finished-ts contract — injective while #tables <
+    // span/4, which any non-degenerate changefeed satisfies), so all
+    // three validity arms fire at every SF.
+    val bounds = cl.agg(min(col("commit_ts")).as("lo"),
+        max(col("commit_ts")).as("hi"))
+      .select(col("lo"), col("hi"),
+        (col("lo") + expr("(hi - lo) div 2")).as("gc_ts"),
+        (col("lo") + expr("(3 * (hi - lo)) div 4")).as("upper_ts"))
+    val schemas = cl.select(col("schema_name")).distinct()
+      .withColumn("schema_id",
+        row_number().over(Window.orderBy(col("schema_name"))).cast("long") - 1L)
+    val tables = tableUniverse(cl)
+    val ddls = tables
+      .select(col("schema_name"), col("table_name"), col("base"),
+        explode(expr("sequence(1L, 3L)")).as("j"))
+      .crossJoin(broadcast(bounds))
+      .select(col("schema_name"), col("table_name"),
+        (col("lo") + expr("(j * (hi - lo)) div 4") + col("base")).as("ts"))
+    val sKeys = schemas.crossJoin(broadcast(bounds))
+      .select(lit("snapshot_schema").as("key_kind"), col("schema_name"),
+        lit("").as("table_name"), col("schema_id").as("entity_id"),
+        col("gc_ts").as("ts"),
+        concat(lit("73735f"), w16(col("gc_ts")), w16(col("schema_id")))
+          .as("key_hex"),
+        lit("").as("value_hex"), lit(1L).as("valid"), lit("live").as("reason"))
+    val tKeys = tables.crossJoin(broadcast(bounds))
+      .select(lit("snapshot_table").as("key_kind"), col("schema_name"),
+        col("table_name"), col("base").as("entity_id"),
+        col("gc_ts").as("ts"),
+        concat(lit("73745f"), w16(col("gc_ts")), w16(col("base")))
+          .as("key_hex"),
+        lit("").as("value_hex"), lit(1L).as("valid"), lit("live").as("reason"))
+    val dKeys = ddls.crossJoin(broadcast(bounds))
+      .select(lit("ddl_job").as("key_kind"), col("schema_name"),
+        col("table_name"), lit(-1L).as("entity_id"), col("ts"),
+        concat(lit("64735f"), w16(col("ts"))).as("key_hex"),
+        lit("").as("value_hex"),
+        when(col("ts") > col("gc_ts") && col("ts") <= col("upper_ts"), 1L)
+          .otherwise(0L).as("valid"),
+        when(col("ts") <= col("gc_ts"), "covered_by_snapshot")
+          .when(col("ts") > col("upper_ts"), "beyond_upper")
+          .otherwise("live").as("reason"))
+    val meta = bounds.select(explode(array(
+        struct(lit("meta_gc").as("key_kind"), lit("6763").as("key_hex"),
+          w16(col("gc_ts")).as("value_hex")),
+        struct(lit("meta_upper").as("key_kind"), lit("7570").as("key_hex"),
+          concat(w16(col("upper_ts")), w16(expr("(upper_ts div 1000)")),
+            w16(col("upper_ts") + 50L)).as("value_hex")))).as("m"))
+      .select(col("m.key_kind").as("key_kind"), lit("").as("schema_name"),
+        lit("").as("table_name"), lit(-1L).as("entity_id"), lit(-1L).as("ts"),
+        col("m.key_hex").as("key_hex"), col("m.value_hex").as("value_hex"),
+        lit(1L).as("valid"), lit("live").as("reason"))
+    val all = sKeys.unionAll(tKeys).unionAll(dKeys).unionAll(meta)
+      .withColumn("kind_rank",
+        when(col("key_kind") === "ddl_job", 0L)
+          .when(col("key_kind") === "meta_gc", 1L)
+          .when(col("key_kind") === "snapshot_schema", 2L)
+          .when(col("key_kind") === "snapshot_table", 3L)
+          .otherwise(4L))
+    all
+      .withColumn("pos_bykey",
+        row_number().over(Window.orderBy(col("key_hex"))).cast("long"))
+      .withColumn("pos_bytuple",
+        row_number().over(Window.orderBy(col("kind_rank"), col("ts"),
+          col("entity_id"))).cast("long"))
+      .select(col("key_kind"), col("schema_name"), col("table_name"),
+        col("entity_id"), col("ts"), col("key_hex"), col("value_hex"),
+        col("valid"), col("reason"), col("pos_bykey"), col("pos_bytuple"),
+        (col("pos_bykey") === col("pos_bytuple")).cast("long")
+          .as("order_preserved"))
+  }
+
+  def schemaPersistKeySql(): String = {
+    def w16(e: String) = s"lpad(lower(to_hex($e)), 16, '0')"
+    s"""WITH universe AS (
+       |  SELECT schema_name, table_name,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY schema_name, table_name)
+       |      AS BIGINT) - 1 AS base
+       |  FROM (SELECT DISTINCT schema_name, table_name FROM changelog)
+       |), bounds AS (
+       |  SELECT
+       |    CAST(MIN(commit_ts) + (MAX(commit_ts) - MIN(commit_ts)) // 2
+       |      AS BIGINT) AS gc_ts,
+       |    CAST(MIN(commit_ts) + (3 * (MAX(commit_ts) - MIN(commit_ts))) // 4
+       |      AS BIGINT) AS upper_ts,
+       |    CAST(MIN(commit_ts) AS BIGINT) AS lo,
+       |    CAST(MAX(commit_ts) AS BIGINT) AS hi
+       |  FROM changelog
+       |), jobs AS (
+       |  SELECT u.schema_name, u.table_name,
+       |    CAST(b.lo + (j.j * (b.hi - b.lo)) // 4 + u.base AS BIGINT) AS ts
+       |  FROM universe u
+       |  CROSS JOIN bounds b
+       |  CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS j) j
+       |), schemas AS (
+       |  SELECT schema_name,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY schema_name) AS BIGINT) - 1
+       |      AS schema_id
+       |  FROM (SELECT DISTINCT schema_name FROM changelog)
+       |), allkeys AS (
+       |  SELECT 'snapshot_schema' AS key_kind, s.schema_name,
+       |    '' AS table_name, s.schema_id AS entity_id, b.gc_ts AS ts,
+       |    '73735f' || ${w16("b.gc_ts")} || ${w16("s.schema_id")} AS key_hex,
+       |    '' AS value_hex, CAST(1 AS BIGINT) AS valid, 'live' AS reason,
+       |    CAST(2 AS BIGINT) AS kind_rank
+       |  FROM schemas s CROSS JOIN bounds b
+       |  UNION ALL
+       |  SELECT 'snapshot_table', u.schema_name, u.table_name, u.base,
+       |    b.gc_ts,
+       |    '73745f' || ${w16("b.gc_ts")} || ${w16("u.base")},
+       |    '', 1, 'live', 3
+       |  FROM universe u CROSS JOIN bounds b
+       |  UNION ALL
+       |  SELECT 'ddl_job', j.schema_name, j.table_name, -1, j.ts,
+       |    '64735f' || ${w16("j.ts")}, '',
+       |    CAST(CASE WHEN j.ts > b.gc_ts AND j.ts <= b.upper_ts
+       |      THEN 1 ELSE 0 END AS BIGINT),
+       |    CASE WHEN j.ts <= b.gc_ts THEN 'covered_by_snapshot'
+       |      WHEN j.ts > b.upper_ts THEN 'beyond_upper'
+       |      ELSE 'live' END, 0
+       |  FROM jobs j CROSS JOIN bounds b
+       |  UNION ALL
+       |  SELECT 'meta_gc', '', '', -1, -1, '6763',
+       |    ${w16("b.gc_ts")}, 1, 'live', 1
+       |  FROM bounds b
+       |  UNION ALL
+       |  SELECT 'meta_upper', '', '', -1, -1, '7570',
+       |    ${w16("b.upper_ts")} || ${w16("(b.upper_ts // 1000)")}
+       |      || ${w16("b.upper_ts + 50")}, 1, 'live', 4
+       |  FROM bounds b
+       |)
+       |SELECT key_kind, schema_name, table_name, entity_id, ts, key_hex,
+       |  value_hex, valid, reason,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY key_hex) AS BIGINT) AS pos_bykey,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY kind_rank, ts, entity_id)
+       |    AS BIGINT) AS pos_bytuple,
+       |  CAST((ROW_NUMBER() OVER (ORDER BY key_hex)) =
+       |    (ROW_NUMBER() OVER (ORDER BY kind_rank, ts, entity_id))
+       |    AS BIGINT) AS order_preserved
+       |FROM allkeys""".stripMargin
+  }
 }

@@ -644,13 +644,19 @@ object Corpus {
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
       topK)
 
-  private[graft] def bpePairMergeFrom(docs: DataFrame, topK: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = docs
+  /** Word-frequency table of ≥2-char words (the BPE training corpus
+    * view shared by C41 and C65). */
+  private def bpeWords(docs: DataFrame): DataFrame =
+    docs
       .select(explode(graft.ops.Text.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    val ranked = words
+
+  /** Round-1 adjacent-pair ranking (count DESC, pair ASC) — C41's
+    * merge candidates and C65's merge table. */
+  private def rankedPairs(words: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    words
       .select(col("freq"), explode(expr(
         """transform(sequence(1, length(w) - 1),
           |  i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))"""
@@ -661,6 +667,11 @@ object Corpus {
         Window.orderBy(col("pair_count").desc, col("left_sym"), col("right_sym")))
         .cast("long"))
       .filter(col("rnk") <= topK)
+  }
+
+  private[graft] def bpePairMergeFrom(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val words = bpeWords(docs)
+    val ranked = rankedPairs(words, topK)
     val winner = ranked.filter(col("rnk") === 1L)
       .select(concat(col("left_sym"), col("right_sym")).as("ms"))
     val stats = words.crossJoin(broadcast(winner))
@@ -716,6 +727,103 @@ object Corpus {
        |  CASE WHEN rnk = 1 THEN sb ELSE 0 END AS symbols_before,
        |  CASE WHEN rnk = 1 THEN sb - napp ELSE 0 END AS symbols_after
        |FROM ranked CROSS JOIN stats""".stripMargin
+
+  // ---------------------------------------------------------------- C65
+
+  /** C65 — BPE segmentation (the APPLY side completing C41's training
+    * arm): tokenize every vocabulary word against a ranked merge
+    * table, greedy by merge priority — the operation every training
+    * run and every inference server executes per token. The merge
+    * table here is the top-`nMerges` round-1 pair ranking (a real
+    * train re-counts pairs between merges; with a single-round table
+    * every merge pair is two SINGLE-CHAR symbols, so a later merge can
+    * never create an earlier merge's pair and one pass in rank order
+    * IS the exact repeated-argmax semantics — the property that makes
+    * this oracle-checkable without an inner fixpoint).
+    *
+    * The fold runs on a BOUNDARY-DELIMITED string: every symbol is
+    * wrapped in unit separators (chr(31)) on BOTH sides — rep of
+    * [a,b,c] is ␟a␟b␟c␟ — so applying merge (l, r) is exactly
+    * `replace(rep, ␟l␟r␟, ␟lr␟)`: native `replace` is left-to-right
+    * non-overlapping in both engines (the C41 precedent), the
+    * replacement restores the closing delimiter so chained adjacent
+    * merges still see theirs, and BOTH anchors are required — a
+    * prefix-only pattern ␟u␟e falsely matches the symbol "er" inside
+    * ␟u␟er␟ (the bug the C65 fold-replay spec caught: "query" must
+    * read q·u·er·y, not q·uer·y), and a left symbol ending in l
+    * ("xa"+"b" = ␟xa␟b␟) never contains ␟a␟b␟. No per-symbol array
+    * state, no nested lambda — ONE string column folded over the
+    * ≤nMerges merge array.
+    *
+    * Scale shape: segmentation runs over the VOCABULARY table (the
+    * corpus is read once for word counts — the shuffle is
+    * |vocab|-bounded), the merge table rides a 1-row broadcast, and
+    * the per-word fold is nMerges string rewrites inside Catalyst. */
+  def bpeSegment(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
+    bpeSegmentFrom(
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      nMerges)
+
+  private[graft] def bpeSegmentFrom(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val words = bpeWords(docs)
+    val merges = rankedPairs(words, nMerges)
+      .agg(sort_array(collect_list(struct(col("rnk"),
+        col("left_sym").as("l"), col("right_sym").as("r")))).as("ms"))
+    words.crossJoin(broadcast(merges))
+      .withColumn("rep0", expr(
+        """concat(chr(31), array_join(
+          |  transform(sequence(1, length(w)), i -> substring(w, i, 1)),
+          |  chr(31)), chr(31))""".stripMargin))
+      .withColumn("rep", expr(
+        """aggregate(ms, rep0, (acc, m) -> replace(acc,
+          |  concat(chr(31), m.l, chr(31), m.r, chr(31)),
+          |  concat(chr(31), m.l, m.r, chr(31))))""".stripMargin))
+      .select(col("w").as("word"), col("freq"),
+        length(col("w")).cast("long").as("n_chars"),
+        expr("length(rep) - length(replace(rep, chr(31), '')) - 1")
+          .cast("long").as("n_pieces"),
+        expr("trim(replace(rep, chr(31), ' '))").as("pieces"))
+  }
+
+  def bpeSegmentSql(nMerges: Int = 8): String =
+    s"""WITH RECURSIVE words AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(${graft.ops.Text.tokensSql("text")}) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w
+       |), pc AS (
+       |  SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+       |  FROM (
+       |    SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+       |           substr(w, CAST(i AS INT) + 1, 1) AS right_sym, freq
+       |    FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM words))
+       |  GROUP BY 1, 2
+       |), m AS (
+       |  SELECT * FROM (
+       |    SELECT left_sym AS l, right_sym AS r,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, left_sym,
+       |        right_sym) AS BIGINT) AS rnk
+       |    FROM pc)
+       |  WHERE rnk <= $nMerges
+       |), seg AS (
+       |  SELECT w, freq, CAST(0 AS BIGINT) AS rnk,
+       |    chr(31) || array_to_string(
+       |      list_transform(range(1, length(w) + 1),
+       |        i -> substr(w, CAST(i AS INT), 1)), chr(31)) || chr(31) AS rep
+       |  FROM words
+       |  UNION ALL
+       |  SELECT s.w, s.freq, s.rnk + 1,
+       |    replace(s.rep, chr(31) || m.l || chr(31) || m.r || chr(31),
+       |      chr(31) || m.l || m.r || chr(31))
+       |  FROM seg s JOIN m ON m.rnk = s.rnk + 1
+       |)
+       |SELECT w AS word, freq,
+       |  CAST(length(w) AS BIGINT) AS n_chars,
+       |  CAST(length(rep) - length(replace(rep, chr(31), '')) - 1 AS BIGINT)
+       |    AS n_pieces,
+       |  trim(replace(rep, chr(31), ' ')) AS pieces
+       |FROM seg
+       |WHERE rnk = (SELECT COALESCE(MAX(rnk), 0) FROM m)""".stripMargin
 
   // ---------------------------------------------------------------- C61
 

@@ -230,6 +230,95 @@ object Multimodal {
         coalesce(col("n"), lit(0L)).as("n_dups"))
   }
 
+  /** One segmentation window of an audio payload. */
+  case class AudioSegment(doc_id: Long, seg_no: Int, frame_start: Long,
+                          frame_end: Long, seg_ms_start: Long, seg_ms_end: Long,
+                          seg_bytes: Long, seg_digest: Long)
+
+  /** C64 — audio windowing: the overlapped fixed-window segmentation
+    * every speech/audio pipeline runs before featurizing (VAD, ASR
+    * chunking, CLAP-style embedding all consume ~1 s windows with
+    * overlap so no event straddles a cut) — the audio twin of C36's
+    * sliding text chunker, over the engine's multimodal rows. The
+    * "codec" is the deterministic stub (a feature-frame stream at
+    * `Fps` frames/s, `FrameBytes` payload bytes each — a real
+    * log-mel/PCM front end swaps into the slicing body); the BATCH
+    * SHAPE is the production one: window count 1 + ⌈max(0, n−W)/H⌉
+    * (the C36 closed form — the tail window may be short, a
+    * shorter-than-W clip is one window), bounded row amplification,
+    * partition-local byte slicing with one digest init per partition,
+    * zero shuffle at any scale. Millisecond timestamps derive from
+    * the frame grid (1000/Fps ms per frame) — the offsets a
+    * transcript aligner consumes downstream. */
+  val AudioFps = 100
+  val AudioFrameBytes = 4
+  def audioSegments(spark: SparkSession, dir: String, win: Int = 50,
+                    hop: Int = 30): DataFrame =
+    audioSegmentsFrom(Tables.documents(spark, dir), win, hop)
+
+  /** [[audioSegments]] over any documents frame (streaming-safe: the
+    * segmenter is stateless per row). */
+  def audioSegmentsFrom(docs: DataFrame, win: Int = 50,
+                        hop: Int = 30): DataFrame = {
+    import docs.sparkSession.implicits._
+    val msPerFrame = 1000L / AudioFps
+    mediaFrom(docs)
+      .filter(col("media_type") === "audio")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val nf = r.payload.length / AudioFrameBytes
+          if (nf == 0) Iterator.empty
+          else {
+            val nSegs = 1 + (math.max(0, nf - win) + hop - 1) / hop
+            (0 until nSegs).iterator.map { s =>
+              val fs = s.toLong * hop
+              val fe = math.min(fs + win, nf.toLong)
+              val from = (fs * AudioFrameBytes).toInt
+              val to = (fe * AudioFrameBytes).toInt
+              val slice = java.util.Arrays.copyOfRange(r.payload, from, to)
+              md.reset()
+              val hex = md.digest(slice).take(8).map(b => f"$b%02x").mkString
+              AudioSegment(r.doc_id, s, fs, fe,
+                fs * msPerFrame, fe * msPerFrame, (to - from).toLong,
+                java.lang.Long.parseLong(hex.substring(0, 15), 16))
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB oracle for [[audioSegments]]: frame/byte arithmetic over
+    * the UTF-8 text payload (ASCII corpus ⇒ char == byte offsets). */
+  def audioSegmentsSql(win: Int = 50, hop: Int = 30): String = {
+    val fb = AudioFrameBytes
+    val mpf = 1000L / AudioFps
+    s"""WITH a AS (
+       |  SELECT doc_id, text,
+       |    octet_length(encode(text)) // $fb AS nf
+       |  FROM documents WHERE doc_id % 3 = 1
+       |), s AS (
+       |  SELECT doc_id, text, nf,
+       |    UNNEST(GENERATE_SERIES(0,
+       |      (GREATEST(nf - $win, 0) + ${hop - 1}) // $hop)) AS seg
+       |  FROM a WHERE nf > 0
+       |)
+       |SELECT doc_id, CAST(seg AS INT) AS seg_no,
+       |  CAST(seg * $hop AS BIGINT) AS frame_start,
+       |  CAST(LEAST(seg * $hop + $win, nf) AS BIGINT) AS frame_end,
+       |  CAST(seg * $hop * $mpf AS BIGINT) AS seg_ms_start,
+       |  CAST(LEAST(seg * $hop + $win, nf) * $mpf AS BIGINT) AS seg_ms_end,
+       |  CAST((LEAST(seg * $hop + $win, nf) - seg * $hop) * $fb AS BIGINT)
+       |    AS seg_bytes,
+       |  CAST(CONCAT('0x', SUBSTRING(MD5(
+       |      SUBSTRING(text, seg * $hop * $fb + 1,
+       |        (LEAST(seg * $hop + $win, nf) - seg * $hop) * $fb)),
+       |    1, 15)) AS BIGINT) AS seg_digest
+       |FROM s""".stripMargin
+  }
+
   def phashDedupSql(tau: Int = 3): String = {
     val h = graft.functions.Portable.hash60Sql("text")
     s"""WITH img AS (

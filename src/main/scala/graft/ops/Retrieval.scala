@@ -725,6 +725,75 @@ object Retrieval {
   }
 
   // ------------------------------------------------------------------
+  // C66 — RAG context packing under a token budget
+  // ------------------------------------------------------------------
+
+  /** C66 — context assembly, the last step of every RAG pipeline (and
+    * of retrieval-augmented pretraining batches): fit the fused
+    * ranking (C48) into the model's context budget, in rank order —
+    * full documents while they fit, the budget-crossing document
+    * TRUNCATED to the remaining tokens, everything after it dropped.
+    * The greedy fold has a closed form: with cum_before = the
+    * cumulative full-doc tokens of all better-ranked docs,
+    * take = clamp(budget − cum_before, 0, doc_tokens) — once the
+    * budget is crossed every later doc reads take 0, so no sequential
+    * state is needed (the reason this is a window, not an A92-style
+    * fold). The ledger row per candidate (kept/truncated/dropped +
+    * offsets) is what prompt-builder debugging actually reads. The
+    * rank window is unpartitioned but bounded by the top-k contract
+    * (≤ k rows after the broadcast semi-join) — never corpus-scale. */
+  def ragContextPack(spark: SparkSession, dir: String, k: Int = 20,
+                     budget: Long = 600L): DataFrame = {
+    val ranked = hybridRrfTopK(spark, dir, k = k)
+      .select(col("doc_id"), col("rank"))
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("doc_tokens"))
+    val before = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(ranked), "doc_id")
+      .withColumn("cum_before",
+        coalesce(sum(col("doc_tokens")).over(before), lit(0L)))
+      .withColumn("take_tokens", greatest(lit(0L),
+        least(col("doc_tokens"), lit(budget) - col("cum_before"))))
+      .select(col("rank"), col("doc_id"), col("doc_tokens"),
+        col("cum_before"), col("take_tokens"),
+        (col("cum_before") + col("take_tokens")).as("ctx_end"),
+        when(col("take_tokens") === col("doc_tokens"), "full")
+          .when(col("take_tokens") > 0L, "truncated")
+          .otherwise("dropped").as("status"))
+  }
+
+  def ragContextPackSql(k: Int = 20, budget: Long = 600L): String = {
+    val ranked = hybridRrfTopKSql(k = k)
+      .linesIterator.map("    " + _).mkString("\n")
+    s"""WITH ranked AS (
+       |$ranked
+       |), toks AS (
+       |  SELECT doc_id, CAST(len(${Text.tokensSql("text")}) AS BIGINT)
+       |    AS doc_tokens
+       |  FROM documents
+       |), j AS (
+       |  SELECT r.rank, r.doc_id, t.doc_tokens,
+       |    CAST(COALESCE(SUM(t.doc_tokens) OVER (ORDER BY r.rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before
+       |  FROM ranked r JOIN toks t ON r.doc_id = t.doc_id
+       |)
+       |SELECT rank, doc_id, doc_tokens, cum_before,
+       |  GREATEST(0, LEAST(doc_tokens, $budget - cum_before)) AS take_tokens,
+       |  cum_before + GREATEST(0, LEAST(doc_tokens, $budget - cum_before))
+       |    AS ctx_end,
+       |  CASE
+       |    WHEN GREATEST(0, LEAST(doc_tokens, $budget - cum_before))
+       |      = doc_tokens THEN 'full'
+       |    WHEN GREATEST(0, LEAST(doc_tokens, $budget - cum_before)) > 0
+       |      THEN 'truncated'
+       |    ELSE 'dropped' END AS status
+       |FROM j""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // C59 — cross-document repeated-substring span marking
   // ------------------------------------------------------------------
 

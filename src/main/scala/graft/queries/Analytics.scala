@@ -1482,6 +1482,47 @@ object Analytics {
         max(col("cume_ppm")).as("max_cume_ppm"))
   }
 
+  /** B40 — leave-one-out aggregation, the target-encoding class every
+    * feature pipeline runs before training (encode a key by its
+    * group's mean WITHOUT the row's own contribution — including it
+    * leaks the label into the feature): per order, the mean order
+    * value of the customer's OTHER orders, in exact micro-cents via
+    * (group_sum − own) · 10⁶ div (n − 1), with the -1 sentinel for
+    * single-order customers (no peers ⇒ no encoding — downstream
+    * imputes the global prior). One unordered keyed window computes
+    * both group aggregates; the subtraction is row-local — no
+    * self-join, no second shuffle. */
+  def qLeaveOneOut(spark: SparkSession, dir: String): DataFrame = {
+    val part = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("grp_sum", sum(col("cents")).over(part))
+      .withColumn("n", count(lit(1)).over(part))
+      .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+        col("n").as("n_orders"),
+        when(col("n") > 1L, ldiv((col("grp_sum") - col("cents")) * 1000000L,
+          col("n") - 1L)).otherwise(lit(-1L)).as("loo_mean_microcents"))
+  }
+
+  val qLeaveOneOutSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+      |  FROM orders
+      |), w AS (
+      |  SELECT o_orderkey, o_custkey, cents,
+      |    SUM(cents) OVER part AS grp_sum,
+      |    COUNT(*) OVER part AS n
+      |  FROM base
+      |  WINDOW part AS (PARTITION BY o_custkey)
+      |)
+      |SELECT o_orderkey, o_custkey, cents, CAST(n AS BIGINT) AS n_orders,
+      |  CAST(CASE WHEN n > 1
+      |    THEN ((grp_sum - cents) * 1000000) // (n - 1)
+      |    ELSE -1 END AS BIGINT) AS loo_mean_microcents
+      |FROM w""".stripMargin
+
   val qNtileCumeSql: String =
     """WITH base AS (
       |  SELECT o_orderpriority AS prio, o_orderkey,

@@ -398,6 +398,49 @@ class EventServiceSpec extends AnyFunSuite {
       assert(outcomes(o), s"arm $o never exercised")
   }
 
+  test("A107: persist keys sort as tuples and the validity rule partitions the DDL log") {
+    import org.apache.spark.sql.functions._
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val rows = cdc.SchemaStore.schemaPersistKey(cl).collect()
+    assert(rows.nonEmpty)
+    // byte order == tuple order for EVERY key (the LSM invariant)
+    rows.foreach(r => assert(r.getAs[Long]("order_preserved") == 1L,
+      s"${r.getAs[String]("key_hex")}"))
+    // an unpadded-hex layout would break it: re-rank with unpadded keys
+    val unpadded = rows.map { r =>
+      val hex = r.getAs[String]("key_hex")
+      // strip leading zeros of each 16-nibble word after the prefix
+      (hex.take(6) + hex.drop(6).grouped(16)
+        .map(_.dropWhile(_ == '0')).mkString, r.getAs[Long]("pos_bytuple"))
+    }
+    val byUnpadded = unpadded.sortBy(_._1).map(_._2).toSeq
+    assert(byUnpadded != unpadded.sortBy(_._2).map(_._2).toSeq,
+      "unpadded keys would accidentally sort correctly — the check is vacuous")
+    // validity: ddl jobs partition into the three reference arms around
+    // the (gc, upper] window; snapshot and meta rows are always live
+    val ddl = rows.filter(_.getAs[String]("key_kind") == "ddl_job")
+    val reasons = ddl.map(_.getAs[String]("reason")).toSet
+    assert(reasons == Set("covered_by_snapshot", "live", "beyond_upper"))
+    ddl.foreach { r =>
+      assert((r.getAs[Long]("valid") == 1L) ==
+        (r.getAs[String]("reason") == "live"))
+    }
+    val gc = rows.filter(_.getAs[String]("key_kind") == "meta_gc").head
+      .getAs[String]("value_hex")
+    val gcTs = java.lang.Long.parseLong(gc, 16)
+    ddl.foreach { r =>
+      val ts = r.getAs[Long]("ts")
+      if (r.getAs[String]("reason") == "covered_by_snapshot")
+        assert(ts <= gcTs)
+      else assert(ts > gcTs)
+    }
+    rows.filterNot(_.getAs[String]("key_kind") == "ddl_job")
+      .foreach(r => assert(r.getAs[Long]("valid") == 1L))
+    // snapshot rows all carry the gc snapshot ts
+    rows.filter(r => r.getAs[String]("key_kind").startsWith("snapshot"))
+      .foreach(r => assert(r.getAs[Long]("ts") == gcTs))
+  }
+
   test("A106: the registry fold equals a direct transcription of RegisterDispatcher") {
     import org.apache.spark.sql.functions._
     val cl = cdc.ChangeEvents.changelog(spark, dir)

@@ -130,7 +130,13 @@ class PlanQualitySpec extends AnyFunSuite {
       // corpus x bounded-query-block broadcast (the ann_topk shape)
       "hard_negatives",
       // 1-row (min, width) id-span broadcast bucketing the token stream
-      "vocab_growth")
+      "vocab_growth",
+      // 1-row merge-table broadcast over the vocab table (C41 shape)
+      "bpe_segment",
+      // 1-row (gc, upper) bounds cross over the dimension-scale universe
+      "cdc_schema_persist_key",
+      // embeds hybrid_rrf_topk's scalar + query-vector crosses
+      "rag_context_pack")
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
@@ -173,7 +179,13 @@ class PlanQualitySpec extends AnyFunSuite {
       // embeds C40's tercile grid
       "curation_funnel",
       // cumulative window over the 10-row corpus-decile grid
-      "vocab_growth")
+      "vocab_growth",
+      // alphabet^2-bounded pair-vocab ranking (the bpe_pair_merge grid)
+      "bpe_segment",
+      // key-universe rank pair over the dimension-scale persist keyspace
+      "cdc_schema_persist_key",
+      // budget window over the <=k-row broadcast-joined ranking
+      "rag_context_pack")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!boundedGridByDesign(name)) {
         val lp = fn(spark, dir).queryExecution.optimizedPlan

@@ -381,6 +381,105 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("B40: leave-one-out means recount and exclude the row's own value") {
+    import org.apache.spark.sql.functions._
+    val got = queries.Analytics.qLeaveOneOut(spark, dir).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    val hist = graft.util.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._2)
+    hist.foreach { case (_, rows) =>
+      val total = rows.map(_._3).sum
+      rows.foreach { case (ok, _, cents) =>
+        val g = got(ok)
+        val want = if (rows.length == 1) -1L
+          else (total - cents) * 1000000L / (rows.length - 1)
+        assert(g.getAs[Long]("loo_mean_microcents") == want, s"order $ok")
+        assert(g.getAs[Long]("n_orders") == rows.length.toLong)
+      }
+    }
+    // the sentinel arm is real at this SF or the guard is untested
+    assert(got.values.exists(_.getAs[Long]("loo_mean_microcents") >= 0L))
+  }
+
+  test("C64: audio windows tile with the declared overlap and digests recount") {
+    import org.apache.spark.sql.functions._
+    val win = 50L; val hop = 30L
+    val got = ops.Multimodal.audioSegments(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(got.nonEmpty)
+    // only audio rows segment
+    got.keys.foreach(id => assert(id % 3 == 1, s"doc $id is not audio"))
+    val texts = graft.util.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, segs) =>
+      val nf = texts(id).getBytes("UTF-8").length / 4
+      val ord = segs.sortBy(_.getAs[Int]("seg_no"))
+      val wantSegs = 1 + (math.max(0, nf - win) + hop - 1) / hop
+      assert(ord.length.toLong == wantSegs, s"doc $id")
+      ord.zipWithIndex.foreach { case (s, i) =>
+        assert(s.getAs[Long]("frame_start") == i * hop)
+        assert(s.getAs[Long]("frame_end") ==
+          math.min(i * hop + win, nf.toLong))
+        assert(s.getAs[Long]("seg_ms_start") == i * hop * 10L)
+      }
+      // consecutive windows overlap by exactly win - hop frames
+      // (except a short tail); the union covers [0, nf)
+      assert(ord.last.getAs[Long]("frame_end") == nf.toLong)
+      // digest recount for the first window
+      val s0 = ord.head
+      val bytes = texts(id).getBytes("UTF-8")
+      val to = (s0.getAs[Long]("frame_end") * 4).toInt
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(java.util.Arrays.copyOfRange(bytes, 0, to))
+        .take(8).map(b => f"$b%02x").mkString
+      assert(s0.getAs[Long]("seg_digest") ==
+        java.lang.Long.parseLong(hex.substring(0, 15), 16), s"doc $id digest")
+    }
+  }
+
+  test("C65: pieces concatenate back to the word and equal a rank-order fold replay") {
+    import org.apache.spark.sql.functions._
+    val nMerges = 8
+    val got = ops.Corpus.bpeSegment(spark, dir, nMerges).collect()
+      .map(r => r.getAs[String]("word") -> r).toMap
+    assert(got.nonEmpty)
+    // reconstruct the merge table exactly as the operator derives it
+    val words = graft.util.Tables.documents(spark, dir)
+      .select(explode(ops.Text.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairs = words.toSeq.flatMap { case (w, f) =>
+      w.sliding(2).map(p => (p(0).toString, p(1).toString) -> f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case ((l, r), c) => (-c, l, r) }.take(nMerges).map(_._1)
+    got.foreach { case (w, row) =>
+      // transcription fold: symbols start as chars; each merge in rank
+      // order rewrites left-to-right non-overlapping
+      var syms = w.map(_.toString).toVector
+      pairs.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == l && s == r)
+            out(out.length - 1) = l + r
+          else out += s
+        }
+        syms = out.toVector
+      }
+      assert(row.getAs[String]("pieces") == syms.mkString(" "), s"word $w")
+      assert(row.getAs[Long]("n_pieces") == syms.length.toLong)
+      assert(row.getAs[String]("pieces").replace(" ", "") == w)
+      assert(row.getAs[Long]("freq") == words(w))
+    }
+    // the table is non-trivial: some word actually merged
+    assert(got.values.exists(r =>
+      r.getAs[Long]("n_pieces") < r.getAs[Long]("n_chars")))
+  }
+
   test("C60: the two-phase cap equals the single-window rank and honors the cap") {
     import org.apache.spark.sql.functions._
     val cap = 10

@@ -224,6 +224,36 @@ class RetrievalSpec extends AnyFunSuite {
       "containment's case must stay invisible to edit distance")
   }
 
+  test("C66: the context ledger is full-prefix / one-truncation / dropped-suffix") {
+    val budget = 600L
+    val rows = ops.Retrieval.ragContextPack(spark, dir, budget = budget)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.nonEmpty)
+    // cum_before recounts; take is the clamp; statuses label it
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cum_before") == cum)
+      val dt = r.getAs[Long]("doc_tokens")
+      val want = math.max(0L, math.min(dt, budget - cum))
+      assert(r.getAs[Long]("take_tokens") == want)
+      assert(r.getAs[Long]("ctx_end") == cum + want)
+      val status = r.getAs[String]("status")
+      assert(status == (if (want == dt) "full"
+        else if (want > 0) "truncated" else "dropped"))
+      cum += dt
+    }
+    // shape: a full prefix, at most one truncation, a dropped suffix
+    val st = rows.map(_.getAs[String]("status")).toSeq
+    assert(st.count(_ == "truncated") <= 1)
+    assert(st == st.filter(_ == "full") ++ st.filter(_ == "truncated") ++
+      st.filter(_ == "dropped"), s"statuses out of order: $st")
+    // the budget bites at this SF (else the op is vacuous here)
+    assert(st.contains("dropped"))
+    // nothing kept past the budget
+    rows.filter(_.getAs[String]("status") != "dropped")
+      .foreach(r => assert(r.getAs[Long]("ctx_end") <= budget))
+  }
+
   test("C59: shared runs become exact removal spans; touching runs merge; unique docs vanish") {
     // doc1 = shared12 + uniq10, doc2 = uniq7 + shared12: with k=8 the
     // duplicated gram starts are exactly the 5 positions inside each
