@@ -25,6 +25,15 @@ object Portable {
   def hash60Sql(expr: String): String =
     s"CAST(CONCAT('0x', SUBSTRING(MD5($expr),1,15)) AS BIGINT)"
 
+  /** JVM-side twin of [[hash60]] — for spec recounts and stateful
+    * streaming code that hashes outside Catalyst. */
+  def hash60Long(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** hash60 pmod n — partition bucket. */
   def bucket(c: Column, n: Int): Column = pmod(hash60(c), lit(n.toLong))
 

@@ -385,4 +385,46 @@ object DataOps {
       .agg(count(lit(1)).as("n_open"))
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"), col("n_open"))
+
+  /** One document heading into the per-source cap gate. */
+  case class CapDoc(doc_id: Long, source: String, prio: Long)
+
+  /** C60s — the per-source cap as a continuous ingest gate: the batch
+    * op (C60) ranks a FINISHED corpus; production ingest must verdict
+    * each arriving document with only the past in hand, so the
+    * streaming form keeps one number per source — how much of the cap
+    * is already spent — and admits until it runs out. State is O(1)
+    * per source (a long), the minimum any cap can carry. Within a
+    * micro-batch, candidates are ordered by the SAME (priority,
+    * doc_id) key as the batch op, which makes the two forms exactly
+    * equal when the corpus arrives as one batch (spec-asserted) and
+    * makes multi-batch admission deterministic; across batches the
+    * gate is first-come — the honest semantics of an online cap
+    * (a later better-priority doc cannot evict an admitted one).
+    * `cap_rank` is the admission ordinal; dropped docs carry -1. */
+  def streamSourceCap(docs: DataFrame, cap: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), col("source"),
+        graft.functions.Portable.hash60(concat(lit("graft-cap-v1:"),
+          col("doc_id").cast("string"))).as("prio"))
+      .as[CapDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[CapDoc], state: GroupState[Long]) =>
+          val spent = state.getOption.getOrElse(0L)
+          val batch = it.toVector.sortBy(d => (d.prio, d.doc_id))
+          val quota = math.max(0L, cap.toLong - spent)
+          val admitted = batch.take(quota.toInt)
+          state.update(spent + admitted.length)
+          val ranks = admitted.zipWithIndex
+            .map { case (d, i) => d.doc_id -> (spent + i + 1L) }.toMap
+          batch.iterator.map(d => (d.doc_id, src,
+            ranks.getOrElse(d.doc_id, -1L),
+            if (ranks.contains(d.doc_id)) 1L else 0L))
+      }
+      .toDF("doc_id", "source", "cap_rank", "kept")
+  }
 }

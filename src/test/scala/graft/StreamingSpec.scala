@@ -366,6 +366,53 @@ class StreamingSpec extends AnyFunSuite {
       s"cohort must stay locked at 10 and day 8 must be dropped, got $pairs")
   }
 
+  test("C60s: the streaming cap equals batch in one shot and never exceeds quota across batches") {
+    import spark.implicits._
+    // one-batch arrival: the micro-batch pre-sort makes the online
+    // gate pick exactly the batch op's priority winners
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    runToCompletion(graft.streaming.DataOps.streamSourceCap(stream),
+      "c60s", "append")
+    val got = spark.table("c60s")
+    val batch = graft.ops.Curation.sourceCap(spark, dir)
+      .select("doc_id", "source", "cap_rank", "kept")
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // multi-batch replay: the cap is spent incrementally and admission
+    // is first-come — a later batch cannot evict an admitted doc
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DataOps.CapDoc
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val cap = 3
+    val q = graft.streaming.DataOps.streamSourceCap(
+        in.toDF().toDF("doc_id", "source", "text"), cap)
+      .writeStream.format("memory").queryName("c60s_multi")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "s", "x"), (2L, "s", "x"))
+      q.processAllAvailable()
+      in.addData((3L, "s", "x"), (4L, "s", "x"), (5L, "s", "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("c60s_multi")
+      .as[(Long, String, Long, Long)].collect()
+    // batch 1 had quota 3 for 2 docs: both admitted (ranks 1, 2);
+    // batch 2 spends the last slot on its best-priority candidate
+    assert(rows.count(_._4 == 1L) == cap)
+    assert(rows.filter(_._1 <= 2L).forall(_._4 == 1L),
+      "early arrivals must stay admitted")
+    assert(rows.map(_._3).filter(_ >= 0L).sorted.toSeq == (1L to cap.toLong),
+      s"admission ordinals must be dense: ${rows.toSeq}")
+    val batch2Kept = rows.filter(r => r._1 >= 3L && r._4 == 1L)
+    assert(batch2Kept.length == 1)
+    // the admitted batch-2 doc is its batch's (prio, id) minimum
+    val prios = Seq(3L, 4L, 5L).map(id => id -> graft.functions.Portable
+      .hash60Long(s"graft-cap-v1:$id")).sortBy { case (id, p) => (p, id) }
+    assert(batch2Kept.head._1 == prios.head._1)
+  }
+
   test("B17s: streaming as-of pairs across ts-ordered micro-batches equal batch attribution") {
     import spark.implicits._
     // three ts-tercile micro-batches: the one-view state must survive
@@ -729,6 +776,13 @@ class StreamingSpec extends AnyFunSuite {
     val fb = graft.ops.Multimodal.frameSamples(spark, dir)
     assert(fs.count() == fb.count() && fs.count() > 0)
     assert(fs.exceptAll(fb).isEmpty && fb.exceptAll(fs).isEmpty)
+    // C64s — the audio segmenter is stateless per clip: same equality
+    val astream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    runToCompletion(graft.ops.Multimodal.audioSegmentsFrom(astream), "c64s", "append")
+    val as = spark.table("c64s")
+    val ab = graft.ops.Multimodal.audioSegments(spark, dir)
+    assert(as.count() == ab.count() && as.count() > 0)
+    assert(as.exceptAll(ab).isEmpty && ab.exceptAll(as).isEmpty)
   }
 
   test("A28: watermarked windowed agg matches batch time-bucket totals") {
