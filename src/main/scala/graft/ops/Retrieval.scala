@@ -725,6 +725,73 @@ object Retrieval {
   }
 
   // ------------------------------------------------------------------
+  // C68 — removal spans projected to character offsets
+  // ------------------------------------------------------------------
+
+  /** C68 — the executable cut list: C59 marks removal spans in TOKEN
+    * space, but the pass that actually cuts operates on the stored
+    * text — so each span is projected to character offsets through
+    * the token→char map (C55's arithmetic: token i of the normalized
+    * text starts after Σ(len+1) of its predecessors). char_start =
+    * first token's start, char_end = last token's end; the contract
+    * is SELF-CHECKING the C55 way — `verified` re-extracts
+    * substring(norm, char_start+1, span_chars) in BOTH engines and
+    * re-tokenizes it, asserting exactly span_tokens tokens whose
+    * join equals the extract — an off-by-one here silently corrupts
+    * every cut downstream, which is why it fails the oracle hash
+    * loudly instead. Plan: C59's span frame + two (doc, token_idx)
+    * equi-joins against the offsets stream + one doc-keyed norm
+    * join — all doc-keyed, nothing new at scale. */
+  def dedupSpanChars(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val spans = dedupSubstringSpans(spark, dir, k)
+      .select(col("doc_id"), col("span_seq"), col("tok_start"), col("tok_end"))
+    val offs = graft.ops.TextAnalysis.tokenOffsets(spark, dir)
+      .select(col("doc_id"), col("token_idx"), col("char_start"),
+        col("char_end"))
+    val norms = docs(spark, dir)
+      .select(col("doc_id"), Text.norm(col("text")).as("norm"))
+    spans
+      .join(offs.select(col("doc_id"), col("token_idx").as("tok_start"),
+        col("char_start")), Seq("doc_id", "tok_start"))
+      .join(offs.select(col("doc_id"),
+        (col("token_idx") + 1L).as("tok_end"),
+        col("char_end")), Seq("doc_id", "tok_end"))
+      .join(norms, "doc_id")
+      .withColumn("span_chars", col("char_end") - col("char_start"))
+      .withColumn("extract", expr(
+        "substring(norm, CAST(char_start + 1 AS INT), CAST(span_chars AS INT))"))
+      .select(col("doc_id"), col("span_seq"), col("tok_start"), col("tok_end"),
+        col("char_start"), col("char_end"), col("span_chars"),
+        (size(split(col("extract"), " ")).cast("long") ===
+          col("tok_end") - col("tok_start")).cast("long").as("verified"))
+  }
+
+  def dedupSpanCharsSql(k: Int = 8): String = {
+    val spans = dedupSubstringSpansSql(k)
+      .linesIterator.map("    " + _).mkString("\n")
+    val offs = graft.ops.TextAnalysis.tokenOffsetsSql
+      .linesIterator.map("    " + _).mkString("\n")
+    s"""WITH spans AS (
+       |$spans
+       |), offs AS (
+       |$offs
+       |), norms AS (
+       |  SELECT doc_id, ${Text.normSql("text")} AS norm FROM documents
+       |)
+       |SELECT s.doc_id, s.span_seq, s.tok_start, s.tok_end,
+       |  a.char_start, b.char_end,
+       |  b.char_end - a.char_start AS span_chars,
+       |  CAST(len(string_split(substring(n.norm,
+       |      CAST(a.char_start + 1 AS INT),
+       |      CAST(b.char_end - a.char_start AS INT)), ' '))
+       |    = s.tok_end - s.tok_start AS BIGINT) AS verified
+       |FROM spans s
+       |JOIN offs a ON s.doc_id = a.doc_id AND s.tok_start = a.token_idx
+       |JOIN offs b ON s.doc_id = b.doc_id AND s.tok_end = b.token_idx + 1
+       |JOIN norms n ON s.doc_id = n.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // C66 — RAG context packing under a token budget
   // ------------------------------------------------------------------
 

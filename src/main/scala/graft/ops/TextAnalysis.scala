@@ -521,4 +521,77 @@ object TextAnalysis {
        |    AS vocab_words_used
        |FROM toks t LEFT JOIN vocab v ON t.w = v.w
        |GROUP BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- C67
+
+  /** C67 — cross-source quality calibration: a raw quality score is
+    * NOT comparable across sources (C45's linear model reads academic
+    * prose and web boilerplate on different scales — one global raw
+    * threshold silently over-prunes whole sources, skewing the mix
+    * the C26 weights then try to repair), so production pipelines
+    * calibrate each document's score to its PERCENTILE WITHIN ITS
+    * SOURCE before any global cut — here cume_dist in ppm off the
+    * per-(source, score) count grid: reduce the corpus to the grid
+    * FIRST (one partial-aggregated shuffle — the B37/C40 value-grid
+    * discipline; the per-source cumulative window runs over DISTINCT
+    * scores, never corpus rows, so few-huge-sources skew can't bite),
+    * then join the calibrated score back by (source, score). Output
+    * carries BOTH verdicts — keep_raw (global raw threshold) and
+    * keep_cal (top `topPpm` of each source) — because their
+    * disagreement IS the audit: keep_cal holds each source's keep
+    * rate at ~topPpm by construction while keep_raw rates vary
+    * freely (spec-asserted). Ties share a percentile (grid-derived),
+    * so a tie straddling the cut keeps or drops as one block —
+    * deterministic in both engines. */
+  def qualityCalibration(spark: SparkSession, dir: String,
+                         rawTau: Long = 290000L,
+                         topPpm: Long = 500000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityModelFilter(spark, dir, rawTau)
+      .select(col("doc_id"), col("score"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+    val grid = scored.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("nv"))
+    val cum = grid.withColumn("cum", sum(col("nv")).over(
+      Window.partitionBy(col("source")).orderBy(col("score"))))
+    val tot = cum.groupBy(col("source")).agg(max(col("cum")).as("n"))
+    val cal = cum.join(broadcast(tot), "source")
+      .select(col("source"), col("score"),
+        call_function("div", col("cum") * lit(1000000L), col("n"))
+          .as("cal_ppm"))
+    scored.join(cal, Seq("source", "score"))
+      .select(col("doc_id"), col("source"), col("score"), col("cal_ppm"),
+        (col("score") >= rawTau).cast("long").as("keep_raw"),
+        (col("cal_ppm") > lit(1000000L - topPpm)).cast("long").as("keep_cal"))
+  }
+
+  def qualityCalibrationSql(rawTau: Long = 290000L,
+                            topPpm: Long = 500000L): String = {
+    val model = qualityModelFilterSql(rawTau)
+      .linesIterator.map("    " + _).mkString("\n")
+    s"""WITH model AS (
+       |$model
+       |), scored AS (
+       |  SELECT m.doc_id, m.score, d.source
+       |  FROM model m JOIN documents d ON m.doc_id = d.doc_id
+       |), grid AS (
+       |  SELECT source, score, COUNT(*) AS nv
+       |  FROM scored GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT source, score,
+       |    SUM(nv) OVER (PARTITION BY source ORDER BY score) AS cum
+       |  FROM grid
+       |), cal AS (
+       |  SELECT c.source, c.score,
+       |    CAST(c.cum * 1000000 // t.n AS BIGINT) AS cal_ppm
+       |  FROM cum c JOIN (SELECT source, MAX(cum) AS n FROM cum GROUP BY 1) t
+       |    ON c.source = t.source
+       |)
+       |SELECT s.doc_id, s.source, s.score, c.cal_ppm,
+       |  CAST(s.score >= $rawTau AS BIGINT) AS keep_raw,
+       |  CAST(c.cal_ppm > ${1000000L - topPpm} AS BIGINT) AS keep_cal
+       |FROM scored s JOIN cal c
+       |  ON s.source = c.source AND s.score = c.score""".stripMargin
+  }
 }

@@ -480,6 +480,37 @@ class QueriesSpec extends AnyFunSuite {
       r.getAs[Long]("n_pieces") < r.getAs[Long]("n_chars")))
   }
 
+  test("C67: calibration equalizes per-source keep rates that raw thresholds skew") {
+    val topPpm = 500000L
+    val rows = ops.TextAnalysis.qualityCalibration(spark, dir).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.size > 1)
+    // cal_ppm recounts as the within-source cume_dist of the score
+    bySrc.foreach { case (src, rs) =>
+      val scores = rs.map(_.getAs[Long]("score")).sorted
+      rs.foreach { r =>
+        val want = scores.count(_ <= r.getAs[Long]("score")).toLong *
+          1000000L / scores.length
+        assert(r.getAs[Long]("cal_ppm") == want, s"$src doc ${r.get(0)}")
+        assert((r.getAs[Long]("keep_cal") == 1L) ==
+          (r.getAs[Long]("cal_ppm") > 1000000L - topPpm))
+      }
+    }
+    // the calibrated keep rate is pinned near topPpm for EVERY source
+    // (ties can only push a source's rate up off the exact grid)
+    val calRates = bySrc.values.map(rs =>
+      rs.count(_.getAs[Long]("keep_cal") == 1L).toDouble / rs.size)
+    assert(calRates.forall(r => r >= 0.45 && r <= 0.65),
+      s"calibrated rates drifted: $calRates")
+    assert(calRates.max - calRates.min < 0.15,
+      s"calibration failed to equalize: $calRates")
+    // while the raw threshold's rates genuinely vary across sources
+    val rawRates = bySrc.values.map(rs =>
+      rs.count(_.getAs[Long]("keep_raw") == 1L).toDouble / rs.size)
+    assert(rawRates.max - rawRates.min > 0.15,
+      s"raw rates don't vary at this SF — the audit is vacuous: $rawRates")
+  }
+
   test("C60: the two-phase cap equals the single-window rank and honors the cap") {
     import org.apache.spark.sql.functions._
     val cap = 10

@@ -224,6 +224,34 @@ class RetrievalSpec extends AnyFunSuite {
       "containment's case must stay invisible to edit distance")
   }
 
+  test("C68: every span projects to char offsets that re-extract their own tokens") {
+    val spans = ops.Retrieval.dedupSubstringSpans(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_seq")) -> r)
+      .toMap
+    val chars = ops.Retrieval.dedupSpanChars(spark, dir).collect()
+    // 1:1 with the token-space frame
+    assert(chars.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("span_seq"))).toSet == spans.keySet)
+    assert(chars.nonEmpty)
+    val norms = graft.util.Tables.documents(spark, dir)
+      .select(col("doc_id"), ops.Text.norm(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    chars.foreach { r =>
+      assert(r.getAs[Long]("verified") == 1L, r.toString)
+      val s = spans((r.getAs[Long]("doc_id"), r.getAs[Long]("span_seq")))
+      assert(r.getAs[Long]("tok_start") == s.getAs[Long]("tok_start"))
+      assert(r.getAs[Long]("tok_end") == s.getAs[Long]("tok_end"))
+      // independent re-extraction from the collected normalized text
+      val norm = norms(r.getAs[Long]("doc_id"))
+      val extract = norm.substring(r.getAs[Long]("char_start").toInt,
+        r.getAs[Long]("char_end").toInt)
+      val toks = norm.split(" ")
+      val want = toks.slice(s.getAs[Long]("tok_start").toInt,
+        s.getAs[Long]("tok_end").toInt).mkString(" ")
+      assert(extract == want, s"span $r extracts '$extract' != '$want'")
+    }
+  }
+
   test("C66: the context ledger is full-prefix / one-truncation / dropped-suffix") {
     val budget = 600L
     val rows = ops.Retrieval.ragContextPack(spark, dir, budget = budget)
