@@ -792,6 +792,96 @@ object Retrieval {
   }
 
   // ------------------------------------------------------------------
+  // C69 — apply the cuts: rebuild deduplicated text
+  // ------------------------------------------------------------------
+
+  /** C69 — the cut applied: rebuild each document's text with its C59
+    * removal spans excised — the step that turns the span ledger into
+    * the corpus the next pipeline stage actually trains on. The kept
+    * text is the join of the token-space COMPLEMENT intervals
+    * (gaps-between-spans plus the head and tail), assembled per doc
+    * from its sorted span array with one `aggregate` fold (spans per
+    * doc are bounded — this is array surgery, not a shuffle); docs
+    * with no spans pass through verbatim with `was_cut` 0, so the
+    * output is a FULL corpus replacement, not a patch. Outputs carry
+    * the before/after token counts, the cut ppm, and the portable
+    * hash of the rebuilt text — the content key the next stage's C1
+    * exact dedup consumes (cutting boilerplate routinely CREATES new
+    * exact duplicates, which is why the hash is part of the
+    * contract). One doc-keyed span collect + one doc-keyed join —
+    * nothing beyond C59's own shapes. */
+  def dedupCutApply(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val spans = dedupSubstringSpans(spark, dir, k)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("tok_start"), col("tok_end"))))
+        .as("spans"))
+    docs(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("n_before", size(col("toks")).cast("long"))
+      .withColumn("kept_toks", when(col("spans").isNull, col("toks"))
+        .otherwise(expr(
+          // fold the sorted spans: carry (cursor, kept) — append the
+          // gap before each span, skip the span, then the tail
+          """aggregate(spans,
+            |  named_struct('cur', 0L, 'kept', CAST(array() AS ARRAY<STRING>)),
+            |  (acc, s) -> named_struct(
+            |    'cur', s.tok_end,
+            |    'kept', concat(acc.kept,
+            |      slice(toks, CAST(acc.cur + 1 AS INT),
+            |        CAST(s.tok_start - acc.cur AS INT)))),
+            |  acc -> concat(acc.kept,
+            |    slice(toks, CAST(acc.cur + 1 AS INT),
+            |      CAST(size(toks) - acc.cur AS INT))))""".stripMargin)))
+      .select(col("doc_id"), col("n_before"),
+        size(col("kept_toks")).cast("long").as("n_after"),
+        call_function("div",
+          (col("n_before") - size(col("kept_toks")).cast("long")) *
+            lit(1000000L), col("n_before")).as("cut_ppm"),
+        col("spans").isNotNull.cast("long").as("was_cut"),
+        Portable.hash60(array_join(col("kept_toks"), " ")).as("text_hash"))
+  }
+
+  def dedupCutApplySql(k: Int = 8): String = {
+    val spans = dedupSubstringSpansSql(k)
+      .linesIterator.map("    " + _).mkString("\n")
+    s"""WITH spanrows AS (
+       |$spans
+       |), spanlist AS (
+       |  SELECT doc_id,
+       |    list_sort(list(
+       |      {'tok_start': tok_start, 'tok_end': tok_end})) AS spans
+       |  FROM spanrows GROUP BY 1
+       |), t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), j AS (
+       |  SELECT t.doc_id, t.toks, s.spans,
+       |    CAST(len(t.toks) AS BIGINT) AS n_before,
+       |    CASE WHEN s.spans IS NULL THEN t.toks
+       |      ELSE list_concat(
+       |        flatten(list_transform(range(1, len(s.spans) + 1),
+       |          i -> t.toks[
+       |            CAST(CASE WHEN i = 1 THEN 1
+       |              ELSE s.spans[i - 1].tok_end + 1 END AS BIGINT) :
+       |            CAST(s.spans[i].tok_start AS BIGINT)])),
+       |        t.toks[CAST(s.spans[len(s.spans)].tok_end + 1 AS BIGINT) :
+       |          CAST(len(t.toks) AS BIGINT)])
+       |      END AS kept_toks
+       |  FROM t LEFT JOIN spanlist s ON t.doc_id = s.doc_id
+       |)
+       |SELECT doc_id, n_before,
+       |  CAST(len(kept_toks) AS BIGINT) AS n_after,
+       |  CAST((n_before - len(kept_toks)) * 1000000 // n_before AS BIGINT)
+       |    AS cut_ppm,
+       |  CAST(spans IS NOT NULL AS BIGINT) AS was_cut,
+       |  ${Portable.hash60Sql(
+              // a fully-cut doc keeps ZERO tokens: DuckDB renders the
+              // empty list as NULL where Spark renders '' — coalesce
+              "COALESCE(array_to_string(kept_toks, ' '), '')")} AS text_hash
+       |FROM j""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // C66 — RAG context packing under a token budget
   // ------------------------------------------------------------------
 

@@ -252,6 +252,43 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("C69: the applied cut equals a driver-side rebuild and covers the whole corpus") {
+    val got = ops.Retrieval.dedupCutApply(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val spans = ops.Retrieval.dedupSubstringSpans(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"),
+        r.getAs[Long]("tok_end")))
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).sortBy(_._1)).toMap
+    val toks = graft.util.Tables.documents(spark, dir)
+      .select(col("doc_id"), ops.Text.tokens(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // full corpus replacement: one output row per document
+    assert(got.keySet == toks.keySet)
+    toks.foreach { case (id, ts) =>
+      val r = got(id)
+      val kept = spans.get(id) match {
+        case None => ts
+        case Some(ss) =>
+          val sb = Seq.newBuilder[String]
+          var cur = 0L
+          ss.foreach { case (s, e) =>
+            sb ++= ts.slice(cur.toInt, s.toInt); cur = e }
+          sb ++= ts.slice(cur.toInt, ts.length)
+          sb.result()
+      }
+      assert(r.getAs[Long]("n_before") == ts.length.toLong)
+      assert(r.getAs[Long]("n_after") == kept.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("was_cut") == (if (spans.contains(id)) 1L else 0L))
+      assert(r.getAs[Long]("cut_ppm") ==
+        (ts.length - kept.length).toLong * 1000000L / ts.length)
+      assert(r.getAs[Long]("text_hash") ==
+        graft.functions.Portable.hash60Long(kept.mkString(" ")), s"doc $id")
+    }
+    // the cut really bites at this SF, and uncut docs pass verbatim
+    assert(got.values.exists(_.getAs[Long]("was_cut") == 1L))
+    assert(got.values.exists(_.getAs[Long]("was_cut") == 0L))
+  }
+
   test("C66: the context ledger is full-prefix / one-truncation / dropped-suffix") {
     val budget = 600L
     val rows = ops.Retrieval.ragContextPack(spark, dir, budget = budget)
