@@ -825,6 +825,66 @@ object Corpus {
        |FROM seg
        |WHERE rnk = (SELECT COALESCE(MAX(rnk), 0) FROM m)""".stripMargin
 
+  // ---------------------------------------------------------------- C70
+
+  /** C70 — tokenizer fertility by source: pieces-per-word is THE
+    * per-domain tokenizer health metric (a domain averaging 2+ pieces
+    * per word pays double the sequence length for the same text —
+    * the compression inequity multilingual vocab sizing is decided
+    * on), here measured for C65's merge table over each source's own
+    * word distribution: weighted fertility ×1000
+    * (Σ freq·pieces / Σ freq), chars-per-piece ×1000 (the inverse
+    * compression), and the share of words a single piece covers. One
+    * global vocab segmentation (C65 — the corpus is read once more
+    * for per-source word counts, a |vocab|-bounded shuffle), then a
+    * vocab-scale equi-join and a per-source reduce — at any corpus
+    * size the join never exceeds sources × vocab. */
+  def tokenizerFertility(spark: SparkSession, dir: String,
+                         nMerges: Int = 8): DataFrame = {
+    val seg = bpeSegment(spark, dir, nMerges)
+      .select(col("word"), col("n_pieces"), col("n_chars"))
+    val perSrc = docs(spark, dir)
+      .select(col("source"), explode(graft.ops.Text.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
+    perSrc.join(seg, "word")
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_pieces")).as("tot_pieces"),
+        sum(col("freq") * col("n_chars")).as("tot_chars"),
+        sum(when(col("n_pieces") === 1L, col("freq")).otherwise(0L))
+          .as("n_single"))
+      .select(col("source"), col("n_words"),
+        call_function("div", col("tot_pieces") * lit(1000L), col("n_words"))
+          .as("fertility_e3"),
+        call_function("div", col("tot_chars") * lit(1000L), col("tot_pieces"))
+          .as("chars_per_piece_e3"),
+        call_function("div", col("n_single") * lit(1000000L), col("n_words"))
+          .as("single_piece_ppm"))
+  }
+
+  def tokenizerFertilitySql(nMerges: Int = 8): String = {
+    val seg = bpeSegmentSql(nMerges)
+      .linesIterator.map("    " + _).mkString("\n")
+    s"""WITH seg AS (
+       |$seg
+       |), per_src AS (
+       |  SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT source, unnest(${graft.ops.Text.tokensSql("text")}) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1, 2
+       |)
+       |SELECT p.source, CAST(SUM(p.freq) AS BIGINT) AS n_words,
+       |  CAST(SUM(p.freq * s.n_pieces) * 1000 // SUM(p.freq) AS BIGINT)
+       |    AS fertility_e3,
+       |  CAST(SUM(p.freq * s.n_chars) * 1000 // SUM(p.freq * s.n_pieces)
+       |    AS BIGINT) AS chars_per_piece_e3,
+       |  CAST(SUM(CASE WHEN s.n_pieces = 1 THEN p.freq ELSE 0 END) * 1000000
+       |    // SUM(p.freq) AS BIGINT) AS single_piece_ppm
+       |FROM per_src p JOIN seg s ON p.word = s.word
+       |GROUP BY 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C61
 
   /** C61 — vocabulary-growth curve (the Heaps'-law audit): how many

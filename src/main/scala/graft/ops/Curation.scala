@@ -679,6 +679,98 @@ object Curation {
        |FROM ranked r JOIN counts c ON r.source = c.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C71
+
+  /** The split labels in canonical order; the matrix emits unordered
+    * pairs (a ≤ b) over this grid. */
+  private val splitNames = Seq("test", "train", "val")
+
+  /** C71 — holdout-leakage audit: near-duplicate pairs that STRADDLE
+    * the train/val/test boundary — the reason "dedup before split" is
+    * a rule (a test doc whose near-twin sits in train inflates every
+    * eval it touches; the deduplicating-training-data papers measure
+    * exactly this). The pair universe is the dedup graph's own edge
+    * set (C18's seeds): exact-fingerprint star edges plus verified
+    * n-gram-Jaccard near-dup pairs; each edge joins the C16 split
+    * assignment on both ends and lands in the unordered
+    * (split, split) cell. The 6-cell grid is literal, so a clean
+    * corpus still reports its zeros; `leaky` marks the off-diagonal
+    * cells, and share_ppm is the cell's mass over ALL dup pairs —
+    * the number an eval owner reads before trusting a benchmark.
+    * Plan: the C1/C4 candidate shapes unchanged + two doc-keyed
+    * split joins + a 6-row aggregate — nothing new at scale. */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   tau: Double = 0.5): DataFrame = {
+    val spk = spark
+    import spk.implicits._
+    val split = Corpus.dataSplit(spark, dir)
+      .select(col("doc_id"), col("split"))
+    // distinct: an exactly-duplicated pair is both a fingerprint star
+    // edge AND a Jaccard-1.0 pair — it must count once
+    val pairs = dupEdges(spark, dir, tau)
+      .select(col("u"), col("v")).distinct()
+    val labeled = pairs
+      .join(split.select(col("doc_id").as("u"), col("split").as("su")), "u")
+      .join(split.select(col("doc_id").as("v"), col("split").as("sv")), "v")
+      .select(least(col("su"), col("sv")).as("split_a"),
+        greatest(col("su"), col("sv")).as("split_b"))
+    val counts = labeled.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val grid = (for {
+      a <- splitNames; b <- splitNames if a <= b
+    } yield (a, b)).toDF("split_a", "split_b")
+    val total = counts.agg(coalesce(sum(col("n_pairs")), lit(0L)).as("n_total"))
+    grid.join(broadcast(counts), Seq("split_a", "split_b"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (col("split_a") =!= col("split_b")).cast("long").as("leaky"),
+        when(col("n_total") > 0L, call_function("div",
+          coalesce(col("n_pairs"), lit(0L)) * lit(1000000L), col("n_total")))
+          .otherwise(lit(0L)).as("share_ppm"))
+  }
+
+  def splitLeakageSql(tau: Double = 0.5): String = {
+    val gridRows = (for {
+      a <- splitNames; b <- splitNames if a <= b
+    } yield s"('$a', '$b')").mkString(", ")
+    s"""WITH split AS (
+       |  ${Corpus.dataSplitSql().linesIterator.map("  " + _).mkString("\n")}
+       |), fp AS (
+       |  SELECT doc_id, md5(${Text.normSql("text")}) AS fp FROM documents
+       |), exact_e AS (
+       |  SELECT doc_id AS u, root AS v FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS root FROM fp)
+       |  WHERE doc_id <> root
+       |), fuzzy_e AS (
+       |  SELECT doc_b AS u, doc_a AS v FROM (${Dedup.ngramJaccardSql(tau)})
+       |), pairs AS (
+       |  SELECT u, v FROM exact_e UNION SELECT u, v FROM fuzzy_e
+       |), labeled AS (
+       |  SELECT LEAST(a.split, b.split) AS split_a,
+       |    GREATEST(a.split, b.split) AS split_b
+       |  FROM pairs p
+       |  JOIN split a ON p.u = a.doc_id
+       |  JOIN split b ON p.v = b.doc_id
+       |), counts AS (
+       |  SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM labeled GROUP BY 1, 2
+       |), total AS (
+       |  SELECT CAST(COALESCE(SUM(n_pairs), 0) AS BIGINT) AS n_total
+       |  FROM counts
+       |)
+       |SELECT g.split_a, g.split_b,
+       |  COALESCE(c.n_pairs, 0) AS n_pairs,
+       |  CAST(g.split_a <> g.split_b AS BIGINT) AS leaky,
+       |  CAST(CASE WHEN t.n_total > 0
+       |    THEN COALESCE(c.n_pairs, 0) * 1000000 // t.n_total
+       |    ELSE 0 END AS BIGINT) AS share_ppm
+       |FROM (VALUES $gridRows) AS g(split_a, split_b)
+       |LEFT JOIN counts c
+       |  ON g.split_a = c.split_a AND g.split_b = c.split_b
+       |CROSS JOIN total t""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C63
 
   /** Filter names in their canonical (alphabetical) order; the matrix

@@ -135,6 +135,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "bpe_segment",
       // 1-row (gc, upper) bounds cross over the dimension-scale universe
       "cdc_schema_persist_key",
+      // embeds bpe_segment's 1-row merge-table cross
+      "tokenizer_fertility",
+      // 1-row total-pairs broadcast over the 6-cell grid
+      "split_leakage",
       // embeds hybrid_rrf_topk's scalar + query-vector crosses
       "rag_context_pack")
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -184,6 +188,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "bpe_segment",
       // key-universe rank pair over the dimension-scale persist keyspace
       "cdc_schema_persist_key",
+      // embeds bpe_segment's pair-vocab ranking grid
+      "tokenizer_fertility",
       // budget window over the <=k-row broadcast-joined ranking
       "rag_context_pack")
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -511,6 +511,71 @@ class QueriesSpec extends AnyFunSuite {
       s"raw rates don't vary at this SF — the audit is vacuous: $rawRates")
   }
 
+  test("C70: fertility recounts from the segmentation and the source word tables") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Corpus.tokenizerFertility(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.nonEmpty)
+    val seg = ops.Corpus.bpeSegment(spark, dir).collect()
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("n_pieces"), r.getAs[Long]("n_chars"))).toMap
+    val words = graft.util.Tables.documents(spark, dir)
+      .select(col("source"), explode(ops.Text.tokens(col("text"))).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.length >= 2)
+      .groupBy(_._1)
+    assert(got.keySet == words.keySet)
+    words.foreach { case (src, ws) =>
+      val r = got(src)
+      val n = ws.size.toLong
+      val pieces = ws.map(w => seg(w._2)._1).sum
+      val chars = ws.map(w => seg(w._2)._2).sum
+      val single = ws.count(w => seg(w._2)._1 == 1L).toLong
+      assert(r.getAs[Long]("n_words") == n, src)
+      assert(r.getAs[Long]("fertility_e3") == pieces * 1000L / n, src)
+      assert(r.getAs[Long]("chars_per_piece_e3") == chars * 1000L / pieces, src)
+      assert(r.getAs[Long]("single_piece_ppm") == single * 1000000L / n, src)
+      // fertility is at least one piece per word by construction
+      assert(r.getAs[Long]("fertility_e3") >= 1000L)
+    }
+  }
+
+  test("C71: leakage cells recount from the dedup edges and the split map") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Curation.splitLeakage(spark, dir).collect()
+      .map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b")) -> r)
+      .toMap
+    assert(got.size == 6)
+    val split = ops.Corpus.dataSplit(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // independent pair recount: exact fp stars + verified jaccard pairs
+    val fp = graft.util.Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(ops.Text.norm(col("text")).cast("binary"))
+        .as("fp")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._2)
+    val exact = fp.values.filter(_.size > 1).flatMap { g =>
+      val root = g.map(_._1).min
+      g.map(_._1).filter(_ != root).map(d => (d, root))
+    }
+    val fuzzy = ops.Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_b"), r.getAs[Long]("doc_a")))
+    val pairs = (exact ++ fuzzy).toSet
+    assert(pairs.nonEmpty, "no dup pairs at this SF — the audit is vacuous")
+    val cells = pairs.toSeq.map { case (u, v) =>
+      val (a, b) = (split(u), split(v))
+      (Seq(a, b).min, Seq(a, b).max)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (cell, r) =>
+      assert(r.getAs[Long]("n_pairs") == cells.getOrElse(cell, 0L), cell)
+      assert(r.getAs[Long]("leaky") == (if (cell._1 != cell._2) 1L else 0L))
+      assert(r.getAs[Long]("share_ppm") ==
+        cells.getOrElse(cell, 0L) * 1000000L / pairs.size)
+    }
+    // shares close to one million within per-cell truncation
+    val shares = got.values.map(_.getAs[Long]("share_ppm")).sum
+    assert(shares <= 1000000L && shares >= 1000000L - 6L)
+  }
+
   test("C60: the two-phase cap equals the single-window rank and honors the cap") {
     import org.apache.spark.sql.functions._
     val cap = 10
