@@ -319,6 +319,95 @@ object Multimodal {
        |FROM s""".stripMargin
   }
 
+  /** One P×P patch of an image payload. */
+  case class ImagePatch(doc_id: Long, patch_row: Int, patch_col: Int,
+                        byte_offset: Long, patch_bytes: Long, patch_digest: Long)
+
+  /** C72 — image patchification: the ViT front end (an image enters
+    * the model as a grid of P×P patches, each flattened and embedded
+    * — this op IS the "patchify" step every vision-language pipeline
+    * runs), over the engine's multimodal rows. The 2D geometry is
+    * real: the payload is read as a row-major W-stride byte raster
+    * (declared_w per row), patch (r, c) assembles its P row-slices
+    * [rowIdx·W + c·P, +P) and digests them — a real decoder swaps
+    * into the raster read; the grid arithmetic, the bounded
+    * amplification (⌈W/P⌉·⌈H/P⌉ patches per image), and the
+    * partition-local batch shape are the production mechanics. The
+    * stub payload is usually SHORTER than W·H, so patches keep their
+    * honest byte count (edge patches are short, fully-out-of-payload
+    * patches are skipped — the same short-tail discipline as
+    * C33/C64); both engines digest the identical assembled bytes. */
+  def patchGrid(spark: SparkSession, dir: String, p: Int = 16): DataFrame =
+    patchGridFrom(Tables.documents(spark, dir), p)
+
+  def patchGridFrom(docs: DataFrame, p: Int = 16): DataFrame = {
+    import docs.sparkSession.implicits._
+    mediaFrom(docs)
+      .filter(col("media_type") === "image")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val w = r.declared_w; val h = r.declared_h; val n = r.payload.length
+          val cols = (w + p - 1) / p
+          val rows = (h + p - 1) / p
+          for {
+            pr <- (0 until rows).iterator
+            pc <- 0 until cols
+            slices = for {
+              rr <- pr * p until math.min(pr * p + p, h)
+              from = rr * w + pc * p
+              if from < n
+            } yield java.util.Arrays.copyOfRange(r.payload, from,
+              math.min(from + p, math.min((rr + 1) * w, n)))
+            bytes = slices.foldLeft(Array.empty[Byte])(_ ++ _)
+            if bytes.nonEmpty
+          } yield {
+            md.reset()
+            val hex = md.digest(bytes).take(8).map(b => f"$b%02x").mkString
+            ImagePatch(r.doc_id, pr, pc, (pr.toLong * p) * w + pc * p,
+              bytes.length.toLong,
+              java.lang.Long.parseLong(hex.substring(0, 15), 16))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** DuckDB oracle for [[patchGrid]]: the same raster arithmetic over
+    * the UTF-8 text payload (ASCII ⇒ char == byte offsets); the patch
+    * bytes assemble as concatenated row-slice substrings. */
+  def patchGridSql(p: Int = 16): String =
+    s"""WITH img AS (
+       |  SELECT doc_id, text,
+       |    CAST(64 + (doc_id % 8) * 32 AS INT) AS w,
+       |    CAST(64 + (doc_id % 4) * 32 AS INT) AS h,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), grid AS (
+       |  SELECT doc_id, text, w, h, n,
+       |    CAST(pr.i AS INT) AS patch_row, CAST(pc.i AS INT) AS patch_col
+       |  FROM img,
+       |    UNNEST(GENERATE_SERIES(0, (h + $p - 1) // $p - 1)) AS pr(i),
+       |    UNNEST(GENERATE_SERIES(0, (w + $p - 1) // $p - 1)) AS pc(i)
+       |), assembled AS (
+       |  SELECT doc_id, patch_row, patch_col,
+       |    CAST(patch_row * $p * w + patch_col * $p AS BIGINT) AS byte_offset,
+       |    array_to_string(list_transform(
+       |      GENERATE_SERIES(patch_row * $p,
+       |        LEAST(patch_row * $p + $p, h) - 1),
+       |      rr -> substring(text, rr * w + patch_col * $p + 1,
+       |        LEAST($p, LEAST((rr + 1) * w, n) - (rr * w + patch_col * $p)))),
+       |      '') AS bytes
+       |  FROM grid
+       |)
+       |SELECT doc_id, patch_row, patch_col, byte_offset,
+       |  CAST(octet_length(encode(bytes)) AS BIGINT) AS patch_bytes,
+       |  CAST(CONCAT('0x', SUBSTRING(MD5(bytes), 1, 15)) AS BIGINT)
+       |    AS patch_digest
+       |FROM assembled
+       |WHERE octet_length(encode(bytes)) > 0""".stripMargin
+
   def phashDedupSql(tau: Int = 3): String = {
     val h = graft.functions.Portable.hash60Sql("text")
     s"""WITH img AS (

@@ -1523,6 +1523,52 @@ object Analytics {
       |    ELSE -1 END AS BIGINT) AS loo_mean_microcents
       |FROM w""".stripMargin
 
+  /** B41 — equi-width histogram: the generic numeric distribution
+    * profile (C47 is its specialized length cousin) — order values
+    * bucketed on a closed-form grid derived from the broadcast
+    * (min, max) scalar pair: bucket = (cents − lo)·B div (hi − lo + 1),
+    * integer-exact, NO corpus-scale sort or window (the rank-based
+    * equi-HEIGHT histogram is B39's ntile; equi-WIDTH needs only the
+    * two scalars). Per bucket: count, exact bounds observed, and the
+    * closed-form bucket edges — the frame a query planner's stats
+    * collector or a monitoring dashboard reads. Buckets with no rows
+    * are absent (sparse form); the edges make gaps interpretable. */
+  def qHistogram(spark: SparkSession, dir: String,
+                 buckets: Int = 20): DataFrame = {
+    val cents = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val span = cents.agg(min(col("cents")).as("lo"),
+      (max(col("cents")) - min(col("cents")) + 1L).as("w"))
+    cents.crossJoin(broadcast(span))
+      .withColumn("bucket",
+        ldiv((col("cents") - col("lo")) * buckets, col("w")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+        (first(col("lo")) + ldiv(col("bucket") * first(col("w")),
+          lit(buckets.toLong))).as("edge_lo_cents"),
+        (first(col("lo")) + ldiv((col("bucket") + 1L) * first(col("w")),
+          lit(buckets.toLong)) - 1L).as("edge_hi_cents"))
+  }
+
+  def qHistogramSql(buckets: Int = 20): String =
+    s"""WITH cents AS (
+      |  SELECT CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+      |  FROM orders
+      |), span AS (
+      |  SELECT MIN(cents) AS lo, MAX(cents) - MIN(cents) + 1 AS w
+      |  FROM cents
+      |)
+      |SELECT ((c.cents - s.lo) * $buckets) // s.w AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(c.cents) AS min_cents, MAX(c.cents) AS max_cents,
+      |  CAST(s.lo + (((c.cents - s.lo) * $buckets) // s.w) * s.w
+      |    // $buckets AS BIGINT) AS edge_lo_cents,
+      |  CAST(s.lo + ((((c.cents - s.lo) * $buckets) // s.w) + 1) * s.w
+      |    // $buckets - 1 AS BIGINT) AS edge_hi_cents
+      |FROM cents c CROSS JOIN span s
+      |GROUP BY 1, s.lo, s.w""".stripMargin
+
   val qNtileCumeSql: String =
     """WITH base AS (
       |  SELECT o_orderpriority AS prio, o_orderkey,

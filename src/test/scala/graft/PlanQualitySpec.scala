@@ -139,6 +139,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "tokenizer_fertility",
       // 1-row total-pairs broadcast over the 6-cell grid
       "split_leakage",
+      // 1-row (min, width) span broadcast bucketing the value stream
+      "q_histogram",
       // embeds hybrid_rrf_topk's scalar + query-vector crosses
       "rag_context_pack")
     SparkEntry.queries.foreach { case (name, fn) =>

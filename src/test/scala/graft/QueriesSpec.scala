@@ -511,6 +511,70 @@ class QueriesSpec extends AnyFunSuite {
       s"raw rates don't vary at this SF — the audit is vacuous: $rawRates")
   }
 
+  test("B41: histogram conserves rows, edges tile the span, values sit in their buckets") {
+    import org.apache.spark.sql.functions._
+    val buckets = 20
+    val rows = queries.Analytics.qHistogram(spark, dir).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    val cents = graft.util.Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0))
+    assert(rows.map(_.getAs[Long]("n")).sum == cents.length.toLong)
+    val (lo, hi) = (cents.min, cents.max)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_cents") >= r.getAs[Long]("edge_lo_cents"))
+      assert(r.getAs[Long]("max_cents") <= r.getAs[Long]("edge_hi_cents"))
+    }
+    // edges tile [lo, hi] exactly: first starts at lo, consecutive
+    // buckets abut, last present bucket's edge reaches hi
+    assert(rows.head.getAs[Long]("edge_lo_cents") == lo)
+    rows.sliding(2).foreach {
+      case Array(a, b) if b.getAs[Long]("bucket") ==
+          a.getAs[Long]("bucket") + 1 =>
+        assert(b.getAs[Long]("edge_lo_cents") ==
+          a.getAs[Long]("edge_hi_cents") + 1)
+      case _ =>
+    }
+    assert(rows.last.getAs[Long]("edge_hi_cents") >= hi)
+    assert(rows.map(_.getAs[Long]("bucket")).forall(b =>
+      b >= 0 && b < buckets))
+  }
+
+  test("C72: patches recount from the raster and conserve every payload byte") {
+    import org.apache.spark.sql.functions._
+    val p = 16
+    val got = ops.Multimodal.patchGrid(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(got.nonEmpty)
+    got.keys.foreach(id => assert(id % 3 == 0, s"doc $id is not image"))
+    val docs = graft.util.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, patches) =>
+      val bytes = docs(id).getBytes("UTF-8")
+      val w = 64 + (id % 8).toInt * 32; val h = 64 + (id % 4).toInt * 32
+      // byte conservation: every payload byte lands in exactly one patch
+      assert(patches.map(_.getAs[Long]("patch_bytes")).sum ==
+        math.min(bytes.length, w * h).toLong, s"doc $id")
+      // digest recount for the first patch of each image
+      val p0 = patches.minBy(r => (r.getAs[Int]("patch_row"),
+        r.getAs[Int]("patch_col")))
+      val assembled = (0 until math.min(p, h)).flatMap { rr =>
+        val from = rr * w
+        if (from < bytes.length)
+          bytes.slice(from, math.min(from + p,
+            math.min((rr + 1) * w, bytes.length)))
+        else Nil
+      }.toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(assembled).take(8).map(b => f"$b%02x").mkString
+      assert(p0.getAs[Long]("patch_digest") ==
+        java.lang.Long.parseLong(hex.substring(0, 15), 16), s"doc $id")
+      // bounded amplification: never more than the full grid
+      assert(patches.length <= ((w + p - 1) / p) * ((h + p - 1) / p))
+    }
+  }
+
   test("C70: fertility recounts from the segmentation and the source word tables") {
     import org.apache.spark.sql.functions._
     val got = ops.Corpus.tokenizerFertility(spark, dir).collect()
