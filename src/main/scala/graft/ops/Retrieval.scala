@@ -974,22 +974,32 @@ object Retrieval {
                           k: Int = 8): DataFrame =
     dedupSubstringSpansFrom(docs(spark, dir), k)
 
-  private[graft] def dedupSubstringSpansFrom(docsFrame: DataFrame,
-                                             k: Int = 8): DataFrame = {
-    val base = docsFrame
+  /** Positioned 60-bit gram-hash occurrences of a documents frame
+    * (shared by C59 and its streaming twin's static-index builder). */
+  private[graft] def substringOcc(docsFrame: DataFrame, k: Int = 8): DataFrame =
+    docsFrame
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .withColumn("doc_tokens", size(col("toks")).cast("long"))
       .withColumn("grams",
         call_function("graft_word_ngrams_all", col("toks"), lit(k)))
-    val occ = base
       .select(col("doc_id"), col("doc_tokens"),
         posexplode(col("grams")).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("doc_tokens"), col("pos").cast("long").as("pos"),
         Portable.hash60(col("gram")).as("gh"))
-    val dupGrams = occ.select(col("gh"), col("doc_id")).distinct()
+
+  /** The cross-document duplicated-gram set (df ≥ 2) — the published
+    * index C59s marks arriving documents against. */
+  private[graft] def dupGramSet(docsFrame: DataFrame, k: Int = 8): DataFrame =
+    substringOcc(docsFrame, k)
+      .select(col("gh"), col("doc_id")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
       .filter(col("gdf") >= 2L)
       .select(col("gh"))
+
+  private[graft] def dedupSubstringSpansFrom(docsFrame: DataFrame,
+                                             k: Int = 8): DataFrame = {
+    val occ = substringOcc(docsFrame, k)
+    val dupGrams = dupGramSet(docsFrame, k)
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = occ.join(dupGrams, "gh")
       .select(col("doc_id"), col("doc_tokens"), col("pos"))

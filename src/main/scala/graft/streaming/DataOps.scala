@@ -386,6 +386,69 @@ object DataOps {
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"), col("n_open"))
 
+  /** One marked gram occurrence heading into the span assembler. */
+  case class SpanOcc(doc_id: Long, doc_tokens: Long, pos: Long)
+
+  /** One emitted removal span (the C59 row shape). */
+  case class SpanRow(doc_id: Long, span_seq: Long, tok_start: Long,
+                     tok_end: Long, span_tokens: Long, doc_tokens: Long,
+                     dup_ppm: Long)
+
+  /** C59s — streaming substring-span marking: the batch op (C59)
+    * computes document frequency over a FINISHED corpus; production
+    * ingest instead marks each ARRIVING document against the static
+    * historical duplicated-gram set (the index the batch pass
+    * publishes — the C19s stream-static discipline): one
+    * stream-static equi-join on the 60-bit gram key, then the island
+    * merge runs per DOCUMENT inside `flatMapGroupsWithState` (a doc's
+    * positions are bounded by its length; the per-doc window the
+    * batch plan uses is not available on a stream — the per-group
+    * in-memory merge is its exact streaming twin, and the
+    * transcription is literally the same interval-union loop). With
+    * the historical set = the corpus's own df≥2 grams, the streamed
+    * output EQUALS batch C59 row-for-row (spec-asserted). */
+  def streamSubstringSpans(docs: DataFrame, dupGrams: DataFrame,
+                           k: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val occ = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("doc_tokens", size(col("toks")).cast("long"))
+      .withColumn("grams",
+        call_function("graft_word_ngrams_all", col("toks"), lit(k)))
+      .select(col("doc_id"), col("doc_tokens"),
+        posexplode(col("grams")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("doc_tokens"),
+        col("pos").cast("long").as("pos"),
+        graft.functions.Portable.hash60(col("gram")).as("gh"))
+      .join(dupGrams, "gh")
+      .select(col("doc_id"), col("doc_tokens"), col("pos"))
+      .as[SpanOcc]
+    occ.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[SpanOcc], state: GroupState[Long]) =>
+          // interval union over the sorted duplicated positions —
+          // the same merge C59's per-doc window computes
+          val rows = it.toVector
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val docTokens = rows.head.doc_tokens
+            val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            rows.map(_.pos).sorted.foreach { p =>
+              if (spans.nonEmpty && p <= spans.last._2)
+                spans(spans.length - 1) = (spans.last._1, p + k)
+              else spans += ((p, p + k))
+            }
+            val dup = spans.map(s => s._2 - s._1).sum
+            spans.iterator.zipWithIndex.map { case ((s, e), i) =>
+              SpanRow(id, i + 1L, s, e, e - s, docTokens,
+                dup * 1000000L / docTokens)
+            }
+          }
+      }
+      .toDF()
+  }
+
   /** One document heading into the per-source cap gate. */
   case class CapDoc(doc_id: Long, source: String, prio: Long)
 

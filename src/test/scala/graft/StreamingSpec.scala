@@ -366,6 +366,22 @@ class StreamingSpec extends AnyFunSuite {
       s"cohort must stay locked at 10 and day 8 must be dropped, got $pairs")
   }
 
+  test("C59s: streaming span marking against the published gram index equals batch") {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    // the static side: the corpus's own df>=2 gram index — with it,
+    // the arriving-doc marking must reproduce batch C59 row-for-row
+    val index = graft.ops.Retrieval.dupGramSet(
+      graft.util.Tables.documents(spark, dir)).localCheckpoint()
+    runToCompletion(
+      graft.streaming.DataOps.streamSubstringSpans(stream, index),
+      "c59s", "append")
+    val got = spark.table("c59s")
+    val batch = graft.ops.Retrieval.dedupSubstringSpans(spark, dir)
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("C60s: the streaming cap equals batch in one shot and never exceeds quota across batches") {
     import spark.implicits._
     // one-batch arrival: the micro-batch pre-sort makes the online
