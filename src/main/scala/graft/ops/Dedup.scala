@@ -190,6 +190,168 @@ object Dedup {
        |FROM j WHERE ROUND(inter / (la + lb - inter), 4) >= $tau""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C73
+
+  /** C73 — LSH recall audit: MEASURE what C2's banding geometry
+    * actually recalls on THIS corpus, per similarity band — the audit
+    * that justifies (or retunes) (perms, bands) before anyone trusts
+    * the dedup pass (banding recall is probabilistic; the standard
+    * S-curve 1−(1−j^r)^b is the design promise, this frame is the
+    * delivered number). Ground truth is EXACT all-pairs Jaccard — at
+    * corpus scale that is only computable on a SAMPLE, so the audit
+    * is declared sampled: a deterministic hash keeps 1/`sampleMod` of
+    * documents and the quadratic truth join runs inside that bounded
+    * block (the one deliberately-quadratic frame on the board, the
+    * reason it is an audit and not a pipeline stage). Candidates
+    * re-run C2's exact signature/banding pipeline restricted to the
+    * sample — band keys are per-document, so sample-restricted
+    * banding produces exactly the full run's pairs among sampled
+    * docs. Output per Jaccard decile: true pairs, banding-covered
+    * pairs, delivered recall ppm, and the theoretical S-curve
+    * expectation at the band midpoint — the expectation is computed
+    * ONCE in Scala and injected as the same literal into both
+    * engines (no cross-engine pow drift). -1 sentinels for empty
+    * bands. */
+  def lshRecallAudit(spark: SparkSession, dir: String,
+                     perms: Int = 128, bands: Int = 16,
+                     sampleMod: Int = 2, jFloor: Double = 0.2): DataFrame =
+    lshRecallAuditFrom(gramFrame(spark, dir), perms, bands, sampleMod, jFloor)
+
+  /** [[lshRecallAudit]] over any (doc_id, grams) frame — the spec
+    * drives it with a synthetic controlled-overlap corpus so the
+    * partial-recall mid-bands are exercised, not just the exact-dup
+    * top band real small-SF corpora produce. */
+  private[graft] def lshRecallAuditFrom(gramsFrame: DataFrame,
+                                        perms: Int = 128, bands: Int = 16,
+                                        sampleMod: Int = 2,
+                                        jFloor: Double = 0.2): DataFrame = {
+    val rows = perms / bands
+    val sampled = gramsFrame
+      .filter(pmod(Portable.hash60(concat(lit("graft-audit-v1:"),
+        col("doc_id").cast("string"))), lit(sampleMod.toLong)) === 0L)
+      .localCheckpoint()
+    val a = sampled.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+    val b = sampled.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+    val truth = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ga"), col("gb"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("ga")) + size(col("gb")) - col("inter")), 4))
+      .filter(col("jaccard") >= jFloor)
+      .withColumn("jband",
+        least(lit(9L), floor(col("jaccard") * 10).cast("long")))
+      .select(col("doc_a"), col("doc_b"), col("jband"))
+    val mins = (0 until perms).map { p =>
+      min(pmod(col("h") * lit(permA(p)) + lit(permB(p)), lit(MersenneP))).as(s"m$p")
+    }
+    val sig = sampled
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"),
+        pmod(Portable.hash60(col("gram")), lit(MersenneP)).as("h"))
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { bd =>
+      struct(lit(bd).as("band_id"),
+        concat_ws(",", (0 until rows).map(r => col(s"m${bd * rows + r}")): _*)
+          .as("band_key"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      .localCheckpoint()
+    val cand = banded.as("x").join(banded.as("y"), Seq("band_id", "band_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val spk = gramsFrame.sparkSession
+    import spk.implicits._
+    val grid = ((jFloor * 10).toInt to 9).map { jb =>
+      (jb.toLong, expectedRecallPpm(jb, rows, bands))
+    }.toDF("jband", "expected_recall_ppm")
+    val measured = truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("jband"))
+      .agg(count(lit(1)).as("n_true_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_candidate_hits"))
+    grid.join(measured, Seq("jband"), "left")
+      .select(col("jband"),
+        coalesce(col("n_true_pairs"), lit(0L)).as("n_true_pairs"),
+        coalesce(col("n_candidate_hits"), lit(0L)).as("n_candidate_hits"),
+        when(col("n_true_pairs") > 0L, call_function("div",
+          col("n_candidate_hits") * lit(1000000L), col("n_true_pairs")))
+          .otherwise(lit(-1L)).as("recall_ppm"),
+        col("expected_recall_ppm"))
+  }
+
+  /** Banding S-curve 1−(1−m^r)^b at the decile midpoint, in ppm —
+    * evaluated once here so both engines carry the identical literal. */
+  private def expectedRecallPpm(jband: Long, rows: Int, bands: Int): Long = {
+    val m = jband * 0.1 + 0.05
+    math.round((1.0 - math.pow(1.0 - math.pow(m, rows), bands)) * 1000000.0)
+  }
+
+  def lshRecallAuditSql(perms: Int = 128, bands: Int = 16,
+                        sampleMod: Int = 2, jFloor: Double = 0.2): String = {
+    val rows = perms / bands
+    val minCols = (0 until perms)
+      .map(p => s"MIN((h * ${permA(p)} + ${permB(p)}) % $MersenneP) AS m$p")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ',', ")
+      s"SELECT doc_id, $b AS band_id, CONCAT($key) AS band_key FROM s"
+    }.mkString("\n  UNION ALL\n  ")
+    val gridRows = ((jFloor * 10).toInt to 9)
+      .map(jb => s"($jb, ${expectedRecallPpm(jb, rows, bands)})")
+      .mkString(", ")
+    s"""WITH $gramFrameSql,
+       |sampled AS (
+       |  SELECT doc_id, grams FROM gg
+       |  WHERE ${Portable.hash60Sql(
+              "'graft-audit-v1:' || CAST(doc_id AS VARCHAR)")}
+       |    % $sampleMod = 0
+       |), truth AS (
+       |  SELECT doc_a, doc_b,
+       |    LEAST(9, CAST(FLOOR(jaccard * 10) AS BIGINT)) AS jband
+       |  FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |        (len(a.grams) + len(b.grams)
+       |          - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+       |    FROM sampled a JOIN sampled b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= $jFloor
+       |), e AS (
+       |  SELECT s2.doc_id, unnest(s2.grams) AS gram FROM sampled s2
+       |), h AS (
+       |  SELECT doc_id, ${Portable.hash60Sql("gram")} % $MersenneP AS h FROM e
+       |), s AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM h GROUP BY doc_id
+       |), b AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM b x JOIN b y ON x.band_id = y.band_id
+       |    AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+       |), measured AS (
+       |  SELECT t.jband,
+       |    CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       |    CAST(COALESCE(SUM(CASE WHEN c.doc_a IS NOT NULL
+       |      THEN 1 END), 0) AS BIGINT) AS n_candidate_hits
+       |  FROM truth t LEFT JOIN cand c
+       |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+       |  GROUP BY 1
+       |)
+       |SELECT CAST(g.jband AS BIGINT) AS jband,
+       |  COALESCE(m.n_true_pairs, 0) AS n_true_pairs,
+       |  COALESCE(m.n_candidate_hits, 0) AS n_candidate_hits,
+       |  CAST(CASE WHEN m.n_true_pairs > 0
+       |    THEN m.n_candidate_hits * 1000000 // m.n_true_pairs
+       |    ELSE -1 END AS BIGINT) AS recall_ppm,
+       |  CAST(g.expected_recall_ppm AS BIGINT) AS expected_recall_ppm
+       |FROM (VALUES $gridRows) AS g(jband, expected_recall_ppm)
+       |LEFT JOIN measured m ON g.jband = m.jband""".stripMargin
+  }
+
   /** Persisted per-doc distinct word-3-gram frame: (doc_id, grams) —
     * the shared front end of every near-dup operator.
     *

@@ -889,6 +889,60 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(f.values.forall(_._4 == 0L), "no dead dims in this corpus")
   }
 
+  test("C73: measured banding recall tracks the S-curve on controlled-overlap pairs") {
+    val spk = spark
+    import spk.implicits._
+    // 40 doc pairs per similarity level; grams are namespaced per pair
+    // so truth exists only within pairs. 100-gram docs sharing s grams
+    // have jaccard s/(200-s).
+    val levels = Seq( // (shared grams, expected jband)
+      (40, 2L), (62, 4L), (79, 6L), (92, 8L))
+    val docs = for {
+      ((s, _), li) <- levels.zipWithIndex
+      p <- 0 until 40
+      side <- 0 to 1
+    } yield {
+      val ns = s"L${li}P$p"
+      val grams = if (side == 0) (0 until 100).map(i => s"$ns-a$i")
+        else (0 until s).map(i => s"$ns-a$i") ++
+          (0 until (100 - s)).map(i => s"$ns-b$i")
+      (li.toLong * 1000 + p * 2 + side, grams)
+    }
+    val gramsFrame = docs.toDF("doc_id", "grams")
+    val got = ops.Dedup.lshRecallAuditFrom(gramsFrame, sampleMod = 1)
+      .collect().map(r => r.getAs[Long]("jband") -> r).toMap
+    assert(got.keySet == (2L to 9L).toSet)
+    levels.foreach { case (_, jb) =>
+      val r = got(jb)
+      assert(r.getAs[Long]("n_true_pairs") == 40L, s"band $jb truth")
+      val recall = r.getAs[Long]("recall_ppm")
+      val expected = r.getAs[Long]("expected_recall_ppm")
+      // binomial noise over 40 pairs: allow a generous window but pin
+      // the curve's SHAPE — near-zero at the bottom, near-one on top
+      jb match {
+        case 2L => assert(recall <= 150000L, s"band 2 recall $recall")
+        case 4L => assert(recall <= 400000L, s"band 4 recall $recall")
+        case 6L => assert(recall >= 100000L && recall <= 850000L,
+          s"band 6 recall $recall vs expected $expected")
+        case _ => assert(recall >= 850000L, s"band 8 recall $recall")
+      }
+    }
+    // untested bands carry the -1 sentinel, never fake zeros
+    Seq(3L, 5L, 7L, 9L).foreach { jb =>
+      assert(got(jb).getAs[Long]("n_true_pairs") == 0L)
+      assert(got(jb).getAs[Long]("recall_ppm") == -1L)
+    }
+    // the curve is monotone in the measured bands
+    val measured = levels.map(l => got(l._2).getAs[Long]("recall_ppm"))
+    assert(measured == measured.sorted, s"recall not monotone: $measured")
+    // real-corpus arm: exact dups always collide (identical signatures)
+    val real = ops.Dedup.lshRecallAudit(spark, dir).collect()
+      .map(r => r.getAs[Long]("jband") -> r).toMap
+    val top = real(9L)
+    if (top.getAs[Long]("n_true_pairs") > 0L)
+      assert(top.getAs[Long]("recall_ppm") == 1000000L)
+  }
+
   test("C62: hard negatives recount from raw vectors and margins close") {
     val nQ = 8; val k = 5
     val rows = ops.Similarity.hardNegatives(spark, dir, nQ, k).collect()
