@@ -885,6 +885,80 @@ object Corpus {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C74
+
+  /** C74 — length-grouped batching: the padding-minimizing batch
+    * assembly every fine-tuning/eval loader runs (batching by similar
+    * length instead of arrival order cuts the pad-token waste that
+    * otherwise dominates step cost — the dynamic-batching /
+    * bucketed-sampler idiom): documents bucket by token length
+    * (`lenDiv`-token granularity), shard by hash (production batches
+    * PER WORKER — `nShards` scales with the fleet, which is exactly
+    * why no per-bucket global order exists at 100 TB), and within
+    * (bucket, shard) a deterministic (hash-priority, id) order packs
+    * consecutive runs of `batchSize`. Output is the BATCH ledger: per
+    * batch its size, length band, token mass, and pad-waste ppm
+    * ((max·n − Σlen)/(max·n) — the number the loader owner watches;
+    * tight buckets ⇒ low waste regardless of batch order). The rank
+    * window is keyed by (bucket, shard) — cardinality grows with the
+    * fleet, partitions shrink as shards scale: the honest distributed
+    * shape. */
+  def lengthBatching(spark: SparkSession, dir: String, lenDiv: Int = 16,
+                     nShards: Int = 8, batchSize: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(spark, dir)
+      .select(col("doc_id"),
+        size(graft.ops.Text.tokens(col("text"))).cast("long").as("len"))
+      .withColumn("bucket", call_function("div", col("len"), lit(lenDiv.toLong)))
+      .withColumn("shard", pmod(graft.functions.Portable.hash60(
+        concat(lit("graft-batch-v1:"), col("doc_id").cast("string"))),
+        lit(nShards.toLong)))
+      .withColumn("prio", graft.functions.Portable.hash60(
+        concat(lit("graft-order-v1:"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("prio"), col("doc_id"))
+    base
+      .withColumn("batch_no",
+        call_function("div", row_number().over(w).cast("long") - 1L,
+          lit(batchSize.toLong)))
+      .groupBy(col("bucket"), col("shard"), col("batch_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("len")).as("min_len"), max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("pad_waste_ppm", call_function("div",
+        (col("max_len") * col("n_docs") - col("sum_len")) * lit(1000000L),
+        col("max_len") * col("n_docs")))
+  }
+
+  def lengthBatchingSql(lenDiv: Int = 16, nShards: Int = 8,
+                        batchSize: Int = 4): String = {
+    val shard = graft.functions.Portable
+      .hash60Sql("'graft-batch-v1:' || CAST(doc_id AS VARCHAR)")
+    val prio = graft.functions.Portable
+      .hash60Sql("'graft-order-v1:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(${graft.ops.Text.tokensSql("text")}) AS BIGINT) AS len,
+       |    CAST(len(${graft.ops.Text.tokensSql("text")}) AS BIGINT)
+       |      // $lenDiv AS bucket,
+       |    $shard % $nShards AS shard,
+       |    $prio AS prio
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT bucket, shard, len,
+       |    (ROW_NUMBER() OVER (PARTITION BY bucket, shard
+       |      ORDER BY prio, doc_id) - 1) // $batchSize AS batch_no
+       |  FROM base
+       |)
+       |SELECT bucket, shard, CAST(batch_no AS BIGINT) AS batch_no,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(len) AS min_len, MAX(len) AS max_len,
+       |  CAST(SUM(len) AS BIGINT) AS sum_len,
+       |  CAST((MAX(len) * COUNT(*) - SUM(len)) * 1000000
+       |    // (MAX(len) * COUNT(*)) AS BIGINT) AS pad_waste_ppm
+       |FROM ranked GROUP BY 1, 2, 3""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C61
 
   /** C61 — vocabulary-growth curve (the Heaps'-law audit): how many

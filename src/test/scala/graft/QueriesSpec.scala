@@ -575,6 +575,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("C74: batches cover every doc once, respect size, and waste recounts") {
+    import org.apache.spark.sql.functions._
+    val batchSize = 4
+    val rows = ops.Corpus.lengthBatching(spark, dir).collect()
+    val nDocs = graft.util.Tables.documents(spark, dir).count()
+    // conservation: every document lands in exactly one batch
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= batchSize.toLong)
+      assert(r.getAs[Long]("min_len") <= r.getAs[Long]("max_len"))
+      // length band stays inside the bucket's 16-token window
+      assert(r.getAs[Long]("max_len") - r.getAs[Long]("min_len") < 16L)
+      val want = (r.getAs[Long]("max_len") * r.getAs[Long]("n_docs") -
+        r.getAs[Long]("sum_len")) * 1000000L /
+        (r.getAs[Long]("max_len") * r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("pad_waste_ppm") == want)
+      // bucketing bounds the waste: a 16-wide band at min_len >= 10
+      // can never waste more than 15/(min_len+15) of the batch
+      assert(r.getAs[Long]("pad_waste_ppm") <= 600000L, r.toString)
+    }
+    // batch numbers are dense per (bucket, shard); only the LAST batch
+    // of a group may be short
+    rows.groupBy(r => (r.getAs[Long]("bucket"), r.getAs[Long]("shard")))
+      .foreach { case (g, rs) =>
+        val ord = rs.sortBy(_.getAs[Long]("batch_no"))
+        assert(ord.map(_.getAs[Long]("batch_no")).toSeq ==
+          (0L until ord.length.toLong), s"group $g")
+        ord.init.foreach(r =>
+          assert(r.getAs[Long]("n_docs") == batchSize.toLong, s"group $g"))
+      }
+  }
+
   test("C70: fertility recounts from the segmentation and the source word tables") {
     import org.apache.spark.sql.functions._
     val got = ops.Corpus.tokenizerFertility(spark, dir).collect()
