@@ -252,6 +252,58 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("C59 sweep: randomized small-alphabet corpora match the brute-force span algebra") {
+    // a 4-word alphabet forces dense cross-doc gram sharing; 25 random
+    // corpora sweep island shapes the handcrafted specs can't enumerate.
+    // Fixed seed: deterministic per build.
+    val rnd = new scala.util.Random(42)
+    val k = 3
+    (1 to 25).foreach { trial =>
+      val nDocs = 4 + rnd.nextInt(4)
+      val corpus = (1 to nDocs).map { id =>
+        val len = 3 + rnd.nextInt(10)
+        (id.toLong, (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar.toString)
+          .mkString(" "))
+      }
+      val got = ops.Retrieval.dedupSubstringSpansFrom(
+          corpus.toDF("doc_id", "text"), k)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_start"),
+          r.getAs[Long]("tok_end"), r.getAs[Long]("span_seq"),
+          r.getAs[Long]("doc_tokens"), r.getAs[Long]("dup_ppm")))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      // brute force: a position is duplicated iff its k-gram appears in
+      // ANOTHER document; islands merge on overlap or touch
+      val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val gramsOf = toks.view.mapValues(ts =>
+        if (ts.length < k) Seq.empty
+        else ts.sliding(k).map(_.mkString(" ")).toSeq).toMap
+      val want = toks.keys.map { id =>
+        val others = gramsOf.filter(_._1 != id).values.flatten.toSet
+        val dupPos = gramsOf(id).zipWithIndex
+          .filter { case (g, _) => others(g) }.map(_._2.toLong)
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        dupPos.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2)
+            spans(spans.length - 1) = (spans.last._1, p + k)
+          else spans += ((p, p + k))
+        }
+        id -> spans.toSeq
+      }.filter(_._2.nonEmpty).toMap
+      assert(got.keySet == want.keySet, s"trial $trial docs")
+      want.foreach { case (id, spans) =>
+        val g = got(id)
+        assert(g.map(s => (s._2, s._3)).toSeq == spans, s"trial $trial doc $id")
+        val dup = spans.map(s => s._2 - s._1).sum
+        g.zipWithIndex.foreach { case (s, i) =>
+          assert(s._4 == i + 1L)
+          assert(s._5 == toks(id).length.toLong)
+          assert(s._6 == dup * 1000000L / toks(id).length)
+        }
+      }
+    }
+  }
+
   test("C69: the applied cut equals a driver-side rebuild and covers the whole corpus") {
     val got = ops.Retrieval.dedupCutApply(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
