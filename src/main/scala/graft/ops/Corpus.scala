@@ -885,6 +885,96 @@ object Corpus {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C75
+
+  /** C75 — packed-window attention segments: the OTHER artifact C22's
+    * packing implies — per context window, which token ranges belong
+    * to which document. The trainer materializes exactly this table:
+    * block-diagonal attention masks (tokens must not attend across
+    * document boundaries inside a packed window) and position-id
+    * resets both read off it. A document that STRADDLES a window cut
+    * (C22 records only its start) splits into per-window fragments:
+    * with global start g = bin_id·ctx + offset it occupies windows
+    * g div ctx .. (g+n−1) div ctx, contributing the local range
+    * [max(g, w·ctx), min(g+n, (w+1)·ctx)) to each — bounded
+    * amplification n/ctx + 1. Output: one row per (window, segment)
+    * with local offsets, head/tail flags (a mid-fragment row is the
+    * continuation a causal trainer treats as label-masked at its
+    * head), and the window's fill ppm — interior windows read 10⁶,
+    * each shard stream's final window shows its real tail fill. Per-
+    * window ordinals ride the same (lang, shard) keyed shuffle C22
+    * already runs; nothing global. */
+  def packAttentionSpans(spark: SparkSession, dir: String, ctx: Long = 2048L,
+                         nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = seqPack(spark, dir, ctx, nShards)
+      .withColumn("g", col("bin_id") * ctx + col("bin_offset"))
+    val segs = packed
+      .withColumn("win", explode(expr(
+        s"sequence(bin_id, (g + n_tokens - 1) div $ctx)")))
+      .withColumn("seg_start",
+        greatest(col("g"), col("win") * ctx) - col("win") * ctx)
+      .withColumn("seg_end",
+        least(col("g") + col("n_tokens"), (col("win") + 1L) * ctx) -
+          col("win") * ctx)
+      .withColumn("is_head", (col("win") === col("bin_id")).cast("long"))
+      .withColumn("is_tail",
+        (col("win") === expr(s"(g + n_tokens - 1) div $ctx")).cast("long"))
+    val byWin = Window.partitionBy(col("lang"), col("shard"), col("win"))
+    segs
+      .withColumn("seg_seq", row_number().over(
+        byWin.orderBy(col("seg_start"))).cast("long"))
+      .withColumn("fill_ppm", call_function("div",
+        sum(col("seg_end") - col("seg_start")).over(byWin) * lit(1000000L),
+        lit(ctx)))
+      .select(col("lang"), col("shard"), col("win").as("bin_id"),
+        col("seg_seq"), col("doc_id"), col("seg_start"), col("seg_end"),
+        (col("seg_end") - col("seg_start")).as("seg_tokens"),
+        col("is_head"), col("is_tail"), col("fill_ppm"))
+  }
+
+  def packAttentionSpansSql(ctx: Long = 2048L, nShards: Int = 8,
+                            salt: String = "graft-pack-v1:"): String = {
+    val shard = graft.functions.Portable
+      .bucketSql(s"'$salt' || CAST(doc_id AS VARCHAR)", nShards)
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, $shard AS shard,
+       |    CAST(len(${graft.ops.Text.tokensSql("text")}) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents
+       |), packed AS (
+       |  SELECT doc_id, lang, shard, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS g
+       |  FROM base
+       |), segs AS (
+       |  SELECT lang, shard, doc_id, n_tokens, g,
+       |    CAST(w.win AS BIGINT) AS win
+       |  FROM packed,
+       |    UNNEST(GENERATE_SERIES(g // $ctx, (g + n_tokens - 1) // $ctx))
+       |      AS w(win)
+       |), local AS (
+       |  SELECT lang, shard, win, doc_id,
+       |    GREATEST(g, win * $ctx) - win * $ctx AS seg_start,
+       |    LEAST(g + n_tokens, (win + 1) * $ctx) - win * $ctx AS seg_end,
+       |    CAST(win = g // $ctx AS BIGINT) AS is_head,
+       |    CAST(win = (g + n_tokens - 1) // $ctx AS BIGINT) AS is_tail
+       |  FROM segs
+       |)
+       |SELECT lang, shard, win AS bin_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY lang, shard, win
+       |    ORDER BY seg_start) AS BIGINT) AS seg_seq,
+       |  doc_id, CAST(seg_start AS BIGINT) AS seg_start,
+       |  CAST(seg_end AS BIGINT) AS seg_end,
+       |  CAST(seg_end - seg_start AS BIGINT) AS seg_tokens,
+       |  is_head, is_tail,
+       |  CAST(SUM(seg_end - seg_start) OVER (PARTITION BY lang, shard, win)
+       |    * 1000000 // $ctx AS BIGINT) AS fill_ppm
+       |FROM local""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C74
 
   /** C74 — length-grouped batching: the padding-minimizing batch

@@ -575,6 +575,68 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("C75: segments tile each window gaplessly and re-derive C22's pack map") {
+    import org.apache.spark.sql.functions._
+    // ctx 256 at this SF so the straddling-doc split arm is exercised
+    // (production ctx 2048 leaves sf0.001's shard streams one window)
+    val ctx = 256L
+    val segs = ops.Corpus.packAttentionSpans(spark, dir, ctx).collect()
+    val packed = ops.Corpus.seqPack(spark, dir, ctx).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // token conservation: every doc's fragments sum to its token count
+    val byDoc = segs.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == packed.keySet)
+    byDoc.foreach { case (id, frags) =>
+      val p = packed(id)
+      assert(frags.map(_.getAs[Long]("seg_tokens")).sum ==
+        p.getAs[Long]("n_tokens"), s"doc $id")
+      // the head fragment sits exactly where C22 placed the doc
+      val head = frags.filter(_.getAs[Long]("is_head") == 1L)
+      assert(head.length == 1)
+      assert(head.head.getAs[Long]("bin_id") == p.getAs[Long]("bin_id"))
+      assert(head.head.getAs[Long]("seg_start") == p.getAs[Long]("bin_offset"))
+      assert(frags.count(_.getAs[Long]("is_tail") == 1L) == 1)
+      // fragments of one doc occupy consecutive windows, full interior
+      val ord = frags.sortBy(_.getAs[Long]("bin_id"))
+      ord.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("bin_id") == a.getAs[Long]("bin_id") + 1)
+          assert(a.getAs[Long]("seg_end") == ctx)
+          assert(b.getAs[Long]("seg_start") == 0L)
+        case _ =>
+      }
+    }
+    // windows tile gaplessly: segments abut and fill_ppm recounts;
+    // every window except each stream's last is exactly full
+    segs.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"),
+      r.getAs[Long]("bin_id"))).foreach { case (win, rs) =>
+      val ord = rs.sortBy(_.getAs[Long]("seg_seq"))
+      assert(ord.map(_.getAs[Long]("seg_seq")).toSeq ==
+        (1L to ord.length.toLong), s"window $win")
+      assert(ord.head.getAs[Long]("seg_start") == 0L, s"window $win")
+      ord.sliding(2).foreach {
+        case Array(a, b) => assert(b.getAs[Long]("seg_start") ==
+          a.getAs[Long]("seg_end"), s"window $win gap")
+        case _ =>
+      }
+      val filled = ord.map(_.getAs[Long]("seg_tokens")).sum
+      ord.foreach(r => assert(r.getAs[Long]("fill_ppm") ==
+        filled * 1000000L / ctx))
+    }
+    val byStream = segs.groupBy(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+    byStream.foreach { case (st, rs) =>
+      val lastBin = rs.map(_.getAs[Long]("bin_id")).max
+      rs.filter(_.getAs[Long]("bin_id") < lastBin)
+        .groupBy(_.getAs[Long]("bin_id")).foreach { case (b, ws) =>
+          assert(ws.map(_.getAs[Long]("seg_tokens")).sum == ctx,
+            s"stream $st interior window $b not full")
+        }
+    }
+    // straddling docs exist at this SF (the split arm is real)
+    assert(byDoc.values.exists(_.length > 1), "no straddling doc — vacuous")
+  }
+
   test("C74: batches cover every doc once, respect size, and waste recounts") {
     import org.apache.spark.sql.functions._
     val batchSize = 4
