@@ -1168,6 +1168,100 @@ object Similarity {
         round(col("pos_best_cosine") - col("cosine"), 4).as("margin"))
   }
 
+  // ---------------------------------------------------------------- C76
+
+  /** C76 — embedding covariance: the Gram/covariance matrix computed
+    * before any whitening, PCA, or ZCA pass over an embedding column
+    * (and the matrix SVD-based dimension reduction factorizes) —
+    * completing C57's per-dimension diagonal with the OFF-DIAGONAL
+    * structure (two dimensions with |corr| ≈ 1 carry one dimension's
+    * worth of signal: the redundancy a whitening pass removes).
+    * Components quantize to micro units FIRST so every sum is an
+    * order-independent exact integer (the C57 discipline); covariance
+    * in micro² via E[q_i·q_j] − E[q_i]E[q_j] with the exact-multiple
+    * floor division on possibly-NEGATIVE sums (plain div/// truncate
+    * toward zero and diverge across engines). The dim² pair fan-out
+    * is generated ROW-LOCALLY (one flattened transform per vector, no
+    * self-join) and folds through ONE partial-agg shuffle whose
+    * reduce state is Dim·(Dim+1)/2 rows at any corpus size — the
+    * canonical X^T X map-reduce. Upper triangle only (i ≤ j). */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
+    def floorDiv(num: Column, den: Column): Column =
+      call_function("div", num - pmod(num, den), den)
+    val pairs = corpus(spark, dir)
+      .select(col("vec_id"), expr(
+        """flatten(transform(v, (xi, i) ->
+          |  transform(slice(v, i + 1, size(v) - i), (xj, j) ->
+          |    named_struct('i', CAST(i AS BIGINT),
+          |      'j', CAST(i + j AS BIGINT),
+          |      'qq', CAST(ROUND(xi * 1000000, 0) AS BIGINT)
+          |        * CAST(ROUND(xj * 1000000, 0) AS BIGINT)))))"""
+          .stripMargin).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("p.qq")).as("sum_qq"))
+    val means = corpus(spark, dir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sum(round(col("x") * 1000000d).cast("long")).as("sum_q"),
+        count(lit(1)).as("n"))
+      .select(col("dim"),
+        floorDiv(col("sum_q"), col("n")).as("mean_micro"))
+    pairs
+      .join(broadcast(means.select(col("dim").as("i"),
+        col("mean_micro").as("mean_i"))), "i")
+      .join(broadcast(means.select(col("dim").as("j"),
+        col("mean_micro").as("mean_j"))), "j")
+      .select(col("i"), col("j"), col("n_vecs"),
+        (floorDiv(col("sum_qq"), col("n_vecs")) -
+          col("mean_i") * col("mean_j")).as("cov_e12"),
+        (col("i") === col("j")).cast("long").as("diag"))
+  }
+
+  def embeddingCovarianceSql(): String = {
+    def floorDiv(num: String, den: String) =
+      s"($num - ((($num % $den) + $den) % $den)) // $den"
+    s"""WITH $corpusSql,
+       |q AS (
+       |  SELECT vec_id, list_transform(v,
+       |    x -> CAST(ROUND(x * 1000000, 0) AS BIGINT)) AS qv
+       |  FROM c
+       |), pairs AS (
+       |  SELECT CAST(e.i - 1 AS BIGINT) AS i, CAST(e.j - 1 AS BIGINT) AS j,
+       |    e.qq
+       |  FROM (
+       |    SELECT UNNEST(flatten(list_transform(
+       |      range(1, len(qv) + 1),
+       |      i -> list_transform(range(CAST(i AS INT), len(qv) + 1),
+       |        j -> {'i': i, 'j': j, 'qq': qv[CAST(i AS INT)] * qv[j]}))))
+       |      AS e
+       |    FROM q)
+       |), agg AS (
+       |  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    CAST(SUM(qq) AS BIGINT) AS sum_qq
+       |  FROM pairs GROUP BY 1, 2
+       |), means AS (
+       |  SELECT dim,
+       |    CAST(${floorDiv("sum_q", "n")} AS BIGINT) AS mean_micro
+       |  FROM (
+       |    SELECT CAST(e.i - 1 AS BIGINT) AS dim,
+       |      CAST(SUM(e.x) AS BIGINT) AS sum_q,
+       |      CAST(COUNT(*) AS BIGINT) AS n
+       |    FROM (
+       |      SELECT UNNEST(list_transform(range(1, len(qv) + 1),
+       |        i -> {'i': i, 'x': qv[CAST(i AS INT)]})) AS e
+       |      FROM q)
+       |    GROUP BY 1)
+       |)
+       |SELECT a.i, a.j, a.n_vecs,
+       |  CAST(${floorDiv("a.sum_qq", "a.n_vecs")}
+       |    - mi.mean_micro * mj.mean_micro AS BIGINT) AS cov_e12,
+       |  CAST(a.i = a.j AS BIGINT) AS diag
+       |FROM agg a
+       |JOIN means mi ON a.i = mi.dim
+       |JOIN means mj ON a.j = mj.dim""".stripMargin
+  }
+
   def hardNegativesSql(nQueries: Int = 8, k: Int = 5): String =
     s"""WITH $corpusSql,
        |scored AS (

@@ -1569,6 +1569,76 @@ object Analytics {
       |FROM cents c CROSS JOIN span s
       |GROUP BY 1, s.lo, s.w""".stripMargin
 
+  /** B42 — period-over-period deltas: the reporting class behind
+    * every "up 12% MoM" line — monthly revenue with month-over-month
+    * and year-over-year change in ppm, computed on the BOUNDED month
+    * grid (the corpus-scale rows fold to one row per month first; the
+    * lag windows never see data volume). Deltas can be NEGATIVE, so
+    * the ppm division uses the exact-multiple floor form
+    * (num − pmod(num, d)) div d — plain `div`/`//` truncate toward
+    * zero and disagree with floor on negatives across engines (the
+    * documented C57 discipline). First month (no MoM base) and the
+    * first year (no YoY base) carry -1 sentinels in the base columns
+    * and a 0 delta with a 0 `has_*` flag — absence is explicit, never
+    * an accidental zero. */
+  def qPeriodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
+    def floorDivPpm(num: Column, den: Column): Column =
+      call_function("div",
+        num * 1000000L - pmod(num * 1000000L, den), den)
+    val monthly = Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate")) - 1).cast("long").as("month_idx"))
+      .agg(moneyCents(col("o_totalprice"), 2).as("rev_cents"))
+    val byMonth = Window.orderBy(col("month_idx"))
+    monthly
+      .withColumn("prev_cents", lag(col("rev_cents"), 1).over(byMonth))
+      .withColumn("yoy_cents", lag(col("rev_cents"), 12).over(byMonth))
+      .select(col("month_idx"),
+        ldiv(col("month_idx"), lit(12L)).as("year"),
+        (pmod(col("month_idx"), lit(12L)) + 1L).as("month"),
+        col("rev_cents"),
+        coalesce(col("prev_cents"), lit(-1L)).as("prev_cents"),
+        when(col("prev_cents").isNotNull, floorDivPpm(
+          col("rev_cents") - col("prev_cents"), col("prev_cents")))
+          .otherwise(lit(0L)).as("mom_delta_ppm"),
+        col("prev_cents").isNotNull.cast("long").as("has_mom"),
+        coalesce(col("yoy_cents"), lit(-1L)).as("yoy_base_cents"),
+        when(col("yoy_cents").isNotNull, floorDivPpm(
+          col("rev_cents") - col("yoy_cents"), col("yoy_cents")))
+          .otherwise(lit(0L)).as("yoy_delta_ppm"),
+        col("yoy_cents").isNotNull.cast("long").as("has_yoy"))
+  }
+
+  val qPeriodOverPeriodSql: String =
+    s"""WITH monthly AS (
+      |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+      |      AS BIGINT) AS month_idx,
+      |    ${moneyCentsSql("o_totalprice", 2)} AS rev_cents
+      |  FROM orders GROUP BY 1
+      |), w AS (
+      |  SELECT month_idx, rev_cents,
+      |    LAG(rev_cents, 1) OVER (ORDER BY month_idx) AS prev_cents,
+      |    LAG(rev_cents, 12) OVER (ORDER BY month_idx) AS yoy_cents
+      |  FROM monthly
+      |)
+      |SELECT month_idx, month_idx // 12 AS year,
+      |  (month_idx % 12) + 1 AS month, rev_cents,
+      |  COALESCE(prev_cents, -1) AS prev_cents,
+      |  CAST(CASE WHEN prev_cents IS NOT NULL THEN
+      |    ((rev_cents - prev_cents) * 1000000
+      |      - ((((rev_cents - prev_cents) * 1000000) % prev_cents
+      |          + prev_cents) % prev_cents)) // prev_cents
+      |    ELSE 0 END AS BIGINT) AS mom_delta_ppm,
+      |  CAST(prev_cents IS NOT NULL AS BIGINT) AS has_mom,
+      |  COALESCE(yoy_cents, -1) AS yoy_base_cents,
+      |  CAST(CASE WHEN yoy_cents IS NOT NULL THEN
+      |    ((rev_cents - yoy_cents) * 1000000
+      |      - ((((rev_cents - yoy_cents) * 1000000) % yoy_cents
+      |          + yoy_cents) % yoy_cents)) // yoy_cents
+      |    ELSE 0 END AS BIGINT) AS yoy_delta_ppm,
+      |  CAST(yoy_cents IS NOT NULL AS BIGINT) AS has_yoy
+      |FROM w""".stripMargin
+
   val qNtileCumeSql: String =
     """WITH base AS (
       |  SELECT o_orderpriority AS prio, o_orderkey,

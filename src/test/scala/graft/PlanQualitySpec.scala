@@ -196,7 +196,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // embeds bpe_segment's pair-vocab ranking grid
       "tokenizer_fertility",
       // budget window over the <=k-row broadcast-joined ranking
-      "rag_context_pack")
+      "rag_context_pack",
+      // lag windows over the bounded month grid (pre-aggregated)
+      "q_period_over_period")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!boundedGridByDesign(name)) {
         val lp = fn(spark, dir).queryExecution.optimizedPlan

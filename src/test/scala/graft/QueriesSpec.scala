@@ -575,6 +575,79 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("B42: period deltas recount with floor semantics on negative changes") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Analytics.qPeriodOverPeriod(spark, dir).collect()
+      .sortBy(_.getAs[Long]("month_idx"))
+    assert(rows.length > 13, "need more than a year of months")
+    def floorDiv(n: Long, d: Long): Long = Math.floorDiv(n, d)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val idx = r.getAs[Long]("month_idx")
+      assert(r.getAs[Long]("year") == idx / 12)
+      assert(r.getAs[Long]("month") == idx % 12 + 1)
+      if (i == 0) {
+        assert(r.getAs[Long]("has_mom") == 0L)
+        assert(r.getAs[Long]("prev_cents") == -1L)
+        assert(r.getAs[Long]("mom_delta_ppm") == 0L)
+      } else if (rows(i - 1).getAs[Long]("month_idx") == idx - 1) {
+        val prev = rows(i - 1).getAs[Long]("rev_cents")
+        assert(r.getAs[Long]("has_mom") == 1L)
+        assert(r.getAs[Long]("prev_cents") == prev)
+        assert(r.getAs[Long]("mom_delta_ppm") ==
+          floorDiv((r.getAs[Long]("rev_cents") - prev) * 1000000L, prev),
+          s"month $idx")
+      }
+      val yoyBase = rows.find(_.getAs[Long]("month_idx") == idx - 12)
+      (yoyBase, i >= 12) match {
+        case (Some(b), _) =>
+          assert(r.getAs[Long]("has_yoy") == 1L)
+          assert(r.getAs[Long]("yoy_base_cents") == b.getAs[Long]("rev_cents"))
+        case (None, false) => assert(r.getAs[Long]("has_yoy") == 0L)
+        case _ =>
+      }
+    }
+    // both delta signs occur (floor vs truncate would diverge on the
+    // negative arm — it must be exercised)
+    val moms = rows.filter(_.getAs[Long]("has_mom") == 1L)
+      .map(_.getAs[Long]("mom_delta_ppm"))
+    assert(moms.exists(_ < 0L) && moms.exists(_ > 0L),
+      s"need both delta signs, got ${moms.toSeq}")
+  }
+
+  test("C76: covariance recounts from raw vectors and its diagonal IS C57's variance") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Similarity.embeddingCovariance(spark, dir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) -> r).toMap
+    val dim = 64
+    assert(got.size == dim * (dim + 1) / 2, "upper triangle complete")
+    val vecs = graft.util.Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray.map(x => math.round(x * 1000000d)))
+    val n = vecs.length.toLong
+    // exact integer recount for a deterministic sample of pairs
+    for ((i, j) <- Seq((0L, 0L), (0L, 1L), (5L, 40L), (63L, 63L), (31L, 32L))) {
+      val r = got((i, j))
+      assert(r.getAs[Long]("n_vecs") == n)
+      val sumQQ = vecs.map(v => v(i.toInt) * v(j.toInt)).sum
+      val mi = Math.floorDiv(vecs.map(_(i.toInt)).sum, n)
+      val mj = Math.floorDiv(vecs.map(_(j.toInt)).sum, n)
+      assert(r.getAs[Long]("cov_e12") ==
+        Math.floorDiv(sumQQ, n) - mi * mj, s"pair ($i, $j)")
+      assert(r.getAs[Long]("diag") == (if (i == j) 1L else 0L))
+    }
+    // the diagonal equals C57's per-dimension variance — two
+    // independently-built operators must agree exactly
+    val vars = ops.Similarity.embeddingDimStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("var_e12")).toMap
+    (0L until dim.toLong).foreach { d =>
+      assert(got((d, d)).getAs[Long]("cov_e12") == vars(d), s"dim $d")
+    }
+    // off-diagonal structure exists (a fully-diagonal matrix would
+    // make whitening pointless and the op vacuous here)
+    assert(got.exists { case ((i, j), r) =>
+      i != j && math.abs(r.getAs[Long]("cov_e12")) > 0L })
+  }
+
   test("C75: segments tile each window gaplessly and re-derive C22's pack map") {
     import org.apache.spark.sql.functions._
     // ctx 256 at this SF so the straddling-doc split arm is exercised
