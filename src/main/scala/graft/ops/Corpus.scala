@@ -885,6 +885,90 @@ object Corpus {
        |GROUP BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C77
+
+  /** C77 — session transcripts: turn event logs into ordered
+    * conversation-style records — the assembly step of every
+    * behavioral-SFT / user-modeling dataset (the raw table has one
+    * row per event; the model trains on "what this user did, in
+    * order, in one sitting"): events sessionize on the B14 gap rule
+    * (a new session after `gapUs` of silence), each session renders
+    * its turns as `event_type@relative_seconds` in (ts, id) order,
+    * truncated to `maxTurns` with an explicit flag (the C66 budget
+    * discipline — truncation is visible, never silent), joined into
+    * one transcript string plus the session's true turn count and
+    * duration. One user-keyed window for the session break + one
+    * (user, session) aggregation; the collected list is bounded by
+    * the session, and the rendered transcript by `maxTurns`. */
+  def sessionTranscripts(spark: SparkSession, dir: String,
+                         gapUs: Long = 1800000000L,
+                         maxTurns: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk", when(col("prev_ts").isNull ||
+        col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+        col("event_type")))).as("turns"))
+      .withColumn("n_turns", size(col("turns")).cast("long"))
+      .withColumn("start_us", col("turns")(0).getField("ts_us"))
+      .withColumn("kept_turns",
+        least(col("n_turns"), lit(maxTurns.toLong)))
+      .withColumn("transcript", expr(
+        s"""array_join(transform(slice(turns, 1, $maxTurns),
+           |  t -> concat(t.event_type, '@',
+           |    (t.ts_us - start_us) div 1000000)), ' | ')""".stripMargin))
+      .select(col("user_id"), col("session_seq"), col("n_turns"),
+        col("kept_turns"),
+        (col("n_turns") > maxTurns).cast("long").as("truncated"),
+        (element_at(col("turns"), -1).getField("ts_us") - col("start_us"))
+          .as("duration_us"),
+        col("transcript"))
+  }
+
+  def sessionTranscriptsSql(gapUs: Long = 1800000000L,
+                            maxTurns: Int = 8): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type,
+       |    CAST(epoch_us(ts) AS BIGINT) AS ts_us
+       |  FROM events
+       |), brk AS (
+       |  SELECT user_id, event_id, event_type, ts_us,
+       |    CASE WHEN LAG(ts_us) OVER w IS NULL
+       |      OR ts_us - LAG(ts_us) OVER w > $gapUs THEN 1 ELSE 0 END AS brk
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |), ses AS (
+       |  SELECT user_id, event_id, event_type, ts_us,
+       |    CAST(SUM(brk) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS session_seq
+       |  FROM brk
+       |), g AS (
+       |  SELECT user_id, session_seq,
+       |    list_sort(list({'ts_us': ts_us, 'event_id': event_id,
+       |      'event_type': event_type})) AS turns
+       |  FROM ses GROUP BY 1, 2
+       |)
+       |SELECT user_id, session_seq,
+       |  CAST(len(turns) AS BIGINT) AS n_turns,
+       |  CAST(LEAST(len(turns), $maxTurns) AS BIGINT) AS kept_turns,
+       |  CAST(len(turns) > $maxTurns AS BIGINT) AS truncated,
+       |  CAST(turns[len(turns)].ts_us - turns[1].ts_us AS BIGINT)
+       |    AS duration_us,
+       |  array_to_string(list_transform(turns[1:$maxTurns],
+       |    t -> t.event_type || '@' ||
+       |      CAST((t.ts_us - turns[1].ts_us) // 1000000 AS VARCHAR)),
+       |    ' | ') AS transcript
+       |FROM g""".stripMargin
+
   // ---------------------------------------------------------------- C75
 
   /** C75 — packed-window attention segments: the OTHER artifact C22's

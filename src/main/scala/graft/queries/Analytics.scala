@@ -1639,6 +1639,52 @@ object Analytics {
       |  CAST(yoy_cents IS NOT NULL AS BIGINT) AS has_yoy
       |FROM w""".stripMargin
 
+  /** B43 — new vs returning: the growth dashboard's counterpart to
+    * B16's retention matrix — per week, how many active users are
+    * seen for the FIRST time vs coming back. First-activity week is
+    * one user-keyed partial aggregation (min week per user — no
+    * window, no corpus-scale sort); the weekly activity set joins it
+    * on the user key and folds to the bounded week grid with both
+    * classes plus the returning share in ppm. */
+  def qNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val activity = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("((ts div 1000) div 86400000000) div 7").as("week_idx"))
+      .distinct()
+    val firstSeen = activity.groupBy(col("user_id"))
+      .agg(min(col("week_idx")).as("first_week"))
+    activity.join(firstSeen, "user_id")
+      .groupBy(col("week_idx"))
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("week_idx") === col("first_week")).cast("long"))
+          .as("n_new"))
+      .select(col("week_idx"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        ldiv((col("n_active") - col("n_new")) * 1000000L, col("n_active"))
+          .as("returning_ppm"))
+  }
+
+  val qNewVsReturningSql: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id,
+      |    (CAST(epoch_us(ts) AS BIGINT) // 86400000000) // 7 AS week_idx
+      |  FROM events
+      |), first_seen AS (
+      |  SELECT user_id, MIN(week_idx) AS first_week
+      |  FROM activity GROUP BY 1
+      |)
+      |SELECT a.week_idx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(SUM(CASE WHEN a.week_idx = f.first_week THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_new,
+      |  CAST(COUNT(*) - SUM(CASE WHEN a.week_idx = f.first_week
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+      |  CAST((COUNT(*) - SUM(CASE WHEN a.week_idx = f.first_week
+      |    THEN 1 ELSE 0 END)) * 1000000 // COUNT(*) AS BIGINT)
+      |    AS returning_ppm
+      |FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+      |GROUP BY 1""".stripMargin
+
   val qNtileCumeSql: String =
     """WITH base AS (
       |  SELECT o_orderpriority AS prio, o_orderkey,

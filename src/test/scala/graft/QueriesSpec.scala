@@ -575,6 +575,78 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("B43: new/returning split recounts from first-seen weeks and conserves actives") {
+    import org.apache.spark.sql.functions._
+    val got = queries.Analytics.qNewVsReturning(spark, dir).collect()
+      .map(r => r.getAs[Long]("week_idx") -> r).toMap
+    val act = graft.util.Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("((ts div 1000) div 86400000000) div 7").as("w"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val firstSeen = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val byWeek = act.groupBy(_._2)
+    assert(got.keySet == byWeek.keySet)
+    byWeek.foreach { case (w, rows) =>
+      val r = got(w)
+      val nNew = rows.count { case (u, _) => firstSeen(u) == w }.toLong
+      assert(r.getAs[Long]("n_active") == rows.length.toLong)
+      assert(r.getAs[Long]("n_new") == nNew, s"week $w")
+      assert(r.getAs[Long]("n_returning") == rows.length - nNew)
+      assert(r.getAs[Long]("returning_ppm") ==
+        (rows.length - nNew) * 1000000L / rows.length)
+    }
+    // the first week is all-new; a later week has real returners
+    val w0 = got(got.keySet.min)
+    assert(w0.getAs[Long]("n_new") == w0.getAs[Long]("n_active"))
+    assert(got.values.exists(_.getAs[Long]("n_returning") > 0L))
+  }
+
+  test("C77: transcripts replay the gap-fold sessionization and render in order") {
+    import org.apache.spark.sql.functions._
+    // a 1-day gap and maxTurns 3 at this sparse SF so multi-turn
+    // sessions and the truncation arm both fire (production defaults
+    // leave every sf0.001 session whole)
+    val gapUs = 86400000000L; val maxTurns = 3
+    val got = ops.Corpus.sessionTranscripts(spark, dir, gapUs, maxTurns)
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    val ev = graft.util.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_us")))
+      .groupBy(_._1)
+    assert(got.keySet == ev.keySet)
+    ev.take(30).foreach { case (u, rows) =>
+      val ord = rows.sortBy(r => (r._4, r._2))
+      // gap-fold transcription: new session when silence > gapUs
+      val sessions = scala.collection.mutable
+        .ArrayBuffer.empty[Vector[(Long, String, Long)]]
+      var prev = Long.MinValue
+      ord.foreach { case (_, id, et, ts) =>
+        if (prev == Long.MinValue || ts - prev > gapUs)
+          sessions += Vector()
+        sessions(sessions.length - 1) :+= ((id, et, ts))
+        prev = ts
+      }
+      val g = got(u).sortBy(_.getAs[Long]("session_seq"))
+      assert(g.length == sessions.length, s"user $u session count")
+      g.zip(sessions).foreach { case (r, s) =>
+        assert(r.getAs[Long]("n_turns") == s.length.toLong)
+        assert(r.getAs[Long]("kept_turns") ==
+          math.min(s.length, maxTurns).toLong)
+        assert(r.getAs[Long]("truncated") ==
+          (if (s.length > maxTurns) 1L else 0L))
+        assert(r.getAs[Long]("duration_us") == s.last._3 - s.head._3)
+        val want = s.take(maxTurns)
+          .map(t => s"${t._2}@${(t._3 - s.head._3) / 1000000}")
+          .mkString(" | ")
+        assert(r.getAs[String]("transcript") == want, s"user $u")
+      }
+    }
+    // the truncation arm fires somewhere at this SF
+    assert(got.values.flatten.exists(_.getAs[Long]("truncated") == 1L))
+  }
+
   test("B42: period deltas recount with floor semantics on negative changes") {
     import org.apache.spark.sql.functions._
     val rows = queries.Analytics.qPeriodOverPeriod(spark, dir).collect()
