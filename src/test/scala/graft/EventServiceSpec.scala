@@ -441,6 +441,88 @@ class EventServiceSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Long]("ts") == gcTs))
   }
 
+  test("A106 sweep: randomized registration storms equal the transcription fold") {
+    import org.apache.spark.sql.functions._
+    // 20 random traces of 14 ticks sweep interleavings the scripted
+    // spec cannot enumerate: REG at random ts (onlyReuse ~1/4), ADV
+    // to random ts, UNREG of a random live dispatcher. The generator
+    // tracks liveness so UNREG stays well-formed (the reference
+    // ignores unknown dispatchers :505-507 — not modeled). Fixed
+    // seed: deterministic per build.
+    val rnd = new scala.util.Random(7)
+    case class Ev(tick: Long, kind: String, disp: Long, ts: Long, or: Long)
+    val traces = (1 to 20).map { t =>
+      var live = Set.empty[Long]; var nextDisp = 0L
+      val evs = (0L until 14L).map { tick =>
+        val roll = rnd.nextInt(10)
+        if (roll < 5 || live.isEmpty) {
+          val d = nextDisp; nextDisp += 1
+          val or = if (rnd.nextInt(4) == 0) 1L else 0L
+          // liveness bookkeeping is conservative: an onlyReuse REG may
+          // fail, but treating it as live only risks UNREG of an
+          // unknown dispatcher — so only non-onlyReuse REGs count
+          if (or == 0L) live += d
+          Ev(tick, "REG", d, rnd.nextInt(200).toLong, or)
+        } else if (roll < 8) {
+          Ev(tick, "ADV", -1L, rnd.nextInt(250).toLong, 0L)
+        } else {
+          val d = live.toSeq.sorted(Ordering.Long)(rnd.nextInt(live.size))
+          live -= d
+          Ev(tick, "UNREG", d, -1L, 0L)
+        }
+      }
+      (s"db$t", "t0", evs)
+    }
+    val spk = spark
+    import spk.implicits._
+    val traceDf = traces.flatMap { case (sn, tn, evs) =>
+      evs.map(e => (sn, tn, e.tick, e.kind, e.disp, e.ts, e.or))
+    }.toDF("schema_name", "table_name", "tick", "kind", "disp", "ts",
+      "only_reuse")
+    val got = cdc.SubRegistry.subRegistryFrame(traceDf).collect()
+      .map(r => ((r.getAs[String]("schema_name"), r.getAs[Long]("tick")),
+        (r.getAs[String]("decision"), r.getAs[Long]("sid"),
+          r.getAs[Long]("n_subs"), r.getAs[Long]("n_disp"),
+          r.getAs[Long]("died")))).toMap
+    // the same transcription fold as the scripted spec
+    case class Sub(sid: Long, cp: Long, var rts: Long, var nd: Long)
+    traces.foreach { case (sn, _, evs) =>
+      var subs = Vector.empty[Sub]; var asg = Map.empty[Long, Long]
+      var nsid = 1L
+      evs.foreach { e =>
+        val (decision, sid, died) = e.kind match {
+          case "ADV" =>
+            subs.foreach(x => x.rts = math.max(x.rts, e.ts))
+            ("advance", -1L, 0L)
+          case "REG" =>
+            val cands = subs.filter(x => x.cp <= e.ts && e.ts <= x.rts)
+            if (cands.nonEmpty) {
+              val r = cands.minBy(_.sid); r.nd += 1; asg += e.disp -> r.sid
+              ("reuse", r.sid, 0L)
+            } else if (e.or == 1L) ("fail_only_reuse", -1L, 0L)
+            else {
+              subs :+= Sub(nsid, e.ts, e.ts, 1L); asg += e.disp -> nsid
+              nsid += 1; ("new", nsid - 1, 0L)
+            }
+          case _ =>
+            val usid = asg(e.disp); asg -= e.disp
+            val u = subs.find(_.sid == usid).get
+            u.nd -= 1
+            if (u.nd == 0L) {
+              subs = subs.filterNot(_.sid == usid); ("unreg_close", usid, 1L)
+            } else ("unreg", usid, 0L)
+        }
+        val want = (decision, sid, subs.length.toLong, subs.map(_.nd).sum, died)
+        assert(got((sn, e.tick)) == want,
+          s"$sn tick ${e.tick} ${e.kind}: ${got((sn, e.tick))} != $want")
+      }
+    }
+    // the sweep really hit every decision arm somewhere
+    val ds = got.values.map(_._1).toSet
+    Seq("new", "reuse", "advance", "unreg").foreach(d =>
+      assert(ds(d), s"arm $d never exercised across 20 random traces"))
+  }
+
   test("A106: the registry fold equals a direct transcription of RegisterDispatcher") {
     import org.apache.spark.sql.functions._
     val cl = cdc.ChangeEvents.changelog(spark, dir)
