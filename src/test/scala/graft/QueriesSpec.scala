@@ -782,6 +782,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(byDoc.values.exists(_.length > 1), "no straddling doc — vacuous")
   }
 
+  test("C75 sweep: tiling invariants hold across context sizes") {
+    import org.apache.spark.sql.functions._
+    // odd, power-of-two, and tiny ctx values sweep the cut geometry
+    for (ctx <- Seq(64L, 100L, 333L)) {
+      val segs = ops.Corpus.packAttentionSpans(spark, dir, ctx).collect()
+      val total = graft.util.Tables.documents(spark, dir)
+        .select(sum(size(ops.Text.tokens(col("text")))).cast("long"))
+        .head().getLong(0)
+      // global token conservation at every ctx
+      assert(segs.map(_.getAs[Long]("seg_tokens")).sum == total, s"ctx $ctx")
+      segs.foreach { r =>
+        assert(r.getAs[Long]("seg_start") >= 0L &&
+          r.getAs[Long]("seg_end") <= ctx, s"ctx $ctx bounds")
+        assert(r.getAs[Long]("seg_tokens") > 0L)
+      }
+      // per stream: windows are contiguous from 0
+      segs.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+        .foreach { case (st, rs) =>
+          val bins = rs.map(_.getAs[Long]("bin_id")).distinct.sorted
+          assert(bins.toSeq == (0L to bins.max), s"ctx $ctx stream $st")
+        }
+    }
+  }
+
   test("C74: batches cover every doc once, respect size, and waste recounts") {
     import org.apache.spark.sql.functions._
     val batchSize = 4
