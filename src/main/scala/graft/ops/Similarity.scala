@@ -1180,42 +1180,64 @@ object Similarity {
     * order-independent exact integer (the C57 discipline); covariance
     * in micro² via E[q_i·q_j] − E[q_i]E[q_j] with the exact-multiple
     * floor division on possibly-NEGATIVE sums (plain div/// truncate
-    * toward zero and diverge across engines). The dim² pair fan-out
-    * is generated ROW-LOCALLY (one flattened transform per vector, no
-    * self-join) and folds through ONE partial-agg shuffle whose
-    * reduce state is Dim·(Dim+1)/2 rows at any corpus size — the
-    * canonical X^T X map-reduce. Upper triangle only (i ≤ j). */
+    * toward zero and diverge across engines). The dim² accumulation
+    * runs PARTITION-LOCALLY — one mutable Dim·(Dim+1)/2 long array
+    * per partition absorbs every vector's outer product in a tight
+    * JVM loop, then emits its 2080 partial cells once (the textbook
+    * X^T X map-reduce; the Multimodal byte-fold precedent for
+    * inherently-loopy per-partition work) — so the shuffle carries
+    * partitions × 2080 rows instead of corpus × 2080 (the first cut
+    * materialized the fan-out as an explode and paid 103 s at the
+    * 25x embedding probe; this shape is corpus-volume-free past the
+    * scan). Integer sums are order-independent, so partition
+    * boundaries cannot change the result. Upper triangle only
+    * (i ≤ j). */
   def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
     def floorDiv(num: Column, den: Column): Column =
       call_function("div", num - pmod(num, den), den)
-    val pairs = corpus(spark, dir)
-      .select(col("vec_id"), expr(
-        """flatten(transform(v, (xi, i) ->
-          |  transform(slice(v, i + 1, size(v) - i), (xj, j) ->
-          |    named_struct('i', CAST(i AS BIGINT),
-          |      'j', CAST(i + j AS BIGINT),
-          |      'qq', CAST(ROUND(xi * 1000000, 0) AS BIGINT)
-          |        * CAST(ROUND(xj * 1000000, 0) AS BIGINT)))))"""
-          .stripMargin).as("ps"))
-      .select(explode(col("ps")).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("p.qq")).as("sum_qq"))
-    val means = corpus(spark, dir)
-      .select(posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("dim").cast("long").as("dim"))
-      .agg(sum(round(col("x") * 1000000d).cast("long")).as("sum_q"),
-        count(lit(1)).as("n"))
-      .select(col("dim"),
-        floorDiv(col("sum_q"), col("n")).as("mean_micro"))
-    pairs
-      .join(broadcast(means.select(col("dim").as("i"),
-        col("mean_micro").as("mean_i"))), "i")
-      .join(broadcast(means.select(col("dim").as("j"),
-        col("mean_micro").as("mean_j"))), "j")
-      .select(col("i"), col("j"), col("n_vecs"),
-        (floorDiv(col("sum_qq"), col("n_vecs")) -
-          col("mean_i") * col("mean_j")).as("cov_e12"),
-        (col("i") === col("j")).cast("long").as("diag"))
+    val spk = spark
+    import spk.implicits._
+    val cells = corpus(spark, dir)
+      .select(col("v")).as[Seq[Double]]
+      .mapPartitions { it =>
+        var dim = -1
+        var accQQ: Array[Long] = null
+        var accQ: Array[Long] = null
+        var n = 0L
+        it.foreach { v =>
+          if (dim < 0) {
+            dim = v.length
+            accQQ = Array.ofDim[Long](dim * (dim + 1) / 2)
+            accQ = Array.ofDim[Long](dim)
+          }
+          val q = Array.tabulate(dim)(i => math.round(v(i) * 1000000d))
+          var idx = 0; var i = 0
+          while (i < dim) {
+            accQ(i) += q(i)
+            var j = i
+            while (j < dim) { accQQ(idx) += q(i) * q(j); idx += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (dim < 0) Iterator.empty
+        else {
+          var idx = -1
+          (for { i <- 0 until dim; j <- i until dim } yield {
+            idx += 1
+            (i.toLong, j.toLong, n, accQQ(idx), accQ(i), accQ(j))
+          }).iterator
+        }
+      }
+      .toDF("i", "j", "pn", "pqq", "pqi", "pqj")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("pn")).as("n_vecs"), sum(col("pqq")).as("sum_qq"),
+        sum(col("pqi")).as("sum_qi"), sum(col("pqj")).as("sum_qj"))
+    cells.select(col("i"), col("j"), col("n_vecs"),
+      (floorDiv(col("sum_qq"), col("n_vecs")) -
+        floorDiv(col("sum_qi"), col("n_vecs")) *
+          floorDiv(col("sum_qj"), col("n_vecs"))).as("cov_e12"),
+      (col("i") === col("j")).cast("long").as("diag"))
   }
 
   def embeddingCovarianceSql(): String = {
