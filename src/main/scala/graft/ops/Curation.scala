@@ -771,6 +771,104 @@ object Curation {
        |CROSS JOIN total t""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C78
+
+  /** C78 — cluster-chaining audit: quantify the over-merge risk of
+    * connected-component dedup (C18) — two documents can land in one
+    * cluster with NO direct similarity when a chain A~B~C connects
+    * them (the classic near-dup clustering failure: each hop clears
+    * tau, the endpoints don't; long chains quietly fuse distinct
+    * content). Per multi-member cluster: members, possible pairs
+    * k·(k−1)/2, DIRECT pairs (edges of the C18 graph itself —
+    * exact-dup star edges expand to their full clique since every
+    * same-fingerprint pair is byte-identical), the direct density
+    * ppm, and the chain diameter proxy (edges < pairs ⇒ some pair is
+    * only transitively connected); `chained` flags clusters whose
+    * density < 10⁶ — the clusters a reviewer samples before trusting
+    * a keep-one-per-cluster policy. All per-cluster arithmetic is
+    * bounded by cluster size (hot clusters are exact-dup cliques and
+    * read density 10⁶); one edge→cluster equi-join + one cluster
+    * reduce over the memoized C18 assignment. */
+  def clusterChainAudit(spark: SparkSession, dir: String,
+                        tau: Double = 0.5): DataFrame = {
+    val clusters = dedupClusters(spark, dir, tau)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .filter(col("cluster_size") > 1L)
+    // direct pairs: fingerprint cliques (all same-fp pairs are direct
+    // byte-identical dups) + verified jaccard pairs, deduped
+    val fp = Tables.documents(spark, dir)
+      .select(md5(Text.norm(col("text")).cast("binary")).as("fp"),
+        col("doc_id"))
+    val exactPairs = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("u"), col("a.doc_id").as("v"))
+    val fuzzyPairs = Dedup.ngramJaccard(spark, dir, tau)
+      .select(col("doc_b").as("u"), col("doc_a").as("v"))
+    chainAuditFromEdges(clusters,
+      exactPairs.union(fuzzyPairs).distinct())
+  }
+
+  /** The audit's aggregation core over a (doc_id, cluster_id)
+    * membership frame and a distinct direct-pair frame — the spec
+    * drives it with a synthetic chain (A~B~C, no A~C) since real
+    * small-SF corpora only produce fully-direct pair clusters. */
+  private[graft] def chainAuditFromEdges(clusters: DataFrame,
+                                         pairs: DataFrame): DataFrame = {
+    val direct = pairs
+      .join(clusters.select(col("doc_id").as("u"),
+        col("cluster_id")), "u")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_direct_pairs"))
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(direct, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"),
+        call_function("div",
+          col("n_members") * (col("n_members") - 1L), lit(2L))
+          .as("n_possible_pairs"),
+        coalesce(col("n_direct_pairs"), lit(0L)).as("n_direct_pairs"))
+      .withColumn("direct_ppm", call_function("div",
+        col("n_direct_pairs") * lit(1000000L), col("n_possible_pairs")))
+      .withColumn("chained",
+        (col("direct_ppm") < 1000000L).cast("long"))
+  }
+
+  def clusterChainAuditSql(tau: Double = 0.5): String = {
+    val cc = dedupClustersSql(tau)
+      .linesIterator.map("    " + _).mkString("\n")
+    s"""WITH cc AS (
+       |$cc
+       |), clusters AS (
+       |  SELECT doc_id, cluster_id, cluster_size FROM cc
+       |  WHERE cluster_size > 1
+       |), fp2 AS (
+       |  SELECT doc_id, md5(${Text.normSql("text")}) AS fp FROM documents
+       |), exact_p AS (
+       |  SELECT b.doc_id AS u, a.doc_id AS v
+       |  FROM fp2 a JOIN fp2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |), fuzzy_p AS (
+       |  SELECT doc_b AS u, doc_a AS v FROM (${Dedup.ngramJaccardSql(tau)})
+       |), direct AS (
+       |  SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_direct_pairs
+       |  FROM (SELECT u, v FROM exact_p UNION SELECT u, v FROM fuzzy_p) p
+       |  JOIN clusters c ON p.u = c.doc_id
+       |  GROUP BY 1
+       |), agg AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM clusters GROUP BY 1
+       |)
+       |SELECT a.cluster_id, a.n_members,
+       |  (a.n_members * (a.n_members - 1)) // 2 AS n_possible_pairs,
+       |  COALESCE(d.n_direct_pairs, 0) AS n_direct_pairs,
+       |  CAST(COALESCE(d.n_direct_pairs, 0) * 1000000
+       |    // ((a.n_members * (a.n_members - 1)) // 2) AS BIGINT)
+       |    AS direct_ppm,
+       |  CAST(COALESCE(d.n_direct_pairs, 0) * 1000000
+       |    // ((a.n_members * (a.n_members - 1)) // 2) < 1000000
+       |    AS BIGINT) AS chained
+       |FROM agg a LEFT JOIN direct d ON a.cluster_id = d.cluster_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C63
 
   /** Filter names in their canonical (alphabetical) order; the matrix

@@ -806,6 +806,45 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("C78: chain audit flags transitive-only clusters and recounts real densities") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // synthetic chain A~B~C with no direct A~C, plus an exact 3-clique:
+    // the chain reads density 2/3 and chained=1, the clique 1.0 and 0
+    val members = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("doc_id", "cluster_id")
+    val pairs = Seq((2L, 1L), (3L, 2L),
+      (11L, 10L), (12L, 10L), (12L, 11L)).toDF("u", "v")
+    val syn = ops.Curation.chainAuditFromEdges(members, pairs).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    val chain = syn(1L)
+    assert(chain.getAs[Long]("n_possible_pairs") == 3L)
+    assert(chain.getAs[Long]("n_direct_pairs") == 2L)
+    assert(chain.getAs[Long]("direct_ppm") == 666666L)
+    assert(chain.getAs[Long]("chained") == 1L)
+    val clique = syn(10L)
+    assert(clique.getAs[Long]("direct_ppm") == 1000000L)
+    assert(clique.getAs[Long]("chained") == 0L)
+    // real corpus: every multi-member cluster appears, density recounts
+    val got = ops.Curation.clusterChainAudit(spark, dir).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    val clusters = ops.Curation.dedupClusters(spark, dir).collect()
+      .filter(_.getAs[Long]("cluster_size") > 1L)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    assert(got.keySet == clusters.map(_._2).toSet)
+    clusters.groupBy(_._2).foreach { case (cid, ms) =>
+      val r = got(cid)
+      val k = ms.length.toLong
+      assert(r.getAs[Long]("n_members") == k)
+      assert(r.getAs[Long]("n_possible_pairs") == k * (k - 1) / 2)
+      assert(r.getAs[Long]("n_direct_pairs") <= k * (k - 1) / 2)
+      assert(r.getAs[Long]("n_direct_pairs") >= k - 1,
+        s"cluster $cid: a component needs at least k-1 direct pairs")
+      assert((r.getAs[Long]("chained") == 1L) ==
+        (r.getAs[Long]("direct_ppm") < 1000000L))
+    }
+  }
+
   test("C74: batches cover every doc once, respect size, and waste recounts") {
     import org.apache.spark.sql.functions._
     val batchSize = 4
