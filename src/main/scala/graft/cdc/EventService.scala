@@ -527,6 +527,14 @@ object EventService {
     def w16(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 16, "0")
     def enc15(c: org.apache.spark.sql.Column) =
       concat(lit("8"), lpad(lower(hex(c)), 15, "0"))
+    // The 15-nibble raw-key encoding is injective only on 0 <= v < 2^60
+    // (the A88 guard, applied to its A104 twin): an out-of-domain pk
+    // must fail LOUDLY (NULL raw/sort key, order_preserved NULL) rather
+    // than silently truncate into a plausible sort position for a
+    // DIFFERENT handle. Mirrored in the oracle; nulls-last pinned
+    // explicitly in both engines so the tamper arm stays deterministic.
+    def inDomain(c: org.apache.spark.sql.Column) =
+      c >= 0L && c < (1L << 60)
     val w = Window.partitionBy(col("table_id"))
     val keyed = cl.select(col("schema_name"), col("table_name"), col("op"),
         col("pk"), col("commit_ts"), col("start_ts"))
@@ -534,17 +542,21 @@ object EventService {
       .withColumn("dml_order",
         when(col("op") === "D", 1L).when(col("op") === "U", 2L).otherwise(3L))
       .withColumn("raw_key",
-        concat(lit("74"), enc15(col("table_id")), lit("5f72"), enc15(col("pk"))))
+        when(inDomain(col("table_id")) && inDomain(col("pk")),
+          concat(lit("74"), enc15(col("table_id")), lit("5f72"),
+            enc15(col("pk")))))
       .withColumn("sort_key",
         concat(w16(col("table_id")), w16(col("table_id")),
           w16(col("commit_ts")), w16(col("start_ts")),
           lpad(lower(hex(col("dml_order"))), 4, "0"), col("raw_key")))
     keyed
       .withColumn("pos_bykey",
-        row_number().over(w.orderBy(col("sort_key"))).cast("long"))
+        row_number().over(w.orderBy(col("sort_key").asc_nulls_last,
+          col("pk"))).cast("long"))
       .withColumn("pos_bytuple",
         row_number().over(w.orderBy(col("commit_ts"), col("start_ts"),
-          col("dml_order"), col("raw_key"))).cast("long"))
+          col("dml_order"), col("raw_key").asc_nulls_last, col("pk")))
+          .cast("long"))
       .select(col("schema_name"), col("table_name"), col("pk"),
         col("commit_ts"), col("op"), col("table_id"), col("dml_order"),
         col("sort_key"), col("pos_bykey"), col("pos_bytuple"),
@@ -563,32 +575,38 @@ object EventService {
        |    c.op, i.table_id,
        |    CASE WHEN c.op = 'D' THEN 1 WHEN c.op = 'U' THEN 2 ELSE 3 END
        |      AS dml_order,
-       |    CONCAT('74', '8', lpad(lower(to_hex(i.table_id)), 15, '0'),
-       |      '5f72', '8', lpad(lower(to_hex(c.pk)), 15, '0')) AS raw_key,
-       |    CONCAT(
-       |      lpad(lower(to_hex(i.table_id)), 16, '0'),
-       |      lpad(lower(to_hex(i.table_id)), 16, '0'),
-       |      lpad(lower(to_hex(c.commit_ts)), 16, '0'),
-       |      lpad(lower(to_hex(c.start_ts)), 16, '0'),
-       |      lpad(lower(to_hex(CASE WHEN c.op = 'D' THEN 1
-       |        WHEN c.op = 'U' THEN 2 ELSE 3 END)), 4, '0'),
-       |      CONCAT('74', '8', lpad(lower(to_hex(i.table_id)), 15, '0'),
-       |        '5f72', '8', lpad(lower(to_hex(c.pk)), 15, '0'))) AS sort_key
+       |    CASE WHEN i.table_id >= 0 AND i.table_id < ${1L << 60}
+       |          AND c.pk >= 0 AND c.pk < ${1L << 60}
+       |      THEN CONCAT('74', '8', lpad(lower(to_hex(i.table_id)), 15, '0'),
+       |        '5f72', '8', lpad(lower(to_hex(c.pk)), 15, '0'))
+       |      END AS raw_key
        |  FROM changelog c JOIN ids i
        |    ON c.schema_name = i.schema_name AND c.table_name = i.table_name
+       |), sk AS (
+       |  -- '||' (not CONCAT): DuckDB CONCAT skips NULL args, but a NULL
+       |  -- raw_key must null the WHOLE sort key (Spark concat semantics).
+       |  SELECT *,
+       |    lpad(lower(to_hex(table_id)), 16, '0')
+       |      || lpad(lower(to_hex(table_id)), 16, '0')
+       |      || lpad(lower(to_hex(commit_ts)), 16, '0')
+       |      || lpad(lower(to_hex(start_ts)), 16, '0')
+       |      || lpad(lower(to_hex(dml_order)), 4, '0')
+       |      || raw_key AS sort_key
+       |  FROM keyed
        |)
        |SELECT schema_name, table_name, pk, commit_ts, op, table_id,
        |  CAST(dml_order AS BIGINT) AS dml_order, sort_key,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY table_id ORDER BY sort_key)
-       |    AS BIGINT) AS pos_bykey,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY table_id
-       |    ORDER BY commit_ts, start_ts, dml_order, raw_key)
+       |    ORDER BY sort_key NULLS LAST, pk) AS BIGINT) AS pos_bykey,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY table_id
+       |    ORDER BY commit_ts, start_ts, dml_order, raw_key NULLS LAST, pk)
        |    AS BIGINT) AS pos_bytuple,
-       |  CAST((ROW_NUMBER() OVER (PARTITION BY table_id ORDER BY sort_key)) =
+       |  CAST((ROW_NUMBER() OVER (PARTITION BY table_id
+       |      ORDER BY sort_key NULLS LAST, pk)) =
        |    (ROW_NUMBER() OVER (PARTITION BY table_id
-       |      ORDER BY commit_ts, start_ts, dml_order, raw_key))
+       |      ORDER BY commit_ts, start_ts, dml_order, raw_key NULLS LAST, pk))
        |    AS BIGINT) AS order_preserved
-       |FROM keyed""".stripMargin
+       |FROM sk""".stripMargin
 
   // ---------------------------------------------------------------- A89
   /** A89: the mounter's ingress key gate — what happens to each raw KV

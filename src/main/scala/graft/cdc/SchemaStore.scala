@@ -525,12 +525,20 @@ object SchemaStore {
           .when(col("key_kind") === "snapshot_schema", 2L)
           .when(col("key_kind") === "snapshot_table", 3L)
           .otherwise(4L))
+    // (schema_name, table_name) tie-breaks BOTH rankings: finished-ts
+    // uniqueness (ts = lo + j*(hi-lo)/4 + base) is injective only while
+    // #tables < span/4 — on a degenerate span two ddl_job rows would
+    // share key_hex and an un-tie-broken ROW_NUMBER pair would order
+    // them arbitrarily per engine. The same suffix on both orders keeps
+    // order_preserved deterministic even then.
     all
       .withColumn("pos_bykey",
-        row_number().over(Window.orderBy(col("key_hex"))).cast("long"))
+        row_number().over(Window.orderBy(col("key_hex"), col("schema_name"),
+          col("table_name"))).cast("long"))
       .withColumn("pos_bytuple",
         row_number().over(Window.orderBy(col("kind_rank"), col("ts"),
-          col("entity_id"))).cast("long"))
+          col("entity_id"), col("schema_name"), col("table_name")))
+          .cast("long"))
       .select(col("key_kind"), col("schema_name"), col("table_name"),
         col("entity_id"), col("ts"), col("key_hex"), col("value_hex"),
         col("valid"), col("reason"), col("pos_bykey"), col("pos_bytuple"),
@@ -599,11 +607,13 @@ object SchemaStore {
        |)
        |SELECT key_kind, schema_name, table_name, entity_id, ts, key_hex,
        |  value_hex, valid, reason,
-       |  CAST(ROW_NUMBER() OVER (ORDER BY key_hex) AS BIGINT) AS pos_bykey,
-       |  CAST(ROW_NUMBER() OVER (ORDER BY kind_rank, ts, entity_id)
-       |    AS BIGINT) AS pos_bytuple,
-       |  CAST((ROW_NUMBER() OVER (ORDER BY key_hex)) =
-       |    (ROW_NUMBER() OVER (ORDER BY kind_rank, ts, entity_id))
+       |  CAST(ROW_NUMBER() OVER (ORDER BY key_hex, schema_name, table_name)
+       |    AS BIGINT) AS pos_bykey,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY kind_rank, ts, entity_id,
+       |    schema_name, table_name) AS BIGINT) AS pos_bytuple,
+       |  CAST((ROW_NUMBER() OVER (ORDER BY key_hex, schema_name, table_name)) =
+       |    (ROW_NUMBER() OVER (ORDER BY kind_rank, ts, entity_id,
+       |      schema_name, table_name))
        |    AS BIGINT) AS order_preserved
        |FROM allkeys""".stripMargin
   }

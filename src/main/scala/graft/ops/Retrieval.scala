@@ -760,10 +760,19 @@ object Retrieval {
       .withColumn("span_chars", col("char_end") - col("char_start"))
       .withColumn("extract", expr(
         "substring(norm, CAST(char_start + 1 AS INT), CAST(span_chars AS INT))"))
+      // verified checks BOTH halves of the contract in-engine (the C55
+      // discipline): the re-extract tokenizes to exactly span_tokens
+      // tokens AND equals the join of the span's own token slice — a
+      // projection shifted one char at both ends preserves the count
+      // but not the join, so the equality half is load-bearing.
+      .withColumn("span_join", expr(
+        "array_join(slice(split(norm, ' '), CAST(tok_start + 1 AS INT), " +
+          "CAST(tok_end - tok_start AS INT)), ' ')"))
       .select(col("doc_id"), col("span_seq"), col("tok_start"), col("tok_end"),
         col("char_start"), col("char_end"), col("span_chars"),
         (size(split(col("extract"), " ")).cast("long") ===
-          col("tok_end") - col("tok_start")).cast("long").as("verified"))
+          col("tok_end") - col("tok_start") &&
+          col("extract") === col("span_join")).cast("long").as("verified"))
   }
 
   def dedupSpanCharsSql(k: Int = 8): String = {
@@ -784,7 +793,12 @@ object Retrieval {
        |  CAST(len(string_split(substring(n.norm,
        |      CAST(a.char_start + 1 AS INT),
        |      CAST(b.char_end - a.char_start AS INT)), ' '))
-       |    = s.tok_end - s.tok_start AS BIGINT) AS verified
+       |    = s.tok_end - s.tok_start
+       |    AND substring(n.norm, CAST(a.char_start + 1 AS INT),
+       |      CAST(b.char_end - a.char_start AS INT))
+       |    = array_to_string(list_slice(string_split(n.norm, ' '),
+       |      CAST(s.tok_start + 1 AS INT), CAST(s.tok_end AS INT)), ' ')
+       |    AS BIGINT) AS verified
        |FROM spans s
        |JOIN offs a ON s.doc_id = a.doc_id AND s.tok_start = a.token_idx
        |JOIN offs b ON s.doc_id = b.doc_id AND s.tok_end = b.token_idx + 1

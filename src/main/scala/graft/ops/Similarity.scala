@@ -1210,11 +1210,23 @@ object Similarity {
             accQQ = Array.ofDim[Long](dim * (dim + 1) / 2)
             accQ = Array.ofDim[Long](dim)
           }
-          val q = Array.tabulate(dim)(i => math.round(v(i) * 1000000d))
+          // Half-away-from-zero, matching the oracle's ROUND and the
+          // C57 Catalyst round(): JVM math.round is half-toward-+Inf,
+          // which diverges on negative exact-half micro boundaries.
+          val q = Array.tabulate(dim) { i =>
+            val x = v(i) * 1000000d
+            if (x < 0) -math.round(-x) else math.round(x)
+          }
           var idx = 0; var i = 0
           while (i < dim) {
             accQ(i) += q(i)
             var j = i
+            // Long headroom: |q| ~ 1e6 for unit-scale components, so each
+            // q_i*q_j term is ~1e12 and the Long partial wraps past ~9e6
+            // vectors PER PARTITION (DuckDB's SUM promotes to HUGEINT and
+            // would not). At larger per-partition volumes split the scan
+            // into more partitions (the merge is exact-integer and
+            // order-free) — documented bound, not a silent contract.
             while (j < dim) { accQQ(idx) += q(i) * q(j); idx += 1; j += 1 }
             i += 1
           }

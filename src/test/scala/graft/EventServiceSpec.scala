@@ -44,6 +44,37 @@ class EventServiceSpec extends AnyFunSuite {
     f.unpersist()
   }
 
+  test("A104: out-of-domain pk fails loudly (NULL keys, nulls-last), like its A88 twin") {
+    import spark.implicits._
+    val cl = Seq(
+      ("db0", "t0", "I", 1L, 9L, 0L),
+      ("db0", "t0", "I", -2L, 16L, 10L),          // negative pk
+      ("db0", "t0", "I", 1L << 61, 255L, 250L),   // pk >= 2^60
+      ("db0", "t0", "D", 5L, 300L, 290L))
+      .toDF("schema_name", "table_name", "op", "pk", "commit_ts", "start_ts")
+    val f = cdc.EventService.eventstoreKey(cl).cache()
+    val bad = f.filter(col("pk") < 0L || col("pk") >= (1L << 60))
+    assert(bad.count() == 2L)
+    // the 15-nibble encode must NOT silently truncate: NULL key, not a
+    // structurally plausible key for a different handle
+    assert(bad.filter(col("sort_key").isNotNull).count() == 0)
+    // ...and the failure is LOUD: a NULL key sorts nulls-last by byte
+    // order but keeps its commit-ts slot in tuple order, so the rank
+    // pair splits — order_preserved flags the tamper instead of a
+    // silently-plausible position
+    assert(bad.filter(col("order_preserved") =!= 0L).count() == 0)
+    // tampered rows land after every valid key (nulls-last, pk tiebreak
+    // keeps the order total and deterministic)
+    val lastTwo = f.orderBy(col("pos_bykey").desc).limit(2)
+      .select("pk").as[Long].collect().toSet
+    assert(lastTwo == Set(-2L, 1L << 61))
+    // in-domain rows still replay in tuple order relative to each other
+    val good = f.filter(col("sort_key").isNotNull)
+      .orderBy(col("pos_bykey")).select("commit_ts").as[Long].collect()
+    assert(good.toSeq == good.toSeq.sorted)
+    f.unpersist()
+  }
+
   test("A77: decision arms follow the dispatcher classes and ranges are sound") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val tasks = cdc.EventService.scanTasks(cl).cache()
