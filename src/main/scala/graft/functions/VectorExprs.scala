@@ -101,6 +101,68 @@ case class DotLiteral(child: Expression, weights: Seq[Double])
     copy(child = newChild)
 }
 
+/** All LSH band keys of a vector in ONE pass: band b's key is the
+  * sign-bit string of planes [b·maxBits, b·maxBits + bitsPerBand) of
+  * the flattened plane matrix. One tight JVM loop per row replaces
+  * bands×bits separate projection columns — a fused 88-column
+  * projection (C5 at a corpus-derived band width) generates code past
+  * the JIT method-size limit and materializes at interpreted speed
+  * (measured 12 s for 50k rows; this expression: <0.5 s). Generated
+  * code delegates to [[nullSafeEval]] via a reference object: the
+  * loop is real compiled JVM code either way, and keeping it out of
+  * the generated class is the point. */
+case class HyperplaneBandKeys(child: Expression, flat: Seq[Double],
+    bands: Int, bitsPerBand: Int, maxBits: Int) extends UnaryExpression {
+
+  private lazy val w: Array[Double] = flat.toArray
+  private lazy val rowLen: Int = w.length / (bands * maxBits)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "hyperplane_band_keys"
+  override def toString: String =
+    s"hyperplane_band_keys($child, bands=$bands, bits=$bitsPerBand)"
+
+  override def nullSafeEval(a: Any): Any = compute(a)
+
+  /** Public (the generated code calls it through a reference object —
+    * protected nullSafeEval is not visible from the generated class). */
+  def compute(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Any](bands)
+    val key = new Array[Char](bitsPerBand)
+    var b = 0
+    while (b < bands) {
+      var r = 0
+      while (r < bitsPerBand) {
+        val base = (b * maxBits + r) * rowLen
+        val n = math.min(x.numElements(), rowLen)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += x.getDouble(i) * w(base + i); i += 1 }
+        key(r) = if (s >= 0) '1' else '0'
+        r += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(new String(key))
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandKeysExpr", this,
+      classOf[HyperplaneBandKeys].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandKeys =
+    copy(child = newChild)
+}
+
 /** Registration + Column-level entry points. The expressions register
   * through `SparkSessionExtensions.injectFunction` (the supported
   * public extension route — see GraftSession, which installs them on
@@ -122,6 +184,15 @@ object VectorExprs {
         // evaluated once at plan-build time
         val arr = children(1).eval(null).asInstanceOf[ArrayData]
         DotLiteral(children(0), arr.toDoubleArray.toSeq)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_band_keys"),
+      new ExpressionInfo(classOf[HyperplaneBandKeys].getName, "graft_band_keys"),
+      (children: Seq[Expression]) => {
+        val flat = children(1).eval(null).asInstanceOf[ArrayData]
+          .toDoubleArray.toSeq
+        def intArg(i: Int) = children(i).eval(null).asInstanceOf[Int]
+        HyperplaneBandKeys(children(0), flat, intArg(2), intArg(3), intArg(4))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_word_ngrams"),
@@ -156,4 +227,14 @@ object VectorExprs {
 
   def dot(a: String, b: String): Column = dot(col(a), col(b))
   def dotLit(v: String, weights: Seq[Double]): Column = dotLit(col(v), weights)
+
+  /** All band keys of `v` against a plane matrix laid out on the fixed
+    * (bands × maxBits) grid — band b uses rows [b·maxBits,
+    * b·maxBits + bitsPerBand). Returns array&lt;string&gt; of length
+    * `bands`. */
+  def bandKeys(v: Column, planes: Array[Array[Double]], bands: Int,
+               bitsPerBand: Int, maxBits: Int): Column =
+    call_function("graft_band_keys", v,
+      array(planes.flatten.map(w => lit(w)).toIndexedSeq: _*),
+      lit(bands), lit(bitsPerBand), lit(maxBits))
 }

@@ -199,10 +199,16 @@ object Dedup {
     * S-curve 1−(1−j^r)^b is the design promise, this frame is the
     * delivered number). Ground truth is EXACT all-pairs Jaccard — at
     * corpus scale that is only computable on a SAMPLE, so the audit
-    * is declared sampled: a deterministic hash keeps 1/`sampleMod` of
-    * documents and the quadratic truth join runs inside that bounded
-    * block (the one deliberately-quadratic frame on the board, the
-    * reason it is an audit and not a pipeline stage). Candidates
+    * is declared sampled: a deterministic hash keeps 1/sampleMod of
+    * documents, where sampleMod is DERIVED from the corpus count so
+    * the sampled block is a FIXED-SIZE target (~`sampleTarget` docs)
+    * regardless of SF — the quadratic truth join runs inside that
+    * bounded block, so the audit's cost is a constant, not Θ(n²)
+    * (the round-8 default sampleMod=2 grew quadratically with the
+    * corpus). Both engines derive the identical modulus from the same
+    * count — Spark injects the driver-computed literal, the oracle
+    * re-derives it in SQL from COUNT(*) — so the sampled populations
+    * match doc-for-doc. Candidates
     * re-run C2's exact signature/banding pipeline restricted to the
     * sample — band keys are per-document, so sample-restricted
     * banding produces exactly the full run's pairs among sampled
@@ -214,8 +220,18 @@ object Dedup {
     * bands. */
   def lshRecallAudit(spark: SparkSession, dir: String,
                      perms: Int = 128, bands: Int = 16,
-                     sampleMod: Int = 2, jFloor: Double = 0.2): DataFrame =
-    lshRecallAuditFrom(gramFrame(spark, dir), perms, bands, sampleMod, jFloor)
+                     sampleTarget: Long = 1200L,
+                     jFloor: Double = 0.2): DataFrame =
+    lshRecallAuditFrom(gramFrame(spark, dir), perms, bands, sampleTarget,
+      jFloor)
+
+  /** The audit's sampling modulus: ceil(n / target), floored at 1 —
+    * keeps the expected sampled block at ~`target` docs so the
+    * quadratic truth join is bounded at any corpus size. Evaluated
+    * from the corpus count on BOTH sides (driver literal here, a
+    * COUNT(*) re-derivation in the oracle SQL). */
+  private[graft] def auditSampleMod(n: Long, target: Long): Long =
+    math.max(1L, (n + target - 1L) / target)
 
   /** [[lshRecallAudit]] over any (doc_id, grams) frame — the spec
     * drives it with a synthetic controlled-overlap corpus so the
@@ -223,12 +239,15 @@ object Dedup {
     * top band real small-SF corpora produce. */
   private[graft] def lshRecallAuditFrom(gramsFrame: DataFrame,
                                         perms: Int = 128, bands: Int = 16,
-                                        sampleMod: Int = 2,
+                                        sampleTarget: Long = 1200L,
                                         jFloor: Double = 0.2): DataFrame = {
     val rows = perms / bands
+    // One count against the (cache-backed) gram frame buys the bound:
+    // the derived modulus pins the sampled block to ~sampleTarget docs.
+    val sampleMod = auditSampleMod(gramsFrame.count(), sampleTarget)
     val sampled = gramsFrame
       .filter(pmod(Portable.hash60(concat(lit("graft-audit-v1:"),
-        col("doc_id").cast("string"))), lit(sampleMod.toLong)) === 0L)
+        col("doc_id").cast("string"))), lit(sampleMod)) === 0L)
       .localCheckpoint()
     val a = sampled.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
     val b = sampled.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
@@ -290,7 +309,8 @@ object Dedup {
   }
 
   def lshRecallAuditSql(perms: Int = 128, bands: Int = 16,
-                        sampleMod: Int = 2, jFloor: Double = 0.2): String = {
+                        sampleTarget: Long = 1200L,
+                        jFloor: Double = 0.2): String = {
     val rows = perms / bands
     val minCols = (0 until perms)
       .map(p => s"MIN((h * ${permA(p)} + ${permB(p)}) % $MersenneP) AS m$p")
@@ -303,11 +323,18 @@ object Dedup {
       .map(jb => s"($jb, ${expectedRecallPpm(jb, rows, bands)})")
       .mkString(", ")
     s"""WITH $gramFrameSql,
+       |smod AS (
+       |  -- ceil(n/target) floored at 1: the same modulus the Spark side
+       |  -- derives on the driver, re-derived here from the same count
+       |  SELECT GREATEST(1, (COUNT(*) + ${sampleTarget - 1L}) // $sampleTarget)
+       |    AS m
+       |  FROM gg
+       |),
        |sampled AS (
        |  SELECT doc_id, grams FROM gg
        |  WHERE ${Portable.hash60Sql(
               "'graft-audit-v1:' || CAST(doc_id AS VARCHAR)")}
-       |    % $sampleMod = 0
+       |    % (SELECT m FROM smod) = 0
        |), truth AS (
        |  SELECT doc_a, doc_b,
        |    LEAST(9, CAST(FLOOR(jaccard * 10) AS BIGINT)) AS jband

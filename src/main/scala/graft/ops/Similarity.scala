@@ -71,38 +71,65 @@ object Similarity {
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |c AS (SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)""".stripMargin
 
+  /** Fixed plane-grid width per band: each band owns MaxBandBits
+    * consecutive plane rows and USES the first `bitsPerBand` of them —
+    * so a corpus-derived band width never re-seats planes, and the
+    * oracle can render the full 16-bit key and truncate. */
+  private val MaxBandBits = 16
+
+  /** Corpus-scaled band width: the smallest b in [4, MaxBandBits] with
+    * n <= targetBucket·2^b — i.e. ≈log₂(n/targetBucket) — so per-band
+    * bucket occupancy stays ~targetBucket as the corpus grows instead
+    * of candidate pairs growing quadratically (the round-8 fixed
+    * bitsPerBand=4 gave 16 keys/band forever; emb25 paid 21.8 s for
+    * it). Pure integer ladder — no float log2 on either engine
+    * ([[bandBitsSql]] renders the identical CASE ladder over
+    * COUNT(*)). */
+  private[graft] def bandBits(n: Long, targetBucket: Long = 32L): Int = {
+    var b = 4
+    while (b < MaxBandBits && n > (targetBucket << b)) b += 1
+    b
+  }
+
+  private[ops] def bandBitsSql(cnt: String, targetBucket: Long = 32L): String = {
+    val arms = (4 until MaxBandBits)
+      .map(b => s"WHEN $cnt <= ${targetBucket << b} THEN $b")
+      .mkString(" ")
+    s"CASE $arms ELSE $MaxBandBits END"
+  }
+
   /** C5 — near-duplicate cosine pairs within label blocks, LSH-banded.
     *
     * Candidate generation is `bands` independent sign-bit keys of
-    * `bitsPerBand` hyperplanes each: a pair is a candidate iff it
+    * bitsPerBand hyperplanes each, where bitsPerBand is DERIVED from
+    * the corpus count ([[bandBits]]): a pair is a candidate iff it
     * agrees on ALL bits of ≥1 band within its label block (standard
     * banding recall: near-identical vectors agree on almost all bits,
     * so they collide in some band with high probability; the exact
     * all-pairs block join this replaces is quadratic in block size and
-    * dies at 100 TB). Candidates verify with the exact cosine ≥ τ.
-    * The oracle SQL computes the identical bands, so the operator's
-    * full contract — including its recall behavior — is checked. */
+    * dies at 100 TB — and so would a FIXED key space, whose bucket
+    * occupancy grows linearly with the corpus). Candidates verify with
+    * the exact cosine ≥ τ. The oracle SQL derives the identical band
+    * width from its own COUNT(*) and computes the identical bands, so
+    * the operator's full contract — including its recall geometry —
+    * is checked. */
   def cosinePairs(spark: SparkSession, dir: String, tau: Double = 0.4,
-                  bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
-    val w = planes(bands * bitsPerBand, seed = 42L)
+                  bands: Int = 8, targetBucket: Long = 32L): DataFrame = {
     // Materialize the normed corpus once (eager, lineage-truncating):
     // it feeds the band projection AND both verify-join sides.
     val c = corpus(spark, dir).localCheckpoint()
-    // Two-step band computation: 32 separate 64-term bit columns, THEN
-    // key concat. One mega-expression would exceed the JIT method-size
-    // limit and run as interpreted bytecode (~100x slower per row);
-    // separate columns codegen into JIT-able methods.
-    val bitCols = (0 until bands * bitsPerBand).map { p =>
-      when(proj("v", w(p)) >= 0d, lit("1")).otherwise(lit("0")).as(s"bit$p")
-    }
-    val keyed = c.select(Seq(col("vec_id"), col("label")) ++ bitCols: _*)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        concat((0 until bitsPerBand).map(r => col(s"bit${b * bitsPerBand + r}")): _*).as("band_key"))
-    }
-    val banded = keyed.select(col("vec_id"), col("label"),
-        explode(array(bandStructs: _*)).as("band"))
-      .select(col("vec_id"), col("label"), col("band.band_id"), col("band.band_key"))
+    val bitsPerBand = bandBits(c.count(), targetBucket)
+    val w = planes(bands * MaxBandBits, seed = 42L)
+    // ONE native expression computes every band key in a single tight
+    // loop per row (graft.functions.HyperplaneBandKeys): the previous
+    // bands×bits separate projection columns generated code past the
+    // JIT method-size limit at corpus-derived widths and materialized
+    // at interpreted speed (12 s for the emb25 banding vs <0.5 s
+    // here). Only the bits a band actually uses are computed (the
+    // oracle computes all MaxBandBits and truncates — same key).
+    val banded = c.select(col("vec_id"), col("label"),
+        posexplode(graft.functions.VectorExprs.bandKeys(col("v"), w, bands,
+          bitsPerBand, MaxBandBits)).as(Seq("band_id", "band_key")))
       .localCheckpoint()
     val cand = banded.as("x").join(banded.as("y"), Seq("label", "band_id", "band_key"))
       .filter(col("x.vec_id") < col("y.vec_id"))
@@ -116,15 +143,25 @@ object Similarity {
       .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
   }
 
-  def cosinePairsSql(tau: Double = 0.4, bands: Int = 8, bitsPerBand: Int = 4): String = {
-    val w = planes(bands * bitsPerBand, seed = 42L)
+  def cosinePairsSql(tau: Double = 0.4, bands: Int = 8,
+                     targetBucket: Long = 32L): String = {
+    val w = planes(bands * MaxBandBits, seed = 42L)
+    // The oracle renders the FULL MaxBandBits-char key per band and
+    // truncates to the COUNT-derived width — exactly the prefix the
+    // Spark side computes from the same plane grid.
     val bandSelects = (0 until bands).map { b =>
-      val key = (0 until bitsPerBand).map { r =>
-        s"(CASE WHEN ${projSql("v", w(b * bitsPerBand + r))} >= 0 THEN '1' ELSE '0' END)"
+      val key = (0 until MaxBandBits).map { r =>
+        s"(CASE WHEN ${projSql("v", w(b * MaxBandBits + r))} >= 0 THEN '1' ELSE '0' END)"
       }.mkString("CONCAT(", ", ", ")")
-      s"SELECT vec_id, label, $b AS band_id, $key AS band_key FROM c"
+      s"""SELECT vec_id, label, $b AS band_id,
+         |    substring($key, 1, (SELECT bpb FROM p)) AS band_key FROM c"""
+        .stripMargin
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH $corpusSql,
+       |p AS (
+       |  SELECT CAST(${bandBitsSql("COUNT(*)", targetBucket)} AS INT) AS bpb
+       |  FROM c
+       |),
        |b AS (
        |  $bandSelects
        |),

@@ -909,7 +909,9 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       (li.toLong * 1000 + p * 2 + side, grams)
     }
     val gramsFrame = docs.toDF("doc_id", "grams")
-    val got = ops.Dedup.lshRecallAuditFrom(gramsFrame, sampleMod = 1)
+    // 320 docs < the 1200-doc sample target, so the derived modulus is
+    // 1 and the truth join sees every pair (no sampling noise here)
+    val got = ops.Dedup.lshRecallAuditFrom(gramsFrame)
       .collect().map(r => r.getAs[Long]("jband") -> r).toMap
     assert(got.keySet == (2L to 9L).toSet)
     levels.foreach { case (_, jb) =>
@@ -941,6 +943,34 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     val top = real(9L)
     if (top.getAs[Long]("n_true_pairs") > 0L)
       assert(top.getAs[Long]("recall_ppm") == 1000000L)
+  }
+
+  test("C73: the truth sample is bounded at every corpus size") {
+    val spk = spark
+    import spk.implicits._
+    // the modulus formula keeps the EXPECTED block inside (target/2,
+    // target] for any n >= target, and degenerates to no-sampling below
+    val target = 1200L
+    Seq(1L, 499L, 1200L, 1201L, 5000L, 120000L, 1000000000L,
+      1000000000000L).foreach { n =>
+      val m = ops.Dedup.auditSampleMod(n, target)
+      assert(m >= 1L, s"n=$n")
+      if (n <= target) assert(m == 1L, s"n=$n m=$m")
+      else {
+        val block = n.toDouble / m
+        assert(block <= target && block > target / 2.0 - 1,
+          s"n=$n m=$m block=$block")
+      }
+    }
+    // ...and the hash-mod filter delivers that block on a real frame:
+    // 5000 docs -> smod 5 -> ~1000 sampled (binomial sd ~28)
+    val ids = (0L until 5000L).map(i => (i, Seq(s"g$i"))).toDF("doc_id", "grams")
+    val m = ops.Dedup.auditSampleMod(5000L, target)
+    val sampledCount = ids.filter(pmod(
+      graft.functions.Portable.hash60(concat(lit("graft-audit-v1:"),
+        col("doc_id").cast("string"))), lit(m)) === 0L).count()
+    assert(sampledCount >= 800L && sampledCount <= 1200L,
+      s"sampled $sampledCount of 5000 at mod $m")
   }
 
   test("C62: hard negatives recount from raw vectors and margins close") {

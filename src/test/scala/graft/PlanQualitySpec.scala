@@ -142,7 +142,8 @@ class PlanQualitySpec extends AnyFunSuite {
       // 1-row (min, width) span broadcast bucketing the value stream
       "q_histogram",
       // the DECLARED sampled-quadratic truth join (sample x sample,
-      // bounded by sampleMod by design — an audit, not a pipeline stage)
+      // bounded to ~sampleTarget docs by the corpus-derived modulus —
+      // an audit, not a pipeline stage)
       "lsh_recall_audit",
       // embeds hybrid_rrf_topk's scalar + query-vector crosses
       "rag_context_pack")
