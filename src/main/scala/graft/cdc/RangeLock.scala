@@ -134,10 +134,14 @@ object RangeLock {
         coalesce(col("fast_ts"), lit(-1L)).as("fastest_ts"))
   }
 
-  def rangeLockStatsSql(nRegions: Int = NRegions): String = {
+  /** The region-states CTE chain (`tables` → `grid` → `pertick` →
+    * `cum` → `states` → `eff`) — the SQL twin of [[regionStates]],
+    * shared with the A108 lock resolver, which joins the final-tick
+    * `eff` rows as the capture-side resolvedTs bound. */
+  def regionStatesCteSql(nRegions: Int = NRegions): String = {
     val bucket =
       graft.functions.Portable.bucketSql("CAST(pk AS VARCHAR)", nRegions)
-    s"""WITH tables AS (
+    s"""tables AS (
        |  SELECT DISTINCT schema_name, table_name FROM changelog
        |), grid AS (
        |  SELECT t.schema_name, t.table_name, r.region_id, g.tick
@@ -176,7 +180,11 @@ object RangeLock {
        |      WHEN state = 'unlocked' THEN frozen
        |      ELSE rts_cum END AS BIGINT) AS eff_ts
        |  FROM states
-       |), agg AS (
+       |)""".stripMargin
+  }
+
+  def rangeLockStatsSql(nRegions: Int = NRegions): String = {
+    s"""WITH ${regionStatesCteSql(nRegions)}, agg AS (
        |  SELECT schema_name, table_name, tick,
        |    CAST(SUM(CASE WHEN state = 'locked' THEN 1 ELSE 0 END)
        |      AS BIGINT) AS n_locked,

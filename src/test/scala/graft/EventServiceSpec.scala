@@ -616,4 +616,75 @@ class EventServiceSpec extends AnyFunSuite {
       assert(got((tb._1, tb._2, 7L))._2 > got((tb._1, tb._2, 3L))._2)
     }
   }
+
+  test("A108: resolve pass equals the sequential scan-loop replay; live locks pin") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val limit = cdc.LockResolver.ScanLimit
+    // independent census replay from the raw changelog
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val R = cdc.RangeLock.NRegions
+    case class Lock(ts: Long, key: Long, status: String)
+    val rows = cl.select("schema_name", "table_name", "pk", "start_ts",
+      "commit_ts").collect()
+    val locks = rows.groupBy(r => (r.getString(0), r.getString(1),
+        h60(r.getLong(2).toString) % R, r.getLong(3)))
+      .filter { case ((s, t, g, st), _) =>
+        h60(s"lockpick:$s.$t#$g@$st") % cdc.LockResolver.LockMod == 0L }
+      .toSeq
+      .map { case ((s, t, g, st), grp) =>
+        val status = (h60(s"lock:$s.$t#$g@$st") % 3L) match {
+          case 0L => "committed"; case 1L => "rolled_back"; case _ => "live" }
+        (s, t, g) -> Lock(st, grp.map(_.getLong(2)).min, status)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val maxV = rows.groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues { g =>
+        val ts = g.map(_.getLong(4)); ts.min + (ts.max - ts.min) / 2 }.toMap
+    val got = cdc.LockResolver.resolvePass(cl).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getLong(8), r.getLong(9), r.getLong(10), r.getLong(11),
+          r.getString(14))).toMap
+    assert(got.nonEmpty)
+    var sawMultiScan = false; var sawClean = false; var sawPinned = false
+    for (((s, t, g), (mv, nLocks, nScanned, nScans, nC, nR, nL, mlt, trt, pin))
+         <- got) {
+      assert(mv == maxV((s, t)))
+      val all = locks.getOrElse((s, t, g), Seq.empty)
+      val scanned = all.filter(_.ts <= mv).sortBy(l => (l.key, l.ts))
+      assert(nLocks == all.size && nScanned == scanned.size)
+      // the Go cursor loop, replayed sequentially (lock_resolver.go:91-142)
+      var idx = 0; var rounds = 0L; var done = false
+      while (!done) {
+        rounds += 1
+        val batch = scanned.slice(idx, idx + limit.toInt)
+        idx += batch.size
+        if (batch.size < limit) done = true
+      }
+      assert(nScans == rounds, s"$s.$t#$g scans $nScans != replay $rounds")
+      if (rounds > 1) sawMultiScan = true
+      // resolution census + the live pin
+      assert(nC == scanned.count(_.status == "committed"))
+      assert(nR == scanned.count(_.status == "rolled_back"))
+      assert(nL == scanned.count(_.status == "live"))
+      val live = scanned.filter(_.status == "live")
+      if (live.isEmpty) {
+        assert(mlt == -1L && trt == mv); sawClean = true
+      } else {
+        assert(mlt == live.map(_.ts).min && trt == mlt - 1 && trt < mv)
+        sawPinned = true
+      }
+      assert(Set("lock", "range", "none")(pin))
+    }
+    assert(sawMultiScan, "no region exercised the batched cursor")
+    assert(sawClean, "no region resolved clean to maxVersion")
+    assert(sawPinned, "no region exercised the live-lock pin")
+    // composition: resolved_ts is the min of the two bounds everywhere
+    cdc.LockResolver.resolvePass(cl)
+      .filter(col("resolved_ts") =!= least(col("txn_resolved_ts"),
+        col("range_eff_ts"))).count() == 0
+  }
 }
