@@ -114,6 +114,20 @@ object Scheduler {
   private def assignNodeSql(spanExpr: String): String =
     s"LEAST(${Portable.bucketSql(spanExpr, 2 * NNodes)}, ${NNodes - 1})"
 
+  /** The current span placement (grp, span, node) — the replicating
+    * fleet under the skewed assignment. Shared with the A109
+    * maintainer span-operator plane, whose remove machines run over
+    * the spans of dropped tables. */
+  private[cdc] def spanPlacement(cl: DataFrame,
+                                 nRegions: Int = NRegions): DataFrame =
+    spanFrame(cl, nRegions)
+      .withColumn("node", assignNode(col("span")))
+      .select(col("grp"), col("span"), col("node"))
+
+  private[cdc] def spanPlacementSql(nRegions: Int = NRegions): String =
+    s"""SELECT grp, span, ${assignNodeSql("span")} AS node
+       |FROM (${spanFrameSql(nRegions)})""".stripMargin
+
   // ------------------------------------------------------------------
   // A79 — basic scheduler: absent spans onto the min-loaded node
   // ------------------------------------------------------------------

@@ -117,6 +117,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_operator_move",
       // embeds cdc_sched_basic's 1-row absent-count cross
       "cdc_operator_addstop",
+      // embeds A79's absent-count cross + A80's group x node cross
+      "cdc_span_lifecycle",
       // 1-row day-bounds broadcast trimming the unrolled window ends
       "q_rolling_distinct",
       // 1-row corpus-scalars broadcast (q_scalar_subquery shape)
@@ -176,6 +178,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_operator_move",
       // embeds the A79 slot frame + the changefeed-universe stop rank
       "cdc_operator_addstop",
+      // embeds the A79/A80 frames + the dropped-span/move round-robin
+      // ranks (rows = span census / move batch)
+      "cdc_span_lifecycle",
       // changefeed-fleet x boundary grid (Barrier) — rows = fleet size
       "cdc_gc_safepoint", "cdc_changefeed_overview",
       // syncpoint boundary grid (MysqlDdl:168) — rows = max_ts / step

@@ -820,4 +820,151 @@ class SchedulerSpec extends AnyFunSuite {
     assert(finals.filter(col("dest") === col("origin")).count() > 0)
     finals.unpersist(); frame.unpersist()
   }
+
+  // ---- A109 ----
+
+  /** The maintainer span machines as written (operator_add.go:48-127,
+    * operator_remove.go:37-103, operator_move.go:54-186). Returns
+    * (tick, cur, stopped, bind, fin, removed, can, msg, target, mark). */
+  private def seqSpan(opType: String, origin: Long, dest0: Long,
+                      evs: Seq[(Long, String, Long)])
+      : Seq[(Long, Long, Long, Long, Long, Long, Long, String, Long, String)] = {
+    def b(x: Boolean) = if (x) 1L else 0L
+    var stopped = false; var bind = false; var fin = false
+    var removed = false; var can = false; var cur = dest0
+    val out = collection.mutable.Buffer
+      .empty[(Long, Long, Long, Long, Long, Long, Long, String, Long, String)]
+    for ((tick, kind, node) <- evs.sortBy(_._1)) {
+      var msg = "none"; var target = -1L; var mark = ""
+      if (!fin && !can) opType match {
+        case "move" =>
+          kind match {
+            case "TASK_REMOVED" => can = true
+            case "NODE_REMOVE" if node == cur && stopped =>
+              can = true; mark = "absent"
+            case "NODE_REMOVE" if node == cur =>
+              cur = origin; bind = true; stopped = true
+            case "NODE_REMOVE" if node == origin => stopped = true
+            case "CHECK_STOPPED" if node == origin => stopped = true
+            case "CHECK_WORKING" if node == cur && stopped =>
+              fin = true; mark = "replicating"
+            case _ =>
+          }
+          if (!fin && !can) {
+            if (stopped) { bind = true; msg = "add"; target = cur }
+            else { msg = "remove"; target = origin }
+          }
+        case "add" =>
+          bind = true // Start bound the span to the dest
+          kind match {
+            case "CHECK_WORKING" if node == cur =>
+              fin = true; mark = "replicating"
+            case "CHECK_REMOVED" if node == cur =>
+              fin = true; removed = true; mark = "absent"
+            case "NODE_REMOVE" if node == cur =>
+              fin = true; removed = true; mark = "absent"
+            case "TASK_REMOVED" => fin = true; removed = true
+            case _ => msg = "add"; target = cur // CHECK_STOPPED ignored
+          }
+        case _ =>
+          kind match {
+            case "CHECK_NONWORKING" if node == cur => fin = true
+            case "NODE_REMOVE" if node == cur => fin = true
+            case _ => msg = "remove"; target = cur
+          }
+      }
+      if (tick == 0) mark = opType match {
+        case "add" => "bound"; case "move" => "scheduling"; case _ => "dropped" }
+      out += ((tick, cur, b(stopped), b(bind), b(fin), b(removed), b(can),
+        msg, target, mark))
+    }
+    out.toSeq
+  }
+
+  test("A109: Catalyst fold equals the transcribed span machines on every arm") {
+    def hb(t: Long) = (t, "HB", -1L)
+    // (id, opType, trace): adds/removes on node 2, moves 0 -> 1
+    val cases: Seq[(String, String, Seq[(Long, String, Long)])] = Seq(
+      ("add_clean", "add", Seq(hb(0), hb(1), (2L, "CHECK_WORKING", 2L), hb(3))),
+      ("add_removed_report", "add",
+        Seq(hb(0), hb(1), (2L, "CHECK_REMOVED", 2L), hb(3))),
+      ("add_stopped_ignored", "add",
+        Seq(hb(0), (1L, "CHECK_STOPPED", 2L), (2L, "CHECK_WORKING", 2L), hb(3))),
+      ("add_dest_crash", "add",
+        Seq(hb(0), (1L, "CHECK_WORKING", 3L), (2L, "NODE_REMOVE", 2L), hb(3))),
+      ("add_task_drop", "add",
+        Seq(hb(0), (1L, "TASK_REMOVED", -1L), (2L, "CHECK_WORKING", 2L), hb(3))),
+      ("add_stall", "add", Seq(hb(0), hb(1), hb(2), hb(3))),
+      ("rm_clean", "remove",
+        Seq(hb(0), hb(1), (2L, "CHECK_NONWORKING", 2L), hb(3))),
+      ("rm_wrong_node_ack", "remove",
+        Seq(hb(0), (1L, "CHECK_NONWORKING", 3L), (2L, "NODE_REMOVE", 2L), hb(3))),
+      ("rm_stall", "remove", Seq(hb(0), hb(1), hb(2), hb(3))),
+      ("mv_clean", "move", Seq(hb(0), (1L, "CHECK_STOPPED", 0L), hb(2),
+        (3L, "CHECK_WORKING", 1L), hb(4), hb(5))),
+      ("mv_early_working", "move", Seq(hb(0), (1L, "CHECK_WORKING", 1L),
+        (2L, "CHECK_STOPPED", 0L), (3L, "CHECK_WORKING", 1L), hb(4), hb(5))),
+      ("mv_origin_crash", "move", Seq(hb(0), (1L, "NODE_REMOVE", 0L),
+        (2L, "CHECK_WORKING", 1L), hb(3), hb(4), hb(5))),
+      ("mv_swap", "move", Seq(hb(0), (1L, "NODE_REMOVE", 1L),
+        (2L, "CHECK_WORKING", 0L), hb(3), hb(4), hb(5))),
+      ("mv_dest_crash_absent", "move", Seq(hb(0), (1L, "CHECK_STOPPED", 0L),
+        (2L, "NODE_REMOVE", 1L), hb(3), (4L, "CHECK_WORKING", 1L), hb(5))),
+      ("mv_task_removed", "move", Seq(hb(0), (1L, "TASK_REMOVED", -1L),
+        (2L, "CHECK_STOPPED", 0L), hb(3), hb(4), hb(5))),
+      ("mv_stall", "move", Seq(hb(0), (1L, "CHECK_STOPPED", 0L), hb(2),
+        hb(3), hb(4), hb(5))))
+    val trace = cases.flatMap { case (id, op, evs) =>
+      val (origin, dest0) = if (op == "move") (0L, 1L) else (-1L, 2L)
+      evs.map { case (t, k, n) => (op, id, origin, dest0, t, k, n) }
+    }.toDF("op_type", "op_id", "origin", "dest0", "tick", "kind", "node")
+    val got = cdc.SpanLifecycle.spanFrame(trace)
+      .select("op_id", "tick", "cur", "origin_stopped", "bound", "finished",
+        "removed", "canceled", "msg", "msg_target", "db_mark")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, String, Long,
+        String)]
+      .collect().groupBy(_._1)
+      .map { case (id, rs) => id ->
+        rs.sortBy(_._2).map(r => (r._2, r._3, r._4, r._5, r._6, r._7, r._8,
+          r._9, r._10, r._11)).toSeq }
+    cases.foreach { case (id, op, evs) =>
+      val (origin, dest0) = if (op == "move") (0L, 1L) else (-1L, 2L)
+      assert(got(id) == seqSpan(op, origin, dest0, evs),
+        s"$id: ${got(id)} != ${seqSpan(op, origin, dest0, evs)}")
+    }
+  }
+
+  test("A109: production frame — both controllers' postconditions hold") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val frame = cdc.SpanLifecycle.spanOperators(cl).cache()
+    // population: adds = A79 assignments, removes = dropped tables'
+    // spans, moves = A80 default-group moves
+    val nAdds = cdc.Scheduler.basicSchedule(cl).count()
+    assert(frame.filter(col("op_type") === "add")
+      .select("op_id").distinct().count() == nAdds)
+    assert(frame.filter(col("op_type") === "remove").count() > 0)
+    assert(frame.filter(col("op_type") === "move").count() > 0)
+    // Start marks: add binds, move schedules, remove's span was
+    // already dropped from the db by TryRemoveByTableIDs
+    Seq(("add", "bound"), ("move", "scheduling"), ("remove", "dropped"))
+      .foreach { case (op, mark) =>
+        assert(frame.filter(col("op_type") === op && col("tick") === 0L &&
+          col("db_mark") =!= mark).count() == 0, s"$op start mark")
+      }
+    // a REMOVED add (dest crash / removed report) marks the span
+    // absent for rescheduling; a task-dropped add leaves no mark
+    assert(frame.filter(col("op_type") === "add" &&
+      col("db_mark") === "absent" && col("removed") =!= 1L).count() == 0)
+    assert(frame.filter(col("op_type") === "add" &&
+      col("kind") === "TASK_REMOVED" && col("db_mark") =!= "").count() == 0)
+    // remove machines never cancel and never mark the db after start
+    assert(frame.filter(col("op_type") === "remove" &&
+      (col("canceled") === 1L || col("removed") === 1L)).count() == 0)
+    assert(frame.filter(col("op_type") === "remove" && col("tick") > 0L &&
+      col("db_mark") =!= "").count() == 0)
+    // finished is absorbing: no messages after finish
+    assert(frame.filter(col("finished") === 1L && col("msg") =!= "none")
+      .count() == 0)
+    frame.unpersist()
+  }
 }
