@@ -58,10 +58,12 @@ import graft.functions.Portable
   * splitter.go:32-39; consumed via maintainer_controller.go:135,174).
   *
   * Deterministic fleet replay over the A69/A77 region convention:
-  * spans are (table, pk-hash-region) cells; the current assignment
-  * skews onto the last node (`min(spanBucket, nNodes-1)`) so victims
-  * and targets both appear; the last region of every table is the
-  * newly-split ABSENT arm for A79. Hot-span ticks are syncStep-wide
+  * spans are (table, pk-hash-region) cells; the ABSENT set and the
+  * replicating placement come from the A110 replication-db machine's
+  * finals (the reference wiring — the schedulers read the db, not a
+  * fabricated census). Bind targets keep the skewed
+  * `min(spanBucket, nNodes-1)` assignment so victims and targets
+  * both appear. Hot-span ticks are syncStep-wide
   * commit_ts buckets with the event count as the write-rate proxy,
   * densified over the full grid (heartbeats arrive every tick).
   *
@@ -78,16 +80,16 @@ object Scheduler {
   /** Region sub-spans per table, the A69/A77 convention. */
   val NRegions = 8
 
-  private def nodeFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  private[cdc] def nodeFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     (0L until NNodes.toLong).toDF("node")
   }
 
-  private val nodesValuesSql: String =
+  private[cdc] val nodesValuesSql: String =
     (0 until NNodes).map(n => s"(CAST($n AS BIGINT))").mkString(", ")
 
   /** (grp, region_id, span, n_rows) — one row per table×region cell. */
-  private def spanFrame(cl: DataFrame, nRegions: Int): DataFrame =
+  private[cdc] def spanFrame(cl: DataFrame, nRegions: Int): DataFrame =
     cl.withColumn("region_id",
         Portable.bucket(col("pk").cast("string"), nRegions))
       .groupBy(
@@ -97,7 +99,7 @@ object Scheduler {
       .withColumn("span",
         concat(col("grp"), lit("#r"), col("region_id").cast("string")))
 
-  private def spanFrameSql(nRegions: Int): String =
+  private[cdc] def spanFrameSql(nRegions: Int): String =
     s"""SELECT schema_name || '.' || table_name AS grp, region_id,
        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
        |    schema_name || '.' || table_name || '#r' || CAST(region_id AS VARCHAR) AS span
@@ -108,25 +110,30 @@ object Scheduler {
 
   /** Skewed current assignment: buckets ≥ nNodes-1 pile onto the last
     * node, so both surplus and deficit nodes exist. */
-  private def assignNode(span: Column): Column =
+  private[cdc] def assignNode(span: Column): Column =
     least(Portable.bucket(span, 2 * NNodes), lit(NNodes - 1L))
 
-  private def assignNodeSql(spanExpr: String): String =
+  private[cdc] def assignNodeSql(spanExpr: String): String =
     s"LEAST(${Portable.bucketSql(spanExpr, 2 * NNodes)}, ${NNodes - 1})"
 
-  /** The current span placement (grp, span, node) — the replicating
-    * fleet under the skewed assignment. Shared with the A109
+  /** The current replicating placement (grp, span, node) — the A110
+    * replication-db machine's final replicating surface (TryRemove*
+    * only builds remove operators for spans that HAVE a dispatcher;
+    * absent spans are deleted without one). Shared with the A109
     * maintainer span-operator plane, whose remove machines run over
     * the spans of dropped tables. */
   private[cdc] def spanPlacement(cl: DataFrame,
                                  nRegions: Int = NRegions): DataFrame =
-    spanFrame(cl, nRegions)
-      .withColumn("node", assignNode(col("span")))
+    ReplicationDb.finalStates(cl, nRegions)
+      .filter(col("state") === "replicating")
       .select(col("grp"), col("span"), col("node"))
 
   private[cdc] def spanPlacementSql(nRegions: Int = NRegions): String =
-    s"""SELECT grp, span, ${assignNodeSql("span")} AS node
-       |FROM (${spanFrameSql(nRegions)})""".stripMargin
+    s"""WITH spans AS (${spanFrameSql(nRegions)}),
+       |${ReplicationDb.spanStatesCteSql},
+       |${ReplicationDb.finalsCteSql}
+       |SELECT grp, span, node FROM finals
+       |WHERE state = 'replicating'""".stripMargin
 
   // ------------------------------------------------------------------
   // A79 — basic scheduler: absent spans onto the min-loaded node
@@ -158,17 +165,18 @@ object Scheduler {
         col("height").as("node_load_after"))
   }
 
-  /** A79 production query: the last region of every table is newly
-    * split and absent; the rest replicate on the skewed assignment. */
+  /** A79 production query over the A110 replication-db finals — the
+    * reference wiring: BasicSchedule pulls the db's ABSENT set
+    * (crashed-off and still-undiscovered spans) and the node loads
+    * are the db's replicating task counts (basic.go:106-139 reading
+    * GetAbsentByGroup / GetTaskSizePerNode). */
   def basicSchedule(cl: DataFrame, batch: Int = 1000,
                     nRegions: Int = NRegions): DataFrame = {
-    val spans = spanFrame(cl, nRegions)
-    val absent = spans.filter(col("region_id") === (nRegions - 1L))
-      .select(col("span"))
-    val repl = spans.filter(col("region_id") < (nRegions - 1L))
-      .withColumn("node", assignNode(col("span")))
+    val fin = ReplicationDb.finalStates(cl, nRegions)
+    val absent = fin.filter(col("state") === "absent").select(col("span"))
     val loads = nodeFrame(cl.sparkSession)
-      .join(repl.groupBy("node").agg(count(lit(1)).as("cnt")),
+      .join(fin.filter(col("state") === "replicating")
+          .groupBy("node").agg(count(lit(1)).as("cnt")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("cnt"), lit(0L)).as("load"))
     basicFrame(loads, absent, batch)
@@ -176,16 +184,15 @@ object Scheduler {
 
   def basicScheduleSql(batch: Int = 1000, nRegions: Int = NRegions): String =
     s"""WITH spans AS (${spanFrameSql(nRegions)}),
+       |${ReplicationDb.spanStatesCteSql},
+       |${ReplicationDb.finalsCteSql},
        |nodes(node) AS (VALUES $nodesValuesSql),
-       |absent AS (SELECT span FROM spans WHERE region_id = ${nRegions - 1}),
-       |repl AS (
-       |  SELECT span, ${assignNodeSql("span")} AS node
-       |  FROM spans WHERE region_id < ${nRegions - 1}
-       |),
+       |absent AS (SELECT span FROM finals WHERE state = 'absent'),
        |loads AS (
        |  SELECT n.node, COALESCE(c.cnt, 0) AS load
        |  FROM nodes n LEFT JOIN
-       |    (SELECT node, CAST(COUNT(*) AS BIGINT) AS cnt FROM repl GROUP BY node) c
+       |    (SELECT node, CAST(COUNT(*) AS BIGINT) AS cnt FROM finals
+       |     WHERE state = 'replicating' GROUP BY node) c
        |    ON n.node = c.node
        |),
        |acnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_abs FROM absent),
@@ -290,8 +297,8 @@ object Scheduler {
     * fast-path) plus one row per move for groups with a deficit. */
   def groupBalance(cl: DataFrame, batch: Int = 1000,
                    nRegions: Int = NRegions): DataFrame = {
-    val tasks = spanFrame(cl, nRegions)
-      .withColumn("node", assignNode(col("span")))
+    val tasks = ReplicationDb.finalStates(cl, nRegions)
+      .filter(col("state") === "replicating")
       .select("grp", "node", "span")
     val nodes = nodeFrame(cl.sparkSession)
     val moves = balanceFrame(tasks, nodes, batch)
@@ -307,10 +314,12 @@ object Scheduler {
   private def balanceCteSql(batch: Int, nRegions: Int,
                             grpExpr: String): String =
     s"""WITH spans AS (${spanFrameSql(nRegions)}),
+       |${ReplicationDb.spanStatesCteSql},
+       |${ReplicationDb.finalsCteSql},
        |nodes(node) AS (VALUES $nodesValuesSql),
        |tasks AS (
-       |  SELECT $grpExpr AS grp, ${assignNodeSql("span")} AS node, span
-       |  FROM spans
+       |  SELECT $grpExpr AS grp, node, span
+       |  FROM finals WHERE state = 'replicating'
        |),
        |loads AS (
        |  SELECT g.grp, n.node, COALESCE(c.cnt, 0) AS cnt
@@ -396,8 +405,8 @@ object Scheduler {
     * A76/A78. */
   def defaultGroupMoves(cl: DataFrame, batch: Int = 1000,
                         nRegions: Int = NRegions): DataFrame = {
-    val tasks = spanFrame(cl, nRegions)
-      .withColumn("node", assignNode(col("span")))
+    val tasks = ReplicationDb.finalStates(cl, nRegions)
+      .filter(col("state") === "replicating")
       .select(substring_index(col("grp"), ".", 1).as("grp"),
         col("node"), col("span"))
     balanceFrame(tasks, nodeFrame(cl.sparkSession), batch)

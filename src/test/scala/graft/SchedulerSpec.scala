@@ -967,4 +967,116 @@ class SchedulerSpec extends AnyFunSuite {
       .count() == 0)
     frame.unpersist()
   }
+
+  // ---- A110 ----
+
+  test("A110: scripted trace equals the transcribed replication group on every arm") {
+    import spark.implicits._
+    // synthetic spans probed onto every arm (the arm is a span-name
+    // hash; pick one name per arm by search), two groups so the
+    // group-census windows and the empty-group drop are both visible
+    def armOfName(s: String): Long =
+      math.max(graft.functions.Portable.hash60Long("rdb:" + s) % 8L - 3L, 0L)
+    val byArm = (0 to 4).map { a =>
+      (0 to 200).map(i => s"g${a}srch$i").find(armOfName(_) == a).get
+    }
+    // group gB holds ONLY a dropped-arm span -> its group must go dead
+    val gbSpan = (0 to 400).map(i => s"lone$i").find(armOfName(_) == 4L).get
+    val spans = (byArm.map(("gA", _)) :+ (("gB", gbSpan)))
+      .toDF("grp", "span")
+    val got = cdc.ReplicationDb.spanStatesFrom(spans).collect().map(r =>
+      (r.getAs[String]("grp"), r.getAs[String]("span"),
+        r.getAs[Long]("tick")) ->
+        (r.getAs[String]("action"), r.getAs[String]("state"),
+          r.getAs[Long]("node"), r.getAs[Long]("g_absent"),
+          r.getAs[Long]("g_scheduling"), r.getAs[Long]("g_replicating"),
+          r.getAs[Long]("group_live"))).toMap
+    assert(got.size == 6 * (cdc.ReplicationDb.MaxTick + 1).toInt)
+    // transcription of pkg/scheduler/replica/replication_group.go
+    // :74-188 — three state maps + the node binding, per group
+    class Group {
+      val absent = collection.mutable.Set[String]()
+      val scheduling = collection.mutable.Set[String]()
+      val replicating = collection.mutable.Set[String]()
+      val nodeOf = collection.mutable.Map[String, Long]()
+      def addAbsent(s: String): Unit = absent += s
+      def bind(s: String, n: Long): Unit = { // BindReplicaToNode:130-146
+        nodeOf(s) = n; absent -= s; replicating -= s; scheduling += s
+      }
+      def markReplicating(s: String): Unit = { // :118-127
+        absent -= s; scheduling -= s; replicating += s
+      }
+      def markAbsent(s: String): Unit = { // :74-89 — node binding cleared
+        scheduling -= s; replicating -= s; absent += s; nodeOf -= s
+      }
+      def remove(s: String): Unit = { // :174-188
+        absent -= s; scheduling -= s; replicating -= s; nodeOf -= s
+      }
+      def stateOf(s: String): String =
+        if (absent(s)) "absent" else if (scheduling(s)) "scheduling"
+        else if (replicating(s)) "replicating" else "removed"
+      def live: Boolean = absent.nonEmpty || scheduling.nonEmpty ||
+        replicating.nonEmpty
+    }
+    val groups = collection.mutable.Map[String, Group]()
+    val members = Seq(("gA", byArm), ("gB", Seq(gbSpan)))
+    for (tick <- 0L to cdc.ReplicationDb.MaxTick) {
+      // apply this tick's actions (from the frame itself — the script
+      // is WHAT we replay; the transcription checks the EFFECTS)
+      for ((g, ss) <- members; s <- ss) {
+        val grp = groups.getOrElseUpdate(g, new Group)
+        val (action, _, node, _, _, _, _) = got((g, s, tick))
+        action match {
+          case "add_absent" => grp.addAbsent(s)
+          case "bind" => grp.bind(s, node)
+          case "mark_replicating" => grp.markReplicating(s)
+          case "mark_absent" => grp.markAbsent(s)
+          case "remove" => grp.remove(s)
+          case "none" =>
+        }
+      }
+      // every span's post-tick state, node and group census must match
+      for ((g, ss) <- members; s <- ss) {
+        val grp = groups(g)
+        val (_, state, node, ga, gs, gr, live) = got((g, s, tick))
+        assert(state == grp.stateOf(s), s"$g/$s t$tick state")
+        assert(node == grp.nodeOf.getOrElse(s, -1L), s"$g/$s t$tick node")
+        assert(ga == grp.absent.size && gs == grp.scheduling.size &&
+          gr == grp.replicating.size, s"$g t$tick census")
+        assert(live == (if (grp.live) 1L else 0L), s"$g t$tick live")
+      }
+    }
+    // the dropped arm really drops its group: gB dies at the remove
+    // tick (maybeRemoveGroup), while gA stays live throughout
+    assert(got(("gB", gbSpan, cdc.ReplicationDb.MaxTick))._7 == 0L)
+    assert(got(("gA", byArm.head, cdc.ReplicationDb.MaxTick))._7 == 1L)
+    // a crashed span's binding is CLEARED (MarkReplicaAbsent), a moved
+    // span ends on its second node
+    val crashed = byArm(1); val moved = byArm(2)
+    assert(got(("gA", crashed, 4L))._3 == -1L)
+    assert(got(("gA", moved, 4L))._3 ==
+      (got(("gA", moved, 2L))._3 + 1L) % cdc.Scheduler.NNodes)
+  }
+
+  test("A110: the schedulers consume the machine's finals") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val fin = cdc.ReplicationDb.finalStates(cl).cache()
+    // A79's absent set IS the machine's absent surface
+    val absent = fin.filter(col("state") === "absent")
+      .select("span").as[String].collect().toSet
+    val scheduled = cdc.Scheduler.basicSchedule(cl)
+      .select("span").as[String].collect().toSet
+    assert(scheduled == absent)
+    // A80's task census IS the machine's replicating surface
+    val repl = fin.filter(col("state") === "replicating").count()
+    val balTotal = cdc.Scheduler.groupBalance(cl)
+      .select("grp", "grp_total").distinct()
+      .agg(sum("grp_total")).as[Long].head()
+    assert(balTotal == repl)
+    // removed spans appear on NO scheduler surface
+    val removed = fin.filter(col("state") === "removed")
+      .select("span").as[String].collect().toSet
+    assert(removed.nonEmpty && scheduled.intersect(removed).isEmpty)
+    fin.unpersist()
+  }
 }
