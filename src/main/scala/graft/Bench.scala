@@ -115,11 +115,16 @@ object Bench {
     }
     // sub-second ops showed 6x load-noise swings in two consecutive
     // driver rounds; give them a third (still interleaved) pass so the
-    // reported min lands inside the quiet-box envelope
+    // reported min lands inside the quiet-box envelope. The threshold
+    // is 1.5 s, NOT 1.0: a ~0.65 s query inflated to ~1.1 s by load
+    // noise in both passes would otherwise miss the extra pass and
+    // freeze the inflated min (the r8 sink_kafka_messages 0.65->1.09
+    // "regression" — its plan was unchanged and the quiet-box ladder
+    // still showed 0.66 s)
     if (repeat < 3) {
       val subs = qlist.filter { case (name, _) =>
         val ok = samples(name).filter(_ >= 0)
-        ok.nonEmpty && ok.min < 1.0
+        ok.nonEmpty && ok.min < 1.5
       }
       for ((name, fn) <- subs) samples(name) = samples(name) :+ once(name, fn)
     }
