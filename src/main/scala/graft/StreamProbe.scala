@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Dev probe for the streaming state layout (the r8 verdict item 9):
+  * replays one streaming op over the SF's events file and dumps the
+  * per-micro-batch duration breakdown + state-operator metrics, so a
+  * rows/s number can be ATTRIBUTED (join build vs state commit vs
+  * planning) instead of guessed.
+  *
+  * Usage: tools/run.sh graft.StreamProbe <sfDir> [op] [chunks]
+  *   op     = range_join (default) | txn_match
+  *   chunks = split the events file into N parquet chunk files first,
+  *            so AvailableNow runs N micro-batches instead of 1
+  *            (maxFilesPerTrigger=1) — shows whether per-batch state
+  *            eviction pays for the extra batch overhead. */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val op = if (args.length > 1) args(1) else "range_join"
+    val chunks = if (args.length > 2) args(2).toInt else 1
+    val spark = graft.util.GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
+
+    val srcPath =
+      if (chunks <= 1) s"$sfDir/events.parquet*"
+      else {
+        val dir = s"/tmp/streamprobe_chunks"
+        val n = spark.read.parquet(s"$sfDir/events.parquet").count()
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .repartitionByRange(chunks, col("event_id"))
+          .write.mode("overwrite").parquet(dir)
+        println(s"[probe] $n rows -> $chunks chunk files")
+        s"$dir/part-*"
+      }
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcPath)
+    val df = op match {
+      case "txn_match" =>
+        import spark.implicits._
+        streaming.CdcStream.txnMatch(
+          cdc.TxnMatcher.rawStream(cdc.ChangeEvents.fromEvents(in))
+            .as[streaming.CdcStream.RawKv]).toDF()
+      case _ => streaming.DataOps.streamRangeJoin(in)
+    }
+    val t0 = System.nanoTime()
+    val q = df.writeStream.format("noop").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress
+    val rows = progress.map(_.numInputRows).sum
+    println(f"[probe] $op: $rows rows in $wall%.2f s = ${rows / wall}%.0f rows/s, ${progress.length} progress entries")
+    progress.filter(_.numInputRows > 0).foreach { p =>
+      val d = p.durationMs
+      println(f"[probe] batch ${p.batchId}%3d rows=${p.numInputRows}%8d " +
+        f"addBatch=${d.getOrDefault("addBatch", -1L)}%6d ms " +
+        f"commit=${d.getOrDefault("commitBatch", -1L)}%5d ms " +
+        f"getBatch=${d.getOrDefault("getBatch", -1L)}%5d ms " +
+        f"plan=${d.getOrDefault("queryPlanning", -1L)}%5d ms " +
+        f"trigger=${d.getOrDefault("triggerExecution", -1L)}%6d ms")
+      p.stateOperators.foreach { s =>
+        println(f"[probe]   state: op=${s.operatorName} rowsTotal=${s.numRowsTotal}%8d " +
+          f"updated=${s.numRowsUpdated}%8d removed=${s.numRowsRemoved}%8d " +
+          f"commitMs=${s.commitTimeMs}%6d memUsed=${s.memoryUsedBytes / 1024 / 1024} MB")
+      }
+    }
+    q.stop()
+    spark.stop()
+  }
+}

@@ -608,4 +608,118 @@ object Sinks {
        |  MIN(commit_ts) AS first_ts, MAX(commit_ts) AS last_ts
        |FROM fold
        |GROUP BY 1, 2, 3, 4""".stripMargin
+
+  // ------------------------------------------------------------------
+  // A111 — encoder-group ordered merge
+  // ------------------------------------------------------------------
+
+  /** Encoders per changefeed group — model-scale stand-in for the
+    * configured encoder concurrency. */
+  val EncoderConcurrency = 8L
+  /** Deterministic encode-cost model (µs): per-row append work plus
+    * per-100-bytes serialization work — the constants are a model, the
+    * FRAME is the protocol (assignment, FIFO, ordered merge). */
+  val EncCostPerRowUs = 10L
+  val EncCostPer100BytesUs = 1L
+
+  /** A111 — the encoder group's ordered merge (reference:
+    * pkg/sink/codec/encoder_group.go:171-199 `AddEvents` + :145-169
+    * `runEncoder` + :216-240 `future`): each event batch becomes a
+    * FUTURE pushed round-robin onto one of N encoder input channels
+    * (`atomic.AddUint64(&index, 1) % concurrency` — the FIRST future
+    * lands on encoder 1, not 0) AND, in the same arrival order, onto
+    * the single output channel; encoders drain their channels FIFO;
+    * the consumer awaits each future's `Ready` in output order — so
+    * OUTPUT ORDER IS ARRIVAL ORDER no matter which encoder finishes
+    * first, and a slow future head-of-line blocks every later one.
+    * This frame makes the reorder invariant and the HOL-blocking cost
+    * observable: per future its encoder assignment, channel position,
+    * deterministic encode cost, ready time (its encoder's cumulative
+    * cost), consume time (the running max of ready times over arrival
+    * order — the ordered-merge wait), and the HOL wait it absorbed.
+    *
+    * Arrival order: the A49 batch frame's futures per CHANGEFEED
+    * (= schema, the A76/A78 convention — the group, its round-robin
+    * counter and its output channel are all per-changefeed state),
+    * ordered by (first_ts, table, partition, batch_id) — the
+    * dispatcher hands batches to AddEvents in event-time order, ties
+    * resolved by the sink key for determinism.
+    *
+    * Scale shape: per-changefeed rank/cumsum/running-max windows over
+    * the A49 batch frame (corpus/maxBatch rows) — the A2 sequential-
+    * protocol class: parallel across changefeeds, sequential within,
+    * exactly the reference's concurrency layout. */
+  def encoderGroup(cl: DataFrame, n: Int = 16, maxBatch: Int = 16,
+                   concurrency: Long = EncoderConcurrency): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arrival = Window.partitionBy(col("schema_name"))
+      .orderBy(col("first_ts"), col("table_name"), col("partition"),
+        col("batch_id"))
+    val perEnc = Window.partitionBy(col("schema_name"), col("enc_idx"))
+      .orderBy(col("batch_seq"))
+    val prefix = Window.partitionBy(col("schema_name"))
+      .orderBy(col("batch_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batchFrame(cl, n, maxBatch)
+      .withColumn("batch_seq", row_number().over(arrival).cast("long"))
+      .withColumn("enc_idx", pmod(col("batch_seq"), lit(concurrency)))
+      .withColumn("enc_seq", row_number().over(perEnc).cast("long"))
+      .withColumn("cost_us",
+        col("n_rows") * EncCostPerRowUs +
+          expr(s"batch_bytes div 100") * EncCostPer100BytesUs)
+      .withColumn("ready_us", sum(col("cost_us")).over(
+        perEnc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("consume_us", max(col("ready_us")).over(prefix))
+      .withColumn("hol_wait_us", col("consume_us") - col("ready_us"))
+      .withColumn("out_pos", row_number().over(
+        Window.partitionBy(col("schema_name"))
+          .orderBy(col("consume_us"), col("batch_seq"))).cast("long"))
+      .withColumn("order_preserved",
+        when(col("out_pos") === col("batch_seq"), 1L).otherwise(0L))
+      .select(col("schema_name"), col("table_name"), col("partition"),
+        col("batch_id"), col("batch_seq"), col("enc_idx"), col("enc_seq"),
+        col("n_rows"), col("batch_bytes"), col("cost_us"), col("ready_us"),
+        col("consume_us"), col("hol_wait_us"), col("order_preserved"))
+  }
+
+  def encoderGroupSql(n: Int = 16, maxBatch: Int = 16,
+                      concurrency: Long = EncoderConcurrency): String =
+    s"""WITH batches AS (
+       |${batchFrameSql(n, maxBatch).linesIterator.map("  " + _).mkString("\n")}
+       |), seqd AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY schema_name
+       |      ORDER BY first_ts, table_name, partition, batch_id) AS BIGINT)
+       |      AS batch_seq
+       |  FROM batches
+       |), enc AS (
+       |  SELECT *, batch_seq % $concurrency AS enc_idx,
+       |    CAST(n_rows * $EncCostPerRowUs +
+       |      (batch_bytes // 100) * $EncCostPer100BytesUs AS BIGINT)
+       |      AS cost_us
+       |  FROM seqd
+       |), timed AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY schema_name, enc_idx
+       |      ORDER BY batch_seq) AS BIGINT) AS enc_seq,
+       |    CAST(SUM(cost_us) OVER (PARTITION BY schema_name, enc_idx
+       |      ORDER BY batch_seq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS ready_us
+       |  FROM enc
+       |), merged AS (
+       |  SELECT *,
+       |    CAST(MAX(ready_us) OVER (PARTITION BY schema_name
+       |      ORDER BY batch_seq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS consume_us
+       |  FROM timed
+       |)
+       |SELECT schema_name, table_name, partition, batch_id, batch_seq,
+       |  enc_idx, enc_seq, n_rows, batch_bytes, cost_us, ready_us,
+       |  consume_us, CAST(consume_us - ready_us AS BIGINT) AS hol_wait_us,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY schema_name
+       |      ORDER BY consume_us, batch_seq) = batch_seq
+       |    THEN 1 ELSE 0 END AS BIGINT) AS order_preserved
+       |FROM merged""".stripMargin
 }

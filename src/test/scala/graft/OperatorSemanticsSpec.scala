@@ -1455,6 +1455,54 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("A111: ordered merge equals the sequential channel/future replay") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val conc = cdc.Sinks.EncoderConcurrency
+    val got = cdc.Sinks.encoderGroup(cl, 16, maxBatch = 4).collect()
+      .groupBy(_.getAs[String]("schema_name"))
+    assert(got.nonEmpty)
+    for ((_, rows) <- got) {
+      val byArrival = rows.sortBy(_.getAs[Long]("batch_seq"))
+      // the Go machinery replayed sequentially: a FIFO queue per
+      // encoder (runEncoder), the atomic round-robin counter
+      // (AddEvents: add-then-mod, first future -> encoder 1), the
+      // output channel in arrival order, Ready awaited per future
+      var counter = 0L
+      val encClock = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      val encSeq = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      var outClock = 0L
+      for (r <- byArrival) {
+        counter += 1
+        val idx = counter % conc
+        assert(r.getAs[Long]("batch_seq") == counter)
+        assert(r.getAs[Long]("enc_idx") == idx, s"round-robin at $counter")
+        encSeq(idx) += 1
+        assert(r.getAs[Long]("enc_seq") == encSeq(idx), "channel FIFO order")
+        val cost = r.getAs[Long]("n_rows") * cdc.Sinks.EncCostPerRowUs +
+          r.getAs[Long]("batch_bytes") / 100 * cdc.Sinks.EncCostPer100BytesUs
+        assert(r.getAs[Long]("cost_us") == cost)
+        encClock(idx) += cost
+        assert(r.getAs[Long]("ready_us") == encClock(idx), "encoder clock")
+        // the consumer awaits THIS future after all earlier ones
+        outClock = math.max(outClock, encClock(idx))
+        assert(r.getAs[Long]("consume_us") == outClock, "ordered merge")
+        assert(r.getAs[Long]("hol_wait_us") == outClock - encClock(idx))
+      }
+      // the reorder invariant is the point: output order == arrival
+      // order for every future, even when a later-arriving future on a
+      // lightly-loaded encoder was ready earlier
+      assert(rows.forall(_.getAs[Long]("order_preserved") == 1L))
+      val overtaken = byArrival.sliding(2).exists { case Array(a, b) =>
+        b.getAs[Long]("ready_us") < a.getAs[Long]("ready_us")
+      }
+      assert(overtaken, "fixture never exercised an out-of-order ready")
+      // round-robin balance: encoder loads differ by at most one future
+      val loads = byArrival.groupBy(_.getAs[Long]("enc_idx"))
+        .view.mapValues(_.length.toLong).values
+      assert(loads.max - loads.min <= 1L)
+    }
+  }
+
   test("byte-capped batches are greedy-maximal and respect both caps") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val f = cdc.Sinks.batchFrameBytes(cl, 16, maxBatch = 6, maxBytes = 300L)

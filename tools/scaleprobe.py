@@ -43,21 +43,23 @@ def strides():
     return s
 
 def sf1x(out, replicas=10):
+    """Key-shifted join-consistent fact replicas. Writes incrementally
+    (one replica per writer call) so a 100x run stays memory-flat."""
     os.makedirs(out, exist_ok=True)
     for t in COPY_ONLY:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
     stride = strides()
     for tbl, cols in SHIFTS.items():
         t = pq.read_table(f"{SRC}/{tbl}.parquet")
-        parts = []
+        writer = pq.ParquetWriter(f"{out}/{tbl}.parquet", t.schema)
         for i in range(replicas):
             r = t
             for col, label in cols.items():
                 idx = r.schema.get_field_index(col)
                 shifted = pc.add(r[col], i * stride[label])
                 r = r.set_column(idx, r.schema.field(col), shifted.cast(r.schema.field(col).type))
-            parts.append(r)
-        pq.write_table(pa.concat_tables(parts), f"{out}/{tbl}.parquet", row_group_size=50000)
+            writer.write_table(r, row_group_size=100000)
+        writer.close()
         print(f"[sf1x] {tbl}: {t.num_rows} -> {t.num_rows * replicas} rows")
 
 def skew(out, hot_frac=0.2):
@@ -170,5 +172,6 @@ def approx(sf_dir):
 
 if __name__ == "__main__":
     mode, out = sys.argv[1], sys.argv[2]
-    {"sf1x": sf1x, "skew": skew, "emb": emb, "docs": docs,
+    {"sf1x": sf1x, "sf10": lambda o: sf1x(o, replicas=100),
+     "skew": skew, "emb": emb, "docs": docs,
      "docskew": docskew, "approx": approx}[mode](out)
