@@ -64,24 +64,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("B25: INTERSECT ALL / EXCEPT ALL multiplicities follow the SQL bag rules") {
+  test("B25: the single-shuffle identity plan equals Spark's literal set ops") {
     import org.apache.spark.sql.functions._
+    // the query computes INTERSECT ALL / EXCEPT ALL via the bag
+    // identities (min / positive difference of multiplicities); the
+    // semantic anchor is Spark's own intersectAll/exceptAll operators
+    // producing the identical (key, multiplicity, op) bag
     val o = graft.util.Tables.orders(spark, dir)
-    val counts = o.filter(year(col("o_orderdate")).isin(1996, 1997))
-      .groupBy(col("o_custkey"))
-      .agg(sum(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("na"),
-        sum(when(year(col("o_orderdate")) === 1997, 1L).otherwise(0L)).as("nb"))
+    def keys(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    val a = keys(1996); val b = keys(1997)
+    def literal(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+        .withColumn("op", lit(op))
+    val want = literal(a.intersectAll(b), "intersect_all")
+      .unionByName(literal(a.exceptAll(b), "except_all"))
+      .unionByName(literal(b.exceptAll(a), "except_all_rev"))
     val got = queries.Analytics.qSetOps(spark, dir).cache()
-    val j = got.join(counts, "o_custkey")
-    assert(j.filter(col("op") === "intersect_all" &&
-      col("multiplicity") =!= least(col("na"), col("nb"))).count() == 0)
-    assert(j.filter(col("op") === "except_all" &&
-      col("multiplicity") =!= greatest(col("na") - col("nb"), lit(0L))).count() == 0)
-    assert(j.filter(col("op") === "except_all_rev" &&
-      col("multiplicity") =!= greatest(col("nb") - col("na"), lit(0L))).count() == 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     // rows only appear where the rule yields a positive multiplicity
     assert(got.filter(col("multiplicity") <= 0).count() == 0)
     assert(got.select("op").distinct().count() == 3)
+    got.unpersist()
   }
 
   test("B24: grid median equals Spark's exact percentile; mode equals the naive argmax") {
