@@ -884,37 +884,27 @@ object Analytics {
   /** B23 — correlated aggregate subquery (the TPC-H q17 class): line
     * items whose quantity is below 20% of their OWN part's average,
     * and the revenue lost to those small lots per brand. The
-    * correlation decorrelates to a per-part aggregate — and because
-    * the membership predicate depends on the ROW only through
-    * (partkey, qty), the fact table collapses to (partkey, qty) CELLS
-    * carrying (row count, revenue sum) in ONE scan + ONE shuffle;
-    * the per-part stats, the threshold filter and the brand rollup
-    * all run on the compact cell frame (≤ parts × distinct-qty rows).
-    * The r8 plan joined the full lineitem back against its own
-    * aggregate — a second corpus-scale scan AND shuffle that the cell
-    * collapse makes unnecessary (5.4×/10× growth at the sf1x tier,
-    * the round's worst analytics grower). The 0.2·avg comparison
-    * clears to exact integers (qty·5·cnt < sum_qty): quantities are
-    * integral, so no engine-variant float division decides
-    * membership. */
+    * correlation decorrelates to a per-part aggregate joined back on
+    * the same key — the join reuses the aggregation's partitioning,
+    * so the plan is one lineitem shuffle + a broadcast of the part
+    * dimension, not a per-row subquery. The 0.2·avg comparison clears
+    * to exact integers (qty·5·cnt < sum_qty): quantities are integral,
+    * so no engine-variant float division decides membership. */
   def qCorrAggSubquery(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.lineitem(spark, dir)
+    val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
-        graft.util.Money.cents(col("l_extendedprice")).as("price_cents"))
-      .groupBy(col("l_partkey"), col("qty"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("price_cents")).as("cents"))
-      .localCheckpoint()
-    val stats = cells.groupBy(col("l_partkey"))
-      .agg(sum(col("qty") * col("n_rows")).as("sum_qty"),
-        sum(col("n_rows")).as("cnt"))
-    cells.join(stats, "l_partkey")
+        col("l_extendedprice"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(stats, "l_partkey")
       .filter(col("qty") * 5L * col("cnt") < col("sum_qty"))
       .join(broadcast(Tables.part(spark, dir)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(sum(col("n_rows")).as("n_small_lots"),
-        sum(col("cents")).as("lost_revenue_cents"))
+      .agg(count(lit(1)).as("n_small_lots"),
+        sum(graft.util.Money.cents(col("l_extendedprice")))
+          .as("lost_revenue_cents"))
   }
 
   val qCorrAggSubquerySql: String =
