@@ -190,6 +190,155 @@ object Dedup {
        |FROM j WHERE ROUND(inter / (la + lb - inter), 4) >= $tau""".stripMargin
   }
 
+  // ---------------------------------------------------------------- C79
+
+  /** 1 in IncrementalBatchMod docs belong to TONIGHT'S BATCH; the rest
+    * are the all-time indexed corpus. */
+  val IncrementalBatchMod = 4L
+
+  private[ops] def isIncrementalBatch(docId: Column): Column =
+    pmod(Portable.hash60(concat(lit("inc:"), docId.cast("string"))),
+      lit(IncrementalBatchMod)) === 0L
+
+  private[ops] def isIncrementalBatchSql(docIdExpr: String): String =
+    s"(${Portable.hash60Sql(s"'inc:' || CAST($docIdExpr AS VARCHAR)")}" +
+      s" % $IncrementalBatchMod) = 0"
+
+  /** C79 — INCREMENTAL dedup: tonight's crawl batch probed against the
+    * all-time corpus INDEX — the production dedup shape (a pipeline
+    * never re-deduplicates 100 TB against itself; it dedups the new
+    * 0.1% against a published band index). The corpus side is the C2
+    * LSH index (per-doc band keys — in production precomputed once and
+    * appended nightly); batch docs compute the SAME signatures and
+    * probe by (band_id, band_key); candidates verify exact Jaccard
+    * over the gram arrays. Per batch doc: its candidate count, the
+    * best match (highest Jaccard, smallest corpus doc on ties —
+    * deterministic), and the verdict — exact_dup (gram SETS equal:
+    * inter = union, integer-exact, not a rounded-1.0 artifact),
+    * near_dup (J ≥ τ), keep.
+    *
+    * Scale shape vs C2: the probe join is ASYMMETRIC — the batch side
+    * is batch-sized (1/[[IncrementalBatchMod]] here; 0.1% in
+    * production), so the shuffle-join against the pre-bucketed index
+    * moves the batch, not the corpus; the verify joins gram arrays for
+    * candidates only. Signature computation stays the one-shuffle
+    * map-side-combined C2 pass. */
+  def dedupIncremental(spark: SparkSession, dir: String,
+                       perms: Int = 128, bands: Int = 16,
+                       tau: Double = 0.5): DataFrame =
+    dedupIncrementalFrom(gramFrame(spark, dir), perms, bands, tau)
+
+  /** [[dedupIncremental]] over any (doc_id, grams) frame — the spec
+    * drives it with a corpus containing exact cross-split duplicates
+    * so the exact_dup arm (absent in the synthetic tables) is
+    * exercised. */
+  private[graft] def dedupIncrementalFrom(docs: DataFrame,
+                                          perms: Int = 128, bands: Int = 16,
+                                          tau: Double = 0.5): DataFrame = {
+    val rows = perms / bands
+    val hashed = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), pmod(Portable.hash60(col("gram")), lit(MersenneP)).as("h"))
+    val mins = (0 until perms).map { p =>
+      min(pmod(col("h") * lit(permA(p)) + lit(permB(p)), lit(MersenneP))).as(s"m$p")
+    }
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*).as("band_key"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      .withColumn("is_batch", isIncrementalBatch(col("doc_id")))
+      .localCheckpoint()
+    val probe = banded.filter(col("is_batch"))
+      .select(col("doc_id").as("bid"), col("band_id"), col("band_key"))
+    val idx = banded.filter(!col("is_batch"))
+      .select(col("doc_id").as("cid"), col("band_id"), col("band_key"))
+    val cand = probe.join(idx, Seq("band_id", "band_key"))
+      .select(col("bid"), col("cid")).distinct()
+    val verified = cand
+      .join(docs.select(col("doc_id").as("bid"), col("grams").as("gb")), "bid")
+      .join(docs.select(col("doc_id").as("cid"), col("grams").as("gc")), "cid")
+      .withColumn("inter", size(array_intersect(col("gb"), col("gc"))).cast("long"))
+      .withColumn("uni",
+        size(col("gb")).cast("long") + size(col("gc")) - col("inter"))
+      .withColumn("j_ppm", expr("CAST(ROUND(inter * 1000000.0 / uni, 0) AS BIGINT)"))
+      .withColumn("is_exact", when(col("inter") === col("uni"), 1L).otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bid"))
+    val best = verified
+      .withColumn("n_candidates", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("j_ppm").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("bid"), col("n_candidates"), col("cid").as("best_match"),
+        col("j_ppm").as("best_j_ppm"), col("is_exact"))
+    docs.filter(isIncrementalBatch(col("doc_id")))
+      .select(col("doc_id").as("bid"))
+      .join(best, Seq("bid"), "left")
+      .select(col("bid").as("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best_match"), lit(-1L)).as("best_match"),
+        coalesce(col("best_j_ppm"), lit(-1L)).as("best_j_ppm"),
+        when(col("is_exact") === 1L, "exact_dup")
+          .when(col("best_j_ppm") >= math.round(tau * 1e6), "near_dup")
+          .otherwise("keep").as("verdict"))
+  }
+
+  def dedupIncrementalSql(perms: Int = 128, bands: Int = 16,
+                          tau: Double = 0.5): String = {
+    val rows = perms / bands
+    val minCols = (0 until perms)
+      .map(p => s"MIN((h * ${permA(p)} + ${permB(p)}) % $MersenneP) AS m$p")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ',', ")
+      s"SELECT doc_id, $b AS band_id, CONCAT($key) AS band_key FROM s"
+    }.mkString("\n  UNION ALL\n  ")
+    val isBatch = isIncrementalBatchSql("doc_id")
+    s"""WITH $gramFrameSql,
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM gg),
+       |h AS (SELECT doc_id, ${Portable.hash60Sql("gram")} % $MersenneP AS h FROM e),
+       |s AS (SELECT doc_id,
+       |    $minCols
+       |  FROM h GROUP BY doc_id),
+       |b AS (
+       |  $bandSelects
+       |),
+       |probe AS (SELECT doc_id AS bid, band_id, band_key FROM b
+       |  WHERE $isBatch),
+       |idx AS (SELECT doc_id AS cid, band_id, band_key FROM b
+       |  WHERE NOT ($isBatch)),
+       |cand AS (SELECT DISTINCT p.bid, i.cid
+       |  FROM probe p JOIN idx i
+       |    ON p.band_id = i.band_id AND p.band_key = i.band_key),
+       |v AS (SELECT cand.bid, cand.cid,
+       |    CAST(len(list_intersect(gb.grams, gc.grams)) AS BIGINT) AS inter,
+       |    CAST(len(gb.grams) + len(gc.grams)
+       |      - len(list_intersect(gb.grams, gc.grams)) AS BIGINT) AS uni
+       |  FROM cand
+       |  JOIN gg gb ON gb.doc_id = cand.bid
+       |  JOIN gg gc ON gc.doc_id = cand.cid),
+       |scored AS (SELECT bid, cid,
+       |    CAST(ROUND(inter * 1000000.0 / uni, 0) AS BIGINT) AS j_ppm,
+       |    CASE WHEN inter = uni THEN 1 ELSE 0 END AS is_exact,
+       |    CAST(COUNT(*) OVER (PARTITION BY bid) AS BIGINT) AS n_candidates,
+       |    ROW_NUMBER() OVER (PARTITION BY bid
+       |      ORDER BY CAST(ROUND(inter * 1000000.0 / uni, 0) AS BIGINT) DESC,
+       |        cid) AS rn
+       |  FROM v),
+       |best AS (SELECT * FROM scored WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(best.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(COALESCE(best.cid, -1) AS BIGINT) AS best_match,
+       |  CAST(COALESCE(best.j_ppm, -1) AS BIGINT) AS best_j_ppm,
+       |  CASE WHEN best.is_exact = 1 THEN 'exact_dup'
+       |    WHEN best.j_ppm >= ${math.round(tau * 1e6)} THEN 'near_dup'
+       |    ELSE 'keep' END AS verdict
+       |FROM (SELECT doc_id FROM gg WHERE $isBatch) d
+       |LEFT JOIN best ON best.bid = d.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- C73
 
   /** C73 — LSH recall audit: MEASURE what C2's banding geometry

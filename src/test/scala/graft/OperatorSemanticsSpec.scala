@@ -945,6 +945,68 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       assert(top.getAs[Long]("recall_ppm") == 1000000L)
   }
 
+  test("C79: incremental verdicts equal the signature/probe/verify replay") {
+    import graft.functions.Portable.hash60Long
+    val P = 2147483647L
+    def isBatch(id: Long) = hash60Long(s"inc:$id") % 4L == 0L
+    // pick ids on each side of the deterministic split
+    val corpusIds = (0L to 400L).filter(!isBatch(_))
+    val batchIds = (0L to 400L).filter(isBatch)
+    val g1 = (0 until 12).map(i => s"shared gram $i")
+    val g2 = g1.drop(1) :+ "changed gram x" // J = 11/13 with g1
+    val docs = Seq(
+      (corpusIds(0), g1),                      // the index doc
+      (corpusIds(1), (0 until 12).map(i => s"other corpus $i")),
+      (batchIds(0), g1),                       // exact dup of the index doc
+      (batchIds(1), g2),                       // near dup
+      (batchIds(2), (0 until 12).map(i => s"disjoint batch $i"))) // keep
+    val spk = spark
+    import spk.implicits._
+    val frame = docs.toDF("doc_id", "grams")
+    val got = ops.Dedup.dedupIncrementalFrom(frame).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    assert(got.keySet == batchIds.take(3).toSet)
+    // independent replay of the full pipeline: portable signatures,
+    // band keys, batch-vs-index candidates, exact-Jaccard verify
+    def h(s: String) = hash60Long(s) % P
+    def sig(grams: Seq[String]): Seq[Long] = {
+      val hs = grams.map(h)
+      (0 until 128).map { pp =>
+        val a = ((2L * pp + 1L) * 1000003L) % P
+        val b = (pp.toLong * 7919L + 104729L) % P
+        hs.map(x => (x * a + b) % P).min
+      }
+    }
+    val bandsOf = docs.map { case (id, gs) =>
+      id -> sig(gs).grouped(8).map(_.mkString(",")).zipWithIndex.toSet
+    }.toMap
+    val gramsOf = docs.map { case (id, gs) => id -> gs.toSet }.toMap
+    for (bid <- batchIds.take(3)) {
+      val cands = corpusIds.take(2).filter(cid =>
+        (bandsOf(bid) & bandsOf(cid)).nonEmpty)
+      val scored = cands.map { cid =>
+        val inter = (gramsOf(bid) & gramsOf(cid)).size.toLong
+        val uni = gramsOf(bid).size + gramsOf(cid).size - inter
+        (cid, math.round(inter * 1e6 / uni), inter == uni)
+      }
+      val (nc, bm, bj, verdict) = got(bid)
+      assert(nc == cands.size.toLong, s"doc $bid candidates")
+      if (scored.isEmpty) assert((bm, bj, verdict) == (-1L, -1L, "keep"))
+      else {
+        val best = scored.minBy { case (cid, j, _) => (-j, cid) }
+        assert(bm == best._1 && bj == best._2, s"doc $bid best")
+        val want = if (best._3) "exact_dup"
+          else if (best._2 >= 500000L) "near_dup" else "keep"
+        assert(verdict == want, s"doc $bid verdict")
+      }
+    }
+    // all three verdict arms fired
+    assert(got.values.map(_._4).toSet == Set("exact_dup", "near_dup", "keep"))
+    // the exact arm is set equality, not a rounded-1.0 artifact
+    assert(got(batchIds(0))._3 == 1000000L && got(batchIds(1))._3 < 1000000L)
+  }
+
   test("C73: the truth sample is bounded at every corpus size") {
     val spk = spark
     import spk.implicits._
