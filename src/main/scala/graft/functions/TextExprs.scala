@@ -86,3 +86,78 @@ case class CountTokensIn(child: Expression, words: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): CountTokensIn =
     copy(child = newChild)
 }
+
+/** All MinHash-LSH band keys of a gram array in ONE pass — the
+  * banding front end of C2/C79 computed row-locally: per gram one
+  * portable md5 hash60 mod P (P = 2^31−1), per permutation p the
+  * universal hash `(h·a_p + b_p) mod P` with `a_p = ((2p+1)·1000003)
+  * mod P`, `b_p = (p·7919 + 104729) mod P` (the
+  * [[graft.ops.Dedup]] constants), min across grams, and band b's key
+  * = mins[b·rows … b·rows+rows) joined with ','. Replaces the
+  * explode → 128-min groupBy shape: the gram array is already
+  * per-document, so the signature needs NO shuffle at all — banding
+  * becomes a row-local projection, which is also what lets the
+  * incremental-dedup stream twin probe a static index without
+  * stateful aggregation. All arithmetic stays below 2^62 (h, a_p
+  * < 2^31), so the identical signature is computable in any engine.
+  * CodegenFallback: the per-gram md5 dominates; one virtual call per
+  * row is noise. */
+case class MinhashBandKeys(child: Expression, perms: Int, bands: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L
+  private val rows = perms / bands
+  private lazy val pa: Array[Long] =
+    Array.tabulate(perms)(p => ((2L * p + 1L) * 1000003L) % P)
+  private lazy val pb: Array[Long] =
+    Array.tabulate(perms)(p => (p.toLong * 7919L + 104729L) % P)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+  override def toString: String =
+    s"minhash_band_keys($child, perms=$perms, bands=$bands)"
+
+  override def nullSafeEval(grams: Any): Any = {
+    val arr = grams.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val mins = Array.fill(perms)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val digest = md.digest(arr.getUTF8String(i).getBytes)
+      // first 15 hex chars = first 7 bytes + the high nibble of byte 8
+      // (Portable.hash60's parse of the md5 hex prefix)
+      var h60 = 0L
+      var j = 0
+      while (j < 7) { h60 = (h60 << 8) | (digest(j) & 0xffL); j += 1 }
+      h60 = (h60 << 4) | ((digest(7) & 0xf0L) >> 4)
+      val h = h60 % P
+      var p = 0
+      while (p < perms) {
+        val v = (h * pa(p) + pb(p)) % P
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(rows * 11)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append(',')
+        sb.append(mins(b * rows + r))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
+    copy(child = newChild)
+}

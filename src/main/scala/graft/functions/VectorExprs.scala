@@ -195,6 +195,13 @@ object VectorExprs {
         HyperplaneBandKeys(children(0), flat, intArg(2), intArg(3), intArg(4))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBandKeys].getName, "graft_minhash_bands"),
+      (children: Seq[Expression]) => {
+        def intArg(i: Int) = children(i).eval(null).asInstanceOf[Int]
+        MinhashBandKeys(children(0), intArg(1), intArg(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams"),
       (children: Seq[Expression]) => {
@@ -237,4 +244,9 @@ object VectorExprs {
     call_function("graft_band_keys", v,
       array(planes.flatten.map(w => lit(w)).toIndexedSeq: _*),
       lit(bands), lit(bitsPerBand), lit(maxBits))
+
+  /** All C2 MinHash-LSH band keys of a gram array, row-locally —
+    * array&lt;string&gt; of length `bands`. */
+  def minhashBands(grams: Column, perms: Int, bands: Int): Column =
+    call_function("graft_minhash_bands", grams, lit(perms), lit(bands))
 }

@@ -110,32 +110,25 @@ object Dedup {
 
   /** C2 — MinHash + LSH near-dup pairs.
     *
-    * Scale-safe signature computation: explode grams to (doc_id, h31)
-    * rows — h31 = portable md5-based hash mod P — then ONE
-    * `groupBy(doc_id)` with 128 codegen'd `min((a_p*h+b_p) mod P)`
-    * aggregates (map-side combine, single shuffle; the reference shape
-    * was 128 interpreted array passes per doc). 16 bands of 8 form the
-    * bucket keys; same-bucket pairs dedupe and verify with exact
-    * Jaccard over the persisted gram arrays — candidates only, never a
-    * cross product. Signature and banding are engine-portable, so a
-    * generated DuckDB oracle checks the full pipeline ([[minhashLshSql]]). */
+    * ZERO-shuffle banding: the gram array is already per-document, so
+    * the whole signature — 128 `min((a_p·hash60(gram)+b_p) mod P)`
+    * permutation minima — is a row-local computation, fused into ONE
+    * native pass per doc (graft.functions.MinhashBandKeys; one md5
+    * per gram, all permutations in the inner loop). The rounds-1-8
+    * shape exploded grams and ran a 128-min groupBy — a corpus-scale
+    * shuffle of every (doc, gram-hash) pair that the row-local form
+    * simply deletes. 16 bands of 8 form the bucket keys; same-bucket
+    * pairs dedupe and verify with exact Jaccard over the persisted
+    * gram arrays — candidates only, never a cross product. Signature
+    * and banding are engine-portable, so a generated DuckDB oracle
+    * checks the full pipeline ([[minhashLshSql]]). */
   def minhashLsh(spark: SparkSession, dir: String,
                  perms: Int = 128, bands: Int = 16, tau: Double = 0.5): DataFrame = {
-    val rows = perms / bands
     val docs = gramFrame(spark, dir)
-    val hashed = gramExploded(spark, dir)
-      .select(col("doc_id"), pmod(Portable.hash60(col("gram")), lit(MersenneP)).as("h"))
-    val mins = (0 until perms).map { p =>
-      min(pmod(col("h") * lit(permA(p)) + lit(permB(p)), lit(MersenneP))).as(s"m$p")
-    }
-    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*).as("band_key"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val banded = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorExprs.minhashBands(col("grams"),
+          perms, bands)).as(Seq("band_id", "band_key")))
       .localCheckpoint()
     val cand = banded.as("x").join(banded.as("y"), Seq("band_id", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -235,20 +228,10 @@ object Dedup {
   private[graft] def dedupIncrementalFrom(docs: DataFrame,
                                           perms: Int = 128, bands: Int = 16,
                                           tau: Double = 0.5): DataFrame = {
-    val rows = perms / bands
-    val hashed = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), pmod(Portable.hash60(col("gram")), lit(MersenneP)).as("h"))
-    val mins = (0 until perms).map { p =>
-      min(pmod(col("h") * lit(permA(p)) + lit(permB(p)), lit(MersenneP))).as(s"m$p")
-    }
-    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        concat_ws(",", (0 until rows).map(r => col(s"m${b * rows + r}")): _*).as("band_key"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val banded = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorExprs.minhashBands(col("grams"),
+          perms, bands)).as(Seq("band_id", "band_key")))
       .withColumn("is_batch", isIncrementalBatch(col("doc_id")))
       .localCheckpoint()
     val probe = banded.filter(col("is_batch"))
@@ -409,22 +392,12 @@ object Dedup {
       .withColumn("jband",
         least(lit(9L), floor(col("jaccard") * 10).cast("long")))
       .select(col("doc_a"), col("doc_b"), col("jband"))
-    val mins = (0 until perms).map { p =>
-      min(pmod(col("h") * lit(permA(p)) + lit(permB(p)), lit(MersenneP))).as(s"m$p")
-    }
-    val sig = sampled
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    // the audit re-runs C2's EXACT banding pipeline (the fused
+    // row-local MinhashBandKeys pass) restricted to the sample
+    val banded = sampled
       .select(col("doc_id"),
-        pmod(Portable.hash60(col("gram")), lit(MersenneP)).as("h"))
-      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bandStructs = (0 until bands).map { bd =>
-      struct(lit(bd).as("band_id"),
-        concat_ws(",", (0 until rows).map(r => col(s"m${bd * rows + r}")): _*)
-          .as("band_key"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+        posexplode(graft.functions.VectorExprs.minhashBands(col("grams"),
+          perms, bands)).as(Seq("band_id", "band_key")))
       .localCheckpoint()
     val cand = banded.as("x").join(banded.as("y"), Seq("band_id", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
