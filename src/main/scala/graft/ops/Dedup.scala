@@ -189,7 +189,7 @@ object Dedup {
     * are the all-time indexed corpus. */
   val IncrementalBatchMod = 4L
 
-  private[ops] def isIncrementalBatch(docId: Column): Column =
+  private[graft] def isIncrementalBatch(docId: Column): Column =
     pmod(Portable.hash60(concat(lit("inc:"), docId.cast("string"))),
       lit(IncrementalBatchMod)) === 0L
 
@@ -267,6 +267,24 @@ object Dedup {
           .when(col("best_j_ppm") >= math.round(tau * 1e6), "near_dup")
           .otherwise("keep").as("verdict"))
   }
+
+  /** The published band INDEX of the corpus side — (cid, band_id,
+    * band_key); in production written once and appended nightly. The
+    * C79s stream twin probes it as a STATIC frame. */
+  private[graft] def incrementalIndex(spark: SparkSession, dir: String,
+                                      perms: Int = 128,
+                                      bands: Int = 16): DataFrame =
+    gramFrame(spark, dir)
+      .filter(!isIncrementalBatch(col("doc_id")))
+      .select(col("doc_id").as("cid"),
+        posexplode(graft.functions.VectorExprs.minhashBands(col("grams"),
+          perms, bands)).as(Seq("band_id", "band_key")))
+
+  /** The corpus-side gram store (cid, gc) the verify step reads. */
+  private[graft] def corpusGramStore(spark: SparkSession, dir: String): DataFrame =
+    gramFrame(spark, dir)
+      .filter(!isIncrementalBatch(col("doc_id")))
+      .select(col("doc_id").as("cid"), col("grams").as("gc"))
 
   def dedupIncrementalSql(perms: Int = 128, bands: Int = 16,
                           tau: Double = 0.5): String = {

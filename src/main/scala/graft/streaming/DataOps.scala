@@ -490,4 +490,68 @@ object DataOps {
       }
       .toDF("doc_id", "source", "cap_rank", "kept")
   }
+
+  /** One verified probe row heading into the per-doc reduce. */
+  case class IncProbe(doc_id: Long, gb: Seq[String], cid: Option[Long],
+                      gc: Option[Seq[String]])
+
+  /** C79s — incremental dedup as CONTINUOUS ingest: each arriving doc
+    * probes the STATIC published band index (the frame the batch C79
+    * corpus pass writes) — the production nightly-crawl shape run as
+    * a stream. Because banding is a row-local expression
+    * (graft.functions.MinhashBandKeys), the stream side needs NO
+    * stateful aggregation: grams -> band keys -> stream-static LEFT
+    * join against the index (left outer so candidate-less docs still
+    * emit their keep verdict) -> static gram-store join -> the
+    * per-doc best/verdict reduce inside flatMapGroupsWithState (a
+    * doc's candidates are bounded by its band fan-out — per-group
+    * in-memory, no cross-batch state). With the index built from the
+    * same corpus split, the streamed verdicts EQUAL batch C79
+    * row-for-row (spec-asserted). */
+  def streamDedupIncremental(docs: DataFrame, index: DataFrame,
+                             gramStore: DataFrame,
+                             perms: Int = 128, bands: Int = 16,
+                             tau: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probes = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        call_function("graft_word_ngrams", col("toks"), lit(3)).as("gb"))
+      .filter(size(col("gb")) > 0)
+      .filter(graft.ops.Dedup.isIncrementalBatch(col("doc_id")))
+      .select(col("doc_id"), col("gb"),
+        posexplode(graft.functions.VectorExprs.minhashBands(col("gb"),
+          perms, bands)).as(Seq("band_id", "band_key")))
+      .join(index, Seq("band_id", "band_key"), "left_outer")
+      .join(gramStore, Seq("cid"), "left_outer")
+      .select(col("doc_id"), col("gb"), col("cid"), col("gc"))
+      .as[IncProbe]
+    val tauPpm = math.round(tau * 1e6)
+    probes.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[IncProbe], state: GroupState[Long]) =>
+          val rows = it.toVector
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val gbSet = rows.head.gb.toSet
+            val scored = rows.flatMap(r => r.cid.map(c => c -> r.gc.get))
+              .distinctBy(_._1)
+              .map { case (c, gc) =>
+                val inter = (gbSet & gc.toSet).size.toLong
+                val uni = gbSet.size + gc.toSet.size - inter
+                (c, math.round(inter * 1e6 / uni), inter == uni)
+              }
+            if (scored.isEmpty) Iterator.single((id, 0L, -1L, -1L, "keep"))
+            else {
+              val best = scored.minBy { case (c, j, _) => (-j, c) }
+              val verdict = if (best._3) "exact_dup"
+                else if (best._2 >= tauPpm) "near_dup" else "keep"
+              Iterator.single((id, scored.size.toLong, best._1, best._2,
+                verdict))
+            }
+          }
+      }
+      .toDF("doc_id", "n_candidates", "best_match", "best_j_ppm", "verdict")
+  }
 }

@@ -382,6 +382,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("C79s: streaming batch-vs-index probe equals batch incremental dedup") {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/documents.parquet*")
+    // the static side: the published corpus band index + gram store —
+    // with them, arriving-doc verdicts must reproduce batch C79
+    val index = graft.ops.Dedup.incrementalIndex(spark, dir).localCheckpoint()
+    val store = graft.ops.Dedup.corpusGramStore(spark, dir).localCheckpoint()
+    runToCompletion(
+      graft.streaming.DataOps.streamDedupIncremental(stream, index, store),
+      "c79s", "append")
+    val got = spark.table("c79s")
+    val batch = graft.ops.Dedup.dedupIncremental(spark, dir)
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("C60s: the streaming cap equals batch in one shot and never exceeds quota across batches") {
     import spark.implicits._
     // one-batch arrival: the micro-batch pre-sort makes the online
