@@ -355,16 +355,38 @@ object Similarity {
     * probed cells are disjoint, so no pair dedupe is needed. The
     * deterministic planes make the full pipeline — buckets, probes,
     * ranking — reproducible in the SQL oracle. */
+  /** Corpus-scaled plane count: smallest q in [6, MaxBucketPlanes]
+    * with n <= targetBucket·2^q, so per-cell occupancy stays
+    * ~targetBucket as the corpus grows (the r8 fixed nPlanes=6 froze
+    * the key space at 64 cells forever — the C5 defect class). Planes
+    * live on a fixed MaxBucketPlanes grid, so a width change never
+    * re-seats existing planes and the oracle can compute the full
+    * bucket and mask to 2^q. */
+  private val MaxBucketPlanes = 16
+  private[graft] def planeCount(n: Long, targetBucket: Long = 32L): Int = {
+    var q = 6
+    while (q < MaxBucketPlanes && n > (targetBucket << q)) q += 1
+    q
+  }
+  private[ops] def planeMaskSql(cnt: String, targetBucket: Long = 32L): String = {
+    val arms = (6 until MaxBucketPlanes)
+      .map(q => s"WHEN $cnt <= ${targetBucket << q} THEN ${(1L << q) - 1L}")
+      .mkString(" ")
+    s"CASE $arms ELSE ${(1L << MaxBucketPlanes) - 1L} END"
+  }
+
   def annLshBucketed(spark: SparkSession, dir: String,
-                     nPlanes: Int = 6, nQueries: Int = 8, k: Int = 3,
+                     targetBucket: Long = 32L, nQueries: Int = 8, k: Int = 3,
                      multiProbe: Boolean = true): DataFrame = {
-    val w = planes(nPlanes, seed = 7L)
+    val c0 = corpus(spark, dir)
+    val nPlanes = planeCount(c0.count(), targetBucket)
+    val w = planes(MaxBucketPlanes, seed = 7L)
     // two-step bit columns (JIT-able codegen units), then the bucket
     // sum; materialized once for the query filter + candidate join
     val bitCols = (0 until nPlanes).map { p =>
       when(proj("v", w(p)) >= 0d, lit(1L << p)).otherwise(lit(0L)).as(s"bp$p")
     }
-    val c = corpus(spark, dir)
+    val c = c0
       .select(Seq(col("vec_id"), col("label"), col("v"), col("nrm")) ++ bitCols: _*)
       .withColumn("bucket", (0 until nPlanes).map(p => col(s"bp$p")).reduce(_ + _))
       .drop((0 until nPlanes).map(p => s"bp$p"): _*)
@@ -1137,16 +1159,23 @@ object Similarity {
        |FROM sc""".stripMargin
   }
 
-  def annLshBucketedSql(nPlanes: Int = 6, nQueries: Int = 8, k: Int = 3): String = {
-    val w = planes(nPlanes, seed = 7L)
-    val bucketSql = (0 until nPlanes)
+  def annLshBucketedSql(targetBucket: Long = 32L, nQueries: Int = 8,
+                        k: Int = 3): String = {
+    val w = planes(MaxBucketPlanes, seed = 7L)
+    // the oracle computes the FULL fixed-grid bucket and masks it to
+    // the COUNT-derived plane count (mask = 2^q - 1 via the ladder)
+    val bucketSql = (0 until MaxBucketPlanes)
       .map(p => s"(CASE WHEN ${projSql("v", w(p))} >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
-    val probeMasks = 0L +: (0 until nPlanes).map(p => 1L << p)
-    val probes = probeMasks.map(m => s"SELECT query_id, qv, qn, xor(qbucket, $m) AS bucket FROM q")
+    val probeMasks = 0L +: (0 until MaxBucketPlanes).map(p => 1L << p)
+    val probes = probeMasks.map(m =>
+      s"SELECT query_id, qv, qn, xor(qbucket, $m) AS bucket FROM q " +
+        s"WHERE $m <= (SELECT mask FROM pm) OR $m = 0")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH $corpusSql,
-       |cb AS (SELECT vec_id, label, v, nrm, $bucketSql AS bucket FROM c),
+       |pm AS (SELECT ${planeMaskSql("COUNT(*)", targetBucket)} AS mask FROM c),
+       |cb AS (SELECT vec_id, label, v, nrm,
+       |  ($bucketSql) & (SELECT mask FROM pm) AS bucket FROM c),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
        |  FROM cb WHERE vec_id < $nQueries),
        |probes AS (

@@ -675,11 +675,11 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     // every (query, neighbor) from single-cell probing must also surface
     // with multi-probe enabled (the extra cells only add candidates)
     val multi = ops.Similarity
-      .annLshBucketed(spark, dir, nPlanes = 6, nQueries = 4, k = 500, multiProbe = true)
+      .annLshBucketed(spark, dir, nQueries = 4, k = 500, multiProbe = true)
       .select(col("query_id"), col("vec_id"))
       .collect().map(_.toSeq).toSet
     val single = ops.Similarity
-      .annLshBucketed(spark, dir, nPlanes = 6, nQueries = 4, k = 500, multiProbe = false)
+      .annLshBucketed(spark, dir, nQueries = 4, k = 500, multiProbe = false)
       .select(col("query_id"), col("vec_id"))
       .collect().map(_.toSeq).toSet
     assert(single.subsetOf(multi))
