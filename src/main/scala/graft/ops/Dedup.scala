@@ -548,7 +548,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Non-empty gram arrays (cache-backed). */
-  private[ops] def gramFrame(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def gramFrame(spark: SparkSession, dir: String): DataFrame =
     gramsCached(spark, dir).filter(size(col("grams")) > 0)
 
   /** (doc_id, gram) exploded pairs (cache-backed; explode drops empty

@@ -236,6 +236,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges(queries.Analytics.qWindowRanks(spark, dir)) == 1)
   }
 
+  test("minhash banding is row-local: no aggregate, no shuffle beyond the scan repartition") {
+    // the r1-r8 shape exploded grams into a 128-min groupBy — a
+    // corpus-scale shuffle; the fused MinhashBandKeys expression must
+    // keep banding a pure projection (the only exchange is the shared
+    // gram cache's single-split repartition)
+    val banded = ops.Dedup.gramFrame(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.posexplode(
+          graft.functions.VectorExprs.minhashBands(
+            org.apache.spark.sql.functions.col("grams"), 128, 16))
+          .as(Seq("band_id", "band_key")))
+    val p = banded.queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate"), p)
+    // the banding subtree is Generate directly over the cached gram
+    // scan — any Exchange lines in the plan text belong to the cached
+    // relation's own materialization (the single-split repartition),
+    // not to banding
+    assert(p.linesIterator.take(3).mkString("\n").contains("posexplode"), p)
+    assert("Exchange".r.findAllIn(p).length <= 2, p)
+  }
+
   test("line dedup is windowless partial aggregation on the line key") {
     val df = ops.Dedup.dedupLines(spark, dir)
     val p = df.queryExecution.executedPlan.toString
