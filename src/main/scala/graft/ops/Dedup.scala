@@ -745,12 +745,32 @@ object Dedup {
   // C52 — Bloom-filter incremental dedup
   // ------------------------------------------------------------------
 
-  /** Bloom geometry: m = 2^16 bits as 2048 32-bit words (bit 63 never set: DuckDB faults on 1<<63), k = 4
-    * salted portable hashes. At the test corpus' historical set the
-    * false-positive rate is well under 1% — and the false positives
-    * are themselves surfaced, not hidden. */
-  val BloomBits = 65536L
+  /** Bloom geometry: m bits as 32-bit words (bit 63 never set: DuckDB
+    * faults on 1<<63), k = 4 salted portable hashes. m is DERIVED from
+    * the corpus count — the smallest power of two ≥ 16·n, floored at
+    * 2^16 and capped at 2^30 (k=4, m=16n gives FP ≈ 0.24%): a FIXED m
+    * saturates as the historical corpus grows and silently flags
+    * everything positive — the C5/C7 fixed-parameter class. The floor
+    * keeps every small-SF bitmap (and its oracle hash) identical to
+    * the fixed-2^16 rounds; the oracle re-derives the same m from its
+    * own COUNT(*) ladder. False positives are surfaced, not hidden. */
+  val BloomBitsFloor = 65536L
+  val BloomBitsCap = 1073741824L
   val BloomK = 4
+
+  private[graft] def bloomBitsFor(n: Long): Long = {
+    var m = BloomBitsFloor
+    while (m < 16L * n && m < BloomBitsCap) m <<= 1
+    m
+  }
+
+  private[ops] def bloomBitsSql(cnt: String): String = {
+    val arms = Iterator.iterate(BloomBitsFloor)(_ << 1)
+      .takeWhile(_ < BloomBitsCap)
+      .map(m => s"WHEN 16 * $cnt <= $m THEN $m")
+      .mkString(" ")
+    s"CASE $arms ELSE $BloomBitsCap END"
+  }
 
   /** C52 — incremental exact dedup via a Bloom filter: the scale
     * path for "is this incoming document already in the 100 TB
@@ -776,9 +796,12 @@ object Dedup {
     * touches only the historical FINGERPRINT column (8-byte-ish md5
     * keys), and at scale would prune to bloom-positive rows first. */
   def dedupBloom(spark: SparkSession, dir: String,
-                 mBits: Long = BloomBits, k: Int = BloomK): DataFrame = {
+                 mBitsOverride: Option[Long] = None,
+                 k: Int = BloomK): DataFrame = {
     import graft.functions.Portable
-    val fps = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val mBits = mBitsOverride.getOrElse(bloomBitsFor(docs.count()))
+    val fps = docs
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), md5(Text.norm(col("text")).cast("binary")).as("fp"))
       .withColumn("incoming", (pmod(col("doc_id"), lit(3L)) === 0L).cast("long"))
@@ -814,12 +837,15 @@ object Dedup {
         col("exact_dup"), col("verdict"))
   }
 
-  def dedupBloomSql(mBits: Long = BloomBits, k: Int = BloomK): String = {
+  def dedupBloomSql(k: Int = BloomK): String = {
     import graft.functions.Portable
+    // the oracle derives the identical m from its own COUNT(*) ladder
     def posSql(i: Int) =
-      s"(${Portable.hash60Sql(s"CONCAT('bloom$i:', fp)")} % $mBits)"
+      s"(${Portable.hash60Sql(s"CONCAT('bloom$i:', fp)")} % (SELECT m FROM bm))"
     val posList = (0 until k).map(posSql).mkString(", ")
-    s"""WITH fps AS (
+    s"""WITH bm AS (
+       |  SELECT ${bloomBitsSql("COUNT(*)")} AS m FROM documents
+       |), fps AS (
        |  SELECT doc_id, md5(${Text.normSql("text")}) AS fp,
        |    CAST(doc_id % 3 = 0 AS BIGINT) AS incoming
        |  FROM documents

@@ -332,12 +332,16 @@ class QueriesSpec extends AnyFunSuite {
       md.digest(text.toLowerCase.replaceAll("\\s+", " ").trim
         .getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
-    def positions(f: String): Seq[Long] =
-      (0 until ops.Dedup.BloomK).map(i =>
-        hash60(s"bloom$i:$f") % ops.Dedup.BloomBits)
     val docs = graft.util.Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), fp(r.getString(1))))
+    // m derived from the corpus count, as the op does (floor keeps the
+    // small-SF geometry identical to the fixed-2^16 rounds)
+    val mBits = ops.Dedup.bloomBitsFor(docs.length.toLong)
+    assert(mBits == ops.Dedup.BloomBitsFloor ||
+      16L * docs.length > ops.Dedup.BloomBitsFloor)
+    def positions(f: String): Seq[Long] =
+      (0 until ops.Dedup.BloomK).map(i => hash60(s"bloom$i:$f") % mBits)
     val hist = docs.filter(_._1 % 3 != 0)
     val bloomBits = hist.flatMap(d => positions(d._2)).toSet
     val histFps = hist.map(_._2).toSet
