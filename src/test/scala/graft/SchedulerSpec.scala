@@ -934,6 +934,44 @@ class SchedulerSpec extends AnyFunSuite {
     }
   }
 
+  test("A109 sweep: randomized event storms equal the transcribed machines") {
+    // 60 random traces (20 per machine) over the full event alphabet,
+    // arbitrary nodes and event ticks — the A106 storm-sweep
+    // discipline: the Catalyst fold must equal the Go transcription on
+    // traces no scenario grid would generate
+    val rnd = new scala.util.Random(20260814L)
+    val kinds = Seq("HB", "CHECK_WORKING", "CHECK_STOPPED", "CHECK_REMOVED",
+      "CHECK_NONWORKING", "NODE_REMOVE", "TASK_REMOVED")
+    val cases = (0 until 60).map { i =>
+      val op = Seq("add", "remove", "move")(i % 3)
+      val (origin, dest0) = if (op == "move") (0L, 1L) else (-1L, 2L)
+      val evs = (0L to 5L).map { t =>
+        val kind0 = if (t == 0) "HB" else kinds(rnd.nextInt(kinds.length))
+        // remove machines never receive TASK_REMOVED (panic-unreachable)
+        val kind = if (op == "remove" && kind0 == "TASK_REMOVED") "HB" else kind0
+        val node = if (kind == "HB" || kind == "TASK_REMOVED") -1L
+          else Seq(0L, 1L, 2L, 3L)(rnd.nextInt(4))
+        (t, kind, node)
+      }
+      (s"storm$i", op, origin, dest0, evs)
+    }
+    val trace = cases.flatMap { case (id, op, origin, dest0, evs) =>
+      evs.map { case (t, k, n) => (op, id, origin, dest0, t, k, n) }
+    }.toDF("op_type", "op_id", "origin", "dest0", "tick", "kind", "node")
+    val got = cdc.SpanLifecycle.spanFrame(trace)
+      .select("op_id", "tick", "cur", "origin_stopped", "bound", "finished",
+        "removed", "canceled", "msg", "msg_target", "db_mark")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, String, Long,
+        String)]
+      .collect().groupBy(_._1)
+      .map { case (id, rs) => id ->
+        rs.sortBy(_._2).map(r => (r._2, r._3, r._4, r._5, r._6, r._7, r._8,
+          r._9, r._10, r._11)).toSeq }
+    cases.foreach { case (id, op, origin, dest0, evs) =>
+      assert(got(id) == seqSpan(op, origin, dest0, evs), s"$id ($op)")
+    }
+  }
+
   test("A109: production frame — both controllers' postconditions hold") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val frame = cdc.SpanLifecycle.spanOperators(cl).cache()
