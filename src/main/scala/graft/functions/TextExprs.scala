@@ -102,6 +102,20 @@ case class CountTokensIn(child: Expression, words: Seq[String])
   * < 2^31), so the identical signature is computable in any engine.
   * CodegenFallback: the per-gram md5 dominates; one virtual call per
   * row is noise. */
+/** The shared md5-prefix hash of [[graft.functions.Portable.hash60]],
+  * computed straight off the digest bytes (first 15 hex chars = bytes
+  * 0..6 + the high nibble of byte 7). */
+private[functions] object Hash60 {
+  def of(md: java.security.MessageDigest, s: UTF8String): Long = {
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    var h60 = 0L
+    var j = 0
+    while (j < 7) { h60 = (h60 << 8) | (digest(j) & 0xffL); j += 1 }
+    (h60 << 4) | ((digest(7) & 0xf0L) >> 4)
+  }
+}
+
 case class MinhashBandKeys(child: Expression, perms: Int, bands: Int)
   extends UnaryExpression with CodegenFallback {
 
@@ -124,15 +138,7 @@ case class MinhashBandKeys(child: Expression, perms: Int, bands: Int)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < m) {
-      md.reset()
-      val digest = md.digest(arr.getUTF8String(i).getBytes)
-      // first 15 hex chars = first 7 bytes + the high nibble of byte 8
-      // (Portable.hash60's parse of the md5 hex prefix)
-      var h60 = 0L
-      var j = 0
-      while (j < 7) { h60 = (h60 << 8) | (digest(j) & 0xffL); j += 1 }
-      h60 = (h60 << 4) | ((digest(7) & 0xf0L) >> 4)
-      val h = h60 % P
+      val h = Hash60.of(md, arr.getUTF8String(i)) % P
       var p = 0
       while (p < perms) {
         val v = (h * pa(p) + pb(p)) % P
@@ -159,5 +165,42 @@ case class MinhashBandKeys(child: Expression, perms: Int, bands: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
+    copy(child = newChild)
+}
+
+/** The 60-bit SimHash of a gram array in ONE row-local pass — C3's
+  * signature computed where the data already is: per gram one
+  * portable hash60, per bit a +1/−1 majority vote, bit set when the
+  * vote is positive. Replaces the explode → 60-vote groupBy (a
+  * corpus-scale shuffle for a row-local value — the MinhashBandKeys
+  * argument, applied to the simhash front end). */
+case class SimhashValue(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_value"
+
+  override def nullSafeEval(grams: Any): Any = {
+    val arr = grams.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < m) {
+      val h = Hash60.of(md, arr.getUTF8String(i))
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashValue =
     copy(child = newChild)
 }

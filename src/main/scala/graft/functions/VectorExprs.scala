@@ -195,6 +195,10 @@ object VectorExprs {
         HyperplaneBandKeys(children(0), flat, intArg(2), intArg(3), intArg(4))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashValue].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimhashValue(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinhashBandKeys].getName, "graft_minhash_bands"),
       (children: Seq[Expression]) => {
@@ -249,4 +253,8 @@ object VectorExprs {
     * array&lt;string&gt; of length `bands`. */
   def minhashBands(grams: Column, perms: Int, bands: Int): Column =
     call_function("graft_minhash_bands", grams, lit(perms), lit(bands))
+
+  /** The 60-bit C3 SimHash of a gram array, row-locally. */
+  def simhashOf(grams: Column): Column =
+    call_function("graft_simhash", grams)
 }

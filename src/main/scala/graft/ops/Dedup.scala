@@ -584,18 +584,12 @@ object Dedup {
     * hash is [[Portable.hash60]], so a DuckDB oracle reproduces the
     * signature bit-for-bit ([[simhashSql]]). */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
-    val hashed = gramExploded(spark, dir)
-      .select(col("doc_id"), Portable.hash60(col("gram")).as("h"))
-    val votes = (0 until 60).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
-        .otherwise(lit(-1L))).as(s"s$i")
-    }
-    val simhashCol = (0 until 60)
-      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val sig = hashed.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), simhashCol.as("simhash"))
+    // row-local signature (graft.functions.SimhashValue): the gram
+    // array is already per-document, so the 60 majority votes need no
+    // explode + groupBy shuffle — the C2 fused-banding argument
+    val sig = gramFrame(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.VectorExprs.simhashOf(col("grams")).as("simhash"))
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band_id"),
         shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L)).as("band_val"))
