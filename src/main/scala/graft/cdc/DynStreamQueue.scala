@@ -65,6 +65,14 @@ object DynStreamQueue {
   val NStreams = 4
   val BatchCount = 4
   val SignalStep = 20L
+  /** Heartbeat BUDGET: the effective signal step is
+    * max(SignalStep, span div SignalBudget) — heartbeats are a TIME
+    * cadence, not a volume cadence, so the per-path signal count is
+    * bounded (~SignalBudget) as the commit-ts span grows instead of
+    * scaling with data volume (the 24M-signal artifact that made A102
+    * the sf10 board's largest cost). The floor keeps every small-SF
+    * queue — and its oracle hash — identical. */
+  val SignalBudget = 5000L
 
   /** The pre-filled queue: (stream, area, path, ts, tie, kind, detail). */
   private def queueFrame(cl: DataFrame, nRegions: Int,
@@ -91,12 +99,15 @@ object DynStreamQueue {
         lit("DDL").as("kind"), col("schema_ver").as("detail"))
     val maxTs = cl.groupBy().agg(max(col("commit_ts")).as("max_ts"))
     val signals = regionGrid.crossJoin(broadcast(maxTs))
+      .withColumn("step",
+        greatest(lit(signalStep), expr(s"max_ts div $SignalBudget")))
       .select(col("schema_name"), col("table_name"), col("region_id"),
-        explode(expr(s"sequence(1L, max_ts div $signalStep)")).as("k"))
+        col("step"),
+        explode(expr("sequence(1L, max_ts div step)")).as("k"))
       .select(col("schema_name").as("area"),
         concat_ws("#", col("schema_name"), col("table_name"),
           col("region_id")).as("path"),
-        (col("k") * signalStep).as("ts"), lit(2L).as("tie"),
+        (col("k") * col("step")).as("ts"), lit(2L).as("tie"),
         lit("SIGNAL").as("kind"), lit("").as("detail"))
     dml.unionByName(ddl).unionByName(signals)
       .withColumn("stream", Portable.bucket(col("path"), NStreams))
@@ -147,7 +158,10 @@ object DynStreamQueue {
                     signalStep: Long = SignalStep): String = {
     val bucket = Portable.bucketSql("CAST(pk AS VARCHAR)", nRegions)
     val streamOf = Portable.bucketSql("path", NStreams)
-    s"""WITH rg AS (
+    s"""WITH sstep AS (
+       |  SELECT GREATEST($signalStep,
+       |    (SELECT MAX(commit_ts) FROM changelog) // $SignalBudget) AS st
+       |), rg AS (
        |  SELECT DISTINCT schema_name, table_name, $bucket AS region_id
        |  FROM changelog
        |), q AS (
@@ -170,9 +184,11 @@ object DynStreamQueue {
        |  SELECT rg.schema_name AS area,
        |    rg.schema_name || '#' || rg.table_name || '#' ||
        |      CAST(rg.region_id AS VARCHAR) AS path,
-       |    g.k * $signalStep AS ts, 2 AS tie, 'SIGNAL' AS kind, '' AS detail
+       |    g.k * (SELECT st FROM sstep) AS ts, 2 AS tie, 'SIGNAL' AS kind,
+       |    '' AS detail
        |  FROM rg CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1,
-       |    (SELECT MAX(commit_ts) FROM changelog) // $signalStep)) AS k) g
+       |    (SELECT MAX(commit_ts) FROM changelog)
+       |      // (SELECT st FROM sstep))) AS k) g
        |), seg0 AS (
        |  SELECT *, $streamOf AS stream,
        |    CAST(ROW_NUMBER() OVER wp AS BIGINT) AS rn,
