@@ -76,5 +76,6 @@ object GraftSession {
     graft.ops.Similarity.clearIvfMemo()
     graft.ops.Corpus.clearRepetitionMemo()
     graft.ops.Retrieval.clearWinnowMemo()
+    graft.cdc.Scheduler.clearCensusMemo()
   }
 }
