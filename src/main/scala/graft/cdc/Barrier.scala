@@ -76,7 +76,7 @@ object Barrier {
     *    dispatchers including the trigger.
     */
   def blockedEvents(cl: DataFrame, syncStep: Long): DataFrame = {
-    val uni = cl.select(col("schema_name"), col("table_name")).distinct()
+    val uni = ClDims.tables(cl)
       .withColumn("dispatcher_id", dispId(col("schema_name"), col("table_name")))
     val versions = SchemaStore.schemaVersions(cl)
       .withColumn("event_tag", concat_ws(".", col("schema_name"), col("table_name")))
@@ -89,7 +89,7 @@ object Barrier {
       col("event_tag"), lit(0).as("sev"),
       dispId(col("schema_name"), col("table_name")).as("dispatcher_id"))
     // empty-safe boundary grid, the A16 syncpoint cadence
-    val bounds = cl.agg(max(col("commit_ts")).as("m"))
+    val bounds = ClDims.maxTs(cl)
       .select(explode(when(col("m") >= syncStep,
         sequence(lit(syncStep), col("m"), lit(syncStep)))
         .otherwise(array().cast("array<long>"))).as("block_ts"))

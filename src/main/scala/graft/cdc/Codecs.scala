@@ -112,7 +112,7 @@ object Codecs {
           lit(",\"sql\":\""), col("query"),
           lit("\",\"data\":null,\"old\":null,\"_tidb\":{\"commitTs\":"),
           col("valid_from"), lit("}}")).as("value"))
-    val watermark = cl.agg(max(col("commit_ts")).as("rts"))
+    val watermark = ClDims.maxTs(cl).select(col("m").as("rts"))
       .select(col("rts").as("commit_ts"), lit("WATERMARK").as("msg_type"),
         concat(
           lit("{\"id\":0,\"database\":\"\",\"table\":\"\",\"pkNames\":null," +

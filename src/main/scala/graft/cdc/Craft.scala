@@ -193,7 +193,7 @@ object Craft {
     * 1-row aggregation; the A15 resolved-ts semantics on the craft
     * wire. */
   def resolvedFrame(cl: DataFrame): DataFrame =
-    cl.agg(max(col("commit_ts")).as("resolved_ts"))
+    ClDims.maxTs(cl).select(col("m").as("resolved_ts"))
       .withColumn("header_size", uvarintLen(col("resolved_ts")) + lit(4))
       // metaSizeTable [header, dict=0] as a delta-varint chunk + the
       // bodySize chunk [0]; no group tables for a headers-only message

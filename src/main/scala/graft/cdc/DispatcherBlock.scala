@@ -43,7 +43,7 @@ object DispatcherBlock {
       .select(col("span"), substring_index(col("span"), ".", 1).as("d_schema"),
         substring_index(col("span"), ".", -1).as("d_table"),
         col("is_hot").as("split"))
-    val horizon = cl.agg(max(col("commit_ts")).as("mx"))
+    val horizon = ClDims.maxTs(cl).select(col("m").as("mx"))
     val ddl = SchemaStore.ddlEvents(cl, Nil)
       .select(col("schema_name"), col("table_name"),
         col("valid_from").as("ts"), col("ddl_type"),
@@ -66,7 +66,7 @@ object DispatcherBlock {
     // the multi-table NORMAL arm (a RENAME blocks both its tables —
     // the >1-blocked-tables branch of shouldBlock): one per schema,
     // reaching its two lowest tables
-    val rename = cl.select(col("schema_name"), col("table_name")).distinct()
+    val rename = ClDims.tables(cl)
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy(col("schema_name")).orderBy(col("table_name")))
         .cast("long"))
@@ -78,10 +78,9 @@ object DispatcherBlock {
     val events = ddl.unionByName(dropDb).unionByName(flashback)
       .unionByName(syncs).unionByName(rename)
     // per-event blocked-table count (the A52 expansion, aggregated)
-    val uniN = cl.select(col("schema_name"), col("table_name")).distinct()
+    val uniN = ClDims.tables(cl)
       .groupBy(col("schema_name")).agg(count(lit(1)).as("n_in_schema"))
-      .crossJoin(broadcast(cl.select(col("schema_name"), col("table_name"))
-        .distinct().agg(count(lit(1)).as("n_all"))))
+      .crossJoin(broadcast(ClDims.tables(cl).agg(count(lit(1)).as("n_all"))))
     // scoped fan-out: each arm an equi-join on its scope key
     val normal = events.filter(col("influence").startsWith("normal"))
       .join(broadcast(disp), col("schema_name") === col("d_schema") &&

@@ -97,7 +97,7 @@ object DynStreamQueue {
           col("region_id")).as("path"),
         col("valid_from").as("ts"), lit(1L).as("tie"),
         lit("DDL").as("kind"), col("schema_ver").as("detail"))
-    val maxTs = cl.groupBy().agg(max(col("commit_ts")).as("max_ts"))
+    val maxTs = ClDims.maxTs(cl).select(col("m").as("max_ts"))
     val signals = regionGrid.crossJoin(broadcast(maxTs))
       .withColumn("step",
         greatest(lit(signalStep), expr(s"max_ts div $SignalBudget")))

@@ -425,7 +425,7 @@ object EventService {
     * broadcast assigns table ids. */
   def kvKeyCodec(cl: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ids = cl.select(col("schema_name"), col("table_name")).distinct()
+    val ids = ClDims.tables(cl)
       .withColumn("table_id",
         row_number().over(Window.orderBy(col("schema_name"), col("table_name")))
           .cast("long") - 1L)
@@ -520,7 +520,7 @@ object EventService {
     * per-table rank window pair on a single shuffle (the A2 class). */
   def eventstoreKey(cl: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ids = cl.select(col("schema_name"), col("table_name")).distinct()
+    val ids = ClDims.tables(cl)
       .withColumn("table_id",
         row_number().over(Window.orderBy(col("schema_name"), col("table_name")))
           .cast("long") - 1L)

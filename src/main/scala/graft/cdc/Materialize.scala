@@ -267,10 +267,10 @@ object Materialize {
     val deltas = tr.groupBy(col("boundary_ts"), col("schema_name"), col("table_name"))
       .agg(sum(col("d_live")).as("d_live"), sum(col("d_cents")).as("d_cents"))
     // empty-safe: no boundaries when max ts < step (sequence() would error)
-    val bounds = cl.agg(max(col("commit_ts")).as("m"))
+    val bounds = ClDims.maxTs(cl)
       .select(explode(when(col("m") >= step, sequence(lit(step), col("m"), lit(step)))
         .otherwise(array().cast("array<long>"))).as("boundary_ts"))
-    val grid = cl.select(col("schema_name"), col("table_name")).distinct()
+    val grid = ClDims.tables(cl)
       .crossJoin(broadcast(bounds))
     val wc = Window.partitionBy(col("schema_name"), col("table_name"))
       .orderBy(col("boundary_ts"))

@@ -151,7 +151,7 @@ object MysqlDdl {
                      clusterId: String = "graft-cluster",
                      changefeed: String = "cf-1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bounds = cl.agg(max(col("commit_ts")).as("m"))
+    val bounds = ClDims.maxTs(cl)
       .select(explode(when(col("m") >= step, sequence(lit(step), col("m"), lit(step)))
         .otherwise(array().cast("array<long>"))).as("primary_ts"))
     // per-boundary max applied ts, then a running max over the (tiny)

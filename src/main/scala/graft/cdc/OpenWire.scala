@@ -92,7 +92,7 @@ object OpenWire {
     // resolved-ts checkpoint (codec.go:149-185): key-only frame, the
     // value is the bare zero length prefix
     val resolvedKey = concat(lit("{\"ts\":"), col("rts"), lit(",\"t\":3}"))
-    val resolved = cl.agg(max(col("commit_ts")).as("rts"))
+    val resolved = ClDims.maxTs(cl).select(col("m").as("rts"))
       .select(lit("RESOLVED").as("msg_type"),
         lit(null).cast("string").as("schema_name"),
         lit(null).cast("string").as("table_name"),

@@ -49,7 +49,7 @@ object RangeLock {
 
   /** Per (table, region, tick): lock state, version, effective ts. */
   def regionStates(cl: DataFrame, nRegions: Int = NRegions): DataFrame = {
-    val tables = cl.select(col("schema_name"), col("table_name")).distinct()
+    val tables = ClDims.tables(cl)
     val grid = tables
       .select(col("schema_name"), col("table_name"),
         explode(expr(s"sequence(0L, ${nRegions - 1}L)")).as("region_id"))

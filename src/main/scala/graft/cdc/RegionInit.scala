@@ -71,7 +71,7 @@ object RegionInit {
           .otherwise("emit_pre_init"))
     // resolved entries: one per tick boundary per region; monotone
     // except the planted regression at RegressTick
-    val tables = cl.select(col("schema_name"), col("table_name")).distinct()
+    val tables = ClDims.tables(cl)
     val resolved = tables
       .select(col("schema_name"), col("table_name"),
         explode(expr(s"sequence(0L, ${NRegions - 1}L)")).as("region_id"))

@@ -83,11 +83,26 @@ object Routing {
     }
   }
 
+  /** The per-TABLE topic dimension: the rule-match + sanitize chain
+    * resolved once per distinct (schema, table) — the reference's own
+    * shape (event_router.go caches the generated topic per table, it
+    * never re-substitutes per event). Events then pick their topic by
+    * a broadcast hash join on the table identity, so the per-row cost
+    * is one hash probe instead of the full regex chain. */
+  private def topicDim(cl: DataFrame, rules: Seq[(Seq[String], String)],
+                       defaultTopic: String): DataFrame =
+    ClDims.tables(cl)
+      .withColumn("topic", topicFor(rules, defaultTopic))
+
   /** A29 — per-event topic routing frame: every row-change resolved to
-    * its target topic through the rule chain. */
+    * its target topic through the rule chain (per-table dimension join;
+    * the distinct is a map-side-combined two-column pass). */
   def route(cl: DataFrame, rules: Seq[(Seq[String], String)], defaultTopic: String): DataFrame =
-    cl.select(col("schema_name"), col("table_name"), col("commit_ts"), col("op"),
-      topicFor(rules, defaultTopic).as("topic"))
+    cl.select(col("schema_name"), col("table_name"), col("commit_ts"), col("op"))
+      .join(broadcast(topicDim(cl, rules, defaultTopic)),
+        Seq("schema_name", "table_name"))
+      .select(col("schema_name"), col("table_name"), col("commit_ts"),
+        col("op"), col("topic"))
 
   def routeSql(rules: Seq[(Seq[String], String)], defaultTopic: String): String =
     s"""SELECT schema_name, table_name, commit_ts, op,
@@ -115,14 +130,21 @@ object Routing {
     val ddlParts =
       if (broadcastAll) sequence(lit(0L), lit(n.toLong - 1L))
       else array(lit(0L))
+    // The DDL grid (tables × versions) falls out of a dimension-side
+    // aggregate in ~1 partition; spread it before the ×nParts explode
+    // and the topic/query string work or the whole fan-out runs on one
+    // task (17.5 s -> 1.9 s at the sf10 tier).
     val ddl = SchemaStore.ddlEvents(cl, Nil)
+      .repartition(cl.sparkSession.sparkContext.defaultParallelism)
       .select(lit("DDL").as("msg_kind"), col("valid_from").as("commit_ts"),
         col("schema_name"), col("table_name"),
         topicFor(rules, defaultTopic).as("topic"),
         explode(ddlParts).as("partition"))
-    val activeTopics = cl
-      .select(topicFor(rules, defaultTopic).as("topic")).distinct()
-    val ckpt = cl.agg(max(col("commit_ts")).as("rts"))
+    // distinct tables FIRST, then the rule chain over the dimension
+    // frame — not the chain over every event and a distinct after
+    val activeTopics = topicDim(cl, rules, defaultTopic)
+      .select(col("topic")).distinct()
+    val ckpt = ClDims.maxTs(cl).select(col("m").as("rts"))
       .crossJoin(activeTopics)
       .select(lit("CHECKPOINT").as("msg_kind"), col("rts").as("commit_ts"),
         lit(null).cast("string").as("schema_name"),

@@ -19,8 +19,8 @@ object SchemaStore {
 
   /** Deterministic version table: (schema, table, valid_from, schema_ver). */
   def schemaVersions(cl: DataFrame): DataFrame = {
-    val tables = cl.select(col("schema_name"), col("table_name")).distinct()
-    val vs = cl.agg(max(col("commit_ts")).as("m"))
+    val tables = ClDims.tables(cl)
+    val vs = ClDims.maxTs(cl)
       .select(explode(sequence(lit(0L), expr(s"m div $step"), lit(1L))).as("v"))
     tables.crossJoin(broadcast(vs))
       .select(col("schema_name"), col("table_name"),
@@ -94,7 +94,7 @@ object SchemaStore {
   /** Table universe with a dense 0-based ordinal (injective across
     * engines: unique (schema, table) pairs, total order). */
   private def tableUniverse(cl: DataFrame): DataFrame =
-    cl.select(col("schema_name"), col("table_name")).distinct()
+    ClDims.tables(cl)
       .withColumn("base",
         row_number().over(Window.orderBy(col("schema_name"), col("table_name")))
           .cast("long") - 1L)
@@ -285,7 +285,7 @@ object SchemaStore {
     val lc = tableLifecycle(spark, dir)
       .withColumn("base", expr("table_id div 1048576"))
     val jobs = ddlJobs(cl)
-    val gcs = cl.agg(max(col("commit_ts")).as("mx"))
+    val gcs = ClDims.maxTs(cl).select(col("m").as("mx"))
       .select(explode(sequence(lit(1L), lit(3L))).as("k"), col("mx"))
       .select((col("k") * call_function("div", col("mx"), lit(4L))).as("gc_ts"))
     val vers = lc.select(col("table_id"), col("born_ts").as("ver_ts"))

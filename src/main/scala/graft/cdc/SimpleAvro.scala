@@ -176,7 +176,7 @@ object SimpleAvro {
 
     // Bootstrap payload: version, buildTs, tableSchema (a required
     // field — no union branch before it)
-    val bootstrap = cl.select(col("schema_name"), col("table_name")).distinct()
+    val bootstrap = ClDims.tables(cl)
       .select(lit(0L).as("commit_ts"), lit("BOOTSTRAP").as("msg_type"),
         concat(lit(wrapper(1) + verHex + zvarHexConst(0)),
           tableSchemaHex(lit(0L))).as("value"))
@@ -202,7 +202,7 @@ object SimpleAvro {
           lit("02"), tableSchemaHex(expr(s"valid_from div ${SchemaStore.step}")),
           lit("00")).as("value"))
 
-    val watermark = cl.agg(max(col("commit_ts")).as("rts"))
+    val watermark = ClDims.maxTs(cl).select(col("m").as("rts"))
       .select(col("rts").as("commit_ts"), lit("WATERMARK").as("msg_type"),
         concat(lit(wrapper(0) + verHex), zvarHex(col("rts")), zvarHex(col("rts")))
           .as("value"))

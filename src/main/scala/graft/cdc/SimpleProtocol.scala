@@ -127,12 +127,12 @@ object SimpleProtocol {
         tableSchema(expr(s"valid_from div ${SchemaStore.step}")),
         lit("}")).as("value"))
 
-    val bootstrap = cl.select(col("schema_name"), col("table_name")).distinct()
+    val bootstrap = ClDims.tables(cl)
       .select(lit(0L).as("commit_ts"), lit("BOOTSTRAP").as("msg_type"), concat(
         lit(s"""{"version":$version,"type":"BOOTSTRAP","commitTs":0,"buildTs":0,"tableSchema":"""),
         tableSchema(lit(0)), lit("}")).as("value"))
 
-    val watermark = cl.agg(max(col("commit_ts")).as("rts"))
+    val watermark = ClDims.maxTs(cl).select(col("m").as("rts"))
       .select(col("rts").as("commit_ts"), lit("WATERMARK").as("msg_type"), concat(
         lit(s"""{"version":$version,"type":"WATERMARK","commitTs":"""), col("rts"),
         lit(",\"buildTs\":"), col("rts"), lit("}")).as("value"))

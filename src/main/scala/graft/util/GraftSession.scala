@@ -77,5 +77,6 @@ object GraftSession {
     graft.ops.Corpus.clearRepetitionMemo()
     graft.ops.Retrieval.clearWinnowMemo()
     graft.cdc.Scheduler.clearCensusMemo()
+    graft.cdc.ClDims.clear()
   }
 }

@@ -348,7 +348,8 @@ class PlanQualitySpec extends AnyFunSuite {
     for ((name, df) <- Seq(
       "dispatch_table" -> cdc.Dispatchers.byTable(cl, 16),
       "canal" -> cdc.Codecs.canalJson(cl),
-      "topic_router" -> cdc.Routing.route(cl, Seq(Seq("db0.%") -> "t_{schema}"), "d"),
+      // topic_router is asserted separately below: its per-table topic
+      // dimension join adds a BroadcastExchange (6 rows), not a shuffle
       "claim_check" -> cdc.Sinks.claimCheck(cl, 16, 180),
       "craft" -> cdc.Craft.frame(cl),
       "craft_decode" -> cdc.Craft.decode(cdc.Craft.frame(cl)),
@@ -362,5 +363,15 @@ class PlanQualitySpec extends AnyFunSuite {
       val p = plan(df)
       assert(!p.contains("Exchange"), s"$name introduces a shuffle:\n$p")
     }
+    // A30: the rule-match + sanitize chain runs once per distinct table
+    // (the reference's own per-table topic cache); events pick their
+    // topic via a broadcast hash join — a BroadcastExchange of the
+    // table dimension is the design, a shuffle of the events is not.
+    val router =
+      plan(cdc.Routing.route(cl, Seq(Seq("db0.%") -> "t_{schema}"), "d"))
+    assert(router.contains("BroadcastHashJoin"), router)
+    assert(!router.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      s"topic_router shuffles the event stream:\n$router")
   }
 }
