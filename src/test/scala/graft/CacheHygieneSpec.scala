@@ -82,4 +82,30 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(c.count() == n1)
     graft.util.GraftSession.releaseCaches(spark)
   }
+
+  test("changelog dimension + span census memos share one build and release") {
+    graft.util.GraftSession.releaseCaches(spark)
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    // identity reuse across calls — including a SEPARATELY BUILT
+    // changelog frame for the same dir (the memo keys on the
+    // canonicalized plan, which is what every query registration builds)
+    val t1 = cdc.ClDims.tables(cl)
+    val t2 = cdc.ClDims.tables(cdc.ChangeEvents.changelog(spark, dir))
+    assert(t1 eq t2, "same-plan lookup should reuse the memoized tables")
+    val m1 = cdc.ClDims.maxTs(cl)
+    assert(cdc.ClDims.maxTs(cl) eq m1)
+    assert(pinnedRdds > 0)
+    val nTables = t1.count() // released checkpoints can't recompute
+    // the census memo layers on top (scheduler family)
+    val s1 = cdc.Scheduler.basicSchedule(cl).count()
+    graft.util.GraftSession.releaseCaches(spark)
+    assert(pinnedRdds == 0, s"release left $pinnedRdds pinned RDDs")
+    // rebuilt frames are live and identical after release
+    val t3 = cdc.ClDims.tables(cdc.ChangeEvents.changelog(spark, dir))
+    assert(!(t3 eq t1), "release must drop the dims memo")
+    assert(t3.count() == nTables)
+    assert(cdc.Scheduler.basicSchedule(
+      cdc.ChangeEvents.changelog(spark, dir)).count() == s1)
+    graft.util.GraftSession.releaseCaches(spark)
+  }
 }
