@@ -74,15 +74,18 @@ object Changefeed {
     case Protocol.Simple       => SimpleProtocol.dmlValue
   }
 
-  /** Kafka-sink message frame: filter → route topic + partition →
-    * encode — one scan, one row-local projection. */
+  /** Kafka-sink message frame: filter → route topic (per-table
+    * dimension join, the A29 shape) + partition → encode — one scan,
+    * one row-local projection plus a ≤tables-row broadcast probe. */
   def kafka(cl: DataFrame, cfg: Config): DataFrame =
-    filtered(cl, cfg).select(
-      col("commit_ts"),
-      Routing.topicFor(cfg.topicRules, cfg.defaultTopic).as("topic"),
-      Dispatchers.indexValueBucket(cfg.nParts).as("partition"),
-      Codecs.openProtocolKey.as("key"),
-      valueCol(cfg).as("value"))
+    Routing.withTopic(filtered(cl, cfg), cl, cfg.topicRules,
+        cfg.defaultTopic)
+      .select(
+        col("commit_ts"),
+        col("topic"),
+        Dispatchers.indexValueBucket(cfg.nParts).as("partition"),
+        Codecs.openProtocolKey.as("key"),
+        valueCol(cfg).as("value"))
 
   /** DuckDB oracle for [[kafka]] with a debezium-protocol config.
     * `ignoreExpr` is a Catalyst Column and has no SQL rendering here —

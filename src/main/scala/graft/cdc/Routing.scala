@@ -94,6 +94,18 @@ object Routing {
     ClDims.tables(cl)
       .withColumn("topic", topicFor(rules, defaultTopic))
 
+  /** Attach the routed `topic` column to any changelog-shaped frame by
+    * the per-table dimension join. Streaming frames keep the row-local
+    * chain (no checkpointable dimension; micro-batches are bounded). */
+  def withTopic(df: DataFrame, cl: DataFrame,
+                rules: Seq[(Seq[String], String)],
+                defaultTopic: String): DataFrame =
+    if (df.isStreaming)
+      df.withColumn("topic", topicFor(rules, defaultTopic))
+    else
+      df.join(broadcast(topicDim(cl, rules, defaultTopic)),
+        Seq("schema_name", "table_name"))
+
   /** A29 — per-event topic routing frame: every row-change resolved to
     * its target topic through the rule chain (per-table dimension join;
     * the distinct is a map-side-combined two-column pass). */
