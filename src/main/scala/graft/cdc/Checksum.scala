@@ -62,17 +62,33 @@ object Checksum {
   // ---- image digests over the changelog columns ----
 
   /** current-image checksum: (pk, after_value, props) in schema order;
-    * 0 for DELETE (no after image). */
+    * 0 for DELETE (no after image). One fused digest pass
+    * ([[graft.functions.ChecksumImage]]); ChecksumSpec asserts byte
+    * parity with the composed intB/numB/strB + hash60 chain. */
   def current: Column = when(col("op") === "D", lit(0L)).otherwise(
-    Portable.hash60(concat(intB(col("pk")), numB(col("after_value")),
-      strB(col("props")))))
+    graft.functions.WireExprs.checksumImage(col("pk"), col("after_value"),
+      col("props")))
   def currentSql: String =
     s"""CASE WHEN op = 'D' THEN 0 ELSE ${Portable.hash60Sql(
       s"CONCAT(${intBSql("pk")}, ${numBSql("after_value")}, ${strBSql("props")})")} END"""
 
-  /** previous-image checksum: (pk, before_value); 0 for INSERT. */
+  /** previous-image checksum: (pk, before_value); 0 for INSERT. A NULL
+    * props argument contributes nothing — exactly the absent column. */
   def previous: Column = when(col("op") === "I", lit(0L)).otherwise(
-    Portable.hash60(concat(intB(col("pk")), numB(col("before_value")))))
+    graft.functions.WireExprs.checksumImage(col("pk"), col("before_value"),
+      lit(null).cast("string")))
+
+  /** The pre-fusion composed chains — kept as the in-engine parity
+    * oracle: ChecksumSpec asserts the fused digest equals these
+    * byte-for-byte over the full changelog (and they remain the exact
+    * Catalyst rendering of the *Sql oracle strings). */
+  private[graft] def currentComposed: Column =
+    when(col("op") === "D", lit(0L)).otherwise(
+      Portable.hash60(concat(intB(col("pk")), numB(col("after_value")),
+        strB(col("props")))))
+  private[graft] def previousComposed: Column =
+    when(col("op") === "I", lit(0L)).otherwise(
+      Portable.hash60(concat(intB(col("pk")), numB(col("before_value")))))
   def previousSql: String =
     s"""CASE WHEN op = 'I' THEN 0 ELSE ${Portable.hash60Sql(
       s"CONCAT(${intBSql("pk")}, ${numBSql("before_value")})")} END"""
@@ -156,12 +172,13 @@ object Checksum {
     def m(p: String): Column = col("m").getField(p)
     val pkCol = coalesce(m("data").getField("pk"), m("old").getField("pk"))
     val curRe = when(m("data").isNull, lit(0L)).otherwise(
-      Portable.hash60(concat(intB(pkCol),
-        numB(m("data").getField("value").cast("double")),
-        strB(m("data").getField("props")))))
+      graft.functions.WireExprs.checksumImage(pkCol,
+        m("data").getField("value").cast("double"),
+        m("data").getField("props")))
     val prevRe = when(m("old").isNull, lit(0L)).otherwise(
-      Portable.hash60(concat(intB(pkCol),
-        numB(m("old").getField("value").cast("double")))))
+      graft.functions.WireExprs.checksumImage(pkCol,
+        m("old").getField("value").cast("double"),
+        lit(null).cast("string")))
     msgs.select(from_json(col("value"), schema).as("m"))
       .select(
         m("database").as("schema_name"),

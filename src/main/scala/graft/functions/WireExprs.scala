@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
@@ -470,8 +471,67 @@ case class AvroDecodeValue(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The A46 row-image checksum digest in ONE row-local pass — layout
+  * per pkg/sink/codec/common/verify_checksum.go buildChecksumBytes
+  * (columns in schema order, typed contributions, nil skipped):
+  * "I" + 16-upper-hex(pk), value non-null → "D"+len+":"+%.4f, props
+  * non-null → "S"+utf8len+":"+props; 60-bit md5 of the layout string.
+  * Byte-identical to the composed lpad/hex/format_string/octet_length/
+  * concat + Portable.hash60 chain it replaces (ChecksumSpec parity
+  * arm) at one digest + one Formatter call per image instead of a
+  * ~10-node string pipeline evaluated twice per row. NULL pk → NULL
+  * (absent image is gated by `op` outside). */
+case class ChecksumImage(pk: Expression, value: Expression,
+                         props: Expression)
+  extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = pk
+  override def second: Expression = value
+  override def third: Expression = props
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = pk.nullable
+  override def prettyName: String = "graft_checksum_image"
+
+  override def eval(input: InternalRow): Any = {
+    val p = pk.eval(input)
+    if (p == null) return null
+    val sb = new java.lang.StringBuilder(64)
+    sb.append('I')
+    val hex = java.lang.Long.toHexString(p.asInstanceOf[Long])
+      .toUpperCase(java.util.Locale.ROOT)
+    var i = hex.length
+    while (i < 16) { sb.append('0'); i += 1 }
+    sb.append(hex)
+    val v = value.eval(input)
+    if (v != null) {
+      // Spark's format_string renders through Formatter(Locale.US)
+      val s = String.format(java.util.Locale.US, "%.4f",
+        Double.box(v.asInstanceOf[Double]))
+      sb.append('D').append(s.length).append(':').append(s)
+    }
+    val pr = props.eval(input)
+    if (pr != null) {
+      val u = pr.asInstanceOf[UTF8String]
+      sb.append('S').append(u.numBytes).append(':').append(u)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Hash60.of(md, UTF8String.fromString(sb.toString))
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): ChecksumImage =
+    copy(pk = newFirst, value = newSecond, props = newThird)
+}
+
 object WireExprs {
   def register(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_checksum_image"),
+      new ExpressionInfo(classOf[ChecksumImage].getName,
+        "graft_checksum_image"),
+      (children: Seq[Expression]) =>
+        ChecksumImage(children(0), children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("graft_zvarint_hex"),
       new ExpressionInfo(classOf[ZigzagVarintHex].getName, "graft_zvarint_hex"),
@@ -509,4 +569,6 @@ object WireExprs {
     call_function("graft_simple_avro_decode", msg)
   def openWireDecode(keyWire: Column, valueWire: Column): Column =
     call_function("graft_open_wire_decode", keyWire, valueWire)
+  def checksumImage(pk: Column, value: Column, props: Column): Column =
+    call_function("graft_checksum_image", pk, value, props)
 }
