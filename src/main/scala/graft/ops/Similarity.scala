@@ -1318,10 +1318,18 @@ object Similarity {
       (col("i") === col("j")).cast("long").as("diag"))
   }
 
-  def embeddingCovarianceSql(): String = {
+  def embeddingCovarianceSql(): String =
+    s"""WITH $covCellsCtes
+       |SELECT i, j, n_vecs, cov_e12, diag FROM cov_cells""".stripMargin
+
+  /** The C76 covariance as a reusable CTE chain ending in
+    * `cov_cells(i, j, n_vecs, cov_e12, diag)` — shared by the C76
+    * oracle and the C80 PCA oracle (which re-derives the power
+    * iteration from these exact integer cells). */
+  private def covCellsCtes: String = {
     def floorDiv(num: String, den: String) =
       s"($num - ((($num % $den) + $den) % $den)) // $den"
-    s"""WITH $corpusSql,
+    s"""$corpusSql,
        |q AS (
        |  SELECT vec_id, list_transform(v,
        |    x -> CAST(ROUND(x * 1000000, 0) AS BIGINT)) AS qv
@@ -1352,14 +1360,161 @@ object Similarity {
        |        i -> {'i': i, 'x': qv[CAST(i AS INT)]})) AS e
        |      FROM q)
        |    GROUP BY 1)
-       |)
-       |SELECT a.i, a.j, a.n_vecs,
-       |  CAST(${floorDiv("a.sum_qq", "a.n_vecs")}
-       |    - mi.mean_micro * mj.mean_micro AS BIGINT) AS cov_e12,
-       |  CAST(a.i = a.j AS BIGINT) AS diag
-       |FROM agg a
-       |JOIN means mi ON a.i = mi.dim
-       |JOIN means mj ON a.j = mj.dim""".stripMargin
+       |),
+       |cov_cells AS MATERIALIZED (
+       |  SELECT a.i, a.j, a.n_vecs,
+       |    CAST(${floorDiv("a.sum_qq", "a.n_vecs")}
+       |      - mi.mean_micro * mj.mean_micro AS BIGINT) AS cov_e12,
+       |    CAST(a.i = a.j AS BIGINT) AS diag
+       |  FROM agg a
+       |  JOIN means mi ON a.i = mi.dim
+       |  JOIN means mj ON a.j = mj.dim
+       |)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C80
+
+  /** PCA iteration count — fixed so both engines unroll identically. */
+  val PcaIters = 12
+
+  private def roundHalfAway(d: Double): Long =
+    if (d < 0) -math.round(-d) else math.round(d)
+
+  private def floorDivL(num: Long, den: Long): Long =
+    (num - (((num % den) + den) % den)) / den
+
+  /** Quantized max-norm power iteration on an integer covariance —
+    * the pure solve, spec-drivable with handcrafted matrices. Every
+    * step stays on the micro-integer grid: y = C·x in exact Long
+    * arithmetic, then x' = round(y / max|y| · 1e6) half-away-from-zero
+    * (the single double divide both engines perform identically), so
+    * the T-step trajectory — not just the limit — is engine-portable.
+    * A zero matvec (degenerate all-zero covariance) keeps x. */
+  private[graft] def powerIterate(dim: Int, covMicro: Array[Array[Long]],
+                                  iters: Int): Array[Long] = {
+    var d0 = 0
+    var i = 1
+    while (i < dim) { if (covMicro(i)(i) > covMicro(d0)(d0)) d0 = i; i += 1 }
+    var x = Array.ofDim[Long](dim)
+    x(d0) = 1000000L
+    var t = 0
+    while (t < iters) {
+      val y = Array.tabulate(dim) { r =>
+        var s = 0L; var j = 0
+        while (j < dim) { s += covMicro(r)(j) * x(j); j += 1 }
+        s
+      }
+      var m = 0L
+      y.foreach(v => if (math.abs(v) > m) m = math.abs(v))
+      if (m != 0L) x = y.map(v => roundHalfAway(v.toDouble / m * 1e6))
+      t += 1
+    }
+    x
+  }
+
+  /** C80 — PCA projection along the top principal direction: the
+    * dimension-reduction / whitening front door every embedding
+    * pipeline passes through (and the op C76 computes its covariance
+    * FOR). Spark-first shape = Spark MLlib's own PCA: the Gramian/
+    * covariance is computed DISTRIBUTED (C76's partition-local outer
+    * products — the only corpus pass), the O(dim²) eigen-solve runs on
+    * the driver over the dim·(dim+1)/2 integer cells, and the learned
+    * direction returns to the executors as a broadcast literal for a
+    * row-local projection — no driver loop ever touches row data.
+    *
+    * Engine parity is exact, not approximate: the covariance cells are
+    * C76's integers; the solve is [[powerIterate]]'s quantized
+    * max-norm power iteration (micro-integer grid every step, one
+    * double divide per step performed identically by both engines);
+    * the DuckDB oracle re-derives the SAME trajectory by unrolling the
+    * T matvec+requantize steps as CTE pairs over the mirrored cell
+    * table — an independent re-derivation, not an injected literal.
+    * Projection: q·x in exact Long micro×micro arithmetic, reported in
+    * micro units (floor division, exact-multiple form for negatives).
+    *
+    * Scale shape at 100 TB: one corpus scan for the covariance
+    * (partition-local, corpus-volume-free past the scan), one
+    * broadcast-literal row-local projection scan; the solve is
+    * O(T·dim²) driver arithmetic — dimension-scale, data-free. */
+  def embeddingPcaProject(spark: SparkSession, dir: String,
+                          iters: Int = PcaIters): DataFrame = {
+    val cells = embeddingCovariance(spark, dir)
+      .select(col("i"), col("j"), col("cov_e12")).collect()
+    val dim = cells.iterator.map(_.getLong(1)).max.toInt + 1
+    val cs = Array.ofDim[Long](dim, dim)
+    cells.foreach { r =>
+      val i = r.getLong(0).toInt
+      val j = r.getLong(1).toInt
+      // micro units so the matvec stays inside Long (|cov_s|·|x|·dim
+      // ≤ 1e6·1e6·dim ≪ 2^63)
+      val s = floorDivL(r.getLong(2), 1000000L)
+      cs(i)(j) = s
+      cs(j)(i) = s
+    }
+    val x = powerIterate(dim, cs, iters)
+    val xlit = typedLit(x.toSeq)
+    corpus(spark, dir)
+      .withColumn("pc1", xlit)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr(
+          """aggregate(
+            |  zip_with(v, pc1,
+            |    (a, b) -> CAST(ROUND(a * 1000000, 0) AS BIGINT) * b),
+            |  0L, (acc, e) -> acc + e)""".stripMargin).as("p12"))
+      .select(col("vec_id"), col("label"),
+        call_function("div", col("p12") - pmod(col("p12"), lit(1000000L)),
+          lit(1000000L)).as("proj_micro"))
+  }
+
+  def embeddingPcaProjectSql(iters: Int = PcaIters): String = {
+    // mirrored integer cell table in micro units
+    val mirror =
+      s"""cm AS MATERIALIZED (
+         |  SELECT i, j,
+         |    CAST((cov_e12 - (((cov_e12 % 1000000) + 1000000) % 1000000))
+         |      // 1000000 AS BIGINT) AS cov_s
+         |  FROM cov_cells
+         |  UNION ALL
+         |  SELECT j, i,
+         |    CAST((cov_e12 - (((cov_e12 % 1000000) + 1000000) % 1000000))
+         |      // 1000000 AS BIGINT)
+         |  FROM cov_cells WHERE i <> j
+         |)""".stripMargin
+    val start =
+      s"""x0 AS MATERIALIZED (
+         |  SELECT cm.i AS dim,
+         |    CASE WHEN cm.i = (SELECT i FROM cov_cells WHERE i = j
+         |      ORDER BY cov_e12 DESC, i LIMIT 1)
+         |      THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS xv
+         |  FROM (SELECT DISTINCT i FROM cm) cm
+         |)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""y$t AS MATERIALIZED (
+         |  SELECT cm.i AS dim, CAST(SUM(cm.cov_s * p.xv) AS BIGINT) AS y
+         |  FROM cm JOIN x${t - 1} p ON cm.j = p.dim GROUP BY 1
+         |), x$t AS MATERIALIZED (
+         |  SELECT p.dim,
+         |    CASE WHEN (SELECT MAX(ABS(y)) FROM y$t) = 0 THEN p.xv
+         |      ELSE CAST(ROUND(CAST(q.y AS DOUBLE)
+         |        / (SELECT MAX(ABS(y)) FROM y$t) * 1000000, 0) AS BIGINT)
+         |    END AS xv
+         |  FROM x${t - 1} p JOIN y$t q ON q.dim = p.dim
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $covCellsCtes,
+       |$mirror,
+       |$start,
+       |$steps
+       |SELECT vec_id, label,
+       |  CAST((p12 - (((p12 % 1000000) + 1000000) % 1000000)) // 1000000
+       |    AS BIGINT) AS proj_micro
+       |FROM (
+       |  SELECT c.vec_id, CAST(c.label AS BIGINT) AS label,
+       |    CAST(SUM(CAST(ROUND(c.v[CAST(d.dim AS INT) + 1] * 1000000, 0)
+       |      AS BIGINT) * d.xv) AS BIGINT) AS p12
+       |  FROM c CROSS JOIN x$iters d
+       |  GROUP BY c.vec_id, c.label
+       |)""".stripMargin
   }
 
   def hardNegativesSql(nQueries: Int = 8, k: Int = 5): String =

@@ -728,6 +728,62 @@ class QueriesSpec extends AnyFunSuite {
       i != j && math.abs(r.getAs[Long]("cov_e12")) > 0L })
   }
 
+  test("C80: power iteration finds the top eigenvector; projection is the exact quantized dot") {
+    import org.apache.spark.sql.functions._
+    // handcrafted 2x2 with known eigenstructure: [[5,2],[2,2]] (micro-
+    // scaled) has top eigenvector ~ (0.894, 0.447) — ratio x0/x1 = 2
+    val m = 1000000L
+    val cov = Array(Array(5L * m, 2L * m), Array(2L * m, 2L * m))
+    val x = ops.Similarity.powerIterate(2, cov, 12)
+    assert(math.abs(x(0)) == m, "max-norm invariant: leading component = 1e6")
+    // eigenvector of [[5,2],[2,2]]: (2, 1)/sqrt(5) -> x1/x0 = 0.5
+    assert(math.abs(x(1).toDouble / x(0).toDouble - 0.5) < 1e-3, x.toSeq.toString)
+    // degenerate all-zero covariance keeps the deterministic start
+    val z = ops.Similarity.powerIterate(3, Array.fill(3, 3)(0L), 5)
+    assert(z.toSeq == Seq(m, 0L, 0L))
+
+    // production frame: variance along PC1 must beat the best single
+    // axis (the start axis is the best axis, and power iteration only
+    // improves the Rayleigh quotient from there)
+    val proj = ops.Similarity.embeddingPcaProject(spark, dir).collect()
+    assert(proj.length > 0)
+    val ps = proj.map(_.getAs[Long]("proj_micro").toDouble)
+    val n = ps.length.toDouble
+    val mean = ps.sum / n
+    val varPc1 = ps.map(p => (p - mean) * (p - mean)).sum / n
+    val diagVars = ops.Similarity.embeddingDimStats(spark, dir).collect()
+      .map(_.getAs[Long]("var_e12").toDouble)
+    // proj is in micro units of the raw scale; var_e12 is micro^2
+    assert(varPc1 >= diagVars.max * (1.0 - 1e-6),
+      s"PC1 variance $varPc1 must dominate best axis ${diagVars.max}")
+    // exact quantized-dot recount for a sample of vectors
+    val cells = ops.Similarity.embeddingCovariance(spark, dir)
+      .select(col("i"), col("j"), col("cov_e12")).collect()
+    val dim = cells.iterator.map(_.getLong(1)).max.toInt + 1
+    val cs = Array.ofDim[Long](dim, dim)
+    cells.foreach { r =>
+      val s = Math.floorDiv(r.getLong(2), 1000000L)
+      cs(r.getLong(0).toInt)(r.getLong(1).toInt) = s
+      cs(r.getLong(1).toInt)(r.getLong(0).toInt) = s
+    }
+    val xi = ops.Similarity.powerIterate(dim, cs, 12)
+    val raw = graft.util.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    val byId = proj.map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Long]("proj_micro")).toMap
+    for (id <- raw.keys.take(5)) {
+      val v = raw(id)
+      val p12 = v.indices.map { i =>
+        val q = { val t = v(i) * 1000000d
+          if (t < 0) -math.round(-t) else math.round(t) }
+        q * xi(i)
+      }.sum
+      assert(byId(id) == Math.floorDiv(p12, 1000000L), s"vec $id")
+    }
+  }
+
   test("C75: segments tile each window gaplessly and re-derive C22's pack map") {
     import org.apache.spark.sql.functions._
     // ctx 256 at this SF so the straddling-doc split arm is exercised
