@@ -784,6 +784,61 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("C80 sweep: quantized 12-step solve tracks the double-precision eigenvector on random PSD matrices") {
+    // the A106/A109 randomized-sweep discipline applied to the solver:
+    // seeded random PSD integer matrices (A^T A of random A). The
+    // quantized 12-step iterate must reach ≥99.9% of the SAME-length
+    // full-double iterate's Rayleigh quotient (micro-grid rounding
+    // must not stall the walk — the property quantization could
+    // break), and ≥90% of a 300-step converged reference (12 steps
+    // genuinely dominate the spectrum; near-degenerate λ1≈λ2 draws
+    // legitimately sit below 99% of converged at 12 steps)
+    val rnd = new scala.util.Random(80)
+    def rayleigh(c: Array[Array[Double]], x: Array[Double]): Double = {
+      val d = c.length
+      var num = 0.0; var den = 0.0
+      for (i <- 0 until d) {
+        den += x(i) * x(i)
+        for (j <- 0 until d) num += x(i) * c(i)(j) * x(j)
+      }
+      if (den == 0) 0.0 else num / den
+    }
+    for (trial <- 1 to 20) {
+      val d = 2 + rnd.nextInt(15)
+      val a = Array.fill(d, d)(rnd.nextDouble() * 2 - 1)
+      // PSD: C = A^T A, scaled to the integer micro grid
+      val cM = Array.tabulate(d, d) { (i, j) =>
+        var s = 0.0
+        for (k <- 0 until d) s += a(k)(i) * a(k)(j)
+        math.round(s * 1000000d)
+      }
+      val cD = cM.map(_.map(_.toDouble))
+      val xq = ops.Similarity.powerIterate(d, cM, 12)
+      // references from the same start: 12 and 300 full-double steps
+      var d0 = 0
+      for (i <- 1 until d) if (cM(i)(i) > cM(d0)(d0)) d0 = i
+      def doubleIter(steps: Int): Array[Double] = {
+        var xr = Array.tabulate(d)(i => if (i == d0) 1.0 else 0.0)
+        for (_ <- 1 to steps) {
+          val y = Array.tabulate(d) { i =>
+            var s = 0.0; var j = 0
+            while (j < d) { s += cD(i)(j) * xr(j); j += 1 }; s
+          }
+          val m = y.map(math.abs).max
+          if (m != 0) xr = y.map(_ / m)
+        }
+        xr
+      }
+      val rq = rayleigh(cD, xq.map(_.toDouble))
+      val r12 = rayleigh(cD, doubleIter(12))
+      val r300 = rayleigh(cD, doubleIter(300))
+      assert(rq >= r12 * 0.999,
+        s"trial $trial dim $d: quantized $rq vs double-12 $r12")
+      assert(rq >= r300 * 0.9,
+        s"trial $trial dim $d: quantized $rq vs converged $r300")
+    }
+  }
+
   test("C75: segments tile each window gaplessly and re-derive C22's pack map") {
     import org.apache.spark.sql.functions._
     // ctx 256 at this SF so the straddling-doc split arm is exercised
