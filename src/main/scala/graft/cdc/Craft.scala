@@ -76,7 +76,7 @@ object Craft {
   // per-group constant prefix: ty(1) + uvarint ncols(1) + delta-varint
   // name ids [2,3,4,5] = 1+1+1+1 + type tags [8,246,15,15] = 1+2+1+1 +
   // flags [10,64,64,64] = 1+1+1+1  (model.go:297-304)
-  private val GroupFixedBytes: Int = {
+  private[graft] val GroupFixedBytes: Int = {
     def uv(n: Long): Int = if (n < 128) 1 else if (n < 16384) 2 else 3
     val nameBytes = uv(NameIds.head * 2L) +
       NameIds.sliding(2).map(p => uv((p(1) - p(0)) * 2L)).sum
@@ -86,7 +86,7 @@ object Craft {
 
   // term dictionary fixed part: uvarint(6 terms) + 6 uvarint lengths +
   // "pk","value","props","event_type" payloads (schema/table vary)
-  private val DictFixedBytes: Int = 1 + 6 + "pk".length + "value".length +
+  private[graft] val DictFixedBytes: Int = 1 + 6 + "pk".length + "value".length +
     "props".length + "event_type".length
 
   /** Byte size of one column-group's value chunk + the group frame.
@@ -111,15 +111,47 @@ object Craft {
     * composition, payload lengths, and exact per-section byte sizes.
     * Pure row-local projection — no shuffle beyond the scan.
     *
-    * Built as LAYERED projections: every intermediate (payload lengths,
-    * group sizes, section sizes) becomes a named column the next layer
-    * references by attribute. A single flat projection re-expands the
-    * shared subtrees (each zigzag length is a 9-arm CASE, each group
-    * size references four of them) multiplicatively — the resulting
-    * mega-expression fell out of JIT and ran interpreted (~50x slower).
-    * CollapseProject keeps the layers because the aliases are non-cheap
-    * and multiply referenced. */
-  def frame(cl: DataFrame): DataFrame =
+    * Computed by ONE fused native pass
+    * ([[graft.functions.CraftSizes]]): the composed Column pipeline
+    * below ([[frameComposed]], kept as the in-engine parity oracle)
+    * nests 9-arm zigzag-length CASE ladders inside each other, and
+    * Spark's subexpression elimination skips expressions under
+    * conditional branches — so each nesting level re-evaluated its
+    * whole argument tree per branch (the %.2f formatter ran tens of
+    * times per row; size_tables_size alone measured 9.1 s of the 13 s
+    * codec_craft bench at the sf10 tier). Field accesses share the one
+    * struct child, which CSE handles (the OpenWireDecode shape). */
+  def frame(cl: DataFrame): DataFrame = {
+    val sizes = call_function("graft_craft_sizes",
+      col("op"), col("pk"), col("after_value"), col("before_value"),
+      col("props"), col("event_type"), col("commit_ts"),
+      col("schema_name"), col("table_name"))
+    cl.withColumn("sz", sizes).select(
+      col("schema_name"), col("table_name"), col("commit_ts"), col("op"),
+      lit(1L).as("version"),
+      lit(1L).as("msg_type"),
+      lit(-1L).as("partition_id"),
+      when(col("op") === "I", "1").when(col("op") === "D", "2")
+        .otherwise("1,2").as("group_types"),
+      col("sz.pk_len").as("pk_len"),
+      col("sz.new_value_len").as("new_value_len"),
+      col("sz.old_value_len").as("old_value_len"),
+      col("sz.props_len").as("props_len"),
+      col("sz.event_type_len").as("event_type_len"),
+      col("sz.new_group_size").as("new_group_size"),
+      col("sz.old_group_size").as("old_group_size"),
+      col("sz.header_size").as("header_size"),
+      col("sz.body_size").as("body_size"),
+      col("sz.dict_size").as("dict_size"),
+      col("sz.size_tables_size").as("size_tables_size"),
+      col("sz.msg_size").as("msg_size"))
+  }
+
+  /** The pre-fusion layered pipeline — kept as the parity oracle
+    * (CraftSpec asserts [[frame]] equals this column-for-column over
+    * the full changelog; it also remains the exact Catalyst rendering
+    * of the frameSql oracle arithmetic). */
+  private[graft] def frameComposed(cl: DataFrame): DataFrame =
     cl.select(
         col("schema_name"), col("table_name"), col("commit_ts"), col("op"),
         uvarintLen(col("pk") * 2).as("pk_len"), // zigzag of a non-negative pk
@@ -249,30 +281,29 @@ object Craft {
   def decode(frame: DataFrame): DataFrame = {
     def present(c: Column): Column = c =!= lit(-1L)
     def nn(c: Column): Column = call_function("nullif", c, lit(-1L))
-    // LAYERED like [[frame]]: each recomputed size is its own aliased
-    // column so no zzLen CASE-tree is expanded twice — a single flat
-    // projection here re-expands tables_pre inside uvarintLen and falls
-    // out of JIT (codegen method too long, interpreted fallback)
+    // The recounted sizes run as NATIVE single-pass expressions
+    // (CraftGroupSize / CraftSizeTables — same zigzag arithmetic, one
+    // evaluation per row): as composed Column ladders they sat under
+    // the `verified` CaseWhen's branches, where subexpression
+    // elimination does not reach, and re-expanded per branch (the
+    // encode-side CraftSizes lesson applied to the decode recount).
     frame
       .withColumn("op_dec", when(col("group_types") === "1", "I")
         .when(col("group_types") === "2", "D").otherwise(lit("U")))
       .withColumn("new_re", when(present(col("new_group_size")),
-        groupSize(col("pk_len"), nn(col("new_value_len")),
-          col("props_len"), col("event_type_len")).cast("long"))
+        call_function("graft_craft_group_size", col("pk_len"),
+          nn(col("new_value_len")), col("props_len"),
+          col("event_type_len")))
         .otherwise(lit(-1L)))
       .withColumn("old_re", when(present(col("old_group_size")),
-        groupSize(col("pk_len"), nn(col("old_value_len")),
-          col("props_len"), col("event_type_len")).cast("long"))
+        call_function("graft_craft_group_size", col("pk_len"),
+          nn(col("old_value_len")), col("props_len"),
+          col("event_type_len")))
         .otherwise(lit(-1L)))
-      .withColumn("tables_pre_re",
-        (lit(1) + zzLen(col("header_size")) +
-          zzLen(col("dict_size") - col("header_size"))) +
-        (lit(1) + zzLen(col("body_size"))) +
-        (lit(1) + zzLen(coalesce(nn(col("new_group_size")), col("old_group_size"))) +
-          when(col("op_dec") === "U",
-            zzLen(col("old_group_size") - col("new_group_size"))).otherwise(lit(0))))
       .withColumn("sizes_re",
-        (col("tables_pre_re") + uvarintLen(col("tables_pre_re"))).cast("long"))
+        call_function("graft_craft_size_tables", col("header_size"),
+          col("dict_size"), col("body_size"), col("new_group_size"),
+          col("old_group_size"), col("op_dec")))
       .select(
         col("schema_name"), col("table_name"), col("commit_ts"),
         col("op_dec").as("op"),

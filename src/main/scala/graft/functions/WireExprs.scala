@@ -524,8 +524,172 @@ case class ChecksumImage(pk: Expression, value: Expression,
     copy(pk = newFirst, value = newSecond, props = newThird)
 }
 
+/** The A39 craft message layout — every payload length, group size and
+  * section size — in ONE row-local pass. The composed Column pipeline
+  * nests 9-arm zigzag-length CASE ladders inside each other (group
+  * size → body → size tables → message): Spark's subexpression
+  * elimination skips expressions under conditional branches, so each
+  * nesting level re-evaluates its whole argument tree per branch and
+  * the %.2f formatter ran tens of times per row (size_tables_size
+  * alone measured 9.1 s of codec_craft's 13 s at the sf10 tier).
+  * One JVM pass does each computation once; consumers read fields of
+  * the single struct child (the OpenWireDecode shape). The composed
+  * chain survives as Craft.frameComposed with a full-equality spec
+  * arm, and the DuckDB oracle (same CASE-ladder arithmetic) is
+  * unchanged.
+  *
+  * children: op, pk, after_value, before_value, props, event_type,
+  * commit_ts, schema_name, table_name. Absent-image sentinels are -1,
+  * matching the frame contract. */
+case class CraftSizes(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  private val Fields = Seq("pk_len", "new_value_len", "old_value_len",
+    "props_len", "event_type_len", "new_group_size", "old_group_size",
+    "header_size", "body_size", "dict_size", "size_tables_size",
+    "msg_size")
+  override def dataType: DataType =
+    StructType(Fields.map(StructField(_, LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_craft_sizes"
+
+  // sequential-compare twins of the Column CASE ladders (same results
+  // for every input, including the degenerate negative-input arm)
+  private def uvLen(v: Long): Long = CraftWire.uvLen(v)
+  private def zzLen(v: Long): Long = CraftWire.zzLen(v)
+
+  override def eval(input: InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    val (opA, pkA, afterA, beforeA, propsA, etA, ctsA, schA, tblA) =
+      (vals(0), vals(1), vals(2), vals(3), vals(4), vals(5), vals(6),
+        vals(7), vals(8))
+    if (opA == null || pkA == null || propsA == null || etA == null ||
+        ctsA == null || schA == null || tblA == null) return null
+    val op = opA.asInstanceOf[UTF8String].toString
+    def moneyLen(v: Any): Long =
+      if (v == null) 4L // Formatter renders null as "null"
+      else String.format(java.util.Locale.US, "%.2f",
+        Double.box(v.asInstanceOf[Double])).length.toLong
+    val pkLen = uvLen(pkA.asInstanceOf[Long] * 2)
+    val propsLen = propsA.asInstanceOf[UTF8String].numBytes.toLong
+    val etLen = etA.asInstanceOf[UTF8String].numBytes.toLong
+    val newValueLen = if (op != "D") moneyLen(afterA) else -1L
+    val oldValueLen = if (op != "I") moneyLen(beforeA) else -1L
+    def groupSize(vLen: Long): Long =
+      graft.cdc.Craft.GroupFixedBytes + zzLen(pkLen) + zzLen(vLen) +
+        zzLen(propsLen) + zzLen(etLen) + pkLen + vLen + propsLen + etLen
+    val newGroup = if (op != "D") groupSize(newValueLen) else -1L
+    val oldGroup = if (op != "I") groupSize(oldValueLen) else -1L
+    val headerSize = uvLen(ctsA.asInstanceOf[Long]) + 4L
+    val bodySize = (if (newGroup >= 0) newGroup else 0L) +
+      (if (oldGroup >= 0) oldGroup else 0L)
+    val dictSize = graft.cdc.Craft.DictFixedBytes +
+      schA.asInstanceOf[UTF8String].numBytes.toLong +
+      tblA.asInstanceOf[UTF8String].numBytes.toLong
+    val firstGroup = if (newGroup >= 0) newGroup else oldGroup
+    val tablesPre =
+      (1L + zzLen(headerSize) + zzLen(dictSize - headerSize)) +
+      (1L + zzLen(bodySize)) +
+      (1L + zzLen(firstGroup) +
+        (if (op == "U") zzLen(oldGroup - newGroup) else 0L))
+    val sizeTables = tablesPre + uvLen(tablesPre)
+    val msgSize = 1L + headerSize + bodySize + dictSize + sizeTables
+    new GenericInternalRow(Array[Any](pkLen, newValueLen, oldValueLen,
+      propsLen, etLen, newGroup, oldGroup, headerSize, bodySize,
+      dictSize, sizeTables, msgSize))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CraftSizes =
+    copy(children = newChildren)
+}
+
+/** The A47 decode-side group-size recount in one pass — same
+  * arithmetic as the composed groupSize Column chain (zigzag CASE
+  * ladders), evaluated once per row instead of once per CaseWhen
+  * branch. children: pk_len, v_len (nullable = absent-value arm),
+  * props_len, et_len — all LONG. */
+case class CraftGroupSize(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_craft_group_size"
+  override def eval(input: InternalRow): Any = {
+    val pkLen = children(0).eval(input)
+    val vLen = children(1).eval(input)
+    val propsLen = children(2).eval(input)
+    val etLen = children(3).eval(input)
+    if (pkLen == null || propsLen == null || etLen == null) return null
+    val p = pkLen.asInstanceOf[Long]
+    val pr = propsLen.asInstanceOf[Long]
+    val e = etLen.asInstanceOf[Long]
+    val v = if (vLen == null) -1L else vLen.asInstanceOf[Long]
+    val vPay = if (vLen == null) 0L else v
+    graft.cdc.Craft.GroupFixedBytes + CraftWire.zzLen(p) +
+      CraftWire.zzLen(v) + CraftWire.zzLen(pr) + CraftWire.zzLen(e) +
+      p + vPay + pr + e
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CraftGroupSize =
+    copy(children = newChildren)
+}
+
+/** The A47 size-table recount (tables_pre + its own uvarint length) in
+  * one pass. children: header_size, dict_size, body_size,
+  * new_group_size, old_group_size (-1 sentinels), op — LONGs + STRING. */
+case class CraftSizeTables(children: Seq[Expression])
+  extends Expression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_craft_size_tables"
+  override def eval(input: InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val header = vals(0).asInstanceOf[Long]
+    val dict = vals(1).asInstanceOf[Long]
+    val body = vals(2).asInstanceOf[Long]
+    val newGs = vals(3).asInstanceOf[Long]
+    val oldGs = vals(4).asInstanceOf[Long]
+    val op = vals(5).asInstanceOf[UTF8String].toString
+    val firstGroup = if (newGs != -1L) newGs else oldGs
+    val tablesPre =
+      (1L + CraftWire.zzLen(header) + CraftWire.zzLen(dict - header)) +
+      (1L + CraftWire.zzLen(body)) +
+      (1L + CraftWire.zzLen(firstGroup) +
+        (if (op == "U") CraftWire.zzLen(oldGs - newGs) else 0L))
+    tablesPre + CraftWire.uvLen(tablesPre)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CraftSizeTables =
+    copy(children = newChildren)
+}
+
+/** Shared JVM twins of the craft varint-length Column CASE ladders. */
+object CraftWire {
+  def uvLen(v: Long): Long = {
+    var n = 1
+    while (n < 9 && v >= (1L << (7 * n))) n += 1
+    n.toLong
+  }
+  def zzLen(v: Long): Long = uvLen(if (v >= 0) v * 2 else -v * 2 - 1)
+}
+
 object WireExprs {
   def register(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_craft_group_size"),
+      new ExpressionInfo(classOf[CraftGroupSize].getName,
+        "graft_craft_group_size"),
+      (children: Seq[Expression]) => CraftGroupSize(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_craft_size_tables"),
+      new ExpressionInfo(classOf[CraftSizeTables].getName,
+        "graft_craft_size_tables"),
+      (children: Seq[Expression]) => CraftSizeTables(children)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_craft_sizes"),
+      new ExpressionInfo(classOf[CraftSizes].getName, "graft_craft_sizes"),
+      (children: Seq[Expression]) => CraftSizes(children)))
     ext.injectFunction((
       FunctionIdentifier("graft_checksum_image"),
       new ExpressionInfo(classOf[ChecksumImage].getName,

@@ -650,6 +650,17 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(both.filter(col("cur_fused") === 0L).count() > 0)
   }
 
+  test("fused craft sizes are identical to the composed layered pipeline") {
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val fused = cdc.Craft.frame(cl)
+    val composed = cdc.Craft.frameComposed(cl)
+    assert(fused.columns.toSeq == composed.columns.toSeq)
+    // column-for-column equality over the full changelog (exceptAll is
+    // bag semantics — any diverging row in either direction survives)
+    assert(fused.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(fused).count() == 0)
+  }
+
   test("craft decode recovers the envelope and catches a corrupted size table") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val frame = cdc.Craft.frame(cl).cache()
