@@ -361,17 +361,36 @@ object Analytics {
     * single pass, no sort) — same API shape. Output is the quantile
     * ×10^4 as BIGINT (round-half-up and C round agree for positive
     * values), not a ROUND-ed double. */
-  def qApproxQuantile(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  def qApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    // Exact quantiles via the WEIGHTED `percentile(v, p, freq)` form
+    // over a pre-compressed (group, value) → count frame, instead of
+    // the unweighted aggregate, which materializes every value of a
+    // group in ONE agg buffer (~20M doubles/group at the 100x tier; an
+    // OOM on a real cluster, and a single-threaded 20M-element sort).
+    // The count agg is map-side combined and its buffer is bounded by
+    // the VALUE DOMAIN (~583k distinct prices at any SF — scale
+    // replicates keys, not prices), so memory per group is
+    // corpus-volume-free. Weight-1 input is the exact same
+    // Percentile.getPercentile code path — cumulative frequencies +
+    // (higher−pos)·v_lo + (pos−lower)·v_hi — so the output bits (and
+    // the ROUND×10⁴ hash vs DuckDB quantile_cont) are unchanged. Two
+    // 2-column pruned scans beat one exploded 3-column scan; the join
+    // re-merging the 3-row legs is a broadcast.
+    val li = Tables.lineitem(spark, dir)
+    val price = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("l_returnflag"))
-      // one buffer + one sort for both price percentiles (the array
-      // form), instead of two full copies of the column per group
-      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("pp"),
-        expr("percentile(l_quantity, 0.5)").as("pq"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95), c)").as("pp"))
+    val qty = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5, c)").as("pq"))
+    price.join(broadcast(qty), Seq("l_returnflag"))
       .select(col("l_returnflag"),
         round(element_at(col("pp"), 1) * lit(10000.0)).cast("long").as("p50_x10k"),
         round(element_at(col("pp"), 2) * lit(10000.0)).cast("long").as("p95_x10k"),
         round(col("pq") * lit(10000.0)).cast("long").as("p50_qty_x10k"))
+  }
 
   /** B13's 100 TB variant: `percentile_approx` (a bounded GK sketch —
     * constant memory per group and mergeable partials, where exact

@@ -32,10 +32,16 @@ object GraftSession {
       // its byte range — the driver's single-row-group files are
       // unsplittable at any setting, measured: 24 nominal splits, one
       // did all the work) and maxPartitionBytes must be below the
-      // file size. 512k sizes splits to ~1 row group of the ladder
-      // probes' 50k-row groups (tools/scaleprobe.py); driver-SF
-      // behavior is unchanged (their files are one row group).
-      .config("spark.sql.files.maxPartitionBytes", "512k")
+      // file size. The splittable tiers are sf1x/sf10 (scaleprobe.py
+      // writes 100k-row groups, ~1.3-2.7 MB): 4m puts ~1-2 row groups
+      // per split (sf1x ~34 splits = 32-way; sf10 ~325). The previous
+      // 512k created ~2600 sf10 splits of which ~2000 started inside a
+      // row group and processed ZERO rows — but each still re-parsed
+      // the 600-row-group footer, a measured 10x scan tax (2.5 s vs
+      // 0.43 s warm scan of sf10 lineitem). Single-row-group files
+      // (driver SFs, emb/docs/skew tiers) do all work in one split at
+      // any setting; 4m just wastes fewer no-op footer parses there.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       // ~100 queries x several codegen stages each far exceeds the
       // default 100-entry generated-class cache: a pass-interleaved
       // bench (or any long-lived session composing many operators)
