@@ -31,6 +31,35 @@ object Analytics {
     * (DuckDB 1.0 `//` truncates: -7//2 = -3 — NOT floor div). */
   private def ldiv(a: Column, b: Column): Column = call_function("div", a, b)
 
+  /** Two-level cumulative count over a (part, v) → cnt CELL frame —
+    * the distributed-rank building block B37/B39 share. A plain
+    * `sum(cnt) over (partition by part order by v)` sorts every cell
+    * of a part in ONE task; with dimension-bounded `part` keys (five
+    * order priorities) and a dense value domain, that is a corpus-
+    * scale single-task sort at 100 TB. Instead: cells coarse-bucket by
+    * `v div bktWidth` (monotone in v, so bucket order = value order),
+    * per-(part, bucket) totals prefix-sum in a dimension-scale window,
+    * and the within-bucket cumulation windows at (part × bucket)
+    * parallelism. Adds `cum` = peer-inclusive cumulative count;
+    * callers needing exclusive positions subtract cnt. The caller
+    * passes cells already checkpointed — both internal consumers and
+    * the caller's own reuse hit the one materialization. */
+  private def bucketedCum(cells: DataFrame, part: String, v: String,
+      cnt: String, bktWidth: Long = 1048576L): DataFrame = {
+    val bucketed = cells.withColumn("bkt", ldiv(col(v), lit(bktWidth)))
+    val off = bucketed.groupBy(col(part), col("bkt"))
+      .agg(sum(col(cnt)).as("bcnt"))
+      .withColumn("boff", coalesce(sum(col("bcnt")).over(
+        Window.partitionBy(col(part)).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(part), col("bkt"), col("boff"))
+    bucketed.join(broadcast(off), Seq(part, "bkt"))
+      .withColumn("cum", col("boff") + sum(col(cnt)).over(
+        Window.partitionBy(col(part), col("bkt")).orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("bkt", "boff")
+  }
+
   /** Exact cents (BIGINT) sum of a non-negative money column.
     *
     * Steps, each engine-portable:
@@ -596,11 +625,17 @@ object Analytics {
       .agg(moneyCents(revenue, 4).as("rev_cents"))
     val wr = Window.partitionBy(col("r_name"))
     val wg = Window.partitionBy()
+    // ppm numerator = rev_cents·10⁶ — a corpus-scale SUM times a
+    // million exceeds Long past ~9·10¹² cents of nation revenue (the
+    // sf10 tier hits it; 100 TB certainly does). The multiply runs in
+    // decimal(38) and the integral divide returns the BIGINT ppm;
+    // the oracle's HUGEINT cast is the same promotion.
+    val num = col("rev_cents").cast("decimal(38,0)") * lit(1000000L)
     perNation
       .withColumn("region_share_ppm", call_function("div",
-        col("rev_cents") * lit(1000000L), sum(col("rev_cents")).over(wr)))
+        num, sum(col("rev_cents")).over(wr)))
       .withColumn("total_share_ppm", call_function("div",
-        col("rev_cents") * lit(1000000L), sum(col("rev_cents")).over(wg)))
+        num, sum(col("rev_cents")).over(wg)))
       .select(col("r_name"), col("n_name"), col("rev_cents"),
         col("region_share_ppm"), col("total_share_ppm"))
   }
@@ -617,10 +652,11 @@ object Analytics {
       |  GROUP BY 1, 2
       |)
       |SELECT r_name, n_name, rev_cents,
-      |  CAST(rev_cents * 1000000
+      |  CAST(CAST(rev_cents AS HUGEINT) * 1000000
       |    // SUM(rev_cents) OVER (PARTITION BY r_name) AS BIGINT)
       |    AS region_share_ppm,
-      |  CAST(rev_cents * 1000000 // SUM(rev_cents) OVER () AS BIGINT)
+      |  CAST(CAST(rev_cents AS HUGEINT) * 1000000
+      |    // SUM(rev_cents) OVER () AS BIGINT)
       |    AS total_share_ppm
       |FROM per_nation""".stripMargin
 
@@ -1389,9 +1425,12 @@ object Analytics {
       .groupBy(col("o_orderpriority").as("prio"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
       .agg(count(lit(1)).as("nv"))
-    val cum = grid.withColumn("cum",
-      sum(col("nv")).over(Window.partitionBy(col("prio")).orderBy(col("v"))))
-    val targets = cum.groupBy(col("prio")).agg(max(col("cum")).as("n"))
+      .localCheckpoint()
+    // two-level prefix (bucketedCum): the naive 5-partition cumulative
+    // window over a dense value grid is a single-task corpus-scale
+    // sort at 100 TB — the B39 class
+    val cum = bucketedCum(grid, "prio", "v", "nv")
+    val targets = grid.groupBy(col("prio")).agg(sum(col("nv")).as("n"))
       .select(col("prio").as("wprio"), col("n"),
         explode(array(ps.map(p => lit(p.toLong)): _*)).as("p"))
       .withColumn("lo", lit(1L) + ldiv((col("n") - 1L) * col("p"), lit(100L)))
@@ -1456,19 +1495,32 @@ object Analytics {
     * ordered agg array_sort ∘ collect_list ∘ array_join, DuckDB
     * string_agg(... ORDER BY) — same string, oracle-checked. */
   def qStringAgg(spark: SparkSession, dir: String): DataFrame = {
-    val byName = Window.partitionBy(col("n_name")).orderBy(col("c_name"))
-    val part = Window.partitionBy(col("n_name"))
-    Tables.customer(spark, dir)
+    // `n_name` has 25 values, so a row-level window partitioned by it
+    // is a 25-task corpus-scale sort (the B39 class, row flavor). The
+    // top-5-by-name fold is salt-decomposable: every global top-5 name
+    // is also in its salt group's top-5, so a first window at
+    // (nation × 64-salt) parallelism cuts each group to ≤5 rows and
+    // the global window runs over ≤320 candidates per nation. The
+    // count leaves the window entirely (one map-side-combined agg,
+    // broadcast back over the 25-row result).
+    val cust = Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("c_name"))
-      .withColumn("rn", row_number().over(byName))
-      .withColumn("n_cust", count(lit(1)).over(part))
-      .filter(col("rn") <= 5)
+    val nCust = cust.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+    val salted = Window
+      .partitionBy(col("n_name"), pmod(xxhash64(col("c_name")), lit(64L)))
+      .orderBy(col("c_name"))
+    val global = Window.partitionBy(col("n_name")).orderBy(col("c_name"))
+    cust
+      .withColumn("rn", row_number().over(salted)).filter(col("rn") <= 5)
+      .withColumn("grn", row_number().over(global)).filter(col("grn") <= 5)
       .groupBy(col("n_name"))
-      .agg(max(col("n_cust")).as("n_customers"),
-        array_join(array_sort(collect_list(col("c_name"))), ",")
-          .as("top5_names"))
+      .agg(array_join(array_sort(collect_list(col("c_name"))), ",")
+        .as("top5_names"))
+      .join(broadcast(nCust), "n_name")
+      .select(col("n_name"), col("n_customers"), col("top5_names"))
   }
 
   val qStringAggSql: String =
@@ -1489,27 +1541,63 @@ object Analytics {
     * cume_dist = peers-inclusive-count/n are exact on the ppm grid).
     * NTILE's tie order is pinned by (value, key) so bucket edges are
     * deterministic in both engines. Output folds to the bounded
-    * (priority × decile) grid: counts, value band, rank-ppm band. */
+    * (priority × decile) grid: counts, value band, rank-ppm band.
+    *
+    * Plan shape: `prio` has FIVE distinct values, so the naive
+    * per-row window (the oracle's spelling, and r1-r9's plan) is a
+    * 5-task corpus-scale sort — 10.3 s at the sf10 tier, a one-task
+    * 20 TB sort at the 100 TB target. Every output is a function of
+    * per-(prio, cents) VALUE CELLS and their cumulative positions, so
+    * the rewrite is the classic distributed-rank shape: (1) one
+    * map-side-combined cell agg; (2) two-level prefix sums — cells
+    * coarse-bucketed by `cents div 2^20` (~60 buckets over the ~6·10⁷
+    * cent domain), dimension-scale bucket offsets via a tiny window,
+    * within-bucket cumulation windowed at (prio × bucket)
+    * parallelism; (3) the 10-row-per-prio decile position grid
+    * (NTILE's floor/remainder boundary arithmetic from n alone)
+    * broadcast-range-joined to the cells it intersects. Rows of one
+    * cell are interchangeable for every output (equal cents ⇒ equal
+    * rank/cume; the o_orderkey tie-break only permutes within the
+    * cell), so per-decile folds over intersecting cells reproduce the
+    * row-level answer bit-for-bit: n_rows by overlap length,
+    * min_prank from cum_before (rank−1 of the whole cell), max_cume
+    * from peer-inclusive cum_through — the cell may extend past the
+    * decile edge, exactly as a row's peer count does. */
   def qNtileCume(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Window.partitionBy(col("prio"))
-      .orderBy(col("cents"), col("o_orderkey"))
-    val byVal = Window.partitionBy(col("prio")).orderBy(col("cents"))
-    val part = Window.partitionBy(col("prio"))
-    Tables.orders(spark, dir)
-      .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+    // one scan + one combined agg, checkpointed: the offsets, the
+    // per-prio n, the grid, and the cumulated cells all reuse it
+    val cells = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .withColumn("decile", ntile(10).over(ord).cast("long"))
-      .withColumn("rnk", rank().over(byVal))
-      .withColumn("cume_cnt", count(lit(1)).over(byVal))
-      .withColumn("n", count(lit(1)).over(part))
-      .withColumn("prank_ppm",
-        ldiv((col("rnk") - 1L) * 1000000L, greatest(col("n") - 1L, lit(1L))))
-      .withColumn("cume_ppm", ldiv(col("cume_cnt") * 1000000L, col("n")))
+      .groupBy(col("prio"), col("cents")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val withCum = bucketedCum(cells, "prio", "cents", "cnt")
+      .withColumnRenamed("cum", "cum_through")
+      .withColumn("cum_before", col("cum_through") - col("cnt"))
+    // NTILE(10) boundary positions from n: q = n div 10, r = n mod 10;
+    // buckets 1..r hold q+1 rows, so hi_d = d·q + min(d, r)
+    val grid = cells.groupBy(col("prio").as("gprio"))
+      .agg(sum(col("cnt")).as("n"))
+      .select(col("gprio"), col("n"),
+        explode(sequence(lit(1L), lit(10L))).as("decile"),
+        ldiv(col("n"), lit(10L)).as("q"), pmod(col("n"), lit(10L)).as("r"))
+      .select(col("gprio"), col("n"), col("decile"),
+        (col("decile") * col("q") + least(col("decile"), col("r")))
+          .as("hi_pos"),
+        ((col("decile") - 1L) * col("q")
+          + least(col("decile") - 1L, col("r")) + 1L).as("lo_pos"))
+    withCum.join(broadcast(grid), col("prio") === col("gprio") &&
+        col("cum_before") + 1L <= col("hi_pos") &&
+        col("cum_through") >= col("lo_pos"))
       .groupBy(col("prio"), col("decile"))
-      .agg(count(lit(1)).as("n_rows"),
+      .agg(sum(least(col("cum_through"), col("hi_pos"))
+          - greatest(col("cum_before") + 1L, col("lo_pos")) + 1L)
+          .as("n_rows"),
         min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"),
-        min(col("prank_ppm")).as("min_prank_ppm"),
-        max(col("cume_ppm")).as("max_cume_ppm"))
+        min(ldiv(col("cum_before") * 1000000L,
+          greatest(col("n") - 1L, lit(1L)))).as("min_prank_ppm"),
+        max(ldiv(col("cum_through") * 1000000L, col("n")))
+          .as("max_cume_ppm"))
   }
 
   /** B40 — leave-one-out aggregation, the target-encoding class every
@@ -1612,9 +1700,13 @@ object Analytics {
     * and a 0 delta with a 0 `has_*` flag — absence is explicit, never
     * an accidental zero. */
   def qPeriodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
-    def floorDivPpm(num: Column, den: Column): Column =
-      call_function("div",
-        num * 1000000L - pmod(num * 1000000L, den), den)
+    // monthly revenue is a corpus-scale money sum: delta·10⁶ passes
+    // 2.5·10¹⁸ at the sf10 tier — the numerator runs in decimal(38)
+    // (oracle: HUGEINT) so the ppm stays exact at any volume
+    def floorDivPpm(num0: Column, den: Column): Column = {
+      val num = num0.cast("decimal(38,0)") * lit(1000000L)
+      call_function("div", num - pmod(num, den), den)
+    }
     val monthly = Tables.orders(spark, dir)
       .groupBy((year(col("o_orderdate")) * 12 +
         month(col("o_orderdate")) - 1).cast("long").as("month_idx"))
@@ -1655,16 +1747,16 @@ object Analytics {
       |  (month_idx % 12) + 1 AS month, rev_cents,
       |  COALESCE(prev_cents, -1) AS prev_cents,
       |  CAST(CASE WHEN prev_cents IS NOT NULL THEN
-      |    ((rev_cents - prev_cents) * 1000000
-      |      - ((((rev_cents - prev_cents) * 1000000) % prev_cents
-      |          + prev_cents) % prev_cents)) // prev_cents
+      |    (CAST(rev_cents - prev_cents AS HUGEINT) * 1000000
+      |      - (((CAST(rev_cents - prev_cents AS HUGEINT) * 1000000)
+      |          % prev_cents + prev_cents) % prev_cents)) // prev_cents
       |    ELSE 0 END AS BIGINT) AS mom_delta_ppm,
       |  CAST(prev_cents IS NOT NULL AS BIGINT) AS has_mom,
       |  COALESCE(yoy_cents, -1) AS yoy_base_cents,
       |  CAST(CASE WHEN yoy_cents IS NOT NULL THEN
-      |    ((rev_cents - yoy_cents) * 1000000
-      |      - ((((rev_cents - yoy_cents) * 1000000) % yoy_cents
-      |          + yoy_cents) % yoy_cents)) // yoy_cents
+      |    (CAST(rev_cents - yoy_cents AS HUGEINT) * 1000000
+      |      - (((CAST(rev_cents - yoy_cents AS HUGEINT) * 1000000)
+      |          % yoy_cents + yoy_cents) % yoy_cents)) // yoy_cents
       |    ELSE 0 END AS BIGINT) AS yoy_delta_ppm,
       |  CAST(yoy_cents IS NOT NULL AS BIGINT) AS has_yoy
       |FROM w""".stripMargin

@@ -92,6 +92,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "bpe_pair_merge",
       // embeds C40's tercile cross + C34's corpus-total cross
       "curation_funnel",
+      // the 10-row-per-prio decile position grid broadcast-range-joined
+      // to the value cells it intersects (the B39 distributed-rank
+      // rewrite; the grid is 50 rows at any corpus size)
+      "q_ntile_cume",
       // 1-row token-total broadcast (q_scalar_subquery shape)
       "seq_length_histogram",
       // universe x boundary-grid broadcast cross (cdc_syncpoint shape)
@@ -216,6 +220,41 @@ class PlanQualitySpec extends AnyFunSuite {
           s"$name plans ${bad.size} unpartitioned corpus-scale window(s)")
       }
     }
+  }
+
+  test("dimension-keyed rank queries keep their windows off corpus-scale rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // The r9 q_ntile_cume lesson: a window PARTITIONED by a
+    // dimension-bounded key (5 order priorities, 25 nations) is as
+    // much a scale-killer as an unpartitioned one — parallelism is
+    // the key's cardinality, so one task sorts corpus/|dim| rows.
+    // The rewrites keep every single-key window on a bounded frame:
+    // B37/B39 window single-key only over the (part, bucket) TOTALS
+    // aggregate (dimension-scale rows) and cumulate within buckets at
+    // (part × bucket) parallelism; B38 cuts candidates to ≤5 per
+    // (nation × salt) group before the single-key global rank.
+    for (name <- Seq("q_ntile_cume", "q_percentile_exact")) {
+      val lp = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LWindow => w }
+      assert(wins.exists(_.partitionSpec.length >= 2),
+        s"$name lost its within-bucket (part, bkt) window")
+      wins.filter(_.partitionSpec.length == 1).foreach { w =>
+        assert(w.child.collectFirst { case _: Aggregate => () }.nonEmpty,
+          s"$name plans a single-key window over a non-aggregated " +
+            "(corpus-scale) frame")
+      }
+    }
+    val sa = SparkEntry.queries("q_string_agg")(spark, dir)
+      .queryExecution.optimizedPlan
+    sa.collect { case w: LWindow => w }
+      .filter(_.partitionSpec.length == 1).foreach { w =>
+        assert(w.child.collectFirst {
+          case inner: LWindow if inner.partitionSpec.length >= 2 => ()
+        }.nonEmpty,
+          "q_string_agg's global top-5 window is not fed by the " +
+            "salted candidate cut")
+      }
   }
 
   test("funnel stacks its stage windows on one user-keyed shuffle") {
