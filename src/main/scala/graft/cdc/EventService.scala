@@ -178,7 +178,13 @@ object EventService {
     * the anchor's position; the epoch's first ts is the previous
     * anchor's successor, read with last IGNORE NULLS) — ONE
     * dispatcher-keyed shuffle, then a row-local item explode. The
-    * fold-equality spec replays the reference's stateful loop
+    * global item position `pos` is ALSO closed-form: each anchor's
+    * item count is an arithmetic function of its flags, so pos =
+    * (cumulative count of previous anchors' items, one more expression
+    * on the same pre-explode window frame) + the posexplode index —
+    * the naive post-explode ROW_NUMBER would re-sort the 2–6×-larger
+    * exploded frame (the r9 ladder's worst grower; this rewrite cuts
+    * it). The fold-equality spec replays the reference's stateful loop
     * (transcribed) over the trace and must reproduce every outcome. */
   def seqCheck(cl: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -200,41 +206,67 @@ object EventService {
         col("rn") - coalesce(max(when(col("inj"), col("rn"))).over(wPrev), lit(0L)))
       .withColumn("first_ts_epoch",
         coalesce(last(when(col("inj"), col("next_ts")), ignoreNulls = true).over(wPrev),
-          min(col("commit_ts")).over(Window.partitionBy(col("schema_name"), col("table_name")))))
+          // partition's first commit_ts: first_value on the SAME ordered
+          // spec (an unordered min-over-partition would add a second
+          // WindowExec frame family)
+          first(col("commit_ts")).over(w)))
       .withColumn("seq",
         when(col("epoch") === 0L, lit(1L) + col("p")).otherwise(lit(2L) + col("p")))
-    def item(sub: Int, kind: String, seq: org.apache.spark.sql.Column,
+      // items this anchor emits (mirrors the 7 conditional entries below)
+      .withColumn("n_items",
+        (col("rn") === 1L).cast("long") + lit(1L) + col("wrong").cast("long")
+          + col("inj").cast("long") * lit(3L)
+          + (col("delayed") && col("next_ts").isNotNull).cast("long"))
+    // Second WindowExec on the SAME sorted frame (no new shuffle or
+    // sort — a streaming pass over the in-memory partition): items
+    // emitted by all previous anchors = this anchor's global pos
+    // offset. Measured FASTER at sf10 than decomposing n_items into
+    // source-flag sums inside the first pass (the extra per-row
+    // aggregate buffers cost more than the pass).
+    val counted = base.withColumn("pos_base",
+      coalesce(sum(col("n_items")).over(wPrev), lit(0L)))
+    // per-anchor offsets of each entry among the PRESENT ones — the
+    // prefix sums of the presence flags, so pos needs no post-explode
+    // rank (and no non-codegen array HOF: plain explode + null filter)
+    val hs = (col("rn") === 1L).cast("long")
+    val wv = col("wrong").cast("long")
+    val iv = col("inj").cast("long")
+    val dv = (col("delayed") && col("next_ts").isNotNull).cast("long")
+    def item(sub: Int, pos: org.apache.spark.sql.Column, kind: String,
+             seq: org.apache.spark.sql.Column,
              ts: org.apache.spark.sql.Column, src: String,
              epoch: org.apache.spark.sql.Column,
              outcome: org.apache.spark.sql.Column) =
-      struct(lit(sub).as("sub"), lit(kind).as("kind"), seq.as("seq"),
+      struct(lit(sub).as("sub"), (col("pos_base") + pos + 1L).as("pos"),
+        lit(kind).as("kind"), seq.as("seq"),
         ts.as("commit_ts"), lit(src).as("src"), epoch.as("epoch"),
         outcome.as("outcome"))
-    val items = base.select(col("schema_name"), col("table_name"),
+    val items = counted.select(col("schema_name"), col("table_name"),
       col("rn").as("anchor_rn"),
       explode(array(
-        when(col("rn") === 1L, item(-1, "HANDSHAKE", lit(1L), lit(0L),
+        when(col("rn") === 1L, item(-1, lit(0L), "HANDSHAKE", lit(1L), lit(0L),
           "srv-0", lit(0L), lit("accept_handshake"))),
-        item(0, "DML", col("seq"), col("commit_ts"), "srv-0", col("epoch"),
+        item(0, hs, "DML", col("seq"), col("commit_ts"), "srv-0", col("epoch"),
           lit("accept")),
-        when(col("wrong"), item(1, "DML", lit(0L), col("commit_ts"),
+        when(col("wrong"), item(1, hs + 1L, "DML", lit(0L), col("commit_ts"),
           "srv-remote", col("epoch"), lit("ignore_wrong_server"))),
-        when(col("inj"), item(2, "DML", col("seq"), col("commit_ts"),
+        when(col("inj"), item(2, hs + 1L + wv, "DML", col("seq"), col("commit_ts"),
           "srv-0", col("epoch"), lit("ignore_out_of_order"))),
         when(col("delayed") && col("next_ts").isNotNull,
-          item(3, "DML", col("seq") + 1L, col("next_ts"), "srv-0",
+          item(3, hs + 1L + wv + iv, "DML", col("seq") + 1L, col("next_ts"), "srv-0",
             col("epoch"), lit("ignore_wait_handshake"))),
-        when(col("inj"), item(4, "HANDSHAKE", lit(1L), col("commit_ts"),
+        when(col("inj"), item(4, hs + 1L + wv + iv + dv, "HANDSHAKE", lit(1L),
+          col("commit_ts"),
           "srv-0", col("epoch") + 1L, lit("accept_handshake"))),
-        when(col("inj"), item(5, "DML", lit(2L), col("first_ts_epoch"),
+        when(col("inj"), item(5, hs + 2L + wv + iv + dv, "DML", lit(2L),
+          col("first_ts_epoch"),
           "srv-0", col("epoch") + 1L,
           when(col("p") >= 2L, lit("ignore_stale")).otherwise(lit("accept"))))
       )).as("e"))
       .filter(col("e").isNotNull)
     items.select(col("schema_name"), col("table_name"), col("anchor_rn"),
         col("e.sub").cast("long").as("sub"),
-        row_number().over(Window.partitionBy(col("schema_name"), col("table_name"))
-          .orderBy(col("anchor_rn"), col("e.sub"))).cast("long").as("pos"),
+        col("e.pos").cast("long").as("pos"),
         col("e.kind").as("kind"), col("e.seq").as("seq"),
         col("e.commit_ts").as("commit_ts"), col("e.src").as("src"),
         col("e.epoch").as("epoch"), col("e.outcome").as("outcome"))

@@ -275,7 +275,8 @@ object Corpus {
         col("total_tokens"), col("total_chars"),
         round(element_at(col("pp"), 1) * lit(10000.0)).cast("long").as("p50_tokens_x10k"),
         round(element_at(col("pp"), 2) * lit(10000.0)).cast("long").as("p95_tokens_x10k"),
-        call_function("div", col("total_tokens") * lit(1000000L), col("n_docs"))
+        call_function("div", col("total_tokens").cast("decimal(38,0)")
+            * lit(1000000L), col("n_docs"))
           .as("avg_tokens_micro"))
 
   /** C23's 100 TB variant: token percentiles via `approx_percentile`
@@ -296,7 +297,8 @@ object Corpus {
         col("total_tokens"), col("total_chars"),
         round(element_at(col("pp"), 1) * lit(10000.0)).cast("long").as("p50_tokens_x10k"),
         round(element_at(col("pp"), 2) * lit(10000.0)).cast("long").as("p95_tokens_x10k"),
-        call_function("div", col("total_tokens") * lit(1000000L), col("n_docs"))
+        call_function("div", col("total_tokens").cast("decimal(38,0)")
+            * lit(1000000L), col("n_docs"))
           .as("avg_tokens_micro"))
 
   val corpusStatsSql: String =
@@ -343,7 +345,7 @@ object Corpus {
       .agg(count(lit(1)).as("n"))
       .join(broadcast(totals), Seq("batch"))
       .withColumn("ppm", call_function("div",
-        col("n") * lit(1000000L), col("batch_total")))
+        col("n").cast("decimal(38,0)") * lit(1000000L), col("batch_total")))
       .groupBy(col("dim"), col("value"))
       .agg(sum(when(col("batch") === 0L, col("n")).otherwise(0L)).as("old_n"),
         sum(when(col("batch") === 1L, col("n")).otherwise(0L)).as("new_n"),
@@ -415,10 +417,10 @@ object Corpus {
       sum(col("smoothed")).as("smt"))
     cells.crossJoin(broadcast(totals))
       .select(col("lang"), col("source"), col("tokens"),
-        call_function("div", col("tokens") * lit(1000000L), col("tot"))
-          .as("natural_ppm"),
-        call_function("div", col("smoothed") * lit(1000000L), col("smt"))
-          .as("target_ppm"))
+        call_function("div", col("tokens").cast("decimal(38,0)")
+            * lit(1000000L), col("tot")).as("natural_ppm"),
+        call_function("div", col("smoothed").cast("decimal(38,0)")
+            * lit(1000000L), col("smt")).as("target_ppm"))
       .withColumn("weight_x1000",
         call_function("div", col("target_ppm") * lit(1000L),
           greatest(col("natural_ppm"), lit(1L))))
@@ -468,7 +470,8 @@ object Corpus {
     mix.crossJoin(broadcast(tot))
       .withColumn("target_tokens",
         call_function("div",
-          col("target_ppm") * col("tot") * lit(budgetX), lit(1000000L)))
+          col("target_ppm").cast("decimal(38,0)") * col("tot")
+            * lit(budgetX), lit(1000000L)))
       .withColumn("epochs_x1000",
         call_function("div", col("target_tokens") * lit(1000L),
           greatest(col("tokens"), lit(1L))))
@@ -476,8 +479,9 @@ object Corpus {
         call_function("div", col("epochs_x1000"), lit(1000L)))
       .withColumn("tail_ppm",
         call_function("div",
-          (col("target_tokens") - col("full_epochs") * col("tokens")) *
-            lit(1000000L), greatest(col("tokens"), lit(1L))))
+          (col("target_tokens") - col("full_epochs") * col("tokens"))
+            .cast("decimal(38,0)") * lit(1000000L),
+          greatest(col("tokens"), lit(1L))))
       .withColumn("repeated",
         (col("epochs_x1000") > 1000L).cast("long"))
       .select(col("lang"), col("source"), col("tokens"),
@@ -584,13 +588,15 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     buckets.crossJoin(broadcast(total))
       .withColumn("token_share_ppm",
-        call_function("div", col("n_tokens") * lit(1000000L), col("t")))
+        call_function("div", col("n_tokens").cast("decimal(38,0)")
+          * lit(1000000L), col("t")))
       .withColumn("cum_token_ppm",
-        call_function("div", sum(col("n_tokens")).over(wcum) * lit(1000000L), col("t")))
+        call_function("div", sum(col("n_tokens")).over(wcum)
+          .cast("decimal(38,0)") * lit(1000000L), col("t")))
       .withColumn("pad_waste_ppm",
         call_function("div",
-          (col("n_docs") * expr("CAST(pow(2, bucket + 1) AS BIGINT)") - col("n_tokens")) *
-            lit(1000000L),
+          (col("n_docs") * expr("CAST(pow(2, bucket + 1) AS BIGINT)") - col("n_tokens"))
+            .cast("decimal(38,0)") * lit(1000000L),
           col("n_docs") * expr("CAST(pow(2, bucket + 1) AS BIGINT)")))
       .select(col("bucket"), col("n_docs"), col("n_tokens"),
         col("token_share_ppm"), col("cum_token_ppm"), col("pad_waste_ppm"))
@@ -859,7 +865,8 @@ object Corpus {
           .as("fertility_e3"),
         call_function("div", col("tot_chars") * lit(1000L), col("tot_pieces"))
           .as("chars_per_piece_e3"),
-        call_function("div", col("n_single") * lit(1000000L), col("n_words"))
+        call_function("div", col("n_single").cast("decimal(38,0)")
+          * lit(1000000L), col("n_words"))
           .as("single_piece_ppm"))
   }
 
@@ -1009,7 +1016,8 @@ object Corpus {
       .withColumn("seg_seq", row_number().over(
         byWin.orderBy(col("seg_start"))).cast("long"))
       .withColumn("fill_ppm", call_function("div",
-        sum(col("seg_end") - col("seg_start")).over(byWin) * lit(1000000L),
+        sum(col("seg_end") - col("seg_start")).over(byWin)
+          .cast("decimal(38,0)") * lit(1000000L),
         lit(ctx)))
       .select(col("lang"), col("shard"), col("win").as("bin_id"),
         col("seg_seq"), col("doc_id"), col("seg_start"), col("seg_end"),
@@ -1100,7 +1108,8 @@ object Corpus {
         min(col("len")).as("min_len"), max(col("len")).as("max_len"),
         sum(col("len")).as("sum_len"))
       .withColumn("pad_waste_ppm", call_function("div",
-        (col("max_len") * col("n_docs") - col("sum_len")) * lit(1000000L),
+        (col("max_len") * col("n_docs") - col("sum_len"))
+          .cast("decimal(38,0)") * lit(1000000L),
         col("max_len") * col("n_docs")))
   }
 
@@ -1172,8 +1181,8 @@ object Corpus {
       .withColumn("cum_types", sum(col("n_new_types")).over(grid))
       .select(col("bucket"), col("n_tokens"), col("n_new_types"),
         col("cum_tokens"), col("cum_types"),
-        call_function("div", col("cum_types") * lit(1000000L),
-          col("cum_tokens")).as("types_per_mtok"))
+        call_function("div", col("cum_types").cast("decimal(38,0)")
+          * lit(1000000L), col("cum_tokens")).as("types_per_mtok"))
   }
 
   def vocabGrowthSql(): String =

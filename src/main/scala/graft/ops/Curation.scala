@@ -283,7 +283,8 @@ object Curation {
         count(col("hit")).as("n_contaminated"))
       .withColumn("contam_ppm",
         when(col("n_grams") > 0, call_function("div",
-          col("n_contaminated") * lit(1000000L), col("n_grams")))
+          col("n_contaminated").cast("decimal(38,0)") * lit(1000000L),
+          col("n_grams")))
           .otherwise(lit(-1L)))
   }
 
@@ -726,7 +727,8 @@ object Curation {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         (col("split_a") =!= col("split_b")).cast("long").as("leaky"),
         when(col("n_total") > 0L, call_function("div",
-          coalesce(col("n_pairs"), lit(0L)) * lit(1000000L), col("n_total")))
+          coalesce(col("n_pairs"), lit(0L)).cast("decimal(38,0)")
+            * lit(1000000L), col("n_total")))
           .otherwise(lit(0L)).as("share_ppm"))
   }
 
@@ -828,7 +830,8 @@ object Curation {
           .as("n_possible_pairs"),
         coalesce(col("n_direct_pairs"), lit(0L)).as("n_direct_pairs"))
       .withColumn("direct_ppm", call_function("div",
-        col("n_direct_pairs") * lit(1000000L), col("n_possible_pairs")))
+        col("n_direct_pairs").cast("decimal(38,0)") * lit(1000000L),
+        col("n_possible_pairs")))
       .withColumn("chained",
         (col("direct_ppm") < 1000000L).cast("long"))
   }
@@ -920,7 +923,8 @@ object Curation {
     val grid = overlapFilters.combinations(2).toSeq
       .map { case Seq(a, b) => (a, b) }.toDF("f1", "f2")
     def ratio(num: Column, den: Column): Column =
-      when(den > 0L, call_function("div", num * lit(1000000L), den))
+      when(den > 0L, call_function("div",
+        num.cast("decimal(38,0)") * lit(1000000L), den))
         .otherwise(lit(-1L))
     grid
       .join(broadcast(totals.select(col("f").as("f1"), col("nf").as("n_f1"))),

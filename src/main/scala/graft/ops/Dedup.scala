@@ -436,7 +436,8 @@ object Dedup {
         coalesce(col("n_true_pairs"), lit(0L)).as("n_true_pairs"),
         coalesce(col("n_candidate_hits"), lit(0L)).as("n_candidate_hits"),
         when(col("n_true_pairs") > 0L, call_function("div",
-          col("n_candidate_hits") * lit(1000000L), col("n_true_pairs")))
+          col("n_candidate_hits").cast("decimal(38,0)") * lit(1000000L),
+          col("n_true_pairs")))
           .otherwise(lit(-1L)).as("recall_ppm"),
         col("expected_recall_ppm"))
   }

@@ -206,7 +206,8 @@ object Retrieval {
         coalesce(col("n_fps"), lit(0L)).as("n_fps"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         when(coalesce(col("n_fps"), lit(0L)) > 0,
-          call_function("div", col("n_hits") * lit(1000000L), col("n_fps")))
+          call_function("div", col("n_hits").cast("decimal(38,0)")
+            * lit(1000000L), col("n_fps")))
           .otherwise(lit(-1L)).as("overlap_ppm"))
       .withColumn("verdict",
         when(col("overlap_ppm") >= tauPpm, lit("drop")).otherwise(lit("keep")))
@@ -850,8 +851,9 @@ object Retrieval {
       .select(col("doc_id"), col("n_before"),
         size(col("kept_toks")).cast("long").as("n_after"),
         call_function("div",
-          (col("n_before") - size(col("kept_toks")).cast("long")) *
-            lit(1000000L), col("n_before")).as("cut_ppm"),
+          (col("n_before") - size(col("kept_toks")).cast("long"))
+            .cast("decimal(38,0)") * lit(1000000L),
+          col("n_before")).as("cut_ppm"),
         col("spans").isNotNull.cast("long").as("was_cut"),
         Portable.hash60(array_join(col("kept_toks"), " ")).as("text_hash"))
   }
@@ -1034,8 +1036,8 @@ object Retrieval {
       .select(col("doc_id"), col("span_seq"), col("tok_start"),
         col("tok_end"), (col("tok_end") - col("tok_start")).as("span_tokens"),
         col("doc_tokens"),
-        call_function("div", col("dup_tokens") * lit(1000000L),
-          col("doc_tokens")).as("dup_ppm"))
+        call_function("div", col("dup_tokens").cast("decimal(38,0)")
+          * lit(1000000L), col("doc_tokens")).as("dup_ppm"))
   }
 
   def dedupSubstringSpansSql(k: Int = 8): String = {

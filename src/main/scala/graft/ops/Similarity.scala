@@ -306,7 +306,8 @@ object Similarity {
         max(when(col("rank_full") === 1L && col("rank_pre") === 1L, 1L)
           .otherwise(0L)).as("top1_match"))
       .withColumn("overlap_ppm",
-        call_function("div", col("n_overlap") * lit(1000000L), lit(k.toLong)))
+        call_function("div", col("n_overlap").cast("decimal(38,0)")
+          * lit(1000000L), lit(k.toLong)))
       .select(col("query_id"), col("n_overlap"), col("overlap_ppm"),
         col("top1_match"))
   }

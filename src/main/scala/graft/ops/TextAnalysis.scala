@@ -558,7 +558,8 @@ object TextAnalysis {
     val tot = cum.groupBy(col("source")).agg(max(col("cum")).as("n"))
     val cal = cum.join(broadcast(tot), "source")
       .select(col("source"), col("score"),
-        call_function("div", col("cum") * lit(1000000L), col("n"))
+        call_function("div", col("cum").cast("decimal(38,0)")
+          * lit(1000000L), col("n"))
           .as("cal_ppm"))
     scored.join(cal, Seq("source", "score"))
       .select(col("doc_id"), col("source"), col("score"), col("cal_ppm"),

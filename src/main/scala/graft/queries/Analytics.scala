@@ -105,7 +105,11 @@ object Analytics {
   private def avgMicro(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
     val up = math.pow(10, 6 - scale).toLong
-    ldiv(sum(round(c * lit(f)).cast("long")) * lit(up), count(lit(1)))
+    // corpus-scale SUM x micro upscale runs in decimal(38): at 100 TB
+    // a cents sum crosses Long/10^4 (the q_share_of_total class); the
+    // IntegralDivide still returns the BIGINT micro-average
+    ldiv(sum(round(c * lit(f)).cast("long")).cast("decimal(38,0)")
+      * lit(up), count(lit(1)))
   }
 
   private def avgMicroSql(e: String, scale: Int): String = {
@@ -676,8 +680,9 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_exact"),
         approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
       .select(col("event_type"), col("n_exact"),
-        (abs(col("n_approx") - col("n_exact")) * 1000000L <=
-          col("n_exact") * 50000L).cast("long").as("approx_within_5pct"))
+        (abs(col("n_approx") - col("n_exact")).cast("decimal(38,0)")
+          * 1000000L <= col("n_exact").cast("decimal(38,0)") * 50000L)
+          .cast("long").as("approx_within_5pct"))
 
   val qApproxDistinctSql: String =
     """SELECT event_type,
@@ -1594,10 +1599,10 @@ object Analytics {
           - greatest(col("cum_before") + 1L, col("lo_pos")) + 1L)
           .as("n_rows"),
         min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"),
-        min(ldiv(col("cum_before") * 1000000L,
+        min(ldiv(col("cum_before").cast("decimal(38,0)") * 1000000L,
           greatest(col("n") - 1L, lit(1L)))).as("min_prank_ppm"),
-        max(ldiv(col("cum_through") * 1000000L, col("n")))
-          .as("max_cume_ppm"))
+        max(ldiv(col("cum_through").cast("decimal(38,0)") * 1000000L,
+          col("n"))).as("max_cume_ppm"))
   }
 
   /** B40 — leave-one-out aggregation, the target-encoding class every
@@ -1619,7 +1624,8 @@ object Analytics {
       .withColumn("n", count(lit(1)).over(part))
       .select(col("o_orderkey"), col("o_custkey"), col("cents"),
         col("n").as("n_orders"),
-        when(col("n") > 1L, ldiv((col("grp_sum") - col("cents")) * 1000000L,
+        when(col("n") > 1L, ldiv((col("grp_sum") - col("cents"))
+            .cast("decimal(38,0)") * 1000000L,
           col("n") - 1L)).otherwise(lit(-1L)).as("loo_mean_microcents"))
   }
 
@@ -1782,7 +1788,8 @@ object Analytics {
           .as("n_new"))
       .select(col("week_idx"), col("n_active"), col("n_new"),
         (col("n_active") - col("n_new")).as("n_returning"),
-        ldiv((col("n_active") - col("n_new")) * 1000000L, col("n_active"))
+        ldiv((col("n_active") - col("n_new")).cast("decimal(38,0)")
+            * 1000000L, col("n_active"))
           .as("returning_ppm"))
   }
 

@@ -472,6 +472,38 @@ class EventServiceSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Long]("ts") == gcTs))
   }
 
+  test("A107 degenerate span: colliding DDL finished-ts keeps the rank pair deterministic") {
+    import spark.implicits._
+    // The finished-ts formula ts = lo + j*(hi-lo)/4 + base is injective
+    // only while #tables < span/4. Force the degenerate case — span = 4
+    // (per-j stride 1) with 6 tables — so ddl_job key_hex values
+    // genuinely collide, and prove the (schema_name, table_name)
+    // tie-break (not engine luck) pins both rankings.
+    val cl = (0 until 6).flatMap { t =>
+      Seq(("db0", s"t$t", 100L), ("db0", s"t$t", 104L))
+    }.toDF("schema_name", "table_name", "commit_ts")
+    val rows = cdc.SchemaStore.schemaPersistKey(cl).collect()
+    val ddl = rows.filter(_.getAs[String]("key_kind") == "ddl_job")
+    val byHex = ddl.groupBy(_.getAs[String]("key_hex"))
+    assert(byHex.values.exists(_.length > 1),
+      "fixture not degenerate: no colliding ddl_job key_hex — the guard test is vacuous")
+    // within every collided key group, BOTH positions order by the
+    // declared tie-break, so the pair is a pure function of row content
+    for ((hex, g) <- byHex if g.length > 1) {
+      val byTie = g.sortBy(r =>
+        (r.getAs[String]("schema_name"), r.getAs[String]("table_name")))
+      assert(byTie.map(_.getAs[Long]("pos_bykey")).toSeq ==
+        g.map(_.getAs[Long]("pos_bykey")).sorted.toSeq, s"pos_bykey tie-break broken at $hex")
+      assert(byTie.map(_.getAs[Long]("pos_bytuple")).toSeq ==
+        g.map(_.getAs[Long]("pos_bytuple")).sorted.toSeq, s"pos_bytuple tie-break broken at $hex")
+    }
+    // and the full pair is still a permutation (no rank dup/skip)
+    assert(rows.map(_.getAs[Long]("pos_bykey")).sorted.toSeq ==
+      (1L to rows.length).toSeq)
+    assert(rows.map(_.getAs[Long]("pos_bytuple")).sorted.toSeq ==
+      (1L to rows.length).toSeq)
+  }
+
   test("A106 sweep: randomized registration storms equal the transcription fold") {
     import org.apache.spark.sql.functions._
     // 20 random traces of 14 ticks sweep interleavings the scripted
