@@ -146,11 +146,19 @@ object AvroBinary {
         strHex(col("table_name")).as("h_table"),
         strHex(col("op")).as("h_op"),
         moneyHex(col("before_value")).as("h_before"),
-        moneyHex(col("after_value")).as("h_after"))
+        moneyHex(col("after_value")).as("h_after"),
+        // the TypedImage matrix, each an Avro string per the reference
+        // string-handling rules (arvo.go:807-812 date/datetime/timestamp,
+        // :767-771 decimalHandlingMode=string, :789-801 enum name)
+        strHex(TypedImage.dateStr).as("h_date"),
+        strHex(TypedImage.dtStr).as("h_dt"),
+        strHex(TypedImage.decStr).as("h_dec"),
+        strHex(TypedImage.enumName).as("h_enum"))
       .select(col("commit_ts"),
         concat(lit(headerHex(keySchemaId)), col("h_pk")).as("key"),
         concat(lit(headerHex(valueSchemaId)), col("h_schema"), col("h_table"),
-          col("h_op"), col("h_pk"), col("h_ts"), col("h_before"), col("h_after"))
+          col("h_op"), col("h_pk"), col("h_ts"), col("h_before"), col("h_after"),
+          col("h_date"), col("h_dt"), col("h_dec"), col("h_enum"))
           .as("value"))
 
   /** A53 — Avro binary DECODE, the consumer side of [[messages]]
@@ -185,6 +193,10 @@ object AvroBinary {
         col("v.commit_ts").as("commit_ts"),
         col("v.before_cents").as("before_cents"),
         col("v.after_cents").as("after_cents"),
+        col("v.c_date").as("c_date"),
+        col("v.c_dt").as("c_dt"),
+        col("v.c_dec").as("c_dec"),
+        col("v.c_enum").as("c_enum"),
         (col("k.valid") * col("v.valid")).as("valid"))
   }
 
@@ -197,6 +209,10 @@ object AvroBinary {
        |       ELSE CAST(ROUND(before_value * 100.0, 0) AS BIGINT) END AS before_cents,
        |  CASE WHEN after_value IS NULL THEN CAST(-1 AS BIGINT)
        |       ELSE CAST(ROUND(after_value * 100.0, 0) AS BIGINT) END AS after_cents,
+       |  ${TypedImage.dateStrSql} AS c_date,
+       |  ${TypedImage.dtStrSql} AS c_dt,
+       |  ${TypedImage.decStrSql} AS c_dec,
+       |  ${TypedImage.enumNameSql} AS c_enum,
        |  CAST(1 AS BIGINT) AS valid
        |FROM changelog""".stripMargin
 
@@ -204,7 +220,8 @@ object AvroBinary {
     s"""SELECT commit_ts,
        |  CONCAT('${headerHex(keySchemaId)}', h_pk) AS key,
        |  CONCAT('${headerHex(valueSchemaId)}', h_schema, h_table, h_op,
-       |         h_pk, h_ts, h_before, h_after) AS value
+       |         h_pk, h_ts, h_before, h_after, h_date, h_dt, h_dec, h_enum)
+       |    AS value
        |FROM (
        |  SELECT commit_ts,
        |    ${zvarHexSql("pk")} AS h_pk,
@@ -213,7 +230,11 @@ object AvroBinary {
        |    ${strHexSql("table_name")} AS h_table,
        |    ${strHexSql("op")} AS h_op,
        |    ${moneyHexSql("before_value")} AS h_before,
-       |    ${moneyHexSql("after_value")} AS h_after
+       |    ${moneyHexSql("after_value")} AS h_after,
+       |    ${strHexSql(TypedImage.dateStrSql)} AS h_date,
+       |    ${strHexSql(TypedImage.dtStrSql)} AS h_dt,
+       |    ${strHexSql(TypedImage.decStrSql)} AS h_dec,
+       |    ${strHexSql(TypedImage.enumNameSql)} AS h_enum
        |  FROM changelog
        |)""".stripMargin
 }

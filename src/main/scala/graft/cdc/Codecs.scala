@@ -32,10 +32,26 @@ object Codecs {
 
   /** A19 — canal-json envelope (reference: pkg/sink/codec/canal/
     * canal_json_message.go JSONMessage): database/table/pkNames/isDdl/
-    * type/es/ts/data/old. DELETE carries the before image in `data`;
-    * INSERT has `old: null`. */
+    * type/es/ts/sqlType/mysqlType/data/old. DELETE carries the before
+    * image in `data`; INSERT has `old: null`. The row image carries
+    * the [[TypedImage]] matrix: sqlType holds the java.sql.Types codes
+    * of the reference dispatch (internal/java.go: BIGINT=-5, DOUBLE=8,
+    * VARCHAR=12, DATE=91, TIMESTAMP=93, DECIMAL=3, INTEGER=4 for enum),
+    * mysqlType the lowercase MySQL names (encoder.go:260
+    * utils.GetMySQLType), and data renders each arm per
+    * helper.go:39-260 — date/datetime as formatted strings, decimal as
+    * a plain string, enum as its integer value (all JSON strings: the
+    * canal data map is map[string]string). */
   def canalJson(cl: DataFrame): DataFrame =
     cl.select(col("commit_ts"), canalJsonValue.as("value"))
+
+  private[cdc] val canalSqlTypeJson: String =
+    "{\"pk\":-5,\"value\":8,\"props\":12,\"c_date\":91,\"c_dt\":93," +
+      "\"c_dec\":3,\"c_enum\":4}"
+  private[cdc] val canalMysqlTypeJson: String =
+    "{\"pk\":\"bigint\",\"value\":\"double\",\"props\":\"json\"," +
+      "\"c_date\":\"date\",\"c_dt\":\"datetime\",\"c_dec\":\"decimal\"," +
+      "\"c_enum\":\"enum\"}"
 
   /** Everything of the canal-json DML message except the closing brace
     * — shared by A19 (plain) and the TiDB-extension envelope (A57). */
@@ -46,11 +62,17 @@ object Codecs {
     lit("\",\"pkNames\":[\"pk\"],\"isDdl\":false,\"type\":\""), opWord,
     lit("\",\"es\":"), col("commit_ts"),
     lit(",\"ts\":"), col("start_ts"),
+    lit(",\"sqlType\":" + canalSqlTypeJson),
+    lit(",\"mysqlType\":" + canalMysqlTypeJson),
     lit(",\"data\":[{\"pk\":"), col("pk"),
     lit(",\"value\":"),
     fmt(when(col("op") === "D", col("before_value")).otherwise(col("after_value"))),
     lit(",\"props\":"), col("props"),
-    lit("}],\"old\":"),
+    lit(",\"c_date\":\""), TypedImage.dateStr,
+    lit("\",\"c_dt\":\""), TypedImage.dtStr,
+    lit("\",\"c_dec\":\""), TypedImage.decStr,
+    lit("\",\"c_enum\":\""), TypedImage.enumIdx.cast("string"),
+    lit("\"}],\"old\":"),
     when(col("op") === "U", concat(lit("[{\"value\":"), fmt(col("before_value")), lit("}]")))
       .otherwise(lit("null")))
 
@@ -63,10 +85,16 @@ object Codecs {
        |  '","pkNames":["pk"],"isDdl":false,"type":"', $opWordSql,
        |  '","es":', commit_ts,
        |  ',"ts":', start_ts,
+       |  ',"sqlType":$canalSqlTypeJson',
+       |  ',"mysqlType":$canalMysqlTypeJson',
        |  ',"data":[{"pk":', pk,
        |  ',"value":', ${fmtSql("CASE WHEN op = 'D' THEN before_value ELSE after_value END")},
        |  ',"props":', props,
-       |  '}],"old":',
+       |  ',"c_date":"', ${TypedImage.dateStrSql},
+       |  '","c_dt":"', ${TypedImage.dtStrSql},
+       |  '","c_dec":"', ${TypedImage.decStrSql},
+       |  '","c_enum":"', ${TypedImage.enumIdxSql},
+       |  '"}],"old":',
        |  CASE WHEN op = 'U'
        |    THEN CONCAT('[{"value":', ${fmtSql("before_value")}, '}]')
        |    ELSE 'null' END)""".stripMargin
@@ -164,7 +192,8 @@ object Codecs {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "es BIGINT, ts BIGINT, `database` STRING, `table` STRING, " +
         "`type` STRING, " +
-        "data ARRAY<STRUCT<pk: BIGINT, value: DOUBLE>>, " +
+        "data ARRAY<STRUCT<pk: BIGINT, value: DOUBLE, c_date: STRING, " +
+        "c_dt: STRING, c_dec: STRING, c_enum: STRING>>, " +
         "old ARRAY<STRUCT<value: DOUBLE>>")
     def m(p: String): Column = col("m").getField(p)
     val d0 = m("data").getItem(0)
@@ -180,7 +209,14 @@ object Codecs {
         .otherwise(d0.getField("value")).as("after_value"),
       when(m("type") === "DELETE", d0.getField("value"))
         .when(m("type") === "UPDATE", m("old").getItem(0).getField("value"))
-        .otherwise(lit(null).cast("double")).as("before_value"))
+        .otherwise(lit(null).cast("double")).as("before_value"),
+      // the typed arms decode back to their canonical integer forms —
+      // the consumer-side inverse of each helper.go rendering
+      datediff(to_date(d0.getField("c_date")),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("c_date_days"),
+      unix_timestamp(to_timestamp(d0.getField("c_dt"))).as("c_dt_sec"),
+      regexp_replace(d0.getField("c_dec"), "\\.", "").cast("long").as("c_dec_e4"),
+      d0.getField("c_enum").cast("long").as("c_enum_idx"))
   }
 
   val canalJsonDecodeSql: String = {
@@ -199,7 +235,14 @@ object Codecs {
        |      THEN CAST(${js("$.data[0].value")} AS DOUBLE)
        |    WHEN ${js("$.type")} = 'UPDATE'
        |      THEN CAST(${js("$.old[0].value")} AS DOUBLE)
-       |    ELSE NULL END AS before_value
+       |    ELSE NULL END AS before_value,
+       |  CAST(CAST(${js("$.data[0].c_date")} AS DATE) - DATE '1970-01-01'
+       |    AS BIGINT) AS c_date_days,
+       |  CAST(epoch(CAST(${js("$.data[0].c_dt")} AS TIMESTAMP)) AS BIGINT)
+       |    AS c_dt_sec,
+       |  CAST(REPLACE(${js("$.data[0].c_dec")}, '.', '') AS BIGINT)
+       |    AS c_dec_e4,
+       |  CAST(${js("$.data[0].c_enum")} AS BIGINT) AS c_enum_idx
        |FROM (SELECT $canalJsonValueSql AS value FROM changelog)""".stripMargin
   }
 
@@ -347,11 +390,22 @@ object Codecs {
   }
 
   /** A21 — debezium-json envelope (reference: pkg/sink/codec/debezium/
-    * codec.go): before/after/op(c|u|d)/ts_ms/source. */
+    * codec.go): before/after/op(c|u|d)/ts_ms/source. Row images carry
+    * the [[TypedImage]] matrix with the reference's per-type value
+    * conversions (writeDebeziumFieldValue): DATE → int32 epoch days
+    * (:368-391, t.Unix()/86400), DATETIME → int64 epoch millis
+    * (:393-421, precision ≤3), DECIMAL → a JSON number (:349-366;
+    * fixed-scale rendering — the documented %.4f-family divergence),
+    * ENUM → the element NAME (:311-328, ParseEnumValue). */
   private[cdc] def debeziumValue: Column = {
     def image(v: Column): Column =
       when(v.isNull, lit("null"))
-        .otherwise(concat(lit("{\"pk\":"), col("pk"), lit(",\"value\":"), fmt(v), lit("}")))
+        .otherwise(concat(lit("{\"pk\":"), col("pk"), lit(",\"value\":"), fmt(v),
+          lit(",\"c_date\":"), TypedImage.dateDays,
+          lit(",\"c_dt\":"), TypedImage.dtSec * 1000L,
+          lit(",\"c_dec\":"), TypedImage.decStr,
+          lit(",\"c_enum\":\""), TypedImage.enumName,
+          lit("\"}")))
     concat(
       lit("{\"before\":"), image(col("before_value")),
       lit(",\"after\":"), image(col("after_value")),
@@ -368,7 +422,11 @@ object Codecs {
   private[cdc] val debeziumValueSql: String = {
     def imageSql(v: String) =
       s"""CASE WHEN $v IS NULL THEN 'null'
-         |  ELSE CONCAT('{"pk":', pk, ',"value":', ${fmtSql(v)}, '}') END""".stripMargin
+         |  ELSE CONCAT('{"pk":', pk, ',"value":', ${fmtSql(v)},
+         |    ',"c_date":', ${TypedImage.dateDaysSql},
+         |    ',"c_dt":', ${TypedImage.dtSecSql} * 1000,
+         |    ',"c_dec":', ${TypedImage.decStrSql},
+         |    ',"c_enum":"', ${TypedImage.enumNameSql}, '"}') END""".stripMargin
     s"""CONCAT('{"before":', ${imageSql("before_value")},
        |    ',"after":', ${imageSql("after_value")},
        |    ',"source":{"db":"', schema_name, '","table":"', table_name,
@@ -384,12 +442,15 @@ object Codecs {
     * (op c|u|d ↔ I|U|D, both images on the wire), so the decoded frame
     * reproduces the changelog at codec precision — spec-asserted. */
   def debeziumDecode(cl: DataFrame): DataFrame = {
+    val img = "STRUCT<pk: BIGINT, value: DOUBLE, c_date: BIGINT, " +
+      "c_dt: BIGINT, c_dec: DECIMAL(20,4), c_enum: STRING>"
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "before STRUCT<pk: BIGINT, value: DOUBLE>, " +
-        "after STRUCT<pk: BIGINT, value: DOUBLE>, " +
+      s"before $img, after $img, " +
         "source STRUCT<db: STRING, `table`: STRING>, " +
         "op STRING, ts_ms BIGINT")
     def m(p: String): Column = col("m").getField(p)
+    def img0(f: String): Column =
+      coalesce(m("after").getField(f), m("before").getField(f))
     debezium(cl).select(from_json(col("value"), schema).as("m")).select(
       m("ts_ms").as("commit_ts"),
       m("source").getField("db").as("schema_name"),
@@ -398,7 +459,13 @@ object Codecs {
         .otherwise(lit("U")).as("op"),
       coalesce(m("after").getField("pk"), m("before").getField("pk")).as("pk"),
       m("before").getField("value").as("before_value"),
-      m("after").getField("value").as("after_value"))
+      m("after").getField("value").as("after_value"),
+      // typed arms back to canonical integers/names (the consumer-side
+      // inverse of each writeDebeziumFieldValue conversion)
+      img0("c_date").as("c_date_days"),
+      img0("c_dt").as("c_dt_ms"),
+      (img0("c_dec") * 10000).cast("long").as("c_dec_e4"),
+      img0("c_enum").as("c_enum_name"))
   }
 
   val debeziumDecodeSql: String = {
@@ -410,7 +477,15 @@ object Codecs {
        |  CASE ${v("$.op")} WHEN 'c' THEN 'I' WHEN 'd' THEN 'D' ELSE 'U' END AS op,
        |  CAST(COALESCE(${v("$.after.pk")}, ${v("$.before.pk")}) AS BIGINT) AS pk,
        |  CAST(${v("$.before.value")} AS DOUBLE) AS before_value,
-       |  CAST(${v("$.after.value")} AS DOUBLE) AS after_value
+       |  CAST(${v("$.after.value")} AS DOUBLE) AS after_value,
+       |  CAST(COALESCE(${v("$.after.c_date")}, ${v("$.before.c_date")})
+       |    AS BIGINT) AS c_date_days,
+       |  CAST(COALESCE(${v("$.after.c_dt")}, ${v("$.before.c_dt")})
+       |    AS BIGINT) AS c_dt_ms,
+       |  CAST(CAST(COALESCE(${v("$.after.c_dec")}, ${v("$.before.c_dec")})
+       |    AS DECIMAL(20,4)) * 10000 AS BIGINT) AS c_dec_e4,
+       |  COALESCE(${v("$.after.c_enum")}, ${v("$.before.c_enum")})
+       |    AS c_enum_name
        |FROM (SELECT commit_ts, $debeziumValueSql AS value FROM changelog)""".stripMargin
   }
 
@@ -431,8 +506,17 @@ object Codecs {
   // Row-local codegen concat — zero shuffle at any scale.
 
   private val dbzCluster = "graft-cluster"
+  // per-column field schemas in writeDebeziumFieldSchema order/shape
+  // (codec.go:62-253): int64, double, then the TypedImage matrix —
+  // io.debezium.time.Date int32 (:128-135), io.debezium.time.Timestamp
+  // int64 (:137-148), decimal as double (:121-126), io.debezium.data
+  // .Enum string with the allowed parameter (:97-107)
   private val dbzColFields =
-    """{"type":"int64","optional":false,"field":"pk"},{"type":"double","optional":true,"field":"value"}"""
+    """{"type":"int64","optional":false,"field":"pk"},{"type":"double","optional":true,"field":"value"},""" +
+      """{"type":"int32","optional":false,"name":"io.debezium.time.Date","version":1,"field":"c_date"},""" +
+      """{"type":"int64","optional":false,"name":"io.debezium.time.Timestamp","version":1,"field":"c_dt"},""" +
+      """{"type":"double","optional":false,"field":"c_dec"},""" +
+      s"""{"type":"string","optional":false,"name":"io.debezium.data.Enum","version":1,"parameters":{"allowed":"${TypedImage.enumAllowed}"},"field":"c_enum"}"""
   private val dbzSourceSchema =
     """{"type":"struct","fields":[{"type":"string","optional":false,"field":"version"},{"type":"string","optional":false,"field":"connector"},{"type":"string","optional":false,"field":"name"},{"type":"int64","optional":false,"field":"ts_ms"},{"type":"string","optional":true,"name":"io.debezium.data.Enum","version":1,"parameters":{"allowed":"true,last,false,incremental"},"default":"false","field":"snapshot"},{"type":"string","optional":false,"field":"db"},{"type":"string","optional":true,"field":"sequence"},{"type":"string","optional":true,"field":"table"},{"type":"int64","optional":false,"field":"server_id"},{"type":"string","optional":true,"field":"gtid"},{"type":"string","optional":false,"field":"file"},{"type":"int64","optional":false,"field":"pos"},{"type":"int32","optional":false,"field":"row"},{"type":"int64","optional":true,"field":"thread"},{"type":"string","optional":true,"field":"query"}],"optional":false,"name":"io.debezium.connector.mysql.Source","field":"source"}"""
   private val dbzTailSchema =
@@ -441,7 +525,12 @@ object Codecs {
   private[cdc] def debeziumEnvelopeValue: Column = {
     def image(v: Column): Column =
       concat(lit("{\"pk\":"), col("pk"), lit(",\"value\":"),
-        when(v.isNull, lit("null")).otherwise(fmt(v)), lit("}"))
+        when(v.isNull, lit("null")).otherwise(fmt(v)),
+        lit(",\"c_date\":"), TypedImage.dateDays,
+        lit(",\"c_dt\":"), TypedImage.dtSec * 1000L,
+        lit(",\"c_dec\":"), TypedImage.decStr,
+        lit(",\"c_enum\":\""), TypedImage.enumName,
+        lit("\"}"))
     def valueStruct(f: String): Column = concat(
       lit(s"""{"type":"struct","optional":true,"name":"$dbzCluster."""),
       col("schema_name"), lit("."), col("table_name"),
@@ -476,7 +565,11 @@ object Codecs {
   val debeziumEnvelopeSql: String = {
     def imageSql(v: String) =
       s"""CONCAT('{"pk":', pk, ',"value":',
-         |  CASE WHEN $v IS NULL THEN 'null' ELSE ${fmtSql(v)} END, '}')""".stripMargin
+         |  CASE WHEN $v IS NULL THEN 'null' ELSE ${fmtSql(v)} END,
+         |  ',"c_date":', ${TypedImage.dateDaysSql},
+         |  ',"c_dt":', ${TypedImage.dtSecSql} * 1000,
+         |  ',"c_dec":', ${TypedImage.decStrSql},
+         |  ',"c_enum":"', ${TypedImage.enumNameSql}, '"}')""".stripMargin
     def valueStructSql(f: String) =
       s"""CONCAT('{"type":"struct","optional":true,"name":"$dbzCluster.', schema_name, '.', table_name, '.Value","field":"$f","fields":[$dbzColFields]}')"""
     s"""SELECT commit_ts, CONCAT(
@@ -547,7 +640,11 @@ object Codecs {
       quoted(col("op")), quoted(col("schema_name")), quoted(col("table_name")),
       col("commit_ts").cast("string"), col("pk").cast("string"),
       when(col("after_value").isNull, lit("\\N")).otherwise(format_string("%.4f", col("after_value"))),
-      quoted(col("props")))
+      quoted(col("props")),
+      // the TypedImage matrix: date/datetime/enum as quoted strings,
+      // decimal as a bare number — the storage-sink csv convention
+      quoted(TypedImage.dateStr), quoted(TypedImage.dtStr),
+      TypedImage.decStr, quoted(TypedImage.enumName))
   }
 
   def csv(cl: DataFrame): DataFrame =
@@ -561,7 +658,11 @@ object Codecs {
       |    '"', REPLACE(table_name, '"', '""'), '",',
       |    CAST(commit_ts AS VARCHAR), ',', CAST(pk AS VARCHAR), ',',
       |    CASE WHEN after_value IS NULL THEN '\N' ELSE printf('%.4f', after_value) END, ',',
-      |    '"', REPLACE(props, '"', '""'), '"') AS line
+      |    '"', REPLACE(props, '"', '""'), '",',""".stripMargin + "\n" +
+    s"""    '"', ${TypedImage.dateStrSql}, '",',
+      |    '"', ${TypedImage.dtStrSql}, '",',
+      |    ${TypedImage.decStrSql}, ',',
+      |    '"', ${TypedImage.enumNameSql}, '"') AS line
       |FROM changelog""".stripMargin
 
   /** Anchored CSV-line pattern, identical under Java regex and RE2:
@@ -571,7 +672,17 @@ object Codecs {
     * commit_ts, pk, value (`\N` = NULL image), props. */
   private val csvPat =
     "^\"((?:[^\"]|\"\")*)\",\"((?:[^\"]|\"\")*)\",\"((?:[^\"]|\"\")*)\"," +
-      "([0-9]+),([0-9]+),(\\\\N|[-0-9.]+),\"((?:[^\"]|\"\")*)\"$"
+      "([0-9]+),([0-9]+),(\\\\N|[-0-9.]+),\"((?:[^\"]|\"\")*)\"," +
+      "\"(?:[^\"]|\"\")*\",\"(?:[^\"]|\"\")*\",[0-9.]+,\"(?:[^\"]|\"\")*\"$"
+
+  /** Tail companion of [[csvPat]] — DuckDB's regexp_extract only
+    * addresses groups 0-9, so the four TypedImage fields get their own
+    * fully-anchored pattern with the leading seven fields
+    * non-capturing. Groups: c_date, c_dt, c_dec, c_enum. */
+  private val csvPatTail =
+    "^\"(?:[^\"]|\"\")*\",\"(?:[^\"]|\"\")*\",\"(?:[^\"]|\"\")*\"," +
+      "[0-9]+,[0-9]+,(?:\\\\N|[-0-9.]+),\"(?:[^\"]|\"\")*\"," +
+      "\"((?:[^\"]|\"\")*)\",\"((?:[^\"]|\"\")*)\",([0-9.]+),\"((?:[^\"]|\"\")*)\"$"
 
   /** A51 — csv DECODE (consumer side of A22, reference:
     * pkg/sink/codec/csv/csv_decoder.go): parse the line back to the
@@ -584,7 +695,8 @@ object Codecs {
   def csvDecode(frame: DataFrame): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "op STRING, schema_name STRING, table_name STRING, " +
-        "commit_ts BIGINT, pk BIGINT, value STRING, props STRING")
+        "commit_ts BIGINT, pk BIGINT, value STRING, props STRING, " +
+        "c_date STRING, c_dt STRING, c_dec STRING, c_enum STRING")
     // no parser-wide nullValue: that option would turn a QUOTED string
     // field whose content is literally \N into NULL too (an engine
     // divergence vs the oracle's per-field regex) — only the value
@@ -600,7 +712,13 @@ object Codecs {
         col("m.pk").as("pk"),
         when(col("m.value") === "\\N", lit(null).cast("double"))
           .otherwise(col("m.value").cast("double")).as("after_value"),
-        col("m.props").as("props"))
+        col("m.props").as("props"),
+        // typed arms back to canonical integer forms
+        datediff(to_date(col("m.c_date")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("c_date_days"),
+        unix_timestamp(to_timestamp(col("m.c_dt"))).as("c_dt_sec"),
+        regexp_replace(col("m.c_dec"), "\\.", "").cast("long").as("c_dec_e4"),
+        col("m.c_enum").as("c_enum_name"))
   }
 
   private val csvLineSqlForDecode: String =
@@ -610,10 +728,15 @@ object Codecs {
       |    '"', REPLACE(table_name, '"', '""'), '",',
       |    CAST(commit_ts AS VARCHAR), ',', CAST(pk AS VARCHAR), ',',
       |    CASE WHEN after_value IS NULL THEN '\N' ELSE printf('%.4f', after_value) END, ',',
-      |    '"', REPLACE(props, '"', '""'), '"')""".stripMargin
+      |    '"', REPLACE(props, '"', '""'), '",',""".stripMargin + "\n" +
+    s"""    '"', ${TypedImage.dateStrSql}, '",',
+      |    '"', ${TypedImage.dtStrSql}, '",',
+      |    ${TypedImage.decStrSql}, ',',
+      |    '"', ${TypedImage.enumNameSql}, '"')""".stripMargin
 
   val csvDecodeSql: String = {
     def g(i: Int) = s"regexp_extract(line, '$csvPat', $i)"
+    def t(i: Int) = s"regexp_extract(line, '$csvPatTail', $i)"
     def unq(e: String) = s"""REPLACE($e, '""', '"')"""
     s"""SELECT
        |  CAST(${g(4)} AS BIGINT) AS commit_ts,
@@ -623,7 +746,12 @@ object Codecs {
        |  CAST(${g(5)} AS BIGINT) AS pk,
        |  CASE WHEN ${g(6)} = '\\N' THEN NULL
        |       ELSE CAST(${g(6)} AS DOUBLE) END AS after_value,
-       |  ${unq(g(7))} AS props
+       |  ${unq(g(7))} AS props,
+       |  CAST(CAST(${t(1)} AS DATE) - DATE '1970-01-01' AS BIGINT)
+       |    AS c_date_days,
+       |  CAST(epoch(CAST(${t(2)} AS TIMESTAMP)) AS BIGINT) AS c_dt_sec,
+       |  CAST(REPLACE(${t(3)}, '.', '') AS BIGINT) AS c_dec_e4,
+       |  ${t(4)} AS c_enum_name
        |FROM (SELECT $csvLineSqlForDecode AS line FROM changelog)""".stripMargin
   }
 
@@ -642,7 +770,15 @@ object Codecs {
       lit("},\"commit_ts\":{\"long\":"), col("commit_ts"),
       lit("},\"before_value\":"), union(col("before_value")),
       lit(",\"after_value\":"), union(col("after_value")),
-      lit("}}"))
+      // the TypedImage matrix as avro string unions — the reference's
+      // string-mode renderings (arvo.go:807-812 date/datetime, :767-771
+      // decimalHandlingMode=string, :789-801 enum name; the schema-side
+      // tidbType names come from the :363-389 type2TiDBType map)
+      lit(",\"c_date\":{\"string\":\""), TypedImage.dateStr,
+      lit("\"},\"c_dt\":{\"string\":\""), TypedImage.dtStr,
+      lit("\"},\"c_dec\":{\"string\":\""), TypedImage.decStr,
+      lit("\"},\"c_enum\":{\"string\":\""), TypedImage.enumName,
+      lit("\"}}}"))
   }
 
   def avroRecord(cl: DataFrame): DataFrame =
@@ -661,7 +797,11 @@ object Codecs {
        |    '},"commit_ts":{"long":', commit_ts,
        |    '},"before_value":', ${unionSql("before_value")},
        |    ',"after_value":', ${unionSql("after_value")},
-       |    '}}') AS value
+       |    ',"c_date":{"string":"', ${TypedImage.dateStrSql},
+       |    '"},"c_dt":{"string":"', ${TypedImage.dtStrSql},
+       |    '"},"c_dec":{"string":"', ${TypedImage.decStrSql},
+       |    '"},"c_enum":{"string":"', ${TypedImage.enumNameSql},
+       |    '"}}}') AS value
        |FROM changelog""".stripMargin
   }
 

@@ -1,0 +1,119 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A112 — dynstream path→stream assignment and the no-reorder
+  * migration handoff: the last dynstream invariant without a row
+  * (VERDICT r9 missing #3).
+  *
+  * Reference:
+  *  - `utils/dynstream/parallel_dynamic_stream.go:69-72` `hash(path)` —
+  *    which of the N worker streams a path lands on:
+  *    `pathHasher(path) % len(streams)`; every production hasher is
+  *    `common.GID.FastHash` (downstreamadapter/eventcollector/
+  *    helper.go:35, dispatcher/helper.go:326), and
+  *    `pkg/common/types.go:89-92` defines
+  *    `FastHash = Low ^ (High << 1)`.
+  *  - `utils/dynstream/stream.go:261-280` `start(acceptedPaths,
+  *    formerStreams...)` + `:334-377` `handleLoop` — when a new stream
+  *    generation starts (stream-count change), the new stream FIRST
+  *    closes its former streams and drains their remaining queued
+  *    events into its own pending queue IN ARRIVAL ORDER, then serves
+  *    the migrated paths. Because a path lived in exactly one former
+  *    stream and that queue drains FIFO before any new event of the
+  *    path is processed, per-path event order survives the migration —
+  *    the invariant this operator pins.
+  *
+  * Deterministic model: paths are dispatchers (schema.table); the GID
+  * halves derive from the portable 60-bit hash (low = hash60(path),
+  * high = hash60(path || "#hi")); the old generation runs
+  * [[OldStreams]] streams, the new one [[NewStreams]] (the resize that
+  * triggers the handoff); events with commit_ts ≤ the span midpoint
+  * are already queued when the handoff happens (they drain from the
+  * former stream — phase 0), later events are pushed directly to the
+  * new stream (phase 1). Per path, `seq_in_path` ranks events by the
+  * drain discipline (phase, commit_ts, pk) and `order_ok` certifies it
+  * equals the commit order — the phase boundary is monotone in
+  * commit_ts per path, so the handoff can never reorder, and the
+  * column makes that oracle-checked rather than argued.
+  *
+  * Scale shape: row-local hashing + ONE path-keyed window shuffle (the
+  * A2 class). The stream-level cross-path interleave is deliberately
+  * not materialized — ranking inside only [[NewStreams]] partitions
+  * would be a corpus-scale near-global sort; the per-path projection
+  * carries the full invariant. */
+object DynStreamAssign {
+
+  val OldStreams = 4
+  val NewStreams = 6
+
+  import graft.functions.Portable
+
+  def pathAssign(cl: DataFrame): DataFrame = {
+    val path = concat(col("schema_name"), lit("."), col("table_name"))
+    val gidLow = Portable.hash60(path)
+    val gidHigh = Portable.hash60(concat(path, lit("#hi")))
+    // FastHash = Low ^ (High << 1); both halves are 60-bit
+    // non-negative, so High*2 < 2^61 and the xor stays non-negative
+    val fastHash = gidLow.bitwiseXOR(gidHigh * 2L)
+    val mid = cl.agg((min(col("commit_ts"))
+      + expr("(max(commit_ts) - min(commit_ts)) div 2")).as("mid"))
+    val w = Window.partitionBy(col("schema_name"), col("table_name"))
+    val byDrain = w.orderBy(col("phase"), col("commit_ts"), col("pk"))
+    val byCommit = w.orderBy(col("commit_ts"), col("pk"))
+    cl.select(col("schema_name"), col("table_name"), col("commit_ts"),
+        col("pk"))
+      .crossJoin(broadcast(mid))
+      .withColumn("gid_low", gidLow)
+      .withColumn("gid_high", gidHigh)
+      .withColumn("fast_hash", fastHash)
+      .withColumn("stream_old", pmod(col("fast_hash"), lit(OldStreams.toLong)))
+      .withColumn("stream_new", pmod(col("fast_hash"), lit(NewStreams.toLong)))
+      .withColumn("moved",
+        (col("stream_old") =!= col("stream_new")).cast("long"))
+      .withColumn("phase",
+        when(col("commit_ts") <= col("mid"), 0L).otherwise(1L))
+      .withColumn("seq_in_path", row_number().over(byDrain).cast("long"))
+      .withColumn("order_ok",
+        (col("seq_in_path") === row_number().over(byCommit).cast("long"))
+          .cast("long"))
+      .select(col("schema_name"), col("table_name"), col("commit_ts"),
+        col("pk"), col("gid_low"), col("gid_high"), col("fast_hash"),
+        col("stream_old"), col("stream_new"), col("moved"),
+        col("phase"), col("seq_in_path"), col("order_ok"))
+  }
+
+  val pathAssignSql: String = {
+    val path = "CONCAT(schema_name, '.', table_name)"
+    val low = Portable.hash60Sql(path)
+    val high = Portable.hash60Sql(s"CONCAT($path, '#hi')")
+    s"""WITH mid AS (
+       |  SELECT CAST(MIN(commit_ts)
+       |    + (MAX(commit_ts) - MIN(commit_ts)) // 2 AS BIGINT) AS mid
+       |  FROM changelog
+       |), base AS (
+       |  SELECT schema_name, table_name, commit_ts, pk,
+       |    $low AS gid_low,
+       |    $high AS gid_high,
+       |    xor($low, $high * 2) AS fast_hash,
+       |    CASE WHEN commit_ts <= m.mid THEN 0 ELSE 1 END AS phase
+       |  FROM changelog CROSS JOIN mid m
+       |)
+       |SELECT schema_name, table_name, commit_ts, pk, gid_low, gid_high,
+       |  CAST(fast_hash AS BIGINT) AS fast_hash,
+       |  CAST(fast_hash % $OldStreams AS BIGINT) AS stream_old,
+       |  CAST(fast_hash % $NewStreams AS BIGINT) AS stream_new,
+       |  CAST(fast_hash % $OldStreams <> fast_hash % $NewStreams
+       |    AS BIGINT) AS moved,
+       |  CAST(phase AS BIGINT) AS phase,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY schema_name, table_name
+       |    ORDER BY phase, commit_ts, pk) AS BIGINT) AS seq_in_path,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY schema_name, table_name
+       |      ORDER BY phase, commit_ts, pk)
+       |    = ROW_NUMBER() OVER (PARTITION BY schema_name, table_name
+       |      ORDER BY commit_ts, pk) AS BIGINT) AS order_ok
+       |FROM base""".stripMargin
+  }
+}

@@ -96,6 +96,9 @@ object Sinks {
     cl.select(col("schema_name"), col("table_name"), col("commit_ts"),
         col("start_ts"), col("pk"), col("op"), col("props"),
         col("after_value"), col("before_value"),
+        // the typed-matrix arms reference event_type (c_enum); the
+        // re-encode in handleKeyOnly needs it downstream
+        col("event_type"),
         octet_length(Codecs.canalJsonValue).as("payload_bytes"))
       .withColumn("var_bytes",
         octet_length(col("schema_name")) + octet_length(col("table_name")) +

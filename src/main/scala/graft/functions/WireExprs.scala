@@ -136,13 +136,19 @@ object WireHex {
     StructField("commit_ts", LongType, nullable = false),
     StructField("before_cents", LongType, nullable = false),
     StructField("after_cents", LongType, nullable = false),
+    StructField("c_date", StringType, nullable = false),
+    StructField("c_dt", StringType, nullable = false),
+    StructField("c_dec", StringType, nullable = false),
+    StructField("c_enum", StringType, nullable = false),
     StructField("valid", LongType, nullable = false)))
 
   private def corruptKey: InternalRow =
     new GenericInternalRow(Array[Any](-1L, -1L, 0L))
   private def corruptValue: InternalRow =
     new GenericInternalRow(Array[Any](-1L, UTF8String.EMPTY_UTF8,
-      UTF8String.EMPTY_UTF8, UTF8String.EMPTY_UTF8, -1L, -1L, -1L, -1L, 0L))
+      UTF8String.EMPTY_UTF8, UTF8String.EMPTY_UTF8, -1L, -1L, -1L, -1L,
+      UTF8String.EMPTY_UTF8, UTF8String.EMPTY_UTF8, UTF8String.EMPTY_UTF8,
+      UTF8String.EMPTY_UTF8, 0L))
 
   /** Decode a Confluent-framed Avro key message: magic 0x00 + int32
     * schema id + {pk: long}. valid=1 iff the frame parses and is fully
@@ -173,9 +179,13 @@ object WireHex {
       val ts = p.zvarint()
       val before = p.money()
       val after = p.money()
+      val cDate = UTF8String.fromString(p.str())
+      val cDt = UTF8String.fromString(p.str())
+      val cDec = UTF8String.fromString(p.str())
+      val cEnum = UTF8String.fromString(p.str())
       if (magic != 0 || !p.done) corruptValue
       else new GenericInternalRow(Array[Any](sid, schema, table, op, pk, ts,
-        before, after, 1L))
+        before, after, cDate, cDt, cDec, cEnum, 1L))
     } catch { case _: Exception => corruptValue }
 
   // ------------------------------------------------------------------

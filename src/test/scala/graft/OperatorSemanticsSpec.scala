@@ -46,10 +46,12 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
   test("claim check splits exactly at the byte threshold") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
-    val cc = cdc.Sinks.claimCheck(cl, n = 16, maxBytes = 180).cache()
+    // 465 splits the sf0.001 payload distribution (the TypedImage
+    // matrix grew every message by ~290 bytes over the r9 shape)
+    val cc = cdc.Sinks.claimCheck(cl, n = 16, maxBytes = 465).cache()
     assert(cc.filter(col("claimed")).count() > 0, "no claimed rows at this threshold")
     assert(cc.filter(!col("claimed")).count() > 0, "no passthrough rows at this threshold")
-    assert(cc.filter(col("claimed") =!= (col("payload_bytes") > 180)).count() == 0)
+    assert(cc.filter(col("claimed") =!= (col("payload_bytes") > 465)).count() == 0)
     // claimed rows carry a location and a stub value; others carry the payload
     assert(cc.filter(col("claimed") && col("claim_location").isNull).count() == 0)
     assert(cc.filter(!col("claimed") && col("claim_location").isNotNull).count() == 0)
@@ -379,7 +381,9 @@ class OperatorSemanticsSpec extends AnyFunSuite {
   // wire-format round-trip tests below
   case class AvroDecoded(schemaId: Long, schemaName: String, tableName: String,
                          op: String, pk: Long, ts: Long,
-                         before: Option[Long], after: Option[Long])
+                         before: Option[Long], after: Option[Long],
+                         cDate: String, cDt: String, cDec: String,
+                         cEnum: String)
   private def parseAvro(hexStr: String): AvroDecoded = {
     val bytes = hexStr.grouped(2).map(Integer.parseInt(_, 16)).toArray
     var p = 0
@@ -404,7 +408,10 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(bytes(0) == 0, "confluent magic byte")
     val schemaId = bytes.slice(1, 5).foldLeft(0L)((a, b) => (a << 8) | b)
     p = 5
-    AvroDecoded(schemaId, str(), str(), str(), varint(), varint(), money(), money())
+    val d = AvroDecoded(schemaId, str(), str(), str(), varint(), varint(),
+      money(), money(), str(), str(), str(), str())
+    assert(p == bytes.length, "full consumption")
+    d
   }
 
   test("avro binary messages round-trip through an independent decoder") {
@@ -2177,7 +2184,10 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
   test("handle-key-only degrades exactly the claim-check set, keeping only the pk") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
-    val maxBytes = 75
+    // self-calibrating threshold: the compressed-size median always
+    // splits the stream, whatever the message shape grows to
+    val maxBytes = cdc.Sinks.compressedClaimCheck(cl, n = 16, maxBytes = 0)
+      .stat.approxQuantile("compressed_bytes", Array(0.5), 0.0)(0).toInt
     val hk = cdc.Sinks.handleKeyOnly(cl, n = 16, maxBytes = maxBytes).cache()
     val ccSet = cdc.Sinks.compressedClaimCheck(cl, n = 16, maxBytes = maxBytes)
       .filter(col("claimed")).select("commit_ts")

@@ -61,6 +61,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // codec_canal_envelope embed the same DDL stream (SchemaStore
     // .ddlEvents) and inherit its version-grid broadcast.
     val tinyBroadcastByDesign = Set("q_scalar_subquery",
+      "cdc_dynstream_path_assign", // 1-row handoff-midpoint broadcast
       "cdc_schema_asof", "cdc_ddl_events", "cdc_ddl_filter_rich", "codec_simple",
       "codec_simple_decode", "sink_mysql_ddl", "sink_startts_resume",
       "sink_syncpoint_stmts", "codec_simple_avro", "codec_simple_avro_decode",
@@ -203,6 +204,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "bpe_segment",
       // key-universe rank pair over the dimension-scale persist keyspace
       "cdc_schema_persist_key",
+      // table-universe subscription rank (rows = #tables)
+      "cdc_sub_range_tasks",
       // embeds bpe_segment's pair-vocab ranking grid
       "tokenizer_fertility",
       // budget window over the <=k-row broadcast-joined ranking

@@ -63,7 +63,8 @@ class WirePropertiesSpec extends AnyFunSuite {
     })
     check("avro value total")(Prop.forAll(garbage) { s =>
       val r = WireHex.avroDecodeValue(u(s))
-      r.getLong(8) == 0L || r.getLong(8) == 1L
+      val valid = r.getLong(WireHex.ValueStruct.fieldIndex("valid"))
+      valid == 0L || valid == 1L
     })
     check("simple-avro total")(Prop.forAll(garbage) { s =>
       WireHex.simpleAvroDecode(u(s)); true
