@@ -62,6 +62,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // .ddlEvents) and inherit its version-grid broadcast.
     val tinyBroadcastByDesign = Set("q_scalar_subquery",
       "cdc_dynstream_path_assign", // 1-row handoff-midpoint broadcast
+      "cdc_event_seq_check", // 1-row ts-bounds broadcast (chunk grid)
       "cdc_schema_asof", "cdc_ddl_events", "cdc_ddl_filter_rich", "codec_simple",
       "codec_simple_decode", "sink_mysql_ddl", "sink_startts_resume",
       "sink_syncpoint_stmts", "codec_simple_avro", "codec_simple_avro_decode",

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Merge a fresh graft.Bench JSON line into BENCH_LADDER_r09.json.
+"""Merge a fresh graft.Bench JSON line into BENCH_LADDER_r10.json.
 
 Usage: ladder_update.py <tier-key> <bench-json-file-or-log>
 
@@ -11,7 +11,7 @@ import json
 import re
 import sys
 
-LADDER = "BENCH_LADDER_r09.json"
+LADDER = "BENCH_LADDER_r10.json"
 
 
 def last_json_line(path):
