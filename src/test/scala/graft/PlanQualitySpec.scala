@@ -417,4 +417,27 @@ class PlanQualitySpec extends AnyFunSuite {
       l.contains("Exchange") && !l.contains("BroadcastExchange")),
       s"topic_router shuffles the event stream:\n$router")
   }
+
+  test("containment verify ships no array column into a join or aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.ArrayType
+    // The r10 regression: joining BOTH docs' full gram arrays onto
+    // every candidate pair shipped pair x array bytes through the
+    // shuffle (judge: 52 s / 477 s pass-to-pass at docs10). The fixed
+    // plan counts shared grams from the exploded (doc, gram) frame, so
+    // every shuffle producer — joins, the distinct, the pair count —
+    // must see scalar columns only. Arrays may exist row-locally
+    // (explode's input), never at a shuffle boundary.
+    val lp = SparkEntry.queries("dedup_containment")(spark, dir)
+      .queryExecution.optimizedPlan
+    val offenders = lp.collect {
+      case j: Join if j.children.exists(
+        _.output.exists(_.dataType.isInstanceOf[ArrayType])) => j.nodeName
+      case a: Aggregate if a.child.output.exists(
+        _.dataType.isInstanceOf[ArrayType]) => a.nodeName
+    }
+    assert(offenders.isEmpty,
+      s"dedup_containment ships array columns into shuffle-bound " +
+        s"node(s): ${offenders.mkString(", ")}")
+  }
 }

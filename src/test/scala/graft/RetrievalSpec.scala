@@ -189,6 +189,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(p._5 < 200000L, s"the long side must NOT be contained: $p")
   }
 
+  test("C42: the two posting regimes are exact and agree at any split point") {
+    // the shared-gram count splits by posting length (inverted index
+    // for k <= hotMax, candidate-bounded fan-out above); both regimes
+    // are exact, so forcing EVERYTHING through either one must
+    // reproduce the production frame bit-for-bit on real data
+    val g = ops.Dedup.gramFrame(spark, dir)
+    val fps = ops.Retrieval.winnowHashesCached(spark, dir, 4)
+    def run(hotMax: Long) =
+      ops.Retrieval.containmentFromFps(fps, g, 800000L, hotMax)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+    val prod = run(64L)
+    assert(run(0L) == prod, "all-hot (pure candidate fan-out) diverged")
+    assert(run(Long.MaxValue) == prod, "all-cold (pure inverted index) diverged")
+    assert(run(2L) == prod, "mixed-regime split diverged")
+  }
+
   test("C53: edit distance catches scattered-edit variants that gram Jaccard misses") {
     // base: 48 tokens; variant: every 8th token substituted — runs of 7
     // unchanged tokens keep shared winnow fingerprints (candidates
