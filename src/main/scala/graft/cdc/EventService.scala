@@ -194,6 +194,15 @@ object EventService {
     * shape, the chunked plan engages only where it wins */
   val SeqChunkMinRows = 2000000L
 
+  /** EAGER-ACTION CONTRACT: building this frame runs Spark jobs at
+    * construction time — the 1-row ts-census `.head()` below (the plan
+    * choice is data-dependent: row count picks mono vs chunked, and
+    * the chunked plan needs the ts bounds as literals) and, on the
+    * chunked path, the `localCheckpoint` of the chunk-local window
+    * frame. Unlike the rest of the registry this operator is therefore
+    * NOT composable into fully-lazy/streaming contexts; callers that
+    * need laziness should call [[seqCheckMono]]'s plan through
+    * [[seqCheckItems]] directly and accept the #paths parallelism cap. */
   def seqCheck(cl: DataFrame): DataFrame = {
     // TWO-LEVEL PREFIX SUMS (the q_ntile_cume distributed-rank
     // discipline, applied to the sequential-protocol class): a plain
@@ -204,22 +213,34 @@ object EventService {
     // over (path, ts-chunk) — parallelism #paths x SeqChunks — plus a
     // dimension-scale per-chunk summary whose own prefix scan is tiny
     // and broadcast-joins back. Same single corpus shuffle as before,
-    // 64x the sort/window parallelism (sf10: 13.4 s -> ~7 s). The
-    // bounds/count pass is one driver-side 1-row agg (the Curation
-    // .head() class); chunking never changes a single output value, so
-    // the oracle is shape-blind. pk closes the total order (oracle
-    // hash parity for same-ts DMLs).
+    // 64x the sort/window parallelism. Quiet-box A/B at sf10 (r11
+    // SeqAbProbe, 3 passes each, min): mono 12.3 s, chunked 7.9 s —
+    // the r10 ladder's 13.4 s chunked entry was load-inflated, not a
+    // plan property (BENCH_PROBES_r11.json). The bounds/count pass is
+    // one driver-side 1-row agg (the Curation .head() class); chunking
+    // never changes a single output value, so the oracle is
+    // shape-blind (the A85 chunked-equality spec in EventServiceSpec forces the
+    // chunked plan on small data and asserts frame equality with
+    // mono). pk closes the total order (oracle hash parity for
+    // same-ts DMLs).
     val b0 = ClDims.tsCensus(cl).head()
     val n = b0.getLong(2)
+    // chunk ids are (ts - lo) * SeqChunks div (span + 1): Long wraps
+    // when span exceeds Long.Max / SeqChunks (~1.4e17, plausible for
+    // TSO-scale timestamps) and a wrapped id breaks the b-monotone-
+    // in-ts ordering the whole prefix scheme relies on — fall back to
+    // the mono window there (ADVICE r10)
+    val spanSafe = !b0.isNullAt(0) &&
+      b0.getLong(1) - b0.getLong(0) < Long.MaxValue / SeqChunks - 1L
     val base =
-      if (n < SeqChunkMinRows || b0.isNullAt(0)) seqCheckMono(cl)
+      if (n < SeqChunkMinRows || !spanSafe) seqCheckMono(cl)
       else seqCheckChunked(cl, b0.getLong(0), b0.getLong(1))
     seqCheckItems(base)
   }
 
   /** monolithic per-dispatcher window plan — optimal under
     * [[SeqChunkMinRows]] where job-fixed costs dominate */
-  private def seqCheckMono(cl: DataFrame): DataFrame = {
+  private[graft] def seqCheckMono(cl: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("schema_name"), col("table_name"))
       .orderBy(col("commit_ts"), col("pk"))
@@ -251,7 +272,7 @@ object EventService {
   }
 
   /** chunked two-level prefix plan — engages at volume */
-  private def seqCheckChunked(cl: DataFrame, tsLo: Long,
+  private[graft] def seqCheckChunked(cl: DataFrame, tsLo: Long,
                               tsHi: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val span = tsHi - tsLo
@@ -370,7 +391,7 @@ object EventService {
 
   /** explode the per-anchor trace frame into positioned items — shared
     * by both physical plans (pure row-local consumption) */
-  private def seqCheckItems(counted: DataFrame): DataFrame = {
+  private[graft] def seqCheckItems(counted: DataFrame): DataFrame = {
     // per-anchor offsets of each entry among the PRESENT ones — the
     // prefix sums of the presence flags, so pos needs no post-explode
     // rank (and no non-codegen array HOF: plain explode + null filter)

@@ -61,9 +61,15 @@ object SubRangeTasks {
         row_number().over(Window.orderBy(col("schema_name"),
           col("table_name"))).cast("long") - 1L)
       .withColumn("w", col("hi") - col("lo") + 1L)
-      // subscription = the middle six eighths of the table span
+      // subscription = the middle six eighths of the table span; a
+      // degenerate span (w = 1, single-pk table) would collapse
+      // sub_start == sub_end and silently emit ZERO tasks (ADVICE
+      // r10), so sub_end clamps to at least sub_start + 1 — a no-op
+      // for every w >= 2 (7w/8 >= w/8 + 1 there)
       .withColumn("sub_start", col("lo") + expr("w div 8"))
-      .withColumn("sub_end", col("lo") + expr("(7 * w) div 8"))
+      .withColumn("sub_end",
+        greatest(col("lo") + expr("(7 * w) div 8"),
+          col("lo") + expr("w div 8") + 1L))
       .withColumn("hole", lit(1L) + pmod(col("rank"), lit(NRegions.toLong - 2L)))
     val n = NRegions.toLong
     // one row per (table, region index, round); the split halves of the
@@ -133,7 +139,8 @@ object SubRangeTasks {
        |), b AS (
        |  SELECT *, hi - lo + 1 AS w,
        |    lo + (hi - lo + 1) // 8 AS sub_start,
-       |    lo + (7 * (hi - lo + 1)) // 8 AS sub_end,
+       |    GREATEST(lo + (7 * (hi - lo + 1)) // 8,
+       |             lo + (hi - lo + 1) // 8 + 1) AS sub_end,
        |    1 + rank % ${n - 2} AS hole
        |  FROM bounds
        |), grid AS (

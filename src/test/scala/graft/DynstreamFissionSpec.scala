@@ -120,4 +120,23 @@ class DynstreamFissionSpec extends AnyFunSuite {
         Seq(rank * 100L + 50L, rank * 100L + 51L))
     }
   }
+
+  test("A113: a degenerate single-pk span still yields at least one task") {
+    // ADVICE r10: hi == lo collapsed sub_start == sub_end and the table
+    // silently vanished from the task channel; sub_end now clamps to
+    // sub_start + 1
+    import spark.implicits._
+    val cl = Seq(
+      ("db0", "t_single", 42L, 100L),
+      ("db0", "t_single", 42L, 101L),
+      ("db0", "t_wide", 0L, 102L), ("db0", "t_wide", 63L, 103L))
+      .toDF("schema_name", "table_name", "pk", "commit_ts")
+    val tasks = cdc.SubRangeTasks.rangeTasks(cl).collect()
+    val single = tasks.filter(_.getAs[String]("table_name") == "t_single")
+    assert(single.nonEmpty, "degenerate span emitted zero tasks")
+    assert(single.exists(_.getAs[String]("status") == "subscribed"))
+    single.foreach { r =>
+      assert(r.getAs[Long]("task_start") < r.getAs[Long]("task_end"))
+    }
+  }
 }
