@@ -60,12 +60,13 @@ object DynStreamAssign {
     val fastHash = gidLow.bitwiseXOR(gidHigh * 2L)
     val mid = cl.agg((min(col("commit_ts"))
       + expr("(max(commit_ts) - min(commit_ts)) div 2")).as("mid"))
-    val w = Window.partitionBy(col("schema_name"), col("table_name"))
-    val byDrain = w.orderBy(col("phase"), col("commit_ts"), col("pk"))
-    val byCommit = w.orderBy(col("commit_ts"), col("pk"))
-    cl.select(col("schema_name"), col("table_name"), col("commit_ts"),
-        col("pk"))
-      .crossJoin(broadcast(mid))
+    // the GID halves are md5-derived and constant PER PATH — the
+    // Routing.topicDim discipline (and the reference's own per-path
+    // GID cache): hash the distinct path universe once and broadcast
+    // it back, instead of 2 md5s per corpus row (VERDICT r10 #9 — the
+    // window input now carries only the 4 scan columns + the joined
+    // dimension values)
+    val pathDim = cl.select(col("schema_name"), col("table_name")).distinct()
       .withColumn("gid_low", gidLow)
       .withColumn("gid_high", gidHigh)
       .withColumn("fast_hash", fastHash)
@@ -73,6 +74,13 @@ object DynStreamAssign {
       .withColumn("stream_new", pmod(col("fast_hash"), lit(NewStreams.toLong)))
       .withColumn("moved",
         (col("stream_old") =!= col("stream_new")).cast("long"))
+    val w = Window.partitionBy(col("schema_name"), col("table_name"))
+    val byDrain = w.orderBy(col("phase"), col("commit_ts"), col("pk"))
+    val byCommit = w.orderBy(col("commit_ts"), col("pk"))
+    cl.select(col("schema_name"), col("table_name"), col("commit_ts"),
+        col("pk"))
+      .crossJoin(broadcast(mid))
+      .join(broadcast(pathDim), Seq("schema_name", "table_name"))
       .withColumn("phase",
         when(col("commit_ts") <= col("mid"), 0L).otherwise(1L))
       .withColumn("seq_in_path", row_number().over(byDrain).cast("long"))
