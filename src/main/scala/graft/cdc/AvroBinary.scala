@@ -130,6 +130,27 @@ object AvroBinary {
        |    ELSE ${withLen(8)} END) END""".stripMargin
   }
 
+  /** the un-unioned bytes.decimal ladder for a non-null unscaled value
+    * (the r11 precise-decimal field) - moneyHexSql without the union
+    * branch or the NULL arm */
+  private def plainDecimalHexSql(cents: String): String = {
+    def withLen(k: Int): String = {
+      val be = (k - 1 to 0 by -1)
+        .map(i => byteHexSql(s"((($cents >> ${8 * i}) % 256) + 256) % 256"))
+        .mkString("CONCAT(", ", ", ")")
+      s"CONCAT(${zvarHexSql(k.toString)}, $be)"
+    }
+    def fits(k: Int): String = {
+      val h = 1L << (8 * k - 1)
+      s"($cents >= -$h AND $cents < $h)"
+    }
+    val mids = (2 to 7)
+      .map(k => s"WHEN ${fits(k)} THEN ${withLen(k)}").mkString("\n    ")
+s"""CASE WHEN ${fits(1)} THEN ${withLen(1)}
+   |    $mids
+   |    ELSE ${withLen(8)} END""".stripMargin
+  }
+
   /** Confluent message header: magic 0x00 + int32 big-endian schema id. */
   private def headerHex(schemaId: Int): String = f"00$schemaId%08X"
 
@@ -153,12 +174,19 @@ object AvroBinary {
         strHex(TypedImage.dateStr).as("h_date"),
         strHex(TypedImage.dtStr).as("h_dt"),
         strHex(TypedImage.decStr).as("h_dec"),
-        strHex(TypedImage.enumName).as("h_enum"))
+        strHex(TypedImage.enumName).as("h_enum"),
+        // r11: the precise-decimal wire (avro logical decimal, scale 4
+        // in the schema): varint length + minimal big-endian unscaled
+        // bytes - the same native loop as the money union, un-unioned
+        // (arvo.go:745-765 precise mode / :918-921)
+        graft.functions.WireExprs.avroBytesHex(TypedImage.decE4)
+          .as("h_dec_prec"))
       .select(col("commit_ts"),
         concat(lit(headerHex(keySchemaId)), col("h_pk")).as("key"),
         concat(lit(headerHex(valueSchemaId)), col("h_schema"), col("h_table"),
           col("h_op"), col("h_pk"), col("h_ts"), col("h_before"), col("h_after"),
-          col("h_date"), col("h_dt"), col("h_dec"), col("h_enum"))
+          col("h_date"), col("h_dt"), col("h_dec"), col("h_enum"),
+          col("h_dec_prec"))
           .as("value"))
 
   /** A53 — Avro binary DECODE, the consumer side of [[messages]]
@@ -197,6 +225,7 @@ object AvroBinary {
         col("v.c_dt").as("c_dt"),
         col("v.c_dec").as("c_dec"),
         col("v.c_enum").as("c_enum"),
+        col("v.c_dec_prec_e4").as("c_dec_prec_e4"),
         (col("k.valid") * col("v.valid")).as("valid"))
   }
 
@@ -213,6 +242,7 @@ object AvroBinary {
        |  ${TypedImage.dtStrSql} AS c_dt,
        |  ${TypedImage.decStrSql} AS c_dec,
        |  ${TypedImage.enumNameSql} AS c_enum,
+       |  CAST(${TypedImage.decE4Sql} AS BIGINT) AS c_dec_prec_e4,
        |  CAST(1 AS BIGINT) AS valid
        |FROM changelog""".stripMargin
 
@@ -220,7 +250,8 @@ object AvroBinary {
     s"""SELECT commit_ts,
        |  CONCAT('${headerHex(keySchemaId)}', h_pk) AS key,
        |  CONCAT('${headerHex(valueSchemaId)}', h_schema, h_table, h_op,
-       |         h_pk, h_ts, h_before, h_after, h_date, h_dt, h_dec, h_enum)
+       |         h_pk, h_ts, h_before, h_after, h_date, h_dt, h_dec, h_enum,
+       |         h_dec_prec)
        |    AS value
        |FROM (
        |  SELECT commit_ts,
@@ -234,7 +265,8 @@ object AvroBinary {
        |    ${strHexSql(TypedImage.dateStrSql)} AS h_date,
        |    ${strHexSql(TypedImage.dtStrSql)} AS h_dt,
        |    ${strHexSql(TypedImage.decStrSql)} AS h_dec,
-       |    ${strHexSql(TypedImage.enumNameSql)} AS h_enum
+       |    ${strHexSql(TypedImage.enumNameSql)} AS h_enum,
+       |    ${plainDecimalHexSql(s"(${TypedImage.decE4Sql})")} AS h_dec_prec
        |  FROM changelog
        |)""".stripMargin
 }

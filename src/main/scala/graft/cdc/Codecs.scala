@@ -47,11 +47,18 @@ object Codecs {
 
   private[cdc] val canalSqlTypeJson: String =
     "{\"pk\":-5,\"value\":8,\"props\":12,\"c_date\":91,\"c_dt\":93," +
-      "\"c_dec\":3,\"c_enum\":4}"
+      "\"c_dec\":3,\"c_enum\":4,\"c_bit\":-7,\"c_set\":-7," +
+      // binary-charset blob -> JavaSQLTypeBLOB (helper.go:51-64); TIME 92;
+      // YEAR is a VARCHAR 12 (helper.go:274-281); the unsigned bigint
+      // value EXCEEDS MaxInt64, so its java type widens to DECIMAL 3
+      // (helper.go:241-255)
+      "\"c_bin\":2004,\"c_time\":92,\"c_year\":12,\"c_ubig\":3}"
   private[cdc] val canalMysqlTypeJson: String =
     "{\"pk\":\"bigint\",\"value\":\"double\",\"props\":\"json\"," +
       "\"c_date\":\"date\",\"c_dt\":\"datetime\",\"c_dec\":\"decimal\"," +
-      "\"c_enum\":\"enum\"}"
+      "\"c_enum\":\"enum\",\"c_bit\":\"bit\",\"c_set\":\"set\"," +
+      "\"c_bin\":\"varbinary\",\"c_time\":\"time\",\"c_year\":\"year\"," +
+      "\"c_ubig\":\"bigint unsigned\"}"
 
   /** Everything of the canal-json DML message except the closing brace
     * — shared by A19 (plain) and the TiDB-extension envelope (A57). */
@@ -72,6 +79,16 @@ object Codecs {
     lit("\",\"c_dt\":\""), TypedImage.dtStr,
     lit("\",\"c_dec\":\""), TypedImage.decStr,
     lit("\",\"c_enum\":\""), TypedImage.enumIdx.cast("string"),
+    // r11 arms, each per its helper.go rendering: bit/set as the uint
+    // value string, binary as the ISO-8859-1(=ASCII here) decode, time
+    // as Duration.String(), year as the int string, unsigned bigint as
+    // FormatUint (all canal data values are JSON strings)
+    lit("\",\"c_bit\":\""), TypedImage.bitVal.cast("string"),
+    lit("\",\"c_set\":\""), TypedImage.setMask.cast("string"),
+    lit("\",\"c_bin\":\""), TypedImage.binStr,
+    lit("\",\"c_time\":\""), TypedImage.timeStr,
+    lit("\",\"c_year\":\""), TypedImage.yearVal.cast("string"),
+    lit("\",\"c_ubig\":\""), TypedImage.ubigStr,
     lit("\"}],\"old\":"),
     when(col("op") === "U", concat(lit("[{\"value\":"), fmt(col("before_value")), lit("}]")))
       .otherwise(lit("null")))
@@ -94,6 +111,12 @@ object Codecs {
        |  '","c_dt":"', ${TypedImage.dtStrSql},
        |  '","c_dec":"', ${TypedImage.decStrSql},
        |  '","c_enum":"', ${TypedImage.enumIdxSql},
+       |  '","c_bit":"', ${TypedImage.bitValSql},
+       |  '","c_set":"', ${TypedImage.setMaskSql},
+       |  '","c_bin":"', ${TypedImage.binStrSql},
+       |  '","c_time":"', ${TypedImage.timeStrSql},
+       |  '","c_year":"', ${TypedImage.yearValSql},
+       |  '","c_ubig":"', ${TypedImage.ubigStrSql},
        |  '"}],"old":',
        |  CASE WHEN op = 'U'
        |    THEN CONCAT('[{"value":', ${fmtSql("before_value")}, '}]')
@@ -193,7 +216,9 @@ object Codecs {
       "es BIGINT, ts BIGINT, `database` STRING, `table` STRING, " +
         "`type` STRING, " +
         "data ARRAY<STRUCT<pk: BIGINT, value: DOUBLE, c_date: STRING, " +
-        "c_dt: STRING, c_dec: STRING, c_enum: STRING>>, " +
+        "c_dt: STRING, c_dec: STRING, c_enum: STRING, c_bit: STRING, " +
+        "c_set: STRING, c_bin: STRING, c_time: STRING, c_year: STRING, " +
+        "c_ubig: STRING>>, " +
         "old ARRAY<STRUCT<value: DOUBLE>>")
     def m(p: String): Column = col("m").getField(p)
     val d0 = m("data").getItem(0)
@@ -216,7 +241,18 @@ object Codecs {
         lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("c_date_days"),
       unix_timestamp(to_timestamp(d0.getField("c_dt"))).as("c_dt_sec"),
       regexp_replace(d0.getField("c_dec"), "\\.", "").cast("long").as("c_dec_e4"),
-      d0.getField("c_enum").cast("long").as("c_enum_idx"))
+      d0.getField("c_enum").cast("long").as("c_enum_idx"),
+      // r11 arms back to canonical forms: uint strings re-parse as
+      // longs, the duration string re-parses to seconds-of-day, the
+      // binary and unsigned-bigint strings ARE the canonical values
+      // (the latter exceeds Long, so consumers keep the decimal string)
+      d0.getField("c_bit").cast("long").as("c_bit_val"),
+      d0.getField("c_set").cast("long").as("c_set_mask"),
+      d0.getField("c_bin").as("c_bin_str"),
+      unix_timestamp(to_timestamp(d0.getField("c_time"), "HH:mm:ss"))
+        .as("c_time_sec"),
+      d0.getField("c_year").cast("long").as("c_year_val"),
+      d0.getField("c_ubig").as("c_ubig_str"))
   }
 
   val canalJsonDecodeSql: String = {
@@ -242,7 +278,14 @@ object Codecs {
        |    AS c_dt_sec,
        |  CAST(REPLACE(${js("$.data[0].c_dec")}, '.', '') AS BIGINT)
        |    AS c_dec_e4,
-       |  CAST(${js("$.data[0].c_enum")} AS BIGINT) AS c_enum_idx
+       |  CAST(${js("$.data[0].c_enum")} AS BIGINT) AS c_enum_idx,
+       |  CAST(${js("$.data[0].c_bit")} AS BIGINT) AS c_bit_val,
+       |  CAST(${js("$.data[0].c_set")} AS BIGINT) AS c_set_mask,
+       |  ${js("$.data[0].c_bin")} AS c_bin_str,
+       |  CAST(epoch(CAST(CONCAT('1970-01-01 ', ${js("$.data[0].c_time")})
+       |    AS TIMESTAMP)) AS BIGINT) AS c_time_sec,
+       |  CAST(${js("$.data[0].c_year")} AS BIGINT) AS c_year_val,
+       |  ${js("$.data[0].c_ubig")} AS c_ubig_str
        |FROM (SELECT $canalJsonValueSql AS value FROM changelog)""".stripMargin
   }
 
@@ -405,6 +448,19 @@ object Codecs {
           lit(",\"c_dt\":"), TypedImage.dtSec * 1000L,
           lit(",\"c_dec\":"), TypedImage.decStr,
           lit(",\"c_enum\":\""), TypedImage.enumName,
+          // r11 arms per writeDebeziumFieldValue: BIT(8) base64 LE
+          // bytes (:274-291), SET name CSV (:330-347), binary base64
+          // (:303-305), TIME micros int64 (:467-487), YEAR int32,
+          // unsigned BIGINT reinterpreted int64 (:489-503 — wraps),
+          // plus the upstream precise-decimal wire (Connect Decimal:
+          // base64 big-endian unscaled bytes; scale in the schema)
+          lit("\",\"c_bit\":\""), TypedImage.bitB64,
+          lit("\",\"c_set\":\""), TypedImage.setName,
+          lit("\",\"c_bin\":\""), TypedImage.binB64,
+          lit("\",\"c_time\":"), TypedImage.timeMicros,
+          lit(",\"c_year\":"), TypedImage.yearVal,
+          lit(",\"c_ubig\":"), TypedImage.ubigWrapped,
+          lit(",\"c_dec_prec\":\""), TypedImage.decPreciseB64,
           lit("\"}")))
     concat(
       lit("{\"before\":"), image(col("before_value")),
@@ -426,7 +482,14 @@ object Codecs {
          |    ',"c_date":', ${TypedImage.dateDaysSql},
          |    ',"c_dt":', ${TypedImage.dtSecSql} * 1000,
          |    ',"c_dec":', ${TypedImage.decStrSql},
-         |    ',"c_enum":"', ${TypedImage.enumNameSql}, '"}') END""".stripMargin
+         |    ',"c_enum":"', ${TypedImage.enumNameSql},
+         |    '","c_bit":"', ${TypedImage.bitB64Sql},
+         |    '","c_set":"', ${TypedImage.setNameSql},
+         |    '","c_bin":"', ${TypedImage.binB64Sql},
+         |    '","c_time":', ${TypedImage.timeMicrosSql},
+         |    ',"c_year":', ${TypedImage.yearValSql},
+         |    ',"c_ubig":', ${TypedImage.ubigWrappedSql},
+         |    ',"c_dec_prec":"', ${TypedImage.decPreciseB64Sql}, '"}') END""".stripMargin
     s"""CONCAT('{"before":', ${imageSql("before_value")},
        |    ',"after":', ${imageSql("after_value")},
        |    ',"source":{"db":"', schema_name, '","table":"', table_name,
@@ -443,7 +506,9 @@ object Codecs {
     * reproduces the changelog at codec precision — spec-asserted. */
   def debeziumDecode(cl: DataFrame): DataFrame = {
     val img = "STRUCT<pk: BIGINT, value: DOUBLE, c_date: BIGINT, " +
-      "c_dt: BIGINT, c_dec: DECIMAL(20,4), c_enum: STRING>"
+      "c_dt: BIGINT, c_dec: DECIMAL(20,4), c_enum: STRING, " +
+      "c_bit: STRING, c_set: STRING, c_bin: STRING, c_time: BIGINT, " +
+      "c_year: BIGINT, c_ubig: BIGINT, c_dec_prec: STRING>"
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       s"before $img, after $img, " +
         "source STRUCT<db: STRING, `table`: STRING>, " +
@@ -465,7 +530,20 @@ object Codecs {
       img0("c_date").as("c_date_days"),
       img0("c_dt").as("c_dt_ms"),
       (img0("c_dec") * 10000).cast("long").as("c_dec_e4"),
-      img0("c_enum").as("c_enum_name"))
+      img0("c_enum").as("c_enum_name"),
+      // r11 arms: base64 wires decode back to their integer/byte truth
+      // (conv(hex(unbase64)) re-reads big-endian bytes as the unscaled
+      // value — the consumer's BigInteger(bytes) for Connect Decimal);
+      // numbers pass through; the wrapped unsigned bigint stays the
+      // int64 reinterpretation the wire actually carries
+      conv(hex(unbase64(img0("c_bit"))), 16, 10).cast("long").as("c_bit_val"),
+      img0("c_set").as("c_set_name"),
+      unbase64(img0("c_bin")).cast("string").as("c_bin_str"),
+      img0("c_time").as("c_time_us"),
+      img0("c_year").as("c_year_val"),
+      img0("c_ubig").as("c_ubig_wrapped"),
+      conv(hex(unbase64(img0("c_dec_prec"))), 16, 10).cast("long")
+        .as("c_dec_prec_e4"))
   }
 
   val debeziumDecodeSql: String = {
@@ -485,8 +563,18 @@ object Codecs {
        |  CAST(CAST(COALESCE(${v("$.after.c_dec")}, ${v("$.before.c_dec")})
        |    AS DECIMAL(20,4)) * 10000 AS BIGINT) AS c_dec_e4,
        |  COALESCE(${v("$.after.c_enum")}, ${v("$.before.c_enum")})
-       |    AS c_enum_name
-       |FROM (SELECT commit_ts, $debeziumValueSql AS value FROM changelog)""".stripMargin
+       |    AS c_enum_name,
+       |  CAST(${TypedImage.bitValSql} AS BIGINT) AS c_bit_val,
+       |  COALESCE(${v("$.after.c_set")}, ${v("$.before.c_set")}) AS c_set_name,
+       |  ${TypedImage.binStrSql} AS c_bin_str,
+       |  CAST(COALESCE(${v("$.after.c_time")}, ${v("$.before.c_time")})
+       |    AS BIGINT) AS c_time_us,
+       |  CAST(COALESCE(${v("$.after.c_year")}, ${v("$.before.c_year")})
+       |    AS BIGINT) AS c_year_val,
+       |  CAST(COALESCE(${v("$.after.c_ubig")}, ${v("$.before.c_ubig")})
+       |    AS BIGINT) AS c_ubig_wrapped,
+       |  CAST(${TypedImage.decE4Sql} AS BIGINT) AS c_dec_prec_e4
+       |FROM (SELECT commit_ts, pk, $debeziumValueSql AS value FROM changelog)""".stripMargin
   }
 
   // ---------------------------------------------------------------- A70
@@ -516,7 +604,21 @@ object Codecs {
       """{"type":"int32","optional":false,"name":"io.debezium.time.Date","version":1,"field":"c_date"},""" +
       """{"type":"int64","optional":false,"name":"io.debezium.time.Timestamp","version":1,"field":"c_dt"},""" +
       """{"type":"double","optional":false,"field":"c_dec"},""" +
-      s"""{"type":"string","optional":false,"name":"io.debezium.data.Enum","version":1,"parameters":{"allowed":"${TypedImage.enumAllowed}"},"field":"c_enum"}"""
+      s"""{"type":"string","optional":false,"name":"io.debezium.data.Enum","version":1,"parameters":{"allowed":"${TypedImage.enumAllowed}"},"field":"c_enum"},""" +
+      // r11 arms: io.debezium.data.Bits with the bit length (:76-87),
+      // EnumSet with allowed (:109-120), binary blob schema stays
+      // "string" (the :89-94 arm does not branch on IsBinary — only
+      // the VALUE base64s; transcribed faithfully), MicroTime int64
+      // (:159-166), io.debezium.time.Year int32 (:234-241), unsigned
+      // bigint int64 (:213), and the upstream Connect Decimal bytes
+      // schema with the scale parameter for the precise wire
+      """{"type":"bytes","optional":false,"name":"io.debezium.data.Bits","version":1,"parameters":{"length":"8"},"field":"c_bit"},""" +
+      s"""{"type":"string","optional":false,"name":"io.debezium.data.EnumSet","version":1,"parameters":{"allowed":"${TypedImage.setAllowed}"},"field":"c_set"},""" +
+      """{"type":"string","optional":false,"field":"c_bin"},""" +
+      """{"type":"int64","optional":false,"name":"io.debezium.time.MicroTime","version":1,"field":"c_time"},""" +
+      """{"type":"int32","optional":false,"name":"io.debezium.time.Year","version":1,"field":"c_year"},""" +
+      """{"type":"int64","optional":false,"field":"c_ubig"},""" +
+      """{"type":"bytes","optional":false,"name":"org.apache.kafka.connect.data.Decimal","version":1,"parameters":{"scale":"4"},"field":"c_dec_prec"}"""
   private val dbzSourceSchema =
     """{"type":"struct","fields":[{"type":"string","optional":false,"field":"version"},{"type":"string","optional":false,"field":"connector"},{"type":"string","optional":false,"field":"name"},{"type":"int64","optional":false,"field":"ts_ms"},{"type":"string","optional":true,"name":"io.debezium.data.Enum","version":1,"parameters":{"allowed":"true,last,false,incremental"},"default":"false","field":"snapshot"},{"type":"string","optional":false,"field":"db"},{"type":"string","optional":true,"field":"sequence"},{"type":"string","optional":true,"field":"table"},{"type":"int64","optional":false,"field":"server_id"},{"type":"string","optional":true,"field":"gtid"},{"type":"string","optional":false,"field":"file"},{"type":"int64","optional":false,"field":"pos"},{"type":"int32","optional":false,"field":"row"},{"type":"int64","optional":true,"field":"thread"},{"type":"string","optional":true,"field":"query"}],"optional":false,"name":"io.debezium.connector.mysql.Source","field":"source"}"""
   private val dbzTailSchema =
@@ -530,6 +632,13 @@ object Codecs {
         lit(",\"c_dt\":"), TypedImage.dtSec * 1000L,
         lit(",\"c_dec\":"), TypedImage.decStr,
         lit(",\"c_enum\":\""), TypedImage.enumName,
+        lit("\",\"c_bit\":\""), TypedImage.bitB64,
+        lit("\",\"c_set\":\""), TypedImage.setName,
+        lit("\",\"c_bin\":\""), TypedImage.binB64,
+        lit("\",\"c_time\":"), TypedImage.timeMicros,
+        lit(",\"c_year\":"), TypedImage.yearVal,
+        lit(",\"c_ubig\":"), TypedImage.ubigWrapped,
+        lit(",\"c_dec_prec\":\""), TypedImage.decPreciseB64,
         lit("\"}"))
     def valueStruct(f: String): Column = concat(
       lit(s"""{"type":"struct","optional":true,"name":"$dbzCluster."""),
@@ -569,7 +678,14 @@ object Codecs {
          |  ',"c_date":', ${TypedImage.dateDaysSql},
          |  ',"c_dt":', ${TypedImage.dtSecSql} * 1000,
          |  ',"c_dec":', ${TypedImage.decStrSql},
-         |  ',"c_enum":"', ${TypedImage.enumNameSql}, '"}')""".stripMargin
+         |  ',"c_enum":"', ${TypedImage.enumNameSql},
+         |  '","c_bit":"', ${TypedImage.bitB64Sql},
+         |  '","c_set":"', ${TypedImage.setNameSql},
+         |  '","c_bin":"', ${TypedImage.binB64Sql},
+         |  '","c_time":', ${TypedImage.timeMicrosSql},
+         |  ',"c_year":', ${TypedImage.yearValSql},
+         |  ',"c_ubig":', ${TypedImage.ubigWrappedSql},
+         |  ',"c_dec_prec":"', ${TypedImage.decPreciseB64Sql}, '"}')""".stripMargin
     def valueStructSql(f: String) =
       s"""CONCAT('{"type":"struct","optional":true,"name":"$dbzCluster.', schema_name, '.', table_name, '.Value","field":"$f","fields":[$dbzColFields]}')"""
     s"""SELECT commit_ts, CONCAT(
@@ -778,6 +894,20 @@ object Codecs {
       lit("\"},\"c_dt\":{\"string\":\""), TypedImage.dtStr,
       lit("\"},\"c_dec\":{\"string\":\""), TypedImage.decStr,
       lit("\"},\"c_enum\":{\"string\":\""), TypedImage.enumName,
+      // r11 arms per columnToAvroData: BIT → bytes (:903-907, minimal
+      // unsigned byte), SET → name CSV (:949-963), binary → bytes
+      // (:927-931), TIME → string (:807-812), YEAR → int (:966-974),
+      // BIGINT UNSIGNED → string mode (:881-883), DECIMAL precise →
+      // bytes.decimal (:918-921; logical decimal scale 4, the minimal
+      // big-endian unscaled bytes). Avro bytes in this JSON-text
+      // rendering are modeled as base64 — the binary truth is A41.
+      lit("\"},\"c_bit\":{\"bytes\":\""), TypedImage.bitB64,
+      lit("\"},\"c_set\":{\"string\":\""), TypedImage.setName,
+      lit("\"},\"c_bin\":{\"bytes\":\""), TypedImage.binB64,
+      lit("\"},\"c_time\":{\"string\":\""), TypedImage.timeStr,
+      lit("\"},\"c_year\":{\"int\":"), TypedImage.yearVal,
+      lit("},\"c_ubig\":{\"string\":\""), TypedImage.ubigStr,
+      lit("\"},\"c_dec_prec\":{\"bytes\":\""), TypedImage.decPreciseB64,
       lit("\"}}}"))
   }
 
@@ -801,6 +931,13 @@ object Codecs {
        |    '"},"c_dt":{"string":"', ${TypedImage.dtStrSql},
        |    '"},"c_dec":{"string":"', ${TypedImage.decStrSql},
        |    '"},"c_enum":{"string":"', ${TypedImage.enumNameSql},
+       |    '"},"c_bit":{"bytes":"', ${TypedImage.bitB64Sql},
+       |    '"},"c_set":{"string":"', ${TypedImage.setNameSql},
+       |    '"},"c_bin":{"bytes":"', ${TypedImage.binB64Sql},
+       |    '"},"c_time":{"string":"', ${TypedImage.timeStrSql},
+       |    '"},"c_year":{"int":', ${TypedImage.yearValSql},
+       |    '},"c_ubig":{"string":"', ${TypedImage.ubigStrSql},
+       |    '"},"c_dec_prec":{"bytes":"', ${TypedImage.decPreciseB64Sql},
        |    '"}}}') AS value
        |FROM changelog""".stripMargin
   }

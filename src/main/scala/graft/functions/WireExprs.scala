@@ -113,6 +113,17 @@ object WireHex {
         acc
       case _ => throw new IllegalArgumentException("bad union branch")
     }
+    /** Plain (non-union) avro bytes.decimal: varint byte length +
+      * minimal big-endian two's-complement unscaled integer — the
+      * r11 precise-decimal field (always present, never a union). */
+    def bytesDecimal(): Long = {
+      val k = zvarint()
+      if (k < 1 || k > 8) throw new IllegalArgumentException("bad decimal len")
+      var acc = if ((hexPeekSign()) != 0) -1L else 0L
+      var i = 0
+      while (i < k) { acc = (acc << 8) | byte().toLong; i += 1 }
+      acc
+    }
     /** sign bit of the next byte without consuming it (two's-complement
       * sign extension for the minimal big-endian image). */
     private def hexPeekSign(): Int = {
@@ -140,6 +151,7 @@ object WireHex {
     StructField("c_dt", StringType, nullable = false),
     StructField("c_dec", StringType, nullable = false),
     StructField("c_enum", StringType, nullable = false),
+    StructField("c_dec_prec_e4", LongType, nullable = false),
     StructField("valid", LongType, nullable = false)))
 
   private def corruptKey: InternalRow =
@@ -148,7 +160,7 @@ object WireHex {
     new GenericInternalRow(Array[Any](-1L, UTF8String.EMPTY_UTF8,
       UTF8String.EMPTY_UTF8, UTF8String.EMPTY_UTF8, -1L, -1L, -1L, -1L,
       UTF8String.EMPTY_UTF8, UTF8String.EMPTY_UTF8, UTF8String.EMPTY_UTF8,
-      UTF8String.EMPTY_UTF8, 0L))
+      UTF8String.EMPTY_UTF8, -1L, 0L))
 
   /** Decode a Confluent-framed Avro key message: magic 0x00 + int32
     * schema id + {pk: long}. valid=1 iff the frame parses and is fully
@@ -183,9 +195,10 @@ object WireHex {
       val cDt = UTF8String.fromString(p.str())
       val cDec = UTF8String.fromString(p.str())
       val cEnum = UTF8String.fromString(p.str())
+      val cDecPrec = p.bytesDecimal()
       if (magic != 0 || !p.done) corruptValue
       else new GenericInternalRow(Array[Any](sid, schema, table, op, pk, ts,
-        before, after, cDate, cDt, cDec, cEnum, 1L))
+        before, after, cDate, cDt, cDec, cEnum, cDecPrec, 1L))
     } catch { case _: Exception => corruptValue }
 
   // ------------------------------------------------------------------

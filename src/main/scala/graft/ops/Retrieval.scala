@@ -365,10 +365,15 @@ object Retrieval {
     inter
       .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      // inter is now aggregate-derived (a count), so the ppm numerator
+      // runs in decimal(38) — the OverflowGuard class; IntegralDivide
+      // still returns the BIGINT ratio
       .withColumn("cont_a_ppm",
-        call_function("div", col("inter") * lit(1000000L), col("sza")))
+        call_function("div", col("inter").cast("decimal(38,0)") * lit(1000000L),
+          col("sza")))
       .withColumn("cont_b_ppm",
-        call_function("div", col("inter") * lit(1000000L), col("szb")))
+        call_function("div", col("inter").cast("decimal(38,0)") * lit(1000000L),
+          col("szb")))
       .filter(col("cont_a_ppm") >= tauPpm || col("cont_b_ppm") >= tauPpm)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("cont_a_ppm"), col("cont_b_ppm"),

@@ -46,12 +46,13 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
   test("claim check splits exactly at the byte threshold") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
-    // 465 splits the sf0.001 payload distribution (the TypedImage
-    // matrix grew every message by ~290 bytes over the r9 shape)
-    val cc = cdc.Sinks.claimCheck(cl, n = 16, maxBytes = 465).cache()
+    // 758 splits the sf0.001 payload distribution (now 738-764 bytes:
+    // the r11 BIT/SET/BINARY/TIME/YEAR/UBIG arms grew every message by
+    // ~120 bytes over the r10 TypedImage shape)
+    val cc = cdc.Sinks.claimCheck(cl, n = 16, maxBytes = 758).cache()
     assert(cc.filter(col("claimed")).count() > 0, "no claimed rows at this threshold")
     assert(cc.filter(!col("claimed")).count() > 0, "no passthrough rows at this threshold")
-    assert(cc.filter(col("claimed") =!= (col("payload_bytes") > 465)).count() == 0)
+    assert(cc.filter(col("claimed") =!= (col("payload_bytes") > 758)).count() == 0)
     // claimed rows carry a location and a stub value; others carry the payload
     assert(cc.filter(col("claimed") && col("claim_location").isNull).count() == 0)
     assert(cc.filter(!col("claimed") && col("claim_location").isNotNull).count() == 0)
@@ -383,7 +384,7 @@ class OperatorSemanticsSpec extends AnyFunSuite {
                          op: String, pk: Long, ts: Long,
                          before: Option[Long], after: Option[Long],
                          cDate: String, cDt: String, cDec: String,
-                         cEnum: String)
+                         cEnum: String, cDecPrec: Long)
   private def parseAvro(hexStr: String): AvroDecoded = {
     val bytes = hexStr.grouped(2).map(Integer.parseInt(_, 16)).toArray
     var p = 0
@@ -405,11 +406,19 @@ class OperatorSemanticsSpec extends AnyFunSuite {
         p += n; Some(acc)
       case other => fail(s"bad union index $other")
     }
+    // r11 precise-decimal: plain (non-union) bytes.decimal — varint
+    // length + minimal big-endian two's-complement unscaled value
+    def bytesDecimal(): Long = {
+      val n = varint().toInt
+      var acc = if ((bytes(p) & 0x80) != 0) -1L else 0L // sign-extend
+      (0 until n).foreach { i => acc = (acc << 8) | bytes(p + i) }
+      p += n; acc
+    }
     assert(bytes(0) == 0, "confluent magic byte")
     val schemaId = bytes.slice(1, 5).foldLeft(0L)((a, b) => (a << 8) | b)
     p = 5
     val d = AvroDecoded(schemaId, str(), str(), str(), varint(), varint(),
-      money(), money(), str(), str(), str(), str())
+      money(), money(), str(), str(), str(), str(), bytesDecimal())
     assert(p == bytes.length, "full consumption")
     d
   }
@@ -433,6 +442,11 @@ class OperatorSemanticsSpec extends AnyFunSuite {
         if (r.isNullAt(i)) None else Some(math.round(r.getDouble(i) * 100.0))
       assert(d.before == cents(6), s"before image ts=${d.ts}")
       assert(d.after == cents(7), s"after image ts=${d.ts}")
+      // the precise-decimal bytes decode to the canonical unscaled e4
+      assert(d.cDecPrec ==
+        java.lang.Math.floorMod(r.getLong(4), 1000000000000L) * 137L +
+          java.lang.Math.floorMod(r.getLong(5), 10000L),
+        s"precise decimal ts=${d.ts}")
     }
   }
 
