@@ -77,15 +77,21 @@ object Changefeed {
   /** Kafka-sink message frame: filter → route topic (per-table
     * dimension join, the A29 shape) + partition → encode — one scan,
     * one row-local projection plus a ≤tables-row broadcast probe. */
-  def kafka(cl: DataFrame, cfg: Config): DataFrame =
-    Routing.withTopic(filtered(cl, cfg), cl, cfg.topicRules,
-        cfg.defaultTopic)
+  def kafka(cl: DataFrame, cfg: Config): DataFrame = {
+    val routed = Routing.withTopic(filtered(cl, cfg), cl, cfg.topicRules,
+      cfg.defaultTopic)
+    // the debezium value references the pre-rendered arm columns (the
+    // dual-image CSE fix — see Codecs.withDebeziumArms)
+    val base = if (cfg.protocol == Protocol.Debezium)
+      Codecs.withDebeziumArms(routed) else routed
+    base
       .select(
         col("commit_ts"),
         col("topic"),
         Dispatchers.indexValueBucket(cfg.nParts).as("partition"),
         Codecs.openProtocolKey.as("key"),
         valueCol(cfg).as("value"))
+  }
 
   /** DuckDB oracle for [[kafka]] with a debezium-protocol config.
     * `ignoreExpr` is a Catalyst Column and has no SQL rendering here —

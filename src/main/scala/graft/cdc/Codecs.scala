@@ -440,27 +440,50 @@ object Codecs {
     * (:393-421, precision ≤3), DECIMAL → a JSON number (:349-366;
     * fixed-scale rendering — the documented %.4f-family divergence),
     * ENUM → the element NAME (:311-328, ParseEnumValue). */
+  /** One render per row of every typed arm the debezium images embed.
+    * The op-gated images reference each arm TWICE (before + after) and
+    * a conditional concat defeats subexpression elimination, so
+    * inlining the arms evaluated every render twice per row — measured
+    * 2.9 → 29 s at sf10 when the r11 arms landed. The aliases are
+    * multiply-referenced and non-cheap, so CollapseProject keeps this
+    * projection its own codegen stage and each arm renders once. */
+  private[cdc] val debeziumArmCols: Seq[Column] = Seq(
+    TypedImage.dateDays.as("_dbz_date"),
+    (TypedImage.dtSec * 1000L).as("_dbz_dtms"),
+    TypedImage.decStr.as("_dbz_dec"),
+    TypedImage.enumName.as("_dbz_enum"),
+    TypedImage.bitB64.as("_dbz_bit"),
+    TypedImage.setName.as("_dbz_set"),
+    TypedImage.binB64.as("_dbz_bin"),
+    TypedImage.timeMicros.as("_dbz_time"),
+    TypedImage.yearVal.as("_dbz_year"),
+    TypedImage.ubigWrapped.as("_dbz_ubig"),
+    TypedImage.decPreciseB64.as("_dbz_decp"))
+  private[cdc] def withDebeziumArms(cl: DataFrame): DataFrame =
+    cl.select(col("*") +: debeziumArmCols: _*)
+
+  /** Requires the [[withDebeziumArms]] columns on the input frame. */
   private[cdc] def debeziumValue: Column = {
     def image(v: Column): Column =
       when(v.isNull, lit("null"))
         .otherwise(concat(lit("{\"pk\":"), col("pk"), lit(",\"value\":"), fmt(v),
-          lit(",\"c_date\":"), TypedImage.dateDays,
-          lit(",\"c_dt\":"), TypedImage.dtSec * 1000L,
-          lit(",\"c_dec\":"), TypedImage.decStr,
-          lit(",\"c_enum\":\""), TypedImage.enumName,
+          lit(",\"c_date\":"), col("_dbz_date"),
+          lit(",\"c_dt\":"), col("_dbz_dtms"),
+          lit(",\"c_dec\":"), col("_dbz_dec"),
+          lit(",\"c_enum\":\""), col("_dbz_enum"),
           // r11 arms per writeDebeziumFieldValue: BIT(8) base64 LE
           // bytes (:274-291), SET name CSV (:330-347), binary base64
           // (:303-305), TIME micros int64 (:467-487), YEAR int32,
           // unsigned BIGINT reinterpreted int64 (:489-503 — wraps),
           // plus the upstream precise-decimal wire (Connect Decimal:
           // base64 big-endian unscaled bytes; scale in the schema)
-          lit("\",\"c_bit\":\""), TypedImage.bitB64,
-          lit("\",\"c_set\":\""), TypedImage.setName,
-          lit("\",\"c_bin\":\""), TypedImage.binB64,
-          lit("\",\"c_time\":"), TypedImage.timeMicros,
-          lit(",\"c_year\":"), TypedImage.yearVal,
-          lit(",\"c_ubig\":"), TypedImage.ubigWrapped,
-          lit(",\"c_dec_prec\":\""), TypedImage.decPreciseB64,
+          lit("\",\"c_bit\":\""), col("_dbz_bit"),
+          lit("\",\"c_set\":\""), col("_dbz_set"),
+          lit("\",\"c_bin\":\""), col("_dbz_bin"),
+          lit("\",\"c_time\":"), col("_dbz_time"),
+          lit(",\"c_year\":"), col("_dbz_year"),
+          lit(",\"c_ubig\":"), col("_dbz_ubig"),
+          lit(",\"c_dec_prec\":\""), col("_dbz_decp"),
           lit("\"}")))
     concat(
       lit("{\"before\":"), image(col("before_value")),
@@ -473,7 +496,7 @@ object Codecs {
   }
 
   def debezium(cl: DataFrame): DataFrame =
-    cl.select(col("commit_ts"), debeziumValue.as("value"))
+    withDebeziumArms(cl).select(col("commit_ts"), debeziumValue.as("value"))
 
   private[cdc] val debeziumValueSql: String = {
     def imageSql(v: String) =
@@ -628,17 +651,17 @@ object Codecs {
     def image(v: Column): Column =
       concat(lit("{\"pk\":"), col("pk"), lit(",\"value\":"),
         when(v.isNull, lit("null")).otherwise(fmt(v)),
-        lit(",\"c_date\":"), TypedImage.dateDays,
-        lit(",\"c_dt\":"), TypedImage.dtSec * 1000L,
-        lit(",\"c_dec\":"), TypedImage.decStr,
-        lit(",\"c_enum\":\""), TypedImage.enumName,
-        lit("\",\"c_bit\":\""), TypedImage.bitB64,
-        lit("\",\"c_set\":\""), TypedImage.setName,
-        lit("\",\"c_bin\":\""), TypedImage.binB64,
-        lit("\",\"c_time\":"), TypedImage.timeMicros,
-        lit(",\"c_year\":"), TypedImage.yearVal,
-        lit(",\"c_ubig\":"), TypedImage.ubigWrapped,
-        lit(",\"c_dec_prec\":\""), TypedImage.decPreciseB64,
+        lit(",\"c_date\":"), col("_dbz_date"),
+        lit(",\"c_dt\":"), col("_dbz_dtms"),
+        lit(",\"c_dec\":"), col("_dbz_dec"),
+        lit(",\"c_enum\":\""), col("_dbz_enum"),
+        lit("\",\"c_bit\":\""), col("_dbz_bit"),
+        lit("\",\"c_set\":\""), col("_dbz_set"),
+        lit("\",\"c_bin\":\""), col("_dbz_bin"),
+        lit("\",\"c_time\":"), col("_dbz_time"),
+        lit(",\"c_year\":"), col("_dbz_year"),
+        lit(",\"c_ubig\":"), col("_dbz_ubig"),
+        lit(",\"c_dec_prec\":\""), col("_dbz_decp"),
         lit("\"}"))
     def valueStruct(f: String): Column = concat(
       lit(s"""{"type":"struct","optional":true,"name":"$dbzCluster."""),
@@ -669,7 +692,8 @@ object Codecs {
   }
 
   def debeziumEnvelope(cl: DataFrame): DataFrame =
-    cl.select(col("commit_ts"), debeziumEnvelopeValue.as("value"))
+    withDebeziumArms(cl)
+      .select(col("commit_ts"), debeziumEnvelopeValue.as("value"))
 
   val debeziumEnvelopeSql: String = {
     def imageSql(v: String) =
