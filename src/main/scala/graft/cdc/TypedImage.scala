@@ -3,7 +3,9 @@ package graft.cdc
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** The TiDB column-type matrix for the codecs (round-10 mandate #4).
+/** The TiDB column-type matrix for the codecs (round-10 mandate #4,
+  * completed round 11 with BIT/SET/BINARY/TIME/YEAR/unsigned-bigint
+  * and the precise-decimal wire — see the r11 table below).
   *
   * The reference encodes the full MySQL type system — canal
   * `pkg/sink/codec/canal/helper.go:39-260` dispatches per
@@ -15,9 +17,9 @@ import org.apache.spark.sql.functions._
   * Graft's changelog carries a (BIGINT pk, DOUBLE image, JSON props)
   * row, so every codec's dispatch previously ran three arms.
   *
-  * This module widens the encoded row image with four deterministic
-  * typed columns derived row-locally from columns already on the
-  * changelog (no schema change to the changelog itself — the A-row
+  * This module widens the encoded row image with deterministic typed
+  * columns (four in r10, six more + the precise-decimal wire in r11)
+  * derived row-locally from columns already on the changelog (no schema change to the changelog itself — the A-row
   * surface is untouched; the codecs project these extensions at
   * encode time):
   *
@@ -223,7 +225,7 @@ object TypedImage {
     * (BigInteger.toByteArray — even-length hex, plus a leading 0x00
     * when the top bit is set), scale rides the schema. [[decE4]] is
     * non-negative < 2^48 so the sign arm is the 0x00 prefix only. */
-  private def beBytesHex(v: Column): Column = {
+  private[graft] def beBytesHex(v: Column): Column = {
     val h = hex(v)
     val even = call_function("lpad", h,
       (length(h) + pmod(length(h), lit(2))).cast("int"), lit("0"))

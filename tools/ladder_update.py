@@ -1,17 +1,35 @@
 #!/usr/bin/env python3
-"""Merge a fresh graft.Bench JSON line into BENCH_LADDER_r10.json.
+"""Merge a fresh graft.Bench JSON line into the round ladder.
 
-Usage: ladder_update.py <tier-key> <bench-json-file-or-log>
+Usage:
+  ladder_update.py <tier-key> <bench-json-file-or-log>   # merge a tier
+  ladder_update.py verify                                # recheck note
 
+Self-evidencing rules (VERDICT r10 #1/#8 — two consecutive rounds
+shipped a ladder note contradicting its own json):
+  * every merged tier is stamped with the commit hash it measured, a
+    UTC timestamp, and the 1/5/15-min load averages at merge time;
+  * the top-level `note` is REGENERATED from the recorded data on
+    every merge (tier totals, 100x growth audit, sf10 streaming
+    rates) — it cannot disagree with the json by construction;
+  * free-form analysis lives in `commentary` (a dict keyed by topic);
+    the verifier REFUSES any commentary string that contains a
+    "<number> s" total differing from every recorded tier total by
+    >2% (a stale hand-written total is exactly the r9/r10 disease);
+  * `ladder_update.py verify` recomputes the note from the data and
+    exits nonzero on any mismatch — run it before committing.
 Picks the LAST {"metric":"total"...} line from the input (the bench
-prints it twice), replaces the tier's queries/value wholesale, and
-recomputes the 100x growth audit when both sf0_1 and sf10 exist.
+prints it twice) and replaces the tier wholesale.
 """
 import json
+import os
 import re
+import subprocess
 import sys
+import time
 
-LADDER = "BENCH_LADDER_r10.json"
+LADDER = "BENCH_LADDER_r11.json"
+TIERS = ["sf0_1", "sf10", "emb25", "skew01", "docs10"]
 
 
 def last_json_line(path):
@@ -25,30 +43,113 @@ def last_json_line(path):
     return json.loads(line)
 
 
-def main():
-    tier, src = sys.argv[1], sys.argv[2]
-    bench = last_json_line(src)
+def compose_note(d):
+    """The note, derived ONLY from the recorded tiers."""
+    parts = []
+    totals = ", ".join(f"{t} {d[t]['value']:.1f} s"
+                       for t in TIERS if t in d)
+    parts.append(f"quiet-box totals at {d.get('commit', '?')[:9]}: {totals}")
+    if "sf0_1" in d and "sf10" in d:
+        g = d["sf10"]["value"] / d["sf0_1"]["value"]
+        parts.append(f"100x fact data -> {g:.2f}x total wall")
+        viol = d.get("growth_audit_100x", {}).get(
+            "rule_10x_per_10x_violations", [])
+        parts.append(f"{len(viol)} 10x-per-10x violations")
+    st = d.get("sf10", {}).get("streaming")
+    if st:
+        rates = [v.get("rows_per_sec") for v in st.values()
+                 if isinstance(v, dict) and v.get("rows_per_sec")]
+        if rates:
+            parts.append(
+                f"sf10 streaming {min(rates)/1e6:.2f}-{max(rates)/1e6:.2f}M rows/s "
+                f"across {len(rates)} ops")
+    return "; ".join(parts)
+
+
+def growth_audit(d):
+    if "sf0_1" not in d or "sf10" not in d:
+        return
+    lo, hi = d["sf0_1"]["queries"], d["sf10"]["queries"]
+    shared = [q for q in hi if q in lo and lo[q] > 0 and hi[q] > 0]
+    growth = sorted(((q, round(hi[q] / lo[q], 1)) for q in shared),
+                    key=lambda kv: -kv[1])
+    d["growth_audit_100x"] = {
+        "total_growth": round(d["sf10"]["value"] / d["sf0_1"]["value"], 2),
+        "worst": [{"query": q, "growth": g} for q, g in growth[:10]],
+        "rule_10x_per_10x_violations": [q for q, g in growth if g > 100],
+    }
+
+
+def check_commentary(d):
+    """A commentary total that matches no recorded tier total is stale."""
+    tier_totals = [d[t]["value"] for t in TIERS if t in d]
+    bad = []
+    for key, text in d.get("commentary", {}).items():
+        for m in re.finditer(r"(\d+(?:\.\d+)?)\s*s\b", str(text)):
+            v = float(m.group(1))
+            if v < 30:  # per-query numbers are fine; police tier totals
+                continue
+            if not any(abs(v - t) / t <= 0.02 for t in tier_totals):
+                bad.append(f"commentary[{key}]: '{m.group(0)}' matches no "
+                           f"recorded tier total {tier_totals}")
+    return bad
+
+
+def verify():
     with open(LADDER) as f:
         d = json.load(f)
+    errs = []
+    if d.get("note") != compose_note(d):
+        errs.append("note does not equal compose_note(data) — regenerate")
+    errs += check_commentary(d)
+    for t in TIERS:
+        if t in d:
+            qsum = sum(d[t]["queries"].values())
+            if abs(qsum - d[t]["value"]) / d[t]["value"] > 0.01:
+                errs.append(f"{t}: query sum {qsum:.1f} != value {d[t]['value']}")
+            for k in ("commit", "measured_utc", "loadavg"):
+                if k not in d[t]:
+                    errs.append(f"{t}: missing provenance field {k}")
+    if errs:
+        print("\n".join(errs))
+        sys.exit(1)
+    print("ladder note, totals and provenance are consistent")
+
+
+def main():
+    if sys.argv[1] == "verify":
+        return verify()
+    tier, src = sys.argv[1], sys.argv[2]
+    bench = last_json_line(src)
+    commit = subprocess.check_output(
+        ["git", "rev-parse", "HEAD"]).decode().strip()
+    if subprocess.run(["git", "diff", "--quiet", "HEAD", "--",
+                       "src", "build.sbt"]).returncode != 0:
+        commit += "+dirty"
+    try:
+        with open(LADDER) as f:
+            d = json.load(f)
+    except FileNotFoundError:
+        d = {"round": 11}
     entry = {"value": bench["value"], "unit": "sec",
+             "commit": commit,
+             "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime()),
+             "loadavg": [round(x, 2) for x in os.getloadavg()],
              "queries": bench["queries"]}
     if "streaming" in bench:
         entry["streaming"] = bench["streaming"]
     d[tier] = entry
-    if "sf0_1" in d and "sf10" in d:
-        lo, hi = d["sf0_1"]["queries"], d["sf10"]["queries"]
-        shared = [q for q in hi if q in lo and lo[q] > 0 and hi[q] > 0]
-        growth = sorted(((q, round(hi[q] / lo[q], 1)) for q in shared),
-                        key=lambda kv: -kv[1])
-        d["growth_audit_100x"] = {
-            "total_growth": round(d["sf10"]["value"] / d["sf0_1"]["value"], 2),
-            "worst": [{"query": q, "growth": g} for q, g in growth[:10]],
-            "rule_10x_per_10x_violations":
-                [q for q, g in growth if g > 100],
-        }
+    d["commit"] = commit
+    growth_audit(d)
+    d["note"] = compose_note(d)
+    bad = check_commentary(d)
+    if bad:
+        raise SystemExit("stale commentary refused:\n" + "\n".join(bad))
     with open(LADDER, "w") as f:
         json.dump(d, f, indent=1)
-    print(f"{tier}: total={bench['value']}s, {len(bench['queries'])} queries")
+    print(f"{tier}: total={bench['value']}s, {len(bench['queries'])} queries, "
+          f"commit {commit[:9]}, loadavg {entry['loadavg']}")
 
 
 if __name__ == "__main__":
