@@ -99,7 +99,13 @@ object Sinks {
         // the typed-matrix arms reference event_type (c_enum); the
         // re-encode in handleKeyOnly needs it downstream
         col("event_type"),
-        octet_length(Codecs.canalJsonValue).as("payload_bytes"))
+        // render the canal value ONCE and carry it: handleKeyOnly's
+        // inline arm previously re-rendered it in a conditional branch
+        // one Project above — invisible to both CSE (conditional) and
+        // CollapseProject (payload_bytes multiply-referenced), so the
+        // r11-widened value rendered twice per row
+        Codecs.canalJsonValue.as("_canal_value"))
+      .withColumn("payload_bytes", octet_length(col("_canal_value")))
       .withColumn("var_bytes",
         octet_length(col("schema_name")) + octet_length(col("table_name")) +
         digits(col("commit_ts")) + digits(col("start_ts")) + digits(col("pk")) +
@@ -171,7 +177,7 @@ object Sinks {
         col("compressed_bytes"),
         when(col("oversized"), lit("handle_key")).otherwise(lit("inline"))
           .as("mode"),
-        when(col("oversized"), degraded).otherwise(Codecs.canalJsonValue)
+        when(col("oversized"), degraded).otherwise(col("_canal_value"))
           .as("value"))
   }
 

@@ -48,6 +48,21 @@ object GraftSession {
       // would recompile + re-JIT every stage on every revisit. Static
       // conf — must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // HotSpot never JIT-compiles a method above 8000 bytecodes
+      // (-XX:-DontCompileHugeMethods), but Spark's whole-stage
+      // fallback only trips at 65535 — any fused stage landing in
+      // 8k..64k runs INTERPRETED with no warning (WSCG cannot split
+      // methods: inputs are local variables). The r11 changefeed
+      // regression was exactly this class: join + typed-arm projection
+      // + envelope concat + hash fused into one over-limit method,
+      // 12.4 s at sf10; falling back to per-operator codegen runs
+      // 3.8 s. Aligning the limit to HotSpot's makes the fallback fire
+      // exactly when the JIT would refuse the method. Measured
+      // tradeoff: big-string pipelines that were fused-interpreted pay
+      // ~10-15% extra row materialization on fallback
+      // (codec_simple_decode 51 -> 57 s isolated at sf10) against
+      // multi-x wins where the stage was hot (changefeed 3.6x).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
 
   /** Test/dev session. */
   def local(cores: Int = 4): SparkSession = {

@@ -33,14 +33,16 @@ TIERS = ["sf0_1", "sf10", "emb25", "skew01", "docs10"]
 
 
 def last_json_line(path):
-    line = None
+    line, load = None, None
     with open(path) as f:
         for ln in f:
             if ln.startswith('{"metric":"total"'):
                 line = ln
+            elif ln.startswith("LOADAVG "):
+                load = [float(x) for x in ln.split()[1:4]]
     if line is None:
         raise SystemExit(f"no bench JSON line in {path}")
-    return json.loads(line)
+    return json.loads(line), load
 
 
 def compose_note(d):
@@ -120,7 +122,7 @@ def main():
     if sys.argv[1] == "verify":
         return verify()
     tier, src = sys.argv[1], sys.argv[2]
-    bench = last_json_line(src)
+    bench, run_load = last_json_line(src)
     commit = subprocess.check_output(
         ["git", "rev-parse", "HEAD"]).decode().strip()
     if subprocess.run(["git", "diff", "--quiet", "HEAD", "--",
@@ -135,7 +137,10 @@ def main():
              "commit": commit,
              "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                            time.gmtime()),
-             "loadavg": [round(x, 2) for x in os.getloadavg()],
+             # run-end load (a LOADAVG line in the bench log) beats
+             # merge-time load as evidence the RUN was quiet
+             "loadavg": run_load or [round(x, 2) for x in os.getloadavg()],
+             "loadavg_source": "run-end" if run_load else "merge-time",
              "queries": bench["queries"]}
     if "streaming" in bench:
         entry["streaming"] = bench["streaming"]
