@@ -49,20 +49,19 @@ object GraftSession {
       // conf — must be set before the session exists.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       // HotSpot never JIT-compiles a method above 8000 bytecodes
-      // (-XX:-DontCompileHugeMethods), but Spark's whole-stage
-      // fallback only trips at 65535 — any fused stage landing in
+      // (-XX:-DontCompileHugeMethods) while Spark's whole-stage
+      // fallback only trips at 65535, so a fused stage landing in
       // 8k..64k runs INTERPRETED with no warning (WSCG cannot split
-      // methods: inputs are local variables). The r11 changefeed
-      // regression was exactly this class: join + typed-arm projection
-      // + envelope concat + hash fused into one over-limit method,
-      // 12.4 s at sf10; falling back to per-operator codegen runs
-      // 3.8 s. Aligning the limit to HotSpot's makes the fallback fire
-      // exactly when the JIT would refuse the method. Measured
-      // tradeoff: big-string pipelines that were fused-interpreted pay
-      // ~10-15% extra row materialization on fallback
-      // (codec_simple_decode 51 -> 57 s isolated at sf10) against
-      // multi-x wins where the stage was hot (changefeed 3.6x).
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // methods: inputs are local variables). Probed both settings on
+      // the full sf10 board: forcing the fallback at 8000 fixed the
+      // one over-limit stage (changefeed 12.4 -> 3.8 s) but cost MORE
+      // broadly where fused-interpreted still beat per-operator row
+      // materialization over big strings (session_transcripts 4.2 ->
+      // 28 s, q_window_running 2 -> 10 s, the decode family +6 s each;
+      // board total 642 -> 698 s). The default stays; over-limit
+      // stages get fixed at the EXPRESSION level instead (the
+      // debezium arm projection pre-renders its strings so the value
+      // concat is pure column refs).
 
   /** Test/dev session. */
   def local(cores: Int = 4): SparkSession = {
