@@ -207,52 +207,47 @@ object Codecs {
     * image in `data` per the canal contract, UPDATE's old image comes
     * from `old[0]`. The `props` payload is a raw JSON passthrough and
     * is not re-extracted (engines disagree on object re-serialization
-    * whitespace, and consumers treat it as opaque). */
+    * whitespace, and consumers treat it as opaque).
+    *
+    * Parse is ONE pass of the native [[graft.functions.CanalScan]]
+    * scanner per message (r12): Jackson `from_json` was the entire
+    * decode cost above the encode — the payload's fixed
+    * sqlType/mysqlType metadata is ~40% of the bytes and the general
+    * tokenizer can't skip it cheaply, while every arm transform after
+    * the parse is noise by comparison. */
   def canalJsonDecode(cl: DataFrame): DataFrame = {
     val v = canalJsonValue.as("value")
-    // one from_json parse per row (each get_json_object call
-    // re-tokenizes the message — 8 paths tripled the decode cost)
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "es BIGINT, ts BIGINT, `database` STRING, `table` STRING, " +
-        "`type` STRING, " +
-        "data ARRAY<STRUCT<pk: BIGINT, value: DOUBLE, c_date: STRING, " +
-        "c_dt: STRING, c_dec: STRING, c_enum: STRING, c_bit: STRING, " +
-        "c_set: STRING, c_bin: STRING, c_time: STRING, c_year: STRING, " +
-        "c_ubig: STRING>>, " +
-        "old ARRAY<STRUCT<value: DOUBLE>>")
     def m(p: String): Column = col("m").getField(p)
-    val d0 = m("data").getItem(0)
-    cl.select(v).select(from_json(col("value"), schema).as("m")).select(
-      m("es").as("commit_ts"),
-      m("ts").as("start_ts"),
-      m("database").as("schema_name"),
-      m("table").as("table_name"),
-      when(m("type") === "INSERT", "I")
-        .when(m("type") === "DELETE", "D").otherwise(lit("U")).as("op"),
-      d0.getField("pk").as("pk"),
-      when(m("type") === "DELETE", lit(null).cast("double"))
-        .otherwise(d0.getField("value")).as("after_value"),
-      when(m("type") === "DELETE", d0.getField("value"))
-        .when(m("type") === "UPDATE", m("old").getItem(0).getField("value"))
-        .otherwise(lit(null).cast("double")).as("before_value"),
-      // the typed arms decode back to their canonical integer forms —
-      // the consumer-side inverse of each helper.go rendering
-      datediff(to_date(d0.getField("c_date")),
-        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("c_date_days"),
-      unix_timestamp(to_timestamp(d0.getField("c_dt"))).as("c_dt_sec"),
-      regexp_replace(d0.getField("c_dec"), "\\.", "").cast("long").as("c_dec_e4"),
-      d0.getField("c_enum").cast("long").as("c_enum_idx"),
-      // r11 arms back to canonical forms: uint strings re-parse as
-      // longs, the duration string re-parses to seconds-of-day, the
-      // binary and unsigned-bigint strings ARE the canonical values
-      // (the latter exceeds Long, so consumers keep the decimal string)
-      d0.getField("c_bit").cast("long").as("c_bit_val"),
-      d0.getField("c_set").cast("long").as("c_set_mask"),
-      d0.getField("c_bin").as("c_bin_str"),
-      unix_timestamp(to_timestamp(d0.getField("c_time"), "HH:mm:ss"))
-        .as("c_time_sec"),
-      d0.getField("c_year").cast("long").as("c_year_val"),
-      d0.getField("c_ubig").as("c_ubig_str"))
+    cl.select(v)
+      .select(graft.functions.CanalScanExprs.canalDecode(col("value")).as("m"))
+      .select(
+        m("es").as("commit_ts"),
+        m("ts").as("start_ts"),
+        m("database").as("schema_name"),
+        m("table").as("table_name"),
+        when(m("type") === "INSERT", "I")
+          .when(m("type") === "DELETE", "D").otherwise(lit("U")).as("op"),
+        m("pk").as("pk"),
+        when(m("type") === "DELETE", lit(null).cast("double"))
+          .otherwise(m("value").cast("double")).as("after_value"),
+        when(m("type") === "DELETE", m("value").cast("double"))
+          .when(m("type") === "UPDATE", m("old_value").cast("double"))
+          .otherwise(lit(null).cast("double")).as("before_value"),
+        // the typed arms decode to their canonical integer forms INSIDE
+        // the scanner (consumer-side inverse of each helper.go
+        // rendering): Catalyst datediff/to_timestamp/regexp_replace arms
+        // here pushed the fused render+scan+arms method over the JIT
+        // ceiling — these are pure field refs by design
+        m("c_date_days").as("c_date_days"),
+        m("c_dt_sec").as("c_dt_sec"),
+        m("c_dec_e4").as("c_dec_e4"),
+        m("c_enum_idx").as("c_enum_idx"),
+        m("c_bit_val").as("c_bit_val"),
+        m("c_set_mask").as("c_set_mask"),
+        m("c_bin").as("c_bin_str"),
+        m("c_time_sec").as("c_time_sec"),
+        m("c_year_val").as("c_year_val"),
+        m("c_ubig").as("c_ubig_str"))
   }
 
   val canalJsonDecodeSql: String = {
@@ -300,33 +295,29 @@ object Codecs {
     * decode to NULL. Oracle = the identical JSON-path extraction over
     * the same envelope (the A42 convention). Row-local. */
   def canalEnvelopeDecode(cl: DataFrame): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "es BIGINT, `database` STRING, `table` STRING, `type` STRING, " +
-        "isDdl BOOLEAN, `sql` STRING, " +
-        "data ARRAY<STRUCT<pk: BIGINT, value: DOUBLE>>, " +
-        "old ARRAY<STRUCT<value: DOUBLE>>, " +
-        "`_tidb` STRUCT<commitTs: BIGINT, watermarkTs: BIGINT>")
+    // one native CanalScan pass per message (the A42 r12 rationale);
+    // the scanner surfaces the _tidb extension pair and the DDL
+    // sql/isDdl fields alongside the DML image
     def m(p: String): Column = col("m").getField(p)
-    val d0 = m("data").getItem(0)
-    val isRow = !m("isDdl") && m("type") =!= "TIDB_WATERMARK"
+    val isRow = !m("is_ddl") && m("type") =!= "TIDB_WATERMARK"
     canalEnvelope(cl)
-      .select(from_json(col("value"), schema).as("m")).select(
+      .select(graft.functions.CanalScanExprs.canalDecode(col("value")).as("m"))
+      .select(
         when(m("type") === "TIDB_WATERMARK", "RESOLVED")
-          .when(m("isDdl"), "DDL").otherwise(lit("ROW")).as("msg_kind"),
-        coalesce(m("_tidb").getField("commitTs"),
-          m("_tidb").getField("watermarkTs")).as("commit_ts"),
+          .when(m("is_ddl"), "DDL").otherwise(lit("ROW")).as("msg_kind"),
+        coalesce(m("commit_ts_ext"), m("watermark_ts")).as("commit_ts"),
         call_function("nullif", m("database"), lit("")).as("schema_name"),
         call_function("nullif", m("table"), lit("")).as("table_name"),
         when(isRow, when(m("type") === "INSERT", "I")
           .when(m("type") === "DELETE", "D").otherwise(lit("U"))).as("op"),
-        when(isRow, d0.getField("pk")).as("pk"),
-        when(isRow && m("type") =!= "DELETE", d0.getField("value"))
+        when(isRow, m("pk")).as("pk"),
+        when(isRow && m("type") =!= "DELETE", m("value").cast("double"))
           .as("after_value"),
-        when(isRow, when(m("type") === "DELETE", d0.getField("value"))
-          .when(m("type") === "UPDATE", m("old").getItem(0).getField("value")))
+        when(isRow, when(m("type") === "DELETE", m("value").cast("double"))
+          .when(m("type") === "UPDATE", m("old_value").cast("double")))
           .as("before_value"),
-        when(m("isDdl"), m("type")).as("ddl_type"),
-        when(m("isDdl"), m("sql")).as("ddl_sql"))
+        when(m("is_ddl"), m("type")).as("ddl_type"),
+        when(m("is_ddl"), m("sql")).as("ddl_sql"))
   }
 
   val canalEnvelopeDecodeSql: String = {

@@ -743,6 +743,10 @@ object WireExprs {
       FunctionIdentifier("graft_open_wire_decode"),
       new ExpressionInfo(classOf[OpenWireDecode].getName, "graft_open_wire_decode"),
       (children: Seq[Expression]) => OpenWireDecode(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_canal_decode"),
+      new ExpressionInfo(classOf[CanalDecode].getName, "graft_canal_decode"),
+      (children: Seq[Expression]) => CanalDecode(children.head)))
   }
 
   def zvarintHex(n: Column): Column = call_function("graft_zvarint_hex", n)
