@@ -567,7 +567,26 @@ object Codecs {
 
   val debeziumDecodeSql: String = {
     def v(p: String) = s"json_extract_string(value, '$p')"
-    s"""SELECT
+    def img(f: String) =
+      s"COALESCE(${v(s"$$.after.$f")}, ${v(s"$$.before.$f")})"
+    // Big-endian base64 bytes -> unsigned integer, parsed ON THE
+    // ORACLE SIDE from the extracted wire string (not recomputed from
+    // changelog columns), so DuckDB exercises the same Connect-Decimal
+    // / Bits decode path the Spark side does. The fold is exact: both
+    // wires carry minimal two's-complement of NON-NEGATIVE values (the
+    // encoder zero-pads a set top bit) below 2^53.
+    def b64Uint(h: String) =
+      s"""CAST(list_sum(list_transform(range(1, len($h) + 1),
+         |    i -> (strpos('0123456789ABCDEF', substr($h, i, 1)) - 1)
+         |         * 16 ** (len($h) - i))) AS BIGINT)""".stripMargin
+    s"""SELECT commit_ts, schema_name, table_name, op, pk, before_value,
+       |  after_value, c_date_days, c_dt_ms, c_dec_e4, c_enum_name,
+       |  ${b64Uint("hex(from_base64(bit_b64))")} AS c_bit_val,
+       |  c_set_name,
+       |  decode(from_base64(bin_b64)) AS c_bin_str,
+       |  c_time_us, c_year_val, c_ubig_wrapped,
+       |  ${b64Uint("hex(from_base64(decp_b64))")} AS c_dec_prec_e4
+       |FROM (SELECT
        |  CAST(${v("$.ts_ms")} AS BIGINT) AS commit_ts,
        |  ${v("$.source.db")} AS schema_name,
        |  ${v("$.source.table")} AS table_name,
@@ -575,25 +594,18 @@ object Codecs {
        |  CAST(COALESCE(${v("$.after.pk")}, ${v("$.before.pk")}) AS BIGINT) AS pk,
        |  CAST(${v("$.before.value")} AS DOUBLE) AS before_value,
        |  CAST(${v("$.after.value")} AS DOUBLE) AS after_value,
-       |  CAST(COALESCE(${v("$.after.c_date")}, ${v("$.before.c_date")})
-       |    AS BIGINT) AS c_date_days,
-       |  CAST(COALESCE(${v("$.after.c_dt")}, ${v("$.before.c_dt")})
-       |    AS BIGINT) AS c_dt_ms,
-       |  CAST(CAST(COALESCE(${v("$.after.c_dec")}, ${v("$.before.c_dec")})
-       |    AS DECIMAL(20,4)) * 10000 AS BIGINT) AS c_dec_e4,
-       |  COALESCE(${v("$.after.c_enum")}, ${v("$.before.c_enum")})
-       |    AS c_enum_name,
-       |  CAST(${TypedImage.bitValSql} AS BIGINT) AS c_bit_val,
-       |  COALESCE(${v("$.after.c_set")}, ${v("$.before.c_set")}) AS c_set_name,
-       |  ${TypedImage.binStrSql} AS c_bin_str,
-       |  CAST(COALESCE(${v("$.after.c_time")}, ${v("$.before.c_time")})
-       |    AS BIGINT) AS c_time_us,
-       |  CAST(COALESCE(${v("$.after.c_year")}, ${v("$.before.c_year")})
-       |    AS BIGINT) AS c_year_val,
-       |  CAST(COALESCE(${v("$.after.c_ubig")}, ${v("$.before.c_ubig")})
-       |    AS BIGINT) AS c_ubig_wrapped,
-       |  CAST(${TypedImage.decE4Sql} AS BIGINT) AS c_dec_prec_e4
-       |FROM (SELECT commit_ts, pk, $debeziumValueSql AS value FROM changelog)""".stripMargin
+       |  CAST(${img("c_date")} AS BIGINT) AS c_date_days,
+       |  CAST(${img("c_dt")} AS BIGINT) AS c_dt_ms,
+       |  CAST(CAST(${img("c_dec")} AS DECIMAL(20,4)) * 10000 AS BIGINT) AS c_dec_e4,
+       |  ${img("c_enum")} AS c_enum_name,
+       |  ${img("c_bit")} AS bit_b64,
+       |  ${img("c_set")} AS c_set_name,
+       |  ${img("c_bin")} AS bin_b64,
+       |  CAST(${img("c_time")} AS BIGINT) AS c_time_us,
+       |  CAST(${img("c_year")} AS BIGINT) AS c_year_val,
+       |  CAST(${img("c_ubig")} AS BIGINT) AS c_ubig_wrapped,
+       |  ${img("c_dec_prec")} AS decp_b64
+       |FROM (SELECT commit_ts, pk, $debeziumValueSql AS value FROM changelog))""".stripMargin
   }
 
   // ---------------------------------------------------------------- A70

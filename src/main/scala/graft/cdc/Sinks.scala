@@ -21,32 +21,40 @@ object Sinks {
     * `commit_ts` (unique by construction) so the frame is
     * deterministic and DuckDB-checkable. Pure conditional projection:
     * no shuffle, linear at any scale. */
-  /** The claim-check projection columns — shared by the batch operator
-    * and the streaming pipeline (row-local, so identical in
-    * micro-batch execution). */
-  def claimCheckCols(n: Int, maxBytes: Int,
-                     uriPrefix: String = "s3://claim-check")
-      : Seq[org.apache.spark.sql.Column] = {
-    val part = Dispatchers.indexValueBucket(n)
-    val value = Codecs.canalJsonValue
-    val payloadBytes = octet_length(value)
-    val claimed = payloadBytes > maxBytes
+  /** The claim-check frame — shared by the batch operator and the
+    * streaming pipeline (row-local, so identical in micro-batch
+    * execution). `extra` columns (the streaming topic) lead the output.
+    *
+    * The canal value is rendered ONCE into `_canal_value` and the
+    * claimed/otherwise arms reference the column: the previous
+    * column-list form rendered the payload through both
+    * `octet_length(value)` and the `otherwise(value)` branch — a
+    * conditional reference CSE cannot share and CollapseProject
+    * duplicates — so every inline message paid the full canal render
+    * twice (the compressedSized/handleKeyOnly bug, same fix). */
+  def claimCheckFrame(cl: DataFrame, n: Int, maxBytes: Int,
+                      uriPrefix: String = "s3://claim-check",
+                      extra: Seq[org.apache.spark.sql.Column] = Nil)
+      : DataFrame = {
+    val claimed = col("payload_bytes") > maxBytes
     val location = concat(lit(uriPrefix + "/"), col("schema_name"), lit("/"),
       col("table_name"), lit("/"), col("commit_ts"), lit(".json"))
     val stub = concat(
       lit("{\"ts\":"), col("commit_ts"),
       lit(",\"handleKey\":{\"pk\":"), col("pk"),
       lit("},\"claimCheckLocation\":\""), location, lit("\"}"))
-    Seq(
-      col("commit_ts"), part.as("partition"),
-      payloadBytes.as("payload_bytes"), claimed.as("claimed"),
-      when(claimed, location).otherwise(lit(null).cast("string")).as("claim_location"),
-      when(claimed, stub).otherwise(value).as("value"))
+    cl.withColumn("_canal_value", Codecs.canalJsonValue)
+      .withColumn("payload_bytes", octet_length(col("_canal_value")))
+      .select(extra ++ Seq(
+        col("commit_ts"), Dispatchers.indexValueBucket(n).as("partition"),
+        col("payload_bytes"), claimed.as("claimed"),
+        when(claimed, location).otherwise(lit(null).cast("string")).as("claim_location"),
+        when(claimed, stub).otherwise(col("_canal_value")).as("value")): _*)
   }
 
   def claimCheck(cl: DataFrame, n: Int, maxBytes: Int,
                  uriPrefix: String = "s3://claim-check"): DataFrame =
-    cl.select(claimCheckCols(n, maxBytes, uriPrefix): _*)
+    claimCheckFrame(cl, n, maxBytes, uriPrefix)
 
   def claimCheckSql(n: Int, maxBytes: Int,
                     uriPrefix: String = "s3://claim-check"): String = {

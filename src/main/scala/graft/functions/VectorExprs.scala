@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{array, call_function, col, lit}
@@ -163,6 +163,65 @@ case class HyperplaneBandKeys(child: Expression, flat: Seq[Double],
     copy(child = newChild)
 }
 
+/** C17 quantization in ONE pass: struct(codes string, max_err double).
+  * codes = the comma-joined `floor((v[i] − zero)/scale)` longs (the
+  * canonical wire string the digest covers); max_err = the max abs
+  * reconstruction error. The unrolled 64-column form generated a
+  * 20,382-bytecode consume method — over HotSpot's 8000-bytecode JIT
+  * ceiling, so the whole fused stage ran INTERPRETED (the r11 saga's
+  * exact failure mode, caught by the JitCeilingSpec lint); this emits
+  * one loop through a reference object. Identical IEEE sequence per
+  * element as the unrolled form and the DuckDB oracle: the division is
+  * by a power of two (exact), floor is deterministic, and Long
+  * rendering matches CAST(BIGINT AS VARCHAR). */
+case class QuantizeVector(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("codes",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("max_err", DoubleType,
+      nullable = false)))
+  override def prettyName: String = "quantize_vector"
+
+  override def nullSafeEval(v: Any, mn: Any, scale: Any): Any =
+    compute(v, mn, scale)
+
+  /** Public (generated code calls through a reference object). */
+  def compute(v: Any, mnAny: Any, scAny: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mn = mnAny.asInstanceOf[Double]
+    val sc = scAny.asInstanceOf[Double]
+    val n = x.numElements()
+    val sb = new java.lang.StringBuilder(n * 4)
+    var maxErr = 0.0 // errors are abs() — 0 is the identity, as greatest() was
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val code = math.floor((xi - mn) / sc).toLong
+      if (i > 0) sb.append(',')
+      sb.append(code)
+      val err = math.abs(xi - (mn + code * sc))
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), maxErr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quantizeExpr", this,
+      classOf[QuantizeVector].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)" +
+        s" $ref.compute($a, $b, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): QuantizeVector =
+    copy(first = f, second = s, third = t)
+}
+
 /** Registration + Column-level entry points. The expressions register
   * through `SparkSessionExtensions.injectFunction` (the supported
   * public extension route — see GraftSession, which installs them on
@@ -194,6 +253,11 @@ object VectorExprs {
         def intArg(i: Int) = children(i).eval(null).asInstanceOf[Int]
         HyperplaneBandKeys(children(0), flat, intArg(2), intArg(3), intArg(4))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo(classOf[QuantizeVector].getName, "graft_quantize"),
+      (children: Seq[Expression]) =>
+        QuantizeVector(children(0), children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashValue].getName, "graft_simhash"),

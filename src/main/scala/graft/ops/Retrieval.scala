@@ -344,7 +344,21 @@ object Retrieval {
     val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
       .withColumn("k", count(lit(1)).over(Window.partitionBy(col("gram"))))
     val sz = g.select(col("doc_id"), size(col("grams")).cast("long").as("sz"))
+    // Candidate doc universe, derived from the cached fingerprint frame
+    // WITHOUT re-running the pair self-join: a doc can appear in a
+    // candidate pair iff it shares some winnow fp with another doc.
+    // Pruning both cold sides to this universe up front keeps the
+    // pair-generating self-join from aggregating doc pairs for docs no
+    // candidate references — at a mostly-unique corpus (the realistic
+    // 100 TB shape) the cold aggregation input collapses to the
+    // near-dup fraction instead of hotMax × corpus-gram-rows. The
+    // final left_semi against `cand` restores pair-exactness.
+    val sharedFp = fps.groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") > 1L).select(col("fp_hash"))
+    val candDocs = fps.join(sharedFp, Seq("fp_hash"), "left_semi")
+      .select(col("doc_id")).distinct()
     val cold = ex.filter(col("k") <= hotMax).select(col("doc_id"), col("gram"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
     val coldInter = cold.as("x").join(cold.as("y"), Seq("gram"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -1127,16 +1127,18 @@ object Similarity {
     }
     val withScale = v.withColumn("scale_exp", expCol)
       .withColumn("scale", pow(lit(2.0), col("scale_exp")))
-    val codeCols = (0 until Dim).map(i =>
-      floor((col("v").getItem(i) - col("mn")) / col("scale")).cast("long"))
-    val reconErrs = (0 until Dim).map(i =>
-      abs(col("v").getItem(i) - (col("mn") + codeCols(i) * col("scale"))))
+    // codes + max_err in ONE native loop (graft_quantize): the unrolled
+    // 64-column projection generated 20,382 bytecodes — over HotSpot's
+    // 8000-bytecode JIT ceiling, so the fused stage ran interpreted
+    // (JitCeilingSpec pins the budget). Projected as a named struct
+    // column first so the two field reads cannot duplicate the pass.
     withScale
-      .withColumn("codes", concat_ws(",", codeCols: _*))
-      .withColumn("max_err", greatest(reconErrs: _*))
+      .withColumn("q",
+        call_function("graft_quantize", col("v"), col("mn"), col("scale")))
       .select(col("vec_id"), col("label"), col("scale_exp").cast("long").as("scale_exp"),
-        col("mn").as("zero_point"), md5(col("codes").cast("binary")).as("codes_digest"),
-        col("max_err"))
+        col("mn").as("zero_point"),
+        md5(col("q").getField("codes").cast("binary")).as("codes_digest"),
+        col("q").getField("max_err").as("max_err"))
   }
 
   def embeddingQuantizeSql(): String = {

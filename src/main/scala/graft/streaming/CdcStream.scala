@@ -62,7 +62,7 @@ object CdcStream {
       case Some(maxBytes) =>
         // large messages detour to external storage; the sink frame
         // carries the claim location + stub value (A31, streaming form)
-        filtered.select(topic +: Sinks.claimCheckCols(nPartitions, maxBytes): _*)
+        Sinks.claimCheckFrame(filtered, nPartitions, maxBytes, extra = Seq(topic))
       case None =>
         filtered.select(col("commit_ts"), topic,
           Dispatchers.indexValueBucket(nPartitions).as("partition"),

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The JIT-ceiling standing contract (VERDICT r11 mandate #2).
+  *
+  * HotSpot refuses to JIT-compile any method above 8000 bytecodes
+  * (-XX:-DontCompileHugeMethods), while Spark's whole-stage-codegen
+  * fallback only trips at `spark.sql.codegen.hugeMethodLimit` = 65535
+  * — so a fused stage landing in 8k..64k runs silently INTERPRETED, a
+  * 3-6× tax on the hot path with no warning anywhere. Round 11 caught
+  * two such stages only by benching (changefeed_pipeline 12.4 s,
+  * sink_handle_key_only 17.8 s at sf10); round 12's first probe run
+  * caught a third (embedding_quantize: a 20,382-bytecode unrolled
+  * projection). This spec turns the discovery into a gate: every
+  * registry query's static plan is code-generated, every generated
+  * class is compiled, and the max method bytecode size must stay under
+  * the HotSpot ceiling.
+  *
+  * Static plan, AQE off: stage fusion boundaries are what matter and
+  * they are data-independent; disabling AQE materializes the
+  * WholeStageCodegenExec nodes without executing the query, so the
+  * whole 231-query registry lints in one planning pass. AQE's runtime
+  * re-plans only SHRINK stages (SMJ→BHJ conversions split, never
+  * merge), so the static view is the conservative one.
+  *
+  * If this spec goes red: do NOT raise the budget and do NOT set a
+  * global hugeMethodLimit (measured net-negative on the full sf10
+  * board — 642 → 698 s: forcing per-operator materialization loses
+  * more broadly than interpreted fusion costs). Fix the offending
+  * stage at the EXPRESSION level — pre-render shared strings into a
+  * named column (the debezium-arm fix), or collapse an unrolled
+  * per-element expression family into one native loop expression (the
+  * graft_quantize fix in functions/VectorExprs.scala).
+  */
+class JitCeilingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.util.GraftSession.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  /** The HotSpot DontCompileHugeMethods limit. */
+  private val HugeMethodLimit = 8000
+
+  test("every registry query's generated methods stay under the 8000-bytecode JIT ceiling") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val plan = fn(spark, dir).queryExecution.executedPlan
+          plan.collectWithSubqueries {
+            case w: WholeStageCodegenExec =>
+              val (_, source) = w.doCodeGen()
+              val (_, stats) = CodeGenerator.compile(source)
+              (name, w.codegenStageId, stats.maxMethodCodeSize)
+          }.filter(_._3 > HugeMethodLimit)
+      }
+      assert(offenders.isEmpty,
+        "fused stage(s) exceed the HotSpot JIT ceiling and will run " +
+          "interpreted — fix at the expression level (see Scaladoc): " +
+          offenders.map { case (q, sid, sz) => s"$q stage#$sid=$sz" }
+            .mkString(", "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+}

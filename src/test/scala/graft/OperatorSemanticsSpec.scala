@@ -410,6 +410,10 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     // length + minimal big-endian two's-complement unscaled value
     def bytesDecimal(): Long = {
       val n = varint().toInt
+      // mirror the production decoder's guard: a zero-length (or
+      // absurd) decimal in a corrupted wire must fail the parse, not
+      // sign-extend off whatever byte follows
+      if (n < 1 || n > 8) fail(s"bad decimal len $n")
       var acc = if ((bytes(p) & 0x80) != 0) -1L else 0L // sign-extend
       (0 until n).foreach { i => acc = (acc << 8) | bytes(p + i) }
       p += n; acc

@@ -418,6 +418,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"topic_router shuffles the event stream:\n$router")
   }
 
+  test("large-message sinks render the canal payload exactly once per row") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // The dual-render disease (r11 ADVICE, three sites by now): a
+    // conditional reference to the rendered value plus an
+    // octet_length over it is invisible to CSE and duplicated by
+    // CollapseProject, so every inline message pays the full canal
+    // concat twice. Contract: across the whole optimized plan, the
+    // canal render marker literal ("sqlType" — the metadata block only
+    // the FULL payload carries; the degraded handle-key stub shares
+    // "pkNames" but not it) appears in exactly one expression tree.
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    for ((name, df) <- Seq(
+      "claim_check" -> cdc.Sinks.claimCheck(cl, 16, 758),
+      "compression" -> cdc.Sinks.compressedClaimCheck(cl, 16, 465),
+      "handle_key_only" -> cdc.Sinks.handleKeyOnly(cl, 16, 465))) {
+      val lp = df.queryExecution.optimizedPlan
+      val renders = lp.map(node => node.expressions.map(_.collect {
+        case l: Literal if l.value != null &&
+          l.value.toString.contains("\"sqlType\"") => l
+      }.size).sum).sum
+      assert(renders == 1,
+        s"$name renders the canal payload $renders times:\n$lp")
+    }
+  }
+
   test("containment verify ships no array column into a join or aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     import org.apache.spark.sql.types.ArrayType

@@ -8,7 +8,7 @@ object CcProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.util.GraftSession.local(8)
     val cl = cdc.ChangeEvents.changelog(spark, args(0))
-    cl.select(cdc.Sinks.claimCheckCols(16, 465): _*).select(col("payload_bytes").as("b"))
+    cdc.Sinks.claimCheckFrame(cl, 16, 465).select(col("payload_bytes").as("b"))
       .agg(min(col("b")), expr("percentile(b, 0.25)"), expr("percentile(b, 0.5)"),
         expr("percentile(b, 0.75)"), max(col("b"))).show(false)
     spark.stop()

@@ -4,8 +4,11 @@
 set -e
 cd /root/repo
 JAR=target/scala-2.13/tigatespark_2.13-0.1.0.jar
+# Dev probes live in the test sourceset (they are bench instruments,
+# not product code) — Test/compile emits them to test-classes.
+TESTCLASSES=target/scala-2.13/test-classes
 if [ "${SKIP_BUILD:-0}" != "1" ]; then
-  sbt -batch package > /tmp/sbt_package.log 2>&1 || { tail -40 /tmp/sbt_package.log; exit 1; }
+  sbt -batch package Test/compile > /tmp/sbt_package.log 2>&1 || { tail -40 /tmp/sbt_package.log; exit 1; }
 fi
 ADDOPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
@@ -15,4 +18,4 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 done
 exec java $ADDOPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "/opt/spark/jars/*:$JAR" "$@"
+  -cp "/opt/spark/jars/*:$JAR:$TESTCLASSES" "$@"
