@@ -19,8 +19,13 @@ import graft.functions.Portable
   * (reference requires string mode for checksummed decimals; our wire
   * money form IS the %.4f string), strings/JSON length-prefixed
   * (`appendLengthValue`). NULL columns contribute nothing (reference
-  * skips nil values), and an absent image carries checksum 0, the
-  * reference's "not enabled" sentinel that skips verification. The
+  * skips nil values), and TypeNull/TypeGeometry columns are excluded
+  * from the digest ENTIRELY regardless of value — the explicit
+  * do-nothing arm of buildChecksumBytes (verify_checksum.go:217-219);
+  * TypedImageSpec pins that adding the c_geo/c_null image columns
+  * leaves every digest byte-identical. An absent image carries
+  * checksum 0, the reference's "not enabled" sentinel that skips
+  * verification. The
   * digest is the engine-portable 60-bit md5 ([[Portable.hash60]])
   * rather than crc32.Update — DuckDB has no crc32, and the contract
   * (deterministic, order-sensitive, typed) lives in the layout, not

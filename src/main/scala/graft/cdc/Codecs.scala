@@ -52,13 +52,20 @@ object Codecs {
       // YEAR is a VARCHAR 12 (helper.go:274-281); the unsigned bigint
       // value EXCEEDS MaxInt64, so its java type widens to DECIMAL 3
       // (helper.go:241-255)
-      "\"c_bin\":2004,\"c_time\":92,\"c_year\":12,\"c_ubig\":3}"
+      "\"c_bin\":2004,\"c_time\":92,\"c_year\":12,\"c_ubig\":3," +
+      // the last two dispatch cells (r12): TypeGeometry ->
+      // JavaSQLTypeBINARY -2 (java.go:136-138 — "not supported, should
+      // not hit", but the sqlType mapping is total); TypeNull ->
+      // JavaSQLTypeNULL 0 (java.go:85-86). Both VALUES are always JSON
+      // null: the encoders carry nothing for either type.
+      "\"c_geo\":-2,\"c_null\":0}"
   private[cdc] val canalMysqlTypeJson: String =
     "{\"pk\":\"bigint\",\"value\":\"double\",\"props\":\"json\"," +
       "\"c_date\":\"date\",\"c_dt\":\"datetime\",\"c_dec\":\"decimal\"," +
       "\"c_enum\":\"enum\",\"c_bit\":\"bit\",\"c_set\":\"set\"," +
       "\"c_bin\":\"varbinary\",\"c_time\":\"time\",\"c_year\":\"year\"," +
-      "\"c_ubig\":\"bigint unsigned\"}"
+      "\"c_ubig\":\"bigint unsigned\"," +
+      "\"c_geo\":\"geometry\",\"c_null\":\"null\"}"
 
   /** Everything of the canal-json DML message except the closing brace
     * — shared by A19 (plain) and the TiDB-extension envelope (A57). */
@@ -89,7 +96,9 @@ object Codecs {
     lit("\",\"c_time\":\""), TypedImage.timeStr,
     lit("\",\"c_year\":\""), TypedImage.yearVal.cast("string"),
     lit("\",\"c_ubig\":\""), TypedImage.ubigStr,
-    lit("\"}],\"old\":"),
+    // geometry (unsupported by the encoder) and the NULL type carry no
+    // value on any wire: both render literal JSON null
+    lit("\",\"c_geo\":null,\"c_null\":null}],\"old\":"),
     when(col("op") === "U", concat(lit("[{\"value\":"), fmt(col("before_value")), lit("}]")))
       .otherwise(lit("null")))
 
@@ -117,7 +126,7 @@ object Codecs {
        |  '","c_time":"', ${TypedImage.timeStrSql},
        |  '","c_year":"', ${TypedImage.yearValSql},
        |  '","c_ubig":"', ${TypedImage.ubigStrSql},
-       |  '"}],"old":',
+       |  '","c_geo":null,"c_null":null}],"old":',
        |  CASE WHEN op = 'U'
        |    THEN CONCAT('[{"value":', ${fmtSql("before_value")}, '}]')
        |    ELSE 'null' END)""".stripMargin
@@ -247,7 +256,12 @@ object Codecs {
         m("c_bin").as("c_bin_str"),
         m("c_time_sec").as("c_time_sec"),
         m("c_year_val").as("c_year_val"),
-        m("c_ubig").as("c_ubig_str"))
+        m("c_ubig").as("c_ubig_str"),
+        // GEOMETRY + NULL decode to null (nothing rides either wire —
+        // java.go:136-138 / the TypeNull contract); surfaced as columns
+        // so the consumer-side dispatch is total
+        m("c_geo").as("c_geo"),
+        m("c_null").as("c_null"))
   }
 
   val canalJsonDecodeSql: String = {
@@ -280,7 +294,9 @@ object Codecs {
        |  CAST(epoch(CAST(CONCAT('1970-01-01 ', ${js("$.data[0].c_time")})
        |    AS TIMESTAMP)) AS BIGINT) AS c_time_sec,
        |  CAST(${js("$.data[0].c_year")} AS BIGINT) AS c_year_val,
-       |  ${js("$.data[0].c_ubig")} AS c_ubig_str
+       |  ${js("$.data[0].c_ubig")} AS c_ubig_str,
+       |  ${js("$.data[0].c_geo")} AS c_geo,
+       |  ${js("$.data[0].c_null")} AS c_null
        |FROM (SELECT $canalJsonValueSql AS value FROM changelog)""".stripMargin
   }
 

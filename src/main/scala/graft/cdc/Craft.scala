@@ -42,15 +42,23 @@ object Craft {
   // dictionary first-use order for a single-event message:
   // headers intern schema=0, table=1 (model.go:192-193); the first
   // group interns the column names (model.go:300)
-  private val NameIds = Seq(2, 3, 4, 5) // pk, value, props, event_type
+  private val NameIds = Seq(2, 3, 4, 5, 6, 7) // pk, value, props, event_type, c_geo, c_null
 
   // TiDB type tags (message_encoder.go:190 switch): bigint pk →
   // TypeLonglong(8); money → TypeNewDecimal(246), craft-encoded as its
-  // decimal STRING; props/event_type → TypeVarchar(15)
-  private val TypeTags = Seq(8, 246, 15, 15)
+  // decimal STRING; props/event_type → TypeVarchar(15); the r12
+  // dispatch-closing arms TypeGeometry(255) and TypeNull(6) — both
+  // encode nil at ANY value (message_encoder.go:219-225 fallthrough
+  // to `return nil`; decoder message_decoder.go:350-356 mirrors)
+  private val TypeTags = Seq(8, 246, 15, 15, 255, 6)
   // column flags (pkg/common/table_info.go:56): pk carries
   // HandleKey(2)|PrimaryKey(8)=10; payload columns Nullable(64)
-  private val Flags = Seq(10, 64, 64, 64)
+  private val Flags = Seq(10, 64, 64, 64, 64, 64)
+
+  /** The GEOMETRY + NULL columns' contribution to every image's value
+    * chunk: nil values take a -1 length marker (one zigzag byte each)
+    * and no payload bytes — constant per group, both directions. */
+  private[graft] val NilColumnMarkerBytes: Int = 2
 
   /** protobuf-style uvarint byte length (message_encoder.go:51). */
   private[cdc] def uvarintLen(c: Column): Column = {
@@ -74,8 +82,8 @@ object Craft {
     uvarintLenSql(s"CASE WHEN ($e) >= 0 THEN ($e) * 2 ELSE -($e) * 2 - 1 END")
 
   // per-group constant prefix: ty(1) + uvarint ncols(1) + delta-varint
-  // name ids [2,3,4,5] = 1+1+1+1 + type tags [8,246,15,15] = 1+2+1+1 +
-  // flags [10,64,64,64] = 1+1+1+1  (model.go:297-304)
+  // name ids [2..7] = 6×1 + type tags [8,246,15,15,255,6] = 1+2+1+1+2+1
+  // + flags [10,64×5] = 6×1  (model.go:297-304)
   private[graft] val GroupFixedBytes: Int = {
     def uv(n: Long): Int = if (n < 128) 1 else if (n < 16384) 2 else 3
     val nameBytes = uv(NameIds.head * 2L) +
@@ -84,10 +92,11 @@ object Craft {
       Flags.map(f => uv(f.toLong)).sum
   }
 
-  // term dictionary fixed part: uvarint(6 terms) + 6 uvarint lengths +
-  // "pk","value","props","event_type" payloads (schema/table vary)
-  private[graft] val DictFixedBytes: Int = 1 + 6 + "pk".length + "value".length +
-    "props".length + "event_type".length
+  // term dictionary fixed part: uvarint(8 terms) + 8 uvarint lengths +
+  // "pk","value","props","event_type","c_geo","c_null" payloads
+  // (schema/table vary)
+  private[graft] val DictFixedBytes: Int = 1 + 8 + "pk".length + "value".length +
+    "props".length + "event_type".length + "c_geo".length + "c_null".length
 
   /** Byte size of one column-group's value chunk + the group frame.
     * `vLen` is the money column's payload length (null image → -1
@@ -96,7 +105,7 @@ object Craft {
                         etLen: Column): Column = {
     val prefixes = zzLen(pkLen) + zzLen(coalesce(vLen, lit(-1))) +
       zzLen(propsLen) + zzLen(etLen)
-    lit(GroupFixedBytes) + prefixes +
+    lit(GroupFixedBytes + NilColumnMarkerBytes) + prefixes +
       pkLen + coalesce(vLen, lit(0)) + propsLen + etLen
   }
 
@@ -104,7 +113,7 @@ object Craft {
                            etLen: String): String = {
     val prefixes = Seq(zzLenSql(pkLen), zzLenSql(s"COALESCE($vLen, -1)"),
       zzLenSql(propsLen), zzLenSql(etLen)).mkString(" + ")
-    s"($GroupFixedBytes + $prefixes + $pkLen + COALESCE($vLen, 0) + $propsLen + $etLen)"
+    s"(${GroupFixedBytes + NilColumnMarkerBytes} + $prefixes + $pkLen + COALESCE($vLen, 0) + $propsLen + $etLen)"
   }
 
   /** A39 — the craft message layout frame, one row per event: group
@@ -138,6 +147,10 @@ object Craft {
       col("sz.old_value_len").as("old_value_len"),
       col("sz.props_len").as("props_len"),
       col("sz.event_type_len").as("event_type_len"),
+      // nil columns: the -1 no-payload marker, constant by the
+      // encoder's TypeGeometry/TypeNull nil arm
+      lit(-1L).as("c_geo_len"),
+      lit(-1L).as("c_null_len"),
       col("sz.new_group_size").as("new_group_size"),
       col("sz.old_group_size").as("old_group_size"),
       col("sz.header_size").as("header_size"),
@@ -201,6 +214,8 @@ object Craft {
         coalesce(col("old_value_len").cast("long"), lit(-1L)).as("old_value_len"),
         col("props_len").cast("long").as("props_len"),
         col("event_type_len").cast("long").as("event_type_len"),
+        lit(-1L).as("c_geo_len"),
+        lit(-1L).as("c_null_len"),
         coalesce(col("new_group_size").cast("long"), lit(-1L)).as("new_group_size"),
         coalesce(col("old_group_size").cast("long"), lit(-1L)).as("old_group_size"),
         col("header_size").cast("long").as("header_size"),
@@ -399,6 +414,8 @@ object Craft {
        |  CAST(COALESCE($oldVLen, -1) AS BIGINT) AS old_value_len,
        |  CAST(octet_length(encode(props)) AS BIGINT) AS props_len,
        |  CAST(octet_length(encode(event_type)) AS BIGINT) AS event_type_len,
+       |  CAST(-1 AS BIGINT) AS c_geo_len,
+       |  CAST(-1 AS BIGINT) AS c_null_len,
        |  CAST(COALESCE(new_size, -1) AS BIGINT) AS new_group_size,
        |  CAST(COALESCE(old_size, -1) AS BIGINT) AS old_group_size,
        |  CAST(header_size AS BIGINT) AS header_size,

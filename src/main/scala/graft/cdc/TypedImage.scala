@@ -132,6 +132,19 @@ object TypedImage {
   //   |        |                              | unscaled + scale param (upstream | (:918-921 precise mode,         |
   //   |        |                              | default the reference's double   | logicalType decimal :745-765)   |
   //   |        |                              | mode replaces)                   |                                 |
+  //   | GEO    | JSON null; sqlType -2 = Java | value nil — craft encoder        | (not emitted — unsupported)     |
+  //   |        | BINARY (java.go:136-138,     | message_encoder.go:219-225 and   |                                 |
+  //   |        | "not supported, should not   | decoder :350-356 both return nil;|                                 |
+  //   |        | hit" — the mapping is total) | checksum SKIPS the column        |                                 |
+  //   |        |                              | (verify_checksum.go:217-219)     |                                 |
+  //   | NULL   | JSON null; sqlType 0 = Java  | value nil (same encoder/decoder  | (not emitted)                   |
+  //   |        | NULL (java.go:85-86)         | arms); checksum skip             |                                 |
+  //
+  // GEOMETRY and NULL have NO per-row derivation: every encoder carries
+  // nothing for either type, so the arms live entirely in the codec
+  // dispatch (canal sqlType/mysqlType maps + null data values, the two
+  // -1 nil markers in every craft value chunk, and the checksum
+  // exclusion). These two rows make the type dispatch literally total.
 
   /** SET element list (4 elems → masks 1..15). */
   val setElems: Seq[String] = Seq("alpha", "beta", "gamma", "delta")

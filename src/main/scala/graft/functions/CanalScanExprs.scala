@@ -60,6 +60,12 @@ object CanalScan {
     StructField("c_time_sec", LongType),
     StructField("c_year_val", LongType),
     StructField("c_ubig", StringType),
+    // GEOMETRY + NULL arms (r12): always JSON null on the wire
+    // (java.go:136-138 — geometry unsupported; TypeNull by definition)
+    // — decoded as null-preserving raw tokens so a non-null value in a
+    // foreign wire still surfaces instead of being silently dropped
+    StructField("c_geo", StringType),
+    StructField("c_null", StringType),
     StructField("commit_ts_ext", LongType),   // _tidb.commitTs
     StructField("watermark_ts", LongType)))   // _tidb.watermarkTs
 
@@ -74,9 +80,10 @@ object CanalScan {
   private final val PK = 7
   private final val VAL = 8
   private final val OLD = 9
-  private final val CDATE = 10 // c_date..c_ubig occupy 10..19 in wire order
-  private final val CTS_EXT = 20
-  private final val WMARK = 21
+  private final val CDATE = 10 // c_date..c_null occupy 10..21 in wire order
+  private final val CTS_EXT = 22
+  private final val WMARK = 23
+  private[functions] final val NumSlots = 24
 
   private final class Scanner(s: String, out: Array[Any]) {
     private var pos = 0
@@ -220,6 +227,12 @@ object CanalScan {
       case "c_time" => out(CDATE + 7) = timeSec(readString())
       case "c_year" => out(CDATE + 8) = java.lang.Long.parseLong(readString())
       case "c_ubig" => out(CDATE + 9) = utf(readString())
+      case "c_geo" =>
+        if (ch == '"') out(CDATE + 10) = utf(readString())
+        else { val t = scalarToken(); if (t != "null") out(CDATE + 10) = utf(t) }
+      case "c_null" =>
+        if (ch == '"') out(CDATE + 11) = utf(readString())
+        else { val t = scalarToken(); if (t != "null") out(CDATE + 11) = utf(t) }
       case _        => skipValue()
     }
 
@@ -271,7 +284,7 @@ object CanalScan {
   /** NULL on malformed input — the from_json contract. */
   def decode(u: UTF8String): InternalRow =
     try {
-      val out = new Array[Any](22)
+      val out = new Array[Any](NumSlots)
       new Scanner(u.toString, out).run()
       new GenericInternalRow(out)
     } catch { case _: Exception => null }

@@ -599,7 +599,8 @@ case class CraftSizes(children: Seq[Expression])
     val newValueLen = if (op != "D") moneyLen(afterA) else -1L
     val oldValueLen = if (op != "I") moneyLen(beforeA) else -1L
     def groupSize(vLen: Long): Long =
-      graft.cdc.Craft.GroupFixedBytes + zzLen(pkLen) + zzLen(vLen) +
+      graft.cdc.Craft.GroupFixedBytes + graft.cdc.Craft.NilColumnMarkerBytes +
+        zzLen(pkLen) + zzLen(vLen) +
         zzLen(propsLen) + zzLen(etLen) + pkLen + vLen + propsLen + etLen
     val newGroup = if (op != "D") groupSize(newValueLen) else -1L
     val oldGroup = if (op != "I") groupSize(oldValueLen) else -1L
@@ -648,7 +649,8 @@ case class CraftGroupSize(children: Seq[Expression])
     val e = etLen.asInstanceOf[Long]
     val v = if (vLen == null) -1L else vLen.asInstanceOf[Long]
     val vPay = if (vLen == null) 0L else v
-    graft.cdc.Craft.GroupFixedBytes + CraftWire.zzLen(p) +
+    graft.cdc.Craft.GroupFixedBytes + graft.cdc.Craft.NilColumnMarkerBytes +
+      CraftWire.zzLen(p) +
       CraftWire.zzLen(v) + CraftWire.zzLen(pr) + CraftWire.zzLen(e) +
       p + vPay + pr + e
   }

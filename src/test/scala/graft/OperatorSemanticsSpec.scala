@@ -46,13 +46,13 @@ class OperatorSemanticsSpec extends AnyFunSuite {
 
   test("claim check splits exactly at the byte threshold") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
-    // 758 splits the sf0.001 payload distribution (now 738-764 bytes:
-    // the r11 BIT/SET/BINARY/TIME/YEAR/UBIG arms grew every message by
-    // ~120 bytes over the r10 TypedImage shape)
-    val cc = cdc.Sinks.claimCheck(cl, n = 16, maxBytes = 758).cache()
+    // 843 splits the sf0.001 payload distribution (now 822-848 bytes:
+    // the r12 GEOMETRY/NULL dispatch arms grew every message by ~84
+    // bytes over the r11 shape — type-map entries + two null values)
+    val cc = cdc.Sinks.claimCheck(cl, n = 16, maxBytes = 843).cache()
     assert(cc.filter(col("claimed")).count() > 0, "no claimed rows at this threshold")
     assert(cc.filter(!col("claimed")).count() > 0, "no passthrough rows at this threshold")
-    assert(cc.filter(col("claimed") =!= (col("payload_bytes") > 758)).count() == 0)
+    assert(cc.filter(col("claimed") =!= (col("payload_bytes") > 843)).count() == 0)
     // claimed rows carry a location and a stub value; others carry the payload
     assert(cc.filter(col("claimed") && col("claim_location").isNull).count() == 0)
     assert(cc.filter(!col("claimed") && col("claim_location").isNotNull).count() == 0)

@@ -44,11 +44,11 @@ class StreamingSpec extends AnyFunSuite {
 
   test("A31s: streaming claim-check frame equals the batch claim-check sink") {
     runToCompletion(
-      CdcStream.pipeline(spark, dir, claimCheckMaxBytes = Some(758)), "a31s", "append")
+      CdcStream.pipeline(spark, dir, claimCheckMaxBytes = Some(843)), "a31s", "append")
     val streamed = spark.table("a31s")
     val cl = graft.cdc.Filters.tableFilter(
       graft.cdc.ChangeEvents.changelog(spark, dir), Seq("db%.%"))
-    val batch = graft.cdc.Sinks.claimCheck(cl, 16, 758)
+    val batch = graft.cdc.Sinks.claimCheck(cl, 16, 843)
     val streamedCc = streamed.drop("topic")
     assert(streamedCc.count() == batch.count())
     assert(streamedCc.exceptAll(batch).isEmpty && batch.exceptAll(streamedCc).isEmpty)

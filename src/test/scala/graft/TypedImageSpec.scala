@@ -111,4 +111,59 @@ class TypedImageSpec extends AnyFunSuite {
         java.math.BigInteger.valueOf(v).toByteArray), s"v=$v")
     }
   }
+
+  // ---- the r12 dispatch-closing arms: GEOMETRY + NULL ----
+
+  test("GEOMETRY/NULL: canal sqlType carries -2/0 and the data values are JSON null") {
+    // java.go:136-138 (TypeGeometry -> JavaSQLTypeBINARY, "not
+    // supported, this should not hit" — the MAPPING is still total)
+    // and java.go:85-86 (TypeNull -> JavaSQLTypeNULL). Parse an actual
+    // encoded message: the type maps and the nil values must be on the
+    // wire itself, not just in the builder constants.
+    val msg = cdc.Codecs.canalJson(cdc.ChangeEvents.changelog(spark, dir))
+      .select(col("value")).head().getString(0)
+    val geoType = """"sqlType":\{[^}]*"c_geo":(-?\d+)""".r
+    val nullType = """"c_null":(-?\d+)\}""".r
+    assert(geoType.findFirstMatchIn(msg).map(_.group(1)).contains("-2"), msg)
+    assert(nullType.findFirstMatchIn(msg).map(_.group(1)).contains("0"), msg)
+    assert(msg.contains("\"c_geo\":\"geometry\""), "mysqlType name")
+    assert(msg.contains("\"c_null\":\"null\""), "mysqlType name")
+    assert(msg.contains("\"c_geo\":null,\"c_null\":null"),
+      "both wire VALUES are JSON null — the encoders carry nothing " +
+        "for either type")
+  }
+
+  test("GEOMETRY/NULL: canal decode surfaces both arms as null columns") {
+    val dec = cdc.Codecs.canalJsonDecode(
+      cdc.ChangeEvents.changelog(spark, dir))
+    assert(dec.filter(col("c_geo").isNotNull || col("c_null").isNotNull)
+      .count() == 0, "nothing rides either wire (message_decoder.go:350-356)")
+  }
+
+  test("GEOMETRY/NULL: every craft value chunk carries the two -1 nil markers") {
+    // message_encoder.go:219-225: TypeNull/TypeGeometry encode nil —
+    // a -1 length marker (1 zigzag byte each), no payload. The frame's
+    // group sizes must each include exactly those 2 bytes, and the
+    // decode recount (which re-derives sizes independently) must agree.
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val f = cdc.Craft.frame(cl)
+    assert(f.filter(col("c_geo_len") =!= -1L || col("c_null_len") =!= -1L)
+      .count() == 0)
+    assert(cdc.Craft.decode(f).filter(col("verified") =!= "ok").count() == 0,
+      "decode recount must include the nil markers")
+  }
+
+  test("GEOMETRY/NULL: the checksum digest excludes both columns (skip rule)") {
+    // verify_checksum.go:217-219: TypeNull/TypeGeometry take no part
+    // in the digest. Adding the columns to the image changes nothing.
+    val cl = cdc.ChangeEvents.changelog(spark, dir)
+    val plain = cl.select(col("commit_ts"), col("pk"),
+      cdc.Checksum.current.as("cur"), cdc.Checksum.previous.as("prev"))
+    val widened = cl
+      .withColumn("c_geo", lit(null).cast("binary"))
+      .withColumn("c_null", lit(null).cast("string"))
+      .select(col("commit_ts"), col("pk"),
+        cdc.Checksum.current.as("cur"), cdc.Checksum.previous.as("prev"))
+    assert(plain.exceptAll(widened).isEmpty && widened.exceptAll(plain).isEmpty)
+  }
 }

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Corpus-tier oracle check (VERDICT r11 mandate #3): run the codec
+family (or any named queries) through Verify at a big tier and compare
+against the DuckDB oracle WITHOUT materializing rows in pandas — at
+sf10 a codec query returns 10M wide rows, so the compare runs entirely
+inside DuckDB:
+
+  rows_match    counts equal
+  schema_match  sorted column-name lists equal
+  hash_match    (spark EXCEPT ALL oracle) and (oracle EXCEPT ALL spark)
+                both empty — bag equality, strictly stronger than the
+                driver's sorted-hash compare
+
+Queries are verified one at a time and each Spark result is deleted
+after its check, so peak disk is one query's output.
+
+Usage: tools/check_sf10.py <sfDir> <outJson> <query> [query ...]
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import duckdb
+
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+def main():
+    sf_dir, out_json = sys.argv[1], sys.argv[2]
+    queries = sys.argv[3:]
+    out_dir = "/tmp/verify_sf10"
+    results = {}
+    commit = subprocess.check_output(
+        ["git", "rev-parse", "HEAD"]).decode().strip()
+
+    # one Verify JVM per batch of queries keeps peak disk bounded while
+    # amortizing session startup; batch size 4 ≈ a few GB on disk max
+    BATCH = 4
+    oracles = None
+    for i in range(0, len(queries), BATCH):
+        batch = queries[i:i + BATCH]
+        shutil.rmtree(out_dir, ignore_errors=True)
+        env = dict(os.environ, SKIP_BUILD="1", SPARK_GRAFT_CPUS="32",
+                   SPARK_DRIVER_MEM="48g")
+        r = subprocess.run(
+            ["tools/run.sh", "graft.Verify", sf_dir, out_dir] + batch,
+            cwd="/root/repo", env=env, capture_output=True, text=True)
+        if r.returncode != 0:
+            for q in batch:
+                results[q] = {"err": f"verify exited {r.returncode}"}
+            continue
+        if oracles is None:
+            oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+        con = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        for q in batch:
+            res = {"rows_match": False, "schema_match": False,
+                   "hash_match": False, "spark_rows": None,
+                   "oracle_rows": None, "err": None}
+            results[q] = res
+            try:
+                glob_p = f"{out_dir}/{q}/*.parquet"
+                con.execute(
+                    f"CREATE OR REPLACE VIEW spark_res AS SELECT * FROM '{glob_p}'")
+                con.execute(
+                    f"CREATE OR REPLACE VIEW oracle_res AS ({oracles[q]})")
+                s_cols = [r[0] for r in con.execute(
+                    "DESCRIBE spark_res").fetchall()]
+                o_cols = [r[0] for r in con.execute(
+                    "DESCRIBE oracle_res").fetchall()]
+                res["schema_match"] = sorted(s_cols) == sorted(o_cols)
+                res["spark_rows"] = con.execute(
+                    "SELECT count(*) FROM spark_res").fetchone()[0]
+                res["oracle_rows"] = con.execute(
+                    "SELECT count(*) FROM oracle_res").fetchone()[0]
+                res["rows_match"] = res["spark_rows"] == res["oracle_rows"]
+                if res["schema_match"]:
+                    cols = ", ".join(f'"{c}"' for c in sorted(s_cols))
+                    d1 = con.execute(
+                        f"SELECT count(*) FROM (SELECT {cols} FROM spark_res "
+                        f"EXCEPT ALL SELECT {cols} FROM oracle_res)").fetchone()[0]
+                    d2 = con.execute(
+                        f"SELECT count(*) FROM (SELECT {cols} FROM oracle_res "
+                        f"EXCEPT ALL SELECT {cols} FROM spark_res)").fetchone()[0]
+                    res["hash_match"] = (d1 == 0 and d2 == 0)
+                    if not res["hash_match"]:
+                        res["err"] = f"bag diff: spark-only={d1}, oracle-only={d2}"
+            except Exception as e:
+                res["err"] = str(e)[:300]
+            ok = res["rows_match"] and res["schema_match"] and res["hash_match"]
+            print(f"[{'OK  ' if ok else 'BAD '}] {q}: "
+                  f"{res['spark_rows']} rows, err={res['err']}")
+            sys.stdout.flush()
+        con.close()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    doc = {"round": 12, "tier": sf_dir, "commit": commit,
+           "checked_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+           "method": ("DuckDB-internal bag equality: sorted-column "
+                      "EXCEPT ALL in both directions (stronger than the "
+                      "driver's sorted-hash compare); one Verify batch "
+                      "per 4 queries, results deleted after check"),
+           "results": results}
+    with open(out_json, "w") as f:
+        json.dump(doc, f, indent=1)
+    bad = [q for q, r in results.items()
+           if not (r.get("rows_match") and r.get("schema_match")
+                   and r.get("hash_match"))]
+    print(f"{len(results) - len(bad)} ok, {len(bad)} bad -> {out_json}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

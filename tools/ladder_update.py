@@ -28,7 +28,7 @@ import subprocess
 import sys
 import time
 
-LADDER = "BENCH_LADDER_r11.json"
+LADDER = "BENCH_LADDER_r12.json"
 TIERS = ["sf0_1", "sf10", "emb25", "skew01", "docs10"]
 
 
@@ -132,7 +132,7 @@ def main():
         with open(LADDER) as f:
             d = json.load(f)
     except FileNotFoundError:
-        d = {"round": 11}
+        d = {"round": 12}
     entry = {"value": bench["value"], "unit": "sec",
              "commit": commit,
              "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
