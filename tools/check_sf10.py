@@ -7,12 +7,17 @@ inside DuckDB:
 
   rows_match    counts equal
   schema_match  sorted column-name lists equal
-  hash_match    (spark EXCEPT ALL oracle) and (oracle EXCEPT ALL spark)
-                both empty — bag equality, strictly stronger than the
-                driver's sorted-hash compare
+  hash_match    (count, SUM(hash(row)), BIT_XOR(hash(row))) triples
+                equal — per-row 64-bit DuckDB hashes over the
+                sorted-name column list, aggregated order-independently
+                two ways. One single-pass evaluation per side: the
+                first cut used EXCEPT ALL both directions, which
+                re-evaluates the oracle SQL three times and external-
+                sorts 2×20 GB of wire strings per query (the open-wire
+                batch alone ran an hour before being killed).
 
-Queries are verified one at a time and each Spark result is deleted
-after its check, so peak disk is one query's output.
+Queries are verified in batches and each Spark result is deleted
+after its check, so peak disk is one batch's output.
 
 Usage: tools/check_sf10.py <sfDir> <outJson> <query> [query ...]
 """
@@ -29,11 +34,37 @@ TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
 
+def write(out_json, sf_dir, commit, results):
+    doc = {"round": 12, "tier": sf_dir, "commit": commit,
+           "checked_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+           "method": ("DuckDB-internal bag equality per query: "
+                      "(count, SUM(hash(row)), BIT_XOR(hash(row))) over "
+                      "the sorted-name column list, spark parquet vs "
+                      "oracle SQL, one single-pass evaluation per side; "
+                      "per-query `tier` records which dataset it ran on; "
+                      "written incrementally, resumable"),
+           "results": results}
+    with open(out_json, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
+def green(r):
+    return (r.get("rows_match") and r.get("schema_match")
+            and r.get("hash_match"))
+
+
 def main():
     sf_dir, out_json = sys.argv[1], sys.argv[2]
     queries = sys.argv[3:]
     out_dir = "/tmp/verify_sf10"
-    results = {}
+    # resume: keep prior results, skip queries already green (the
+    # first run died 40 min into one pathological oracle and lost
+    # every completed batch — write incrementally, always)
+    try:
+        results = json.load(open(out_json)).get("results", {})
+    except (FileNotFoundError, json.JSONDecodeError):
+        results = {}
+    queries = [q for q in queries if not green(results.get(q, {}))]
     commit = subprocess.check_output(
         ["git", "rev-parse", "HEAD"]).decode().strip()
 
@@ -63,7 +94,7 @@ def main():
         for q in batch:
             res = {"rows_match": False, "schema_match": False,
                    "hash_match": False, "spark_rows": None,
-                   "oracle_rows": None, "err": None}
+                   "oracle_rows": None, "err": None, "tier": sf_dir}
             results[q] = res
             try:
                 glob_p = f"{out_dir}/{q}/*.parquet"
@@ -78,40 +109,30 @@ def main():
                 res["schema_match"] = sorted(s_cols) == sorted(o_cols)
                 res["spark_rows"] = con.execute(
                     "SELECT count(*) FROM spark_res").fetchone()[0]
-                res["oracle_rows"] = con.execute(
-                    "SELECT count(*) FROM oracle_res").fetchone()[0]
-                res["rows_match"] = res["spark_rows"] == res["oracle_rows"]
                 if res["schema_match"]:
                     cols = ", ".join(f'"{c}"' for c in sorted(s_cols))
-                    d1 = con.execute(
-                        f"SELECT count(*) FROM (SELECT {cols} FROM spark_res "
-                        f"EXCEPT ALL SELECT {cols} FROM oracle_res)").fetchone()[0]
-                    d2 = con.execute(
-                        f"SELECT count(*) FROM (SELECT {cols} FROM oracle_res "
-                        f"EXCEPT ALL SELECT {cols} FROM spark_res)").fetchone()[0]
-                    res["hash_match"] = (d1 == 0 and d2 == 0)
+                    agg = (f"SELECT count(*), CAST(sum(h) AS VARCHAR), "
+                           f"CAST(bit_xor(h) AS VARCHAR) FROM "
+                           f"(SELECT hash({cols}) AS h FROM %s)")
+                    hs = con.execute(agg % "spark_res").fetchone()
+                    ho = con.execute(agg % "oracle_res").fetchone()
+                    res["spark_hash"] = list(hs)
+                    res["oracle_hash"] = list(ho)
+                    res["oracle_rows"] = ho[0]
+                    res["rows_match"] = res["spark_rows"] == ho[0]
+                    res["hash_match"] = hs == ho
                     if not res["hash_match"]:
-                        res["err"] = f"bag diff: spark-only={d1}, oracle-only={d2}"
+                        res["err"] = f"hash triple diff: spark={hs} oracle={ho}"
             except Exception as e:
                 res["err"] = str(e)[:300]
-            ok = res["rows_match"] and res["schema_match"] and res["hash_match"]
-            print(f"[{'OK  ' if ok else 'BAD '}] {q}: "
+            print(f"[{'OK  ' if green(res) else 'BAD '}] {q}: "
                   f"{res['spark_rows']} rows, err={res['err']}")
             sys.stdout.flush()
+            write(out_json, sf_dir, commit, results)
         con.close()
     shutil.rmtree(out_dir, ignore_errors=True)
-    doc = {"round": 12, "tier": sf_dir, "commit": commit,
-           "checked_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-           "method": ("DuckDB-internal bag equality: sorted-column "
-                      "EXCEPT ALL in both directions (stronger than the "
-                      "driver's sorted-hash compare); one Verify batch "
-                      "per 4 queries, results deleted after check"),
-           "results": results}
-    with open(out_json, "w") as f:
-        json.dump(doc, f, indent=1)
-    bad = [q for q, r in results.items()
-           if not (r.get("rows_match") and r.get("schema_match")
-                   and r.get("hash_match"))]
+    write(out_json, sf_dir, commit, results)
+    bad = [q for q, r in results.items() if not green(r)]
     print(f"{len(results) - len(bad)} ok, {len(bad)} bad -> {out_json}")
     sys.exit(1 if bad else 0)
 
