@@ -312,12 +312,38 @@ object Retrieval {
     * disjoint by the split and sum to |∩|. */
   private val HotPostingMax = 64L
 
+  /** Fingerprint-duplication fraction above which the candidate-universe
+    * prune is a net loss: when a large share of fingerprint rows live in
+    * shared postings, candDocs ≈ the whole corpus and the semi-join is a
+    * pure fixed cost (r12 measured +0.8 s at sf0.1 and only −10% at the
+    * dup-heavy docs tier). Below it — the mostly-unique shape of a real
+    * pre-dedup 100 TB corpus — candDocs collapses to the near-dup
+    * fraction and the prune shrinks the k-window, both regimes and the
+    * cold pair generation at once. */
+  private val PruneMaxSharedFpFrac = 0.05
+
+  /** True iff the fingerprint frame is unique enough for the
+    * candidate-universe prune to pay (shared-fp row fraction below
+    * [[PruneMaxSharedFpFrac]]). One agg over the already-materialized
+    * (localCheckpointed) fingerprint frame — milliseconds against the
+    * seconds the wrong plan shape costs. */
+  private[graft] def pruneGate(fps: DataFrame): Boolean = {
+    val r = fps.agg(count(lit(1)).cast("double").as("n"),
+      approx_count_distinct(col("fp_hash")).cast("double").as("d")).head()
+    val n = r.getDouble(0)
+    n > 0 && (1.0 - r.getDouble(1) / n) < PruneMaxSharedFpFrac
+  }
+
   private[graft] def containmentFromFps(fpsFull: DataFrame, g: DataFrame,
-      tauPpm: Long, hotMax: Long = HotPostingMax): DataFrame = {
+      tauPpm: Long, hotMax: Long = HotPostingMax,
+      prune: Option[Boolean] = None): DataFrame = {
     require(tauPpm > 0L,
       "containment threshold must be positive: zero-intersection pairs " +
         "are dropped by the partial-agg plan (and filtered by any tau > 0)")
     val fps = fpsFull.select(col("doc_id"), col("fp_hash"))
+    // Corpus-uniqueness gate: decide the prune from the data, not a
+    // flag (prune = Some(...) overrides, for specs and probes).
+    val doPrune = prune.getOrElse(pruneGate(fps))
     val cand = fps.as("a").join(fps.as("b"), Seq("fp_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -341,24 +367,32 @@ object Retrieval {
     // drop out of the inner joins; any tauPpm > 0 filters them
     // identically, so the frame is value-equal to the oracle's
     // list_intersect verify.
-    val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // Candidate-universe prune, gated on corpus uniqueness (above): a
+    // doc can appear in a candidate pair iff it shares some winnow fp
+    // with another doc — one fp_hash-partitioned window over fps + one
+    // distinct. Applied to the exploded gram frame BEFORE the
+    // posting-length window (r12 pruned only the cold branch AFTER it):
+    // non-candidate docs can contribute to neither regime, and pruning
+    // first shrinks the k-window sort, both regime inputs and the cold
+    // pair generation in one pipelined semi-join. Exactness: both
+    // regimes split on the SAME pruned-universe k, so per candidate
+    // pair every shared gram is counted exactly once — the split point
+    // moves, the sum doesn't; the final left_semi against `cand`
+    // restores pair-exactness. At a mostly-unique corpus the whole |∩|
+    // computation collapses to the near-dup fraction instead of
+    // hotMax × corpus-gram-rows.
+    val exAll = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val ex = (if (doPrune) {
+        val candDocs = fps
+          .withColumn("nd",
+            count(lit(1)).over(Window.partitionBy(col("fp_hash"))))
+          .filter(col("nd") > 1L)
+          .select(col("doc_id")).distinct()
+        exAll.join(candDocs, Seq("doc_id"), "left_semi")
+      } else exAll)
       .withColumn("k", count(lit(1)).over(Window.partitionBy(col("gram"))))
     val sz = g.select(col("doc_id"), size(col("grams")).cast("long").as("sz"))
-    // Candidate doc universe, derived from the cached fingerprint frame
-    // WITHOUT re-running the pair self-join: a doc can appear in a
-    // candidate pair iff it shares some winnow fp with another doc.
-    // Pruning both cold sides to this universe up front keeps the
-    // pair-generating self-join from aggregating doc pairs for docs no
-    // candidate references — at a mostly-unique corpus (the realistic
-    // 100 TB shape) the cold aggregation input collapses to the
-    // near-dup fraction instead of hotMax × corpus-gram-rows. The
-    // final left_semi against `cand` restores pair-exactness.
-    val sharedFp = fps.groupBy(col("fp_hash"))
-      .agg(count(lit(1)).as("nd")).filter(col("nd") > 1L).select(col("fp_hash"))
-    val candDocs = fps.join(sharedFp, Seq("fp_hash"), "left_semi")
-      .select(col("doc_id")).distinct()
     val cold = ex.filter(col("k") <= hotMax).select(col("doc_id"), col("gram"))
-      .join(candDocs, Seq("doc_id"), "left_semi")
     val coldInter = cold.as("x").join(cold.as("y"), Seq("gram"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

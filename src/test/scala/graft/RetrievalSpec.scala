@@ -205,6 +205,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(2L) == prod, "mixed-regime split diverged")
   }
 
+  test("C42: the candidate-universe prune is exact and its gate reads the data") {
+    // the uniqueness gate means the oracle tiers (dup-heavy by
+    // construction) exercise only the unpruned plan — so the pruned
+    // plan's exactness is pinned here, on real data, for every
+    // prune/gate combination
+    val g = ops.Dedup.gramFrame(spark, dir)
+    val fps = ops.Retrieval.winnowHashesCached(spark, dir, 4)
+    def run(p: Option[Boolean]) =
+      ops.Retrieval.containmentFromFps(fps, g, 800000L, prune = p)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+    val unpruned = run(Some(false))
+    assert(unpruned.nonEmpty, "fixture must produce containment pairs")
+    assert(run(Some(true)) == unpruned, "pruned plan diverged from unpruned")
+    assert(run(None) == unpruned, "auto-gated plan diverged")
+    // gate polarity: the near-dup-salted test corpus reads dup-heavy
+    // (prune off); a fabricated all-unique fingerprint frame reads
+    // unique (prune on)
+    import spark.implicits._
+    assert(!ops.Retrieval.pruneGate(
+      fps.select(col("doc_id"), col("fp_hash"))),
+      "dup-heavy corpus must not enable the prune")
+    val unique = (1L to 5000L).map(i => (i, i * 1000003L))
+      .toDF("doc_id", "fp_hash")
+    assert(ops.Retrieval.pruneGate(unique),
+      "an all-unique corpus must enable the prune")
+  }
+
   test("C53: edit distance catches scattered-edit variants that gram Jaccard misses") {
     // base: 48 tokens; variant: every 8th token substituted — runs of 7
     // unchanged tokens keep shared winnow fingerprints (candidates
