@@ -173,7 +173,12 @@ case class HyperplaneBandKeys(child: Expression, flat: Seq[Double],
   * one loop through a reference object. Identical IEEE sequence per
   * element as the unrolled form and the DuckDB oracle: the division is
   * by a power of two (exact), floor is deterministic, and Long
-  * rendering matches CAST(BIGINT AS VARCHAR). */
+  * rendering matches CAST(BIGINT AS VARCHAR). NaN reconstruction
+  * errors propagate into max_err (math.max — the greatest() semantics
+  * of the replaced column form). PRECONDITION: array elements are
+  * non-null (the embeddings schema guarantees it); a null element
+  * reads as 0.0 here where concat_ws skipped it — don't point this at
+  * nullable-element arrays. */
 case class QuantizeVector(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 
@@ -202,7 +207,7 @@ case class QuantizeVector(first: Expression, second: Expression,
       if (i > 0) sb.append(',')
       sb.append(code)
       val err = math.abs(xi - (mn + code * sc))
-      if (err > maxErr) maxErr = err
+      maxErr = math.max(maxErr, err) // NaN propagates, as greatest() did
       i += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(

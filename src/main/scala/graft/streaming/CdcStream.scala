@@ -50,9 +50,16 @@ object CdcStream {
                topicRules: Seq[(Seq[String], String)] = Nil,
                defaultTopic: String = "changefeed",
                nPartitions: Int = 16,
-               claimCheckMaxBytes: Option[Int] = None): DataFrame = {
+               claimCheckMaxBytes: Option[Int] = None,
+               maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+    // maxFilesPerTrigger bounds each micro-batch when events.parquet is
+    // a multi-file directory — the bench's ≥3-batch smoke uses it so
+    // watermark finalization is exercised ACROSS batch boundaries, not
+    // inside a single AvailableNow batch
+    val reader = spark.readStream.schema(schema)
+    val raw = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n)).parquet(s"$dir/events.parquet*")
     val cl = ChangeEvents.fromEvents(raw)
     val filtered = Filters.tableFilter(
       if (ignoreOps.isEmpty) cl else Filters.eventTypeFilter(cl, ignoreOps),

@@ -35,7 +35,11 @@ TABLES = ("region nation customer supplier part orders lineitem "
 
 
 def write(out_json, sf_dir, commit, results):
-    doc = {"round": 12, "tier": sf_dir, "commit": commit,
+    import glob as _glob
+    import re as _re
+    ladders = sorted(_glob.glob("BENCH_LADDER_r*.json"))
+    rnd = int(_re.search(r"r(\d+)", ladders[-1]).group(1)) if ladders else 0
+    doc = {"round": rnd, "tier": sf_dir, "commit": commit,
            "checked_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "method": ("DuckDB-internal bag equality per query: "
                       "(count, SUM(hash(row)), BIT_XOR(hash(row))) over "

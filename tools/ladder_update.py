@@ -24,25 +24,47 @@ prints it twice) and replaces the tier wholesale.
 import json
 import os
 import re
+import statistics
 import subprocess
 import sys
 import time
 
-LADDER = "BENCH_LADDER_r12.json"
-TIERS = ["sf0_1", "sf10", "emb25", "skew01", "docs10"]
+LADDER = "BENCH_LADDER_r13.json"
+PREV_LADDER = "BENCH_LADDER_r12.json"
+TIERS = ["sf0_1", "sf1x", "sf10", "emb25", "skew01", "docs10"]
 
 
 def last_json_line(path):
     line, load = None, None
+    samples = {}
+    pass_re = re.compile(r"\[bench\] pass \d+ (\S+)\s+(-?\d+\.\d+) s")
     with open(path) as f:
         for ln in f:
             if ln.startswith('{"metric":"total"'):
                 line = ln
             elif ln.startswith("LOADAVG "):
                 load = [float(x) for x in ln.split()[1:4]]
+            else:
+                m = pass_re.search(ln)
+                if m:
+                    samples.setdefault(m.group(1), []).append(
+                        float(m.group(2)))
     if line is None:
         raise SystemExit(f"no bench JSON line in {path}")
-    return json.loads(line), load
+    return json.loads(line), load, samples
+
+
+def noise_floor(samples):
+    """Per-cell noise record (VERDICT r12 #5): passes run, min, median.
+    median - min IS the recorded spread; a round-over-round delta
+    smaller than either round's spread is noise-class, not a finding."""
+    out = {}
+    for q, ss in samples.items():
+        ok = [s for s in ss if s >= 0]
+        if ok:
+            out[q] = {"passes": len(ss), "min": round(min(ok), 3),
+                      "median": round(statistics.median(ok), 3)}
+    return out
 
 
 def compose_note(d):
@@ -97,6 +119,35 @@ def check_commentary(d):
     return bad
 
 
+def noise_class_report(d):
+    """Round-over-round deltas smaller than the recorded spread of
+    either round are noise-class — list them so they stop consuming
+    judge/builder attention (VERDICT r12 #5)."""
+    try:
+        with open(PREV_LADDER) as f:
+            prev = json.load(f)
+    except FileNotFoundError:
+        return {}
+    report = {}
+    for t in TIERS:
+        if t not in d or t not in prev:
+            continue
+        cur_q, prev_q = d[t]["queries"], prev[t]["queries"]
+        cur_noise = d[t].get("noise", {})
+        prev_noise = prev[t].get("noise", {})
+        cls = []
+        for q in sorted(set(cur_q) & set(prev_q)):
+            delta = cur_q[q] - prev_q[q]
+            spread = max(
+                cur_noise.get(q, {}).get("median", cur_q[q]) - cur_q[q],
+                prev_noise.get(q, {}).get("median", prev_q[q]) - prev_q[q])
+            if delta != 0 and abs(delta) <= spread:
+                cls.append(q)
+        if cls:
+            report[t] = cls
+    return report
+
+
 def verify():
     with open(LADDER) as f:
         d = json.load(f)
@@ -115,6 +166,11 @@ def verify():
     if errs:
         print("\n".join(errs))
         sys.exit(1)
+    nc = noise_class_report(d)
+    for t, qs in nc.items():
+        print(f"noise-class vs {PREV_LADDER} [{t}]: {len(qs)} cells "
+              f"whose delta is within the recorded spread: "
+              f"{', '.join(qs[:12])}{'…' if len(qs) > 12 else ''}")
     print("ladder note, totals and provenance are consistent")
 
 
@@ -122,7 +178,7 @@ def main():
     if sys.argv[1] == "verify":
         return verify()
     tier, src = sys.argv[1], sys.argv[2]
-    bench, run_load = last_json_line(src)
+    bench, run_load, samples = last_json_line(src)
     commit = subprocess.check_output(
         ["git", "rev-parse", "HEAD"]).decode().strip()
     if subprocess.run(["git", "diff", "--quiet", "HEAD", "--",
@@ -132,7 +188,7 @@ def main():
         with open(LADDER) as f:
             d = json.load(f)
     except FileNotFoundError:
-        d = {"round": 12}
+        d = {"round": 13}
     entry = {"value": bench["value"], "unit": "sec",
              "commit": commit,
              "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
@@ -142,6 +198,8 @@ def main():
              "loadavg": run_load or [round(x, 2) for x in os.getloadavg()],
              "loadavg_source": "run-end" if run_load else "merge-time",
              "queries": bench["queries"]}
+    if samples:
+        entry["noise"] = noise_floor(samples)
     if "streaming" in bench:
         entry["streaming"] = bench["streaming"]
     d[tier] = entry

@@ -54,8 +54,13 @@ def main():
                 hits[name].append(f"{f}:{line}: {m.group(0)[:60]}")
     commit = subprocess.check_output(
         ["git", "rev-parse", "HEAD"]).decode().strip()
+    # derive the round from the newest ladder artifact instead of a
+    # hand-maintained literal (ADVICE r12: the literal went stale)
+    import glob
+    ladders = sorted(glob.glob("BENCH_LADDER_r*.json"))
+    rnd = int(re.search(r"r(\d+)", ladders[-1]).group(1)) if ladders else 0
     out = {
-        "round": 11,
+        "round": rnd,
         "commit": commit,
         "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "files_scanned": len(scanned),
