@@ -264,11 +264,14 @@ object SimpleAvro {
 
   def decodeFrom(msgs: DataFrame): DataFrame = {
     import graft.functions.WireExprs
-    // parse ONCE per message (lazy checkpoint: both the decoded leg and
-    // the schema-cache leg read this frame — same rule as the JSON arm)
+    // No bulk materialization (same fix as the JSON arm): the lazy
+    // checkpoint of the full decoded-struct frame was corpus-scale
+    // block-manager traffic (39 s at sf10 vs ~7 s two-pass); the
+    // schema-cache leg filters to the schema-bearing BOOTSTRAP/DDL
+    // messages BEFORE running the wire decode, so the second pass
+    // decodes only tables x versions rows.
     val parsed = msgs
       .select(WireExprs.simpleAvroDecode(col("value")).as("m"))
-      .localCheckpoint(false)
     def m(f: String): Column = col("m").getField(f)
     val decoded = parsed.select(
       m("msg_kind").as("msg_kind"), m("commit_ts").as("commit_ts"),
@@ -277,7 +280,9 @@ object SimpleAvro {
       m("pk").as("pk"), m("after_value").as("after_value"),
       m("before_value").as("before_value"),
       m("schema_version").as("schema_version"))
-    val schemas = parsed
+    val schemas = msgs
+      .filter(col("msg_type").isin("BOOTSTRAP", "DDL"))
+      .select(WireExprs.simpleAvroDecode(col("value")).as("m"))
       .filter(m("ts_cols") >= 0L)
       .select(m("schema_name").as("schema_name"),
         m("table_name").as("table_name"),

@@ -220,53 +220,48 @@ object SimpleProtocol {
     * mid-stream consumer uses (the cadence spec feeds a suffix of the
     * stream through this). */
   def decodeFrom(msgs: DataFrame): DataFrame = {
-    // ONE from_json parse per row, then struct-field accesses — a
-    // dozen get_json_object calls each re-tokenized the message and
-    // quadrupled the decode cost at sf0.1
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "`database` STRING, `table` STRING, `type` STRING, " +
-        "commitTs BIGINT, schemaVersion BIGINT, sql STRING, " +
-        "data STRUCT<pk: BIGINT, value: DOUBLE>, " +
-        "old STRUCT<pk: BIGINT, value: DOUBLE>, " +
-        "tableSchema STRUCT<`schema`: STRING, `table`: STRING, " +
-        "version: BIGINT, columns: ARRAY<STRUCT<name: STRING>>>")
+    // ONE native single-pass scan per row (graft_simple_decode, the
+    // CanalScan discipline): from_json paid full Jackson tokenization
+    // of every message — the dominant term of the decode wall at the
+    // sf10 tier. NO materialization of the parsed stream either: the
+    // r11 lazy localCheckpoint shared one parse between the decoded
+    // leg and the schema-cache leg but materialized the FULL parsed
+    // frame — corpus-scale block-manager traffic that bought ~0.3 s at
+    // sf0.1 and lost 190 s at sf10 (17.6 s two-pass vs 209 s
+    // checkpointed — the blowup the r13 multi-tier ladder caught). The
+    // schema-cache leg instead filters to the schema-BEARING messages
+    // (msg_type, a plain column) BEFORE scanning, so its second pass
+    // over the encode subtree decodes only tables x versions
+    // bootstrap/DDL rows — two row-local passes, zero bulk
+    // materialization, at any scale.
     def m(p: String): Column = col("m").getField(p)
-    val ts = m("tableSchema")
-    // parse ONCE, eagerly: the decoded leg and the schema-cache leg
-    // both read this frame, and without the checkpoint each side of
-    // the broadcast join re-runs the union + window + from_json
-    // subtree (same both-sides-of-a-self-join rule as the gram cache)
-    // lazy checkpoint: materialization happens on the first ACTION, so
-    // plan-only consumers (PlanQualitySpec, repeated bench plan builds)
-    // pay nothing at frame-construction time, and the two legs still
-    // share one materialized RDD once an action runs
     val parsed = msgs.select(col("msg_type"),
-      from_json(col("value"), schema).as("m")).localCheckpoint(false)
+      graft.functions.SimpleScanExprs.simpleDecode(col("value")).as("m"))
     val decoded = parsed.select(
-      when(m("data").isNotNull || m("old").isNotNull, "ROW")
-        .when(m("type") === "WATERMARK", "RESOLVED")
+      when(m("has_data") === 1L || m("has_old") === 1L, "ROW")
+        .when(m("typ") === "WATERMARK", "RESOLVED")
         .otherwise(lit("DDL")).as("msg_kind"),
-      m("commitTs").as("commit_ts"),
-      coalesce(m("database"), ts.getField("schema")).as("schema_name"),
-      coalesce(m("table"), ts.getField("table")).as("table_name"),
-      when(m("type") === "INSERT", "I").when(m("type") === "DELETE", "D")
-        .when(m("type") === "UPDATE", "U").as("op"),
-      when(m("type").isin("CREATE", "ALTER", "BOOTSTRAP"), m("type"))
+      m("commit_ts").as("commit_ts"),
+      coalesce(m("database"), m("ts_schema")).as("schema_name"),
+      coalesce(m("table"), m("ts_table")).as("table_name"),
+      when(m("typ") === "INSERT", "I").when(m("typ") === "DELETE", "D")
+        .when(m("typ") === "UPDATE", "U").as("op"),
+      when(m("typ").isin("CREATE", "ALTER", "BOOTSTRAP"), m("typ"))
         .as("ddl_type"),
       m("sql").as("ddl_sql"),
-      coalesce(m("data").getField("pk"), m("old").getField("pk"), lit(-1L))
-        .as("pk"),
-      m("data").getField("value").as("after_value"),
-      m("old").getField("value").as("before_value"),
-      coalesce(m("schemaVersion"), ts.getField("version"), lit(-1L))
+      coalesce(m("data_pk"), m("old_pk"), lit(-1L)).as("pk"),
+      m("data_value").as("after_value"),
+      m("old_value").as("before_value"),
+      coalesce(m("schema_version"), m("ts_version"), lit(-1L))
         .as("schema_version"))
-    val schemas = parsed
+    val schemas = msgs
       .filter(col("msg_type").isin("BOOTSTRAP", "DDL"))
+      .select(graft.functions.SimpleScanExprs.simpleDecode(col("value")).as("m"))
       .select(
-        ts.getField("schema").as("schema_name"),
-        ts.getField("table").as("table_name"),
-        ts.getField("version").as("schema_version"),
-        size(ts.getField("columns")).cast("long").as("schema_cols"))
+        m("ts_schema").as("schema_name"),
+        m("ts_table").as("table_name"),
+        m("ts_version").as("schema_version"),
+        m("ts_cols").as("schema_cols"))
       .distinct() // bootstrap v0 and the CREATE DDL write the same entry
     decoded
       .join(broadcast(schemas),

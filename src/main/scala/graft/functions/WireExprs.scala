@@ -472,13 +472,23 @@ case class OpenWireDecode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-case class SimpleAvroDecode(child: Expression) extends UnaryExpression {
+/** CodegenFallback ON PURPOSE — it is the stage break: with the
+  * decode projection excluded from whole-stage codegen, the avro
+  * value RENDER (a multi-thousand-bytecode concat chain) and the
+  * decode+field-extraction+join consumer split into separate generated
+  * methods, each under HotSpot's 8000-bytecode JIT ceiling. The r11
+  * shape got the same break from a lazy localCheckpoint of the parsed
+  * frame — corpus-scale block-manager traffic that cost 39 s at sf10;
+  * the fallback breaks the stage with ZERO materialization, and the
+  * per-row work is dominated by WireHex.simpleAvroDecode's byte
+  * parsing (the MinhashBandKeys precedent), not the interpreted-call
+  * overhead. Guarded by JitCeilingSpec's sf10-shaped lint. */
+case class SimpleAvroDecode(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = WireHex.SimpleStruct
   override def prettyName: String = "graft_simple_avro_decode"
   override def nullSafeEval(a: Any): Any =
     WireHex.simpleAvroDecode(a.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.WireHex.simpleAvroDecode($a)")
   override protected def withNewChildInternal(newChild: Expression): SimpleAvroDecode =
     copy(child = newChild)
 }
@@ -749,6 +759,10 @@ object WireExprs {
       FunctionIdentifier("graft_canal_decode"),
       new ExpressionInfo(classOf[CanalDecode].getName, "graft_canal_decode"),
       (children: Seq[Expression]) => CanalDecode(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simple_decode"),
+      new ExpressionInfo(classOf[SimpleDecode].getName, "graft_simple_decode"),
+      (children: Seq[Expression]) => SimpleDecode(children.head)))
   }
 
   def zvarintHex(n: Column): Column = call_function("graft_zvarint_hex", n)

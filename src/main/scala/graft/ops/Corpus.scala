@@ -1214,4 +1214,149 @@ object Corpus {
        |FROM tokens_per t LEFT JOIN types_per y ON t.bucket = y.bucket
        |WINDOW cumw AS (ORDER BY t.bucket
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // C81 — vocabulary concentration (token-mass coverage)
+  // ------------------------------------------------------------------
+
+  /** C81 — vocabulary concentration: how many distinct tokens cover
+    * 50/90/99% of the corpus token mass — the concentration profile
+    * behind tokenizer-vocab sizing and stopword-cutoff decisions (a
+    * web corpus typically covers 90% of its mass with a few thousand
+    * types; a corpus that needs far more is noise-heavy).
+    *
+    * Exact WITHOUT a vocabulary-scale sort: frequencies are grouped to
+    * the distinct-frequency VALUE GRID (Σ of distinct counts ≤ N, so
+    * the grid is O(√N) rows — the B37/C40/C67 exact-order-statistic
+    * discipline), one cumulative window over the grid ordered by
+    * frequency DESC, and within the first grid row reaching each mass
+    * threshold the remainder is a closed-form ceil-division (tokens in
+    * one frequency class are interchangeable). All integer arithmetic;
+    * first-reaching row picked by min_by on the strictly-increasing
+    * cumulative mass — the oracle's arg_min twin.
+    *
+    * Scale: one token-keyed partial agg (vocab), one frequency-keyed
+    * agg (grid), a grid-scale window, two 1-row/3-row broadcasts. */
+  def vocabConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val grid = vocab.groupBy(col("freq"))
+      .agg(count(lit(1)).as("n_toks"))
+      .withColumn("mass", col("freq") * col("n_toks"))
+    val wd = Window.orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cum_mass", sum(col("mass")).over(wd))
+      .withColumn("cum_toks", sum(col("n_toks")).over(wd))
+    val tot = vocab.agg(sum(col("freq")).as("n_total"),
+      count(lit(1)).as("vocab_size"))
+    val pcts = Seq(50L, 90L, 99L).toDF("mass_pct")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(pcts))
+      .withColumn("thresh", expr("(n_total * mass_pct + 99) DIV 100"))
+      .filter(col("cum_mass") >= col("thresh"))
+      // exact count inside the first reaching frequency class:
+      // previous classes contribute cum_toks - n_toks tokens and
+      // cum_mass - mass mass; the remainder is ceil(x / freq)
+      .withColumn("need",
+        expr("cum_toks - n_toks + (thresh - cum_mass + mass + freq - 1) DIV freq"))
+      .groupBy(col("mass_pct"))
+      .agg(min_by(col("need"), col("cum_mass")).as("tokens_needed"),
+        first(col("n_total")).as("total_tokens"),
+        first(col("vocab_size")).as("vocab_size"))
+      .withColumn("vocab_frac_ppm",
+        expr("tokens_needed * 1000000 DIV vocab_size"))
+      .select(col("mass_pct"), col("tokens_needed"), col("vocab_size"),
+        col("total_tokens"), col("vocab_frac_ppm"))
+  }
+
+  val vocabConcentrationSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(${Text.tokensSql("text")}) AS w FROM documents
+       |), vocab AS (
+       |  SELECT w, COUNT(*) AS freq FROM toks GROUP BY 1
+       |), grid AS (
+       |  SELECT freq, COUNT(*) AS n_toks, freq * COUNT(*) AS mass
+       |  FROM vocab GROUP BY 1
+       |), cum AS (
+       |  SELECT freq, n_toks, mass,
+       |    CAST(SUM(mass) OVER wd AS BIGINT) AS cum_mass,
+       |    CAST(SUM(n_toks) OVER wd AS BIGINT) AS cum_toks
+       |  FROM grid
+       |  WINDOW wd AS (ORDER BY freq DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), tot AS (
+       |  SELECT CAST(SUM(freq) AS BIGINT) AS n_total,
+       |    CAST(COUNT(*) AS BIGINT) AS vocab_size FROM vocab
+       |), pct AS (SELECT unnest([50, 90, 99]) AS mass_pct),
+       |q AS (
+       |  SELECT p.mass_pct, t.n_total, t.vocab_size, c.*,
+       |    (t.n_total * p.mass_pct + 99) // 100 AS thresh
+       |  FROM cum c CROSS JOIN tot t CROSS JOIN pct p
+       |  WHERE c.cum_mass >= (t.n_total * p.mass_pct + 99) // 100
+       |)
+       |SELECT CAST(mass_pct AS BIGINT) AS mass_pct,
+       |  CAST(arg_min(cum_toks - n_toks
+       |    + (thresh - cum_mass + mass + freq - 1) // freq, cum_mass)
+       |    AS BIGINT) AS tokens_needed,
+       |  CAST(ANY_VALUE(vocab_size) AS BIGINT) AS vocab_size,
+       |  CAST(ANY_VALUE(n_total) AS BIGINT) AS total_tokens,
+       |  CAST(arg_min(cum_toks - n_toks
+       |    + (thresh - cum_mass + mass + freq - 1) // freq, cum_mass)
+       |    * 1000000 // ANY_VALUE(vocab_size) AS BIGINT) AS vocab_frac_ppm
+       |FROM q GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // C83 — n-gram novelty by document order
+  // ------------------------------------------------------------------
+
+  /** C83 — per-document n-gram novelty: the fraction of a doc's
+    * distinct 3-grams whose FIRST corpus occurrence (min doc_id) is
+    * this doc — the novelty signal behind ingest-order curation
+    * (crawls re-fetching the same boilerplate show novelty collapsing
+    * toward 0; a healthy fresh source keeps contributing new grams).
+    * The gram owner is an associative min — order-independent, exact.
+    *
+    * Scale: the cached distinct-gram frame exploded once, one
+    * gram-keyed partial agg for the owner (vocabulary-scale), one
+    * gram-keyed join back, one doc-keyed agg. No windows, no
+    * all-pairs anything. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyFromGrams(Dedup.gramExploded(spark, dir))
+
+  /** Spec entry: same frame from an explicit documents frame. */
+  private[graft] def ngramNoveltyFrom(docsFrame: DataFrame): DataFrame =
+    noveltyFromGrams(docsFrame
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), expr(Text.gramsExpr).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram")))
+
+  private def noveltyFromGrams(ex: DataFrame): DataFrame = {
+    val owner = ex.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(owner, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 DIV n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        col("novelty_ppm"))
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH ${Dedup.gramFrameSql},
+       |ex AS (
+       |  SELECT doc_id, unnest(grams) AS gram FROM gg
+       |), owner AS (
+       |  SELECT gram, MIN(doc_id) AS first_doc FROM ex GROUP BY 1
+       |)
+       |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN o.first_doc = e.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN o.first_doc = e.doc_id THEN 1 ELSE 0 END)
+       |    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+       |FROM ex e JOIN owner o USING (gram)
+       |GROUP BY 1""".stripMargin
 }

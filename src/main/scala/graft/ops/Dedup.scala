@@ -873,4 +873,59 @@ object Dedup {
        |    ELSE 'new' END AS verdict
        |FROM tested t LEFT JOIN hist h ON h.fp = t.fp""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // C82 — boilerplate prefix/suffix clusters
+  // ------------------------------------------------------------------
+
+  /** C82 — boilerplate prefix/suffix detection: documents sharing
+    * their first (or last) `k` normalized tokens verbatim — the
+    * crawl-template shape (navigation headers, license footers,
+    * signature blocks) that full-document dedup misses because the
+    * middles differ and gram-Jaccard under-scores because the shared
+    * run is a small fraction of a long page. One row per (kind,
+    * key_hash) cluster with multiplicity and the doc-id span; clusters
+    * feed a strip-or-drop pass the way C18's components feed C49.
+    *
+    * Scale: the key is row-local (slice + join of an array already on
+    * the row), so the whole operator is one hash-keyed partial agg —
+    * map-side combine, single shuffle on the 60-bit key. */
+  def prefixSuffix(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    prefixSuffixFrom(Tables.documents(spark, dir), k)
+
+  private[graft] def prefixSuffixFrom(docsFrame: DataFrame,
+      k: Int = 8): DataFrame = {
+    val toks = docsFrame
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+    val pre = toks.select(col("doc_id"), lit("prefix").as("kind"),
+      array_join(slice(col("toks"), 1, k), " ").as("key"))
+    val suf = toks.select(col("doc_id"), lit("suffix").as("kind"),
+      array_join(slice(col("toks"), -k, k), " ").as("key"))
+    pre.union(suf)
+      .groupBy(col("kind"), Portable.hash60(col("key")).as("key_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keep_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .filter(col("n_docs") > 1L)
+  }
+
+  def prefixSuffixSql(k: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Text.tokensSql("text")} AS toks FROM documents
+       |), ok AS (
+       |  SELECT doc_id, toks FROM t WHERE len(toks) >= $k
+       |), keys AS (
+       |  SELECT doc_id, 'prefix' AS kind,
+       |    array_to_string(toks[1:$k], ' ') AS key FROM ok
+       |  UNION ALL
+       |  SELECT doc_id, 'suffix' AS kind,
+       |    array_to_string(list_slice(toks, len(toks) - ${k - 1}, len(toks)), ' ')
+       |      AS key FROM ok
+       |)
+       |SELECT kind, ${Portable.hash60Sql("key")} AS key_hash,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS keep_doc_id, MAX(doc_id) AS max_doc_id
+       |FROM keys GROUP BY 1, 2
+       |HAVING COUNT(*) > 1""".stripMargin
 }

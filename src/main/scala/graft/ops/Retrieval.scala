@@ -269,6 +269,92 @@ object Retrieval {
   }
 
   // ------------------------------------------------------------------
+  // C84 — cross-source duplication matrix
+  // ------------------------------------------------------------------
+
+  /** C84 — cross-source duplication matrix: for every source pair, how
+    * many distinct winnowing fingerprints they share, as a ppm of each
+    * side's fingerprint universe — the "which sources copy which"
+    * audit run before mixing weights are set (a mirror site or a
+    * re-crawled dump shows up as a high-ppm pair; C26's weights then
+    * double-count it unless one side is capped). Fingerprints, not raw
+    * grams: the ~2/(win+1) winnow density keeps the per-source
+    * universes a fraction of the gram space with the MOSS shared-run
+    * guarantee intact.
+    *
+    * Scale: the frame self-joined is the (fp_hash, source)-DISTINCT
+    * projection, so postings per fp_hash are bounded by the SOURCE
+    * COUNT (a dimension), never by corpus size — the join cannot go
+    * quadratic in docs by construction. One distinct, one bounded
+    * self-join, two dimension-scale aggs. */
+  def sourceDedupMatrix(spark: SparkSession, dir: String,
+      win: Int = 4): DataFrame = {
+    val fps = winnowHashesCached(spark, dir, win)
+    val fpsrc = fps.select(col("source"), col("fp_hash")).distinct()
+    val totals = fpsrc.groupBy(col("source")).agg(count(lit(1)).as("n_fps"))
+    fpsrc.as("a").join(fpsrc.as("b"), Seq("fp_hash"))
+      .filter(col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .join(totals.select(col("source").as("src_a"),
+        col("n_fps").as("fps_a")), "src_a")
+      .join(totals.select(col("source").as("src_b"),
+        col("n_fps").as("fps_b")), "src_b")
+      .withColumn("share_a_ppm", expr("n_shared_fps * 1000000 DIV fps_a"))
+      .withColumn("share_b_ppm", expr("n_shared_fps * 1000000 DIV fps_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared_fps"),
+        col("fps_a"), col("fps_b"), col("share_a_ppm"), col("share_b_ppm"))
+  }
+
+  def sourceDedupMatrixSql(win: Int = 4): String = {
+    val allGrams =
+      """CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |  ELSE [] END""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, source, ${Text.tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, source, $allGrams AS grams FROM t
+       |), pg AS (
+       |  SELECT doc_id, source, CAST(len(grams) AS BIGINT) AS m,
+       |    UNNEST(list_transform(range(1, len(grams) + 1),
+       |      i -> {'pos': i - 1, 'gram': grams[i]})) AS e
+       |  FROM g
+       |), h AS (
+       |  SELECT doc_id, source, m, CAST(e.pos AS BIGINT) AS pos,
+       |    (${Portable.hash60Sql("e.gram")} % $HashMod) * $PosMod
+       |      + (${PosMod - 1} - e.pos) AS key
+       |  FROM pg
+       |), w AS (
+       |  SELECT doc_id, source, m, pos,
+       |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${win - 1} FOLLOWING) AS mk
+       |  FROM h
+       |), fpsrc AS (
+       |  SELECT DISTINCT source, CAST(mk // $PosMod AS BIGINT) AS fp_hash
+       |  FROM w WHERE pos <= m - $win
+       |), totals AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fps
+       |  FROM fpsrc GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+       |  FROM fpsrc a JOIN fpsrc b ON a.fp_hash = b.fp_hash
+       |  WHERE a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.src_a, p.src_b, p.n_shared_fps,
+       |  ta.n_fps AS fps_a, tb.n_fps AS fps_b,
+       |  CAST(p.n_shared_fps * 1000000 // ta.n_fps AS BIGINT) AS share_a_ppm,
+       |  CAST(p.n_shared_fps * 1000000 // tb.n_fps AS BIGINT) AS share_b_ppm
+       |FROM pairs p
+       |JOIN totals ta ON ta.source = p.src_a
+       |JOIN totals tb ON tb.source = p.src_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // C42 — asymmetric containment dedup
   // ------------------------------------------------------------------
 

@@ -100,6 +100,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "q_ntile_cume",
       // 1-row token-total broadcast (q_scalar_subquery shape)
       "seq_length_histogram",
+      // 1-row totals + 3-row mass-pct grid broadcast crosses over the
+      // distinct-frequency value grid (C81)
+      "vocab_concentration",
       // universe x boundary-grid broadcast cross (cdc_syncpoint shape)
       "cdc_ddl_barrier",
       // changefeed-rule LIKE match over the dimension-scale span frame
@@ -201,6 +204,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "curation_funnel",
       // cumulative window over the 10-row corpus-decile grid
       "vocab_growth",
+      // cumulative window over the distinct-frequency value grid
+      // (O(sqrt N) rows by the sum-of-distinct-counts bound)
+      "vocab_concentration",
       // alphabet^2-bounded pair-vocab ranking (the bpe_pair_merge grid)
       "bpe_segment",
       // key-universe rank pair over the dimension-scale persist keyspace

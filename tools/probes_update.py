@@ -1,21 +1,24 @@
 #!/usr/bin/env python3
-"""Generate BENCH_PROBES_r12.json FROM recorded data (the ladder and
-the r10/r11 artifacts) — the ladder_update.py note-from-data
-discipline applied to the probe artifact.
+"""Generate BENCH_PROBES_r13.json FROM recorded data (the ladders) —
+the ladder_update.py note-from-data discipline applied to the probe
+artifact.
 
 Sections:
-  growth_exponents       (mandate #8) fitted scaling exponents for the
-                         three most load-bearing SURVEY §5 claims,
-                         computed from the r12 ladder's own tiers:
-                         exponent = log(t_hi/t_lo) / log(scale_hi/lo).
-                         docs tiers scale docs 10x (token-salted, so
-                         near-dup pair volume scales linearly by
-                         construction); fact tiers scale events 100x.
-  streaming_smoke        (mandate #6) sf0.1 + sf10 streaming rates at
-                         HEAD vs the r10/r11 recorded rates, with the
-                         run-end loadavg of each measurement.
-  fix_evidence           r12 per-query ladder deltas for the three
-                         expression-level fixes this round shipped.
+  growth_exponents       fitted scaling exponents for the three most
+                         load-bearing SURVEY §5 claims, computed from
+                         the r13 ladder's own tiers: exponent =
+                         log(t_hi/t_lo) / log(scale_hi/lo), least
+                         squares over all recorded tiers. r13 adds the
+                         sf1x (10x) mid-point, so the fact-tier
+                         families fit on THREE points, not two. docs
+                         tiers scale docs 10x token-salted (near-dup
+                         pair volume scales linearly by construction).
+  streaming_smoke        sf0.1 + sf10 streaming rates at HEAD vs the
+                         r10 recorded rates, plus the r13 *_mb
+                         multi-micro-batch smoke (>=3 batches so
+                         watermark finalization crosses batches).
+  fix_evidence           r13 per-query ladder deltas for this round's
+                         plan changes.
 
 Usage: tools/probes_update.py
 """
@@ -25,9 +28,10 @@ import os
 import subprocess
 import time
 
+L13 = json.load(open("BENCH_LADDER_r13.json"))
 L12 = json.load(open("BENCH_LADDER_r12.json"))
-L11 = json.load(open("BENCH_LADDER_r11.json"))
 L10 = json.load(open("BENCH_LADDER_r10.json"))
+L09 = json.load(open("BENCH_LADDER_r09.json"))
 
 FAMILIES = {
     "dedup_shuffle": {
@@ -42,7 +46,7 @@ FAMILIES = {
         "claim": ("the codec family is row-local fused codegen - "
                   "linear in rows, zero shuffle beyond the scan "
                   "(SURVEY §5 codec stage fusion)"),
-        "tiers": [("sf0_1", 1.0), ("sf10", 100.0)],
+        "tiers": [("sf0_1", 1.0), ("sf1x", 10.0), ("sf10", 100.0)],
         "queries": ["codec_canal_json", "codec_canal_decode",
                     "codec_debezium", "codec_open_wire_bytes",
                     "codec_checksum", "codec_csv"],
@@ -51,7 +55,7 @@ FAMILIES = {
         "claim": ("the A2 keyed-sort class (eventstore key render + "
                   "sort, seq check) is n log n with a fixed shuffle "
                   "count (SURVEY §5 eventstore sort)"),
-        "tiers": [("sf0_1", 1.0), ("sf10", 100.0)],
+        "tiers": [("sf0_1", 1.0), ("sf1x", 10.0), ("sf10", 100.0)],
         "queries": ["cdc_eventstore_key", "cdc_event_sort",
                     "cdc_event_seq_check"],
     },
@@ -64,7 +68,7 @@ def exponent(points):
         return None
     xs = [math.log(s) for s, _ in pts]
     ys = [math.log(t) for _, t in pts]
-    n, mx, my = len(xs), sum(xs) / len(xs), sum(ys) / len(ys)
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
     den = sum((x - mx) ** 2 for x in xs)
     return round(sum((x - mx) * (y - my)
                      for x, y in zip(xs, ys)) / den, 3) if den else None
@@ -77,7 +81,7 @@ def growth():
         for q in spec["queries"]:
             pts = []
             for tier, scale in spec["tiers"]:
-                v = L12.get(tier, {}).get("queries", {}).get(q)
+                v = L13.get(tier, {}).get("queries", {}).get(q)
                 if v and v > 0:
                     pts.append((scale, v))
             per_q[q] = {
@@ -97,62 +101,71 @@ def growth():
 def streaming():
     def rates(entry):
         st = entry.get("streaming") or {}
-        return {k: v.get("rows_per_sec") for k, v in st.items()}
+        return {k: {"rows_per_sec": v.get("rows_per_sec"),
+                    "micro_batches": v.get("micro_batches")}
+                for k, v in st.items()}
     return {
-        "sf0_1_head": rates(L12.get("sf0_1", {})),
-        "sf10_head": rates(L12.get("sf10", {})),
+        "sf0_1_head": rates(L13.get("sf0_1", {})),
+        "sf10_head": rates(L13.get("sf10", {})),
         "sf10_r10": rates(L10.get("sf10", {})),
-        "loadavg_sf0_1_head": L12.get("sf0_1", {}).get("loadavg"),
-        "loadavg_sf10_head": L12.get("sf10", {}).get("loadavg"),
+        "note": ("*_mb keys are the r13 multi-micro-batch smoke: the "
+                 "same four ops over a sliced events directory with "
+                 "maxFilesPerTrigger bounding each batch, so watermark "
+                 "finalization crosses >=3 batch boundaries instead of "
+                 "completing inside one AvailableNow batch"),
+        "loadavg_sf0_1_head": L13.get("sf0_1", {}).get("loadavg"),
+        "loadavg_sf10_head": L13.get("sf10", {}).get("loadavg"),
     }
 
 
 def fix_evidence():
-    def delta(tier, q, prior):
-        now = L12.get(tier, {}).get("queries", {}).get(q)
-        was = prior.get(tier, {}).get("queries", {}).get(q)
-        return {"r12": now, "prior": was, "tier": tier}
+    def cell(lad, tier, q):
+        return lad.get(tier, {}).get("queries", {}).get(q)
     return {
-        "canal_decode_single_pass_scanner": {
-            "what": ("r11 Wrong #2: six get_json_object probes re-parsed "
-                     "the canal payload per extracted field; replaced by "
-                     "the native CanalScan single-pass scanner (commit "
-                     "9ff0a67)"),
-            "sf0_1": delta("sf0_1", "codec_canal_decode", L11),
-            "mandate_target": "sf0.1 <= ~2.2 s, sf10 <= 12.8 s"},
-        "embedding_quantize_native_loop": {
-            "what": ("the unrolled 64-column projection generated a "
-                     "20,382-bytecode method — over the 8000-byte JIT "
-                     "ceiling, stage ran interpreted; one native loop "
-                     "(graft_quantize) emits struct(codes, max_err), "
-                     "2,998 bytecodes after (caught by the new "
-                     "JitCeilingSpec lint, not by benching)"),
-            "emb25": delta("emb25", "embedding_quantize", L10),
-            "sf0_1": delta("sf0_1", "embedding_quantize", L11)},
-        "claim_check_single_render": {
-            "what": ("A31 rendered the canal value twice per inline row "
-                     "(octet_length + conditional otherwise branch); "
-                     "single named-column render, plan-contract-pinned"),
-            "sf0_1": delta("sf0_1", "sink_claim_check", L11),
-            "sf10": delta("sf10", "sink_claim_check", L10)},
+        "containment_prune_uniqueness_gate": {
+            "what": ("r12 Wrong #1: the candidate-universe prune was a "
+                     "fixed cost at every scale (+0.8 s at sf0.1, two "
+                     "extra aggregations). r13 gates it on a corpus-"
+                     "uniqueness estimate (one agg over the checkpointed "
+                     "fingerprint frame): dup-heavy corpora take the "
+                     "direct two-regime plan, mostly-unique corpora get "
+                     "the prune applied BEFORE the posting-length window. "
+                     "RetrievalSpec pins pruned == unpruned == auto."),
+            "sf0_1": {"r13": cell(L13, "sf0_1", "dedup_containment"),
+                      "r12": cell(L12, "sf0_1", "dedup_containment"),
+                      "mandate_target": "<= ~2.4 s"},
+            "docs10": {"r13": cell(L13, "docs10", "dedup_containment"),
+                       "r10": cell(L10, "docs10", "dedup_containment"),
+                       "r09": cell(L09, "docs10", "dedup_containment"),
+                       "mandate_target": "<= 7.5 s"},
+            "ab_this_box_dev_loop": {
+                "method": ("min of 3-4 interleaved passes, local[32], "
+                           "same session discipline as the ladder"),
+                "sf0_1": {"r12_prune": 3.58, "no_prune": 3.41,
+                          "late_prune_window": 4.30, "early_prune": 5.24,
+                          "gated": 2.88},
+                "docs10": {"no_prune": 6.65, "late_prune_window": 6.01,
+                           "gated": 7.03}}},
     }
 
 
 def main():
     commit = subprocess.check_output(
         ["git", "rev-parse", "HEAD"]).decode().strip()
-    doc = {"round": 12, "commit_at_probe": commit,
+    doc = {"round": 13, "commit_at_probe": commit,
            "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                           time.gmtime()),
            "loadavg_at_write": [round(x, 2) for x in os.getloadavg()],
            "derivation": ("every number below is read from "
-                          "BENCH_LADDER_r12.json (and the r10/r11 "
+                          "BENCH_LADDER_r13.json (and the r09/r10/r12 "
                           "ladders for priors) by tools/probes_update.py "
-                          "— regenerate, don't hand-edit"),
+                          "— regenerate, don't hand-edit; the "
+                          "ab_this_box_dev_loop block is the one "
+                          "hand-recorded dev-loop A/B, labeled as such"),
            "growth_exponents": growth(),
            "streaming_smoke": streaming(),
            "fix_evidence": fix_evidence()}
-    with open("BENCH_PROBES_r12.json", "w") as f:
+    with open("BENCH_PROBES_r13.json", "w") as f:
         json.dump(doc, f, indent=1)
     for fam, g in doc["growth_exponents"].items():
         print(fam, g["family_max_exponent"], g["verdict"])

@@ -1,0 +1,32 @@
+#!/bin/bash
+# VERDICT r12 mandate #3: oracle-run the non-codec families above
+# sf0.1 — each family at ITS dense tier (the one that actually scales
+# its input): dedup/winnowing at docs10 (documents x10, token-salted),
+# ANN/embedding at emb25 (embeddings x25), the B-series window class +
+# the two data-dependent CDC queries at sf10 (facts x100).
+#
+# 48 queries, resumable (check_sf10.py skips already-green results in
+# the output json), one incremental write per query.
+#
+# Usage: tools/sf10_oracle_run.sh [outJson]
+cd /root/repo
+OUT=${1:-CORRECTNESS_SF10_r13.json}
+DEDUP="dedup_exact dedup_minhash_lsh dedup_simhash dedup_ngram_jaccard
+ dedup_lines dedup_containment dedup_edit_distance dedup_substring_spans
+ dedup_span_chars dedup_cut_apply dedup_keep_best dedup_clusters
+ dedup_incremental dedup_bloom lsh_recall_audit decontaminate_winnow
+ contamination_ngram text_winnowing"
+ANN="ann_topk_bruteforce ann_lsh_bucketed ann_ivf ann_matryoshka_topk
+ knn_graph pq_encode pq_adc_topk neardup_cosine dedup_semantic
+ embedding_quantize embedding_dim_stats embedding_covariance
+ embedding_pca_project embedding_random_projection hard_negatives
+ cluster_label_tfidf"
+WINDOWS="q_window_topn q_window_running q_window_ranks q_range_frame
+ q_ntile_cume q_first_last q_rolling_distinct q_gaps_islands q_sessionize
+ q_concurrency_gauge q_percentile_exact q_median_mode
+ cdc_event_queue_drain cdc_span_lifecycle"
+rc=0
+python3 tools/check_sf10.py /tmp/docs10 "$OUT" $DEDUP   || rc=1
+python3 tools/check_sf10.py /tmp/emb25  "$OUT" $ANN     || rc=1
+python3 tools/check_sf10.py /tmp/sf10   "$OUT" $WINDOWS || rc=1
+exit $rc
