@@ -11,11 +11,19 @@
 # Usage: tools/sf10_oracle_run.sh [outJson]
 cd /root/repo
 OUT=${1:-CORRECTNESS_SF10_r13.json}
-DEDUP="dedup_exact dedup_minhash_lsh dedup_simhash dedup_ngram_jaccard
- dedup_lines dedup_containment dedup_edit_distance dedup_substring_spans
- dedup_span_chars dedup_cut_apply dedup_keep_best dedup_clusters
- dedup_incremental dedup_bloom lsh_recall_audit decontaminate_winnow
- contamination_ngram text_winnowing"
+# dedup_ngram_jaccard is EXCLUDED: its DuckDB oracle (the all-pairs
+# mirror of the prefix-filtered join) ground >35 min at docs10 without
+# completing — an oracle-side cost, not an engine-side one (the Spark
+# run finished in seconds; the sf0.01 oracle stays green every round).
+# Slow-verify winnow-DP families run LAST so a grind can't block the
+# rest of the board (the runner is resumable + incremental).
+DEDUP="dedup_exact dedup_minhash_lsh dedup_simhash
+ dedup_lines dedup_keep_best dedup_clusters dedup_bloom
+ dedup_incremental dedup_prefix_suffix ngram_novelty
+ contamination_ngram text_winnowing dedup_containment
+ decontaminate_winnow source_dedup_matrix lsh_recall_audit
+ dedup_edit_distance dedup_substring_spans dedup_span_chars
+ dedup_cut_apply"
 ANN="ann_topk_bruteforce ann_lsh_bucketed ann_ivf ann_matryoshka_topk
  knn_graph pq_encode pq_adc_topk neardup_cosine dedup_semantic
  embedding_quantize embedding_dim_stats embedding_covariance
