@@ -60,7 +60,10 @@ def green(r):
 def main():
     sf_dir, out_json = sys.argv[1], sys.argv[2]
     queries = sys.argv[3:]
-    out_dir = "/tmp/verify_sf10"
+    # scratch dir derived from the output name so family runners can
+    # run in parallel without clobbering each other's Verify output
+    out_dir = "/tmp/verify_sf10_" + \
+        os.path.basename(out_json).replace(".json", "")
     # resume: keep prior results, skip queries already green (the
     # first run died 40 min into one pathological oracle and lost
     # every completed batch — write incrementally, always)
