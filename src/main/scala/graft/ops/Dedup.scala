@@ -86,16 +86,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Oracle for C4. The first cut was the naive all-pairs block join —
+    * the literal Jaccard definition — but at docs10 the lang-block
+    * cross product ground >35 min in DuckDB. This rendering mirrors
+    * the lossless prefix-filter candidate generation (the same
+    * published PPJoin lemma the Spark side uses, the C2/C5
+    * oracle-mirrors-candidate-generation precedent): candidates are a
+    * provable superset of all pairs with J ≥ τ, and every candidate is
+    * verified with the EXACT Jaccard — so the result is identical to
+    * the all-pairs definition while the oracle stays affordable at
+    * dense tiers. Ground truth remains the exact verify, not the
+    * filter. (Only the prefix + length prunes are mirrored; the
+    * positional prune is Spark-side-only — a candidate superset keeps
+    * the oracle lossless.) */
   def ngramJaccardSql(tau: Double = 0.5): String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, ${Text.tokensSql("text")} AS toks FROM documents
        |), g AS (
        |  SELECT doc_id, lang, ${Text.gramsSql} AS grams FROM t
-       |), gg AS (SELECT * FROM g WHERE len(grams) > 0)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |), gg AS (SELECT * FROM g WHERE len(grams) > 0),
+       |ex AS (
+       |  SELECT doc_id, lang, len(grams) AS sz, unnest(grams) AS gram FROM gg
+       |), freq AS (
+       |  SELECT lang, gram, COUNT(*) AS df FROM ex GROUP BY 1, 2
+       |), pref AS (
+       |  SELECT ex.lang, ex.gram, ex.doc_id, ex.sz
+       |  FROM ex JOIN freq ON ex.lang = freq.lang AND ex.gram = freq.gram
+       |  QUALIFY row_number() OVER (PARTITION BY ex.doc_id ORDER BY freq.df, ex.gram)
+       |    <= ex.sz - CEIL($tau * ex.sz) + 1
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b
+       |    ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+       |  WHERE b.sz * $tau <= a.sz + 1e-9 AND a.sz * $tau <= b.sz + 1e-9
+       |)
+       |SELECT c.doc_a, c.doc_b,
        |  ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE /
        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
-       |FROM gg a JOIN gg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |FROM cand c
+       |JOIN gg a ON a.doc_id = c.doc_a
+       |JOIN gg b ON b.doc_id = c.doc_b
        |WHERE ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE /
        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= $tau""".stripMargin
 

@@ -5,16 +5,17 @@
 # ANN/embedding at emb25 (embeddings x25), the B-series window class +
 # the two data-dependent CDC queries at sf10 (facts x100).
 #
-# 48 queries, resumable (check_sf10.py skips already-green results in
-# the output json), one incremental write per query.
+# Resumable (check_sf10.py skips already-green results in the output
+# json), one incremental write per query; the query count is derived
+# and echoed below rather than hard-coded here.
 #
 # Usage: tools/sf10_oracle_run.sh [outJson]
 cd /root/repo
-OUT=${1:-CORRECTNESS_SF10_r13.json}
-# dedup_ngram_jaccard is EXCLUDED: its DuckDB oracle (the all-pairs
-# mirror of the prefix-filtered join) ground >35 min at docs10 without
-# completing — an oracle-side cost, not an engine-side one (the Spark
-# run finished in seconds; the sf0.01 oracle stays green every round).
+OUT=${1:-CORRECTNESS_SF10_r14.json}
+# dedup_ngram_jaccard is back in (r14): its oracle now mirrors the
+# lossless prefix-filter candidate generation (bag-equal with the
+# all-pairs definition at sf0.01/sf0.1, verified; ~91 s at docs10 vs
+# the old all-pairs SQL grinding >35 min unfinished).
 # Slow-verify winnow-DP families run LAST so a grind can't block the
 # rest of the board (the runner is resumable + incremental).
 DEDUP="dedup_exact dedup_minhash_lsh dedup_simhash
@@ -23,7 +24,7 @@ DEDUP="dedup_exact dedup_minhash_lsh dedup_simhash
  contamination_ngram text_winnowing dedup_containment
  decontaminate_winnow source_dedup_matrix lsh_recall_audit
  dedup_edit_distance dedup_substring_spans dedup_span_chars
- dedup_cut_apply"
+ dedup_cut_apply dedup_ngram_jaccard"
 ANN="ann_topk_bruteforce ann_lsh_bucketed ann_ivf ann_matryoshka_topk
  knn_graph pq_encode pq_adc_topk neardup_cosine dedup_semantic
  embedding_quantize embedding_dim_stats embedding_covariance
@@ -33,6 +34,7 @@ WINDOWS="q_window_topn q_window_running q_window_ranks q_range_frame
  q_ntile_cume q_first_last q_rolling_distinct q_gaps_islands q_sessionize
  q_concurrency_gauge q_percentile_exact q_median_mode
  cdc_event_queue_drain cdc_span_lifecycle"
+echo "sf10 oracle run: $(echo $DEDUP $ANN $WINDOWS | wc -w) queries -> $OUT"
 rc=0
 python3 tools/check_sf10.py /tmp/docs10 "$OUT" $DEDUP   || rc=1
 python3 tools/check_sf10.py /tmp/emb25  "$OUT" $ANN     || rc=1
