@@ -23,7 +23,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * IEEE result Jackson produces for the identical token, so the frame
   * is bit-equal to the `from_json` one it replaces. Malformed input
   * decodes to NULL (the from_json contract) and a message is only
-  * accepted if the scan consumes every byte.
+  * accepted if the scan consumes every byte (after trailing
+  * whitespace). The scanner skips inter-token whitespace at every
+  * structural position, so the registered SQL function accepts any
+  * pretty-printed rendering of the wire, not just the producer's
+  * compact form — one failed char-compare per skip site on the
+  * compact hot path.
+  *
+  * DOCUMENTED LENIENCY vs from_json: bare `NaN`/`Infinity` scalar
+  * tokens (which `%.4f` can emit for non-finite doubles) parse via
+  * Double.parseDouble where strict JSON would reject them — the
+  * producer-side A34 encoder can emit them, so the consumer accepts
+  * its own wire.
   */
 object SimpleScan {
   val Struct: StructType = StructType(Seq(
@@ -70,8 +81,12 @@ object SimpleScan {
       throw new IllegalArgumentException("bad simple json")
     private def ch: Char = { if (pos >= n) err(); s.charAt(pos) }
     private def eat(c: Char): Unit = { if (ch != c) err(); pos += 1 }
+    private def ws(): Unit =
+      while (pos < n && { val c = s.charAt(pos)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' }) pos += 1
 
     private def readString(): String = {
+      ws()
       eat('"')
       val start = pos
       var hasEsc = false
@@ -112,9 +127,11 @@ object SimpleScan {
     }
 
     private def scalarToken(): String = {
+      ws()
       val start = pos
       while (pos < n && { val c = s.charAt(pos)
-        c != ',' && c != '}' && c != ']' }) pos += 1
+        c != ',' && c != '}' && c != ']' &&
+          c != ' ' && c != '\t' && c != '\n' && c != '\r' }) pos += 1
       if (pos == start) err()
       s.substring(start, pos)
     }
@@ -150,13 +167,18 @@ object SimpleScan {
     }
 
     private def obj(handle: String => Unit): Unit = {
+      ws()
       eat('{')
+      ws()
       if (ch == '}') { pos += 1; return }
       var more = true
       while (more) {
         val key = readString()
+        ws()
         eat(':')
+        ws()
         handle(key)
+        ws()
         if (ch == ',') pos += 1
         else { eat('}'); more = false }
       }
@@ -178,13 +200,16 @@ object SimpleScan {
       case "version" => out(TSV) = longToken()
       case "columns" =>
         eat('[')
+        ws()
         var cols = 0L
         if (ch == ']') pos += 1
         else {
           var more = true
           while (more) {
             skipValue(); cols += 1
-            if (ch == ',') pos += 1 else { eat(']'); more = false }
+            ws()
+            if (ch == ',') { pos += 1; ws() }
+            else { eat(']'); more = false }
           }
         }
         out(TSC) = cols
@@ -212,6 +237,7 @@ object SimpleScan {
 
     def run(): Unit = {
       obj(topKey)
+      ws()
       if (pos != n) err()
     }
   }

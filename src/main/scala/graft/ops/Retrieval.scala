@@ -412,10 +412,15 @@ object Retrieval {
     * candidate-universe prune to pay (shared-fp row fraction below
     * [[PruneMaxSharedFpFrac]]). One agg over the already-materialized
     * (localCheckpointed) fingerprint frame — milliseconds against the
-    * seconds the wrong plan shape costs. */
+    * seconds the wrong plan shape costs. The distinct estimate runs at
+    * rsd 0.5% so estimator error sits an order of magnitude below the
+    * 5% decision threshold: the HLL default (~5% rsd) was the same
+    * order as the threshold, letting near-boundary or fully-unique
+    * corpora draw the slower plan arbitrarily (exactness was never at
+    * stake — both plans are exact — but plan choice should be stable). */
   private[graft] def pruneGate(fps: DataFrame): Boolean = {
     val r = fps.agg(count(lit(1)).cast("double").as("n"),
-      approx_count_distinct(col("fp_hash")).cast("double").as("d")).head()
+      approx_count_distinct(col("fp_hash"), 0.005).cast("double").as("d")).head()
     val n = r.getDouble(0)
     n > 0 && (1.0 - r.getDouble(1) / n) < PruneMaxSharedFpFrac
   }

@@ -631,6 +631,32 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(dec.filter(col("schema_cols") === -1L).count() == 1)
   }
 
+  test("graft_simple_decode honors the from_json whitespace contract") {
+    import graft.functions.SimpleScan
+    val compact = """{"database":"d b","table":"t","type":"UPDATE","commitTs":42,""" +
+      """"schemaVersion":4,"data":{"pk":7,"value":1.5000,"props":{"x":[1,2]}},""" +
+      """"old":{"pk":7,"value":null},"tableSchema":{"schema":"d b","table":"t",""" +
+      """"version":4,"columns":[{"name":"pk"},{"name":"v"},{"name":"w"}]},"tableID":9}"""
+    // the same message pretty-printed: whitespace at every structural
+    // position (after {, around :, around ,, inside arrays, trailing)
+    val pretty = compact
+      .replace("{", "{ ").replace("}", " }")
+      .replace("[", "[ ").replace("]", " ]")
+      .replace(":", " : ").replace(",", " ,\n ") + "  \n"
+    val a = SimpleScan.decode(org.apache.spark.unsafe.types.UTF8String.fromString(compact))
+    val b = SimpleScan.decode(org.apache.spark.unsafe.types.UTF8String.fromString(pretty))
+    assert(a != null, "compact wire must decode")
+    assert(b != null, "pretty-printed wire must decode (from_json contract)")
+    val n = SimpleScan.Struct.length
+    assert((0 until n).forall { i =>
+      val (x, y) = (a.get(i, SimpleScan.Struct(i).dataType), b.get(i, SimpleScan.Struct(i).dataType))
+      if (x == null) y == null else x == y
+    }, "pretty-printed decode must equal compact decode field-for-field")
+    // the ':'-replacement above cannot corrupt string contents: keys and
+    // values in this message carry no ':'; a value with spaces survives
+    assert(a.get(0, SimpleScan.Struct(0).dataType).toString == "d b")
+  }
+
   test("row checksum verifies clean streams and catches a single flipped byte") {
     val cl = cdc.ChangeEvents.changelog(spark, dir)
     val msgs = cdc.Checksum.messages(cl).cache()

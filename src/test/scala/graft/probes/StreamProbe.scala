@@ -9,17 +9,22 @@ import org.apache.spark.sql.streaming.Trigger
   * rows/s number can be ATTRIBUTED (join build vs state commit vs
   * planning) instead of guessed.
   *
-  * Usage: tools/run.sh graft.StreamProbe <sfDir> [op] [chunks]
+  * Usage: tools/run.sh graft.StreamProbe <sfDir> [op] [chunks] [mfpt]
   *   op     = range_join (default) | txn_match
   *   chunks = split the events file into N parquet chunk files first,
   *            so AvailableNow runs N micro-batches instead of 1
   *            (maxFilesPerTrigger=1) — shows whether per-batch state
-  *            eviction pays for the extra batch overhead. */
+  *            eviction pays for the extra batch overhead.
+  *   mfpt   = maxFilesPerTrigger (default 1); point sfDir at a
+  *            pre-sliced tier copy (make_stream_slices.py) with
+  *            chunks=1, mfpt=2 to reproduce the bench's *_mb shape
+  *            batch-for-batch. */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val op = if (args.length > 1) args(1) else "range_join"
     val chunks = if (args.length > 2) args(2).toInt else 1
+    val mfpt = if (args.length > 3) args(3) else "1"
     val spark = graft.util.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
@@ -37,7 +42,7 @@ object StreamProbe {
       }
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val in = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcPath)
+      .option("maxFilesPerTrigger", mfpt).parquet(srcPath)
     val df = op match {
       case "txn_match" =>
         import spark.implicits._
