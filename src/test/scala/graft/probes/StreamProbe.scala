@@ -18,16 +18,23 @@ import org.apache.spark.sql.streaming.Trigger
   *   mfpt   = maxFilesPerTrigger (default 1); point sfDir at a
   *            pre-sliced tier copy (make_stream_slices.py) with
   *            chunks=1, mfpt=2 to reproduce the bench's *_mb shape
-  *            batch-for-batch. */
+  *            batch-for-batch.
+  *   parts  = spark.sql.shuffle.partitions for THIS query (default:
+  *            session 32). State store instances = partitions × 4 for
+  *            a symmetric hash join, and each instance commits a delta
+  *            file per micro-batch — the A/B that attributes the mb
+  *            commit cost to store count. */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val op = if (args.length > 1) args(1) else "range_join"
     val chunks = if (args.length > 2) args(2).toInt else 1
     val mfpt = if (args.length > 3) args(3) else "1"
+    val parts = if (args.length > 4) Some(args(4)) else None
     val spark = graft.util.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
+    parts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
 
     val srcPath =
       if (chunks <= 1) s"$sfDir/events.parquet*"
