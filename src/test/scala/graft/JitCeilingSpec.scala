@@ -86,13 +86,26 @@ class JitCeilingSpec extends AnyFunSuite {
     "sink_claim_check", "sink_compression", "sink_handle_key_only",
     "changefeed_pipeline")
 
-  test("the codec family stays under the JIT ceiling at sf10-shaped plans") {
+  /** VERDICT r13 #7: the codec-only sf10 gate caught a 9,571-bytecode
+    * stage in r13, so the same lint now covers every other top-20
+    * sf10 wall-time cell from BENCH_LADDER_r13 (the decode/window-
+    * heavy CDC cells and the heaviest B-series joins/aggs are the
+    * next most likely offenders — they fuse the widest stages). */
+  val sf10HeavyNonCodec: Seq[String] = Seq(
+    "cdc_event_queue_drain", "q5_multijoin", "cdc_txn_match",
+    "sink_kafka_messages", "cdc_eventstore_key", "q_corr_agg_subquery",
+    "q_approx_quantile", "q_share_of_total", "cdc_event_seq_check",
+    "cdc_dynstream_path_assign", "cdc_dispatcher_checkpoint",
+    "cdc_txn_group", "q3_join_topn", "sink_encoder_group",
+    "cdc_changefeed_overview")
+
+  private def lintAtSf10(names: Seq[String]): Unit = {
     assume(new java.io.File("/tmp/sf10/events.parquet").exists,
       "sf10 tier dataset not on this box")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val offenders = codecFamily.flatMap { name =>
+      val offenders = names.flatMap { name =>
         val plan = SparkEntry.queries(name)(spark, "/tmp/sf10")
           .queryExecution.executedPlan
         plan.collectWithSubqueries {
@@ -107,5 +120,13 @@ class JitCeilingSpec extends AnyFunSuite {
           offenders.map { case (q, sid, sz) => s"$q stage#$sid=$sz" }
             .mkString(", "))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("the codec family stays under the JIT ceiling at sf10-shaped plans") {
+    lintAtSf10(codecFamily)
+  }
+
+  test("the top-20 sf10 wall-time cells stay under the JIT ceiling at sf10-shaped plans") {
+    lintAtSf10(sf10HeavyNonCodec)
   }
 }
