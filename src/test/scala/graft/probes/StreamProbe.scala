@@ -10,7 +10,8 @@ import org.apache.spark.sql.streaming.Trigger
   * planning) instead of guessed.
   *
   * Usage: tools/run.sh graft.StreamProbe <sfDir> [op] [chunks] [mfpt]
-  *   op     = range_join (default) | txn_match
+  *   op     = range_join (default) | txn_match | cdc_pipeline |
+  *            snapshot_state
   *   chunks = split the events file into N parquet chunk files first,
   *            so AvailableNow runs N micro-batches instead of 1
   *            (maxFilesPerTrigger=1) — shows whether per-batch state
@@ -56,10 +57,19 @@ object StreamProbe {
         streaming.CdcStream.txnMatch(
           cdc.TxnMatcher.rawStream(cdc.ChangeEvents.fromEvents(in))
             .as[streaming.CdcStream.RawKv]).toDF()
+      case "cdc_pipeline" =>
+        streaming.CdcStream.pipeline(spark, sfDir)
+      case "snapshot_state" =>
+        import spark.implicits._
+        streaming.CdcStream.snapshotState(
+          cdc.ChangeEvents.fromEvents(in)
+            .withColumn("before_value", col("before_value").cast("double"))
+            .as[streaming.CdcStream.ChangeEvent]).toDF()
       case _ => streaming.DataOps.streamRangeJoin(in)
     }
+    val mode = if (op == "snapshot_state") "update" else "append"
     val t0 = System.nanoTime()
-    val q = df.writeStream.format("noop").outputMode("append")
+    val q = df.writeStream.format("noop").outputMode(mode)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9

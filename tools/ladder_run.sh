@@ -29,7 +29,11 @@ for tier in $TIERS; do
     unset SPARK_GRAFT_STREAM_SLICES SPARK_GRAFT_STREAM_MFPT
   fi
   echo "=== $tier (${DIRS[$tier]}) $(date -u +%H:%M:%SZ)"
+  # >=3 interleaved passes (VERDICT r13 #5): two passes could not
+  # adjudicate a 1.6-2.9x tail from a dirty box - with three, at least
+  # two samples land outside any single sustained load window
   SKIP_BUILD=1 SPARK_GRAFT_SF_DIR=${DIRS[$tier]} SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_REPEAT=${SPARK_GRAFT_BENCH_REPEAT:-3} \
     SPARK_DRIVER_MEM=48g tools/run.sh graft.Bench > "$log" 2>&1
   echo "LOADAVG $(cut -d' ' -f1-3 /proc/loadavg)" >> "$log"
   python3 tools/ladder_update.py "$tier" "$log"

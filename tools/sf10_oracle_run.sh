@@ -34,9 +34,18 @@ WINDOWS="q_window_topn q_window_running q_window_ranks q_range_frame
  q_ntile_cume q_first_last q_rolling_distinct q_gaps_islands q_sessionize
  q_concurrency_gauge q_percentile_exact q_median_mode
  cdc_event_queue_drain cdc_span_lifecycle"
-echo "sf10 oracle run: $(echo $DEDUP $ANN $WINDOWS | wc -w) queries -> $OUT"
+# r13 stretch: the byte-exact wire family at skew01 (hot-user events) -
+# skewed keys are where the salted-join and byte-fold batch paths could
+# mis-batch; every wire byte is hash-compared.
+SKEW="codec_craft codec_craft_decode codec_craft_resolved codec_checksum
+ codec_open_wire codec_open_wire_bytes codec_open_wire_decode
+ codec_avro_binary codec_avro_decode codec_simple_avro
+ codec_simple_avro_decode sink_batch_bytes sink_batch_frame
+ sink_batch_flush q_salted_skew_join"
+echo "sf10 oracle run: $(echo $DEDUP $ANN $WINDOWS $SKEW | wc -w) queries -> $OUT"
 rc=0
 python3 tools/check_sf10.py /tmp/docs10 "$OUT" $DEDUP   || rc=1
 python3 tools/check_sf10.py /tmp/emb25  "$OUT" $ANN     || rc=1
 python3 tools/check_sf10.py /tmp/sf10   "$OUT" $WINDOWS || rc=1
+python3 tools/check_sf10.py /tmp/skew01 "$OUT" $SKEW    || rc=1
 exit $rc
