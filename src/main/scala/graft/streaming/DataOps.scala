@@ -289,7 +289,22 @@ object DataOps {
     * a complete replay the pair set equals the batch B18 join exactly —
     * the spec aggregates the pairs and checks frame equality with B18's
     * per-purchase counts. `rangeUs` must be a whole number of seconds
-    * (it is interpolated into an INTERVAL literal). */
+    * (it is interpolated into an INTERVAL literal).
+    *
+    * Multi-micro-batch cost shape (StreamProbe, r14, 8-slice sf0.1
+    * tier, mfpt=2 = 4 batches of 50k): state is BOUNDED and eviction
+    * FIRES — numRowsTotal plateaus at ~10.7k rows / 4 MB and
+    * numRowsRemoved ≈ the per-batch inserts from batch 1 on. The
+    * 4× single-vs-multi-batch rate gap is per-batch state-store
+    * COMMIT overhead, not state growth: a symmetric hash join keeps
+    * 4 store instances per shuffle partition and each commits a delta
+    * file per batch (32 partitions → 128 tiny writes/batch, measured
+    * 67–104 s summed commitMs). The same replay at 8 partitions runs
+    * 2.25× faster (31.2 → 13.8 s, commitMs ~3.7 s) with an identical
+    * state curve. At corpus scale the batches are proportionally
+    * larger and the commit amortizes; on a real cluster, size
+    * shuffle/state partitions to state volume, not to the batch
+    * default. */
   def streamRangeJoin(events: DataFrame,
                       rangeUs: Long = 86400000000L,
                       watermarkDelay: String = "10 minutes"): DataFrame = {
