@@ -1359,4 +1359,87 @@ object Corpus {
        |    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
        |FROM ex e JOIN owner o USING (gram)
        |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- C86
+
+  /** C86 — collocation / phrase mining with the word2vec phrase score
+    * (Mikolov et al. 2013 §4, public paper): for every adjacent token
+    * pair, score(a,b) = (count(ab) − δ) · N / (count(a) · count(b)) —
+    * the observed-over-independent ratio with a δ discount that kills
+    * rare-pair noise. Pairs scoring above τ are the multi-word
+    * expressions a tokenizer-prep pipeline promotes to single units.
+    * Every number is integer-exact (ppm via widened-decimal division;
+    * no logs, no floats), so the DuckDB oracle hash-matches bit-for-
+    * bit.
+    *
+    * Scale shape: one row-local adjacent-pair projection (linear), a
+    * pair-keyed partial agg (the bigram vocabulary — o(N) in any real
+    * corpus), two vocab-scale joins onto the unigram counts, and the
+    * 1-row token total broadcast. Nothing corpus-quadratic; the
+    * candidate frame is bounded by distinct bigrams with count ≥ δ. */
+  def corpusPhrases(spark: SparkSession, dir: String,
+                    minCount: Long = 5L,
+                    tauPpm: Long = 1500000L): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      // single parquet split: spread the CPU-bound pair projection
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(Text.tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val n = toks.select(sum(size(col("toks"))).as("n_total"))
+    val pairs = toks
+      .select(explode(expr("""CASE WHEN size(toks) >= 2
+        THEN transform(sequence(0, size(toks) - 2),
+             i -> concat(toks[i], ' ', toks[i+1]))
+        ELSE array() END""")).as("pg"))
+      .groupBy(col("pg")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .withColumn("w1", element_at(split(col("pg"), " "), 1))
+      .withColumn("w2", element_at(split(col("pg"), " "), 2))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("score_ppm",
+        call_function("div",
+          (col("n_pair") - lit(minCount)).cast("decimal(38,0)")
+            * col("n_total") * lit(1000000L),
+          col("n_w1").cast("decimal(38,0)") * col("n_w2")).cast("long"))
+      .withColumn("phrase", (col("score_ppm") >= tauPpm).cast("long"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"), col("score_ppm"), col("phrase"))
+  }
+
+  def corpusPhrasesSql(minCount: Long = 5L,
+                       tauPpm: Long = 1500000L): String =
+    s"""WITH d AS (
+       |  SELECT ${Text.tokensSql("text")} AS toks FROM documents
+       |), uni AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+       |  FROM (SELECT unnest(toks) AS w FROM d) GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(SUM(len(toks)) AS BIGINT) AS n_total FROM d
+       |), pairs AS (
+       |  SELECT pg, CAST(COUNT(*) AS BIGINT) AS n_pair,
+       |    string_split(pg, ' ')[1] AS w1, string_split(pg, ' ')[2] AS w2
+       |  FROM (
+       |    SELECT unnest(CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)),
+       |           i -> toks[i] || ' ' || toks[i+1])
+       |      ELSE [] END) AS pg
+       |    FROM d)
+       |  GROUP BY 1
+       |  HAVING COUNT(*) >= $minCount
+       |)
+       |SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+       |  CAST(CAST((p.n_pair - $minCount) AS HUGEINT) * n.n_total
+       |    * 1000000 // (CAST(u1.n_w AS HUGEINT) * u2.n_w) AS BIGINT)
+       |    AS score_ppm,
+       |  CAST(CAST(CAST((p.n_pair - $minCount) AS HUGEINT) * n.n_total
+       |    * 1000000 // (CAST(u1.n_w AS HUGEINT) * u2.n_w) >= $tauPpm
+       |    AS INT) AS BIGINT) AS phrase
+       |FROM pairs p
+       |JOIN uni u1 ON p.w1 = u1.w
+       |JOIN uni u2 ON p.w2 = u2.w
+       |CROSS JOIN n""".stripMargin
 }

@@ -991,4 +991,110 @@ object Curation {
        |    ELSE -1 END AS BIGINT) AS overlap_f2_ppm
        |FROM j""".stripMargin
   }
+
+  // ---------------------------------------------------------------- C85
+
+  /** C85 — DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", public paper):
+    * score every document by how much more probable its hashed-n-gram
+    * features are under a TARGET distribution (here: one source's
+    * docs, the paper's "formal text" analogue) than under the raw
+    * corpus. The paper's per-feature log(p_target/p_raw) is rendered
+    * engine-portably with the C34 floor-log2 discipline: per bucket,
+    * bits(b) = flog2((R+B) div (r_b+1)) − flog2((T+B) div (t_b+1))
+    * where flog2(x) = length(bin(x)) − 1 — exact integer arithmetic
+    * in both engines (add-one smoothing over the B-bucket grid keeps
+    * every divisor ≥ 1 and every quotient ≥ 1). A doc's weight is the
+    * sum of its feature bits: positive ⇒ target-like.
+    *
+    * Features are hashed unigrams + bigrams (the paper's recipe) into
+    * a fixed B-bucket grid via the portable 60-bit md5 hash, so the
+    * feature space is CONSTANT-size regardless of corpus scale.
+    *
+    * Scale shape: one row-local feature explode (linear), two
+    * bucket-keyed partial aggs onto the B-row grid (B = 1024 —
+    * dimension-scale), the grid broadcast back over the feature
+    * stream, one doc-keyed agg. Nothing quadratic, no vocab-sized
+    * state — the hashed grid is what makes DSIR run at 100 TB. */
+  def qualityDsir(spark: SparkSession, dir: String,
+                  targetSource: String = "src0",
+                  buckets: Int = 1024): DataFrame = {
+    val b = buckets.toLong
+    // unigrams + bigrams of the normalized text, hashed onto the grid
+    val feats = Tables.documents(spark, dir)
+      // single parquet split: spread the CPU-bound gram hashing
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        Text.tokens(col("text")).as("toks"))
+      .withColumn("g", explode(concat(col("toks"),
+        expr("""CASE WHEN size(toks) >= 2
+                THEN transform(sequence(0, size(toks) - 2),
+                     i -> concat(toks[i], ' ', toks[i+1]))
+                ELSE array() END"""))))
+      .select(col("doc_id"), col("source"),
+        pmod(Portable.hash60(col("g")), lit(b)).as("bkt"))
+    val raw = feats.groupBy(col("bkt")).agg(count(lit(1)).as("r"))
+    val tgt = feats.filter(col("source") === targetSource)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("t"))
+    val grid = spark.range(b).select(col("id").as("bkt"))
+      .join(raw, Seq("bkt"), "left").join(tgt, Seq("bkt"), "left")
+      .select(col("bkt"), coalesce(col("r"), lit(0L)).as("r"),
+        coalesce(col("t"), lit(0L)).as("t"))
+    val totals = grid.agg(sum(col("r")).as("rn"), sum(col("t")).as("tn"))
+    def flog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val bits = grid.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        (flog2(expr("(rn + " + b + ") div (r + 1)")) -
+          flog2(expr("(tn + " + b + ") div (t + 1)"))).as("bits"))
+    feats.join(broadcast(bits), "bkt")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("bits")).as("dsir_bits"))
+      // dsir_bits can be negative: floor division via the exact-
+      // multiple form (Spark DIV and DuckDB // both truncate toward
+      // zero, so plain DIV would disagree between engines below zero)
+      .withColumn("mean_millibits",
+        expr("(dsir_bits * 1000 - pmod(dsir_bits * 1000, n_feats)) DIV n_feats"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_bits"),
+        col("mean_millibits"))
+  }
+
+  def qualityDsirSql(targetSource: String = "src0",
+                     buckets: Int = 1024): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ${Text.tokensSql("text")} AS toks
+       |  FROM documents
+       |), feats AS (
+       |  SELECT doc_id, source,
+       |    (${Portable.hash60Sql("g")} % $buckets) AS bkt
+       |  FROM (
+       |    SELECT doc_id, source, unnest(list_concat(toks,
+       |      CASE WHEN len(toks) >= 2
+       |        THEN list_transform(range(1, len(toks)),
+       |             i -> toks[i] || ' ' || toks[i+1])
+       |        ELSE [] END)) AS g
+       |    FROM d)
+       |), raw AS (SELECT bkt, COUNT(*) AS r FROM feats GROUP BY 1),
+       |tgt AS (
+       |  SELECT bkt, COUNT(*) AS t FROM feats
+       |  WHERE source = '$targetSource' GROUP BY 1
+       |), grid AS (
+       |  SELECT g.range AS bkt, COALESCE(raw.r, 0) AS r,
+       |    COALESCE(tgt.t, 0) AS t
+       |  FROM range($buckets) g
+       |  LEFT JOIN raw ON g.range = raw.bkt
+       |  LEFT JOIN tgt ON g.range = tgt.bkt
+       |), totals AS (SELECT SUM(r) AS rn, SUM(t) AS tn FROM grid),
+       |bits AS (
+       |  SELECT bkt,
+       |    (length(bin((rn + $buckets) // (r + 1))) - 1)
+       |    - (length(bin((tn + $buckets) // (t + 1))) - 1) AS bits
+       |  FROM grid CROSS JOIN totals
+       |)
+       |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |  CAST(SUM(b.bits) AS BIGINT) AS dsir_bits,
+       |  CAST((SUM(b.bits) * 1000
+       |    - ((SUM(b.bits) * 1000 % COUNT(*)) + COUNT(*)) % COUNT(*))
+       |    // COUNT(*) AS BIGINT) AS mean_millibits
+       |FROM feats f JOIN bits b USING (bkt)
+       |GROUP BY 1""".stripMargin
 }

@@ -1068,9 +1068,16 @@ object Similarity {
     * component and the spec checks neighborhood preservation. */
   def randomProjection(spark: SparkSession, dir: String, outDim: Int = 16): DataFrame = {
     val frame = projFrame(spark, dir, outDim)
+    // + 0.0 normalizes IEEE signed zero before formatting: a projection
+    // within 5e-5 of zero rounds to -0.0 under DuckDB's binary ROUND
+    // but +0.0 under Spark's decimal-string route, and '%.4f' renders
+    // them "-0.0000" vs "0.0000" — caught by the emb25 dense-tier
+    // oracle in r14 (invisible below ~50k vectors: no projection
+    // landed inside the window)
     frame.select(col("vec_id"), col("label"),
       md5(concat_ws(",",
-        (0 until outDim).map(j => format_string("%.4f", col(s"p$j"))): _*)
+        (0 until outDim).map(j =>
+          format_string("%.4f", col(s"p$j") + lit(0.0))): _*)
         .cast("binary")).as("proj_digest"),
       round(sqrt((0 until outDim).map(j => col(s"p$j") * col(s"p$j"))
         .reduce(_ + _)) * 10000.0).cast("long").as("proj_norm_e4"))
@@ -1088,7 +1095,7 @@ object Similarity {
   def randomProjectionSql(outDim: Int = 16): String = {
     val w = planes(outDim, seed = 23L)
     val comps = (0 until outDim)
-      .map(j => s"printf('%.4f', ROUND(${projSql("v", w(j))}, 4))")
+      .map(j => s"printf('%.4f', ROUND(${projSql("v", w(j))}, 4) + 0.0)")
       .mkString(", ',', ")
     val norm = (0 until outDim)
       .map(j => s"ROUND(${projSql("v", w(j))}, 4) * ROUND(${projSql("v", w(j))}, 4)")

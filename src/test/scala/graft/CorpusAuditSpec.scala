@@ -126,4 +126,79 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got.length == keys.size)
     assert(!keys.exists { case (a, b) => keys.contains((b, a)) })
   }
+
+  // ---- C85 ----
+
+  test("C85: dsir bits are exact on a hand-computable two-source corpus") {
+    // target src docs repeat 'x x x'; raw background repeats 'y y'.
+    // Features of doc A (src0): unigrams x,x,x + bigrams 'x x','x x'
+    // -> every feature is target-heavy, so dsir_bits must be > 0;
+    // doc B (srcZ, all-y) must score < 0 (its features never occur in
+    // the target) and both must match an independent sequential
+    // recount of the bucket-grid arithmetic.
+    val docs = Seq(
+      (1L, "x x x", "en", "src0", 5L),
+      (2L, "y y y y", "en", "srcZ", 7L),
+      (3L, "x x y", "en", "srcZ", 5L)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val d = dirFromView(docs)
+    val B = 1024
+    val got = ops.Curation.qualityDsir(spark, d, "src0", B)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // independent recount in plain Scala
+    def feats(text: String): Seq[String] = {
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    }
+    val all = Seq("x x x" -> "src0", "y y y y" -> "srcZ", "x x y" -> "srcZ")
+    val fr = all.flatMap { case (t, _) => feats(t) }
+      .groupBy(g => graft.functions.Portable.hash60Long(g) % B)
+      .view.mapValues(_.size.toLong).toMap
+    val ft = all.filter(_._2 == "src0").flatMap { case (t, _) => feats(t) }
+      .groupBy(g => graft.functions.Portable.hash60Long(g) % B)
+      .view.mapValues(_.size.toLong).toMap
+    val (rn, tn) = (fr.values.sum, ft.values.sum)
+    def flog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    def bits(b: Long): Long =
+      flog2((rn + B) / (fr.getOrElse(b, 0L) + 1)) -
+        flog2((tn + B) / (ft.getOrElse(b, 0L) + 1))
+    def docBits(t: String): Long =
+      feats(t).map(g => bits(graft.functions.Portable.hash60Long(g) % B)).sum
+    assert(got(1L)._3 == docBits("x x x"), s"target doc: ${got(1L)}")
+    assert(got(2L)._3 == docBits("y y y y"), s"background doc: ${got(2L)}")
+    assert(got(3L)._3 == docBits("x x y"), s"mixed doc: ${got(3L)}")
+    assert(got(1L)._2 == 5L && got(2L)._2 == 7L, "n_feats = unigrams + bigrams")
+    // absolute sign is washed out by add-one smoothing over 1024
+    // buckets at a 17-feature fixture, but the ORDERING the sampler
+    // consumes must hold: all-target > mixed > all-background
+    assert(got(1L)._4 > got(3L)._4 && got(3L)._4 > got(2L)._4,
+      s"mean_millibits must order target-likeness: ${got.values}")
+  }
+
+  // ---- C86 ----
+
+  test("C86: phrase score is the exact word2vec ratio on a fixture") {
+    // 'new york' appears 8x adjacently; 'new' 10x, 'york' 8x; filler
+    // tokens push N up. score = (8-5)*N*1e6 // (10*8).
+    val ny = Seq.fill(8)("new york").mkString(" ")
+    val extraNew = Seq.fill(2)("new").mkString(" ")
+    val filler = Seq.fill(24)("f").mkString(" ")
+    val text = s"$ny $extraNew $filler"
+    val docs = Seq((1L, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = ops.Corpus.corpusPhrases(spark, dirFromView(docs))
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val n = 8 * 2 + 2 + 24 // total tokens = 42
+    assert(got.contains(("new", "york")), s"got keys: ${got.keys}")
+    val r = got(("new", "york"))
+    assert(r._3 == 8L && r._4 == 10L && r._5 == 8L)
+    assert(r._6 == (8L - 5L) * n * 1000000L / (10L * 8L), s"score: $r")
+    assert(r._7 == 1L, "well over the 1.5x-independence bar")
+    // the filler run: 'f f' occurs 23x adjacently but 'f' itself is
+    // 24/42 of the corpus, so the independence ratio stays under tau
+    val f = got(("f", "f"))
+    assert(f._3 == 23L && f._6 == (23L - 5L) * n * 1000000L / (24L * 24L))
+    assert(f._7 == 0L, s"high-frequency filler is not a phrase: $f")
+  }
 }

@@ -86,6 +86,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "cdc_schema_snapshot",
       // 1-row corpus-total broadcast (q_scalar_subquery shape)
       "text_unigram_surprisal",
+      // 1-row feature-totals broadcast over the B-bucket grid (C85)
+      "quality_dsir",
+      // 1-row token-total broadcast over the bigram candidates (C86)
+      "corpus_phrases",
       // 1-row vocab-size broadcast (the C34 shape, bigram arm)
       "text_bigram_surprisal",
       // C34's corpus-total cross + its own 1-row tercile-bounds cross

@@ -29,8 +29,8 @@ import subprocess
 import sys
 import time
 
-LADDER = "BENCH_LADDER_r13.json"
-PREV_LADDER = "BENCH_LADDER_r12.json"
+LADDER = "BENCH_LADDER_r14.json"
+PREV_LADDER = "BENCH_LADDER_r13.json"
 TIERS = ["sf0_1", "sf1x", "sf10", "emb25", "skew01", "docs10"]
 
 
