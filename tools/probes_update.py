@@ -1,24 +1,25 @@
 #!/usr/bin/env python3
-"""Generate BENCH_PROBES_r13.json FROM recorded data (the ladders) —
+"""Generate BENCH_PROBES_r14.json FROM recorded data (the ladders) —
 the ladder_update.py note-from-data discipline applied to the probe
 artifact.
 
 Sections:
-  growth_exponents       fitted scaling exponents for the three most
-                         load-bearing SURVEY §5 claims, computed from
-                         the r13 ladder's own tiers: exponent =
-                         log(t_hi/t_lo) / log(scale_hi/lo), least
-                         squares over all recorded tiers. r13 adds the
-                         sf1x (10x) mid-point, so the fact-tier
-                         families fit on THREE points, not two. docs
-                         tiers scale docs 10x token-salted (near-dup
-                         pair volume scales linearly by construction).
+  growth_exponents       fitted scaling exponents for the SURVEY §5
+                         claim families, computed from the r14 ladder's
+                         own tiers: exponent = log(t_hi/t_lo) /
+                         log(scale_hi/lo), least squares over all
+                         recorded tiers.
   streaming_smoke        sf0.1 + sf10 streaming rates at HEAD vs the
-                         r10 recorded rates, plus the r13 *_mb
-                         multi-micro-batch smoke (>=3 batches so
-                         watermark finalization crosses batches).
-  fix_evidence           r13 per-query ladder deltas for this round's
-                         plan changes.
+                         r10/r13 recorded rates, the *_mb multi-batch
+                         smoke, and the r14 quiet-box StreamProbe runs
+                         that attribute the r13 sf10 rate regression
+                         (VERDICT r13 #3).
+  mb_range_join          the r14 state-store attribution of the
+                         multi-batch range-join cliff (VERDICT r13 #4):
+                         per-batch state curve + the shuffle-partitions
+                         A/B, hand-recorded from StreamProbe output.
+  fix_evidence           r14 per-query ladder deltas + the emb25
+                         signed-zero correctness catch.
 
 Usage: tools/probes_update.py
 """
@@ -28,10 +29,69 @@ import os
 import subprocess
 import time
 
+L14 = json.load(open("BENCH_LADDER_r14.json"))
 L13 = json.load(open("BENCH_LADDER_r13.json"))
 L12 = json.load(open("BENCH_LADDER_r12.json"))
 L10 = json.load(open("BENCH_LADDER_r10.json"))
-L09 = json.load(open("BENCH_LADDER_r09.json"))
+
+# Hand-recorded probe runs (graft.StreamProbe / quiet box), labeled as
+# such in the artifact. Every number is pasted verbatim from a probe
+# stdout; the probe command is recorded next to each block.
+HAND_RECORDED = {
+    "mb_range_join": {
+        "method": ("tools/run.sh graft.StreamProbe /tmp/stream_sf0_1 "
+                   "range_join 1 2 [parts] — the bench *_mb shape "
+                   "batch-for-batch (8 ts-ordered slices, "
+                   "maxFilesPerTrigger=2 -> 4 batches of 50k)"),
+        "state_curve_parts32": [
+            {"batch": 0, "rows": 50000, "state_rows_total": 9903,
+             "updated": 9903, "removed": 0, "commit_ms_sum": 67802,
+             "trigger_ms": 8998},
+            {"batch": 1, "rows": 50000, "state_rows_total": 10686,
+             "updated": 9982, "removed": 9199, "commit_ms_sum": 104104,
+             "trigger_ms": 5289},
+            {"batch": 2, "rows": 50000, "state_rows_total": 10715,
+             "updated": 10055, "removed": 10026, "commit_ms_sum": 79812,
+             "trigger_ms": 4572},
+            {"batch": 3, "rows": 50000, "state_rows_total": 10777,
+             "updated": 10085, "removed": 10023, "commit_ms_sum": 103334,
+             "trigger_ms": 5019}],
+        "ab_shuffle_partitions": {
+            "parts32": {"total_sec": 31.16, "rows_per_sec": 6419},
+            "parts8": {"total_sec": 13.84, "rows_per_sec": 14448,
+                       "commit_ms_sum_range": [3387, 4277]}},
+        "conclusion": (
+            "state is BOUNDED and watermark eviction FIRES every batch "
+            "(numRowsTotal plateaus at ~10.7k rows / 4 MB; removed ~= "
+            "inserted from batch 1 on). The 4x single-vs-multi-batch "
+            "rate gap is per-batch state-store COMMIT overhead: a "
+            "symmetric hash join keeps 4 store instances per shuffle "
+            "partition, each committing a delta file per micro-batch "
+            "(32 partitions -> 128 tiny writes/batch = 67-104 s summed "
+            "commitMs, ~3.3 s wall of each ~5 s trigger). Same replay "
+            "at 8 partitions: 2.25x faster, identical state curve. At "
+            "corpus scale batches are proportionally larger and the "
+            "commit amortizes; on a real cluster size shuffle/state "
+            "partitions to state volume, not the batch default."),
+    },
+    # Quiet-box single-op streaming rates at /tmp/sf10 via StreamProbe,
+    # run AFTER the r14 oracle grind finished (loadavg at launch in
+    # each block). Attribution experiment for VERDICT r13 #3: the
+    # r10->r13 diff of the four streaming paths is near-empty
+    # (CdcStream.pipeline gained an unused-by-default maxFilesPerTrigger
+    # arg; Bench suite() is a semantically-identical refactor), so if
+    # HEAD's quiet-box rates recover to ~r10 levels the r13 regression
+    # was measurement environment, not code.
+    "sf10_quiet_probe": None,  # filled by fill_sf10_probe() below
+}
+
+
+def fill_sf10_probe():
+    p = "/tmp/sf10_probe_rates.json"
+    if os.path.exists(p):
+        return json.load(open(p))
+    return {"status": "not yet recorded - run tools/sf10_stream_probe.sh"}
+
 
 FAMILIES = {
     "dedup_shuffle": {
@@ -59,6 +119,14 @@ FAMILIES = {
         "queries": ["cdc_eventstore_key", "cdc_event_sort",
                     "cdc_event_seq_check"],
     },
+    "corpus_grid": {
+        "claim": ("the grid/vocab-bounded corpus ops (hashed-feature "
+                  "DSIR, phrase mining, novelty) aggregate onto "
+                  "dimension-scale frames - the corpus-scale work is "
+                  "one explode + partial agg (r14 C85/C86)"),
+        "tiers": [("sf0_1", 1.0), ("docs10", 10.0)],
+        "queries": ["quality_dsir", "corpus_phrases", "ngram_novelty"],
+    },
 }
 
 
@@ -81,7 +149,7 @@ def growth():
         for q in spec["queries"]:
             pts = []
             for tier, scale in spec["tiers"]:
-                v = L13.get(tier, {}).get("queries", {}).get(q)
+                v = L14.get(tier, {}).get("queries", {}).get(q)
                 if v and v > 0:
                     pts.append((scale, v))
             per_q[q] = {
@@ -105,16 +173,23 @@ def streaming():
                     "micro_batches": v.get("micro_batches")}
                 for k, v in st.items()}
     return {
-        "sf0_1_head": rates(L13.get("sf0_1", {})),
-        "sf10_head": rates(L13.get("sf10", {})),
+        "sf0_1_head": rates(L14.get("sf0_1", {})),
+        "sf10_head": rates(L14.get("sf10", {})),
+        "sf10_r13": rates(L13.get("sf10", {})),
         "sf10_r10": rates(L10.get("sf10", {})),
-        "note": ("*_mb keys are the r13 multi-micro-batch smoke: the "
-                 "same four ops over a sliced events directory with "
-                 "maxFilesPerTrigger bounding each batch, so watermark "
-                 "finalization crosses >=3 batch boundaries instead of "
-                 "completing inside one AvailableNow batch"),
-        "loadavg_sf0_1_head": L13.get("sf0_1", {}).get("loadavg"),
-        "loadavg_sf10_head": L13.get("sf10", {}).get("loadavg"),
+        "sf10_quiet_probe_head": fill_sf10_probe(),
+        "note": ("*_mb keys are the multi-micro-batch smoke (sliced "
+                 "events + maxFilesPerTrigger, >=3 batch boundaries). "
+                 "sf10_quiet_probe_head is the r14 attribution "
+                 "experiment: single-op AvailableNow replays of "
+                 "/tmp/sf10 events on a quiet box via StreamProbe - "
+                 "the code-path diff r10->HEAD is near-empty, so "
+                 "quiet-box recovery to ~r10 rates attributes the r13 "
+                 "regression to measurement environment (the r13 sf10 "
+                 "ladder cell ran at loadavg 23.8 with the whole "
+                 "235-query board warm in the same JVM)"),
+        "loadavg_sf0_1_head": L14.get("sf0_1", {}).get("loadavg"),
+        "loadavg_sf10_head": L14.get("sf10", {}).get("loadavg"),
     }
 
 
@@ -122,50 +197,55 @@ def fix_evidence():
     def cell(lad, tier, q):
         return lad.get(tier, {}).get("queries", {}).get(q)
     return {
-        "containment_prune_uniqueness_gate": {
-            "what": ("r12 Wrong #1: the candidate-universe prune was a "
-                     "fixed cost at every scale (+0.8 s at sf0.1, two "
-                     "extra aggregations). r13 gates it on a corpus-"
-                     "uniqueness estimate (one agg over the checkpointed "
-                     "fingerprint frame): dup-heavy corpora take the "
-                     "direct two-regime plan, mostly-unique corpora get "
-                     "the prune applied BEFORE the posting-length window. "
-                     "RetrievalSpec pins pruned == unpruned == auto."),
-            "sf0_1": {"r13": cell(L13, "sf0_1", "dedup_containment"),
-                      "r12": cell(L12, "sf0_1", "dedup_containment"),
-                      "mandate_target": "<= ~2.4 s"},
-            "docs10": {"r13": cell(L13, "docs10", "dedup_containment"),
-                       "r10": cell(L10, "docs10", "dedup_containment"),
-                       "r09": cell(L09, "docs10", "dedup_containment"),
-                       "mandate_target": "<= 7.5 s"},
-            "ab_this_box_dev_loop": {
-                "method": ("min of 3-4 interleaved passes, local[32], "
-                           "same session discipline as the ladder"),
-                "sf0_1": {"r12_prune": 3.58, "no_prune": 3.41,
-                          "late_prune_window": 4.30, "early_prune": 5.24,
-                          "gated": 2.88},
-                "docs10": {"no_prune": 6.65, "late_prune_window": 6.01,
-                           "gated": 7.03}}},
+        "emb25_signed_zero_catch": {
+            "what": ("the r14 dense-tier oracle run (VERDICT r13 #1) "
+                     "caught embedding_random_projection hash-diverging "
+                     "at emb25 (50k vectors): a projection within 5e-5 "
+                     "of zero rounds to -0.0 under DuckDB's binary "
+                     "ROUND but +0.0 under Spark's decimal-string "
+                     "route, so '%.4f' rendered '-0.0000' vs '0.0000' "
+                     "inside the md5 digest. Invisible at sf0.1 (2k "
+                     "vectors x 16 planes never landed a projection in "
+                     "the window). Fixed by IEEE signed-zero "
+                     "normalization (+ 0.0) on BOTH renderings; "
+                     "re-verified hash-equal at emb25 and sf0.01."),
+            "artifact": "CORRECTNESS_SF10_r14.json embedding_random_projection",
+        },
+        "sf0_1_noise_tail_recheck": {
+            "what": ("VERDICT r13 #5: ~15 sf0.1 cells read 1.6-2.9x "
+                     "over r12 with no plan change; the r13 board ran "
+                     "passes=2 with medians 3-10x mins (dirty box). "
+                     "r14 re-records at >=3 interleaved passes - the "
+                     "cells below compare r14 vs the r13/r12 mins."),
+            "cells": {q: {"r14": cell(L14, "sf0_1", q),
+                          "r13": cell(L13, "sf0_1", q),
+                          "r12": cell(L12, "sf0_1", q)}
+                      for q in ["cdc_dispatcher_checkpoint",
+                                "cdc_dispatcher_block",
+                                "codec_canal_decode", "cdc_txn_match"]},
+        },
+        "mb_range_join_attribution": HAND_RECORDED["mb_range_join"],
     }
 
 
 def main():
     commit = subprocess.check_output(
         ["git", "rev-parse", "HEAD"]).decode().strip()
-    doc = {"round": 13, "commit_at_probe": commit,
+    doc = {"round": 14, "commit_at_probe": commit,
            "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                           time.gmtime()),
            "loadavg_at_write": [round(x, 2) for x in os.getloadavg()],
            "derivation": ("every number below is read from "
-                          "BENCH_LADDER_r13.json (and the r09/r10/r12 "
-                          "ladders for priors) by tools/probes_update.py "
-                          "— regenerate, don't hand-edit; the "
-                          "ab_this_box_dev_loop block is the one "
-                          "hand-recorded dev-loop A/B, labeled as such"),
+                          "BENCH_LADDER_r14.json (r10/r12/r13 ladders "
+                          "for priors) by tools/probes_update.py — "
+                          "regenerate, don't hand-edit; the "
+                          "mb_range_join and sf10_quiet_probe blocks "
+                          "are hand-recorded StreamProbe runs, labeled "
+                          "with their commands"),
            "growth_exponents": growth(),
            "streaming_smoke": streaming(),
            "fix_evidence": fix_evidence()}
-    with open("BENCH_PROBES_r13.json", "w") as f:
+    with open("BENCH_PROBES_r14.json", "w") as f:
         json.dump(doc, f, indent=1)
     for fam, g in doc["growth_exponents"].items():
         print(fam, g["family_max_exponent"], g["verdict"])

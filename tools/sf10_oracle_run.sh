@@ -24,7 +24,7 @@ DEDUP="dedup_exact dedup_minhash_lsh dedup_simhash
  contamination_ngram text_winnowing dedup_containment
  decontaminate_winnow source_dedup_matrix lsh_recall_audit
  dedup_edit_distance dedup_substring_spans dedup_span_chars
- dedup_cut_apply dedup_ngram_jaccard"
+ dedup_cut_apply dedup_ngram_jaccard quality_dsir corpus_phrases"
 ANN="ann_topk_bruteforce ann_lsh_bucketed ann_ivf ann_matryoshka_topk
  knn_graph pq_encode pq_adc_topk neardup_cosine dedup_semantic
  embedding_quantize embedding_dim_stats embedding_covariance
