@@ -60,6 +60,21 @@ HAND_RECORDED = {
             "parts32": {"total_sec": 31.16, "rows_per_sec": 6419},
             "parts8": {"total_sec": 13.84, "rows_per_sec": 14448,
                        "commit_ms_sum_range": [3387, 4277]}},
+        "sf1x_10x_events_mb": {
+            "method": ("same probe over /tmp/stream_sf1x (1M events, "
+                       "8 ts-ordered slices, mfpt=2 -> 4 batches of "
+                       "500k), parts=32"),
+            "total_sec": 22.73, "rows_per_sec": 87988,
+            "state_rows_peak": 99935, "state_rows_after_eviction": 3620,
+            "commit_ms_sum_range": [64876, 85355],
+            "conclusion": ("10x the events -> 13.7x the multi-batch "
+                           "rate: the per-batch store-commit cost is "
+                           "FLAT (~65-85 s summed, same as the 100k "
+                           "replay) while batches are 10x larger, so "
+                           "it amortizes exactly as predicted; state "
+                           "stays bounded and eviction fires "
+                           "(99.9k peak -> 3.6k after the watermark "
+                           "passes the replicated window)")},
         "conclusion": (
             "state is BOUNDED and watermark eviction FIRES every batch "
             "(numRowsTotal plateaus at ~10.7k rows / 4 MB; removed ~= "
