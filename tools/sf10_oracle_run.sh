@@ -36,16 +36,22 @@ WINDOWS="q_window_topn q_window_running q_window_ranks q_range_frame
  cdc_event_queue_drain cdc_span_lifecycle"
 # r13 stretch: the byte-exact wire family at skew01 (hot-user events) -
 # skewed keys are where the salted-join and byte-fold batch paths could
-# mis-batch; every wire byte is hash-compared.
+# mis-batch; every wire byte is hash-compared. The three RECURSIVE-fold
+# oracles (codec_open_wire_bytes, sink_batch_bytes, sink_batch_flush)
+# go through the python fold-replay checkers instead: DuckDB's
+# recursive CTE grinds for hours on deep groups (the skew tier's 21k
+# hot partition; measured ~90 min without completing), while the
+# imperative replay (third engine, a63_fold_check pattern) is seconds.
 SKEW="codec_craft codec_craft_decode codec_craft_resolved codec_checksum
- codec_open_wire codec_open_wire_bytes codec_open_wire_decode
+ codec_open_wire codec_open_wire_decode
  codec_avro_binary codec_avro_decode codec_simple_avro
- codec_simple_avro_decode sink_batch_bytes sink_batch_frame
- sink_batch_flush q_salted_skew_join"
-echo "sf10 oracle run: $(echo $DEDUP $ANN $WINDOWS $SKEW | wc -w) queries -> $OUT"
+ codec_simple_avro_decode sink_batch_frame q_salted_skew_join"
+echo "sf10 oracle run: $(echo $DEDUP $ANN $WINDOWS $SKEW | wc -w) check_sf10 queries + 3 fold-replay queries -> $OUT"
 rc=0
 python3 tools/check_sf10.py /tmp/docs10 "$OUT" $DEDUP   || rc=1
 python3 tools/check_sf10.py /tmp/emb25  "$OUT" $ANN     || rc=1
 python3 tools/check_sf10.py /tmp/sf10   "$OUT" $WINDOWS || rc=1
 python3 tools/check_sf10.py /tmp/skew01 "$OUT" $SKEW    || rc=1
+python3 tools/a63_fold_check.py  /tmp/skew01 "$OUT"     || rc=1
+python3 tools/sink_fold_check.py /tmp/skew01 "$OUT"     || rc=1
 exit $rc
