@@ -33,7 +33,9 @@ ANN="ann_topk_bruteforce ann_lsh_bucketed ann_ivf ann_matryoshka_topk
 WINDOWS="q_window_topn q_window_running q_window_ranks q_range_frame
  q_ntile_cume q_first_last q_rolling_distinct q_gaps_islands q_sessionize
  q_concurrency_gauge q_percentile_exact q_median_mode
- cdc_event_queue_drain cdc_span_lifecycle"
+ cdc_event_queue_drain cdc_span_lifecycle
+ q3_join_topn q5_multijoin q_semi_join q_anti_join q_asof_join
+ q_range_join q_funnel q_retention"
 # r13 stretch: the byte-exact wire family at skew01 (hot-user events) -
 # skewed keys are where the salted-join and byte-fold batch paths could
 # mis-batch; every wire byte is hash-compared. The three RECURSIVE-fold
