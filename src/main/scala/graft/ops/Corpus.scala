@@ -1384,6 +1384,9 @@ object Corpus {
       // single parquet split: spread the CPU-bound pair projection
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(Text.tokens(col("text")).as("toks"))
+      // three consumers (unigram agg, token total, pair agg) —
+      // tokenize once, the gramsCached discipline
+      .localCheckpoint()
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
     val n = toks.select(sum(size(col("toks"))).as("n_total"))

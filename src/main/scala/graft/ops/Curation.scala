@@ -1033,6 +1033,10 @@ object Curation {
                 ELSE array() END"""))))
       .select(col("doc_id"), col("source"),
         pmod(Portable.hash60(col("g")), lit(b)).as("bkt"))
+      // three consumers fan out of this frame (raw grid agg, target
+      // grid agg, final doc-keyed join) — materialize the expensive
+      // scan+tokenize+hash ONCE, the gramsCached discipline
+      .localCheckpoint()
     val raw = feats.groupBy(col("bkt")).agg(count(lit(1)).as("r"))
     val tgt = feats.filter(col("source") === targetSource)
       .groupBy(col("bkt")).agg(count(lit(1)).as("t"))

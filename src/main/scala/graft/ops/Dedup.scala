@@ -51,9 +51,13 @@ object Dedup {
       explode(col("grams")).as("gram"))
     val freq = ex.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    // prefix length also gets the ε slack (below): CEIL(τ·sz) on an
+    // FP-inflated product (0.8·5 → 4.0000000000000004) would shorten
+    // the prefix by one and turn the 'lossless' candidate generation
+    // lossy for non-default τ.
     val prefix = ex.join(freq, Seq("lang", "gram"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(lit(tau) * col("sz")) + lit(1L))
+      .filter(col("rn") <= col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + lit(1L))
       .select(col("lang"), col("gram"), col("doc_id"), col("sz"), col("rn"))
     // two more lossless prunes on the inverted-index join (PPJoin):
     // - length filter: J ≥ τ forces min(|a|,|b|) ≥ τ·max(|a|,|b|);
@@ -80,10 +84,17 @@ object Dedup {
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
-      .withColumn("jaccard", round(
-        col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")), 4))
-      .filter(col("jaccard") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // filter on the UNROUNDED Jaccard (round only the output):
+      // candidate generation is complete for exact J ≥ τ, so accepting
+      // ROUND(J,4) ≥ τ could admit a pair with J ∈ [τ−5e-5, τ) that
+      // the positional prune legitimately dropped — a false oracle red
+      // once gram sets reach ~10k. Both engines divide the same
+      // integers in IEEE double, so the unrounded filter agrees
+      // bit-for-bit.
+      .withColumn("jac_raw",
+        col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")))
+      .filter(col("jac_raw") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jaccard"))
   }
 
   /** Oracle for C4. The first cut was the naive all-pairs block join —
@@ -113,7 +124,7 @@ object Dedup {
        |  SELECT ex.lang, ex.gram, ex.doc_id, ex.sz
        |  FROM ex JOIN freq ON ex.lang = freq.lang AND ex.gram = freq.gram
        |  QUALIFY row_number() OVER (PARTITION BY ex.doc_id ORDER BY freq.df, ex.gram)
-       |    <= ex.sz - CEIL($tau * ex.sz) + 1
+       |    <= ex.sz - CEIL($tau * ex.sz - 1e-9) + 1
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM pref a JOIN pref b
@@ -126,8 +137,8 @@ object Dedup {
        |FROM cand c
        |JOIN gg a ON a.doc_id = c.doc_a
        |JOIN gg b ON b.doc_id = c.doc_b
-       |WHERE ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE /
-       |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) >= $tau""".stripMargin
+       |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+       |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= $tau""".stripMargin
 
   /** MinHash permutation constants: universal hashing
     * `(a_p * h + b_p) mod P` over the Mersenne prime P = 2^31 - 1.

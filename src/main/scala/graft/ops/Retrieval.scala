@@ -411,16 +411,21 @@ object Retrieval {
   /** True iff the fingerprint frame is unique enough for the
     * candidate-universe prune to pay (shared-fp row fraction below
     * [[PruneMaxSharedFpFrac]]). One agg over the already-materialized
-    * (localCheckpointed) fingerprint frame — milliseconds against the
+    * (localCheckpointed) fingerprint frame — sub-second against the
     * seconds the wrong plan shape costs. The distinct estimate runs at
-    * rsd 0.5% so estimator error sits an order of magnitude below the
-    * 5% decision threshold: the HLL default (~5% rsd) was the same
-    * order as the threshold, letting near-boundary or fully-unique
-    * corpora draw the slower plan arbitrarily (exactness was never at
-    * stake — both plans are exact — but plan choice should be stable). */
+    * rsd 2% so estimator error sits 2.5x below the 5% decision
+    * threshold: the HLL default (~5% rsd) was the same order as the
+    * threshold, letting near-boundary or fully-unique corpora draw the
+    * slower plan arbitrarily (exactness was never at stake — both
+    * plans are exact — but plan choice should be stable). rsd 0.5% is
+    * NOT the answer: its 2^16-register sketch made this one gate agg
+    * cost 5–8 s at sf0.1 (GateProbe, r15 — the entire r14 C42
+    * regression; the decision never moved: sharedFrac is 0.81 on the
+    * bench corpus at every precision). rsd 2% keeps the sketch at
+    * 2^12 registers and the gate at ~0.4 s with precision to spare. */
   private[graft] def pruneGate(fps: DataFrame): Boolean = {
     val r = fps.agg(count(lit(1)).cast("double").as("n"),
-      approx_count_distinct(col("fp_hash"), 0.005).cast("double").as("d")).head()
+      approx_count_distinct(col("fp_hash"), 0.02).cast("double").as("d")).head()
     val n = r.getDouble(0)
     n > 0 && (1.0 - r.getDouble(1) / n) < PruneMaxSharedFpFrac
   }

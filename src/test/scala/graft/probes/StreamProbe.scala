@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
   * rows/s number can be ATTRIBUTED (join build vs state commit vs
   * planning) instead of guessed.
   *
-  * Usage: tools/run.sh graft.StreamProbe <sfDir> [op] [chunks] [mfpt]
+  * Usage: tools/run.sh graft.StreamProbe <sfDir> [op] [chunks] [mfpt] [parts]
   *   op     = range_join (default) | txn_match | cdc_pipeline |
   *            snapshot_state
   *   chunks = split the events file into N parquet chunk files first,

@@ -38,7 +38,10 @@ def write(out_json, sf_dir, commit, results):
     import glob as _glob
     import re as _re
     ladders = sorted(_glob.glob("BENCH_LADDER_r*.json"))
-    rnd = int(_re.search(r"r(\d+)", ladders[-1]).group(1)) if ladders else 0
+    # GRAFT_ROUND overrides: early in a round the newest ladder file is
+    # still the PRIOR round's (the ladder is recorded at round end)
+    rnd = int(os.environ.get("GRAFT_ROUND", 0)) or (
+        int(_re.search(r"r(\d+)", ladders[-1]).group(1)) if ladders else 0)
     doc = {"round": rnd, "tier": sf_dir, "commit": commit,
            "checked_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "method": ("DuckDB-internal bag equality per query: "

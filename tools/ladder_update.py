@@ -29,8 +29,11 @@ import subprocess
 import sys
 import time
 
-LADDER = "BENCH_LADDER_r14.json"
-PREV_LADDER = "BENCH_LADDER_r13.json"
+LADDER = "BENCH_LADDER_r15.json"
+PREV_LADDER = "BENCH_LADDER_r14.json"
+# round id derived from the ladder filename so it can't go stale again
+# (the r14 ladder shipped stamped "round": 13 — VERDICT r14 wrong #2)
+ROUND = int(re.search(r"_r(\d+)\.json$", LADDER).group(1))
 TIERS = ["sf0_1", "sf1x", "sf10", "emb25", "skew01", "docs10"]
 
 
@@ -188,7 +191,8 @@ def main():
         with open(LADDER) as f:
             d = json.load(f)
     except FileNotFoundError:
-        d = {"round": 13}
+        d = {}
+    d["round"] = ROUND
     entry = {"value": bench["value"], "unit": "sec",
              "commit": commit,
              "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",

@@ -97,7 +97,8 @@ HAND_RECORDED = {
     # arg; Bench suite() is a semantically-identical refactor), so if
     # HEAD's quiet-box rates recover to ~r10 levels the r13 regression
     # was measurement environment, not code.
-    "sf10_quiet_probe": None,  # filled by fill_sf10_probe() below
+    # (quiet-box sf10 streaming rates are NOT hand-recorded: streaming()
+    # pulls them live via fill_sf10_probe() below)
 }
 
 

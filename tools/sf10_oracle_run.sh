@@ -11,7 +11,7 @@
 #
 # Usage: tools/sf10_oracle_run.sh [outJson]
 cd /root/repo
-OUT=${1:-CORRECTNESS_SF10_r14.json}
+OUT=${1:-CORRECTNESS_SF10_r15.json}
 # dedup_ngram_jaccard is back in (r14): its oracle now mirrors the
 # lossless prefix-filter candidate generation (bag-equal with the
 # all-pairs definition at sf0.01/sf0.1, verified; ~91 s at docs10 vs
@@ -49,11 +49,33 @@ SKEW="codec_craft codec_craft_decode codec_craft_resolved codec_checksum
  codec_avro_binary codec_avro_decode codec_simple_avro
  codec_simple_avro_decode sink_batch_frame q_salted_skew_join"
 echo "sf10 oracle run: $(echo $DEDUP $ANN $WINDOWS $SKEW | wc -w) check_sf10 queries + 3 fold-replay queries -> $OUT"
+# r15 (VERDICT r14 mandate #2 + stretch #8): the top sf10 wall-time
+# cells that lacked ANY dense-tier oracle — the eventstore/materialize/
+# dynstream A-series family plus the sink render paths and the
+# B-series heavy aggs/rollup class. Runs at /tmp/sf10 (facts x100).
+R15_SF10="sink_kafka_messages cdc_eventstore_key q_corr_agg_subquery
+ q_approx_quantile sink_encoder_group q_share_of_total cdc_txn_match
+ cdc_dynstream_path_assign cdc_dispatcher_checkpoint cdc_table_progress
+ session_transcripts cdc_event_seq_check cdc_scan_emit cdc_kv_key_codec
+ cdc_event_physical cdc_scan_tasks cdc_schema_asof q_distinct_agg
+ cdc_changefeed_overview cdc_syncpoint q_full_outer
+ q_rollup q_cube q_grouping_sets q_json_extract split_leakage"
+# r15-touched dedup family: re-verified at the NEW HEAD (the r14 board
+# ran at a89137f; ngram_jaccard's verify filter and containment's gate
+# changed in r15)
+R15_DOCS10="dedup_ngram_jaccard dedup_containment quality_dsir
+ corpus_phrases"
 rc=0
-python3 tools/check_sf10.py /tmp/docs10 "$OUT" $DEDUP   || rc=1
-python3 tools/check_sf10.py /tmp/emb25  "$OUT" $ANN     || rc=1
-python3 tools/check_sf10.py /tmp/sf10   "$OUT" $WINDOWS || rc=1
-python3 tools/check_sf10.py /tmp/skew01 "$OUT" $SKEW    || rc=1
-python3 tools/a63_fold_check.py  /tmp/skew01 "$OUT"     || rc=1
-python3 tools/sink_fold_check.py /tmp/skew01 "$OUT"     || rc=1
+if [ "${R15_ONLY:-1}" = "1" ]; then
+  python3 tools/check_sf10.py /tmp/sf10   "$OUT" $R15_SF10  || rc=1
+  python3 tools/check_sf10.py /tmp/docs10 "$OUT" $R15_DOCS10 || rc=1
+else
+  python3 tools/check_sf10.py /tmp/docs10 "$OUT" $DEDUP   || rc=1
+  python3 tools/check_sf10.py /tmp/emb25  "$OUT" $ANN     || rc=1
+  python3 tools/check_sf10.py /tmp/sf10   "$OUT" $WINDOWS || rc=1
+  python3 tools/check_sf10.py /tmp/skew01 "$OUT" $SKEW    || rc=1
+  python3 tools/a63_fold_check.py  /tmp/skew01 "$OUT"     || rc=1
+  python3 tools/sink_fold_check.py /tmp/skew01 "$OUT"     || rc=1
+  python3 tools/check_sf10.py /tmp/sf10   "$OUT" $R15_SF10  || rc=1
+fi
 exit $rc
