@@ -57,7 +57,35 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         (name, 0L, -1.0, 0L)
       }
+    // Batch-size-adaptive state-store parallelism (guide §2: make
+    // partitioning scale with the data, not with the box): the
+    // per-micro-batch cost of a stateful query includes one state-store
+    // COMMIT per shuffle partition (measured r14: 128 delta writes per
+    // 50k-row batch at the batch-board 32; parts=8 ran 2.25x faster
+    // with an identical state curve). Partitions are derived from the
+    // bytes one micro-batch ingests — input size div 256 KiB, clamped
+    // to [4, cores] — so small micro-batches stop paying 32 fixed
+    // commits while corpus-scale batches keep full parallelism.
+    // SPARK_GRAFT_STREAM_PARTS overrides the derivation (probe knob).
+    def streamParts(dir: String, mfpt: Option[Int]): Int =
+      sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+        val f = new java.io.File(s"$dir/events.parquet")
+        val files =
+          if (f.isDirectory)
+            f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet"))
+          else Array(f)
+        val total = files.map(_.length).sum
+        // AvailableNow with maxFilesPerTrigger=n ingests n files/batch
+        val perBatch = mfpt.filter(_ > 0).map { n =>
+          total / math.max(1L, (files.length.toLong + n - 1) / n)
+        }.getOrElse(total)
+        math.max(4L, math.min(
+          spark.sparkContext.defaultParallelism.toLong,
+          perBatch / (256L * 1024L))).toInt
+      }
     def suite(dir: String, mfpt: Option[Int], suffix: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        streamParts(dir, mfpt).toString)
       val pipeline = streaming.CdcStream.pipeline(spark, dir,
         maxFilesPerTrigger = mfpt)
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -89,11 +117,13 @@ object Bench {
     // JVM/page-cache state as in rounds without the mb smoke (the r13
     // shape evaluated `sliced` eagerly before the main suite, warming
     // the box and skewing round-over-round streaming comparison)
+    val batchParts = spark.conf.get("spark.sql.shuffle.partitions")
     val mainSuite = suite(sfDir, None, "")
     val sliced = sys.env.get("SPARK_GRAFT_STREAM_SLICES").toSeq.flatMap {
       dir => suite(dir,
         Some(sys.env.getOrElse("SPARK_GRAFT_STREAM_MFPT", "2").toInt), "_mb")
     }
+    spark.conf.set("spark.sql.shuffle.partitions", batchParts)
     mainSuite ++ sliced
   }
 

@@ -334,10 +334,26 @@ object Barrier {
     * changefeed carrying its state, blocking verdict, and the fleet's
     * safepoint upper bound. Dimension-scale end to end. */
   def gcSafepoint(cl: DataFrame, fleet: Seq[CfState],
-                  syncStep: Long): DataFrame = {
-    val spark = cl.sparkSession
+                  syncStep: Long): DataFrame =
+    gcSafepointFromWm(
+      watermarkAgg(cl, fleet.map(f => f.changefeed -> f.rules), syncStep),
+      fleet)
+      .select(col("changefeed"), col("state"), col("error_code"),
+        col("n_spans"), col("checkpoint_ts"), col("blocks_gc"),
+        col("safepoint_upper"))
+
+  /** The A78 safepoint columns layered onto an ALREADY-BUILT A76
+    * watermark frame — factored out so A105's overview can compute the
+    * watermark aggregation ONCE and derive both the safepoint and the
+    * watermark columns from it (before r15 the overview embedded TWO
+    * full copies of the spanFrontier→LIKE-join→agg subtree: one inside
+    * gcSafepoint, one as its own wmFull — 92 exchanges / 26 scans in
+    * the static plan). Returns every wm column plus state, error_code,
+    * blocks_gc, safepoint_upper. */
+  private def gcSafepointFromWm(wm: DataFrame,
+                                fleet: Seq[CfState]): DataFrame = {
+    val spark = wm.sparkSession
     import spark.implicits._
-    val wm = watermarkAgg(cl, fleet.map(f => f.changefeed -> f.rules), syncStep)
     val states = fleet.map(f =>
       (f.changefeed, f.state, f.errorCode.orNull))
       .toDF("changefeed", "state", "error_code")
@@ -350,11 +366,10 @@ object Barrier {
     joined
       .withColumn("min_blocking_cp",
         min(when(col("blocks_gc") === 1L, col("checkpoint_ts"))).over(w))
-      .select(col("changefeed"), col("state"),
-        coalesce(col("error_code"), lit(null).cast("string")).as("error_code"),
-        col("n_spans"), col("checkpoint_ts"), col("blocks_gc"),
-        (coalesce(col("min_blocking_cp"), lit(MaxWatermark)) - 1L)
-          .as("safepoint_upper"))
+      .withColumn("error_code",
+        coalesce(col("error_code"), lit(null).cast("string")))
+      .withColumn("safepoint_upper",
+        coalesce(col("min_blocking_cp"), lit(MaxWatermark)) - 1L)
   }
 
   /** A105 — the changefeed OVERVIEW: the `cdc cli changefeed list` /
@@ -371,11 +386,13 @@ object Barrier {
                          syncStep: Long): DataFrame = {
     val spark = cl.sparkSession
     import spark.implicits._
-    val base = gcSafepoint(cl, fleet, syncStep)
-    val wmFull = watermarkAgg(cl, fleet.map(f => f.changefeed -> f.rules),
-        syncStep)
-      .select(col("changefeed"), col("resolved_ts"), col("lag_ts"),
-        col("slowest_span"))
+    // ONE watermark aggregation feeds both the safepoint and the
+    // resolved/lag/slowest columns (it used to run twice: once inside
+    // gcSafepoint, once as a separate wmFull — identical subtrees the
+    // planner cannot merge across a join)
+    val base = gcSafepointFromWm(
+      watermarkAgg(cl, fleet.map(f => f.changefeed -> f.rules), syncStep),
+      fleet)
     val rules = fleet.flatMap(f => f.rules.map(r => (f.changefeed, r)))
       .toDF("changefeed", "rule")
     val hot = Scheduler.hotSpans(cl)
@@ -386,7 +403,6 @@ object Barrier {
       .groupBy(col("changefeed"))
       .agg(count(col("span")).as("n_hot_spans"))
     base
-      .join(wmFull, Seq("changefeed"))
       .join(hotPerCf, Seq("changefeed"), "left")
       .select(col("changefeed"), col("state"), col("error_code"),
         col("n_spans"), col("checkpoint_ts"), col("resolved_ts"),

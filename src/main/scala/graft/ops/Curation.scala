@@ -35,7 +35,10 @@ object Curation {
       .withColumn("root", min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("doc_id") =!= col("root"))
       .select(col("doc_id").as("u"), col("root").as("v"))
-    val fuzzy = Dedup.ngramJaccard(spark, dir, tau)
+    // fuzzy edges come from the memoized C4 pair ledger — C18, C71 and
+    // C78 all consume the same verified edge set; re-running the PPJoin
+    // candidate generation per consumer tripled the corpus-scale work
+    val fuzzy = Dedup.ngramPairsCached(spark, dir, tau)
       .select(col("doc_b").as("u"), col("doc_a").as("v"))
     exact.union(fuzzy)
   }
@@ -804,7 +807,7 @@ object Curation {
     val exactPairs = fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("b.doc_id").as("u"), col("a.doc_id").as("v"))
-    val fuzzyPairs = Dedup.ngramJaccard(spark, dir, tau)
+    val fuzzyPairs = Dedup.ngramPairsCached(spark, dir, tau)
       .select(col("doc_b").as("u"), col("doc_a").as("v"))
     chainAuditFromEdges(clusters,
       exactPairs.union(fuzzyPairs).distinct())

@@ -440,9 +440,22 @@ object Dedup {
       .filter(pmod(Portable.hash60(concat(lit("graft-audit-v1:"),
         col("doc_id").cast("string"))), lit(sampleMod)) === 0L)
       .localCheckpoint()
-    val a = sampled.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
-    val b = sampled.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
-    val truth = a.join(b, col("doc_a") < col("doc_b"))
+    val a = sampled.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+      size(col("grams")).as("sa"))
+    val b = sampled.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+      size(col("grams")).as("sb"))
+    // lossless size prune INSIDE the join condition: the audit keeps
+    // only pairs with ROUND(J,4) >= jFloor, and J <= min(|a|,|b|) /
+    // max(|a|,|b|), so any kept pair satisfies min >= (jFloor - 1e-4)
+    // * max (1e-4 covers the 5e-5 round-up plus FP slack; gram counts
+    // are integers, so the slack can never admit a pair the unpruned
+    // filter would keep — it only lets borderline pairs THROUGH to the
+    // exact verify). Evaluating the integer ratio check before the
+    // O(|grams|) array_intersect drops the quadratic sample join's
+    // heavy work for every size-incompatible pair.
+    val truth = a.join(b, col("doc_a") < col("doc_b") &&
+        least(col("sa"), col("sb")).cast("double") >=
+          lit(jFloor - 1e-4) * greatest(col("sa"), col("sb")))
       .withColumn("inter",
         size(array_intersect(col("ga"), col("gb"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
@@ -592,6 +605,33 @@ object Dedup {
   /** Non-empty gram arrays (cache-backed). */
   private[graft] def gramFrame(spark: SparkSession, dir: String): DataFrame =
     gramsCached(spark, dir).filter(size(col("grams")) > 0)
+
+  /** The VERIFIED C4 near-dup pair ledger (doc_a < doc_b, no score
+    * column), memoized per (session, dir, τ) — the dedup graph's fuzzy
+    * edge set that C18's clusters, C71's split-leakage labeling and
+    * C78's chain audit all consume. A real pipeline materializes this
+    * ledger once per corpus snapshot and every downstream stage reads
+    * it (the clusterMemo / gramsCached precedent); before the memo,
+    * each of the three consumers re-ran the full PPJoin candidate
+    * generation + exact verify — three corpus-scale inverted-index
+    * joins per composition instead of one (r15 plan audit:
+    * split_leakage alone carried 25 parquet scans / 75 exchanges,
+    * most of them this subtree). `dedup_ngram_jaccard` itself does NOT
+    * read the memo — the declared query recomputes from the parquet
+    * inputs on every invocation. Released by
+    * [[graft.util.GraftSession.releaseCaches]]. */
+  private val pairsMemo = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Double), DataFrame]()
+  private[graft] def clearPairsMemo(): Unit = pairsMemo.clear()
+  private[graft] def ngramPairsCached(spark: SparkSession, dir: String,
+                                      tau: Double): DataFrame =
+    pairsMemo.synchronized {
+      pairsMemo.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(pairsMemo.remove)
+      pairsMemo.getOrElseUpdate((spark, dir, tau),
+        ngramJaccard(spark, dir, tau)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint())
+    }
 
   /** (doc_id, gram) exploded pairs (cache-backed; explode drops empty
     * docs, so no pre-filter needed). */

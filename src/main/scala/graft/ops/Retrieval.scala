@@ -948,7 +948,7 @@ object Retrieval {
     * equi-joins against the offsets stream + one doc-keyed norm
     * join — all doc-keyed, nothing new at scale. */
   def dedupSpanChars(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val spans = dedupSubstringSpans(spark, dir, k)
+    val spans = substringSpansCached(spark, dir, k)
       .select(col("doc_id"), col("span_seq"), col("tok_start"), col("tok_end"))
     val offs = graft.ops.TextAnalysis.tokenOffsets(spark, dir)
       .select(col("doc_id"), col("token_idx"), col("char_start"),
@@ -1030,7 +1030,7 @@ object Retrieval {
     * contract). One doc-keyed span collect + one doc-keyed join —
     * nothing beyond C59's own shapes. */
   def dedupCutApply(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val spans = dedupSubstringSpans(spark, dir, k)
+    val spans = substringSpansCached(spark, dir, k)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("tok_start"), col("tok_end"))))
         .as("spans"))
@@ -1194,6 +1194,26 @@ object Retrieval {
                           k: Int = 8): DataFrame =
     dedupSubstringSpansFrom(docs(spark, dir), k)
 
+  /** The C59 span LEDGER memoized per (session, dir, k) — consumed by
+    * C68 (char projection) and C69 (cut apply), the two downstream
+    * stages of the same cut pipeline; a production pass materializes
+    * the ledger once and both read it (the clusterMemo /
+    * winnowHashesCached precedent). `dedup_substring_spans` itself
+    * does NOT read the memo — the declared query recomputes from the
+    * parquet inputs on every invocation. Released by
+    * [[graft.util.GraftSession.releaseCaches]]. */
+  private val spansMemo = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Int), DataFrame]()
+  private[graft] def clearSpansMemo(): Unit = spansMemo.clear()
+  private[graft] def substringSpansCached(spark: SparkSession, dir: String,
+                                          k: Int): DataFrame =
+    spansMemo.synchronized {
+      spansMemo.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(spansMemo.remove)
+      spansMemo.getOrElseUpdate((spark, dir, k),
+        dedupSubstringSpans(spark, dir, k).localCheckpoint())
+    }
+
   /** Positioned 60-bit gram-hash occurrences of a documents frame
     * (shared by C59 and its streaming twin's static-index builder). */
   private[graft] def substringOcc(docsFrame: DataFrame, k: Int = 8): DataFrame =
@@ -1218,8 +1238,22 @@ object Retrieval {
 
   private[graft] def dedupSubstringSpansFrom(docsFrame: DataFrame,
                                              k: Int = 8): DataFrame = {
+    // The df>=2 index branch used to run distinct-on-(gh, doc_id)
+    // [Exchange hash(gh, doc_id)] and THEN groupBy(gh) [Exchange
+    // hash(gh)] — two corpus-scale exchanges where one suffices: the
+    // count-DISTINCT formulation dedups (gh, doc_id) map-side inside
+    // the partial aggregate and shuffles once on hash(gh) (guide §2.4).
+    // The occurrence pass itself still computes once per branch: an
+    // eager localCheckpoint of the corpus-scale occ frame was measured
+    // SLOWER at the bench tiers than the recompute it saved, and
+    // exchange reuse cannot merge the branches (the index branch's
+    // exchange carries partial-agg rows, the join branch's carries raw
+    // occurrences).
     val occ = substringOcc(docsFrame, k)
-    val dupGrams = dupGramSet(docsFrame, k)
+    val dupGrams = occ
+      .groupBy(col("gh")).agg(countDistinct(col("doc_id")).as("gdf"))
+      .filter(col("gdf") >= 2L)
+      .select(col("gh"))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = occ.join(dupGrams, "gh")
       .select(col("doc_id"), col("doc_tokens"), col("pos"))

@@ -951,6 +951,12 @@ object Analytics {
     * to exact integers (qty·5·cnt < sum_qty): quantities are integral,
     * so no engine-variant float division decides membership. */
   def qCorrAggSubquery(spark: SparkSession, dir: String): DataFrame = {
+    // Plan shape (r15 audit): the per-part aggregate is broadcast back
+    // onto the probe side, so lineitem is never shuffled for this
+    // query — an explicit repartition(l_partkey) was tried and
+    // REJECTED (it added a corpus-scale exchange on the probe side
+    // while column pruning — the agg branch reads 2 columns, the probe
+    // 3 — prevents the two branches from sharing it).
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
         col("l_extendedprice"))

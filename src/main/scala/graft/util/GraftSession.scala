@@ -96,6 +96,8 @@ object GraftSession {
     graft.ops.Similarity.clearIvfMemo()
     graft.ops.Corpus.clearRepetitionMemo()
     graft.ops.Retrieval.clearWinnowMemo()
+    graft.ops.Retrieval.clearSpansMemo()
+    graft.ops.Dedup.clearPairsMemo()
     graft.cdc.Scheduler.clearCensusMemo()
     graft.cdc.ClDims.clear()
   }

@@ -6,8 +6,26 @@ import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md). */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet file schemas memoized per path: every `spark.read.parquet`
+    * WITHOUT a user schema runs footer-based schema inference on the
+    * driver before planning — and a bench/verify session opens the same
+    * ten files hundreds of times (several times per query: most
+    * operators scan a table 2-4 times in one plan). The schema is pure
+    * FILE metadata (no session state, no row data — caching it is the
+    * catalog behavior every metastore-backed table gets for free), so
+    * the memo is keyed on path alone and never needs eviction; the
+    * first read of each path still infers from the real footer, so a
+    * regenerated dataset is picked up by a fresh process exactly as
+    * before. */
+  private val schemaMemo =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaMemo.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** The engine's internal `events.ts` contract is epoch-NANOS BIGINT.
     * The driver has generated events.parquet with `ts` as either

@@ -83,6 +83,38 @@ class CacheHygieneSpec extends AnyFunSuite {
     graft.util.GraftSession.releaseCaches(spark)
   }
 
+  test("C4 pair-ledger memo shares one frame, equals the fresh query, and releases") {
+    graft.util.GraftSession.releaseCaches(spark)
+    val a = ops.Dedup.ngramPairsCached(spark, dir, 0.5)
+    assert(ops.Dedup.ngramPairsCached(spark, dir, 0.5) eq a,
+      "second lookup should reuse the memoized ledger")
+    // the ledger IS the declared C4 pair set (dropping only the score
+    // column) — the consumers (C18/C71/C78) must see identical edges
+    val fresh = ops.Dedup.ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
+    assert(a.collect().map(_.toSeq).toSet == fresh)
+    graft.util.GraftSession.releaseCaches(spark)
+    val b = ops.Dedup.ngramPairsCached(spark, dir, 0.5)
+    assert(!(b eq a), "release must drop the pair memo")
+    assert(b.collect().map(_.toSeq).toSet == fresh)
+    graft.util.GraftSession.releaseCaches(spark)
+  }
+
+  test("C59 span-ledger memo shares one frame, equals the fresh query, and releases") {
+    graft.util.GraftSession.releaseCaches(spark)
+    val a = ops.Retrieval.substringSpansCached(spark, dir, 8)
+    assert(ops.Retrieval.substringSpansCached(spark, dir, 8) eq a,
+      "second lookup should reuse the memoized ledger")
+    val fresh = ops.Retrieval.dedupSubstringSpans(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(a.collect().map(_.toSeq).toSet == fresh)
+    graft.util.GraftSession.releaseCaches(spark)
+    val b = ops.Retrieval.substringSpansCached(spark, dir, 8)
+    assert(!(b eq a), "release must drop the span memo")
+    assert(b.collect().map(_.toSeq).toSet == fresh)
+    graft.util.GraftSession.releaseCaches(spark)
+  }
+
   test("changelog dimension + span census memos share one build and release") {
     graft.util.GraftSession.releaseCaches(spark)
     val cl = cdc.ChangeEvents.changelog(spark, dir)

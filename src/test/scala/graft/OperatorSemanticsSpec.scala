@@ -1087,6 +1087,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got(batchIds(0))._3 == 1000000L && got(batchIds(1))._3 < 1000000L)
   }
 
+  test("C73: the truth join's size prune is lossless on size-diverse docs") {
+    val spk = spark
+    import spk.implicits._
+    // size-DIVERSE corpus (the controlled-overlap test above is
+    // all-100-gram, so the r15 lossless size prune never fires there):
+    // - (big100, small15) share all 15 of small's grams: J = 15/100 =
+    //   0.15 < jFloor 0.2 — the prune may (and does) drop the pair,
+    //   and the truth must not contain it;
+    // - (big100, mid50) share 45: J = 45/105 ≈ 0.4286 — band 4, size
+    //   ratio 0.5 clears the prune, the truth MUST keep it;
+    // - (small15, mid50) share 15: J = 15/50 = 0.30 — band 3, size
+    //   ratio 0.3 clears the prune, the truth MUST keep it.
+    val docs = Seq(
+      (1L, (0 until 100).map(i => s"x$i")),
+      (2L, (0 until 15).map(i => s"x$i")),
+      (3L, (0 until 45).map(i => s"x$i") ++ (0 until 5).map(i => s"y$i")))
+    val got = ops.Dedup.lshRecallAuditFrom(docs.toDF("doc_id", "grams"))
+      .collect().map(r => r.getAs[Long]("jband") ->
+        r.getAs[Long]("n_true_pairs")).toMap
+    assert(got(4L) == 1L, "the size-compatible J=0.43 pair must be truth")
+    assert(got(3L) == 1L, "the size-compatible J=0.30 pair must be truth")
+    assert(got.filter(kv => kv._1 != 4L && kv._1 != 3L).values.forall(_ == 0L),
+      "no other band may carry truth — the J=0.15 pair stays excluded")
+  }
+
   test("C73: the truth sample is bounded at every corpus size") {
     val spk = spark
     import spk.implicits._
