@@ -27,8 +27,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap scales with the benched core count (guide §5): local[N] runs N
+// concurrent tasks in ONE JVM, so a fixed -Xmx shrinks per-task memory
+// as N grows — the r15 driver board measured memory-heavy operators
+// 2-30x SLOWER at 32 cores than at 8 purely from that pressure
+// (multimodal explodes, wide token arrays, quadratic truth join).
+// 2 GiB/core mirrors a standard cluster executor shape (8-core/16 GiB);
+// the 64 GiB cap keeps half the 128 GiB sandbox free for page cache.
+// SPARK_DRIVER_MEM still overrides for probes/A-Bs.
+val graftHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+    .flatMap(c => scala.util.Try(c.trim.toInt).toOption).getOrElse(4)
+  s"${math.min(math.max(8, 2 * cpus), 64)}g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$graftHeap",
 )

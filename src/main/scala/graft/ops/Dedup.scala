@@ -440,27 +440,38 @@ object Dedup {
       .filter(pmod(Portable.hash60(concat(lit("graft-audit-v1:"),
         col("doc_id").cast("string"))), lit(sampleMod)) === 0L)
       .localCheckpoint()
-    val a = sampled.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
-      size(col("grams")).as("sa"))
-    val b = sampled.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
-      size(col("grams")).as("sb"))
-    // lossless size prune INSIDE the join condition: the audit keeps
-    // only pairs with ROUND(J,4) >= jFloor, and J <= min(|a|,|b|) /
-    // max(|a|,|b|), so any kept pair satisfies min >= (jFloor - 1e-4)
-    // * max (1e-4 covers the 5e-5 round-up plus FP slack; gram counts
-    // are integers, so the slack can never admit a pair the unpruned
-    // filter would keep — it only lets borderline pairs THROUGH to the
-    // exact verify). Evaluating the integer ratio check before the
-    // O(|grams|) array_intersect drops the quadratic sample join's
-    // heavy work for every size-incompatible pair.
+    // Grams arrive SORTED so the per-pair intersection is a linear
+    // merge (graft_sorted_intersect_size) instead of the builtin
+    // array_intersect, whose string path evaluates interpreted
+    // (SQLOpenHashSet + boxed getters) and COLLAPSED under 32-way
+    // parallelism (r16 thread dumps: every task thread inside
+    // nullSafeEval, 32c 7-30x slower than 8c, GC ruled out). Sorting
+    // costs one sort_array per sampled doc — O(sample), not O(sample²).
+    val a = sampled.select(col("doc_id").as("doc_a"),
+      sort_array(col("grams")).as("ga"), size(col("grams")).as("sa"))
+    val b = sampled.select(col("doc_id").as("doc_b"),
+      sort_array(col("grams")).as("gb"), size(col("grams")).as("sb"))
+    val interC = graft.functions.VectorExprs
+      .sortedIntersectSize(col("ga"), col("gb")).cast("double")
+    // The WHOLE per-pair predicate lives in the join condition, ordered
+    // cheap → expensive: (1) doc_a < doc_b halves the pair count, (2)
+    // the lossless size prune — the audit keeps only ROUND(J,4) >=
+    // jFloor and J <= min(|a|,|b|)/max(|a|,|b|), so any kept pair has
+    // min >= (jFloor - 1e-4)·max (1e-4 covers the 5e-5 round-up; sizes
+    // are integers, so the slack only lets borderline pairs THROUGH to
+    // the exact check) — and only then (3) the merge intersect. The r15
+    // shape expressed (3) as a separate .filter, which Catalyst pushed
+    // to the FRONT of the BNLJ conjunction — the expensive intersect ran
+    // before the prunes for every ordered pair (plan-verified,
+    // plans/r16/lsh_recall_audit_before.txt line 81).
     val truth = a.join(b, col("doc_a") < col("doc_b") &&
         least(col("sa"), col("sb")).cast("double") >=
-          lit(jFloor - 1e-4) * greatest(col("sa"), col("sb")))
-      .withColumn("inter",
-        size(array_intersect(col("ga"), col("gb"))).cast("double"))
+          lit(jFloor - 1e-4) * greatest(col("sa"), col("sb")) &&
+        round(interC / (size(col("ga")) + size(col("gb")) - interC), 4)
+          >= jFloor)
+      .withColumn("inter", interC)
       .withColumn("jaccard", round(col("inter") /
         (size(col("ga")) + size(col("gb")) - col("inter")), 4))
-      .filter(col("jaccard") >= jFloor)
       .withColumn("jband",
         least(lit(9L), floor(col("jaccard") * 10).cast("long")))
       .select(col("doc_a"), col("doc_b"), col("jband"))

@@ -1112,6 +1112,34 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       "no other band may carry truth — the J=0.15 pair stays excluded")
   }
 
+  test("C73: sorted_intersect_size == size(array_intersect) on every shape") {
+    val spk = spark
+    import spk.implicits._
+    // adversarial shapes for the r16 merge intersect: duplicates (the
+    // merge must count DISTINCT matches, like array_intersect), empty
+    // sides, disjoint, identical, shared prefixes (byte-order ties),
+    // multi-byte UTF-8, and a pseudo-random soup. Inputs arrive
+    // UNSORTED and go through the same sort_array the audit applies.
+    val cases = Seq(
+      (Seq("b", "a", "c"), Seq("c", "b", "z")),
+      (Seq("a", "a", "b", "b"), Seq("b", "a", "a")), // dups both sides
+      (Seq.empty[String], Seq("a")),
+      (Seq("a"), Seq.empty[String]),
+      (Seq("x y", "x"), Seq("x", "x y z")), // prefix ties
+      (Seq("é", "e", "ß"), Seq("ß", "é")), // multi-byte UTF-8
+      (Seq("same"), Seq("same")),
+      ((0 until 200).map(i => s"g${i * 7 % 97}"),
+        (0 until 150).map(i => s"g${i * 13 % 83}")))
+    val df = cases.toDF("a", "b")
+      .withColumn("want", size(array_intersect(col("a"), col("b"))))
+      .withColumn("got", graft.functions.VectorExprs.sortedIntersectSize(
+        sort_array(col("a")), sort_array(col("b"))))
+    df.collect().foreach { r =>
+      assert(r.getAs[Int]("got") == r.getAs[Int]("want"),
+        s"a=${r.getSeq[String](0)} b=${r.getSeq[String](1)}")
+    }
+  }
+
   test("C73: the truth sample is bounded at every corpus size") {
     val spk = spark
     import spk.implicits._

@@ -16,6 +16,13 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADDOPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+# Heap scales with the benched core count (same rule as build.sbt):
+# N concurrent local-mode tasks share one JVM; 2 GiB/core, clamp [8,64]g.
+if [ -z "${SPARK_DRIVER_MEM:-}" ]; then
+  CPUS=${SPARK_GRAFT_CPUS:-4}
+  G=$(( CPUS * 2 )); [ "$G" -lt 8 ] && G=8; [ "$G" -gt 64 ] && G=64
+  SPARK_DRIVER_MEM="${G}g"
+fi
+exec java $ADDOPENS -Xmx${SPARK_DRIVER_MEM} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:$JAR:$TESTCLASSES" "$@"
