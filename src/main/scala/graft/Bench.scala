@@ -69,19 +69,29 @@ object Bench {
     // SPARK_GRAFT_STREAM_PARTS overrides the derivation (probe knob).
     def streamParts(dir: String, mfpt: Option[Int]): Int =
       sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
-        val f = new java.io.File(s"$dir/events.parquet")
-        val files =
-          if (f.isDirectory)
-            f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet"))
-          else Array(f)
-        val total = files.map(_.length).sum
-        // AvailableNow with maxFilesPerTrigger=n ingests n files/batch
-        val perBatch = mfpt.filter(_ > 0).map { n =>
-          total / math.max(1L, (files.length.toLong + n - 1) / n)
-        }.getOrElse(total)
-        math.max(4L, math.min(
-          spark.sparkContext.defaultParallelism.toLong,
-          perBatch / (256L * 1024L))).toInt
+        // enumerate the SAME events.parquet* glob the stream source
+        // reads (a tier copy may ship events.parquet_2, …), and guard
+        // listFiles' null (unreadable dir) — fall back to the floor and
+        // let the downstream schema read raise the friendly error
+        val parent = new java.io.File(dir)
+        val files = Option(parent.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("events.parquet"))
+          .flatMap { f =>
+            if (f.isFile) Array(f)
+            else Option(f.listFiles()).getOrElse(Array.empty)
+              .filter(x => x.isFile && x.getName.endsWith(".parquet"))
+          }
+        if (files.isEmpty) 4
+        else {
+          val total = files.map(_.length).sum
+          // AvailableNow with maxFilesPerTrigger=n ingests n files/batch
+          val perBatch = mfpt.filter(_ > 0).map { n =>
+            total / math.max(1L, (files.length.toLong + n - 1) / n)
+          }.getOrElse(total)
+          math.max(4L, math.min(
+            spark.sparkContext.defaultParallelism.toLong,
+            perBatch / (256L * 1024L))).toInt
+        }
       }
     def suite(dir: String, mfpt: Option[Int], suffix: String) = {
       spark.conf.set("spark.sql.shuffle.partitions",
@@ -135,7 +145,7 @@ object Bench {
     val spark = graft.util.GraftSession
       .builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    graft.util.GraftSession.quietLogs(spark)
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
     // a failed run records the sentinel -1, NOT its (fast) wall

@@ -14,7 +14,7 @@ object Verify {
     val spark = graft.util.GraftSession
       .builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    graft.util.GraftSession.quietLogs(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -626,7 +626,7 @@ object EventService {
     import org.apache.spark.sql.expressions.Window
     val ids = ClDims.tables(cl)
       .withColumn("table_id",
-        row_number().over(Window.orderBy(col("schema_name"), col("table_name")))
+        row_number().over(graft.util.Windows.bounded(col("schema_name"), col("table_name")))
           .cast("long") - 1L)
     def enc15(c: org.apache.spark.sql.Column) =
       concat(lit("8"), lpad(lower(hex(c)), 15, "0"))
@@ -721,7 +721,7 @@ object EventService {
     import org.apache.spark.sql.expressions.Window
     val ids = ClDims.tables(cl)
       .withColumn("table_id",
-        row_number().over(Window.orderBy(col("schema_name"), col("table_name")))
+        row_number().over(graft.util.Windows.bounded(col("schema_name"), col("table_name")))
           .cast("long") - 1L)
     def w16(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 16, "0")
     def enc15(c: org.apache.spark.sql.Column) =
@@ -887,7 +887,7 @@ object EventService {
     val stats = cl.groupBy(col("schema_name"), col("table_name"))
       .agg(min(col("commit_ts")).as("tmin"), max(col("commit_ts")).as("tmax"))
       .withColumn("tord",
-        row_number().over(Window.orderBy(col("schema_name"), col("table_name")))
+        row_number().over(graft.util.Windows.bounded(col("schema_name"), col("table_name")))
           .cast("long") - 1L)
       .withColumn("stride", expr("(tmax - tmin) div 8"))
     val nodes = stats.sparkSession.range(nNodes).select(col("id").as("nord"))

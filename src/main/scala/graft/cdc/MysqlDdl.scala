@@ -165,7 +165,7 @@ object MysqlDdl {
       .select((expr(s"((commit_ts + $step - 1) div $step) * $step")).as("primary_ts"),
         col("commit_ts"))
       .groupBy(col("primary_ts")).agg(max(col("commit_ts")).as("bmax"))
-    val wRun = Window.orderBy(col("primary_ts"))
+    val wRun = graft.util.Windows.bounded(col("primary_ts"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bounds.join(perBound, Seq("primary_ts"), "left")
       .withColumn("secondary_ts", max(col("bmax")).over(wRun))

@@ -267,8 +267,8 @@ object OperatorLifecycle {
         lit(-1L).as("removed"), col("target_node").as("dest0"),
         pmod(col("assign_seq") - 1L, lit(4L)).as("arm"))
     val stops = cl.select(col("schema_name")).distinct()
-      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("schema_name"))).cast("long"))
+      .withColumn("rn", row_number().over(
+        graft.util.Windows.bounded(col("schema_name"))).cast("long"))
       .select(lit("stop").as("op_type"), col("schema_name").as("op_id"),
         pmod(col("rn"), lit(2L)).as("removed"),
         graft.functions.Portable.bucket(col("schema_name"),

@@ -180,10 +180,10 @@ object Scheduler {
           .otherwise(array().cast("array<long>"))).as("s"))
       .withColumn("height", col("load") + col("s"))
       .withColumn("slot_rank",
-        row_number().over(Window.orderBy(col("height"), col("node"))))
+        row_number().over(graft.util.Windows.bounded(col("height"), col("node"))))
     val ranked = absent
       .withColumn("assign_seq",
-        row_number().over(Window.orderBy(col("span"))).cast("long"))
+        row_number().over(graft.util.Windows.bounded(col("span"))).cast("long"))
       .filter(col("assign_seq") <= batch)
     ranked.join(slots, col("assign_seq") === col("slot_rank"))
       .select(col("span"), col("assign_seq"),
@@ -273,7 +273,7 @@ object Scheduler {
       .withColumn("grp_cap", least(col("deficit"), lit(batch.toLong)))
       .withColumn("moved_before",
         coalesce(sum(col("grp_cap")).over(
-          Window.orderBy(col("grp")).rowsBetween(Window.unboundedPreceding, -1)),
+          graft.util.Windows.bounded(col("grp")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
 
   /** Core frame, spec-drivable. `tasks` = (grp, node, span) current

@@ -96,7 +96,7 @@ object SchemaStore {
   private def tableUniverse(cl: DataFrame): DataFrame =
     ClDims.tables(cl)
       .withColumn("base",
-        row_number().over(Window.orderBy(col("schema_name"), col("table_name")))
+        row_number().over(graft.util.Windows.bounded(col("schema_name"), col("table_name")))
           .cast("long") - 1L)
 
   /** Deterministic DDL-job log: at boundary v (ts = v·step), a table
@@ -476,7 +476,7 @@ object SchemaStore {
         (col("lo") + expr("(3 * (hi - lo)) div 4")).as("upper_ts"))
     val schemas = cl.select(col("schema_name")).distinct()
       .withColumn("schema_id",
-        row_number().over(Window.orderBy(col("schema_name"))).cast("long") - 1L)
+        row_number().over(graft.util.Windows.bounded(col("schema_name"))).cast("long") - 1L)
     val tables = tableUniverse(cl)
     val ddls = tables
       .select(col("schema_name"), col("table_name"), col("base"),
@@ -533,10 +533,10 @@ object SchemaStore {
     // order_preserved deterministic even then.
     all
       .withColumn("pos_bykey",
-        row_number().over(Window.orderBy(col("key_hex"), col("schema_name"),
+        row_number().over(graft.util.Windows.bounded(col("key_hex"), col("schema_name"),
           col("table_name"))).cast("long"))
       .withColumn("pos_bytuple",
-        row_number().over(Window.orderBy(col("kind_rank"), col("ts"),
+        row_number().over(graft.util.Windows.bounded(col("kind_rank"), col("ts"),
           col("entity_id"), col("schema_name"), col("table_name")))
           .cast("long"))
       .select(col("key_kind"), col("schema_name"), col("table_name"),

@@ -58,7 +58,7 @@ object SubRangeTasks {
     val bounds = cl.groupBy(col("schema_name"), col("table_name"))
       .agg(min(col("pk")).as("lo"), max(col("pk")).as("hi"))
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("schema_name"),
+        row_number().over(graft.util.Windows.bounded(col("schema_name"),
           col("table_name"))).cast("long") - 1L)
       .withColumn("w", col("hi") - col("lo") + 1L)
       // subscription = the middle six eighths of the table span; a

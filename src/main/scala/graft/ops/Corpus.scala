@@ -539,7 +539,7 @@ object Corpus {
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("n_docs").desc, col("gram"))).cast("long"))
+        graft.util.Windows.bounded(col("n_docs").desc, col("gram"))).cast("long"))
   }
 
   def ngramHeavyHittersSql(n: Int = 5, k: Int = 50): String = {
@@ -584,7 +584,7 @@ object Corpus {
     val buckets = docs.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
     val total = docs.agg(sum(col("n")).as("t"))
-    val wcum = Window.orderBy(col("bucket"))
+    val wcum = graft.util.Windows.bounded(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     buckets.crossJoin(broadcast(total))
       .withColumn("token_share_ppm",
@@ -670,7 +670,7 @@ object Corpus {
       .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
       .agg(sum(col("freq")).as("pair_count"))
       .withColumn("rnk", row_number().over(
-        Window.orderBy(col("pair_count").desc, col("left_sym"), col("right_sym")))
+        graft.util.Windows.bounded(col("pair_count").desc, col("left_sym"), col("right_sym")))
         .cast("long"))
       .filter(col("rnk") <= topK)
   }
@@ -1173,7 +1173,7 @@ object Corpus {
     val typesPer = bucketed.groupBy(col("word"))
       .agg(min(col("bucket")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_new_types"))
-    val grid = Window.orderBy(col("bucket"))
+    val grid = graft.util.Windows.bounded(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tokensPer.join(typesPer, Seq("bucket"), "left")
       .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
@@ -1245,7 +1245,7 @@ object Corpus {
     val grid = vocab.groupBy(col("freq"))
       .agg(count(lit(1)).as("n_toks"))
       .withColumn("mass", col("freq") * col("n_toks"))
-    val wd = Window.orderBy(col("freq").desc)
+    val wd = graft.util.Windows.bounded(col("freq").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = grid
       .withColumn("cum_mass", sum(col("mass")).over(wd))

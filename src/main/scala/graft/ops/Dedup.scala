@@ -633,7 +633,12 @@ object Dedup {
     * [[graft.util.GraftSession.releaseCaches]]. */
   private val pairsMemo = scala.collection.concurrent.TrieMap[
     (SparkSession, String, Double), DataFrame]()
-  private[graft] def clearPairsMemo(): Unit = pairsMemo.clear()
+  private[graft] def clearPairsMemo(): Unit = pairsMemo.synchronized {
+    // release the checkpoint blocks WITH the reference (ADVICE r15):
+    // the ledger is corpus-scale, and ContextCleaner GC is not prompt
+    pairsMemo.values.foreach(graft.util.Checkpoints.drop)
+    pairsMemo.clear()
+  }
   private[graft] def ngramPairsCached(spark: SparkSession, dir: String,
                                       tau: Double): DataFrame =
     pairsMemo.synchronized {

@@ -786,7 +786,7 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        graft.util.Windows.bounded(col("score").desc, col("doc_id"))).cast("long"))
       .select(Seq(col("doc_id"), col("dl")) ++
         query.map(q => col(s"s_$q")) ++
         Seq(col("score"), col("rank")): _*)
@@ -873,7 +873,7 @@ object Retrieval {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(kArm)
       .withColumn("dense_rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+        graft.util.Windows.bounded(col("cosine").desc, col("vec_id"))).cast("long"))
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
     sparse.join(dense, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -885,7 +885,7 @@ object Retrieval {
       .orderBy(col("rrf_u").desc, col("doc_id"))
       .limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("rrf_u").desc, col("doc_id"))).cast("long"))
+        graft.util.Windows.bounded(col("rrf_u").desc, col("doc_id"))).cast("long"))
   }
 
   def hybridRrfTopKSql(kArm: Int = 50, k: Int = 20, rrfK: Int = 60,
@@ -1126,7 +1126,7 @@ object Retrieval {
     val toks = docs(spark, dir)
       .select(col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("doc_tokens"))
-    val before = Window.orderBy(col("rank"))
+    val before = graft.util.Windows.bounded(col("rank"))
       .rowsBetween(Window.unboundedPreceding, -1)
     toks.join(broadcast(ranked), "doc_id")
       .withColumn("cum_before",
@@ -1204,7 +1204,11 @@ object Retrieval {
     * [[graft.util.GraftSession.releaseCaches]]. */
   private val spansMemo = scala.collection.concurrent.TrieMap[
     (SparkSession, String, Int), DataFrame]()
-  private[graft] def clearSpansMemo(): Unit = spansMemo.clear()
+  private[graft] def clearSpansMemo(): Unit = spansMemo.synchronized {
+    // release the checkpoint blocks WITH the reference (ADVICE r15)
+    spansMemo.values.foreach(graft.util.Checkpoints.drop)
+    spansMemo.clear()
+  }
   private[graft] def substringSpansCached(spark: SparkSession, dir: String,
                                           k: Int): DataFrame =
     spansMemo.synchronized {
@@ -1228,11 +1232,16 @@ object Retrieval {
         Portable.hash60(col("gram")).as("gh"))
 
   /** The cross-document duplicated-gram set (df ≥ 2) — the published
-    * index C59s marks arriving documents against. */
+    * index C59s marks arriving documents against, and the index branch
+    * of the batch C59 below (ONE definition for both consumers, in the
+    * single-exchange countDistinct form: map-side (gh, doc_id) dedup
+    * inside the partial aggregate, one hash(gh) shuffle). */
   private[graft] def dupGramSet(docsFrame: DataFrame, k: Int = 8): DataFrame =
-    substringOcc(docsFrame, k)
-      .select(col("gh"), col("doc_id")).distinct()
-      .groupBy(col("gh")).agg(count(lit(1)).as("gdf"))
+    dupGramSetFromOcc(substringOcc(docsFrame, k))
+
+  private def dupGramSetFromOcc(occ: DataFrame): DataFrame =
+    occ
+      .groupBy(col("gh")).agg(countDistinct(col("doc_id")).as("gdf"))
       .filter(col("gdf") >= 2L)
       .select(col("gh"))
 
@@ -1250,10 +1259,7 @@ object Retrieval {
     // exchange carries partial-agg rows, the join branch's carries raw
     // occurrences).
     val occ = substringOcc(docsFrame, k)
-    val dupGrams = occ
-      .groupBy(col("gh")).agg(countDistinct(col("doc_id")).as("gdf"))
-      .filter(col("gdf") >= 2L)
-      .select(col("gh"))
+    val dupGrams = dupGramSetFromOcc(occ)
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = occ.join(dupGrams, "gh")
       .select(col("doc_id"), col("doc_tokens"), col("pos"))

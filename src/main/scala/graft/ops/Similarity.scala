@@ -881,7 +881,7 @@ object Similarity {
       .localCheckpoint()
     val seeds = sample.orderBy(col("h"), col("vec_id")).limit(subK)
       .withColumn("cent",
-        row_number().over(Window.orderBy(col("h"), col("vec_id"))).cast("int") - 1)
+        row_number().over(graft.util.Windows.bounded(col("h"), col("vec_id"))).cast("int") - 1)
     val book0 = seeds.select(explode(array((0 until subspaces).map(s =>
         struct(lit(s).as("sub"), col("cent"),
           slice(col("v"), s * S + 1, S).as("cv"))): _*)).as("x"))

@@ -451,7 +451,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val scored = unigramSurprisal(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("mean_millibits"))
-    val wcum = Window.orderBy(col("mean_millibits"))
+    val wcum = graft.util.Windows.bounded(col("mean_millibits"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = scored.groupBy(col("mean_millibits"))
       .agg(count(lit(1)).as("c"))

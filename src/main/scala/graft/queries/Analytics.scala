@@ -1723,7 +1723,7 @@ object Analytics {
       .groupBy((year(col("o_orderdate")) * 12 +
         month(col("o_orderdate")) - 1).cast("long").as("month_idx"))
       .agg(moneyCents(col("o_totalprice"), 2).as("rev_cents"))
-    val byMonth = Window.orderBy(col("month_idx"))
+    val byMonth = graft.util.Windows.bounded(col("month_idx"))
     monthly
       .withColumn("prev_cents", lag(col("rev_cents"), 1).over(byMonth))
       .withColumn("yoy_cents", lag(col("rev_cents"), 12).over(byMonth))

@@ -12,7 +12,41 @@ import org.apache.spark.sql.SparkSession
   * - AQE on: runtime coalescing + skew-join splitting matter at scale.
   */
 object GraftSession {
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+
+  /** WindowExec warns "No Partition Defined … moving all data to a
+    * single partition" for ANY unpartitioned window. Every
+    * unpartitioned window in this engine is bounded BY CONSTRUCTION
+    * (audited r16, all 25 sites route through
+    * [[graft.util.Windows.bounded]]): post-`limit(k)` top-k re-ranks,
+    * value grids (O(√N) distinct frequencies, ≤1000·max_bits millibit
+    * values, power-of-two buckets), or dimension tables (schemas,
+    * spans, months). Corpus-scale rankings never reach WindowExec —
+    * they go through orderBy+limit (TakeOrderedAndProject) first.
+    * The explicit constant partition key that Windows.bounded sets to
+    * make this self-evident is stripped by Spark 4's
+    * EliminateWindowPartitions optimizer rule before execution, so the
+    * warning cannot be silenced at the query level — demote this one
+    * logger instead. A future genuinely-unbounded window would be a
+    * bug in any case at any log level: PlanQualitySpec's plan pins and
+    * the Windows.bounded discipline (plain `Window.orderBy` is
+    * grep-able) are the real guards. */
+  private def quietBoundedWindowWarning(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+  /** WARN log level + the bounded-window demotion above. MUST be used
+    * instead of a bare `setLogLevel("WARN")`: SparkContext.setLogLevel
+    * calls log4j's setAllLevels(root), which resets EVERY logger and
+    * wipes per-logger levels set earlier. */
+  def quietLogs(spark: SparkSession): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    quietBoundedWindowWarning()
+  }
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    quietBoundedWindowWarning()
     SparkSession.builder()
       .master(master)
       .withExtensions(graft.functions.VectorExprs.register)
@@ -62,11 +96,12 @@ object GraftSession {
       // stages get fixed at the EXPRESSION level instead (the
       // debezium arm projection pre-renders its strings so the value
       // concat is pure column refs).
+  }
 
   /** Test/dev session. */
   def local(cores: Int = 4): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    quietLogs(s)
     s
   }
 
@@ -100,5 +135,9 @@ object GraftSession {
     graft.ops.Dedup.clearPairsMemo()
     graft.cdc.Scheduler.clearCensusMemo()
     graft.cdc.ClDims.clear()
+    // Parquet-footer schema memo: stale only if a dataset is
+    // REGENERATED at the same path inside one JVM — exactly the
+    // between-pipelines moment this method exists for.
+    graft.util.Tables.clearSchemaMemo()
   }
 }

@@ -16,9 +16,14 @@ object Tables {
     * the memo is keyed on path alone and never needs eviction; the
     * first read of each path still infers from the real footer, so a
     * regenerated dataset is picked up by a fresh process exactly as
-    * before. */
+    * before. A LONG-LIVED session that regenerates a dataset at the
+    * same path (the events.ts TIMESTAMP-vs-BIGINT variation) must call
+    * [[graft.util.GraftSession.releaseCaches]], which clears this memo
+    * like every other session cache, so the next read re-infers. */
   private val schemaMemo =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+
+  private[graft] def clearSchemaMemo(): Unit = schemaMemo.clear()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
