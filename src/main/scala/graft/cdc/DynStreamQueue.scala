@@ -75,7 +75,7 @@ object DynStreamQueue {
   val SignalBudget = 5000L
 
   /** The pre-filled queue: (stream, area, path, ts, tie, kind, detail). */
-  private def queueFrame(cl: DataFrame, nRegions: Int,
+  private[cdc] def queueFrame(cl: DataFrame, nRegions: Int,
                          signalStep: Long): DataFrame = {
     val dml = cl
       .withColumn("region_id",

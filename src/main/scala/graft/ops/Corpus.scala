@@ -61,8 +61,7 @@ object Corpus {
     }
 
   private def buildTextRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val toks = Text.docTokens(spark, dir)
       .select(col("doc_id"), col("toks"),
         call_function("graft_word_ngrams_all", col("toks"), lit(3)).as("grams"))
     val tokStats = toks.select(col("doc_id"),
@@ -154,8 +153,8 @@ object Corpus {
     * the absolute score, is the operator's contract). Scores are exact
     * integer products divided once. */
   def docTfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
-    val terms = docs(spark, dir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val terms = Text.docTokens(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
       .filter(col("term") =!= "")
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -224,12 +223,12 @@ object Corpus {
               nShards: Int = 8, salt: String = "graft-pack-v1:"): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    Text.docTokens(spark, dir)
       .select(col("doc_id"), col("lang"),
         graft.functions.Portable
           .bucket(concat(lit(salt), col("doc_id").cast("string")), nShards)
           .as("shard"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        size(col("toks")).cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
         call_function("div", col("cum_before"), lit(ctx)).as("bin_id"),
@@ -263,9 +262,9 @@ object Corpus {
     * 100 TB) and a truncating-integral-division mean. Token counts are
     * row-local; one aggregation shuffle on the (lang, source) cell. */
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Text.docTokens(spark, dir)
       .select(col("lang"), col("source"), col("n_chars"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        size(col("toks")).cast("long").as("n_tokens"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -285,9 +284,9 @@ object Corpus {
     * by the ApproxProbe main. Same frame and output convention. */
   def corpusStatsApprox(spark: SparkSession, dir: String,
                         accuracy: Int = 10000): DataFrame =
-    Tables.documents(spark, dir)
+    Text.docTokens(spark, dir)
       .select(col("lang"), col("source"), col("n_chars"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        size(col("toks")).cast("long").as("n_tokens"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -407,9 +406,9 @@ object Corpus {
     * cells are a few thousand at any corpus size, so the final join
     * is trivially broadcast and nothing global touches row volume. */
   def sourceMixWeights(spark: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.documents(spark, dir)
+    val cells = Text.docTokens(spark, dir)
       .select(col("lang"), col("source"),
-        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        size(col("toks")).cast("long").as("n_tokens"))
       .groupBy(col("lang"), col("source"))
       .agg(sum(col("n_tokens")).as("tokens"))
       .withColumn("smoothed", floor(sqrt(col("tokens"))).cast("long"))
@@ -527,9 +526,8 @@ object Corpus {
   def ngramHeavyHitters(spark: SparkSession, dir: String,
                         n: Int = 5, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    Text.docTokens(spark, dir)
+      .select(col("doc_id"), col("toks"))
       .select(col("doc_id"),
         explode(call_function("graft_word_ngrams", col("toks"), lit(n)))
           .as("gram"))
@@ -577,8 +575,8 @@ object Corpus {
     * would discard — the quantity packing exists to reclaim. */
   def seqLengthHistogram(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(graft.ops.Text.tokens(col("text"))).cast("long").as("n"))
+    val docs = Text.docTokens(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
       .filter(col("n") > 0)
       .withColumn("bucket", expr("CAST(length(bin(n)) - 1 AS BIGINT)"))
     val buckets = docs.groupBy(col("bucket"))
@@ -645,16 +643,13 @@ object Corpus {
     * iterates this round; each round re-aggregates only the vocab
     * table, so the corpus is read once regardless of merge count. */
   def bpePairMerge(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
-    bpePairMergeFrom(
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
-      topK)
+    bpePairMergeFrom(Text.docTokens(spark, dir), topK)
 
   /** Word-frequency table of ≥2-char words (the BPE training corpus
     * view shared by C41 and C65). */
   private def bpeWords(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(graft.ops.Text.tokens(col("text"))).as("w"))
+    Text.withToks(docs)
+      .select(explode(col("toks")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
@@ -766,10 +761,7 @@ object Corpus {
     * |vocab|-bounded), the merge table rides a 1-row broadcast, and
     * the per-word fold is nMerges string rewrites inside Catalyst. */
   def bpeSegment(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
-    bpeSegmentFrom(
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
-      nMerges)
+    bpeSegmentFrom(Text.docTokens(spark, dir), nMerges)
 
   private[graft] def bpeSegmentFrom(docs: DataFrame, nMerges: Int = 8): DataFrame = {
     val words = bpeWords(docs)
@@ -849,8 +841,8 @@ object Corpus {
                          nMerges: Int = 8): DataFrame = {
     val seg = bpeSegment(spark, dir, nMerges)
       .select(col("word"), col("n_pieces"), col("n_chars"))
-    val perSrc = docs(spark, dir)
-      .select(col("source"), explode(graft.ops.Text.tokens(col("text"))).as("word"))
+    val perSrc = Text.docTokens(spark, dir)
+      .select(col("source"), explode(col("toks")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
     perSrc.join(seg, "word")
@@ -1088,9 +1080,8 @@ object Corpus {
   def lengthBatching(spark: SparkSession, dir: String, lenDiv: Int = 16,
                      nShards: Int = 8, batchSize: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs(spark, dir)
-      .select(col("doc_id"),
-        size(graft.ops.Text.tokens(col("text"))).cast("long").as("len"))
+    val base = Text.docTokens(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"))
       .withColumn("bucket", call_function("div", col("len"), lit(lenDiv.toLong)))
       .withColumn("shard", pmod(graft.functions.Portable.hash60(
         concat(lit("graft-batch-v1:"), col("doc_id").cast("string"))),
@@ -1161,8 +1152,8 @@ object Corpus {
     * cumulative types per million cumulative tokens, the Heaps ratio
     * on the ppm grid. */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+    val toks = Text.docTokens(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
     val span = toks.agg(min(col("doc_id")).as("lo"),
       (max(col("doc_id")) - min(col("doc_id")) + 1L).as("w"))
     val bucketed = toks.crossJoin(broadcast(span))
@@ -1239,8 +1230,8 @@ object Corpus {
     * agg (grid), a grid-scale window, two 1-row/3-row broadcasts. */
   def vocabConcentration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select(explode(Text.tokens(col("text"))).as("w"))
+    val toks = Text.docTokens(spark, dir)
+      .select(explode(col("toks")).as("w"))
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("freq"))
     val grid = vocab.groupBy(col("freq"))
       .agg(count(lit(1)).as("n_toks"))
@@ -1327,8 +1318,8 @@ object Corpus {
 
   /** Spec entry: same frame from an explicit documents frame. */
   private[graft] def ngramNoveltyFrom(docsFrame: DataFrame): DataFrame =
-    noveltyFromGrams(docsFrame
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    noveltyFromGrams(Text.withToks(docsFrame)
+      .select(col("doc_id"), col("toks"))
       .select(col("doc_id"), expr(Text.gramsExpr).as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), explode(col("grams")).as("gram")))
@@ -1380,10 +1371,8 @@ object Corpus {
   def corpusPhrases(spark: SparkSession, dir: String,
                     minCount: Long = 5L,
                     tauPpm: Long = 1500000L): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      // single parquet split: spread the CPU-bound pair projection
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(Text.tokens(col("text")).as("toks"))
+    val toks = Text.docTokens(spark, dir)
+      .select(col("toks"))
       // three consumers (unigram agg, token total, pair agg) —
       // tokenize once, the gramsCached discipline
       .localCheckpoint()

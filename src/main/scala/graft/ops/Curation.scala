@@ -257,7 +257,7 @@ object Curation {
     * native compiled-loop expression (the declarative transform-lambda
     * runs interpreted at ~ms/doc). */
   private def shingle4(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+    Text.withToks(docs).select(col("doc_id"), col("source"), col("toks"))
       .select(col("doc_id"), col("source"),
         call_function("graft_word_ngrams", col("toks"), lit(4)).as("grams"))
 
@@ -266,8 +266,7 @@ object Curation {
     * broadcasts — and in streaming mode it is the static side of a
     * stream-static join). */
   private[graft] def benchGrams(spark: SparkSession, dir: String): DataFrame =
-    shingle4(Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+    shingle4(Text.docTokens(spark, dir))
       .filter(col("source") === BenchSource)
       .select(explode(col("grams")).as("gram")).distinct()
 
@@ -293,10 +292,7 @@ object Curation {
 
   def contamination(spark: SparkSession, dir: String): DataFrame =
     // repartition off the single parquet split (shingling is CPU-bound)
-    contaminationFrom(
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
-      benchGrams(spark, dir))
+    contaminationFrom(Text.docTokens(spark, dir), benchGrams(spark, dir))
 
   val contaminationSql: String =
     s"""WITH t AS (
@@ -479,8 +475,8 @@ object Curation {
                         minTokens: Long = 20L, maxTokens: Long = 100000L,
                         minStopPpm: Long = 20000L, maxDupGramPpm: Long = 20000L,
                         maxTopGramPpm: Long = 100000L): DataFrame = {
-    val m = Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val m = Text.docTokens(spark, dir)
+      .select(col("doc_id"), col("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop",
         call_function("graft_count_in", col("toks"),
@@ -1024,11 +1020,8 @@ object Curation {
                   buckets: Int = 1024): DataFrame = {
     val b = buckets.toLong
     // unigrams + bigrams of the normalized text, hashed onto the grid
-    val feats = Tables.documents(spark, dir)
-      // single parquet split: spread the CPU-bound gram hashing
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("source"),
-        Text.tokens(col("text")).as("toks"))
+    val feats = Text.docTokens(spark, dir)
+      .select(col("doc_id"), col("source"), col("toks"))
       .withColumn("g", explode(concat(col("toks"),
         expr("""CASE WHEN size(toks) >= 2
                 THEN transform(sequence(0, size(toks) - 2),

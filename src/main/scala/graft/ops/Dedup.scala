@@ -603,9 +603,7 @@ object Dedup {
     * band join alone has two). The CacheManager dedupes by canonical
     * plan, so every operator in a session shares one cache entry. */
   private[ops] def gramsCached(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))
+    Text.docTokens(spark, dir)
       // native shingling (graft.functions.WordNGrams): one JVM loop per
       // doc instead of interpreted higher-order lambdas; set-identical
       // to the declarative Text.gramsExpr and the DuckDB oracle
@@ -785,7 +783,7 @@ object Dedup {
   /** (doc_id, line_no, line): consecutive `width`-token windows of the
     * normalized text, built row-locally (slice + array_join). */
   private def lineFrame(spark: SparkSession, dir: String, width: Int): DataFrame =
-    lineFrameOf(Tables.documents(spark, dir), width)
+    lineFrameOf(Text.docTokens(spark, dir), width)
 
   /** [[lineFrame]] over an arbitrary documents frame — shared with the
     * streaming twin (row-local, so it runs unchanged per micro-batch).
@@ -793,9 +791,8 @@ object Dedup {
     * its event-time column to the watermarked dedup state). */
   private[graft] def lineFrameOf(docs: DataFrame, width: Int,
                                  keep: Seq[String] = Nil): DataFrame =
-    docs
-      .select(col("doc_id") +: Text.tokens(col("text")).as("toks") +:
-        keep.map(col): _*)
+    Text.withToks(docs)
+      .select(col("doc_id") +: col("toks") +: keep.map(col): _*)
       .select(col("doc_id") +:
         expr(s"""transform(
           sequence(0, CAST(ceil(size(toks) / ${width}.0) AS INT) - 1),
@@ -988,12 +985,12 @@ object Dedup {
     * the row), so the whole operator is one hash-keyed partial agg —
     * map-side combine, single shuffle on the 60-bit key. */
   def prefixSuffix(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
-    prefixSuffixFrom(Tables.documents(spark, dir), k)
+    prefixSuffixFrom(Text.docTokens(spark, dir), k)
 
   private[graft] def prefixSuffixFrom(docsFrame: DataFrame,
       k: Int = 8): DataFrame = {
-    val toks = docsFrame
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val toks = Text.withToks(docsFrame)
+      .select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) >= k)
     val pre = toks.select(col("doc_id"), lit("prefix").as("kind"),
       array_join(slice(col("toks"), 1, k), " ").as("key"))

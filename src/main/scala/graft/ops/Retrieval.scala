@@ -56,8 +56,8 @@ object Retrieval {
     * shorter than W; a doc shorter than W is one chunk. */
   def docChunk(spark: SparkSession, dir: String,
                w: Int = 64, s: Int = 48): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    Text.docTokens(spark, dir)
+      .select(col("doc_id"), col("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("ci", explode(sequence(lit(0L),
         expr(s"(greatest(n - $w, CAST(0 AS BIGINT)) + ${s - 1}) div $s"))))
@@ -108,10 +108,9 @@ object Retrieval {
   private val PosMod = 4194304L // 2^22
 
   def winnowing(spark: SparkSession, dir: String, win: Int = 4): DataFrame = {
-    val grams = docs(spark, dir)
+    val grams = Text.docTokens(spark, dir)
       .select(col("doc_id"),
-        call_function("graft_word_ngrams_all",
-          Text.tokens(col("text")), lit(3)).as("grams"))
+        call_function("graft_word_ngrams_all", col("toks"), lit(3)).as("grams"))
       .select(col("doc_id"), size(col("grams")).cast("long").as("m"),
         posexplode(col("grams")).as(Seq("pos", "gram")))
       .withColumn("key",
@@ -136,10 +135,9 @@ object Retrieval {
     * the C37 selection with positions stripped (overlap detection
     * compares content, not offsets). */
   private def winnowHashes(docsFrame: DataFrame, win: Int): DataFrame = {
-    val grams = docsFrame
+    val grams = Text.withToks(docsFrame)
       .select(col("doc_id"), col("source"),
-        call_function("graft_word_ngrams_all",
-          Text.tokens(col("text")), lit(3)).as("grams"))
+        call_function("graft_word_ngrams_all", col("toks"), lit(3)).as("grams"))
       .select(col("doc_id"), col("source"),
         size(col("grams")).cast("long").as("m"),
         posexplode(col("grams")).as(Seq("pos", "gram")))
@@ -170,7 +168,8 @@ object Retrieval {
       winnowMemo.keys.filter(_._1.sparkContext.isStopped)
         .foreach(winnowMemo.remove)
       winnowMemo.getOrElseUpdate((spark, dir, win),
-        winnowHashes(docs(spark, dir), win).localCheckpoint())
+        winnowHashes(graft.ops.Text.docTokens(spark, dir), win)
+          .localCheckpoint())
     }
 
   /** C39 — decontamination by winnowing-fingerprint overlap: the MOSS
@@ -215,7 +214,7 @@ object Retrieval {
 
   def decontaminateWinnow(spark: SparkSession, dir: String,
       win: Int = 4, tauPpm: Long = 100000L): DataFrame =
-    decontaminateFromFps(docs(spark, dir),
+    decontaminateFromFps(graft.ops.Text.docTokens(spark, dir),
       winnowHashesCached(spark, dir, win), tauPpm)
 
   def decontaminateWinnowSql(win: Int = 4, tauPpm: Long = 100000L): String = {
@@ -748,8 +747,8 @@ object Retrieval {
 
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 20,
                query: Seq[String] = Query): DataFrame = {
-    val base = docs(spark, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val base = Text.docTokens(spark, dir)
+      .select(col("doc_id"), col("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val scal = base.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("t_toks"))
@@ -1034,8 +1033,8 @@ object Retrieval {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("tok_start"), col("tok_end"))))
         .as("spans"))
-    docs(spark, dir)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    Text.docTokens(spark, dir)
+      .select(col("doc_id"), col("toks"))
       .join(spans, Seq("doc_id"), "left")
       .withColumn("n_before", size(col("toks")).cast("long"))
       .withColumn("kept_toks", when(col("spans").isNull, col("toks"))
@@ -1123,9 +1122,9 @@ object Retrieval {
                      budget: Long = 600L): DataFrame = {
     val ranked = hybridRrfTopK(spark, dir, k = k)
       .select(col("doc_id"), col("rank"))
-    val toks = docs(spark, dir)
+    val toks = Text.docTokens(spark, dir)
       .select(col("doc_id"),
-        size(Text.tokens(col("text"))).cast("long").as("doc_tokens"))
+        size(col("toks")).cast("long").as("doc_tokens"))
     val before = graft.util.Windows.bounded(col("rank"))
       .rowsBetween(Window.unboundedPreceding, -1)
     toks.join(broadcast(ranked), "doc_id")
@@ -1192,7 +1191,7 @@ object Retrieval {
     * what a cut pass downstream consumes. */
   def dedupSubstringSpans(spark: SparkSession, dir: String,
                           k: Int = 8): DataFrame =
-    dedupSubstringSpansFrom(docs(spark, dir), k)
+    dedupSubstringSpansFrom(Text.docTokens(spark, dir), k)
 
   /** The C59 span LEDGER memoized per (session, dir, k) — consumed by
     * C68 (char projection) and C69 (cut apply), the two downstream
@@ -1221,8 +1220,8 @@ object Retrieval {
   /** Positioned 60-bit gram-hash occurrences of a documents frame
     * (shared by C59 and its streaming twin's static-index builder). */
   private[graft] def substringOcc(docsFrame: DataFrame, k: Int = 8): DataFrame =
-    docsFrame
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    Text.withToks(docsFrame)
+      .select(col("doc_id"), col("toks"))
       .withColumn("doc_tokens", size(col("toks")).cast("long"))
       .withColumn("grams",
         call_function("graft_word_ngrams_all", col("toks"), lit(k)))

@@ -771,9 +771,8 @@ object Similarity {
     val (c, cents, _) = ivfIndexInputs(spark, dir)
     val assigned = assignLists(c, cents)
       .select(col("vec_id").as("doc_id"), col("cent_id"))
-    val toks = graft.util.Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(graft.ops.Text.tokens(col("text"))).as("term"))
+    val toks = graft.ops.Text.docTokens(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
     val tf = toks.join(assigned, "doc_id")
       .groupBy(col("cent_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df_cells"))

@@ -28,8 +28,8 @@ object TextAnalysis {
     * precedence (en,es,fr,de → 'und' when nothing matches). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val scored = markers.foldLeft(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), Text.tokens(col("text")).as("toks"))) {
+      Text.docTokens(spark, dir)
+        .select(col("doc_id"), col("lang"), col("toks"))) {
       case (df, (l, ws)) =>
         // native set-membership count (graft.functions.CountTokensIn)
         df.withColumn(s"s_$l",
@@ -293,8 +293,8 @@ object TextAnalysis {
     * corpus shuffle for membership); the per-doc profile is one
     * doc-keyed aggregation. */
   def vocabCoverage(spark: SparkSession, dir: String, vocabSize: Int = 16): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    val toks = Text.docTokens(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
       .select(col("w"), lit(1L).as("in_vocab"))
@@ -324,11 +324,11 @@ object TextAnalysis {
     * keyed on the explode's own keys, one doc-keyed reduce — the C34
     * plan with one extra dimension-bounded join. */
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
-    bigramSurprisalFrom(Tables.documents(spark, dir))
+    bigramSurprisalFrom(Text.docTokens(spark, dir))
 
   private[graft] def bigramSurprisalFrom(docsFrame: DataFrame): DataFrame = {
-    val toks = docsFrame
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val toks = Text.withToks(docsFrame)
+      .select(col("doc_id"), col("toks"))
       .filter(size(col("toks")) >= 2)
     val bigrams = toks.select(col("doc_id"),
       posexplode(expr("slice(toks, 1, size(toks) - 1)")).as(Seq("i", "w1")),
@@ -398,8 +398,8 @@ object TextAnalysis {
     * (partial-agg), df frame joined back by token (dimension-scale
     * vocabulary, AQE broadcasts it), one doc-keyed reduce. */
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    val toks = Text.docTokens(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
     val df = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = toks.select(count(lit(1)).as("n_total"))
     toks.join(df, "w").crossJoin(broadcast(n))

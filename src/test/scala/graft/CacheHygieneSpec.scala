@@ -83,6 +83,29 @@ class CacheHygieneSpec extends AnyFunSuite {
     graft.util.GraftSession.releaseCaches(spark)
   }
 
+  test("docTokens cache equals a raw tokenize and releases with the caches") {
+    import org.apache.spark.sql.functions._
+    graft.util.GraftSession.releaseCaches(spark)
+    val cached = ops.Text.docTokens(spark, dir)
+    val raw = graft.util.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        ops.Text.tokens(col("text")).as("toks"))
+    // set equality on a stable rendering (token arrays joined)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        array_join(col("toks"), "\u0001").as("t"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(cached) == canon(raw))
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "docTokens must pin through the CacheManager")
+    graft.util.GraftSession.releaseCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releaseCaches must free the token cache")
+    // rebuilds fresh after release
+    assert(ops.Text.docTokens(spark, dir).count() == raw.count())
+    graft.util.GraftSession.releaseCaches(spark)
+  }
+
   test("C4 pair-ledger memo shares one frame, equals the fresh query, and releases") {
     graft.util.GraftSession.releaseCaches(spark)
     val a = ops.Dedup.ngramPairsCached(spark, dir, 0.5)

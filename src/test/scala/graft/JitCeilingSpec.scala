@@ -43,7 +43,7 @@ class JitCeilingSpec extends AnyFunSuite {
   /** The HotSpot DontCompileHugeMethods limit. */
   private val HugeMethodLimit = 8000
 
-  test("every registry query's generated methods stay under the 8000-bytecode JIT ceiling") {
+  test("every registry query's generated methods stay under the 8000-bytecode JIT ceiling", SlowTest) {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -122,11 +122,11 @@ class JitCeilingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
-  test("the codec family stays under the JIT ceiling at sf10-shaped plans") {
+  test("the codec family stays under the JIT ceiling at sf10-shaped plans", SlowTest) {
     lintAtSf10(codecFamily)
   }
 
-  test("the top-20 sf10 wall-time cells stay under the JIT ceiling at sf10-shaped plans") {
+  test("the top-20 sf10 wall-time cells stay under the JIT ceiling at sf10-shaped plans", SlowTest) {
     lintAtSf10(sf10HeavyNonCodec)
   }
 }

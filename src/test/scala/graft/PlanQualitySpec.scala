@@ -277,9 +277,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length == 1, p)
   }
 
+  /** Exchanges a query PAYS per run: the printed plan embeds each
+    * cached relation's one-time build plan (the r16 docTokens /
+    * gramsCached repartitions, materialized once per session), so the
+    * count skips everything indented under an InMemoryRelation line.
+    * (Tree collect cannot be used instead: executedPlan is an
+    * AdaptiveSparkPlanExec leaf wrapper, and the pre-AQE sparkPlan has
+    * not run EnsureRequirements yet, so it carries no exchanges.) */
+  private def paidExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    def ind(l: String): Int = math.max(l.indexWhere(_.isLetter), 0)
+    var skip = -1; var n = 0
+    for (l <- df.queryExecution.executedPlan.toString.linesIterator) {
+      val i = ind(l)
+      if (skip >= 0 && i <= skip) skip = -1
+      if (skip < 0) {
+        if (l.contains("InMemoryRelation")) skip = i
+        else if (l.contains("Exchange")) n += 1
+      }
+    }
+    n
+  }
+
   test("new aggregation ops hold their probed shuffle budgets") {
+    // tree-collect, NOT string count: the r16 docTokens cache nests its
+    // one-time build plan (with its repartition exchange) inside the
+    // printed InMemoryRelation; executed-tree exchanges are the ones a
+    // query actually pays per run
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =
-      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      paidExchanges(df)
     // seq_pack: one (lang, shard) window shuffle; corpus_stats: one
     // cell-keyed aggregation; retention: user window + cohort cell
     assert(exchanges(ops.Corpus.seqPack(spark, dir)) == 1)
@@ -307,7 +332,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // relation's own materialization (the single-split repartition),
     // not to banding
     assert(p.linesIterator.take(3).mkString("\n").contains("posexplode"), p)
-    assert("Exchange".r.findAllIn(p).length <= 2, p)
+    // executed-tree count: the printed plan also embeds the token/gram
+    // caches' one-time build plans (their exchanges run once a session)
+    assert(paidExchanges(banded) == 0, p)
   }
 
   test("line dedup is windowless partial aggregation on the line key") {
